@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design notes (the whole point of these algorithms):
+  *  - exact dedup = hash-groupBy: one shuffle on the fingerprint, never on
+  *    the text; at 100 TB shuffle md5 keys (16 bytes/row), not documents.
+  *  - MinHash LSH: candidate generation is a self-join on (band, bucket)
+  *    — an equi-join Catalyst can hash-partition — instead of the O(n²)
+  *    all-pairs compare. Bands/rows tune the S-curve.
+  *  - SimHash: 64-bit signature, near-dup candidates = equal signature
+  *    bands (4×16-bit chunks → Hamming distance ≤ 3 guaranteed recall).
+  *  - verification joins re-check true Jaccard only on candidates.
+  */
+object DedupFunctions {
+
+  /** Word shingles (n-grams of whitespace tokens) as a distinct array.
+    * Empty/short docs → their full token string as the single shingle.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val k = size(toks) - (n - 1)
+    when(k <= 0, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), k - 1),
+        i => concat_ws(" ", slice(toks, i + 1, n)))))
+  }
+
+  /** Exact duplicate groups on a fingerprint column: every group with >1
+    * member, with the canonical survivor (min doc id) marked.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, fpCol: String): DataFrame =
+    df.groupBy(col(fpCol)).agg(
+      count(lit(1)).as("group_size"),
+      min(col(idCol)).as("canonical_id"))
+      .filter(col("group_size") > 1)
+
+  /** Exact dedup: keep the min-id row per fingerprint. One shuffle on the
+    * 128-bit fingerprint; deterministic survivor.
+    */
+  def dedupExact(df: DataFrame, idCol: String, fpCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(fpCol)).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** n-gram Jaccard candidate pairs: explode distinct shingles, self-join
+    * on the shingle (ids ordered to halve the pairs), count shared
+    * shingles, compute exact Jaccard = |∩| / (|A|+|B|−|∩|), keep pairs ≥
+    * threshold. The shuffle key is the shingle hash, so hot shingles are
+    * the skew risk — `spark.sql.adaptive.skewJoin` handles the head, and
+    * a document-frequency cap (drop shingles appearing in > maxDf docs)
+    * removes boilerplate n-grams that would otherwise generate O(df²)
+    * candidate pairs.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxDf: Long = 1000L): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")).cast("long"))
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val filtered = exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf).drop("df")
+    val a = filtered.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("sh"))
+    val b = filtered.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: k hash functions simulated as
+    * `xxhash64(shingle, seed_i)`, signature[i] = min over shingles.
+    * Computed with array exprs — no UDF, no extra shuffle; one projection.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))): _*)
+
+  /** LSH banding: band b = hash of signature rows [b·r, (b+1)·r). Docs
+    * sharing any (band, bucket) become candidates.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows)), lit(b)).as("bucket"))): _*)
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    * Pipeline: shingle → signature → band explode → equi-self-join on
+    * (band,bucket) → distinct candidate pairs → verify true Jaccard via
+    * shingle intersection. Only candidates pay the verification cost.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    val base = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val banded = base.select(col("id"),
+        explode(lshBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val sh = base.select(col("id"), col("shingles"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash (64-bit): per shingle hash, each bit votes ±1; signature bit
+    * = sign of the vote sum. Expressed with array exprs over the shingle
+    * set — one projection, no UDF.
+    */
+  def simhash64(shingles: Column): Column = {
+    // bit j of the signature: 1 if sum over shingles of sign(bit j) > 0
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(shingles, lit(0L),
+        (acc, s) => acc + when(shiftright(xxhash64(s), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (any pair within
+    * Hamming distance 3 shares at least one intact chunk — pigeonhole),
+    * then verify the true distance on candidates.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash64(wordShingles(col(textCol), n)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("cb"))
+      .select(col("id"), col("sig"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))
+    chunked.as("x").join(chunked.as("y"), Seq("chunk", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("x.sig").as("sig_a"),
+        col("y.id").as("id_b"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

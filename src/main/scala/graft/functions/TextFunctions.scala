@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All are pure `Column` expressions built from codegen'd built-ins — no
+  * UDFs — so they stay inside whole-stage codegen and run at scan speed
+  * over 100 TB of documents. Each returns a Column so callers compose them
+  * into a single projection (one pass over `text`).
+  */
+object TextFunctions {
+
+  /** Whitespace token count. Empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count estimate: word-piece regex over letters /
+    * digits / punctuation runs (a public GPT-2-style pre-tokenizer shape),
+    * counted without materializing the token array.
+    */
+  def subwordCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")), lit(0))
+      .cast("long")
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[\\p{Punct}]")).cast("double") / length(text))
+
+  /** Stopword ratio over a given stopword list (whitespace tokens). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => array_contains(typedLit(stopwords), t))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "was", "for", "on", "with", "as", "at", "by")
+
+  /** Composite quality score in [0, 100]: rewards mid-length documents,
+    * penalizes punctuation soup and stopword-free (non-linguistic) text.
+    * Heuristic in the spirit of public quality filters (C4/Gopher rules).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val nTok = tokenCount(text)
+    val lengthScore = least(nTok.cast("double") / 20.0, lit(1.0)) // saturates at 20 tokens
+    val punct = punctRatio(text)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punct * 4.0) // >25% punct → 0
+    val stopScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0)) // saturates at 20%
+    round((lengthScore * 0.4 + punctScore * 0.3 + stopScore * 0.3) * 100.0, 2)
+  }
+
+  /** Stopword-profile language ID over a fixed set of languages: score
+    * each language by its stopword hit count (whitespace tokens), pick the
+    * argmax; ties and zero hits → "und". Deterministic, n-gram-free
+    * heuristic that runs as pure expressions.
+    */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"),
+    "es" -> Seq("el", "la", "los", "las", "es", "una", "por", "para", "que", "con"))
+
+  def langHits(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    size(filter(toks, t => array_contains(typedLit(stopwords), t)))
+  }
+
+  def languageId(text: Column, profiles: Map[String, Seq[String]] = LangStopwords): Column = {
+    // argmax by hit count; ties go to the alphabetically-first language
+    // (encoded as a descending priority field so array_max's struct
+    // ordering — field by field — resolves both in one comparison).
+    val scored = profiles.toSeq.sortBy(_._1).zipWithIndex.map { case ((lang, words), i) =>
+      struct(langHits(text, words).as("hits"), lit(-i).as("prio"), lit(lang).as("lang"))
+    }
+    val top = array_max(array(scored: _*))
+    when(top.getField("hits") <= 0, lit("und")).otherwise(top.getField("lang"))
+  }
+
+  /** Normalized-text fingerprint: lowercase, collapse whitespace, strip
+    * punctuation, md5. Canonical exact-dedup key (whitespace/case
+    * variations collapse to one fingerprint).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ").cast("binary"))
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature transform: the per-entity ordered window operators
+  * (SURVEY.md §2e, W-1..W-5; reference `src/pipeline.py:78-91`).
+  *
+  * Scale design: ALL window columns share one `Window.partitionBy(entity)
+  * .orderBy(time)` spec, so Catalyst plans a SINGLE exchange+sort for the
+  * whole feature stage — on a 1000-executor cluster this is one shuffle
+  * keyed by the entity, not one per indicator. Verified via
+  * `.explain("formatted")`: one Exchange hashpartitioning(ticker) feeding
+  * one Window node with all five window expressions.
+  *
+  * Semantics trap reproduced deliberately (SURVEY.md §2e preamble): pandas
+  * `rolling(n)` defaults `min_periods = n` → NaN until the frame is full.
+  * Spark computes partial frames, so every rolling agg is guarded with a
+  * full-frame count check to reproduce the leading nulls (visible in the
+  * reference's committed CSV `outputs/prices_AAPL-MSFT_...csv:2-5`).
+  */
+object FeatureOps {
+
+  /** Guarded rolling aggregate: value only when the frame holds exactly
+    * `n` rows (pandas `min_periods=n` parity).
+    */
+  def fullFrame(aggExpr: Column => Column, c: Column, n: Int, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val frame = w.rowsBetween(-(n - 1), 0)
+    when(count(c).over(frame) === n, aggExpr(c).over(frame))
+  }
+
+  /** W-2: 1-lag percent change (`pct_change`, reference `src/pipeline.py:61,81`).
+    * First row per entity → null, matching pandas.
+    */
+  def pctChange(entity: String, time: String, value: String): Column = {
+    val w = Window.partitionBy(entity).orderBy(time)
+    col(value) / lag(value, 1).over(w) - 1
+  }
+
+  /** W-1..W-5: the full feature stage. Emits `ret` (the duplicate
+    * `ret`/`return` pair of the reference is a faithful-quirk concern for
+    * compat mode only — here one canonical `ret`), `ma20`, `ma50`, `vol20`.
+    */
+  def transform(
+      df: DataFrame,
+      entity: String = "ticker",
+      time: String = "date",
+      close: String = "close",
+      maShort: Int = 20,
+      maLong: Int = 50,
+      volWindow: Int = 20): DataFrame = {
+    val w = Window.partitionBy(entity).orderBy(time)
+    val withRet = df.withColumn("ret", col(close) / lag(close, 1).over(w) - 1)
+    withRet
+      .withColumn(s"ma$maShort", fullFrame(avg, col(close), maShort, w))
+      .withColumn(s"ma$maLong", fullFrame(avg, col(close), maLong, w))
+      .withColumn(s"vol$volWindow", fullFrame(stddev_samp, col("ret"), volWindow, w))
+  }
+
+  /** W-6: keep-LAST dedup with an explicit order column (reference
+    * `drop_duplicates(keep='last')`, `src/pipeline.py:53`). pandas "last"
+    * means last in input order; distributed input has no order, so the
+    * caller supplies the sequence column (ingest order id, timestamp, …).
+    * `dropDuplicates` alone is nondeterministic about the survivor.
+    */
+  def keepLast(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+}

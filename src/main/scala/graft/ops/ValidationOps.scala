@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation aggregates (SURVEY.md §2d A-1..A-5, §2e W-7/W-8;
+  * reference `src/pipeline.py:44-76` `validate`).
+  *
+  * Scale design: the per-column null counts, violation counts and pooled
+  * moment statistics FUSE into a single full-scan `agg(...)` — one pass,
+  * map-side partial aggregation, one tiny reduced row to the driver. The
+  * reference makes ~5 separate pandas passes; at 100 TB each extra pass is
+  * a full re-read, so fusion is the difference between 1× and 5× scan cost.
+  */
+object ValidationOps {
+
+  private def cnt(c: Column): Column = sum(c.cast("long"))
+
+  /** A-1: per-column null counts in one pass (`df.isna().sum()`,
+    * reference `src/pipeline.py:48`).
+    */
+  def nullCounts(df: DataFrame): Map[String, Long] = {
+    val row = df.agg(
+      count(lit(1)).as("_n"),
+      df.columns.map(c => cnt(col(c).isNull).as(c)).toSeq: _*).head()
+    df.columns.map(c => c -> row.getAs[Long](c)).toMap
+  }
+
+  /** A-2: rows participating in duplicate key groups (pandas
+    * `duplicated(keep=False).sum()`, reference `src/pipeline.py:51-52` —
+    * counts EVERY member of a duplicate group, not just the extras).
+    */
+  def duplicateRowCount(df: DataFrame, keys: Seq[String]): Long = {
+    val r = df.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L)).as("dups")).head()
+    r.getAs[Long]("dups")
+  }
+
+  /** Basic-check report: one fused scan computing null totals, violation
+    * counts (A-3: close<=0, volume<0) and the pooled return moments (A-4)
+    * needed by the z-score. pandas `std` is sample stddev (ddof=1) →
+    * `stddev_samp`.
+    */
+  final case class BasicStats(
+      rows: Long,
+      nullCells: Long,
+      nonPositiveClose: Long,
+      negativeVolume: Long,
+      retMean: Option[Double],
+      retStd: Option[Double])
+
+  def basicStats(df: DataFrame, close: String = "close", volume: String = "volume",
+      ret: String = "ret"): BasicStats = {
+    val nullCells = df.columns.map(c => col(c).isNull.cast("long")).reduce(_ + _)
+    val row = df.agg(
+      count(lit(1)).as("rows"),
+      sum(nullCells).as("null_cells"),
+      cnt(col(close) <= 0).as("bad_close"),
+      cnt(col(volume) < 0).as("bad_volume"),
+      avg(col(ret)).as("ret_mean"),
+      stddev_samp(col(ret)).as("ret_std")).head()
+    BasicStats(
+      row.getAs[Long]("rows"),
+      Option(row.getAs[Any]("null_cells")).fold(0L)(_.asInstanceOf[Long]),
+      row.getAs[Long]("bad_close"),
+      row.getAs[Long]("bad_volume"),
+      Option(row.getAs[Double]("ret_mean")),
+      Option(row.getAs[Double]("ret_std")))
+  }
+
+  /** W-7: pooled z-score outlier flag (reference `src/pipeline.py:62-63`).
+    * The global mean/std are broadcast into the expression via a scalar
+    * cross join of the 1-row aggregate — no driver collect in the plan, so
+    * the same code works when the agg result feeds further distributed ops.
+    */
+  def withZScore(df: DataFrame, ret: String = "ret", zCol: String = "z"): DataFrame = {
+    val moments = df.agg(
+      avg(col(ret)).as("_mu"),
+      stddev_samp(col(ret)).as("_sigma"))
+    df.crossJoin(broadcast(moments))
+      .withColumn(zCol, (col(ret) - col("_mu")) / col("_sigma"))
+      .drop("_mu", "_sigma")
+  }
+
+  def extremeMoveCount(df: DataFrame, ret: String = "ret", zThreshold: Double = 6.0): Long = {
+    val z = withZScore(df, ret)
+    z.agg(cnt(abs(col("z")) > zThreshold).as("n")).head().getAs[Long]("n")
+  }
+
+  /** W-8: per-entity missing-business-day estimate (reference
+    * `src/pipeline.py:66-74`): expand the Mon–Fri calendar between each
+    * entity's min/max date with `sequence`+`explode`, anti-join observed
+    * dates, count the remainder. Fully distributed — the reference's
+    * per-ticker Python set arithmetic becomes one agg + one generator +
+    * one anti-join; the calendar side is tiny (days × entities) and the
+    * anti-join broadcasts the observed keys when small.
+    */
+  def missingBusinessDays(df: DataFrame, entity: String = "ticker",
+      time: String = "date"): DataFrame = {
+    val spans = df.groupBy(col(entity))
+      .agg(min(col(time)).as("_d0"), max(col(time)).as("_d1"))
+    val calendar = spans
+      .withColumn("_day", explode(sequence(col("_d0"), col("_d1"))))
+      .filter(weekday(col("_day")) < 5) // Mon..Fri
+      .select(col(entity), col("_day"))
+    calendar
+      .join(df.select(col(entity), col(time).as("_day")).distinct(),
+        Seq(entity, "_day"), "left_anti")
+      .groupBy(col(entity))
+      .agg(count(lit(1)).as("missing_bdays"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Pluggable source connectors (SURVEY.md §2a, S-1..S-6).
+  *
+  * The reference fetches from HTTP APIs (Yahoo `src/pipeline.py:28-42`,
+  * Alpha Vantage `src/validation.py:126-185`, FRED `src/macro.py:111-163`);
+  * here a `Source` is anything that yields a DataFrame for a request, with
+  * file-backed implementations standing in for the feeds. Normalization
+  * (rename → snake_case, constant metadata columns, type coercion, date
+  * range predicate) lives in the plan so Catalyst can push filters/pruning
+  * into the scan; retry / rate limiting are connector concerns kept OUT of
+  * the plan (SURVEY.md §4).
+  */
+trait Source {
+  def fetch(spark: SparkSession): DataFrame
+}
+
+final class ParquetSource(path: String) extends Source {
+  def fetch(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+final class CsvSource(path: String, schema: StructType) extends Source {
+  def fetch(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}
+
+final class JsonSource(path: String, schema: StructType) extends Source {
+  def fetch(spark: SparkSession): DataFrame = spark.read.schema(schema).json(path)
+}
+
+object SourceOps {
+
+  /** Fail-fast required-column assertion (reference `src/validation.py:113-116`). */
+  def assertColumns(df: DataFrame, required: Seq[String]): DataFrame = {
+    val missing = required.filterNot(df.columns.map(_.toLowerCase).contains)
+    require(missing.isEmpty, s"source missing required columns: ${missing.mkString(", ")}")
+    df
+  }
+
+  /** P-1: normalize column names to snake_case canonical form (reference
+    * `src/validation.py:108`, `src/pipeline.py:33-40`). Pure metadata op —
+    * no shuffle, no extra projection node after optimization.
+    */
+  def standardizeColumns(df: DataFrame): DataFrame = {
+    val renames = df.columns.map(c => c -> c.trim.toLowerCase.replaceAll("[ .]", "_"))
+      .filter { case (a, b) => a != b }.toMap
+    df.withColumnsRenamed(renames)
+  }
+
+  /** Strip Alpha-Vantage-style `"1. open"` numeric prefixes
+    * (reference `src/validation.py:161`).
+    */
+  def stripNumericPrefixes(df: DataFrame): DataFrame = {
+    val renames = df.columns.map(c => c -> c.replaceAll("^\\d+\\.\\s*", ""))
+      .filter { case (a, b) => a != b }.toMap
+    df.withColumnsRenamed(renames)
+  }
+
+  /** P-3: append constant metadata columns (ticker/source/request_id —
+    * reference `src/pipeline.py:34,87`, `src/database.py:186-188`).
+    */
+  def withMetadata(df: DataFrame, meta: Map[String, String]): DataFrame =
+    meta.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+
+  /** P-4: `pd.to_numeric(errors='coerce')` semantics — non-numeric → null
+    * (reference `src/macro.py:155`, `src/validation.py:232-233`).
+    * `try_cast` keeps the behavior under ANSI mode.
+    */
+  def coerceNumeric(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, expr(s"try_cast(`$c` AS double)")))
+
+  /** P-5: inclusive date-range predicate at the source (reference
+    * `src/validation.py:166-169`) — pushed down to the scan by Catalyst.
+    */
+  def dateRange(df: DataFrame, dateCol: String, start: String, end: String): DataFrame =
+    df.filter(col(dateCol).between(lit(start).cast("date"), lit(end).cast("date")))
+
+  /** S-1/U-1: union per-entity frames by name after normalization
+    * (reference `pd.concat`, `src/pipeline.py:42`). Per-item fault isolation
+    * stays driver-side as in S-5 (`src/macro.py:193-211`).
+    */
+  def unionAll(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "unionAll of zero frames")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** S-6: indicator-category → series-id resolution (reference
+    * `src/macro.py:227-275`): plain config, unknown categories ignored,
+    * `None`/empty → all series.
+    */
+  def resolveCategories(
+      categories: Seq[String],
+      catalog: Map[String, Seq[String]]): Seq[String] =
+    if (categories.isEmpty) catalog.values.flatten.toSeq.distinct
+    else categories.flatMap(c => catalog.getOrElse(c, Seq.empty)).distinct
+}

@@ -1,0 +1,91 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed warehouse with the reference's dedup/upsert write
+  * semantics (SURVEY.md §2h K-2..K-5, §2c J-3; reference
+  * `src/database.py`).
+  *
+  * The reference's scalability cliff is its O(rows) Python insert loop
+  * with a per-row duplicate probe (`src/database.py:192-224`). Here the
+  * probe becomes ONE distributed left-anti join of the incoming batch
+  * against the existing keys, then a bulk columnar append: at 100 TB the
+  * anti-join shuffles only the key columns (pruned scan), and when the
+  * incoming batch is small Catalyst broadcasts it instead.
+  */
+final class Warehouse(spark: SparkSession, root: String) {
+
+  private def path(table: String) = s"$root/$table"
+
+  def exists(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  /** K-2/K-3 + J-3: dedup append — drop in-batch duplicates on the key,
+    * anti-join against existing keys, append survivors. Returns the number
+    * of rows actually saved (the reference returns saved-row counts,
+    * `src/database.py:226`). Idempotent: appending the same batch twice
+    * leaves the table unchanged.
+    */
+  def dedupAppend(table: String, batch: DataFrame, keys: Seq[String]): Long = {
+    val inBatch = batch.dropDuplicates(keys)
+    val fresh =
+      if (!exists(table)) inBatch
+      else inBatch.join(read(table).select(keys.map(col): _*), keys, "left_anti")
+    // The anti-join must materialize before the append overlaps the scan;
+    // parquet append writes new files so the source files stay stable, but
+    // we cache+count to fix the saved-row tally exactly once.
+    val staged = fresh.cache()
+    val n = staged.count()
+    if (n > 0) staged.write.mode("append").parquet(path(table))
+    staged.unpersist()
+    n
+  }
+
+  /** K-4: last-writer-wins upsert keyed on `idCols` (reference INSERT OR
+    * REPLACE, `src/database.py:283-305`): keep existing rows whose key is
+    * absent from the new batch, union the batch, rewrite. (Delta MERGE is
+    * the production-cluster variant; plain parquet needs a rewrite.)
+    */
+  def upsert(table: String, batch: DataFrame, keys: Seq[String]): Unit = {
+    val merged =
+      if (!exists(table)) batch
+      else read(table).join(batch.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(batch)
+    // rewrite via staging dir: the new plan reads the old files.
+    val tmp = path(table) + "__stage"
+    merged.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path(table)), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path(table)))
+  }
+
+  /** K-10: whole-table replace (reference `to_sql(if_exists='replace')`,
+    * `src/pipeline.py:93-97`).
+    */
+  def replace(table: String, df: DataFrame): Unit = {
+    val tmp = path(table) + "__stage"
+    df.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path(table)), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path(table)))
+  }
+
+  /** A-8: warehouse stats — row count + date span per table (reference
+    * `get_database_stats`, `src/database.py:314-327`).
+    */
+  def stats(table: String, dateCol: Option[String] = None): Map[String, Any] = {
+    val df = read(table)
+    val base: Map[String, Any] = Map("rows" -> df.count())
+    dateCol.fold(base) { d =>
+      val r = df.agg(min(col(d)).as("min_d"), max(col(d)).as("max_d")).head()
+      base ++ Map("min_date" -> r.get(0), "max_date" -> r.get(1))
+    }
+  }
+}
