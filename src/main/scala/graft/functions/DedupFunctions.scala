@@ -27,7 +27,7 @@ object DedupFunctions {
     when(k <= 0, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(transform(
         sequence(lit(0), k - 1),
-        i => concat_ws(" ", slice(toks, i + 1, n)))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
   /** Exact duplicate groups on a fingerprint column: every group with >1
