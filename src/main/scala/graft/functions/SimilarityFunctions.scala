@@ -32,26 +32,52 @@ object SimilarityFunctions {
     d
   }
 
-  /** Exact top-k neighbors for each query vector. `queries` is small
-    * (broadcast); corpus scanned once; per-query top-k via window rank
-    * with deterministic tie-break on corpus id.
+  /** Exact top-k neighbors for each query vector, two-phase:
+    * phase 1 keeps a bounded per-(partition, query) heap inside
+    * `mapPartitions` — each partition emits at most `k × |queries|` rows,
+    * so NO shuffle of the |corpus|×|queries| scored rows ever happens;
+    * phase 2 is a window rank over the tiny per-partition survivors.
+    * `queries` is small (broadcast); corpus scanned exactly once.
     *
-    * At cluster scale prefer a two-phase top-k: per-partition top-k
-    * (mapPartitions heap) then global merge — the window version shuffles
-    * all scored rows by query id. For k << partition size Spark's own
-    * TakeOrderedAndProject does this automatically for single queries.
+    * Cosine is rounded to 6 dp BEFORE ranking so ranking is insensitive
+    * to accumulation-order noise in the dot product; ties broken by
+    * corpus id → fully deterministic output.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
+      .withColumn("_cos", round(cosine(col(vecCol), col(qVecCol)), 6))
       .filter(col(idCol) =!= col(qIdCol)) // exclude self-match when ids collide
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cosine").desc_nulls_last, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
+      .filter(col("_cos").isNotNull)
+      .select(col(qIdCol).cast("long"), col(idCol).cast("long"), col("_cos"))
+      .as[(Long, Long, Double)]
+    // worst-first ordering: lower cosine is worse; on equal cosine a
+    // HIGHER id is worse (final tie-break prefers the lower id).
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+      case (c, id) => (-c, id)
+    }
+    val partial = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, id, c) =>
+        val h = heaps.getOrElseUpdate(q,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        if (h.size < k) h.enqueue((c, id))
+        else if (worstFirst.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
+      }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (c, id) => (q, id, c) }
+      }
+    }
+    val w = Window.partitionBy(col("_q")).orderBy(col("_c").desc, col("_id"))
+    partial.toDF("_q", "_id", "_c")
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .select(col("_q").as(qIdCol), col("_id").as(idCol),
+        col("_c").as("cosine"), col("rank"))
   }
 
   /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where the

@@ -53,7 +53,9 @@ object TextFunctions {
     val punct = punctRatio(text)
     val punctScore = greatest(lit(0.0), lit(1.0) - punct * 4.0) // >25% punct → 0
     val stopScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0)) // saturates at 20%
-    round((lengthScore * 0.4 + punctScore * 0.3 + stopScore * 0.3) * 100.0, 2)
+    // Unrounded: the raw chain of IEEE ops is bit-reproducible across
+    // engines; callers round for display if they want to.
+    (lengthScore * 0.4 + punctScore * 0.3 + stopScore * 0.3) * 100.0
   }
 
   /** Stopword-profile language ID over a fixed set of languages: score

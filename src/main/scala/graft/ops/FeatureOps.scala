@@ -30,6 +30,18 @@ object FeatureOps {
     when(count(c).over(frame) === n, aggExpr(c).over(frame))
   }
 
+  /** Exact-decimal moving average for 2-decimal inputs (prices carry at
+    * most 2 true decimals): the window SUM runs in decimal — exact, so
+    * cross-engine accumulation order is irrelevant — and only the final
+    * exact value converts to double before one IEEE division. Bit-exact
+    * on any engine; same leading-null guard as [[fullFrame]].
+    */
+  def maExact2dp(c: Column, n: Int, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val frame = w.rowsBetween(-(n - 1), 0)
+    when(count(c).over(frame) === n,
+      sum(c.cast("decimal(18,2)")).over(frame).cast("double") / n.toDouble)
+  }
+
   /** W-2: 1-lag percent change (`pct_change`, reference `src/pipeline.py:61,81`).
     * First row per entity → null, matching pandas.
     */
@@ -64,8 +76,15 @@ object FeatureOps {
     * caller supplies the sequence column (ingest order id, timestamp, …).
     * `dropDuplicates` alone is nondeterministic about the survivor.
     */
-  def keepLast(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+  def keepLast(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame =
+    keepLast(df, keys, Seq(seqCol))
+
+  /** Multi-column variant: later = greater on (seqCols...) lexicographically.
+    * Callers must supply enough columns to make the ordering total within
+    * each key group, or the survivor is nondeterministic.
+    */
+  def keepLast(df: DataFrame, keys: Seq[String], seqCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(seqCols.map(col(_).desc): _*)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 }

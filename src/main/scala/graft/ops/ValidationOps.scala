@@ -20,9 +20,8 @@ object ValidationOps {
     * reference `src/pipeline.py:48`).
     */
   def nullCounts(df: DataFrame): Map[String, Long] = {
-    val row = df.agg(
-      count(lit(1)).as("_n"),
-      df.columns.map(c => cnt(col(c).isNull).as(c)).toSeq: _*).head()
+    val aggs = df.columns.map(c => cnt(col(c).isNull).as(c))
+    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
     df.columns.map(c => c -> row.getAs[Long](c)).toMap
   }
 

@@ -51,7 +51,7 @@ object Q {
   val pricesSql: String =
     """WITH prices AS (
       |  SELECT l_suppkey AS ticker,
-      |         CAST(l_shipdate AS DATE) AS date,
+      |         CAST(l_shipdate AS DATE) AS "date",
       |         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
       |                         * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS close,
       |         CAST(SUM(l_quantity) AS DOUBLE) AS volume

@@ -1,0 +1,516 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupFunctions => D, SimilarityFunctions => S, TextFunctions => T}
+import graft.ops.{CrossValidationOps, FeatureOps, MacroOps, ValidationOps}
+
+/** One driver-verifiable query. `oracle` is the DuckDB-equivalent ANSI
+  * SQL over the same parquet tables; None for ops whose hash seeds
+  * (xxhash64) the oracle engine lacks — those get a rows-only check.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The oracle-checked query registry: one entry per operator of
+  * SURVEY.md §2 plus the LLM-training-data operators (dedup, text
+  * analysis, similarity search, event windows).
+  *
+  * Cross-engine determinism rules (see [[Q]]'s scaladoc): exact-decimal
+  * money aggregation; counts as longs; floating aggregates rounded to 6
+  * decimals; per-row IEEE chains left unrounded (bit-reproducible);
+  * every result ends in a total deterministic ORDER BY.
+  */
+object Queries {
+  import Q.{money2, prices, pricesSql, revenueDec, t}
+
+  private val wTicker = Window.partitionBy("ticker").orderBy("date")
+
+  private def pricesWithRet(s: SparkSession, dir: String): DataFrame =
+    prices(t(s, dir, "lineitem"))
+      .withColumn("ret", col("close") / lag("close", 1).over(wTicker) - 1)
+
+  /** DuckDB CTE for [[pricesWithRet]], appended to [[Q.pricesSql]]. */
+  private val retSql: String =
+    """, r AS (
+      |  SELECT ticker, "date", close, volume,
+      |         close / lag(close) OVER (PARTITION BY ticker ORDER BY "date") - 1 AS ret
+      |  FROM prices
+      |)""".stripMargin
+
+  /** The "Alpha Vantage" stand-in: gross (undiscounted) daily revenue for
+    * one supplier in ten — a small secondary source that genuinely
+    * disagrees with the net-revenue `close` (reference S-3,
+    * `/root/reference/src/validation.py:126-185`).
+    */
+  private def grossSubset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_suppkey") % 10 === 0)
+      .groupBy(col("l_suppkey").as("ticker"), to_date(col("l_shipdate")).as("date"))
+      .agg(money2(sum(col("l_extendedprice").cast("decimal(12,4)"))).as("close"))
+
+  private val grossSql: String =
+    """, gross AS (
+      |  SELECT l_suppkey AS ticker, CAST(l_shipdate AS DATE) AS "date",
+      |         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS close
+      |  FROM lineitem WHERE l_suppkey % 10 = 0 GROUP BY 1, 2
+      |)""".stripMargin
+
+  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects. Read nanos as long and floor-convert to a
+    * microsecond TimestampType — the same truncation DuckDB applies when
+    * it loads nanosecond parquet into its µs timestamps.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val registry: Seq[QueryDef] = Seq(
+
+    // ───────── projections / filters ─────────
+
+    QueryDef("p5_date_range",
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("order_date", to_date(col("o_orderdate")))
+        .filter(col("order_date").between(
+          lit("1996-01-01").cast("date"), lit("1996-12-31").cast("date")))
+        .select("o_orderkey", "order_date", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             |       o_totalprice, o_orderpriority
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE)
+             |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ───────── joins ─────────
+
+    QueryDef("j1_cross_source",
+      (s, dir) => CrossValidationOps.compareSources(
+          prices(t(s, dir, "lineitem")), grossSubset(s, dir), "ticker", "date", 1.0)
+        .orderBy("ticker", "date"),
+      Some(pricesSql + grossSql +
+        """
+          |SELECT p.ticker, p."date" AS "date", p.close AS yahoo_close,
+          |       g.close AS alpha_close, p.close - g.close AS price_diff,
+          |       abs((p.close - g.close) / p.close * 100) AS diff_pct,
+          |       abs((p.close - g.close) / p.close * 100) > 1.0 AS discrepancy_flag,
+          |       p.close AS resolved_close
+          |FROM prices p JOIN gross g ON p.ticker = g.ticker AND p."date" = g."date"
+          |ORDER BY p.ticker, p."date"""".stripMargin)),
+
+    QueryDef("j2_flag_enrich",
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+        val cmp = CrossValidationOps.compareSources(p, grossSubset(s, dir), "ticker", "date", 1.0)
+        val flags = CrossValidationOps.discrepancies(cmp, 1.0)
+          .select(col("ticker"), col("date"), col("discrepancy_flag"))
+        CrossValidationOps.enrichWithFlags(p, flags, "ticker", "date")
+          .select("ticker", "date", "close", "discrepancy_flag")
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql + grossSql +
+        """, flags AS (
+          |  SELECT p.ticker, p."date", true AS discrepancy_flag
+          |  FROM prices p JOIN gross g ON p.ticker = g.ticker AND p."date" = g."date"
+          |  WHERE abs((p.close - g.close) / p.close * 100) > 1.0
+          |)
+          |SELECT p.ticker, p."date" AS "date", p.close,
+          |       COALESCE(f.discrepancy_flag, false) AS discrepancy_flag
+          |FROM prices p LEFT JOIN flags f ON p.ticker = f.ticker AND p."date" = f."date"
+          |ORDER BY p.ticker, p."date"""".stripMargin)),
+
+    QueryDef("j3_dedup_antijoin",
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+        val incoming = p.filter(col("date") >= lit("1998-01-01").cast("date"))
+        val existing = p.filter(col("date") >= lit("2000-01-01").cast("date"))
+        incoming.join(existing.select("ticker", "date"), Seq("ticker", "date"), "left_anti")
+          .select("ticker", "date", "close", "volume")
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """
+          |SELECT i.ticker, i."date" AS "date", i.close, i.volume
+          |FROM prices i
+          |WHERE i."date" >= DATE '1998-01-01' AND NOT EXISTS (
+          |  SELECT 1 FROM prices e
+          |  WHERE e."date" >= DATE '2000-01-01'
+          |    AND e.ticker = i.ticker AND e."date" = i."date")
+          |ORDER BY i.ticker, i."date"""".stripMargin)),
+
+    // ───────── aggregations ─────────
+
+    QueryDef("a1_null_counts",
+      (s, dir) => docs(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("text").isNull.cast("long")).as("null_text"),
+        sum(col("lang").isNull.cast("long")).as("null_lang"),
+        sum(col("source").isNull.cast("long")).as("null_source"),
+        sum(col("n_chars").isNull.cast("long")).as("null_n_chars")),
+      Some("""SELECT count(*) AS n_rows,
+             |  count(*) FILTER (WHERE text IS NULL) AS null_text,
+             |  count(*) FILTER (WHERE lang IS NULL) AS null_lang,
+             |  count(*) FILTER (WHERE source IS NULL) AS null_source,
+             |  count(*) FILTER (WHERE n_chars IS NULL) AS null_n_chars
+             |FROM documents""".stripMargin)),
+
+    QueryDef("a2_duplicate_groups",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_orderkey", "l_partkey").agg(count(lit(1)).as("c"))
+        .agg(
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_rows"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_groups")),
+      Some("""WITH g AS (
+             |  SELECT l_orderkey, l_partkey, count(*) AS c
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_rows,
+             |       count(*) FILTER (WHERE c > 1) AS dup_groups
+             |FROM g""".stripMargin)),
+
+    QueryDef("a3_violation_counts",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        sum((col("l_quantity") <= 0).cast("long")).as("nonpositive_qty"),
+        sum((col("l_discount") > 0.08).cast("long")).as("high_discount"),
+        sum((col("l_extendedprice") > 90000.0).cast("long")).as("big_price")),
+      Some("""SELECT
+             |  count(*) FILTER (WHERE l_quantity <= 0) AS nonpositive_qty,
+             |  count(*) FILTER (WHERE l_discount > CAST(0.08 AS DOUBLE)) AS high_discount,
+             |  count(*) FILTER (WHERE l_extendedprice > CAST(90000.0 AS DOUBLE)) AS big_price
+             |FROM lineitem""".stripMargin)),
+
+    QueryDef("a4_return_moments",
+      (s, dir) => pricesWithRet(s, dir).agg(
+        round(avg("ret"), 6).as("ret_mean"),
+        round(stddev_samp("ret"), 6).as("ret_std"),
+        count(col("ret")).as("n_ret")),
+      Some(pricesSql + retSql +
+        """
+          |SELECT round(avg(ret), 6) AS ret_mean,
+          |       round(stddev_samp(ret), 6) AS ret_std,
+          |       count(ret) AS n_ret
+          |FROM r""".stripMargin)),
+
+    QueryDef("a5_ticker_span",
+      (s, dir) => prices(t(s, dir, "lineitem"))
+        .groupBy("ticker")
+        .agg(min("date").as("first_date"), max("date").as("last_date"),
+          count(lit(1)).as("n_days"))
+        .orderBy("ticker"),
+      Some(pricesSql +
+        """
+          |SELECT ticker, min("date") AS first_date, max("date") AS last_date,
+          |       count(*) AS n_days
+          |FROM prices GROUP BY ticker ORDER BY ticker""".stripMargin)),
+
+    QueryDef("a6_series_profile",
+      (s, dir) => MacroOps.seriesProfile(
+          events(s, dir).select(
+            col("event_type").as("series_id"),
+            to_date(col("ts")).as("date"),
+            col("value")))
+        .orderBy("series_id"),
+      Some("""SELECT event_type AS series_id, count(*) AS record_count,
+             |  count(*) FILTER (WHERE value IS NULL) AS null_values,
+             |  min(value) AS min_value, max(value) AS max_value,
+             |  min(CAST(ts AS DATE)) AS first_date, max(CAST(ts AS DATE)) AS last_date
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("a7_distinct_counts",
+      (s, dir) => t(s, dir, "lineitem").agg(countDistinct("l_suppkey").as("n_suppliers"))
+        .crossJoin(events(s, dir).agg(countDistinct("event_type").as("n_event_types")))
+        .crossJoin(t(s, dir, "orders").agg(countDistinct("o_custkey").as("n_customers"))),
+      Some("""SELECT
+             |  (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS n_suppliers,
+             |  (SELECT count(DISTINCT event_type) FROM events) AS n_event_types,
+             |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_customers""".stripMargin)),
+
+    QueryDef("a8_table_stats",
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("lineitem_rows"))
+        .crossJoin(t(s, dir, "orders").agg(
+          count(lit(1)).as("orders_rows"),
+          min(to_date(col("o_orderdate"))).as("first_order"),
+          max(to_date(col("o_orderdate"))).as("last_order")))
+        .crossJoin(t(s, dir, "customer").agg(count(lit(1)).as("customer_rows"))),
+      Some("""SELECT
+             |  (SELECT count(*) FROM lineitem) AS lineitem_rows,
+             |  (SELECT count(*) FROM orders) AS orders_rows,
+             |  (SELECT min(CAST(o_orderdate AS DATE)) FROM orders) AS first_order,
+             |  (SELECT max(CAST(o_orderdate AS DATE)) FROM orders) AS last_order,
+             |  (SELECT count(*) FROM customer) AS customer_rows""".stripMargin)),
+
+    // ───────── windows ─────────
+
+    QueryDef("w2_pct_change",
+      (s, dir) => pricesWithRet(s, dir)
+        .select("ticker", "date", "close", "ret")
+        .orderBy("ticker", "date"),
+      Some(pricesSql + retSql +
+        """
+          |SELECT ticker, "date", close, ret FROM r ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("w5_features",
+      (s, dir) => pricesWithRet(s, dir)
+        .withColumn("ma20", FeatureOps.maExact2dp(col("close"), 20, wTicker))
+        .withColumn("ma50", FeatureOps.maExact2dp(col("close"), 50, wTicker))
+        .withColumn("vol20",
+          round(FeatureOps.fullFrame((c: Column) => stddev_samp(c), col("ret"), 20, wTicker), 6))
+        .select("ticker", "date", "close", "ret", "ma20", "ma50", "vol20")
+        .orderBy("ticker", "date"),
+      Some(pricesSql + retSql +
+        """
+          |SELECT ticker, "date", close, ret,
+          |  CASE WHEN count(close) OVER w20 = 20
+          |       THEN CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w20 AS DOUBLE) / 20.0 END AS ma20,
+          |  CASE WHEN count(close) OVER w50 = 50
+          |       THEN CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w50 AS DOUBLE) / 50.0 END AS ma50,
+          |  CASE WHEN count(ret) OVER w20 = 20
+          |       THEN round(stddev_samp(ret) OVER w20, 6) END AS vol20
+          |FROM r
+          |WINDOW
+          |  w20 AS (PARTITION BY ticker ORDER BY "date" ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+          |  w50 AS (PARTITION BY ticker ORDER BY "date" ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+          |ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("w6_keep_last",
+      (s, dir) => FeatureOps.keepLast(t(s, dir, "lineitem"), Seq("l_orderkey"),
+          Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+             |FROM lineitem
+             |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+             |  ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC, l_quantity DESC) = 1
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    QueryDef("w7_zscore_outliers",
+      (s, dir) => ValidationOps.withZScore(pricesWithRet(s, dir), "ret", "z").agg(
+        sum((abs(col("z")) > 3.0).cast("long")).as("n_outliers"),
+        count(col("ret")).as("n_scored")),
+      Some(pricesSql + retSql +
+        """, m AS (SELECT avg(ret) AS mu, stddev_samp(ret) AS sigma FROM r)
+          |SELECT count(*) FILTER (WHERE abs((ret - mu) / sigma) > 3.0) AS n_outliers,
+          |       count(ret) AS n_scored
+          |FROM r, m""".stripMargin)),
+
+    QueryDef("w8_missing_bdays",
+      (s, dir) => ValidationOps.missingBusinessDays(
+          prices(t(s, dir, "lineitem")).select("ticker", "date"), "ticker", "date")
+        .orderBy("ticker"),
+      Some(pricesSql +
+        """, spans AS (SELECT ticker, min("date") AS d0, max("date") AS d1 FROM prices GROUP BY 1),
+          |cal AS (
+          |  SELECT ticker,
+          |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          |  FROM spans),
+          |missing AS (
+          |  SELECT c.ticker, c.day FROM cal c
+          |  WHERE isodow(c.day) <= 5 AND NOT EXISTS (
+          |    SELECT 1 FROM prices p WHERE p.ticker = c.ticker AND p."date" = c.day))
+          |SELECT ticker, count(*) AS missing_bdays
+          |FROM missing GROUP BY 1 ORDER BY ticker""".stripMargin)),
+
+    // ───────── set ops ─────────
+
+    QueryDef("u1_union",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val x = o.filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val y = o.filter(col("o_orderkey") % 3 === 1)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        x.unionByName(y)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            money2(sum(col("o_totalprice").cast("decimal(15,4)"))).as("total_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 3 = 1)
+             |SELECT o_orderpriority, count(*) AS n,
+             |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4))), 2) AS DOUBLE) AS total_price
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ───────── text analysis (documents) ─────────
+
+    QueryDef("t1_token_counts",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("t2_quality",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        T.punctRatio(col("text")).as("punct_ratio"),
+        T.stopwordRatio(col("text"), T.EnglishStopwords).as("stopword_ratio"),
+        T.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
+             |         END AS punct_ratio,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
+             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio
+             |  FROM documents)
+             |SELECT doc_id, punct_ratio, stopword_ratio,
+             |  (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+             |   + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+             |   + least(stopword_ratio * 5.0, 1.0) * 0.3) * 100.0 AS quality
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("t3_language_id",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"), T.languageId(col("text")).as("lang_id"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))) AS h_de,
+             |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS h_en,
+             |  len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','por','para','que','con'], x))) AS h_es,
+             |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','pour','dans','que','des'], x))) AS h_fr
+             |FROM t)
+             |SELECT doc_id,
+             |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+             |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             |       WHEN h_es >= h_fr THEN 'es'
+             |       ELSE 'fr' END AS lang_id
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ───────── dedup (documents) ─────────
+
+    QueryDef("d1_exact_dedup",
+      (s, dir) => D.dedupExact(
+          docs(s, dir).select(col("doc_id"), T.fingerprint(col("text")).as("fingerprint")),
+          "doc_id", "fingerprint")
+        .orderBy("doc_id"),
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
+             |  FROM documents)
+             |SELECT doc_id, fingerprint FROM fp
+             |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("d2_dup_groups",
+      (s, dir) => D.exactDupGroups(
+          docs(s, dir).select(col("doc_id"), T.fingerprint(col("text")).as("fingerprint")),
+          "doc_id", "fingerprint")
+        .orderBy("fingerprint"),
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
+             |  FROM documents)
+             |SELECT fingerprint, count(*) AS group_size, min(doc_id) AS canonical_id
+             |FROM fp GROUP BY 1 HAVING count(*) > 1
+             |ORDER BY fingerprint""".stripMargin)),
+
+    QueryDef("d3_jaccard_pairs",
+      (s, dir) => D.jaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = Long.MaxValue)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sgl FROM sh),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             |         count(*) AS shared
+             |  FROM e a JOIN e b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT id_a, id_b,
+             |       round(CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+             |FROM p
+             |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("m1_minhash_pairs",
+      (s, dir) => D.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, threshold = 0.7)
+        .orderBy("id_a", "id_b"),
+      None), // xxhash64 seeds not reproducible in the oracle engine
+
+    QueryDef("m2_simhash_pairs",
+      (s, dir) => D.simhashPairs(docs(s, dir), "doc_id", "text", n = 3, maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ───────── similarity search (embeddings) ─────────
+
+    QueryDef("s1_knn_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.bruteForceTopK(emb, q, 5).orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding AS query_vec
+             |  FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                      CAST(q.query_vec AS DOUBLE[])), 6) AS cosine
+             |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, cosine,
+             |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+             |  FROM scored)
+             |SELECT query_id, vec_id, cosine, "rank" FROM ranked
+             |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+
+    QueryDef("s2_lsh_pairs",
+      (s, dir) => S.lshNeighborPairs(t(s, dir, "embeddings"), dim = 64,
+          nBits = 16, minCosine = 0.8)
+        .orderBy("id_a", "id_b"),
+      None), // hyperplane constants not reproducible oracle-side
+
+    // ───────── event windows ─────────
+
+    QueryDef("e1_event_hourly",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |  count(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+
+  val byName: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
+  val oracles: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
