@@ -124,17 +124,25 @@ object DedupFunctions {
   }
 
   /** SimHash (64-bit): per shingle hash, each bit votes ±1; signature bit
-    * = sign of the vote sum. Expressed with array exprs over the shingle
-    * set — one projection, no UDF.
+    * = sign of the vote sum. Single-pass: hash every shingle ONCE
+    * (`transform`), then one `aggregate` carries a 64-long vote vector,
+    * then one fold packs the sign bits. The naive form (64 independent
+    * `aggregate` lambdas) re-hashes every shingle 64× and blows up the
+    * generated code; this form is O(shingles) hashes + O(64·shingles)
+    * bit-ops in ONE expression tree.
     */
   def simhash64(shingles: Column): Column = {
-    // bit j of the signature: 1 if sum over shingles of sign(bit j) > 0
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(shingles, lit(0L),
-        (acc, s) => acc + when(shiftright(xxhash64(s), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val idx = sequence(lit(0), lit(63))
+    val votes = aggregate(
+      transform(shingles, s => xxhash64(s)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, idx, (a, j) =>
+        a + when(call_function("shiftright", h, j).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(votes, idx, (v, j) =>
+        when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** Hamming distance between two 64-bit signatures. */

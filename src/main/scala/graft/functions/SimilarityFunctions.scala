@@ -83,6 +83,11 @@ object SimilarityFunctions {
   /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where the
     * hyperplanes are generated from a deterministic seed (splitmix-style
     * integer mix → uniform in [-1, 1)) so executors need no shared state.
+    *
+    * All `dim × nBits` plane coefficients are bound to ONE
+    * `typedLit(array<array<double>>)` — a single literal in the plan —
+    * instead of nBits separate dim-sized literals, which at 768-dim ×
+    * 16 bits would inject ~12k constants and bloat every analysis pass.
     */
   def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     def mix(i: Int, j: Int): Double = {
@@ -92,11 +97,12 @@ object SimilarityFunctions {
       z = z ^ (z >>> 31)
       (z.toDouble / Long.MaxValue.toDouble)
     }
-    val bits = (0 until nBits).map { i =>
-      val h = typedLit((0 until dim).map(j => mix(i, j)))
-      when(dot(vec, h) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val planes = typedLit((0 until nBits).map(i => (0 until dim).map(j => mix(i, j))))
+    val idx = sequence(lit(0), lit(nBits - 1))
+    aggregate(
+      zip_with(planes, idx, (h, i) =>
+        when(dot(vec, h) >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** LSH-bucketed approximate near-neighbor pairs: same signature bucket →
