@@ -34,9 +34,12 @@ final class JsonSource(path: String, schema: StructType) extends Source {
 
 object SourceOps {
 
-  /** Fail-fast required-column assertion (reference `src/validation.py:113-116`). */
+  /** Fail-fast required-column assertion (reference `src/validation.py:113-116`).
+    * Case-insensitive on both sides.
+    */
   def assertColumns(df: DataFrame, required: Seq[String]): DataFrame = {
-    val missing = required.filterNot(df.columns.map(_.toLowerCase).contains)
+    val have = df.columns.map(_.toLowerCase).toSet
+    val missing = required.filterNot(c => have.contains(c.toLowerCase))
     require(missing.isEmpty, s"source missing required columns: ${missing.mkString(", ")}")
     df
   }

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupFunctionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different text about spark query engines and columnar formats"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("wordShingles: n-grams of tokens, distinct, short docs collapse to one") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(DedupFunctions.wordShingles(col("text"), 2).as("s"))
+      .head().getSeq[String](0)
+    assert(sh.toSet === Set("a b", "b c", "c d"))
+    val short = Seq("hello").toDF("text")
+      .select(DedupFunctions.wordShingles(col("text"), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(short === Seq("hello"))
+  }
+
+  test("dedupExact keeps the min-id row per fingerprint") {
+    val fp = corpus.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    val kept = DedupFunctions.dedupExact(fp, "doc_id", "fp")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L, 3L)) // 4 deduped into 1
+  }
+
+  test("exactDupGroups reports group size and canonical id") {
+    val fp = corpus.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    val g = DedupFunctions.exactDupGroups(fp, "doc_id", "fp")
+      .select("group_size", "canonical_id").as[(Long, Long)].collect()
+    assert(g.toSeq === Seq((2L, 1L)))
+  }
+
+  test("jaccardPairs finds near-dups above threshold with exact jaccard") {
+    val pairs = DedupFunctions.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("jaccardPairs: exact duplicates score jaccard 1.0") {
+    val j = DedupFunctions.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.99)
+      .filter(col("id_a") === 1 && col("id_b") === 4)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("jaccardPairs maxDf cap drops boilerplate shingles") {
+    // every doc shares the same text → every shingle has df=3 > maxDf=2 → no pairs
+    val boiler = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = DedupFunctions.jaccardPairs(boiler, "doc_id", "text", n = 2,
+      threshold = 0.1, maxDf = 2L)
+    assert(pairs.count() === 0L)
+  }
+
+  test("minhashLshPairs surfaces the planted near-dup and exact dup") {
+    val pairs = DedupFunctions.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical docs always collide
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never passes verification
+  }
+
+  test("simhash64: identical docs get identical signatures (hamming 0)") {
+    val sigs = corpus.select(col("doc_id"),
+      DedupFunctions.simhash64(DedupFunctions.wordShingles(col("text"), 3)).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(4L))
+    assert(DedupFunctions.hamming64(lit(sigs(1L)), lit(sigs(2L))) != null)
+  }
+
+  test("simhashPairs finds exact and near dups within hamming budget") {
+    val pairs = DedupFunctions.simhashPairs(corpus, "doc_id", "text", n = 3, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 4L)) === 0L)
+  }
+
+  test("hamming64 counts differing bits") {
+    val d = Seq((0L)).toDF("x")
+      .select(DedupFunctions.hamming64(lit(0L), lit(7L)).as("h"))
+      .head().getAs[Number]("h").longValue()
+    assert(d === 3L)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SimilarityFunctionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(xs: Double*) = xs.toArray
+
+  // 4 corpus vectors: 0 and 1 nearly parallel, 2 orthogonal, 3 opposite
+  private val corpus = Seq(
+    (0L, vec(1.0, 0.0)),
+    (1L, vec(0.9, 0.1)),
+    (2L, vec(0.0, 1.0)),
+    (3L, vec(-1.0, 0.0))
+  ).toDF("vec_id", "embedding")
+
+  test("dot, norm, cosine on known vectors") {
+    val r = Seq((vec(1.0, 2.0), vec(3.0, 4.0))).toDF("a", "b")
+      .select(
+        SimilarityFunctions.dot(col("a"), col("b")).as("d"),
+        SimilarityFunctions.norm(col("a")).as("n"),
+        SimilarityFunctions.cosine(col("a"), col("a")).as("self"))
+      .head()
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(math.abs(r.getAs[Double]("n") - math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("self") - 1.0) < 1e-12)
+  }
+
+  test("cosine of a zero vector is null, not NaN") {
+    val r = Seq((vec(0.0, 0.0), vec(1.0, 0.0))).toDF("a", "b")
+      .select(SimilarityFunctions.cosine(col("a"), col("b")).as("c")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("bruteForceTopK returns exact neighbors in rank order, excluding self") {
+    val q = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = SimilarityFunctions.bruteForceTopK(corpus, q, 3)
+      .orderBy("rank")
+      .select("vec_id", "rank").as[(Long, Int)].collect()
+    assert(out.toSeq === Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("bruteForceTopK respects k and covers every query") {
+    val q = corpus.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = SimilarityFunctions.bruteForceTopK(corpus, q, 2)
+    assert(out.count() === 8L) // 4 queries × k=2
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 2).count() === 0L)
+  }
+
+  test("two-phase top-k never shuffles the full scored set") {
+    val q = corpus.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val plan = SimilarityFunctions.bruteForceTopK(corpus, q, 2)
+      .queryExecution.executedPlan.toString
+    // the only exchange is AFTER the mapPartitions heap (tiny survivors)
+    assert(plan.contains("SerializeFromObject"), "heap phase missing from plan")
+  }
+
+  test("hyperplaneSignature: identical vectors share a signature, deterministic across calls") {
+    val sigs = corpus.select(col("vec_id"),
+      SimilarityFunctions.hyperplaneSignature(col("embedding"), dim = 2, nBits = 8).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val sigs2 = corpus.select(col("vec_id"),
+      SimilarityFunctions.hyperplaneSignature(col("embedding"), dim = 2, nBits = 8).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs === sigs2)
+    // opposite vectors must differ in every hyperplane that is not exactly on the boundary
+    assert(sigs(0L) !== sigs(3L))
+  }
+
+  test("lshNeighborPairs verifies true cosine on candidates only") {
+    val pairs = SimilarityFunctions.lshNeighborPairs(corpus, dim = 2, nBits = 4,
+      minCosine = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // candidates require identical 4-bit signatures; any surviving pair must
+    // genuinely have cosine >= 0.9 — only (0,1) qualifies semantically
+    assert(pairs.subsetOf(Set((0L, 1L))))
+  }
+
+  test("ivfTopK probes only nearby cells yet finds the true neighbor") {
+    val centroids = Seq(
+      (0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0)), (2L, vec(-1.0, 0.0))
+    ).toDF("centroid_id", "centroid_vec")
+    val q = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = SimilarityFunctions.ivfTopK(corpus, q, centroids, k = 1, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L)) // nearest neighbor lives in the probed cell
+  }
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).head().getAs[T]("v")
+
+  test("tokenCount: whitespace tokens; empty and blank → 0") {
+    assert(one[Long](TextFunctions.tokenCount(col("text")), "a b  c") === 3L)
+    assert(one[Long](TextFunctions.tokenCount(col("text")), "") === 0L)
+    assert(one[Long](TextFunctions.tokenCount(col("text")), "   ") === 0L)
+  }
+
+  test("subwordCount: letter runs, digit runs, single punctuation") {
+    // "can't stop 2024!" → can + ' + t + stop + 2024 + ! = 6
+    assert(one[Long](TextFunctions.subwordCount(col("text")), "can't stop 2024!") === 6L)
+    assert(one[Long](TextFunctions.subwordCount(col("text")), "") === 0L)
+  }
+
+  test("punctRatio: punctuation chars over total chars") {
+    assert(one[Double](TextFunctions.punctRatio(col("text")), "a,b!") === 0.5)
+    assert(one[Double](TextFunctions.punctRatio(col("text")), "") === 0.0)
+  }
+
+  test("stopwordRatio against a custom list") {
+    val r = one[Double](TextFunctions.stopwordRatio(col("text"), Seq("the", "a")), "the big a cat")
+    assert(r === 0.5)
+  }
+
+  test("qualityScore stays in [0, 100] across pathological inputs") {
+    for (s <- Seq("", "!!!!!!", "the " * 100, "x", "a normal english sentence with the usual words in it")) {
+      val q = one[Double](TextFunctions.qualityScore(col("text")), s)
+      assert(q >= 0.0 && q <= 100.0, s"score $q out of range for '$s'")
+    }
+  }
+
+  test("qualityScore penalizes punctuation soup below clean text") {
+    val clean = one[Double](TextFunctions.qualityScore(col("text")),
+      "the quick brown fox jumps over the lazy dog and runs to the hills for a day")
+    val soup = one[Double](TextFunctions.qualityScore(col("text")),
+      "%$#@! *&^% !!!! ???? ;;;; ::::")
+    assert(clean > soup)
+  }
+
+  test("languageId picks the profile with most stopword hits") {
+    assert(one[String](TextFunctions.languageId(col("text")),
+      "the cat and the dog was in that house") === "en")
+    assert(one[String](TextFunctions.languageId(col("text")),
+      "der hund ist nicht mit der katze") === "de")
+    assert(one[String](TextFunctions.languageId(col("text")),
+      "el perro es una mascota por ahora") === "es")
+  }
+
+  test("languageId: zero hits → und; ties → alphabetically first") {
+    assert(one[String](TextFunctions.languageId(col("text")), "xyzzy qwerty") === "und")
+    // 'que' is in both es and fr lists → tie → 'es' (alphabetically first)
+    assert(one[String](TextFunctions.languageId(col("text")), "que") === "es")
+  }
+
+  test("fingerprint collapses case, punctuation and whitespace variants") {
+    val df = Seq("Hello,  World!", "hello world", "HELLO   WORLD").toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+    assert(df.distinct().count() === 1L)
+  }
+
+  test("fingerprint distinguishes genuinely different text") {
+    val df = Seq("hello world", "goodbye world").toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+    assert(df.distinct().count() === 2L)
+  }
+}

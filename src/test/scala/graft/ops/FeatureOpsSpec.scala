@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Pins the pandas-parity window semantics (SURVEY.md §2e): rolling
+  * aggregates emit null until the frame is FULL (`min_periods = n`),
+  * pct_change yields null on each entity's first row, keep-last dedup is
+  * deterministic given a total sequence order.
+  */
+class FeatureOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def series(closes: Seq[Double], ticker: String = "A") =
+    closes.zipWithIndex.map { case (c, i) =>
+      (ticker, java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), c)
+    }.toDF("ticker", "date", "close")
+
+  test("transform: ma emits null until the frame holds exactly n rows") {
+    val df = FeatureOps.transform(series(Seq(1.0, 2.0, 3.0, 4.0, 5.0)),
+      maShort = 3, maLong = 4, volWindow = 3)
+    val ma3 = df.orderBy("date").select("ma3").as[Option[Double]].collect()
+    assert(ma3.toSeq === Seq(None, None, Some(2.0), Some(3.0), Some(4.0)))
+    val ma4 = df.orderBy("date").select("ma4").as[Option[Double]].collect()
+    assert(ma4.toSeq === Seq(None, None, None, Some(2.5), Some(3.5)))
+  }
+
+  test("transform: ret is close/lag(close)-1 with null first row per entity") {
+    val two = series(Seq(10.0, 11.0)).union(series(Seq(100.0, 50.0), "B"))
+    val df = FeatureOps.transform(two, maShort = 2, maLong = 3, volWindow = 2)
+    val ret = df.orderBy("ticker", "date").select("ret").as[Option[Double]].collect()
+    assert(ret(0).isEmpty && ret(2).isEmpty)
+    assert(math.abs(ret(1).get - 0.1) < 1e-12)
+    assert(math.abs(ret(3).get - (-0.5)) < 1e-12)
+  }
+
+  test("transform: vol window is sample stddev (ddof=1) like pandas") {
+    val df = FeatureOps.transform(series(Seq(1.0, 2.0, 4.0, 8.0)),
+      maShort = 2, maLong = 3, volWindow = 2)
+    // ret = [null, 1.0, 1.0, 1.0]; vol2 over two equal rets = 0
+    val vol = df.orderBy("date").select("vol2").as[Option[Double]].collect()
+    assert(vol.toSeq === Seq(None, None, Some(0.0), Some(0.0)))
+  }
+
+  test("maExact2dp equals the double moving average on 2-decimal inputs") {
+    val w = Window.partitionBy("ticker").orderBy("date")
+    val df = series(Seq(10.25, 20.75, 30.50, 41.00))
+      .withColumn("ma2", FeatureOps.maExact2dp(col("close"), 2, w))
+    val ma = df.orderBy("date").select("ma2").as[Option[Double]].collect()
+    assert(ma.toSeq === Seq(None, Some(15.5), Some(25.625), Some(35.75)))
+  }
+
+  test("keepLast keeps the highest sequence value per key") {
+    val df = Seq(
+      ("A", "2024-01-01", 1L, 10.0),
+      ("A", "2024-01-01", 3L, 30.0),
+      ("A", "2024-01-01", 2L, 20.0),
+      ("B", "2024-01-01", 1L, 99.0)
+    ).toDF("ticker", "date", "seq", "close")
+    val out = FeatureOps.keepLast(df, Seq("ticker", "date"), "seq")
+      .orderBy("ticker").select("close").as[Double].collect()
+    assert(out.toSeq === Seq(30.0, 99.0))
+  }
+
+  test("keepLast multi-column sequence breaks ties deterministically") {
+    val df = Seq(
+      ("A", 1L, 5L), ("A", 1L, 9L), ("A", 2L, 1L)
+    ).toDF("k", "s1", "s2")
+    val out = FeatureOps.keepLast(df, Seq("k"), Seq("s1", "s2"))
+      .select("s1", "s2").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((2L, 1L))) // s1 dominates s2
+  }
+
+  test("feature stage plans a single exchange for all window columns") {
+    val df = FeatureOps.transform(series(Seq(1.0, 2.0, 3.0)),
+      maShort = 2, maLong = 3, volWindow = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one window exchange, plan:\n$plan")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ValidationOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("nullCounts counts nulls per column in one pass") {
+    val df = Seq(
+      (Some(1), Some("a")), (None, Some("b")), (Some(3), None), (None, None)
+    ).toDF("x", "y")
+    assert(ValidationOps.nullCounts(df) === Map("x" -> 2L, "y" -> 2L))
+  }
+
+  test("duplicateRowCount counts EVERY member of a duplicate group (pandas keep=False)") {
+    val df = Seq(
+      ("A", "d1"), ("A", "d1"), ("A", "d1"), // group of 3
+      ("B", "d1"), ("B", "d1"),              // group of 2
+      ("C", "d1")                            // singleton
+    ).toDF("ticker", "date")
+    assert(ValidationOps.duplicateRowCount(df, Seq("ticker", "date")) === 5L)
+  }
+
+  test("duplicateRowCount is 0 with no duplicates") {
+    val df = Seq(("A", "d1"), ("B", "d1")).toDF("ticker", "date")
+    assert(ValidationOps.duplicateRowCount(df, Seq("ticker", "date")) === 0L)
+  }
+
+  test("basicStats fuses counts and pooled sample moments") {
+    val df = Seq(
+      (10.0, 5L, Some(0.1)),
+      (-1.0, -2L, Some(0.3)),
+      (3.0, 0L, None)
+    ).toDF("close", "volume", "ret")
+    val s = ValidationOps.basicStats(df)
+    assert(s.rows === 3L)
+    assert(s.nonPositiveClose === 1L)
+    assert(s.negativeVolume === 1L)
+    assert(s.nullCells === 1L)
+    assert(math.abs(s.retMean.get - 0.2) < 1e-12)
+    // sample stddev of {0.1, 0.3} = sqrt(0.02) ≈ 0.14142…
+    assert(math.abs(s.retStd.get - math.sqrt(0.02)) < 1e-12)
+  }
+
+  test("withZScore standardizes against POOLED mean/std, not per-entity") {
+    val df = Seq(("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 3.0)).toDF("ticker", "ret")
+    val z = ValidationOps.withZScore(df, "ret", "z")
+      .orderBy("ticker", "ret").select("z").as[Double].collect()
+    // pooled mean=2, sample std = sqrt(4/3)
+    val sd = math.sqrt(4.0 / 3.0)
+    assert(z.toSeq.zip(Seq(-1 / sd, 1 / sd, -1 / sd, 1 / sd))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("missingBusinessDays expands Mon-Fri between each entity's span") {
+    // A: Mon 2024-01-01 .. Mon 2024-01-08, observed Mon/Thu/Mon →
+    // missing Tue 02, Wed 03, Fri 05 (Sat/Sun excluded)
+    val df = Seq(
+      ("A", "2024-01-01"), ("A", "2024-01-04"), ("A", "2024-01-08"),
+      ("B", "2024-01-01"), ("B", "2024-01-02")
+    ).toDF("ticker", "d").selectExpr("ticker", "CAST(d AS DATE) AS date")
+    val out = ValidationOps.missingBusinessDays(df, "ticker", "date")
+      .orderBy("ticker").as[(String, Long)].collect()
+    assert(out.toSeq === Seq(("A", 3L))) // B has a complete span → absent
+  }
+
+  test("extremeMoveCount flags |z| above threshold") {
+    val df = (Seq.fill(99)(0.01) :+ 10.0).zipWithIndex
+      .map { case (r, i) => (s"T$i", r) }.toDF("ticker", "ret")
+    assert(ValidationOps.extremeMoveCount(df, "ret", 6.0) === 1L)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.warehouse
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class WarehouseSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshWarehouse() =
+    new Warehouse(spark, Files.createTempDirectory("graft_wh").toString)
+
+  private val batch = Seq(
+    ("A", "2024-01-01", 10.0),
+    ("A", "2024-01-02", 11.0),
+    ("B", "2024-01-01", 20.0)
+  ).toDF("ticker", "date", "close")
+
+  test("dedupAppend: first append saves all rows") {
+    val wh = freshWarehouse()
+    assert(wh.dedupAppend("market", batch, Seq("ticker", "date")) === 3L)
+    assert(wh.read("market").count() === 3L)
+  }
+
+  test("dedupAppend is idempotent (the J-3 invariant)") {
+    val wh = freshWarehouse()
+    wh.dedupAppend("market", batch, Seq("ticker", "date"))
+    assert(wh.dedupAppend("market", batch, Seq("ticker", "date")) === 0L)
+    assert(wh.read("market").count() === 3L)
+  }
+
+  test("dedupAppend saves only the genuinely new keys of a mixed batch") {
+    val wh = freshWarehouse()
+    wh.dedupAppend("market", batch, Seq("ticker", "date"))
+    val mixed = Seq(
+      ("A", "2024-01-01", 99.0), // existing key → dropped
+      ("C", "2024-01-01", 30.0)  // new
+    ).toDF("ticker", "date", "close")
+    assert(wh.dedupAppend("market", mixed, Seq("ticker", "date")) === 1L)
+    assert(wh.read("market").count() === 4L)
+  }
+
+  test("dedupAppend drops in-batch duplicates before appending") {
+    val wh = freshWarehouse()
+    val dup = batch.union(batch)
+    assert(wh.dedupAppend("market", dup, Seq("ticker", "date")) === 3L)
+  }
+
+  test("upsert is last-writer-wins on the key (INSERT OR REPLACE parity)") {
+    val wh = freshWarehouse()
+    wh.upsert("xval", Seq(("v1", 1.0), ("v2", 2.0)).toDF("validation_id", "x"),
+      Seq("validation_id"))
+    wh.upsert("xval", Seq(("v2", 99.0), ("v3", 3.0)).toDF("validation_id", "x"),
+      Seq("validation_id"))
+    val rows = wh.read("xval").orderBy("validation_id")
+      .as[(String, Double)].collect()
+    assert(rows.toSeq === Seq(("v1", 1.0), ("v2", 99.0), ("v3", 3.0)))
+  }
+
+  test("replace overwrites the whole table (K-10)") {
+    val wh = freshWarehouse()
+    wh.replace("t", batch)
+    wh.replace("t", batch.limit(1))
+    assert(wh.read("t").count() === 1L)
+  }
+
+  test("stats reports row count and date span") {
+    val wh = freshWarehouse()
+    wh.replace("t", batch.selectExpr("ticker", "CAST(date AS DATE) AS date", "close"))
+    val s = wh.stats("t", Some("date"))
+    assert(s("rows") === 3L)
+    assert(s("min_date") === java.sql.Date.valueOf("2024-01-01"))
+    assert(s("max_date") === java.sql.Date.valueOf("2024-01-02"))
+  }
+}
