@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video as
+  * opaque `binary` columns with typed metadata, plus decode /
+  * feature-extract / thumbnail / frame-sample stages.
+  *
+  * The Spark-side plumbing is REAL — schemas, batched partition
+  * processing, deterministic outputs, size accounting, partition-level
+  * parallelism — while the media codecs are STUBS (`decodeStub`,
+  * `frameOffsetsStub`): this container ships no image/audio libraries, so
+  * decode is a deterministic fake keyed on the bytes. Swapping in a real
+  * codec changes ONE function; every schema, batch shape, and plan stays.
+  *
+  * Scale notes:
+  *  - media bytes never shuffle: feature extraction is a mapPartitions
+  *    projection (narrow), and downstream joins/dedup run on the compact
+  *    feature/fingerprint columns only.
+  *  - per-partition batching bounds peak memory at `batchSize` assets
+  *    regardless of partition size.
+  */
+object Multimodal {
+
+  final case class MediaMeta(mime: String, width: Int, height: Int, durationMs: Long)
+  final case class MediaAsset(asset_id: Long, media: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      asset_id: Long,
+      n_bytes: Long,
+      fingerprint: Long,
+      embedding: Array[Float])
+
+  /** ??? REAL-CODEC BOUNDARY ??? — deterministic fake decoder standing in
+    * for (e.g.) JPEG decode + CNN embed. Produces a `dim`-float vector
+    * from a rolling hash of the bytes; stable across JVMs and runs.
+    */
+  def decodeStub(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < bytes.length) {
+      h = 31 * h + bytes(i)
+      out(math.floorMod(i, dim).toInt) += (math.floorMod(h, 1000L) / 1000.0f - 0.5f)
+      i += 1
+    }
+    out
+  }
+
+  /** ??? REAL-CODEC BOUNDARY ??? — video frame sampling stand-in: returns
+    * the byte offsets a real demuxer would seek to, one per `everyMs`.
+    */
+  def frameOffsetsStub(meta: MediaMeta, everyMs: Long): Seq[Long] =
+    if (meta.durationMs <= 0 || everyMs <= 0) Seq.empty
+    else (0L until meta.durationMs by everyMs).map(t => t * 1024L)
+
+  /** 64-bit content fingerprint of the raw bytes (exact-dup key for
+    * media, like TextFunctions.fingerprint for text) — xxhash64 on the
+    * binary column, codegen'd, no UDF.
+    */
+  def fingerprintCol(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(media)
+
+  /** Feature extraction over a `Dataset[MediaAsset]`: batched
+    * mapPartitions (the Scala analogue of `mapInPandas` batch shape) —
+    * each batch of ≤ `batchSize` assets is decoded together, which is
+    * where a real codec would amortize model/codec setup per batch.
+    */
+  def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 16,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real impl: one codec/model invocation per batch
+        batch.iterator.map { a =>
+          MediaFeatures(
+            asset_id = a.asset_id,
+            n_bytes = a.media.length.toLong,
+            fingerprint = scala.util.hashing.MurmurHash3.bytesHash(a.media, 42).toLong,
+            embedding = decodeStub(a.media, dim))
+        }
+      }
+    }
+  }
+
+  /** DataFrame variant for untyped pipelines: adds n_bytes, fingerprint
+    * (xxhash64) and the stub embedding to any frame with a binary
+    * `media` column, as ONE projection — no shuffle, media column
+    * droppable immediately after.
+    */
+  def withMediaFeatures(df: DataFrame, mediaCol: String = "media",
+      dim: Int = 16): DataFrame = {
+    val bytesToVec = udf((b: Array[Byte]) => decodeStub(b, dim))
+    df.withColumn("n_bytes", length(col(mediaCol)).cast("long"))
+      .withColumn("fingerprint", fingerprintCol(col(mediaCol)))
+      .withColumn("embedding", bytesToVec(col(mediaCol)))
+  }
+
+  /** Exact media dedup on the binary fingerprint: shuffles ONLY
+    * (fingerprint, id), never the media bytes.
+    */
+  def dedupByFingerprint(df: DataFrame, idCol: String = "asset_id",
+      mediaCol: String = "media"): DataFrame = {
+    val keyed = df.withColumn("_fp", fingerprintCol(col(mediaCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_fp")).orderBy(col(idCol))
+    keyed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_fp")
+  }
+}
