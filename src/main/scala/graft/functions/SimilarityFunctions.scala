@@ -54,7 +54,21 @@ object SimilarityFunctions {
       .filter(col("_cos").isNotNull)
       .select(col(qIdCol).cast("long"), col(idCol).cast("long"), col("_cos"))
       .as[(Long, Long, Double)]
-    // worst-first ordering: lower cosine is worse; on equal cosine a
+    topKPerQuery(scored, k)
+      .select(col("_q").as(qIdCol), col("_id").as(idCol),
+        col("_c").as("cosine"), col("rank"))
+  }
+
+  /** Two-phase exact top-k over (query, id, score) rows: per-partition
+    * bounded heaps inside mapPartitions (each partition emits ≤
+    * k × |queries| rows), then one tiny window rank over the survivors.
+    * Output columns `_q, _id, _c, rank`; ties broken by lower id.
+    */
+  def topKPerQuery(scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // worst-first ordering: lower score is worse; on equal score a
     // HIGHER id is worse (final tie-break prefers the lower id).
     val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
       case (c, id) => (-c, id)
@@ -76,8 +90,6 @@ object SimilarityFunctions {
     partial.toDF("_q", "_id", "_c")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("_q").as(qIdCol), col("_id").as(idCol),
-        col("_c").as("cosine"), col("rank"))
   }
 
   /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where the
@@ -122,36 +134,58 @@ object SimilarityFunctions {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** IVF-style ANN: assign every corpus vector to its nearest of
-    * `centroids` (broadcast, built by the caller — e.g. sampled corpus
-    * rows, a k-means pass, or a provided label partitioner); queries probe
-    * only `nProbe` nearest centroids' partitions. Turns an all-corpus scan
+  /** Nearest-centroid cell id as ONE projection: fold over the literal
+    * centroid array carrying (bestSim, bestCell). No join, no window, no
+    * shuffle — the corpus is scanned exactly once. Ties and null
+    * similarities keep the earlier (lower-id) centroid.
+    */
+  private def nearestCell(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val cArr = typedLit(cents)
+    aggregate(cArr,
+      struct(lit(Double.MinValue).as("s"), lit(-1L).as("c")),
+      (acc, ct) => {
+        val sim = cosine(vec, ct.getField("_2"))
+        when(sim > acc.getField("s"), struct(sim.as("s"), ct.getField("_1").as("c")))
+          .otherwise(acc)
+      }).getField("c")
+  }
+
+  /** IVF-style ANN: assign every corpus vector to its nearest centroid
+    * (a pure projection over the driver-known centroid list — centroids
+    * are small by construction: a sample or k-means output); queries
+    * probe only their `nProbe` nearest cells. Turns an all-corpus scan
     * per query into a fraction `nProbe / nCentroids` of the corpus.
+    * Final per-query top-k is the same two-phase bounded-heap shape as
+    * [[bruteForceTopK]] — nothing here shuffles scored rows.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "query_id", qVecCol: String = "query_vec",
       cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
-    val wC = Window.partitionBy(col(idCol)).orderBy(col("_csim").desc_nulls_last, col(cIdCol))
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("_csim", cosine(col(vecCol), col(cVecCol)))
-      .withColumn("_crank", row_number().over(wC))
-      .filter(col("_crank") === 1)
-      .select(col(idCol), col(vecCol), col(cIdCol).as("_cell"))
-    val wQ = Window.partitionBy(col(qIdCol)).orderBy(col("_csim").desc_nulls_last, col(cIdCol))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("_csim", cosine(col(qVecCol), col(cVecCol)))
-      .withColumn("_crank", row_number().over(wQ))
-      .filter(col("_crank") <= nProbe)
-      .select(col(qIdCol), col(qVecCol), col(cIdCol).as("_cell"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Seq[(Long, Seq[Double])] = centroids
+      .select(col(cIdCol).cast("long"), col(cVecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val assigned = corpus.withColumn("_cell", nearestCell(col(vecCol), cents))
+    // top-nProbe cells per query as a projection: sort the centroid array
+    // by (sim desc, cid asc) via a sortable (negSim, cid) struct, slice.
+    val cArr = typedLit(cents)
+    val probeCells = slice(sort_array(transform(cArr, ct =>
+      call_function("named_struct",
+        lit("negSim"), coalesce(-cosine(col(qVecCol), ct.getField("_2")), lit(Double.MaxValue)),
+        lit("cid"), ct.getField("_1")))), 1, nProbe)
+    val probes = queries.withColumn("_pc", explode(probeCells))
+      .select(col(qIdCol), col(qVecCol), col("_pc").getField("cid").as("_cell"))
     val scored = assigned.join(broadcast(probes), Seq("_cell"))
-      .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
+      .withColumn("_cos", round(cosine(col(vecCol), col(qVecCol)), 6))
       .filter(col(idCol) =!= col(qIdCol))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cosine").desc_nulls_last, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .filter(col("_cos").isNotNull)
+      .select(col(qIdCol).cast("long"), col(idCol).cast("long"), col("_cos"))
+      .as[(Long, Long, Double)]
+    topKPerQuery(scored, k)
+      .select(col("_q").as(qIdCol), col("_id").as(idCol),
+        col("_c").as("cosine"), col("rank"))
   }
 }

@@ -26,10 +26,15 @@ object CrossValidationOps {
       secondary: DataFrame,
       entity: String = "ticker",
       time: String = "date",
-      tolerancePct: Double = 1.0): DataFrame = {
+      tolerancePct: Double = 1.0,
+      broadcastSecondary: Boolean = true): DataFrame = {
     val p = primary.select(col(entity), col(time), col("close").as("yahoo_close"))
-    val s = secondary.select(col(entity), col(time), col("close").as("alpha_close"))
-    p.join(broadcast(s), Seq(entity, time), "inner")
+    val s0 = secondary.select(col(entity), col(time), col("close").as("alpha_close"))
+    // The reference's validation side is a handful of cross-checked
+    // entities → broadcast by default; pass false when the secondary is
+    // a full-size source and let AQE pick the join strategy.
+    val s = if (broadcastSecondary) broadcast(s0) else s0
+    p.join(s, Seq(entity, time), "inner")
       .na.drop(Seq("yahoo_close", "alpha_close")) // P-10
       .withColumn("price_diff", col("yahoo_close") - col("alpha_close"))
       .withColumn("diff_pct", abs(col("price_diff") / col("yahoo_close") * 100))
@@ -49,11 +54,13 @@ object CrossValidationOps {
       features: DataFrame,
       flags: DataFrame, // entity, date, discrepancy_flag
       entity: String = "ticker",
-      time: String = "date"): DataFrame =
-    features
-      .join(broadcast(flags.select(col(entity), col(time), col("discrepancy_flag"))),
-        Seq(entity, time), "left")
+      time: String = "date",
+      broadcastFlags: Boolean = true): DataFrame = {
+    val f0 = flags.select(col(entity), col(time), col("discrepancy_flag"))
+    val f = if (broadcastFlags) broadcast(f0) else f0
+    features.join(f, Seq(entity, time), "left")
       .na.fill(Map("discrepancy_flag" -> false))
+  }
 
   /** A-9 analog: per-entity reconciliation status — `cross_validated` vs
     * `single_source` falls out of one groupBy instead of a driver loop

@@ -489,6 +489,61 @@ object Queries {
              |SELECT query_id, vec_id, cosine, "rank" FROM ranked
              |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
+    QueryDef("a9_reconciliation_summary",
+      (s, dir) => CrossValidationOps.reconciliationSummary(
+          CrossValidationOps.compareSources(
+            prices(t(s, dir, "lineitem")), grossSubset(s, dir), "ticker", "date", 1.0))
+        .orderBy("ticker"),
+      Some(pricesSql + grossSql +
+        """, cmp AS (
+          |  SELECT p.ticker,
+          |         abs((p.close - g.close) / p.close * 100) AS diff_pct,
+          |         abs((p.close - g.close) / p.close * 100) > 1.0 AS discrepancy_flag
+          |  FROM prices p JOIN gross g ON p.ticker = g.ticker AND p."date" = g."date")
+          |SELECT ticker, count(*) AS comparisons,
+          |       CAST(COALESCE(SUM(CASE WHEN discrepancy_flag THEN 1 END), 0) AS BIGINT) AS discrepancy_count,
+          |       max(diff_pct) AS max_diff_pct
+          |FROM cmp GROUP BY ticker ORDER BY ticker""".stripMargin)),
+
+    QueryDef("s3_ivf_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.ivfTopK(emb, q, centroids, k = 5, nProbe = 2).orderBy("query_id", "rank")
+      },
+      Some("""WITH c AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 4),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |assign AS (
+             |  SELECT vec_id, v, cid FROM (
+             |    SELECT e.vec_id, e.v, c.cid,
+             |           row_number() OVER (PARTITION BY e.vec_id
+             |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+             |    FROM e, c) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+             |probes AS (
+             |  SELECT query_id, qv, cid FROM (
+             |    SELECT q.query_id, q.qv, c.cid,
+             |           row_number() OVER (PARTITION BY q.query_id
+             |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+             |    FROM q, c) WHERE rn <= 2),
+             |scored AS (
+             |  SELECT p.query_id, a.vec_id,
+             |         round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+             |  FROM assign a JOIN probes p ON a.cid = p.cid
+             |  WHERE a.vec_id <> p.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, cosine,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |           ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+             |  FROM scored)
+             |SELECT query_id, vec_id, cosine, "rank" FROM ranked
+             |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+
     QueryDef("s2_lsh_pairs",
       (s, dir) => S.lshNeighborPairs(t(s, dir, "embeddings"), dim = 64,
           nBits = 16, minCosine = 0.8)
