@@ -91,4 +91,31 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ").cast("binary"))
+
+  /** Rolling hash over character k-grams of the normalized text — the
+    * primitive under winnowing fingerprints. One projection, no UDF:
+    * `substr` + `xxhash64` per position. Short texts hash whole.
+    */
+  def kgramHashes(text: Column, k: Int,
+      hash: Column => Column = xxhash64(_)): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val n = length(norm) - (k - 1)
+    when(n <= 0, array(hash(norm)))
+      .otherwise(transform(sequence(lit(1), n), i => hash(norm.substr(i, lit(k)))))
+  }
+
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    * 2003, public): slide a `window` over the rolling k-gram hashes, keep
+    * each window's minimum, dedup + sort. Guarantees any shared substring
+    * of length ≥ k + window − 1 contributes at least one shared
+    * fingerprint — the standard near-dup / containment sketch for text.
+    */
+  def winnowedFingerprints(text: Column, k: Int = 8, window: Int = 4,
+      hash: Column => Column = xxhash64(_)): Column = {
+    val hashes = kgramHashes(text, k, hash)
+    val n = size(hashes) - (window - 1)
+    val mins = when(n <= 0, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(1), n), i => array_min(slice(hashes, i, lit(window)))))
+    array_sort(array_distinct(mins))
+  }
 }

@@ -398,6 +398,33 @@ object Queries {
              |       ELSE 'fr' END AS lang_id
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t4_winnow_fingerprints",
+      // md5-based rolling hash so the oracle engine computes identical
+      // fingerprints (hex min is lexicographic in both engines); the
+      // xxhash64 default is the production path.
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        size(T.winnowedFingerprints(col("text"), k = 8, window = 4,
+          hash = c => md5(c.cast("binary")))).as("n_fingerprints"))
+        .orderBy("doc_id"),
+      Some("""WITH norm AS (
+             |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(t) - 7 <= 0 THEN [md5(t)]
+             |         ELSE list_transform(generate_series(1, length(t) - 7),
+             |                i -> md5(substring(t, CAST(i AS INTEGER), 8))) END AS hs
+             |  FROM norm),
+             |w AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(hs) - 3 <= 0 THEN [list_aggregate(hs, 'min')]
+             |         ELSE list_transform(generate_series(1, len(hs) - 3),
+             |                i -> list_aggregate(hs[i:i+3], 'min')) END AS mins
+             |  FROM h)
+             |SELECT doc_id, CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints
+             |FROM w ORDER BY doc_id""".stripMargin)),
+
     // ───────── dedup (documents) ─────────
 
     QueryDef("d1_exact_dedup",

@@ -74,4 +74,32 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.fingerprint(col("text")).as("fp"))
     assert(df.distinct().count() === 2L)
   }
+
+  test("winnowedFingerprints: identical docs share the full fingerprint set") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "the  QUICK brown fox jumps over the lazy dog").toDF("text")
+      .select(TextFunctions.winnowedFingerprints(col("text")).as("fp"))
+    val sets = df.collect().map(_.getSeq[Long](0).toSet)
+    assert(sets(0) === sets(1)) // case/whitespace-insensitive
+  }
+
+  test("winnowedFingerprints: shared long substring yields shared fingerprints") {
+    val a = "completely unrelated prefix text " + ("common shared passage of sufficient length here " * 3)
+    val b = "different other beginning words " + ("common shared passage of sufficient length here " * 3)
+    val c = "nothing alike whatsoever in this document at all zzz qqq"
+    val df = Seq(a, b, c).toDF("text")
+      .select(TextFunctions.winnowedFingerprints(col("text")).as("fp"))
+    val s = df.collect().map(_.getSeq[Long](0).toSet)
+    val abOverlap = (s(0) intersect s(1)).size.toDouble / (s(0) union s(1)).size
+    val acOverlap = (s(0) intersect s(2)).size.toDouble / (s(0) union s(2)).size
+    assert(abOverlap > 0.3, s"expected high overlap, got $abOverlap")
+    assert(acOverlap < 0.05, s"expected no overlap, got $acOverlap")
+  }
+
+  test("winnowedFingerprints: short text degrades to a single whole-text hash") {
+    val fp = Seq("hi").toDF("text")
+      .select(TextFunctions.winnowedFingerprints(col("text"), k = 8, window = 4).as("fp"))
+      .head().getSeq[Long](0)
+    assert(fp.length === 1)
+  }
 }
