@@ -96,21 +96,31 @@ object DedupFunctions {
     * instead of as k array-lambda passes.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame = {
+      n: Int, k: Int,
+      hash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i))): DataFrame = {
     val e = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), n)).as("s"))
-    val mins = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"_m$i"))
+    val mins = (0 until k).map(i => min(hash(col("s"), i)).as(s"_m$i"))
     e.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
+  /** 60-bit hash both Spark and DuckDB can compute identically:
+    * the first 15 hex chars of md5, parsed as an integer. Slower than
+    * xxhash64 — exists so hash-dependent pipelines (MinHash-LSH) can be
+    * oracle-verified end-to-end; production paths keep xxhash64.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** LSH banding: band b = hash of signature rows [b·r, (b+1)·r). Docs
     * sharing any (band, bucket) become candidates.
     */
-  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+  def lshBands(sig: Column, bands: Int, rows: Int,
+      bucketHash: (Column, Int) => Column = (c, b) => xxhash64(c, lit(b))): Column =
     array((0 until bands).map(b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows)), lit(b)).as("bucket"))): _*)
+        bucketHash(concat_ws(",", slice(sig, b * rows + 1, rows)), b).as("bucket"))): _*)
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     * Pipeline: shingle → signature → band explode → equi-self-join on
@@ -119,11 +129,13 @@ object DedupFunctions {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      hash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i)),
+      bucketHash: (Column, Int) => Column = (c, b) => xxhash64(c, lit(b))): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, hash)
     val banded = sigs.select(col("id"),
-        explode(lshBands(col("sig"), bands, rows)).as("bb"))
+        explode(lshBands(col("sig"), bands, rows, bucketHash)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))

@@ -184,7 +184,15 @@ final class RequestRunner(
           .withColumn("request_id", lit(requestId))
         disc.cache()
         val n = disc.count()
-        if (n > 0) wh.upsert("cross_validation", disc, Seq("validation_id"))
+        if (n > 0) {
+          wh.upsert("cross_validation", disc, Seq("validation_id"))
+          // K-9: anomaly CSV alongside the other artifacts (reference
+          // `save_anomaly_report`, src/validation.py:490-518)
+          out.saveAnomalyReport(
+            disc.select("ticker", "date", "yahoo_close", "alpha_close",
+              "price_diff", "diff_pct").orderBy("ticker", "date"),
+            s"anomalies_$requestId.csv")
+        }
         n
       }
 

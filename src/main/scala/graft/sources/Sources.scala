@@ -91,6 +91,21 @@ object SourceOps {
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** S-5: multi-source fetch with per-item error swallowing (reference
+    * `fetch_multiple_series`, `src/macro.py:193-211`): a failing source
+    * contributes an error string instead of sinking the batch; survivors
+    * union by name. Returns (union of survivors, errors) — None when
+    * every source failed (the reference returns an empty frame there).
+    */
+  def fetchAllOrLog(sources: Seq[(String, Source)],
+      spark: org.apache.spark.sql.SparkSession): (Option[DataFrame], Seq[String]) = {
+    val (errs, oks) = sources.map { case (name, src) =>
+      try Right(src.fetch(spark))
+      catch { case e: Exception => Left(s"$name: ${e.getMessage}") }
+    }.partitionMap(identity)
+    (if (oks.nonEmpty) Some(unionAll(oks)) else None, errs)
+  }
+
   /** S-6: indicator-category → series-id resolution (reference
     * `src/macro.py:227-275`): plain config, unknown categories ignored,
     * `None`/empty → all series.

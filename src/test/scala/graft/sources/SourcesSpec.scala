@@ -66,4 +66,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(SourceOps.resolveCategories(Seq("nope"), catalog) === Nil)
     assert(SourceOps.resolveCategories(Nil, catalog).toSet === Set("GDP", "GDPC1", "CPIAUCSL"))
   }
+
+  test("fetchAllOrLog: failing sources are swallowed per-item (S-5)") {
+    val ok = new Source { def fetch(s: org.apache.spark.sql.SparkSession) = Seq(1).toDF("id") }
+    val bad = new Source { def fetch(s: org.apache.spark.sql.SparkSession) = throw new RuntimeException("feed down") }
+    val (df, errs) = SourceOps.fetchAllOrLog(Seq("good" -> ok, "broken" -> bad), spark)
+    assert(df.get.count() === 1L)
+    assert(errs === Seq("broken: feed down"))
+    val (none, allErrs) = SourceOps.fetchAllOrLog(Seq("b1" -> bad, "b2" -> bad), spark)
+    assert(none.isEmpty && allErrs.length === 2)
+  }
 }
