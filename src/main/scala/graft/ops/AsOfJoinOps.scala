@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the most recent right row
+  * with `rightTime <= leftTime` per key. The classic financial align
+  * operator (daily prices vs monthly/quarterly macro series) that the
+  * reference never implements (SURVEY.md §2c notes it as the natural
+  * extension) and that Spark lacks as a built-in.
+  *
+  * Implementation is the scalable union+window composition, NOT a range
+  * join: tag both sides, union by name, and carry the last non-null
+  * right payload forward with one `last(_, ignoreNulls)` window per key.
+  * Cost = ONE shuffle of |left|+|right| rows on the key — no
+  * O(|left|×|right per key|) range-join blowup, no custom physical
+  * operator. At equal timestamps the right row sorts first, so a
+  * same-instant right observation IS visible to the left row (DuckDB
+  * `ASOF JOIN ... ON l.t >= r.t` semantics, used as the test oracle).
+  *
+  * Rows with no prior right observation get null payload (left-outer
+  * semantics); `dropNoMatch` turns that into the inner variant.
+  * If several right rows share (key, time), the survivor is
+  * nondeterministic — dedupe the right side first.
+  */
+object AsOfJoinOps {
+
+  def asOfJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      dropNoMatch: Boolean = false): DataFrame = {
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    val rv = struct((rightTime +: payload).map(col): _*)
+    val rPrep = right.select(
+      (keys.map(col) :+ col(rightTime).as("_t") :+ rv.as("_rv") :+ lit(0).as("_isLeft")): _*)
+    val lPrep = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_isLeft", lit(1))
+    val unioned = lPrep.unionByName(rPrep, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_isLeft"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = unioned
+      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_isLeft") === 1)
+    val outCols = left.columns.map(col) ++
+      payload.map(p => col("_asof").getField(p).as(p))
+    val joined = filled.select(outCols: _*)
+    if (dropNoMatch) joined.na.drop(payload) else joined
+  }
+}

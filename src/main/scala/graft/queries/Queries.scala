@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions => D, SimilarityFunctions => S, TextFunctions => T}
-import graft.ops.{CrossValidationOps, FeatureOps, MacroOps, ValidationOps}
+import graft.ops.{AsOfJoinOps, CrossValidationOps, FeatureOps, MacroOps, ValidationOps}
 
 /** One driver-verifiable query. `oracle` is the DuckDB-equivalent ANSI
   * SQL over the same parquet tables; None for ops whose hash seeds
@@ -144,6 +144,30 @@ object Queries {
           |  WHERE e."date" >= DATE '2000-01-01'
           |    AND e.ticker = i.ticker AND e."date" = i."date")
           |ORDER BY i.ticker, i."date"""".stripMargin)),
+
+    QueryDef("j4_asof_join",
+      // daily closes as-of-joined to the latest quarterly benchmark —
+      // the financial align operator the reference lacks; oracled
+      // against DuckDB's NATIVE ASOF JOIN.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+        val quarterly = p
+          .groupBy(col("ticker"), to_date(date_trunc("quarter", col("date"))).as("qstart"))
+          .agg(money2(sum(col("close").cast("decimal(18,2)"))).as("benchmark_close"))
+        AsOfJoinOps.asOfJoinBackward(
+          p.select("ticker", "date", "close"), quarterly,
+          Seq("ticker"), "date", "qstart", Seq("benchmark_close"))
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """, qb AS (
+          |  SELECT ticker, CAST(date_trunc('quarter', "date") AS DATE) AS qstart,
+          |         CAST(ROUND(SUM(CAST(close AS DECIMAL(18,2))), 2) AS DOUBLE) AS benchmark_close
+          |  FROM prices GROUP BY 1, 2)
+          |SELECT p.ticker, p."date" AS "date", p.close, q.benchmark_close
+          |FROM prices p ASOF JOIN qb q
+          |  ON p.ticker = q.ticker AND p."date" >= q.qstart
+          |ORDER BY p.ticker, p."date"""".stripMargin)),
 
     // ───────── aggregations ─────────
 

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AsOfJoinOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  private val prices = Seq(
+    ("A", "2024-01-05", 10.0),
+    ("A", "2024-02-10", 11.0),
+    ("A", "2024-03-20", 12.0),
+    ("B", "2024-01-05", 50.0)
+  ).toDF("ticker", "d", "close").selectExpr("ticker", "CAST(d AS DATE) AS date", "close")
+
+  private val macroSeries = Seq(
+    ("A", "2024-01-01", 5.25),
+    ("A", "2024-02-01", 5.50),
+    ("B", "2024-03-01", 4.00) // after B's only price row
+  ).toDF("ticker", "md", "rate").selectExpr("ticker", "CAST(md AS DATE) AS mdate", "rate")
+
+  test("backward as-of picks the latest right row at or before each left time") {
+    val out = AsOfJoinOps.asOfJoinBackward(prices, macroSeries,
+      Seq("ticker"), "date", "mdate", Seq("rate"))
+      .orderBy("ticker", "date")
+      .select("ticker", "date", "rate").collect()
+    assert(out(0).getAs[Double]("rate") === 5.25) // Jan 5 <- Jan 1 obs
+    assert(out(1).getAs[Double]("rate") === 5.50) // Feb 10 <- Feb 1 obs
+    assert(out(2).getAs[Double]("rate") === 5.50) // Mar 20 <- still Feb 1
+    assert(out(3).isNullAt(2)) // B has no obs at/before Jan 5 -> null
+  }
+
+  test("same-instant right observation is visible (>= semantics)") {
+    val right = Seq(("A", "2024-01-05", 9.99)).toDF("ticker", "md", "rate")
+      .selectExpr("ticker", "CAST(md AS DATE) AS mdate", "rate")
+    val out = AsOfJoinOps.asOfJoinBackward(
+      prices.filter($"ticker" === "A"), right, Seq("ticker"), "date", "mdate", Seq("rate"))
+      .orderBy("date").select("rate").collect()
+    assert(out(0).getAs[Double](0) === 9.99)
+  }
+
+  test("dropNoMatch gives the inner variant") {
+    val out = AsOfJoinOps.asOfJoinBackward(prices, macroSeries,
+      Seq("ticker"), "date", "mdate", Seq("rate"), dropNoMatch = true)
+    assert(out.count() === 3L) // B's row dropped
+  }
+
+  test("one shuffle: the plan has a single hash exchange for the window") {
+    val out = AsOfJoinOps.asOfJoinBackward(prices, macroSeries,
+      Seq("ticker"), "date", "mdate", Seq("rate"))
+    val plan = out.queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, s"expected exactly one exchange:\n$plan")
+  }
+}
