@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.ops.{FeatureOps, ValidationOps}
+import graft.functions.TextFunctions
+import graft.output.Scoring
+
+/** Property-based invariants (SURVEY.md §5): windows vs brute force on
+  * random series, score bounds, dedup idempotence under permutation,
+  * count invariants. Runs under ScalaCheck's own sbt test framework.
+  */
+object PropertySpec extends Properties("graft") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val seriesGen: Gen[List[Double]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, Gen.choose(1.0, 1000.0)))
+
+  property("maExact2dp equals brute-force mean exactly when n rows exist") =
+    Prop.forAllNoShrink(seriesGen, Gen.choose(2, 8)) { (closes, n) =>
+      val rounded = closes.map(c => math.rint(c * 100) / 100)
+      val df = rounded.zipWithIndex
+        .map { case (c, i) => ("T", i, c) }.toDF("ticker", "seq", "close")
+      val w = Window.partitionBy("ticker").orderBy("seq")
+      val ma = df.withColumn("ma", FeatureOps.maExact2dp(col("close"), n, w))
+        .orderBy("seq").select("ma").as[Option[Double]].collect()
+      rounded.indices.forall { i =>
+        if (i + 1 < n) ma(i).isEmpty
+        else {
+          // mirror the implementation's shape: EXACT decimal sum, then
+          // one IEEE double division (not decimal division)
+          val expect = rounded.slice(i - n + 1, i + 1)
+            .map(BigDecimal(_)).sum.toDouble / n
+          ma(i).contains(expect)
+        }
+      }
+    }
+
+  property("quality score lands in [0, 100] for arbitrary printable text") =
+    Prop.forAllNoShrink(Gen.listOfN(20, Gen.asciiPrintableStr)) { texts =>
+      val qs = texts.toDF("text")
+        .select(TextFunctions.qualityScore(col("text")).as("q"))
+        .as[Double].collect()
+      qs.forall(q => q >= 0.0 && q <= 100.0)
+    }
+
+  property("keepLast survivor is permutation-invariant given a total seq") =
+    Prop.forAllNoShrink(Gen.choose(2, 15), Gen.choose(0L, Long.MaxValue)) { (n, seed) =>
+      val rows = (1 to n).map(i => ("K", i.toLong, i * 1.5))
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      val a = FeatureOps.keepLast(rows.toDF("k", "seq", "v"), Seq("k"), "seq")
+        .select("seq").as[Long].head()
+      val b = FeatureOps.keepLast(shuffled.toDF("k", "seq", "v"), Seq("k"), "seq")
+        .select("seq").as[Long].head()
+      a == b && a == n.toLong
+    }
+
+  property("duplicateRowCount counts every group member (pandas keep=False)") =
+    Prop.forAllNoShrink(Gen.listOfN(25, Gen.choose(1, 5))) { keys =>
+      val df = keys.map(k => (s"K$k", 1)).toDF("k", "x")
+      val dups = ValidationOps.duplicateRowCount(df, Seq("k"))
+      val expected = keys.groupBy(identity).values.filter(_.size > 1).map(_.size).sum
+      dups == expected.toLong
+    }
+
+  property("reliability/overall scores stay in [0, 100]") =
+    Prop.forAll(Gen.choose(0L, 1000L), Gen.choose(1L, 1000L)) { (d, c) =>
+      val r = Scoring.reliabilityScore(d, c).get
+      val overall = Scoring.overallScore(80.0, Some(r))
+      r >= 0.0 && r <= 100.0 && overall >= 0.0 && overall <= 100.0
+    }
+}

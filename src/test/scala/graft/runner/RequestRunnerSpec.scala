@@ -116,4 +116,20 @@ class RequestRunnerSpec extends AnyFunSuite {
     assert(log.getString(0) === "failed")
     assert(log.getLong(1) === 1L)
   }
+
+  test("writeValidationLog appends issue rows with generated ids (K-6)") {
+    val (r, base) = runner()
+    val rid = "20250818_210058_AAPL_20240101_20240110"
+    r.writeValidationLog(rid, Seq(
+      ("AAPL", "null_check", "3 null values in close", 2.0),
+      ("MSFT", "duplicate", "2 duplicate rows removed", 1.0)))
+    val log = spark.read.parquet(s"$base/wh/validation_log")
+    assert(log.count() === 2L)
+    val ids = log.select("validation_id").as[String].collect()
+    assert(ids.forall(_.startsWith(rid)))
+    assert(log.select("issue_type").as[String].collect().toSet === Set("null_check", "duplicate"))
+    // append-only and id-deduped: same batch again adds nothing (fixed clock)
+    r.writeValidationLog(rid, Seq(("AAPL", "null_check", "3 null values in close", 2.0)))
+    assert(spark.read.parquet(s"$base/wh/validation_log").count() === 2L)
+  }
 }
