@@ -21,14 +21,16 @@ object DedupFunctions {
   /** Word shingles (n-grams of whitespace tokens) as a distinct array.
     * Empty/short docs → their full token string as the single shingle.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val k = size(toks) - (n - 1)
-    when(k <= 0, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), k - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    // bind the token split once: a captured `toks` would re-split the
+    // text on EVERY shingle position (O(len·positions) per row)
+    graft.functions.TextFunctions.bound(split(lower(trim(text)), "\\s+")) { toks =>
+      val k = size(toks) - (n - 1)
+      when(k <= 0, array(concat_ws(" ", toks)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), k - 1),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    }
 
   /** Exact duplicate groups on a fingerprint column: every group with >1
     * member, with the canonical survivor (min doc id) marked.

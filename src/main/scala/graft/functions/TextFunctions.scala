@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Evaluate `c` ONCE and expose it to `f` as a bound lambda variable.
+    * Spark re-evaluates captured subexpressions inside array lambdas on
+    * EVERY element — a transform over n positions that slices a captured
+    * n-element hash array recomputes that array n times (O(n²) blowup,
+    * measured 950s vs ~1s on the winnowing query). Routing the value
+    * through a 1-element array + transform forces single evaluation.
+    */
+  def bound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Whitespace token count. Empty/blank text → 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))
@@ -97,12 +107,12 @@ object TextFunctions {
     * `substr` + `xxhash64` per position. Short texts hash whole.
     */
   def kgramHashes(text: Column, k: Int,
-      hash: Column => Column = xxhash64(_)): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val n = length(norm) - (k - 1)
-    when(n <= 0, array(hash(norm)))
-      .otherwise(transform(sequence(lit(1), n), i => hash(norm.substr(i, lit(k)))))
-  }
+      hash: Column => Column = xxhash64(_)): Column =
+    bound(regexp_replace(lower(trim(text)), "\\s+", " ")) { norm =>
+      val n = length(norm) - (k - 1)
+      when(n <= 0, array(hash(norm)))
+        .otherwise(transform(sequence(lit(1), n), i => hash(norm.substr(i, lit(k)))))
+    }
 
   /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
     * 2003, public): slide a `window` over the rolling k-gram hashes, keep
@@ -111,11 +121,11 @@ object TextFunctions {
     * fingerprint — the standard near-dup / containment sketch for text.
     */
   def winnowedFingerprints(text: Column, k: Int = 8, window: Int = 4,
-      hash: Column => Column = xxhash64(_)): Column = {
-    val hashes = kgramHashes(text, k, hash)
-    val n = size(hashes) - (window - 1)
-    val mins = when(n <= 0, array(array_min(hashes)))
-      .otherwise(transform(sequence(lit(1), n), i => array_min(slice(hashes, i, lit(window)))))
-    array_sort(array_distinct(mins))
-  }
+      hash: Column => Column = xxhash64(_)): Column =
+    bound(kgramHashes(text, k, hash)) { hashes =>
+      val n = size(hashes) - (window - 1)
+      val mins = when(n <= 0, array(array_min(hashes)))
+        .otherwise(transform(sequence(lit(1), n), i => array_min(slice(hashes, i, lit(window)))))
+      array_sort(array_distinct(mins))
+    }
 }
