@@ -670,7 +670,33 @@ object Queries {
       Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
              |  count(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("e2_user_sessions",
+      // session_window sessionization (the streaming stateful op) run in
+      // batch mode, oracled against a gaps-and-islands SQL: a new session
+      // starts iff the gap since the previous event is >= 30 min, session
+      // end = last event + gap.
+      (s, dir) => graft.streaming.EventStreams.userSessions(events(s, dir))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH m AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |g AS (
+             |  SELECT user_id, ts, value,
+             |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |           ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m)
+             |SELECT min(ts) AS session_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |       user_id, count(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
