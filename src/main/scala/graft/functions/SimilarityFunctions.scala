@@ -26,11 +26,19 @@ object SimilarityFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity; null when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
-    d
-  }
+  /** Cosine similarity; null when either vector has zero norm, when
+    * lengths differ, or when any element is null. Backed by the native
+    * codegen [[VecCosine]] expression — bit-identical to [[cosineHof]]
+    * (same element-order accumulation) but runs inside whole-stage
+    * codegen, which higher-order functions never do.
+    */
+  def cosine(a: Column, b: Column): Column = VecCosine(a, b)
+
+  /** The higher-order-function formulation — the composition-first
+    * baseline [[cosine]] is verified against (see SimilarityFunctionsSpec).
+    */
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Exact top-k neighbors for each query vector, two-phase:
     * phase 1 keeps a bounded per-(partition, query) heap inside

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native cosine similarity over two numeric arrays with full codegen.
+  *
+  * Why a custom Catalyst Expression here and nowhere else: the
+  * higher-order-function composition (`zip_with` + `aggregate`) is
+  * semantically perfect but HOFs are excluded from whole-stage codegen,
+  * so every scored row pays lambda-interpretation overhead in the KNN
+  * inner loop — the one genuinely compute-bound hot path in this
+  * library. This expression generates a tight primitive loop instead.
+  *
+  * Semantics are EXACTLY [[SimilarityFunctions.cosineHof]]'s left fold:
+  * products accumulate in element order (float elements widen exactly to
+  * double, so products are exact); null when lengths differ, when either
+  * array has zero norm, or when any element is null (null poisons the
+  * HOF accumulator). Bit-identical results by construction — the oracle
+  * queries pass unchanged with either implementation.
+  */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elementType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_cosine needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val aIsFloat = elementType(left) == FloatType
+    val bIsFloat = elementType(right) == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elementType(left) == FloatType) "getFloat" else "getDouble"
+    val bGet = if (elementType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double x = (double) $a.$aGet($i);
+         |    final double y = (double) $b.$bGet($i);
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / $denom; }
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecCosine {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** Expose as a Column (classic-API expression bridge). */
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(VecCosine(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -91,4 +91,32 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect()
     assert(out.toSeq === Seq(1L)) // nearest neighbor lives in the probed cell
   }
+
+  test("native VecCosine is bit-identical to the HOF cosine on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.limit(50).select(col("vec_id"), col("embedding"))
+    val pairs = a.crossJoin(a.select(col("vec_id").as("id2"), col("embedding").as("e2")).limit(20))
+    val cmp = pairs.select(
+      SimilarityFunctions.cosine(col("embedding"), col("e2")).as("native"),
+      SimilarityFunctions.cosineHof(col("embedding"), col("e2")).as("hof"))
+    val diffs = cmp.filter(col("native") =!= col("hof") ||
+      (col("native").isNull =!= col("hof").isNull)).count()
+    assert(diffs === 0L)
+  }
+
+  test("VecCosine null semantics: length mismatch, null element, zero norm") {
+    val df = spark.sql(
+      """SELECT CAST(array(1.0, 2.0) AS array<double>) AS a,
+        |       CAST(array(1.0) AS array<double>) AS short,
+        |       CAST(array(1.0, NULL) AS array<double>) AS holed,
+        |       CAST(array(0.0, 0.0) AS array<double>) AS zero
+        |""".stripMargin)
+    val r = df.select(
+      SimilarityFunctions.cosine(col("a"), col("short")).as("mismatch"),
+      SimilarityFunctions.cosine(col("a"), col("holed")).as("holed"),
+      SimilarityFunctions.cosine(col("a"), col("zero")).as("zero"),
+      SimilarityFunctions.cosine(col("a"), col("a")).as("self")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
 }
