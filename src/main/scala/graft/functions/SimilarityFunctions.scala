@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityFunctions {
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen dot product (see [[VecDot]]); [[dotHof]] is the
+    * higher-order-function baseline with identical fold semantics.
+    */
+  def dot(a: Column, b: Column): Column = VecDot(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -38,7 +43,7 @@ object SimilarityFunctions {
     * baseline [[cosine]] is verified against (see SimilarityFunctionsSpec).
     */
   def cosineHof(a: Column, b: Column): Column =
-    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+    dotHof(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Exact top-k neighbors for each query vector, two-phase:
     * phase 1 keeps a bounded per-(partition, query) heap inside

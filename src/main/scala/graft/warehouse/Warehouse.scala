@@ -31,17 +31,47 @@ final class Warehouse(spark: SparkSession, root: String) {
     * `src/database.py:226`). Idempotent: appending the same batch twice
     * leaves the table unchanged.
     */
-  def dedupAppend(table: String, batch: DataFrame, keys: Seq[String]): Long = {
+  def dedupAppend(table: String, batch: DataFrame, keys: Seq[String]): Long =
+    dedupAppend(table, batch, keys, Seq.empty)
+
+  /** Partitioned variant: `partitionCols` become hive-style directory
+    * partitions, and — the point at 100 TB — the anti-join's scan of the
+    * existing table is PRUNED to the partitions the incoming batch
+    * touches (collected from the batch, applied as a pushed filter), so
+    * appending one day of one ticker never rescans the whole warehouse.
+    */
+  def dedupAppend(table: String, batch: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String]): Long = {
     val inBatch = batch.dropDuplicates(keys)
     val fresh =
       if (!exists(table)) inBatch
-      else inBatch.join(read(table).select(keys.map(col): _*), keys, "left_anti")
+      else {
+        val existing = read(table)
+        val pruned =
+          if (partitionCols.isEmpty) existing
+          else {
+            // one tiny agg on the batch -> IN-list partition filter
+            val touched = inBatch.select(partitionCols.map(col): _*).distinct().collect()
+            val filters = touched.map { row =>
+              partitionCols.zipWithIndex
+                .map { case (c, i) => col(c) === lit(row.get(i)) }
+                .reduce(_ && _)
+            }
+            if (filters.isEmpty) existing.limit(0)
+            else existing.filter(filters.reduce(_ || _))
+          }
+        inBatch.join(pruned.select(keys.map(col): _*), keys, "left_anti")
+      }
     // The anti-join must materialize before the append overlaps the scan;
     // parquet append writes new files so the source files stay stable, but
     // we cache+count to fix the saved-row tally exactly once.
     val staged = fresh.cache()
     val n = staged.count()
-    if (n > 0) staged.write.mode("append").parquet(path(table))
+    if (n > 0) {
+      val w = staged.write.mode("append")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(path(table))
+    }
     staged.unpersist()
     n
   }

@@ -73,4 +73,22 @@ class WarehouseSpec extends AnyFunSuite {
     assert(s("min_date") === java.sql.Date.valueOf("2024-01-01"))
     assert(s("max_date") === java.sql.Date.valueOf("2024-01-02"))
   }
+
+  test("partitioned dedupAppend prunes the anti-join scan to touched partitions") {
+    val wh = freshWarehouse()
+    wh.dedupAppend("pmarket", batch, Seq("ticker", "date"), Seq("ticker"))
+    // second append touches only ticker A -> existing-side scan must
+    // carry a partition filter on ticker, and dedup still holds
+    val more = Seq(("A", "2024-01-01", 99.0), ("A", "2024-01-09", 12.0))
+      .toDF("ticker", "date", "close")
+    assert(wh.dedupAppend("pmarket", more, Seq("ticker", "date"), Seq("ticker")) === 1L)
+    val all = wh.read("pmarket")
+    assert(all.count() === 4L)
+    // partition layout on disk: hive-style ticker= dirs
+    val dirs = new java.io.File(wh.read("pmarket").inputFiles.head).getParentFile.getName
+    assert(dirs.startsWith("ticker="))
+    // pruned read: filtering one ticker shows PartitionFilters in the scan
+    val plan = all.filter($"ticker" === "A").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ticker"), plan)
+  }
 }
