@@ -187,10 +187,11 @@ object DedupFunctions {
     * 64-counter row per doc, not the shingles. Preferred at scale.
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
     val hashed = df
       .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col("id"), hash(col("s")).as("h"))
     val votes = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_v$j")
     }
@@ -206,8 +207,9 @@ object DedupFunctions {
     * then verify the true distance on candidates.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol, n)
+      n: Int = 3, maxHamming: Int = 3,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol, n, hash)
     val chunked = sigs.select(col("id"), col("sig"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),

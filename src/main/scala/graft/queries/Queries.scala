@@ -572,6 +572,46 @@ object Queries {
         .orderBy("id_a", "id_b"),
       None),
 
+    QueryDef("m2b_simhash_md5",
+      // the SimHash pipeline (per-bit votes -> signature -> 16-bit chunk
+      // blocking -> hamming verify) hash-checked end-to-end via the
+      // engine-shared md5 hash; production keeps xxhash64 (m2).
+      (s, dir) => D.simhashPairs(docs(s, dir), "doc_id", "text",
+          n = 3, maxHamming = 3, hash = D.md5Hash60)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |hv AS (
+             |  SELECT doc_id,
+             |    list_transform(shingles, s ->
+             |      CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_aggregate(list_transform(generate_series(0, 63), j ->
+             |      CASE WHEN list_aggregate(list_transform(hs, h ->
+             |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+             |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), 'sum') AS sg
+             |  FROM hv),
+             |banded AS (
+             |  SELECT doc_id, sg, c, (sg >> (c * 16)) & 65535 AS key
+             |  FROM sig, UNNEST([0, 1, 2, 3]) AS t(c)),
+             |cands AS (
+             |  SELECT DISTINCT x.doc_id AS id_a, x.sg AS sig_a,
+             |                  y.doc_id AS id_b, y.sg AS sig_b
+             |  FROM banded x JOIN banded y ON x.c = y.c AND x.key = y.key
+             |  WHERE x.doc_id < y.doc_id)
+             |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+             |FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ───────── similarity search (embeddings) ─────────
 
     QueryDef("s1_knn_topk",
