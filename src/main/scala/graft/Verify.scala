@@ -17,6 +17,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
+      var persisted: Option[org.apache.spark.sql.DataFrame] = None
       try {
         val df = fn(spark, sfDir)
         // materialize in parallel first: coalesce(1) is narrow, so writing
@@ -24,28 +25,20 @@ object Verify {
         // ONE task. Cached partitions then merge in index order — the
         // global sort survives — and the single write task only serializes.
         df.persist()
+        persisted = Some(df)
         df.count()
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        df.unpersist()
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally persisted.foreach(_.unpersist())
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // render via the shared JSON layer (escapes control chars — a tab or
+    // CR in builder-authored SQL would otherwise break the driver's
+    // json.load and silently zero the round's correctness).
+    import graft.output.Json.{JObj, JStr, JValue}
+    val json = JObj(SparkEntry.oracleSql.toSeq
+      .map { case (k, v) => k -> (JStr(v): JValue) }).render
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

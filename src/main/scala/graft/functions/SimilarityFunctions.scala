@@ -61,6 +61,7 @@ object SimilarityFunctions {
       qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("_cos", round(cosine(col(vecCol), col(qVecCol)), 6))
       .filter(col(idCol) =!= col(qIdCol)) // exclude self-match when ids collide
@@ -70,6 +71,17 @@ object SimilarityFunctions {
     topKPerQuery(scored, k)
       .select(col("_q").as(qIdCol), col("_id").as(idCol),
         col("_c").as("cosine"), col("rank"))
+  }
+
+  /** The bounded-heap top-k path encodes ids as longs; fail fast with a
+    * clear message instead of an ANSI cast error mid-job when a caller
+    * brings string/UUID ids (those need a surrogate id column first).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(dt.typeName),
+      s"top-k id column '$idCol' must be integral (got $dt); " +
+        "add a surrogate integral id for non-numeric keys")
   }
 
   /** Two-phase exact top-k over (query, id, score) rows: per-partition
@@ -178,6 +190,7 @@ object SimilarityFunctions {
       cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
     val cents: Seq[(Long, Seq[Double])] = centroids
       .select(col(cIdCol).cast("long"), col(cVecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq

@@ -74,6 +74,8 @@ case class VecCosine(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val denom = ctx.freshName("denom")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -82,9 +84,9 @@ case class VecCosine(left: Expression, right: Expression)
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double x = (double) $a.$aGet($i);
-         |    final double y = (double) $b.$bGet($i);
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |    final double $x = (double) $a.$aGet($i);
+         |    final double $y = (double) $b.$bGet($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
          |    final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);

@@ -76,7 +76,12 @@ object Multimodal {
           MediaFeatures(
             asset_id = a.asset_id,
             n_bytes = a.media.length.toLong,
-            fingerprint = scala.util.hashing.MurmurHash3.bytesHash(a.media, 42).toLong,
+            // same xxhash64(seed=42) as fingerprintCol, so fingerprints
+            // from the typed and DataFrame paths are interchangeable
+            fingerprint = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(a.media,
+                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                a.media.length, 42L),
             embedding = decodeStub(a.media, dim))
         }
       }

@@ -31,14 +31,8 @@ final class OutputManager(baseDir: String, clock: Clock = SystemClock) {
 
   Files.createDirectories(Paths.get(baseDir))
 
-  private val tsFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss").withZone(ZoneOffset.UTC)
-  private def nowStamp: String = tsFmt.format(clock.now())
-  private def nowIso: String =
-    clock.now().atOffset(ZoneOffset.UTC).toLocalDateTime.toString
-
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def nowStamp: String = Fmt.stamp(clock)
+  private def nowIso: String = Fmt.iso(clock)
 
   /** Ticker-list filename component with the reference's md5-shortening
     * contract for long lists (`src/output_manager.py:44-52`).
@@ -46,7 +40,7 @@ final class OutputManager(baseDir: String, clock: Clock = SystemClock) {
   def tickersFileComponent(tickers: Seq[String]): String = {
     val joined = tickers.sorted.mkString("-")
     if (joined.length <= 50) joined
-    else s"${tickers.head}-and-${tickers.length - 1}more-${md5Hex(joined).take(6)}"
+    else s"${tickers.head}-and-${tickers.length - 1}more-${Fmt.md5Hex(joined).take(6)}"
   }
 
   /** K-1: timestamped single-file CSV:

@@ -52,26 +52,20 @@ final class RequestRunner(
   private val wh = new Warehouse(spark, warehouseDir)
   private val out = new OutputManager(outputDir, clock)
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   /** Request-id contract (reference `src/database.py:332-343`):
     * `{yyyyMMdd_HHmmss}_{sorted tickers '_'}_{start}_{end}` with
     * md5-shortening of long ticker lists.
     */
   def generateRequestId(req: Request): String = {
-    val ts = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
-      .withZone(ZoneOffset.UTC).format(clock.now())
+    val ts = graft.output.Fmt.stamp(clock)
     val joined = req.tickers.sorted.mkString("_")
     val tickersStr =
       if (joined.length <= 50) joined
-      else s"${req.tickers.head}_and_${req.tickers.length - 1}_more_${md5Hex(joined).take(8)}"
+      else s"${req.tickers.head}_and_${req.tickers.length - 1}_more_${graft.output.Fmt.md5Hex(joined).take(8)}"
     s"${ts}_${tickersStr}_${req.startDate.replace("-", "")}_${req.endDate.replace("-", "")}"
   }
 
-  private def nowIso: String =
-    clock.now().atOffset(ZoneOffset.UTC).toLocalDateTime.toString
+  private def nowIso: String = graft.output.Fmt.iso(clock)
 
   /** K-5 insert/update: the request_log row lives in a parquet table
     * keyed by request_id; status transitions are last-writer-wins
@@ -114,7 +108,12 @@ final class RequestRunner(
     val withSeq = raw.withColumn("_seq", monotonically_increasing_id())
     val nulls = ValidationOps.nullCounts(raw)
     val dupRows = ValidationOps.duplicateRowCount(raw, Seq("ticker", "date"))
-    val deduped = FeatureOps.keepLast(withSeq, Seq("ticker", "date"), "_seq").drop("_seq")
+    // persist: the _seq assignment is nondeterministic across plan
+    // re-evaluations (shuffle fetch order), so pin ONE dedup outcome for
+    // every downstream action (report aggregates, warehouse, CSV); the
+    // runner unpersists when the request finishes.
+    val deduped = FeatureOps.keepLast(withSeq, Seq("ticker", "date"), "_seq")
+      .drop("_seq").persist()
     val withRet = deduped.withColumn("ret", FeatureOps.pctChange("ticker", "date", "close"))
     val stats = ValidationOps.basicStats(withRet)
     val extremes = ValidationOps.extremeMoveCount(withRet, "ret", 6.0)
@@ -142,15 +141,18 @@ final class RequestRunner(
       macroData: Option[DataFrame] = None): RunResult = {
     val requestId = generateRequestId(req)
     writeRequestLog(requestId, req, "started")
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       // 1-2. validate + clean + features (W-1..W-5)
       val (clean, basicReport) = validateBasic(primary)
+      pinned += clean
       val features = FeatureOps.transform(clean)
 
       // 3. optional cross-validation (J-1, P-6..P-8, J-2)
       val cross = secondary.filter(_ => req.enableValidation).map { sec =>
         val cmp = CrossValidationOps.compareSources(clean, sec, "ticker", "date", req.tolerancePct)
         cmp.cache()
+        pinned += cmp
         val summary = CrossValidationOps.reconciliationSummary(cmp)
           .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
         (cmp, summary)
@@ -183,6 +185,7 @@ final class RequestRunner(
               date_format(col("date"), "yyyyMMdd")))
           .withColumn("request_id", lit(requestId))
         disc.cache()
+        pinned += disc
         val n = disc.count()
         if (n > 0) {
           wh.upsert("cross_validation", disc, Seq("validation_id"))
@@ -223,7 +226,6 @@ final class RequestRunner(
 
       writeRequestLog(requestId, req, "completed", marketRecords, macroRecords,
         validationPerformed = cross.isDefined)
-      cross.foreach(_._1.unpersist())
 
       RunResult(requestId, "completed", marketRecords, macroRecords,
         discrepancyCount, csvPath.map(_.toString), reportPath.toString, logPath.toString)
@@ -231,6 +233,6 @@ final class RequestRunner(
       case e: Throwable =>
         writeRequestLog(requestId, req, "failed", errorCount = 1)
         throw e
-    }
+    } finally pinned.foreach(_.unpersist())
   }
 }

@@ -42,6 +42,11 @@ final class Warehouse(spark: SparkSession, root: String) {
     */
   def dedupAppend(table: String, batch: DataFrame, keys: Seq[String],
       partitionCols: Seq[String]): Long = {
+    // pruning is only sound when a key collision implies equal partition
+    // values — i.e. the partition columns are part of the dedup key.
+    require(partitionCols.forall(keys.contains),
+      s"partitionCols must be a subset of keys for sound pruning: " +
+        s"$partitionCols vs $keys")
     val inBatch = batch.dropDuplicates(keys)
     val fresh =
       if (!exists(table)) inBatch
@@ -50,11 +55,13 @@ final class Warehouse(spark: SparkSession, root: String) {
         val pruned =
           if (partitionCols.isEmpty) existing
           else {
-            // one tiny agg on the batch -> IN-list partition filter
+            // one tiny agg on the batch -> IN-list partition filter;
+            // null-safe equality so null partition values
+            // (__HIVE_DEFAULT_PARTITION__) still dedup correctly
             val touched = inBatch.select(partitionCols.map(col): _*).distinct().collect()
             val filters = touched.map { row =>
               partitionCols.zipWithIndex
-                .map { case (c, i) => col(c) === lit(row.get(i)) }
+                .map { case (c, i) => col(c) <=> lit(row.get(i)) }
                 .reduce(_ && _)
             }
             if (filters.isEmpty) existing.limit(0)
