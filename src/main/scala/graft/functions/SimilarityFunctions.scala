@@ -91,6 +91,9 @@ object SimilarityFunctions {
     */
   def topKPerQuery(scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
       k: Int): DataFrame = {
+    // k <= 0 would call h.head on an empty heap inside an executor task;
+    // fail fast on the driver instead.
+    require(k > 0, s"top-k requires k > 0 (got $k)")
     val spark = scored.sparkSession
     import spark.implicits._
     // worst-first ordering: lower score is worse; on equal score a
@@ -117,16 +120,13 @@ object SimilarityFunctions {
       .filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where the
-    * hyperplanes are generated from a deterministic seed (splitmix-style
-    * integer mix → uniform in [-1, 1)) so executors need no shared state.
-    *
-    * All `dim × nBits` plane coefficients are bound to ONE
-    * `typedLit(array<array<double>>)` — a single literal in the plan —
-    * instead of nBits separate dim-sized literals, which at 768-dim ×
-    * 16 bits would inject ~12k constants and bloat every analysis pass.
+  /** Deterministic random hyperplanes: coefficient (i, j) from a
+    * splitmix-style integer mix of the seed → uniform in [-1, 1]. Pure
+    * function of (dim, nBits, seed), so the driver, every executor AND an
+    * external oracle engine can regenerate the identical planes — the
+    * graft oracle SQL embeds these exact doubles as literals.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     def mix(i: Int, j: Int): Double = {
       var z = seed + i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -134,7 +134,18 @@ object SimilarityFunctions {
       z = z ^ (z >>> 31)
       (z.toDouble / Long.MaxValue.toDouble)
     }
-    val planes = typedLit((0 until nBits).map(i => (0 until dim).map(j => mix(i, j))))
+    (0 until nBits).map(i => (0 until dim).map(j => mix(i, j)))
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)).
+    *
+    * All `dim × nBits` plane coefficients are bound to ONE
+    * `typedLit(array<array<double>>)` — a single literal in the plan —
+    * instead of nBits separate dim-sized literals, which at 768-dim ×
+    * 16 bits would inject ~12k constants and bloat every analysis pass.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val planes = typedLit(hyperplanes(dim, nBits, seed))
     val idx = sequence(lit(0), lit(nBits - 1))
     aggregate(
       zip_with(planes, idx, (h, i) =>
@@ -142,46 +153,81 @@ object SimilarityFunctions {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
-  /** LSH-bucketed approximate near-neighbor pairs: same signature bucket →
-    * candidate; verify exact cosine on candidates only. Self-join keyed on
-    * the signature = hash-partitionable equi-join.
+  /** LSH-bucketed approximate near-neighbor pairs, BANDED: the nBits
+    * signature splits into `bands` bands of `nBits / bands` bits; two
+    * vectors are candidates when ANY band matches (same S-curve shape as
+    * MinHash-LSH banding), then exact cosine is verified on candidates
+    * only. Requiring the FULL signature to match (the unbanded form) has
+    * recall ≈ p^nBits — near zero for any useful threshold — whereas
+    * banding gives 1 − (1 − p^rows)^bands (≈ 0.97 for cosine 0.93 at
+    * 4×4).
+    *
+    * Scale tuning: candidates per band-bucket grow as n² / 2^rows, so
+    * bits-per-band must track log2(corpus): 4 bits is right for ~10³
+    * docs; at 10⁹ use e.g. nBits = 256, bands = 8, rows = 32. The
+    * candidate join is a hash-partitioned equi-join on (band, key);
+    * verification touches candidates only.
+    *
+    * The threshold compares the 6-dp ROUNDED cosine so the kept-pair set
+    * is insensitive to accumulation-order noise across engines.
     */
   def lshNeighborPairs(corpus: DataFrame, dim: Int, nBits: Int = 16,
-      minCosine: Double = 0.8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      bands: Int = 4, minCosine: Double = 0.8, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    require(bands > 0 && nBits % bands == 0,
+      s"nBits ($nBits) must be a positive multiple of bands ($bands)")
+    val rows = nBits / bands
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", hyperplaneSignature(col("v"), dim, nBits))
-    sig.as("x").join(sig.as("y"), Seq("sig"))
+      .withColumn("sig", hyperplaneSignature(col("v"), dim, nBits, seed))
+    val banded = sig.select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.id") < col("y.id"))
-      .withColumn("cosine", cosine(col("x.v"), col("y.v")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val vecs = sig.select(col("id"), col("v"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cosine") >= minCosine)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Nearest-centroid cell id as ONE projection: fold over the literal
-    * centroid array carrying (bestSim, bestCell). No join, no window, no
-    * shuffle — the corpus is scanned exactly once. Ties and null
-    * similarities keep the earlier (lower-id) centroid.
+  /** Row-local cosine with EXACTLY the accumulation order of [[VecCosine]]
+    * / [[cosineHof]] (sequential dot, sequential per-vector norms, sqrt
+    * each norm, divide) so centroid ranking done executor-side is
+    * bit-identical to the expression path. NaN stands in for the
+    * expression's null (zero norm / length mismatch).
     */
-  private def nearestCell(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
-    val cArr = typedLit(cents)
-    aggregate(cArr,
-      struct(lit(Double.MinValue).as("s"), lit(-1L).as("c")),
-      (acc, ct) => {
-        val sim = cosine(vec, ct.getField("_2"))
-        when(sim > acc.getField("s"), struct(sim.as("s"), ct.getField("_1").as("c")))
-          .otherwise(acc)
-      }).getField("c")
+  private[graft] def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    if (a == null || b == null || a.length != b.length) return Double.NaN
+    var dot = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    var na = 0.0; i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    var nb = 0.0; i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) Double.NaN else dot / d
   }
 
-  /** IVF-style ANN: assign every corpus vector to its nearest centroid
-    * (a pure projection over the driver-known centroid list — centroids
-    * are small by construction: a sample or k-means output); queries
-    * probe only their `nProbe` nearest cells. Turns an all-corpus scan
-    * per query into a fraction `nProbe / nCentroids` of the corpus.
-    * Final per-query top-k is the same two-phase bounded-heap shape as
-    * [[bruteForceTopK]] — nothing here shuffles scored rows.
+  /** IVF-style ANN: assign every corpus vector to its nearest centroid,
+    * then queries probe only their `nProbe` nearest cells — turning an
+    * all-corpus scan per query into a fraction `nProbe / nCentroids` of
+    * the corpus. Final per-query top-k is the same two-phase bounded-heap
+    * shape as [[bruteForceTopK]] — nothing here shuffles scored rows.
+    *
+    * Centroid assignment ships the centroid table to executors as a
+    * BROADCAST VARIABLE and computes the per-row argmax inside ONE
+    * `mapPartitions` pass — no shuffle of corpus vectors, no join, and
+    * the centroid count is bounded by broadcast memory (tens of MB ≈
+    * 10⁵ × 768-dim doubles), not by plan-literal size: the earlier
+    * `typedLit`-fold form embedded every coefficient in the plan and
+    * evaluated an interpreted HOF per row, which capped centroids at a
+    * few hundred. Ties and NaN similarities keep the earlier (lower-id)
+    * centroid, matching the previous fold semantics.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int,
@@ -191,19 +237,40 @@ object SimilarityFunctions {
     val spark = corpus.sparkSession
     import spark.implicits._
     requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
-    val cents: Seq[(Long, Seq[Double])] = centroids
+    val centArr: Array[(Long, Array[Double])] = centroids
       .select(col(cIdCol).cast("long"), col(cVecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    val assigned = corpus.withColumn("_cell", nearestCell(col(vecCol), cents))
-    // top-nProbe cells per query as a projection: sort the centroid array
-    // by (sim desc, cid asc) via a sortable (negSim, cid) struct, slice.
-    val cArr = typedLit(cents)
-    val probeCells = slice(sort_array(transform(cArr, ct =>
-      call_function("named_struct",
-        lit("negSim"), coalesce(-cosine(col(qVecCol), ct.getField("_2")), lit(Double.MaxValue)),
-        lit("cid"), ct.getField("_1")))), 1, nProbe)
-    val probes = queries.withColumn("_pc", explode(probeCells))
-      .select(col(qIdCol), col(qVecCol), col("_pc").getField("cid").as("_cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(centArr)
+    val assigned = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          var best = -1L; var bestSim = Double.MinValue; var i = 0
+          while (i < cs.length) {
+            val s = cosineLocal(v, cs(i)._2)
+            if (!s.isNaN && s > bestSim) { bestSim = s; best = cs(i)._1 }
+            i += 1
+          }
+          if (best >= 0) Iterator.single((id, v, best)) else Iterator.empty
+        }
+      }.toDF(idCol, vecCol, "_cell")
+    // query-side probe list from the same broadcast: top-nProbe cells by
+    // (sim desc, cid asc); NaN sims sort last (mirrors the old
+    // coalesce(-sim, MaxValue) ordering).
+    val probes = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, qv) =>
+          cs.map { case (cid, cv) =>
+            val s = cosineLocal(qv, cv)
+            (if (s.isNaN) Double.MaxValue else -s, cid)
+          }.sorted.take(nProbe).map { case (_, cid) => (qid, qv, cid) }
+        }
+      }.toDF(qIdCol, qVecCol, "_cell")
     val scored = assigned.join(broadcast(probes), Seq("_cell"))
       .withColumn("_cos", round(cosine(col(vecCol), col(qVecCol)), 6))
       .filter(col(idCol) =!= col(qIdCol))

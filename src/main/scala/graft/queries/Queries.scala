@@ -71,6 +71,45 @@ object Queries {
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Oracle for `s2_lsh_pairs`, generated — not hand-written — so the
+    * hyperplane coefficients are the exact doubles Spark uses: Scala's
+    * `Double.toString` is shortest-round-trip, and DuckDB's literal→DOUBLE
+    * conversion is correctly rounded, so the planes survive the text
+    * round-trip bit-for-bit. Sign bits therefore agree everywhere except
+    * dot products within float noise of zero (probability ≈ 0 for unit
+    * vectors), and the verify threshold compares 6-dp-rounded cosines.
+    */
+  private lazy val s2OracleSql: String = {
+    val planes = S.hyperplanes(dim = 64, nBits = 16)
+    val planesSql = planes
+      .map(row => row.mkString("[", ",", "]"))
+      .mkString("CAST([", ",", "] AS DOUBLE[][])")
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |corpus AS (
+       |  SELECT id, v FROM base
+       |  UNION ALL
+       |  SELECT id + 100000 AS id, list_transform(v, x -> x + 0.05) AS v FROM base),
+       |pl AS (SELECT $planesSql AS planes),
+       |sig AS (
+       |  SELECT id, v,
+       |    CAST(list_aggregate(list_transform(generate_series(0, 15), i ->
+       |      CASE WHEN list_dot_product(v, planes[i+1]) >= 0
+       |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS sig
+       |  FROM corpus, pl),
+       |banded AS (
+       |  SELECT id, b, (sig >> (b*4)) & 15 AS key
+       |  FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+       |cands AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+       |  WHERE x.id < y.id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       |  FROM cands c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b)
+       |SELECT id_a, id_b, cosine FROM verified WHERE cosine >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val registry: Seq[QueryDef] = Seq(
 
     // ───────── projections / filters ─────────
@@ -692,10 +731,27 @@ object Queries {
              |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
     QueryDef("s2_lsh_pairs",
-      (s, dir) => S.lshNeighborPairs(t(s, dir, "embeddings"), dim = 64,
-          nBits = 16, minCosine = 0.8)
-        .orderBy("id_a", "id_b"),
-      None), // hyperplane constants not reproducible oracle-side
+      // the embeddings table has NO true near-duplicates (max pairwise
+      // cosine < 0.7), so the query plants them: union the corpus with a
+      // deterministically perturbed copy (v + 0.05 elementwise → planted
+      // cosine ≈ 0.92–0.95). Banded hyperplane LSH (4 bands × 4 bits)
+      // must then recover the planted pairs — recall ≈ 0.97 at these
+      // cosines, vs ≈ 0 for full-signature equality. Fully oracle-checked:
+      // the hyperplane coefficients are a pure function of the seed
+      // ([[SimilarityFunctions.hyperplanes]]), so [[s2OracleSql]] embeds
+      // the IDENTICAL plane doubles as SQL literals and DuckDB replays
+      // signature → banding → candidates → cosine verify end-to-end.
+      (s, dir) => {
+        val base = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+        val corpus = base.unionAll(base.select(
+          (col("id") + 100000).as("id"),
+          transform(col("v"), x => x + lit(0.05)).as("v")))
+        S.lshNeighborPairs(corpus, dim = 64, nBits = 16, bands = 4,
+          minCosine = 0.8, idCol = "id", vecCol = "v")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s2OracleSql)),
 
     // ───────── event windows ─────────
 

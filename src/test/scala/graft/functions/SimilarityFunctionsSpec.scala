@@ -92,6 +92,59 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(1L)) // nearest neighbor lives in the probed cell
   }
 
+  private def seededUnitVec(rng: scala.util.Random, dim: Int): Array[Double] = {
+    val v = Array.fill(dim)(rng.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  test("banded LSH recovers planted near-duplicates with recall >= 0.9") {
+    val rng = new scala.util.Random(7L)
+    val base = (0L until 200L).map(i => (i, seededUnitVec(rng, 64)))
+    // plant a near-duplicate of every vector: +0.05 elementwise puts the
+    // planted cosine around 0.92-0.95 on unit vectors
+    val planted = base.map { case (i, v) => (i + 100000L, v.map(_ + 0.05)) }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val found = SimilarityFunctions.lshNeighborPairs(corpus, dim = 64,
+      nBits = 16, bands = 4, minCosine = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: planted pairs whose true rounded cosine clears 0.8
+    val truth = base.zip(planted).collect {
+      case ((i, v), (j, v2))
+        if BigDecimal(SimilarityFunctions.cosineLocal(v, v2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.8 => (i, j)
+    }.toSet
+    assert(truth.size > 150, s"test setup: expected many planted pairs, got ${truth.size}")
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"banded LSH recall $recall < 0.9 (found ${found.size})")
+    // precision: everything returned genuinely clears the threshold
+    val byId = (base ++ planted).toMap
+    found.foreach { case (a, b) =>
+      assert(SimilarityFunctions.cosineLocal(byId(a), byId(b)) >= 0.7999995)
+    }
+  }
+
+  test("ivfTopK assignment is exact at 1000 centroids (broadcast path)") {
+    val rng = new scala.util.Random(11L)
+    val cents = (0L until 1000L).map(i => (i, seededUnitVec(rng, 64)))
+    // two perturbed copies per centroid; cosine(copy, own centroid) ~0.999
+    // while cosine to any OTHER centroid stays < 0.7 at 64-dim — so the
+    // true cell of ids i and i+10000 is centroid i by construction
+    val corpus = cents.flatMap { case (i, v) =>
+      Seq((i, v.map(_ + 0.01)), (i + 10000L, v.map(_ + 0.02)))
+    }.toDF("vec_id", "embedding")
+    val centroids = cents.toDF("centroid_id", "centroid_vec")
+    val q = corpus.filter(col("vec_id") < 8L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = SimilarityFunctions.ivfTopK(corpus, q, centroids, k = 1, nProbe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    // with nProbe=1 only the query's own cell is searched; the top hit must
+    // be its planted twin — wrong assignment of either side would miss it
+    assert(out.size === 8)
+    out.foreach { case (qid, hit) => assert(hit === qid + 10000L,
+      s"query $qid expected twin ${qid + 10000L}, got $hit") }
+  }
+
   test("native VecCosine is bit-identical to the HOF cosine on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.limit(50).select(col("vec_id"), col("embedding"))
