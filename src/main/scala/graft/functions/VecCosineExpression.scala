@@ -23,6 +23,37 @@ import org.apache.spark.sql.types._
   * HOF accumulator). Bit-identical results by construction — the oracle
   * queries pass unchanged with either implementation.
   */
+/** Shared element-type handling for [[VecCosine]]/[[VecDot]]: any
+  * non-decimal numeric element widens to double exactly like the HOF
+  * baselines' `.cast("double")` did, so callers with int/long vectors
+  * (e.g. quantized embeddings) keep working.
+  */
+private[functions] object VecArg {
+  def accepts(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                   ShortType | ByteType, _) => true
+    case _ => false
+  }
+  def getter(et: DataType): String = et match {
+    case FloatType => "getFloat"
+    case DoubleType => "getDouble"
+    case IntegerType => "getInt"
+    case LongType => "getLong"
+    case ShortType => "getShort"
+    case ByteType => "getByte"
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+  def evalGet(a: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+}
+
 case class VecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -33,15 +64,11 @@ case class VecCosine(left: Expression, right: Expression)
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left) && ok(right))
+    if (VecArg.accepts(left.dataType) && VecArg.accepts(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vec_cosine needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+        s"vec_cosine needs array<numeric> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -49,14 +76,14 @@ case class VecCosine(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n != b.numElements()) return null
-    val aIsFloat = elementType(left) == FloatType
-    val bIsFloat = elementType(right) == FloatType
+    val aEt = elementType(left)
+    val bEt = elementType(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = VecArg.evalGet(a, i, aEt)
+      val y = VecArg.evalGet(b, i, bEt)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -65,8 +92,8 @@ case class VecCosine(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aGet = if (elementType(left) == FloatType) "getFloat" else "getDouble"
-    val bGet = if (elementType(right) == FloatType) "getFloat" else "getDouble"
+    val aGet = VecArg.getter(elementType(left))
+    val bGet = VecArg.getter(elementType(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -125,15 +152,11 @@ case class VecDot(left: Expression, right: Expression)
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left) && ok(right))
+    if (VecArg.accepts(left.dataType) && VecArg.accepts(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vec_dot needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+        s"vec_dot needs array<numeric> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -141,14 +164,14 @@ case class VecDot(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n != b.numElements()) return null
-    val aIsFloat = elementType(left) == FloatType
-    val bIsFloat = elementType(right) == FloatType
+    val aEt = elementType(left)
+    val bEt = elementType(right)
     var dot = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = VecArg.evalGet(a, i, aEt)
+      val y = VecArg.evalGet(b, i, bEt)
       dot += x * y
       i += 1
     }
@@ -156,8 +179,8 @@ case class VecDot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aGet = if (elementType(left) == FloatType) "getFloat" else "getDouble"
-    val bGet = if (elementType(right) == FloatType) "getFloat" else "getDouble"
+    val aGet = VecArg.getter(elementType(left))
+    val bGet = VecArg.getter(elementType(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")

@@ -35,21 +35,29 @@ object AsOfJoinOps {
       payload: Seq[String],
       dropNoMatch: Boolean = false): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
+    // internal columns must not clobber real input columns named _t etc.;
+    // derive a deterministic collision-free suffix instead of a UUID so
+    // plans stay stable across runs
+    val taken = (left.columns ++ right.columns).toSet
+    val sfx = Iterator.from(0).map(i => if (i == 0) "" else s"_$i")
+      .find(s => Seq("_t", "_rv", "_isLeft", "_asof").forall(n => !taken.contains(n + s))).get
+    val cT = "_t" + sfx; val cRv = "_rv" + sfx
+    val cIsLeft = "_isLeft" + sfx; val cAsof = "_asof" + sfx
     val rv = struct((rightTime +: payload).map(col): _*)
     val rPrep = right.select(
-      (keys.map(col) :+ col(rightTime).as("_t") :+ rv.as("_rv") :+ lit(0).as("_isLeft")): _*)
+      (keys.map(col) :+ col(rightTime).as(cT) :+ rv.as(cRv) :+ lit(0).as(cIsLeft)): _*)
     val lPrep = left
-      .withColumn("_t", col(leftTime))
-      .withColumn("_isLeft", lit(1))
+      .withColumn(cT, col(leftTime))
+      .withColumn(cIsLeft, lit(1))
     val unioned = lPrep.unionByName(rPrep, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_isLeft"))
+      .orderBy(col(cT), col(cIsLeft))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned
-      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_isLeft") === 1)
+      .withColumn(cAsof, last(col(cRv), ignoreNulls = true).over(w))
+      .filter(col(cIsLeft) === 1)
     val outCols = left.columns.map(col) ++
-      payload.map(p => col("_asof").getField(p).as(p))
+      payload.map(p => col(cAsof).getField(p).as(p))
     val joined = filled.select(outCols: _*)
     if (dropNoMatch) joined.na.drop(payload) else joined
   }

@@ -78,13 +78,16 @@ final class OutputManager(baseDir: String, clock: Clock = SystemClock) {
   private def writeSingleCsv(df: DataFrame, target: Path): Path = {
     val stage = target.toString + ".stage"
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(stage)
-    val part = Files.list(Paths.get(stage)).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(sys.error(s"no part file written under $stage"))
+    // Files.list/walk streams hold a directory handle until closed
+    val part = scala.util.Using.resource(Files.list(Paths.get(stage)))(
+      _.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written under $stage")))
     Files.deleteIfExists(target)
     Files.move(part, target)
     // clear the staging dir (part + _SUCCESS + crc files)
-    Files.walk(Paths.get(stage)).iterator().asScala.toSeq.reverse
+    scala.util.Using.resource(Files.walk(Paths.get(stage)))(
+      _.iterator().asScala.toSeq).reverse
       .foreach(Files.deleteIfExists(_))
     target
   }
@@ -168,7 +171,8 @@ final class OutputManager(baseDir: String, clock: Clock = SystemClock) {
   def listOutputFiles(): Map[String, (Int, Option[String])] = {
     def glob(pattern: String): Seq[Path] = {
       val m = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$pattern")
-      Files.list(Paths.get(baseDir)).iterator().asScala.toSeq
+      scala.util.Using.resource(Files.list(Paths.get(baseDir)))(
+        _.iterator().asScala.toSeq)
         .filter(p => m.matches(p.getFileName))
     }
     Map(

@@ -25,6 +25,25 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
+  /** Read with partition-column type inference DISABLED, so hive
+    * directory names come back as their lossless string form. Inference
+    * would retype e.g. a string key "01" as int 1 — and then the
+    * anti-join would compare coerced values and silently re-append
+    * duplicates (or falsely dedup distinct keys), breaking the
+    * idempotency contract. The conf only matters while the relation is
+    * resolved, so it is restored immediately.
+    */
+  private def readPartitionsAsString(table: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      val df = spark.read.parquet(path(table))
+      df.schema // force resolution while inference is off
+      df
+    } finally spark.conf.set(key, prev)
+  }
+
   /** K-2/K-3 + J-3: dedup append — drop in-batch duplicates on the key,
     * anti-join against existing keys, append survivors. Returns the number
     * of rows actually saved (the reference returns saved-row counts,
@@ -47,26 +66,44 @@ final class Warehouse(spark: SparkSession, root: String) {
     require(partitionCols.forall(keys.contains),
       s"partitionCols must be a subset of keys for sound pruning: " +
         s"$partitionCols vs $keys")
+    // partition values must round-trip through directory names; these
+    // types have an unambiguous string form that `CAST(x AS STRING)`
+    // reproduces (timestamps/decimals/doubles do not — key on a
+    // formatted string instead).
+    val dirSafe = Set("string", "integer", "long", "short", "byte", "date", "boolean")
+    partitionCols.foreach { c =>
+      val tn = batch.schema(c).dataType.typeName
+      require(dirSafe.contains(tn),
+        s"partition column '$c' has type $tn, which does not round-trip " +
+          "through hive directory names; use string/integral/date/boolean")
+    }
     val inBatch = batch.dropDuplicates(keys)
     val fresh =
       if (!exists(table)) inBatch
+      else if (partitionCols.isEmpty)
+        inBatch.join(read(table).select(keys.map(col): _*), keys, "left_anti")
       else {
-        val existing = read(table)
-        val pruned =
-          if (partitionCols.isEmpty) existing
-          else {
-            // one tiny agg on the batch -> IN-list partition filter;
-            // null-safe equality so null partition values
-            // (__HIVE_DEFAULT_PARTITION__) still dedup correctly
-            val touched = inBatch.select(partitionCols.map(col): _*).distinct().collect()
-            val filters = touched.map { row =>
-              partitionCols.zipWithIndex
-                .map { case (c, i) => col(c) <=> lit(row.get(i)) }
-                .reduce(_ && _)
-            }
-            if (filters.isEmpty) existing.limit(0)
-            else existing.filter(filters.reduce(_ || _))
-          }
+        // read with the partition columns as raw strings (see
+        // readPartitionsAsString), prune on their STRING form — the
+        // filter sits directly on the partition column, so it still
+        // reaches PartitionFilters — then cast back to the batch's types
+        // ABOVE the filter so the anti-join compares like-typed keys.
+        val existing = readPartitionsAsString(table)
+        // one tiny agg on the batch -> IN-list partition filter;
+        // null-safe equality so null partition values
+        // (__HIVE_DEFAULT_PARTITION__) still dedup correctly
+        val touched = inBatch.select(partitionCols.map(col): _*).distinct().collect()
+        val filters = touched.map { row =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(row.get(i)).cast("string") }
+            .reduce(_ && _)
+        }
+        val prunedRaw =
+          if (filters.isEmpty) existing.limit(0)
+          else existing.filter(filters.reduce(_ || _))
+        val pruned = partitionCols.foldLeft(prunedRaw) { (df, c) =>
+          df.withColumn(c, col(c).cast(batch.schema(c).dataType))
+        }
         inBatch.join(pruned.select(keys.map(col): _*), keys, "left_anti")
       }
     // The anti-join must materialize before the append overlaps the scan;

@@ -157,6 +157,19 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(diffs === 0L)
   }
 
+  test("VecDot/VecCosine widen integral element types like the HOF cast did") {
+    val df = spark.sql(
+      """SELECT CAST(array(1, 2) AS array<int>) AS ai,
+        |       CAST(array(3, 4) AS array<bigint>) AS al,
+        |       CAST(array(1.0, 2.0) AS array<double>) AS ad
+        |""".stripMargin)
+    val r = df.select(
+      SimilarityFunctions.dot(col("ai"), col("al")).as("il"),
+      SimilarityFunctions.cosine(col("ai"), col("ad")).as("id")).head()
+    assert(r.getAs[Double]("il") === 11.0)
+    assert(math.abs(r.getAs[Double]("id") - 1.0) < 1e-12)
+  }
+
   test("VecCosine null semantics: length mismatch, null element, zero norm") {
     val df = spark.sql(
       """SELECT CAST(array(1.0, 2.0) AS array<double>) AS a,

@@ -48,6 +48,20 @@ class AsOfJoinOpsSpec extends AnyFunSuite {
     assert(out.count() === 3L) // B's row dropped
   }
 
+  test("left columns named like the internals (_t, _asof) are not clobbered") {
+    val trickyLeft = prices.withColumn("_t", $"close" * 10)
+      .withColumn("_asof", $"close" * 100)
+    val out = AsOfJoinOps.asOfJoinBackward(trickyLeft, macroSeries,
+      Seq("ticker"), "date", "mdate", Seq("rate"))
+      .orderBy("ticker", "date").collect()
+    // the user's _t/_asof values must come through untouched
+    out.foreach { r =>
+      assert(r.getAs[Double]("_t") === r.getAs[Double]("close") * 10)
+      assert(r.getAs[Double]("_asof") === r.getAs[Double]("close") * 100)
+    }
+    assert(out.count(!_.isNullAt(out.head.fieldIndex("rate"))) === 3)
+  }
+
   test("one shuffle: the plan has a single hash exchange for the window") {
     val out = AsOfJoinOps.asOfJoinBackward(prices, macroSeries,
       Seq("ticker"), "date", "mdate", Seq("rate"))

@@ -74,6 +74,38 @@ class WarehouseSpec extends AnyFunSuite {
     assert(s("max_date") === java.sql.Date.valueOf("2024-01-02"))
   }
 
+  test("partitioned dedupAppend survives type-ambiguous partition values") {
+    val wh = freshWarehouse()
+    // "01" would be retyped to int 1 by partition-column type inference;
+    // the anti-join must still see the original string and stay idempotent
+    val tricky = Seq(("01", "2024-01-01", 1.0), ("1", "2024-01-01", 2.0),
+      ("2024-01-05", "2024-01-01", 3.0)) // date-like string key
+      .toDF("ticker", "date", "close")
+    assert(wh.dedupAppend("tw", tricky, Seq("ticker", "date"), Seq("ticker")) === 3L)
+    // re-appending the same batch must be a no-op for EVERY key form:
+    // "01" vs "1" must stay distinct, date-like strings must stay strings
+    assert(wh.dedupAppend("tw", tricky, Seq("ticker", "date"), Seq("ticker")) === 0L)
+    assert(wh.dedupAppend("tw", tricky, Seq("ticker", "date"), Seq("ticker")) === 0L)
+  }
+
+  test("partitioned dedupAppend on an integer partition key round-trips") {
+    val wh = freshWarehouse()
+    val b = Seq((7, "2024-01-01", 1.0), (70, "2024-01-02", 2.0))
+      .toDF("suppkey", "date", "close")
+    assert(wh.dedupAppend("iw", b, Seq("suppkey", "date"), Seq("suppkey")) === 2L)
+    assert(wh.dedupAppend("iw", b, Seq("suppkey", "date"), Seq("suppkey")) === 0L)
+    import org.apache.spark.sql.types.IntegerType
+    assert(wh.read("iw").schema("suppkey").dataType === IntegerType)
+  }
+
+  test("partitioned dedupAppend rejects partition types that cannot round-trip") {
+    val wh = freshWarehouse()
+    val b = Seq((1.5, "2024-01-01", 1.0)).toDF("px", "date", "close")
+    intercept[IllegalArgumentException] {
+      wh.dedupAppend("dw", b, Seq("px", "date"), Seq("px"))
+    }
+  }
+
   test("partitioned dedupAppend prunes the anti-join scan to touched partitions") {
     val wh = freshWarehouse()
     wh.dedupAppend("pmarket", batch, Seq("ticker", "date"), Seq("ticker"))
