@@ -26,6 +26,20 @@ object MacroOps {
       min(col(time)).as("first_date"),
       max(col(time)).as("last_date"))
 
+  /** Enrich a tidy macro frame with `series_name`/`category` from the
+    * FRED catalog (reference tidy columns `src/macro.py:148-152`,
+    * warehouse DDL `src/database.py:73-86`). A BROADCAST left join —
+    * the catalog is 22 rows, so no shuffle of the data side at any
+    * scale; series ids outside the catalog keep null name/category.
+    */
+  def enrichWithCatalog(df: DataFrame, series: String = "series_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cat = graft.sources.FredCatalog.catalogRows
+      .toDF(series, "series_name", "category")
+    df.join(broadcast(cat), Seq(series), "left")
+  }
+
   /** A-7: distinct series count (reference `src/macro.py:293`). Exact
     * `countDistinct` at request scale; `approx_count_distinct` is the
     * 100 TB variant when a ±2% estimate suffices and saves a shuffle of

@@ -47,10 +47,13 @@ final class RequestRunner(
     spark: SparkSession,
     warehouseDir: String,
     outputDir: String,
-    clock: Clock = SystemClock) {
+    clock: Clock = SystemClock,
+    tracker: Option[graft.sources.ErrorTracker] = None) {
 
   private val wh = new Warehouse(spark, warehouseDir)
   private val out = new OutputManager(outputDir, clock)
+
+  private def trackedErrors: Long = tracker.fold(0L)(_.errorCount.toLong)
 
   /** Request-id contract (reference `src/database.py:332-343`):
     * `{yyyyMMdd_HHmmss}_{sorted tickers '_'}_{start}_{end}` with
@@ -170,13 +173,22 @@ final class RequestRunner(
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
       }
 
-      // 5. store (K-2/K-3 dedup append, K-4 upsert, K-5 status)
+      // 5. store (K-2/K-3 dedup append, K-4 upsert, K-5 status).
+      // Both warehouse tables are hive-partitioned on their entity key, so
+      // the append's anti-join scans ONLY the partitions the request
+      // touches — at 100 TB a one-ticker request never rescans the table.
       val withRequest = enriched.withColumn("request_id", lit(requestId))
         .withColumn("updated_at", lit(nowIso))
-      val marketRecords = wh.dedupAppend("market_data", withRequest, Seq("ticker", "date"))
+      val marketRecords = wh.dedupAppend("market_data", withRequest,
+        Seq("ticker", "date"), Seq("ticker"))
       val macroRecords = macroData.fold(0L) { m =>
-        wh.dedupAppend("macro_data", m.withColumn("request_id", lit(requestId)),
-          Seq("series_id", "date"))
+        // series_name/category enrichment so macro_data matches the
+        // reference's 5-column DDL; skip when the source already carries it
+        val enrichedMacro =
+          if (m.columns.contains("series_name")) m
+          else MacroOps.enrichWithCatalog(m)
+        wh.dedupAppend("macro_data", enrichedMacro.withColumn("request_id", lit(requestId)),
+          Seq("series_id", "date"), Seq("series_id"))
       }
       val discrepancyCount = cross.fold(0L) { case (cmp, _) =>
         val disc = CrossValidationOps.discrepancies(cmp, req.tolerancePct)
@@ -214,24 +226,37 @@ final class RequestRunner(
       val reportPath = out.createValidationReport(
         requestId, basicReport, crossSummary, macroSummary,
         req.tickers, req.startDate, req.endDate)
+      // error summary from the connector tracker (reference
+      // `get_error_summary`, src/logger.py:196-223): recovered retries
+      // still count, so flaky feeds are visible in the execution log
+      val errorStats: Seq[(String, Json.JValue)] = tracker.toSeq.flatMap { t =>
+        Seq(
+          "error_count" -> Json.JInt(t.errorCount.toLong),
+          "errors_by_operation" -> Json.JObj(t.byOperation.toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> (Json.JInt(v.toLong): Json.JValue) }),
+          "errors_by_type" -> Json.JObj(t.byType.toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> (Json.JInt(v.toLong): Json.JValue) }))
+      }
       val logPath = out.createSummaryLog(
         requestId,
         Seq(
           "total_market_records" -> Json.JInt(marketRecords),
           "total_macro_records" -> Json.JInt(macroRecords),
           "cross_validation_performed" -> Json.JBool(cross.isDefined),
-          "discrepancies_found" -> Json.JInt(discrepancyCount)),
+          "discrepancies_found" -> Json.JInt(discrepancyCount)) ++ errorStats,
         Map("csv" -> csvPath.map(_.toString).getOrElse("None"),
           "validation" -> reportPath.toString))
 
       writeRequestLog(requestId, req, "completed", marketRecords, macroRecords,
-        validationPerformed = cross.isDefined)
+        validationPerformed = cross.isDefined, errorCount = trackedErrors)
 
       RunResult(requestId, "completed", marketRecords, macroRecords,
         discrepancyCount, csvPath.map(_.toString), reportPath.toString, logPath.toString)
     } catch {
       case e: Throwable =>
-        writeRequestLog(requestId, req, "failed", errorCount = 1)
+        // the fatal error itself counts on top of any tracked connector
+        // failures (reference marks the request failed and logs the error)
+        writeRequestLog(requestId, req, "failed", errorCount = trackedErrors + 1)
         throw e
     } finally pinned.foreach(_.unpersist())
   }

@@ -54,4 +54,14 @@ object FredCatalog {
     */
   def resolve(requested: Seq[String]): Seq[String] =
     SourceOps.resolveCategories(requested, categories).flatMap(series.get)
+
+  /** (series_id, series_name, category) rows for enrichment joins —
+    * the reference carries `series_name` in the tidy frame
+    * (`src/macro.py:148-152`) and `category` in the warehouse DDL
+    * (`src/database.py:73-86`). Sorted for deterministic plans.
+    */
+  val catalogRows: Seq[(String, String, String)] =
+    categories.toSeq.flatMap { case (cat, names) =>
+      names.flatMap(n => series.get(n).map(id => (id, n, cat)))
+    }.sortBy(_._1)
 }

@@ -98,9 +98,20 @@ object SourceOps {
     * every source failed (the reference returns an empty frame there).
     */
   def fetchAllOrLog(sources: Seq[(String, Source)],
-      spark: org.apache.spark.sql.SparkSession): (Option[DataFrame], Seq[String]) = {
+      spark: org.apache.spark.sql.SparkSession): (Option[DataFrame], Seq[String]) =
+    fetchAllOrLog(sources, spark, RetryPolicy.none, None)
+
+  /** As above, with a [[RetryPolicy]] around each fetch (reference
+    * `fetch_with_retry`, `src/logger.py:75-132`) and every failure —
+    * including retried-then-recovered ones — recorded in the
+    * [[ErrorTracker]]. An item fails only after the policy is exhausted.
+    */
+  def fetchAllOrLog(sources: Seq[(String, Source)],
+      spark: org.apache.spark.sql.SparkSession,
+      retry: RetryPolicy,
+      tracker: Option[ErrorTracker]): (Option[DataFrame], Seq[String]) = {
     val (errs, oks) = sources.map { case (name, src) =>
-      try Right(src.fetch(spark))
+      try Right(retry(name, tracker)(src.fetch(spark)))
       catch { case e: Exception => Left(s"$name: ${e.getMessage}") }
     }.partitionMap(identity)
     (if (oks.nonEmpty) Some(unionAll(oks)) else None, errs)

@@ -28,4 +28,20 @@ class MacroOpsSpec extends AnyFunSuite {
   test("distinctSeries counts unique series ids") {
     assert(MacroOps.distinctSeries(macroDf) === 2L)
   }
+
+  test("enrichWithCatalog joins series_name/category; unknown ids keep nulls") {
+    val tidy = Seq(("GDP", "2024-01-01", 1.0), ("UNKNOWN", "2024-01-01", 2.0))
+      .toDF("series_id", "d", "value")
+      .selectExpr("series_id", "CAST(d AS DATE) AS date", "value")
+    val e = MacroOps.enrichWithCatalog(tidy).orderBy("series_id")
+    assert(e.columns.toSeq ===
+      Seq("series_id", "date", "value", "series_name", "category"))
+    val rows = e.select("series_id", "series_name", "category")
+      .as[(String, Option[String], Option[String])].collect()
+    assert(rows(0) === (("GDP", Some("gdp"), Some("growth"))))
+    assert(rows(1) === (("UNKNOWN", None, None)))
+    // the catalog side is broadcast — no shuffle of the data side
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

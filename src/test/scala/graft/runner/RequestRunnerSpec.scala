@@ -117,6 +117,78 @@ class RequestRunnerSpec extends AnyFunSuite {
     assert(log.getLong(1) === 1L)
   }
 
+  test("warehouse tables are hive-partitioned on the entity key from the request path") {
+    val (r, base) = runner()
+    r.run(Request(Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-03"), primary,
+      macroData = Some(macroDf))
+    val market = spark.read.parquet(s"$base/wh/market_data")
+    // on-disk layout: ticker= partition dirs for market, series_id= for macro
+    assert(market.inputFiles.forall(_.contains("/ticker=")), market.inputFiles.head)
+    val macroT = spark.read.parquet(s"$base/wh/macro_data")
+    assert(macroT.inputFiles.forall(_.contains("/series_id=")))
+    // reference 5-column macro DDL: enrichment joined on name + category
+    assert(macroT.columns.toSet.intersect(Set("series_name", "category"))
+      === Set("series_name", "category"))
+    assert(macroT.filter($"series_id" === "FEDFUNDS")
+      .select("series_name", "category").distinct().as[(String, String)].head()
+      === (("fed_funds_rate", "rates")))
+    // and the layout is actually prunable: a one-ticker read carries a
+    // PartitionFilters entry, so a follow-up append rescans one partition
+    val plan = market.filter($"ticker" === "AAPL")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ticker"), plan)
+    // idempotence still holds through the partitioned path
+    assert(r.run(Request(Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-03"),
+      primary, macroData = Some(macroDf)).marketRecords === 0L)
+  }
+
+  test("flaky source: retry-with-backoff recovers and the tracker records attempts") {
+    import graft.sources.{ErrorTracker, RetryPolicy, Source, SourceOps}
+    val tracker = new ErrorTracker(clock)
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val retry = new RetryPolicy(maxAttempts = 3, initialDelayMs = 100L,
+      sleep = delays += _)
+    var calls = 0
+    val flaky: Source = new Source {
+      def fetch(s: org.apache.spark.sql.SparkSession) = {
+        calls += 1
+        if (calls < 3) sys.error(s"transient failure $calls")
+        primary
+      }
+    }
+    val (df, errs) = SourceOps.fetchAllOrLog(
+      Seq("yahoo" -> flaky), spark, retry, Some(tracker))
+    assert(df.isDefined && df.get.count() === 6L)
+    assert(errs.isEmpty, "recovered source must not surface an item error")
+    assert(calls === 3)
+    assert(delays.toSeq === Seq(100L, 200L), "exponential backoff schedule")
+    assert(tracker.errorCount === 2)
+    assert(tracker.byOperation === Map("yahoo" -> 2))
+  }
+
+  test("exhausted retries surface the item error and tracked failures reach error_count") {
+    import graft.sources.{ErrorTracker, RetryPolicy, Source, SourceOps}
+    val tracker = new ErrorTracker(clock)
+    val retry = new RetryPolicy(maxAttempts = 2, initialDelayMs = 1L, sleep = _ => ())
+    val dead: Source = new Source {
+      def fetch(s: org.apache.spark.sql.SparkSession) = sys.error("feed down")
+    }
+    val (df, errs) = SourceOps.fetchAllOrLog(
+      Seq("alpha" -> dead, "yahoo" -> new Source {
+        def fetch(s: org.apache.spark.sql.SparkSession) = primary
+      }), spark, retry, Some(tracker))
+    assert(df.isDefined && errs === Seq("alpha: feed down"))
+    assert(tracker.errorCount === 2) // both attempts recorded
+    // a completed request writes the tracked count into request_log
+    val base = Files.createTempDirectory("graft_run").toString
+    val r = new RequestRunner(spark, s"$base/wh", s"$base/out", clock, Some(tracker))
+    r.run(Request(Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-03"), df.get)
+    val log = spark.read.parquet(s"$base/wh/request_log")
+      .select("status", "error_count").head()
+    assert(log.getString(0) === "completed")
+    assert(log.getLong(1) === 2L)
+  }
+
   test("writeValidationLog appends issue rows with generated ids (K-6)") {
     val (r, base) = runner()
     val rid = "20250818_210058_AAPL_20240101_20240110"
