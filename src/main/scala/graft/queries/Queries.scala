@@ -768,6 +768,37 @@ object Queries {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("e3_sliding_counts",
+      // sliding 1-hour window advancing every 15 minutes, run in batch
+      // mode: every event lands in exactly 4 windows whose starts are the
+      // 15-min grid points in (ts - 1h, ts] — the oracle materializes
+      // those 4 starts per event and re-aggregates.
+      (s, dir) => graft.streaming.EventStreams.slidingCounts(events(s, dir))
+        .orderBy("window_start", "event_type"),
+      Some("""WITH off AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
+             |w AS (
+             |  SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+             |           - k * INTERVAL 15 MINUTE AS window_start,
+             |         event_type
+             |  FROM events, off)
+             |SELECT window_start, event_type, count(*) AS n_events
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("e4_stream_dedup",
+      // watermark-bounded streaming dedup run in batch mode: the events
+      // table has unique event_ids, so the query PLANTS duplicates by
+      // unioning the stream with itself; the dedup must return exactly
+      // the original rows (identical duplicates -> deterministic
+      // survivor). The streaming counterpart of the warehouse anti-join.
+      (s, dir) => {
+        val ev = events(s, dir).select("event_id", "ts", "event_type", "value")
+        graft.streaming.EventStreams.dedupedEvents(ev.unionAll(ev))
+          .orderBy("event_id")
+      },
+      Some("""SELECT DISTINCT event_id, ts, event_type, value
+             |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
     QueryDef("e2_user_sessions",
       // session_window sessionization (the streaming stateful op) run in
       // batch mode, oracled against a gaps-and-islands SQL: a new session

@@ -70,11 +70,16 @@ object EventStreams {
 
   /** Exactly-once-per-event-id dedup bounded by the watermark
     * (`dropDuplicatesWithinWatermark`): the streaming counterpart of the
-    * warehouse anti-join (J-3/K-2).
+    * warehouse anti-join (J-3/K-2). The operator is streaming-only in
+    * Spark, so the batch path runs the unbounded-watermark equivalent —
+    * a global dropDuplicates on the id — keeping the unified
+    * batch/stream contract the rest of this object follows.
     */
   def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(Seq("event_id"))
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+    else events.dropDuplicates(Seq("event_id"))
 
   /** Per-user session windows with an inactivity gap — built-in
     * `session_window` keeps state O(open sessions) and closes sessions at
