@@ -64,6 +64,54 @@ final class OutputManager(baseDir: String, clock: Clock = SystemClock) {
     Some(writeSingleCsv(out, Paths.get(baseDir, filename)))
   }
 
+  /** K-1 in byte-parity compat mode: reproduces the reference CSV
+    * byte-for-byte (header `date,Ticker,...`, BOTH `ret` and `return`
+    * materialized — the reference computes the same formula twice,
+    * `src/pipeline.py:61,81` — doubles in pandas `repr` form, nulls as
+    * empty fields). Same filename contract as [[createTimestampedCsv]].
+    *
+    * The float formatting goes through a scalar UDF ([[Fmt.pyFloat]]) —
+    * acceptable here and only here because the export CSV is the small
+    * human-facing tail of a request, never a 100 TB data path, and
+    * shortest-round-trip-with-Python-format is not expressible with
+    * built-in expressions.
+    */
+  def createReferenceCompatCsv(
+      df: DataFrame,
+      tickers: Seq[String],
+      startDate: String,
+      endDate: String,
+      requestId: String): Option[Path] = {
+    if (df.isEmpty) return None
+    val withTicker = df.withColumnRenamed("ticker", "Ticker")
+    val withUpdated =
+      if (withTicker.columns.contains("updated_at")) withTicker
+      else withTicker.withColumn("updated_at", lit(Fmt.isoUtcOffset(clock)))
+    val withDup =
+      if (withUpdated.columns.contains("return") || !withUpdated.columns.contains("ret"))
+        withUpdated
+      else withUpdated.withColumn("return", col("ret"))
+    val withMeta = withDup
+      .withColumn("request_id", lit(requestId))
+      .withColumn("export_timestamp", lit(nowIso))
+    // reference column order (header of the committed golden CSVs);
+    // columns the caller's frame lacks are skipped, extras are dropped
+    val order = Seq("date", "Ticker", "open", "high", "low", "close",
+      "adj_close", "volume", "ret", "return", "ma20", "ma50", "vol20",
+      "updated_at", "request_id", "export_timestamp")
+    val present = order.filter(withMeta.columns.contains)
+    val pyFloatUdf = udf((d: java.lang.Double) =>
+      Option(d).map(x => Fmt.pyFloat(x.doubleValue)).orNull)
+    val doubleCols = withMeta.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.DoubleType).map(_.name).toSet
+    val formatted = present.foldLeft(withMeta.select(present.map(col): _*)) {
+      (d, c) => if (doubleCols.contains(c)) d.withColumn(c, pyFloatUdf(col(c))) else d
+    }
+    val filename = s"prices_${tickersFileComponent(tickers)}_" +
+      s"${startDate.replace("-", "")}-${endDate.replace("-", "")}_$nowStamp.csv"
+    Some(writeSingleCsv(formatted, Paths.get(baseDir, filename)))
+  }
+
   /** K-9: anomaly/discrepancy CSV (reference `src/validation.py:490-518`);
     * skipped when there are no discrepancies.
     */

@@ -68,6 +68,62 @@ class GoldenReplaySpec extends AnyFunSuite {
     }
   }
 
+  test("compat CSV reproduces the committed golden file byte-for-byte (timestamps normalized)") {
+    val goldenName = "prices_AAPL-MSFT_20240101-20240110_20250818_210058.csv"
+    val golden = spark.read.option("header", "true").csv(s"$goldenDir/$goldenName")
+      .select(
+        to_date(col("date")).as("date"),
+        col("Ticker").as("ticker"),
+        col("open").cast("double").as("open"),
+        col("high").cast("double").as("high"),
+        col("low").cast("double").as("low"),
+        col("close").cast("double").as("close"),
+        col("adj_close").cast("double").as("adj_close"),
+        col("volume").cast("long").as("volume"))
+    val replayed = FeatureOps.transform(golden).orderBy("ticker", "date")
+    val outDir = java.nio.file.Files.createTempDirectory("golden_csv").toString
+    val m = new OutputManager(outDir,
+      new graft.output.FixedClock(Instant.parse("2025-08-18T21:00:58Z")))
+    val p = m.createReferenceCompatCsv(replayed, Seq("MSFT", "AAPL"),
+      "2024-01-01", "2024-01-10", "20250818_210058_AAPL_MSFT_20240101_20240110").get
+    assert(p.getFileName.toString === goldenName)
+    // full-file diff normalizing ONLY the two wall-clock fields
+    // (updated_at idx 13, export_timestamp idx 15)
+    def normalized(path: String): Seq[String] = {
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      import scala.jdk.CollectionConverters._
+      lines.asScala.toSeq.zipWithIndex.map {
+        case (header, 0) => header
+        case (line, _) =>
+          val f = line.split(",", -1)
+          f(13) = "<ts>"; f(15) = "<ts>"
+          f.mkString(",")
+      }
+    }
+    val ours = normalized(p.toString)
+    val ref = normalized(s"$goldenDir/$goldenName")
+    assert(ours.length === ref.length)
+    ours.zip(ref).zipWithIndex.foreach { case ((o, r), i) =>
+      assert(o === r, s"line ${i + 1} differs")
+    }
+  }
+
+  test("pyFloat matches Python repr formatting rules") {
+    import graft.output.Fmt.pyFloat
+    assert(pyFloat(185.63999938964844) === "185.63999938964844")
+    assert(pyFloat(-0.0007279882903079571) === "-0.0007279882903079571")
+    assert(pyFloat(184.25) === "184.25")
+    assert(pyFloat(185.0) === "185.0")
+    assert(pyFloat(0.0001) === "0.0001")     // exp -4: still positional
+    assert(pyFloat(0.00001) === "1e-05")     // exp -5: scientific
+    assert(pyFloat(1.5e20) === "1.5e+20")
+    assert(pyFloat(1e16) === "1e+16")
+    assert(pyFloat(9999999999999998.0) === "9999999999999998.0")
+    assert(pyFloat(12345678.0) === "12345678.0") // Java would print 1.2345678E7
+    assert(pyFloat(0.0) === "0.0")
+    assert(pyFloat(-0.0) === "-0.0")
+  }
+
   test("filename contracts reproduce both committed artifact names") {
     val m = new OutputManager(
       java.nio.file.Files.createTempDirectory("golden").toString,
