@@ -153,6 +153,19 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-duplicate DEDUP from a candidate pair set (ids ordered
+    * `id_a < id_b` as every pair generator here emits): drop a row iff
+    * some pair names it as the HIGHER id — the greedy smallest-id-
+    * canonical rule. One left-anti join on the id; composes with
+    * [[jaccardPairs]], [[minhashLshPairs]], [[simhashPairs]] or
+    * [[SimilarityFunctions.lshNeighborPairs]] (embedding-cosine
+    * near-dup). Not a transitive closure: B dropped for resembling A
+    * does not itself drop C unless (B',C) or (A,C) is a pair — the
+    * standard one-pass training-data dedup behavior.
+    */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** SimHash (64-bit): per shingle hash, each bit votes ±1; signature bit
     * = sign of the vote sum. Single-pass: hash every shingle ONCE
     * (`transform`), then one `aggregate` carries a 64-long vote vector,

@@ -79,7 +79,21 @@ object Queries {
     * dot products within float noise of zero (probability ≈ 0 for unit
     * vectors), and the verify threshold compares 6-dp-rounded cosines.
     */
-  private lazy val s2OracleSql: String = {
+  /** The embeddings corpus with PLANTED near-duplicates (ids offset by
+    * 100000, vectors perturbed +0.05 elementwise → planted cosine
+    * ≈ 0.92–0.95): the data has no true near-dups, so s2/d4 create the
+    * condition they test. Mirrored exactly by the `corpus` CTE of
+    * [[s2OracleCtes]].
+    */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    base.unionAll(base.select(
+      (col("id") + 100000).as("id"),
+      transform(col("v"), x => x + lit(0.05)).as("v")))
+  }
+
+  private lazy val s2OracleCtes: String = {
     val planes = S.hyperplanes(dim = 64, nBits = 16)
     val planesSql = planes
       .map(row => row.mkString("[", ",", "]"))
@@ -105,10 +119,19 @@ object Queries {
        |  WHERE x.id < y.id),
        |verified AS (
        |  SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-       |  FROM cands c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b)
-       |SELECT id_a, id_b, cosine FROM verified WHERE cosine >= 0.8
-       |ORDER BY id_a, id_b""".stripMargin
+       |  FROM cands c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8)""".stripMargin
   }
+
+  private lazy val s2OracleSql: String =
+    s2OracleCtes + "\nSELECT id_a, id_b, cosine FROM verified\nORDER BY id_a, id_b"
+
+  private lazy val d4OracleSql: String =
+    s2OracleCtes +
+      """
+        |SELECT id FROM corpus
+        |WHERE id NOT IN (SELECT id_b FROM verified)
+        |ORDER BY id""".stripMargin
 
   val registry: Seq[QueryDef] = Seq(
 
@@ -741,17 +764,23 @@ object Queries {
       // ([[SimilarityFunctions.hyperplanes]]), so [[s2OracleSql]] embeds
       // the IDENTICAL plane doubles as SQL literals and DuckDB replays
       // signature → banding → candidates → cosine verify end-to-end.
-      (s, dir) => {
-        val base = t(s, dir, "embeddings")
-          .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
-        val corpus = base.unionAll(base.select(
-          (col("id") + 100000).as("id"),
-          transform(col("v"), x => x + lit(0.05)).as("v")))
-        S.lshNeighborPairs(corpus, dim = 64, nBits = 16, bands = 4,
-          minCosine = 0.8, idCol = "id", vecCol = "v")
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) => S.lshNeighborPairs(plantedEmbeddings(s, dir), dim = 64,
+          nBits = 16, bands = 4, minCosine = 0.8, idCol = "id", vecCol = "v")
+        .orderBy("id_a", "id_b"),
       Some(s2OracleSql)),
+
+    QueryDef("d4_embed_dedup",
+      // embedding-cosine near-duplicate DEDUP: the s2 pipeline's verified
+      // pairs drive the greedy smallest-id-canonical drop — every planted
+      // near-duplicate the LSH recovers disappears, originals survive.
+      // Shares the generated-plane oracle CTEs with s2.
+      (s, dir) => {
+        val corpus = plantedEmbeddings(s, dir)
+        val pairs = S.lshNeighborPairs(corpus, dim = 64, nBits = 16,
+          bands = 4, minCosine = 0.8, idCol = "id", vecCol = "v")
+        D.dropNearDuplicates(corpus, pairs, "id").select("id").orderBy("id")
+      },
+      Some(d4OracleSql)),
 
     // ───────── event windows ─────────
 

@@ -200,7 +200,12 @@ final class RequestRunner(
         pinned += disc
         val n = disc.count()
         if (n > 0) {
-          wh.upsert("cross_validation", disc, Seq("validation_id"))
+          // partition-scoped: a request rewrites only the tickers it
+          // touched, not the whole cross_validation history. ticker joins
+          // the key soundly — validation_id embeds it, so the composite
+          // key collides exactly when validation_id does.
+          wh.upsert("cross_validation", disc, Seq("validation_id", "ticker"),
+            Seq("ticker"))
           // K-9: anomaly CSV alongside the other artifacts (reference
           // `save_anomaly_report`, src/validation.py:490-518)
           out.saveAnomalyReport(

@@ -124,6 +124,11 @@ final class Warehouse(spark: SparkSession, root: String) {
     * REPLACE, `src/database.py:283-305`): keep existing rows whose key is
     * absent from the new batch, union the batch, rewrite. (Delta MERGE is
     * the production-cluster variant; plain parquet needs a rewrite.)
+    *
+    * This whole-table form is O(table) per call — fine for the small
+    * metadata tables it serves (`request_log`); anything that grows with
+    * the data should use the partitioned variant below, which rewrites
+    * only the partitions the batch touches.
     */
   def upsert(table: String, batch: DataFrame, keys: Seq[String]): Unit = {
     val merged =
@@ -137,6 +142,65 @@ final class Warehouse(spark: SparkSession, root: String) {
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(path(table)), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path(table)))
+  }
+
+  /** Partition-scoped upsert: hive-partitioned on `partitionCols`, and a
+    * call rewrites ONLY the partitions present in the batch — the read is
+    * pruned to those partitions (same string-form filter as the
+    * partitioned `dedupAppend`) and the write uses dynamic partition
+    * overwrite, so untouched partitions' files are never opened. This is
+    * the poor-man's MERGE: O(touched partitions) per call instead of
+    * O(table), which is the difference between a per-request metadata
+    * write and a full warehouse rewrite at 100 TB.
+    *
+    * `partitionCols` must be a subset of `keys`: last-writer-wins is then
+    * guaranteed, because a key collision always lands in the same
+    * partition.
+    */
+  def upsert(table: String, batch: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String]): Unit = {
+    if (partitionCols.isEmpty) return upsert(table, batch, keys)
+    require(partitionCols.forall(keys.contains),
+      s"partitionCols must be a subset of keys for a sound partition-scoped " +
+        s"upsert: $partitionCols vs $keys")
+    val dirSafe = Set("string", "integer", "long", "short", "byte", "date", "boolean")
+    partitionCols.foreach { c =>
+      val tn = batch.schema(c).dataType.typeName
+      require(dirSafe.contains(tn),
+        s"partition column '$c' has type $tn, which does not round-trip " +
+          "through hive directory names; use string/integral/date/boolean")
+    }
+    val merged =
+      if (!exists(table)) batch
+      else {
+        val existing = readPartitionsAsString(table)
+        val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+        val filters = touched.map { row =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(row.get(i)).cast("string") }
+            .reduce(_ && _)
+        }
+        val prunedRaw =
+          if (filters.isEmpty) existing.limit(0)
+          else existing.filter(filters.reduce(_ || _))
+        val pruned = partitionCols.foldLeft(prunedRaw) { (df, c) =>
+          df.withColumn(c, col(c).cast(batch.schema(c).dataType))
+        }
+        pruned.join(batch.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(batch)
+      }
+    // dynamic overwrite replaces exactly the partitions in `merged`;
+    // materialize first so the overwrite never races its own source scan
+    val staged = merged.cache()
+    staged.count()
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try staged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path(table))
+    finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      staged.unpersist()
+      ()
+    }
   }
 
   /** K-10: whole-table replace (reference `to_sql(if_exists='replace')`,

@@ -70,6 +70,15 @@ class DedupFunctionsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never passes verification
   }
 
+  test("dropNearDuplicates keeps the smallest id of every pair, passes singletons") {
+    val pairs = DedupFunctions.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, threshold = 0.7)
+    val survivors = DedupFunctions.dropNearDuplicates(corpus, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // 2 and 4 duplicate 1 -> dropped; 1 (canonical) and 3 (singleton) stay
+    assert(survivors === Set(1L, 3L))
+  }
+
   test("simhash64: identical docs get identical signatures (hamming 0)") {
     val sigs = corpus.select(col("doc_id"),
       DedupFunctions.simhash64(DedupFunctions.wordShingles(col("text"), 3)).as("sig"))

@@ -58,6 +58,34 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(("v1", 1.0), ("v2", 99.0), ("v3", 3.0)))
   }
 
+  test("partition-scoped upsert rewrites only the touched partitions") {
+    val wh = freshWarehouse()
+    val keys = Seq("validation_id", "ticker")
+    wh.upsert("xv", Seq(("A_1", "A", 1.0), ("A_2", "A", 2.0), ("B_1", "B", 3.0))
+      .toDF("validation_id", "ticker", "x"), keys, Seq("ticker"))
+    val fs = wh.read("xv").inputFiles
+    assert(fs.forall(_.contains("/ticker=")))
+    val bFilesBefore = fs.filter(_.contains("ticker=B")).toSet
+    // upsert touching only ticker A: replaces A_1, inserts A_3, keeps A_2 and all of B
+    wh.upsert("xv", Seq(("A_1", "A", 99.0), ("A_3", "A", 4.0))
+      .toDF("validation_id", "ticker", "x"), keys, Seq("ticker"))
+    import org.apache.spark.sql.functions.col
+    val rows = wh.read("xv").orderBy("validation_id")
+      .select("validation_id", "x").as[(String, Double)].collect()
+    assert(rows.toSeq === Seq(("A_1", 99.0), ("A_2", 2.0), ("A_3", 4.0), ("B_1", 3.0)))
+    // the B partition's files were not rewritten (same physical paths)
+    val bFilesAfter = wh.read("xv").inputFiles.filter(_.contains("ticker=B")).toSet
+    assert(bFilesAfter === bFilesBefore, "untouched partition must keep its files")
+  }
+
+  test("partition-scoped upsert requires partitionCols within keys") {
+    val wh = freshWarehouse()
+    val df = Seq(("v1", "A", 1.0)).toDF("validation_id", "ticker", "x")
+    intercept[IllegalArgumentException] {
+      wh.upsert("xv2", df, Seq("validation_id"), Seq("ticker"))
+    }
+  }
+
   test("replace overwrites the whole table (K-10)") {
     val wh = freshWarehouse()
     wh.replace("t", batch)
