@@ -63,7 +63,11 @@ object RunPipeline {
           .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value")))
       } else None
 
-    val runner = new RequestRunner(spark, s"$workDir/warehouse", s"$workDir/outputs")
+    // connector failures (none for the file-backed stand-ins, but the
+    // wiring is the contract) land in the execution log + request_log
+    val tracker = new graft.sources.ErrorTracker()
+    val runner = new RequestRunner(spark, s"$workDir/warehouse", s"$workDir/outputs",
+      tracker = Some(tracker))
     val req = Request(tickers, start, end,
       enableValidation = secondary.isDefined, tolerancePct = tolerance,
       fetchMacro = macroData.isDefined)

@@ -19,6 +19,20 @@ object PropertySpec extends Properties("graft") {
   private val seriesGen: Gen[List[Double]] =
     Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, Gen.choose(1.0, 1000.0)))
 
+  property("pyFloat round-trips every double and never uses Java formatting") =
+    Prop.forAll(Gen.oneOf(
+      Gen.choose(-1e3, 1e3),                       // price/return magnitudes
+      Gen.choose(-1e-3, 1e-3),                     // Java-scientific zone
+      Gen.choose(Long.MinValue, Long.MaxValue).map(java.lang.Double.longBitsToDouble))) { d =>
+      (d.isNaN || d.isInfinite) || {
+        val s = graft.output.Fmt.pyFloat(d)
+        // shortest-round-trip: parsing the repr recovers the exact bits
+        java.lang.Double.parseDouble(s) == d &&
+          // python formatting: lowercase exponent, no Java 'E'
+          !s.contains("E")
+      }
+    }
+
   property("maExact2dp equals brute-force mean exactly when n rows exist") =
     Prop.forAllNoShrink(seriesGen, Gen.choose(2, 8)) { (closes, n) =>
       val rounded = closes.map(c => math.rint(c * 100) / 100)
