@@ -37,35 +37,49 @@ object RunPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // every stand-in goes through the Source + retry + tracker chain the
+    // real HTTP connectors would use, so transient fetch failures retry
+    // with backoff and land in the execution log + request_log
+    // (reference `fetch_with_retry`, src/logger.py:75-132)
+    import graft.sources.{ErrorTracker, RetryPolicy, Source, SourceOps}
+    val tracker = new ErrorTracker()
+    val retry = new RetryPolicy()
+    def src(build: SparkSession => org.apache.spark.sql.DataFrame): Source =
+      new Source { def fetch(s: SparkSession) = build(s) }
+
     // the prices adaptation as the Yahoo stand-in, restricted to the request
-    val prices = Q.prices(Q.t(spark, sfDir, "lineitem"))
-      .withColumn("ticker", col("ticker").cast("string"))
-      .filter(col("ticker").isin(tickers: _*))
-      .filter(col("date").between(lit(start).cast("date"), lit(end).cast("date")))
+    val yahoo = src { s =>
+      Q.prices(Q.t(s, sfDir, "lineitem"))
+        .withColumn("ticker", col("ticker").cast("string"))
+        .filter(col("ticker").isin(tickers: _*))
+        .filter(col("date").between(lit(start).cast("date"), lit(end).cast("date")))
+    }
+    val prices = SourceOps.fetchAllOrLog(Seq("yahoo" -> yahoo), spark, retry, Some(tracker))
+      ._1.getOrElse(sys.error("primary source failed after retries"))
     // gross revenue as the Alpha Vantage stand-in
     val secondary =
-      if (flag("--enable-validation")) Some(
-        Q.t(spark, sfDir, "lineitem")
-          .groupBy(col("l_suppkey").cast("string").as("ticker"),
-            to_date(col("l_shipdate")).as("date"))
-          .agg(Q.money2(sum(col("l_extendedprice").cast("decimal(12,4)"))).as("close"))
-          .filter(col("ticker").isin(tickers: _*)))
+      if (flag("--enable-validation"))
+        SourceOps.fetchAllOrLog(Seq("alpha_vantage" -> src { s =>
+          Q.t(s, sfDir, "lineitem")
+            .groupBy(col("l_suppkey").cast("string").as("ticker"),
+              to_date(col("l_shipdate")).as("date"))
+            .agg(Q.money2(sum(col("l_extendedprice").cast("decimal(12,4)"))).as("close"))
+            .filter(col("ticker").isin(tickers: _*))
+        }), spark, retry, Some(tracker))._1
       else None
     // event aggregates as the FRED stand-in (tidy series_id/date/value)
     val macroData =
-      if (flag("--with-macro")) {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        Some(Q.t(spark, sfDir, "events")
-          .select(col("event_type").as("series_id"),
-            to_date(timestamp_micros(expr("ts div 1000"))).as("date"),
-            col("value"))
-          .groupBy("series_id", "date")
-          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value")))
-      } else None
-
-    // connector failures (none for the file-backed stand-ins, but the
-    // wiring is the contract) land in the execution log + request_log
-    val tracker = new graft.sources.ErrorTracker()
+      if (flag("--with-macro"))
+        SourceOps.fetchAllOrLog(Seq("fred" -> src { s =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          Q.t(s, sfDir, "events")
+            .select(col("event_type").as("series_id"),
+              to_date(timestamp_micros(expr("ts div 1000"))).as("date"),
+              col("value"))
+            .groupBy("series_id", "date")
+            .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value"))
+        }), spark, retry, Some(tracker))._1
+      else None
     val runner = new RequestRunner(spark, s"$workDir/warehouse", s"$workDir/outputs",
       tracker = Some(tracker))
     val req = Request(tickers, start, end,

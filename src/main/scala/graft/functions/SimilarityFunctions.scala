@@ -164,9 +164,12 @@ object SimilarityFunctions {
     *
     * Scale tuning: candidates per band-bucket grow as n² / 2^rows, so
     * bits-per-band must track log2(corpus): 4 bits is right for ~10³
-    * docs; at 10⁹ use e.g. nBits = 256, bands = 8, rows = 32. The
-    * candidate join is a hash-partitioned equi-join on (band, key);
-    * verification touches candidates only.
+    * docs; at 10⁹ use e.g. nBits = 64, bands = 2, rows = 32. The
+    * signature is one 64-bit word, so nBits caps at 64 (enforced) — for
+    * more bands at 32 bits/band, union the candidate pairs of several
+    * calls with distinct `seed`s (each an independent signature) before
+    * the verify step. The candidate join is a hash-partitioned equi-join
+    * on (band, key); verification touches candidates only.
     *
     * The threshold compares the 6-dp ROUNDED cosine so the kept-pair set
     * is insensitive to accumulation-order noise across engines.
@@ -176,12 +179,19 @@ object SimilarityFunctions {
       vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
     require(bands > 0 && nBits % bands == 0,
       s"nBits ($nBits) must be a positive multiple of bands ($bands)")
+    // one 64-bit word per signature: beyond that, shiftleft wraps mod 64
+    // and bits silently alias onto wrong buckets
+    require(nBits >= 1 && nBits <= 64,
+      s"nBits ($nBits) must be in [1, 64]; for more bits, union pairs " +
+        "from several seeds")
     val rows = nBits / bands
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", hyperplaneSignature(col("v"), dim, nBits, seed))
+    // rows == 64 would make (1L << 64) - 1 wrap to 0 (Java shifts mod 64)
+    val mask = if (rows == 64) -1L else (1L << rows) - 1
     val banded = sig.select(col("id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1)).as("key"))): _*)).as("bk"))
+          shiftright(col("sig"), b * rows).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cands = banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.id") < col("y.id"))

@@ -19,9 +19,21 @@ object Fmt {
   /** `yyyyMMdd_HHmmss` UTC stamp used in request ids and filenames. */
   def stamp(clock: Clock): String = stampFmt.format(clock.now())
 
-  /** ISO-8601 local-datetime string (reference `datetime.now().isoformat()`). */
-  def iso(clock: Clock): String =
-    clock.now().atOffset(ZoneOffset.UTC).toLocalDateTime.toString
+  private val isoSecondsFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(ZoneOffset.UTC)
+
+  /** ISO-8601 local-datetime string matching Python
+    * `datetime.isoformat()` EXACTLY: seconds always printed (Java's
+    * LocalDateTime.toString drops ":00"), fraction either absent or
+    * exactly 6 digits (Python has µs resolution; Java would print 3 or 9
+    * digits and omit zero fractions differently).
+    */
+  def iso(clock: Clock): String = {
+    val now = clock.now()
+    val base = isoSecondsFmt.format(now)
+    val micros = now.getNano / 1000
+    if (micros == 0) base else f"$base.$micros%06d"
+  }
 
   /** ISO-8601 with explicit `+00:00` offset (reference
     * `datetime.now(timezone.utc).isoformat()`, `src/pipeline.py:87` —

@@ -34,6 +34,10 @@ final class Warehouse(spark: SparkSession, root: String) {
     * resolved, so it is restored immediately.
     */
   private def readPartitionsAsString(table: String): DataFrame = {
+    // NOTE: toggling a session conf is safe under this warehouse's
+    // single-writer contract (one runner per SparkSession — plain parquet
+    // has no concurrent-writer story anyway; Delta is the multi-writer
+    // path). The window is confined to relation resolution below.
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
@@ -43,6 +47,49 @@ final class Warehouse(spark: SparkSession, root: String) {
       df
     } finally spark.conf.set(key, prev)
   }
+
+  /** Fail fast when a partitioned write would land on a table whose
+    * existing layout does not match: appending `ticker=X/` dirs beside
+    * root-level part files (or vice versa) leaves a mixed directory
+    * structure Spark refuses to read, corrupting the table for every
+    * later request. One root listStatus — no file enumeration.
+    */
+  private def requireLayout(table: String, partitionCols: Seq[String]): Unit = {
+    if (!exists(table)) return
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = fs.listStatus(p).filterNot { s =>
+      val n = s.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    if (entries.isEmpty) return
+    val partitioned = entries.exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (partitionCols.nonEmpty)
+      require(partitioned || !entries.exists(_.isFile),
+        s"table '$table' was written UNPARTITIONED; cannot append with " +
+          s"partitionCols=$partitionCols — migrate the table or drop the partitioning")
+    else
+      require(!partitioned,
+        s"table '$table' is hive-partitioned; pass its partition columns " +
+          "instead of appending unpartitioned files beside the partition dirs")
+  }
+
+  /** Hive encodes "" as `__HIVE_DEFAULT_PARTITION__`, which reads back as
+    * NULL — silently corrupting the key and defeating the anti-join
+    * forever after. `touched` is already collected driver-side, so the
+    * check is free. (Genuine nulls round-trip correctly and are allowed.)
+    */
+  private def requireNoEmptyPartitionValues(
+      partitionCols: Seq[String],
+      touched: Array[org.apache.spark.sql.Row]): Unit =
+    touched.foreach { row =>
+      partitionCols.zipWithIndex.foreach { case (c, i) =>
+        require(row.get(i) != "",
+          s"partition column '$c' contains an empty string, which hive " +
+            "directory names cannot represent (reads back as null); " +
+            "filter or recode such keys before writing")
+      }
+    }
 
   /** K-2/K-3 + J-3: dedup append — drop in-batch duplicates on the key,
     * anti-join against existing keys, append survivors. Returns the number
@@ -77,7 +124,14 @@ final class Warehouse(spark: SparkSession, root: String) {
         s"partition column '$c' has type $tn, which does not round-trip " +
           "through hive directory names; use string/integral/date/boolean")
     }
+    requireLayout(table, partitionCols)
     val inBatch = batch.dropDuplicates(keys)
+    // one tiny agg on the batch -> the touched-partition list; collected
+    // up front so the empty-string guard also covers the FIRST write
+    val touched =
+      if (partitionCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else inBatch.select(partitionCols.map(col): _*).distinct().collect()
+    requireNoEmptyPartitionValues(partitionCols, touched)
     val fresh =
       if (!exists(table)) inBatch
       else if (partitionCols.isEmpty)
@@ -88,11 +142,9 @@ final class Warehouse(spark: SparkSession, root: String) {
         // filter sits directly on the partition column, so it still
         // reaches PartitionFilters — then cast back to the batch's types
         // ABOVE the filter so the anti-join compares like-typed keys.
+        // Null-safe equality so null partition values
+        // (__HIVE_DEFAULT_PARTITION__) still dedup correctly.
         val existing = readPartitionsAsString(table)
-        // one tiny agg on the batch -> IN-list partition filter;
-        // null-safe equality so null partition values
-        // (__HIVE_DEFAULT_PARTITION__) still dedup correctly
-        val touched = inBatch.select(partitionCols.map(col): _*).distinct().collect()
         val filters = touched.map { row =>
           partitionCols.zipWithIndex
             .map { case (c, i) => col(c) <=> lit(row.get(i)).cast("string") }
@@ -131,6 +183,7 @@ final class Warehouse(spark: SparkSession, root: String) {
     * only the partitions the batch touches.
     */
   def upsert(table: String, batch: DataFrame, keys: Seq[String]): Unit = {
+    requireLayout(table, Seq.empty)
     val merged =
       if (!exists(table)) batch
       else read(table).join(batch.select(keys.map(col): _*), keys, "left_anti")
@@ -170,11 +223,13 @@ final class Warehouse(spark: SparkSession, root: String) {
         s"partition column '$c' has type $tn, which does not round-trip " +
           "through hive directory names; use string/integral/date/boolean")
     }
+    requireLayout(table, partitionCols)
+    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+    requireNoEmptyPartitionValues(partitionCols, touched)
     val merged =
       if (!exists(table)) batch
       else {
         val existing = readPartitionsAsString(table)
-        val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
         val filters = touched.map { row =>
           partitionCols.zipWithIndex
             .map { case (c, i) => col(c) <=> lit(row.get(i)).cast("string") }

@@ -98,6 +98,12 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     v.map(_ / n)
   }
 
+  test("lshNeighborPairs rejects nBits outside the 64-bit signature word") {
+    intercept[IllegalArgumentException] {
+      SimilarityFunctions.lshNeighborPairs(corpus, dim = 2, nBits = 256, bands = 8)
+    }
+  }
+
   test("banded LSH recovers planted near-duplicates with recall >= 0.9") {
     val rng = new scala.util.Random(7L)
     val base = (0L until 200L).map(i => (i, seededUnitVec(rng, 64)))

@@ -126,6 +126,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.read("iw").schema("suppkey").dataType === IntegerType)
   }
 
+  test("partitioned write onto an unpartitioned table fails fast (no mixed layout)") {
+    val wh = freshWarehouse()
+    wh.dedupAppend("mx", batch, Seq("ticker", "date")) // unpartitioned layout
+    intercept[IllegalArgumentException] {
+      wh.dedupAppend("mx", batch, Seq("ticker", "date"), Seq("ticker"))
+    }
+    // and the reverse: unpartitioned append onto a partitioned table
+    val wh2 = freshWarehouse()
+    wh2.dedupAppend("mx2", batch, Seq("ticker", "date"), Seq("ticker"))
+    intercept[IllegalArgumentException] {
+      wh2.dedupAppend("mx2", batch, Seq("ticker", "date"))
+    }
+  }
+
+  test("empty-string partition values are rejected (hive reads them back as null)") {
+    val wh = freshWarehouse()
+    val b = Seq(("", "2024-01-01", 1.0)).toDF("ticker", "date", "close")
+    intercept[IllegalArgumentException] {
+      wh.dedupAppend("es", b, Seq("ticker", "date"), Seq("ticker"))
+    }
+  }
+
   test("partitioned dedupAppend rejects partition types that cannot round-trip") {
     val wh = freshWarehouse()
     val b = Seq((1.5, "2024-01-01", 1.0)).toDF("px", "date", "close")
