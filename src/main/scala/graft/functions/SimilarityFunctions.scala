@@ -223,6 +223,28 @@ object SimilarityFunctions {
     if (d == 0.0) Double.NaN else dot / d
   }
 
+  /** Train IVF centroids with Spark MLlib k-means (the "k-means output"
+    * the [[ivfTopK]] contract names): distributed Lloyd iterations over
+    * the corpus, only the k centers ever come to the driver. Returns the
+    * (centroid_id, centroid_vec) frame [[ivfTopK]] consumes. At 100 TB
+    * train on a sample (`corpus.sample(...)`) — k-means centers converge
+    * on far less data than the full corpus.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int,
+      vecCol: String = "embedding", seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feats = corpus.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast("array<double>")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid_vec")
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest centroid,
     * then queries probe only their `nProbe` nearest cells — turning an
     * all-corpus scan per query into a fraction `nProbe / nCentroids` of

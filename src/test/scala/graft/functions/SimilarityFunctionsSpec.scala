@@ -151,6 +151,31 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       s"query $qid expected twin ${qid + 10000L}, got $hit") }
   }
 
+  test("trainCentroids + ivfTopK: k-means centers separate planted clusters") {
+    val rng = new scala.util.Random(13L)
+    // 3 well-separated cluster directions, 40 members each
+    val dirs = Seq.fill(3)(seededUnitVec(rng, 32))
+    val members = dirs.zipWithIndex.flatMap { case (d, c) =>
+      (0 until 40).map { j =>
+        (c.toLong * 1000L + j, d.map(_ + rng.nextGaussian() * 0.02))
+      }
+    }
+    val corpus = members.toDF("vec_id", "embedding")
+    val centroids = SimilarityFunctions.trainCentroids(corpus, k = 3, seed = 5L)
+    assert(centroids.count() === 3L)
+    assert(centroids.columns.toSeq === Seq("centroid_id", "centroid_vec"))
+    // with nProbe=1, a query must find a same-cluster neighbor as top-1:
+    // k-means must have put each planted cluster in its own cell
+    val q = corpus.filter(col("vec_id").isin(0L, 1000L, 2000L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = SimilarityFunctions.ivfTopK(corpus, q, centroids, k = 1, nProbe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(top.length === 3)
+    top.foreach { case (qid, hit) =>
+      assert(hit / 1000L === qid / 1000L, s"query $qid got cross-cluster hit $hit")
+    }
+  }
+
   test("native VecCosine is bit-identical to the HOF cosine on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.limit(50).select(col("vec_id"), col("embedding"))
