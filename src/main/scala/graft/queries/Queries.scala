@@ -295,6 +295,28 @@ object Queries {
           |       count(*) AS n_days
           |FROM prices GROUP BY ticker ORDER BY ticker""".stripMargin)),
 
+    QueryDef("a10_percentiles",
+      // exact interpolated percentiles per ticker (Spark `percentile` ≡
+      // DuckDB `quantile_cont`; rounded to 6 dp because the interpolation
+      // a + (b−a)·frac can differ by ulps across engines). The 100 TB
+      // variant is `approx_percentile` (t-digest sketch, map-side
+      // mergeable, no per-group sort) when ±ε quantiles suffice — exact
+      // percentile buffers every value per group.
+      (s, dir) => prices(t(s, dir, "lineitem"))
+        .groupBy("ticker")
+        .agg(
+          round(expr("percentile(close, 0.5D)"), 6).as("p50_close"),
+          round(expr("percentile(close, 0.95D)"), 6).as("p95_close"),
+          round(expr("percentile(volume, 0.5D)"), 6).as("p50_volume"))
+        .orderBy("ticker"),
+      Some(pricesSql +
+        """
+          |SELECT ticker,
+          |       round(quantile_cont(close, 0.5), 6) AS p50_close,
+          |       round(quantile_cont(close, 0.95), 6) AS p95_close,
+          |       round(quantile_cont(volume, 0.5), 6) AS p50_volume
+          |FROM prices GROUP BY ticker ORDER BY ticker""".stripMargin)),
+
     QueryDef("a6_series_profile",
       (s, dir) => MacroOps.seriesProfile(
           events(s, dir).select(
