@@ -54,8 +54,11 @@ object RunPipeline {
         .filter(col("ticker").isin(tickers: _*))
         .filter(col("date").between(lit(start).cast("date"), lit(end).cast("date")))
     }
-    val prices = SourceOps.fetchAllOrLog(Seq("yahoo" -> yahoo), spark, retry, Some(tracker))
-      ._1.getOrElse(sys.error("primary source failed after retries"))
+    val prices = {
+      val (df, errs) = SourceOps.fetchAllOrLog(Seq("yahoo" -> yahoo), spark, retry, Some(tracker))
+      df.getOrElse(sys.error(
+        s"primary source failed after retries: ${errs.mkString("; ")}"))
+    }
     // gross revenue as the Alpha Vantage stand-in
     val secondary =
       if (flag("--enable-validation"))

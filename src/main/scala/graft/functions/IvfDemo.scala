@@ -23,9 +23,11 @@ object IvfDemo {
     val centroids = SimilarityFunctions.trainCentroids(emb, k = 16)
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    val top = SimilarityFunctions.ivfTopK(emb, queries, centroids, k, nProbe)
-    top.orderBy("query_id", "rank").show(8 * k, truncate = false)
-    println(s"centroids=${centroids.count()} results=${top.count()}")
+    // collect once: show() + count() would each re-run the whole pipeline
+    val rows = SimilarityFunctions.ivfTopK(emb, queries, centroids, k, nProbe)
+      .orderBy("query_id", "rank").collect()
+    rows.take(8 * k).foreach(r => println(r.mkString("| ", " | ", " |")))
+    println(s"centroids=${centroids.count()} results=${rows.length}")
     spark.stop()
   }
 }

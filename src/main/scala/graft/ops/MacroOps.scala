@@ -31,13 +31,23 @@ object MacroOps {
     * warehouse DDL `src/database.py:73-86`). A BROADCAST left join —
     * the catalog is 22 rows, so no shuffle of the data side at any
     * scale; series ids outside the catalog keep null name/category.
+    *
+    * Idempotent: only MISSING catalog columns are joined in, so a frame
+    * already carrying one (or both) never gains a duplicate column —
+    * and a frame carrying only `category` still gets `series_name`,
+    * keeping every appended batch on the full 5-column schema.
     */
   def enrichWithCatalog(df: DataFrame, series: String = "series_id"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cat = graft.sources.FredCatalog.catalogRows
-      .toDF(series, "series_name", "category")
-    df.join(broadcast(cat), Seq(series), "left")
+    val toAdd = Seq("series_name", "category").filterNot(df.columns.contains)
+    if (toAdd.isEmpty) df
+    else {
+      val cat = graft.sources.FredCatalog.catalogRows
+        .toDF(series, "series_name", "category")
+        .select((series +: toAdd).map(col): _*)
+      df.join(broadcast(cat), Seq(series), "left")
+    }
   }
 
   /** A-7: distinct series count (reference `src/macro.py:293`). Exact

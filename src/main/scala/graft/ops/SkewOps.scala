@@ -44,8 +44,21 @@ object SkewOps {
         s"unmatched right rows); got '$joinType'")
     val taken = (left.columns ++ right.columns).toSet
     val salt = Iterator.from(0).map(i => s"_salt$i").filterNot(taken.contains).next()
+    // xxhash64 rejects MapType anywhere in a column's type; hash the
+    // hashable columns only (callers with huge array/binary payloads can
+    // pre-project — the salt only needs SOME row-varying input). If
+    // nothing else is hashable, fall back to the keys: degenerate (one
+    // bucket per key) but still correct.
+    def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashSafe(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashSafe(a.elementType)
+      case _ => true
+    }
+    val hashCols = left.schema.fields.filter(f => hashSafe(f.dataType)).map(f => col(f.name))
+    val saltInput = if (hashCols.nonEmpty) hashCols.toSeq else keys.map(col)
     val leftSalted = left.withColumn(salt,
-      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(saltInput: _*), lit(salts.toLong)).cast("int"))
     val rightSalted = right.withColumn(salt,
       explode(sequence(lit(0), lit(salts - 1))))
     leftSalted.join(rightSalted, keys :+ salt, joinType).drop(salt)

@@ -183,11 +183,9 @@ final class RequestRunner(
         Seq("ticker", "date"), Seq("ticker"))
       val macroRecords = macroData.fold(0L) { m =>
         // series_name/category enrichment so macro_data matches the
-        // reference's 5-column DDL; skip when the source already carries
-        // EITHER column (joining again would duplicate it and fail the write)
-        val enrichedMacro =
-          if (m.columns.contains("series_name") || m.columns.contains("category")) m
-          else MacroOps.enrichWithCatalog(m)
+        // reference's 5-column DDL; enrichWithCatalog is idempotent (adds
+        // only missing columns), so every batch lands on the same schema
+        val enrichedMacro = MacroOps.enrichWithCatalog(m)
         wh.dedupAppend("macro_data", enrichedMacro.withColumn("request_id", lit(requestId)),
           Seq("series_id", "date"), Seq("series_id"))
       }

@@ -63,15 +63,25 @@ final class Warehouse(spark: SparkSession, root: String) {
       n.startsWith("_") || n.startsWith(".")
     }
     if (entries.isEmpty) return
-    val partitioned = entries.exists(s => s.isDirectory && s.getPath.getName.contains("="))
-    if (partitionCols.nonEmpty)
-      require(partitioned || !entries.exists(_.isFile),
+    // first-level partition column names on disk ("ticker=X" -> "ticker")
+    val dirCols = entries.collect {
+      case s if s.isDirectory && s.getPath.getName.contains("=") =>
+        s.getPath.getName.takeWhile(_ != '=')
+    }.toSet
+    if (partitionCols.nonEmpty) {
+      require(dirCols.nonEmpty || !entries.exists(_.isFile),
         s"table '$table' was written UNPARTITIONED; cannot append with " +
           s"partitionCols=$partitionCols — migrate the table or drop the partitioning")
-    else
-      require(!partitioned,
-        s"table '$table' is hive-partitioned; pass its partition columns " +
-          "instead of appending unpartitioned files beside the partition dirs")
+      // same partitioned-ness is not enough: a different partition COLUMN
+      // (or order) would also interleave conflicting layouts
+      require(dirCols.isEmpty || dirCols == Set(partitionCols.head),
+        s"table '$table' is partitioned by ${dirCols.mkString(",")} on disk; " +
+          s"cannot append with partitionCols=$partitionCols")
+    } else
+      require(dirCols.isEmpty,
+        s"table '$table' is hive-partitioned (${dirCols.mkString(",")}); pass " +
+          "its partition columns instead of appending unpartitioned files " +
+          "beside the partition dirs")
   }
 
   /** Hive encodes "" as `__HIVE_DEFAULT_PARTITION__`, which reads back as

@@ -44,4 +44,17 @@ class MacroOpsSpec extends AnyFunSuite {
     val plan = e.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("enrichWithCatalog is idempotent and fills only the missing columns") {
+    val tidy = Seq(("GDP", 1.0)).toDF("series_id", "value")
+    val once = MacroOps.enrichWithCatalog(tidy)
+    // full enrichment twice adds nothing (no duplicate columns)
+    assert(MacroOps.enrichWithCatalog(once).columns.toSeq === once.columns.toSeq)
+    // a frame already carrying category still gains series_name only
+    val partial = tidy.withColumn("category",
+      org.apache.spark.sql.functions.lit("growth"))
+    val filled = MacroOps.enrichWithCatalog(partial)
+    assert(filled.columns.count(_ == "category") === 1)
+    assert(filled.select("series_name").head().getString(0) === "gdp")
+  }
 }

@@ -42,6 +42,12 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(buckets > 4, s"hot key landed in only $buckets/8 salt buckets")
   }
 
+  test("a MapType column on the left does not break the salt projection") {
+    val withMap = skewed.withColumn("attrs", map(lit("a"), lit("b")))
+    val out = SkewOps.saltedJoin(withMap, dim, Seq("k"), 4)
+    assert(out.count() === skewed.join(dim, Seq("k")).count())
+  }
+
   test("right/full join types are rejected") {
     intercept[IllegalArgumentException] {
       SkewOps.saltedJoin(skewed, dim, Seq("k"), 8, "right")

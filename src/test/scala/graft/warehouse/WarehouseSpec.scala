@@ -138,6 +138,10 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       wh2.dedupAppend("mx2", batch, Seq("ticker", "date"))
     }
+    // and a DIFFERENT partition column than the on-disk layout
+    intercept[IllegalArgumentException] {
+      wh2.dedupAppend("mx2", batch, Seq("ticker", "date"), Seq("date"))
+    }
   }
 
   test("empty-string partition values are rejected (hive reads them back as null)") {
