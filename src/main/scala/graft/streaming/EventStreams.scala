@@ -81,6 +81,44 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(Seq("event_id"))
     else events.dropDuplicates(Seq("event_id"))
 
+  /** Per-user lifetime running totals via `flatMapGroupsWithState` — the
+    * CUSTOM-state surface (`KeyValueGroupedDataset`) for semantics no
+    * built-in aggregation expresses: state that must survive across
+    * micro-batches indefinitely and emit a NEW row only when the update
+    * crosses a reporting threshold (here: every `emitEvery` events per
+    * user, so downstream sees checkpoints, not every event).
+    *
+    * State is one (count, sum) pair per user — O(active users), explicit
+    * and inspectable, exactly what `mapGroupsWithState` exists for.
+    * `GroupStateTimeout.NoTimeout` because lifetime totals never expire;
+    * a TTL'd variant would use `ProcessingTimeTimeout` + `setTimeout...`.
+    * Works identically on a batch Dataset (state lives within the batch),
+    * which is how the spec pins the semantics.
+    */
+  def userRunningTotals(events: DataFrame, emitEvery: Long = 10L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def update(userId: Long, rows: Iterator[(Long, Double)],
+        state: GroupState[(Long, Double)]): Iterator[(Long, Long, Double)] = {
+      var (n, total) = state.getOption.getOrElse((0L, 0.0))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      // deterministic fold order: events sorted by value is NOT needed —
+      // per-batch iterator order feeds a commutative (count, sum) pair
+      rows.foreach { case (_, v) =>
+        n += 1; total += v
+        if (n % emitEvery == 0) out += ((userId, n, total))
+      }
+      state.update((n, total))
+      out.iterator
+    }
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "n_events", "running_total")
+  }
+
   /** Per-user session windows with an inactivity gap — built-in
     * `session_window` keeps state O(open sessions) and closes sessions at
     * the watermark.

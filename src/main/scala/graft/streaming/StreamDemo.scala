@@ -33,6 +33,15 @@ object StreamDemo {
 
     val sessions = EventStreams.userSessions(EventStreams.readEvents(spark, dir, streaming = false))
     println(s"sessions=${sessions.count()}")
+
+    // custom state (flatMapGroupsWithState): per-user running totals,
+    // streamed incrementally with AvailableNow
+    val rt = EventStreams.userRunningTotals(
+        EventStreams.readEvents(spark, dir, streaming = true), emitEvery = 50L)
+      .writeStream.format("memory").queryName("running")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    rt.awaitTermination()
+    println(s"running_total_checkpoints=${spark.table("running").count()}")
     spark.stop()
   }
 }
