@@ -449,6 +449,35 @@ object Queries {
 
     // ───────── text analysis (documents) ─────────
 
+    QueryDef("t5_heavy_hitters",
+      // boilerplate detection: the 20 most frequent 3-shingles via the
+      // native space-saving TypedImperativeAggregate. Run in the EXACT
+      // regime (capacity far above the distinct-shingle count, so no
+      // counter ever evicts and errors are all 0) — which makes it
+      // oracle-checkable against a plain count/top-k; the approximate
+      // regime is pinned by TopKFreqSpec's eviction-bound test.
+      (s, dir) => {
+        val sh = docs(s, dir).select(
+          explode(D.wordShingles(col("text"), 3)).as("sh"))
+        sh.agg(graft.functions.TopKFreq(col("sh"), k = 20, capacity = 200000).as("top"))
+          .selectExpr("inline(top)")
+          .select(col("value"), col("count").as("n"), col("error"))
+          .orderBy(desc("n"), col("value"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |e AS (SELECT unnest(shingles) AS value FROM sh),
+             |agg AS (SELECT value, count(*) AS n FROM e GROUP BY value)
+             |SELECT value, n, CAST(0 AS BIGINT) AS error FROM agg
+             |ORDER BY n DESC, value LIMIT 20""".stripMargin)),
+
     QueryDef("t1_token_counts",
       (s, dir) => docs(s, dir).select(
         col("doc_id"),
