@@ -22,10 +22,10 @@ final class SpaceSavingSummary(val capacity: Int) {
   val counters: java.util.HashMap[String, Array[Long]] =
     new java.util.HashMap[String, Array[Long]]()
 
-  def add(v: String, weight: Long = 1L): Unit = {
+  def add(v: String): Unit = {
     val cur = counters.get(v)
-    if (cur != null) cur(0) += weight
-    else if (counters.size < capacity) counters.put(v, Array(weight, 0L))
+    if (cur != null) cur(0) += 1L
+    else if (counters.size < capacity) counters.put(v, Array(1L, 0L))
     else {
       // evict the min counter; the newcomer inherits its count as error
       var minK: String = null; var minC = Long.MaxValue
@@ -35,31 +35,57 @@ final class SpaceSavingSummary(val capacity: Int) {
         if (e.getValue()(0) < minC) { minC = e.getValue()(0); minK = e.getKey }
       }
       counters.remove(minK)
-      counters.put(v, Array(minC + weight, minC))
+      counters.put(v, Array(minC + 1L, minC))
     }
   }
 
+  /** A key ABSENT from a summary may still have occurred up to the
+    * summary's minimum count times (it could have been evicted) — but
+    * only if the summary ever filled; below capacity nothing was ever
+    * evicted, so absence means count 0.
+    */
+  private def absentBound: Long =
+    if (counters.size < capacity) 0L
+    else {
+      var m = Long.MaxValue
+      val it = counters.values().iterator()
+      while (it.hasNext) { val c = it.next()(0); if (c < m) m = c }
+      m
+    }
+
   /** Parallel space-saving merge (Agarwal et al. "Mergeable summaries"):
-    * sum counts/errors for common keys, take absent keys as-is, then
-    * keep the `capacity` largest counters.
+    * for every key in the union, each side contributes its count — or,
+    * when the key is absent from a FULL side, that side's minimum count
+    * as both count and error (the key may have been evicted holding up
+    * to that much). Then keep the `capacity` largest. This keeps the
+    * invariant `count − error ≤ truth ≤ count` under ANY merge order —
+    * naive count-summing would UNDERcount a key dropped by an
+    * intermediate truncation and re-added by a later partial. Which
+    * value inside the bound is reported can still vary with merge
+    * order, as for any streaming sketch; the exact regime (never full)
+    * is order-independent.
     */
   def merge(other: SpaceSavingSummary): Unit = {
-    val it = other.counters.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val cur = counters.get(e.getKey)
-      if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
-      else counters.put(e.getKey, e.getValue.clone())
+    import scala.jdk.CollectionConverters._
+    val myAbsent = absentBound
+    val otherAbsent = other.absentBound
+    val merged = new java.util.HashMap[String, Array[Long]]()
+    (counters.keySet().asScala ++ other.counters.keySet().asScala).foreach { k =>
+      val a = counters.get(k)
+      val b = other.counters.get(k)
+      val count = (if (a != null) a(0) else myAbsent) +
+        (if (b != null) b(0) else otherAbsent)
+      val error = (if (a != null) a(1) else myAbsent) +
+        (if (b != null) b(1) else otherAbsent)
+      merged.put(k, Array(count, error))
     }
-    if (counters.size > capacity) {
-      import scala.jdk.CollectionConverters._
-      val keep = counters.entrySet().asScala.toSeq
-        .map(e => (e.getKey, e.getValue))
-        .sortBy { case (v, cnt) => (-cnt(0), v) }
-        .take(capacity)
-      counters.clear()
-      keep.foreach { case (v, cnt) => counters.put(v, cnt) }
-    }
+    counters.clear()
+    if (merged.size <= capacity) counters.putAll(merged)
+    else merged.entrySet().asScala.toSeq
+      .map(e => (e.getKey, e.getValue))
+      .sortBy { case (v, cnt) => (-cnt(0), v) }
+      .take(capacity)
+      .foreach { case (v, cnt) => counters.put(v, cnt) }
   }
 
   /** Top k by (count desc, value asc) — the value tiebreak makes output
@@ -134,7 +160,11 @@ case class TopKFreq(
     val it = buf.counters.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
+      // length-prefixed UTF-8 — writeUTF caps at 64 KB and nothing
+      // restricts counter-key length
+      val kb = e.getKey.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
     }
     out.flush(); bos.toByteArray
   }
@@ -144,7 +174,9 @@ case class TopKFreq(
     val s = new SpaceSavingSummary(in.readInt())
     val n = in.readInt()
     (0 until n).foreach { _ =>
-      s.counters.put(in.readUTF(), Array(in.readLong(), in.readLong()))
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      s.counters.put(new String(kb, "UTF-8"), Array(in.readLong(), in.readLong()))
     }
     s
   }

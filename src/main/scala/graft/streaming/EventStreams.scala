@@ -94,26 +94,33 @@ object EventStreams {
     * a TTL'd variant would use `ProcessingTimeTimeout` + `setTimeout...`.
     * Works identically on a batch Dataset (state lives within the batch),
     * which is how the spec pins the semantics.
+    *
+    * The per-batch group iterator arrives in shuffle order, so each
+    * batch's rows are sorted by `seqCol` before folding — otherwise the
+    * n-th event (and hence every emitted checkpoint) would be
+    * nondeterministic across runs. The sort buffers one group's batch
+    * rows, bounded by events-per-user-per-micro-batch.
     */
-  def userRunningTotals(events: DataFrame, emitEvery: Long = 10L): DataFrame = {
+  def userRunningTotals(events: DataFrame, emitEvery: Long = 10L,
+      seqCol: String = "event_id"): DataFrame = {
+    require(emitEvery >= 1, s"emitEvery must be >= 1 (got $emitEvery)")
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    def update(userId: Long, rows: Iterator[(Long, Double)],
+    def update(userId: Long, rows: Iterator[(Long, Long, Double)],
         state: GroupState[(Long, Double)]): Iterator[(Long, Long, Double)] = {
       var (n, total) = state.getOption.getOrElse((0L, 0.0))
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      // deterministic fold order: events sorted by value is NOT needed —
-      // per-batch iterator order feeds a commutative (count, sum) pair
-      rows.foreach { case (_, v) =>
+      rows.toSeq.sortBy(_._2).foreach { case (_, _, v) =>
         n += 1; total += v
         if (n % emitEvery == 0) out += ((userId, n, total))
       }
       state.update((n, total))
       out.iterator
     }
-    events.select(col("user_id").cast("long"), col("value").cast("double"))
-      .as[(Long, Double)]
+    events.select(col("user_id").cast("long"), col(seqCol).cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(update)
       .toDF("user_id", "n_events", "running_total")

@@ -36,6 +36,26 @@ class TopKFreqSpec extends AnyFunSuite {
     }
   }
 
+  test("merge keeps the overestimation bound when truncation drops a key mid-merge") {
+    // the adversarial order: x is dropped by an intermediate truncation,
+    // then re-added by a later partial — a naive count-summing merge
+    // would report x=5 (UNDER truth 10) with a tiny error
+    def summary(pairs: (String, Int)*): SpaceSavingSummary = {
+      val s = new SpaceSavingSummary(2)
+      pairs.foreach { case (v, n) => (1 to n).foreach(_ => s.add(v)) }
+      s
+    }
+    val p1 = summary("x" -> 5, "a" -> 1)
+    val p2 = summary("b" -> 7, "c" -> 6)
+    val p3 = summary("x" -> 5, "d" -> 1)
+    val truth = Map("x" -> 10L, "a" -> 1L, "b" -> 7L, "c" -> 6L, "d" -> 1L)
+    p1.merge(p2); p1.merge(p3)
+    p1.topK(2).foreach { case (v, c, err) =>
+      assert(c >= truth(v), s"$v: count $c underestimates truth ${truth(v)}")
+      assert(c - err <= truth(v), s"$v: lower bound ${c - err} above truth ${truth(v)}")
+    }
+  }
+
   test("works per-group and rejects non-string input") {
     val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z")).toDF("g", "w")
     val out = df.groupBy("g").agg(TopKFreq(col("w"), 1, 4).as("top"))

@@ -60,34 +60,42 @@ class EventStreamsSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val in = MemoryStream[(Long, Double)]
-    val events = in.toDF().toDF("user_id", "value")
+    val in = MemoryStream[(Long, Long, Double)]
+    val events = in.toDF().toDF("user_id", "event_id", "value")
     val name = s"rt_${System.nanoTime()}"
     val q = EventStreams.userRunningTotals(events, emitEvery = 10L)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
       // batch 1: 5 events for user 7 -> below the emit threshold, no rows
-      in.addData((1 to 5).map(i => (7L, i.toDouble)): _*)
+      in.addData((1 to 5).map(i => (7L, i.toLong, i.toDouble)): _*)
       q.processAllAvailable()
       assert(spark.table(name).count() === 0L)
       // batch 2: 5 more -> the 10th event fires ONE checkpoint row whose
       // total spans BOTH batches, proving state survived the batch boundary
-      in.addData((6 to 10).map(i => (7L, i.toDouble)): _*)
+      in.addData((6 to 10).map(i => (7L, i.toLong, i.toDouble)): _*)
       q.processAllAvailable()
       val rows = spark.table(name).as[(Long, Long, Double)].collect()
       assert(rows.toSeq === Seq((7L, 10L, 55.0)))
     } finally q.stop()
   }
 
-  test("userRunningTotals batch mode: per-group state within one batch") {
+  test("userRunningTotals batch mode: deterministic checkpoints in seq order") {
     import spark.implicits._
-    val batch = (1 to 25).map(i => (1L, 1.0)) ++ (1 to 7).map(i => (2L, 2.0))
-    val out = EventStreams.userRunningTotals(
-      batch.toDF("user_id", "value"), emitEvery = 10L)
+    // distinct values so a wrong fold order would change the checkpoint sum
+    val batch = (1 to 25).map(i => (1L, i.toLong, i.toDouble)) ++
+      (1 to 7).map(i => (2L, i.toLong, 2.0))
+    val df = spark.sparkContext
+      .parallelize(scala.util.Random.shuffle(batch), 8)
+      .toDF("user_id", "event_id", "value")
+    val out = EventStreams.userRunningTotals(df, emitEvery = 10L)
       .orderBy("user_id", "n_events").as[(Long, Long, Double)].collect()
-    // user 1: checkpoints at 10 and 20 events; user 2 never reaches 10
-    assert(out.toSeq === Seq((1L, 10L, 10.0), (1L, 20L, 20.0)))
+    // user 1: checkpoints after events 1..10 (sum 55) and 1..20 (sum 210)
+    // regardless of partitioning/shuffle order; user 2 never reaches 10
+    assert(out.toSeq === Seq((1L, 10L, 55.0), (1L, 20L, 210.0)))
+    intercept[IllegalArgumentException] {
+      EventStreams.userRunningTotals(df, emitEvery = 0L)
+    }
   }
 
   test("slidingCounts: each event lands in 4 overlapping windows") {
