@@ -820,6 +820,33 @@ object Queries {
         .orderBy("id_a", "id_b"),
       Some(s2OracleSql)),
 
+    QueryDef("d5_hash_split",
+      // deterministic train/valid/test carving: split membership is a
+      // pure hash of the stable doc id — reproducible across runs,
+      // partitionings, and ENGINES (the md5-based hash lets DuckDB
+      // recompute the identical assignment, which is the whole point:
+      // every system touching the corpus agrees on the split).
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.SamplingFunctions.splitColumn(
+            col("doc_id").cast("string"), pctTrain = 80, pctValid = 10,
+            hash = D.md5Hash60).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split"),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN bucket < 80 THEN 'train'
+             |         WHEN bucket < 90 THEN 'valid'
+             |         ELSE 'test' END AS split
+             |  FROM b)
+             |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM s GROUP BY split ORDER BY split""".stripMargin)),
+
     QueryDef("d4_embed_dedup",
       // embedding-cosine near-duplicate DEDUP: the s2 pipeline's verified
       // pairs drive the greedy smallest-id-canonical drop — every planted
