@@ -15,14 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object SamplingFunctions {
 
-  /** Stable bucket in [0, buckets) from a key column. xxhash64 by
-    * default (codegen'd); pass [[DedupFunctions.md5Hash60]] to get the
-    * engine-portable variant an external oracle can recompute.
+  /** Stable bucket in [0, buckets) from a key column; NULL keys get a
+    * null bucket. The explicit null gate matters: Spark's `xxhash64`
+    * hashes null to the seed while an md5-based hash propagates null —
+    * without it the two supported hashes would silently DISAGREE on
+    * null-key rows, breaking the engine-portability contract. With it,
+    * null keys fall out of every sample and carry a null split, visibly.
+    * xxhash64 by default (codegen'd); pass
+    * [[DedupFunctions.md5Hash60]] for the engine-portable variant an
+    * external oracle can recompute.
     */
   def hashBucket(key: Column, buckets: Int,
       hash: Column => Column = xxhash64(_)): Column = {
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
-    pmod(hash(key), lit(buckets.toLong))
+    when(key.isNull, lit(null)).otherwise(pmod(hash(key), lit(buckets.toLong)))
   }
 
   /** Deterministic ~`num/den` sample: keeps rows whose bucket falls in
@@ -42,11 +48,15 @@ object SamplingFunctions {
     */
   def splitColumn(key: Column, pctTrain: Int, pctValid: Int,
       hash: Column => Column = xxhash64(_)): Column = {
-    require(pctTrain >= 0 && pctValid >= 0 && pctTrain + pctValid <= 100,
+    // bounded individually first — a pctTrain + pctValid Int overflow
+    // would wrap negative and slip past a naive sum check
+    require(pctTrain >= 0 && pctTrain <= 100 &&
+      pctValid >= 0 && pctValid <= 100 - pctTrain,
       s"need pctTrain + pctValid <= 100 (got $pctTrain + $pctValid)")
     val b = hashBucket(key, 100, hash)
+    // null bucket (null key) falls through every branch -> null split
     when(b < pctTrain, lit("train"))
       .when(b < pctTrain + pctValid, lit("valid"))
-      .otherwise(lit("test"))
+      .when(b.isNotNull, lit("test"))
   }
 }

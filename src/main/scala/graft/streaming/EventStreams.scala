@@ -96,10 +96,13 @@ object EventStreams {
     * which is how the spec pins the semantics.
     *
     * The per-batch group iterator arrives in shuffle order, so each
-    * batch's rows are sorted by `seqCol` before folding — otherwise the
-    * n-th event (and hence every emitted checkpoint) would be
-    * nondeterministic across runs. The sort buffers one group's batch
-    * rows, bounded by events-per-user-per-micro-batch.
+    * batch's rows are sorted by `(seqCol, value)` before folding — the
+    * value tiebreak keeps duplicate seq ids deterministic too. This
+    * makes checkpoints reproducible for a GIVEN batching; across runs
+    * with different micro-batch boundaries the fold interleaves
+    * differently (inherent to any cross-batch stateful op — only the
+    * final state is batching-independent). The sort buffers one group's
+    * batch rows, bounded by events-per-user-per-micro-batch.
     */
   def userRunningTotals(events: DataFrame, emitEvery: Long = 10L,
       seqCol: String = "event_id"): DataFrame = {
@@ -111,7 +114,7 @@ object EventStreams {
         state: GroupState[(Long, Double)]): Iterator[(Long, Long, Double)] = {
       var (n, total) = state.getOption.getOrElse((0L, 0.0))
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      rows.toSeq.sortBy(_._2).foreach { case (_, _, v) =>
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, v) =>
         n += 1; total += v
         if (n % emitEvery == 0) out += ((userId, n, total))
       }

@@ -40,12 +40,28 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
-  test("bounds are validated") {
+  test("bounds are validated, including Int-overflow sums") {
     intercept[IllegalArgumentException] {
       SamplingFunctions.sampleByHash(ids, "id", 11, 10)
     }
     intercept[IllegalArgumentException] {
       SamplingFunctions.splitColumn(col("id"), 80, 30)
+    }
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.splitColumn(col("id"), 2000000000, 2000000000)
+    }
+  }
+
+  test("null keys: null split, excluded from samples, same for BOTH hashes") {
+    val withNull = spark.sql("SELECT * FROM VALUES ('a'), (CAST(NULL AS STRING)) AS t(k)")
+    for (h <- Seq((c: org.apache.spark.sql.Column) => xxhash64(c),
+        (c: org.apache.spark.sql.Column) => DedupFunctions.md5Hash60(c))) {
+      val split = withNull.select(col("k"),
+        SamplingFunctions.splitColumn(col("k"), 80, 10, h).as("s")).collect()
+      assert(split.find(_.isNullAt(0)).exists(_.isNullAt(1)),
+        "null key must map to null split")
+      val sampled = SamplingFunctions.sampleByHash(withNull, "k", 10, 10, h)
+      assert(sampled.count() === 1L, "null key must never enter a sample")
     }
   }
 }
