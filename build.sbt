@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr straight through instead of routing
+// them via sbt's logger — the logger's "[info] " prefix defeats any
+// line-oriented JSON parse of `sbt runMain` output (Bench/Verify emit one
+// machine-readable JSON line on stdout).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,40 +1,77 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
+  * prints ONE machine-readable JSON line on stdout.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_ITERS times (default 3) and the
+  * headline `queries` map carries the MIN across iterations — single-shot
+  * timing on a shared 32-core JVM is dominated by GC/codegen-cache noise
+  * (round 3's j-family "2x regression" with zero code change). The median
+  * is reported alongside under `queries_median` so a min/median gap flags
+  * noisy queries explicitly.
+  *
+  * The JSON line reaches the driver three ways: unprefixed stdout (build.sbt
+  * sets `run / outputStrategy := StdoutOutput` so sbt's "[info] " prefix is
+  * bypassed), a file (args(0) | SPARK_GRAFT_BENCH_OUT | ./bench_out.json),
+  * and a stderr echo.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // the forked-JVM stdout goes through sbt's "[info] " prefix, which can
-    // defeat line-oriented JSON parsing driver-side — so the result is ALSO
-    // written to a file (args(0) or SPARK_GRAFT_BENCH_OUT or ./bench_out.json)
-    // and echoed unprefixed on stderr.
     val outFile = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("bench_out.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // events.parquet carries nanosecond timestamps; queries are pure and
+      // expect the session to be configured for them (see Queries.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen/FS-cache, so per-query numbers measure the
     // queries rather than first-job startup.
     for (t <- Seq("lineitem", "documents", "embeddings"))
       spark.read.parquet(s"$sfDir/$t.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // several operators persist() shared lineage internally; drop those
+      // blocks BEFORE the timer starts so every iteration measures the
+      // cold query (not a warm-cache replay of the previous iteration)
+      // and the cache cannot grow across 43 queries × N iterations.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = try {
+        (1 to iters).map(_ => timeOne(fn))
+      } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Seq.empty[Double]
       }
       // a failed query reports -1.0, never a fast-looking partial time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (times.isEmpty) (name, -1.0, -1.0)
+      else {
+        val sorted = times.sorted
+        (name, sorted.head, sorted(sorted.size / 2))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val mins = results.map { case (n, mn, _) => n -> mn }
+    val medians = results.map { case (n, _, md) => n -> md }
+    val total = mins.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+      s""""queries":${jmap(mins)},"queries_median":${jmap(medians)},"sf":"$sfDir"}"""
     println(line)
     System.err.println(line)
     try Files.writeString(Paths.get(outFile), line + "\n")

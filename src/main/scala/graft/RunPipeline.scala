@@ -34,6 +34,9 @@ object RunPipeline {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries nanosecond timestamps; source/query
+      // functions are pure and expect the session pre-configured.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -74,7 +77,6 @@ object RunPipeline {
     val macroData =
       if (flag("--with-macro"))
         SourceOps.fetchAllOrLog(Seq("fred" -> src { s =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           Q.t(s, sfDir, "events")
             .select(col("event_type").as("series_id"),
               to_date(timestamp_micros(expr("ts div 1000"))).as("date"),

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries nanosecond timestamps; query functions are
+      // pure and expect the session to be configured for them.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -35,7 +38,12 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally persisted.foreach(_.unpersist())
+      } finally {
+        persisted.foreach(_.unpersist())
+        // several operators persist() shared lineage internally; drop
+        // those blocks so the cache cannot grow across the full registry
+        spark.catalog.clearCache()
+      }
     }
     // render via the shared JSON layer (escapes control chars — a tab or
     // CR in builder-authored SQL would otherwise break the driver's

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact,
   * n-gram Jaccard, MinHash+LSH, SimHash.
@@ -99,9 +100,19 @@ object DedupFunctions {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int,
+      hash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i))): DataFrame =
+    minhashSignaturesFromShingles(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles")),
+      k, hash)
+
+  /** [[minhashSignatures]] over a pre-computed `(id, shingles)` frame —
+    * lets a caller that also needs the shingles for verification (e.g.
+    * [[minhashLshPairs]]) shingle the corpus ONCE and share the frame
+    * across DAG branches instead of re-tokenizing the raw text per branch.
+    */
+  def minhashSignaturesFromShingles(sh: DataFrame, k: Int,
       hash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i))): DataFrame = {
-    val e = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), n)).as("s"))
+    val e = sh.select(col("id"), explode(col("shingles")).as("s"))
     val mins = (0 until k).map(i => min(hash(col("s"), i)).as(s"_m$i"))
     e.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
@@ -128,21 +139,30 @@ object DedupFunctions {
     * Pipeline: shingle → signature → band explode → equi-self-join on
     * (band,bucket) → distinct candidate pairs → verify true Jaccard via
     * shingle intersection. Only candidates pay the verification cost.
+    *
+    * The `(id, shingles)` frame feeds BOTH the signature branch and the
+    * verification joins, so it is persisted at `storage` (pass
+    * `StorageLevel.NONE` to disable) — without it the corpus is
+    * re-scanned and re-tokenized at verify time. At 100 TB the cached
+    * frame is the shingle arrays (≈ the corpus size): the caller picks
+    * the level (e.g. DISK_ONLY) or pre-materializes shingles to a table.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7,
       hash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i)),
-      bucketHash: (Column, Int) => Column = (c, b) => xxhash64(c, lit(b))): DataFrame = {
+      bucketHash: (Column, Int) => Column = (c, b) => xxhash64(c, lit(b)),
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, hash)
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
+    if (storage != StorageLevel.NONE) sh.persist(storage)
+    val sigs = minhashSignaturesFromShingles(sh, numHashes, hash)
     val banded = sigs.select(col("id"),
         explode(lshBands(col("sig"), bands, rows, bucketHash)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
     cands
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -173,10 +174,18 @@ object SimilarityFunctions {
     *
     * The threshold compares the 6-dp ROUNDED cosine so the kept-pair set
     * is insensitive to accumulation-order noise across engines.
+    *
+    * The signature frame feeds BOTH the banding branch and the verify
+    * branch of the DAG, so it is persisted at `storage` (pass
+    * `StorageLevel.NONE` to disable) — without it the hyperplane
+    * projection AND the corpus scan under it run twice. The cached rows
+    * are (id, vec, 1 long)/row; at 100 TB the caller picks the level
+    * (e.g. DISK_ONLY) or pre-materializes signatures themselves.
     */
   def lshNeighborPairs(corpus: DataFrame, dim: Int, nBits: Int = 16,
       bands: Int = 4, minCosine: Double = 0.8, idCol: String = "vec_id",
-      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+      vecCol: String = "embedding", seed: Long = 42L,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(bands > 0 && nBits % bands == 0,
       s"nBits ($nBits) must be a positive multiple of bands ($bands)")
     // one 64-bit word per signature: beyond that, shiftleft wraps mod 64
@@ -187,6 +196,7 @@ object SimilarityFunctions {
     val rows = nBits / bands
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", hyperplaneSignature(col("v"), dim, nBits, seed))
+    if (storage != StorageLevel.NONE) sig.persist(storage)
     // rows == 64 would make (1L << 64) - 1 wrap to 0 (Java shifts mod 64)
     val mask = if (rows == 64) -1L else (1L << rows) - 1
     val banded = sig.select(col("id"), explode(array((0 until bands).map(b =>

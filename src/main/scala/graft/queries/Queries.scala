@@ -65,11 +65,13 @@ object Queries {
     * parquet reader rejects. Read nanos as long and floor-convert to a
     * microsecond TimestampType — the same truncation DuckDB applies when
     * it loads nanosecond parquet into its µs timestamps.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set by the Bench/Verify/RunPipeline/TestSpark builders) — query
+    * functions stay pure, no session mutation here.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Oracle for `s2_lsh_pairs`, generated — not hand-written — so the
     * hyperplane coefficients are the exact doubles Spark uses: Scala's
@@ -316,6 +318,24 @@ object Queries {
           |       round(quantile_cont(close, 0.95), 6) AS p95_close,
           |       round(quantile_cont(volume, 0.5), 6) AS p50_volume
           |FROM prices GROUP BY ticker ORDER BY ticker""".stripMargin)),
+
+    QueryDef("a10b_approx_percentiles",
+      // the declared 100 TB percentile path: `approx_percentile` is a
+      // mergeable quantile sketch — map-side partials, no per-group
+      // buffering of every value (exact `percentile` holds the whole
+      // group in memory, which dies on a hot group at scale). Accuracy
+      // 10000 → rank error ≤ n/10000 per group. The sketch is
+      // Spark-specific, so no cross-engine oracle (rows-only check);
+      // QueriesSpec bounds the sketch's error against the exact a10
+      // percentiles at test scale instead.
+      (s, dir) => prices(t(s, dir, "lineitem"))
+        .groupBy("ticker")
+        .agg(
+          expr("approx_percentile(close, 0.5D, 10000)").as("p50_close"),
+          expr("approx_percentile(close, 0.95D, 10000)").as("p95_close"),
+          expr("approx_percentile(volume, 0.5D, 10000)").as("p50_volume"))
+        .orderBy("ticker"),
+      None),
 
     QueryDef("a6_series_profile",
       (s, dir) => MacroOps.seriesProfile(
@@ -930,7 +950,31 @@ object Queries {
              |       user_id, count(*) AS n_events,
              |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM g GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef("e5_running_totals",
+      // flatMapGroupsWithState custom-state checkpoints run in batch
+      // mode: per-user lifetime (count, sum) state, a row emitted every
+      // 10th event. The update fn pins its fold order to (event_id,
+      // value), so the oracle is a windowed running sum over the same
+      // total order, filtered to every 10th row per user. The running
+      // total is a sequential double fold in both engines; rounded to
+      // 6 dp (multi-term floating aggregate rule).
+      (s, dir) => graft.streaming.EventStreams
+        .userRunningTotals(events(s, dir), emitEvery = 10L)
+        .select(col("user_id"), col("n_events"),
+          round(col("running_total"), 6).as("running_total"))
+        .orderBy("user_id", "n_events"),
+      Some("""WITH r AS (
+             |  SELECT user_id,
+             |    row_number() OVER w AS rn,
+             |    SUM(value) OVER (PARTITION BY user_id ORDER BY event_id, value
+             |      ROWS UNBOUNDED PRECEDING) AS rt
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id, value))
+             |SELECT user_id, rn AS n_events, round(rt, 6) AS running_total
+             |FROM r WHERE rn % 10 = 0
+             |ORDER BY user_id, n_events""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -33,9 +33,11 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Batch OR streaming source with a proper µs TimestampType `ts`. */
+  /** Batch OR streaming source with a proper µs TimestampType `ts`.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set by the harness session builders — no mutation here).
+    */
   def readEvents(spark: SparkSession, dir: String, streaming: Boolean): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource requires a directory path; glob-filter to the
     // events file so co-located tables in the same dir are not consumed.
     val raw =
