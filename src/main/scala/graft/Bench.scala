@@ -65,16 +65,30 @@ object Bench {
         (name, sorted.head, sorted(sorted.size / 2))
       }
     }
-    def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jmap(kv: Seq[(String, Double)], decimals: Int): String =
+      kv.map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
     val mins = results.map { case (n, mn, _) => n -> mn }
     val medians = results.map { case (n, _, md) => n -> md }
     val total = mins.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
-      s""""queries":${jmap(mins)},"queries_median":${jmap(medians)},"sf":"$sfDir"}"""
+    // the numeric scale factor, recovered from the dir name (sf0.1 -> 0.1)
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    // stdout line stays COMPACT (mins only, ms precision): the driver
+    // captures a bounded tail of the run output, and a full-precision
+    // min+median map for 45 queries overflows it, truncating the line's
+    // head and making it unparseable (rounds 1-4 all banked parsed:null).
+    val line = s"""{"metric":"total","value":${
+      BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    },"unit":"sec","iters":$iters,"sf":$sfNum,"queries":${jmap(mins, 3)}}"""
+    // full-precision detail (incl. medians) goes to the file + stderr only
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+      s""""sf":$sfNum,"sf_dir":"$sfDir","queries":${jmap(mins, 6)},""" +
+      s""""queries_median":${jmap(medians, 6)}}"""
     println(line)
-    System.err.println(line)
-    try Files.writeString(Paths.get(outFile), line + "\n")
+    System.err.println(detail)
+    try Files.writeString(Paths.get(outFile), detail + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }

@@ -100,8 +100,14 @@ final class OutputManager(baseDir: String, clock: Clock = SystemClock) {
       "adj_close", "volume", "ret", "return", "ma20", "ma50", "vol20",
       "updated_at", "request_id", "export_timestamp")
     val present = order.filter(withMeta.columns.contains)
+    // NaN maps to null: pandas to_csv writes NaN as an EMPTY field (same
+    // as None), which is how Spark's CSV writer renders null — pyFloat's
+    // "nan" would break byte parity. Infinities need no mapping: pandas
+    // emits inf/-inf, exactly pyFloat's spelling (verified against
+    // pandas to_csv on a multi-column frame).
     val pyFloatUdf = udf((d: java.lang.Double) =>
-      Option(d).map(x => Fmt.pyFloat(x.doubleValue)).orNull)
+      Option(d).filterNot(x => x.isNaN)
+        .map(x => Fmt.pyFloat(x.doubleValue)).orNull)
     val doubleCols = withMeta.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.DoubleType).map(_.name).toSet
     val formatted = present.foldLeft(withMeta.select(present.map(col): _*)) {

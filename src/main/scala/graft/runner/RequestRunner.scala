@@ -55,6 +55,14 @@ final class RequestRunner(
 
   private def trackedErrors: Long = tracker.fold(0L)(_.errorCount.toLong)
 
+  /** Tracker errors already attributed to a finished request. One tracker
+    * serves the whole pipeline (fetch happens BEFORE run(), so a
+    * request's connector errors land in the tracker pre-run); request_log
+    * rows must carry the PER-REQUEST count, so each run() logs the delta
+    * since the previous run() finished and then banks the new watermark.
+    */
+  private var errorsAccounted: Long = 0L
+
   /** Request-id contract (reference `src/database.py:332-343`):
     * `{yyyyMMdd_HHmmss}_{sorted tickers '_'}_{start}_{end}` with
     * md5-shortening of long ticker lists.
@@ -143,6 +151,10 @@ final class RequestRunner(
       secondary: Option[DataFrame] = None,
       macroData: Option[DataFrame] = None): RunResult = {
     val requestId = generateRequestId(req)
+    // per-request error count (the execution log's error summary stays
+    // tracker-lifetime cumulative, matching the reference's logger-scoped
+    // get_error_summary)
+    def requestErrors: Long = trackedErrors - errorsAccounted
     writeRequestLog(requestId, req, "started")
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
@@ -252,7 +264,7 @@ final class RequestRunner(
           "validation" -> reportPath.toString))
 
       writeRequestLog(requestId, req, "completed", marketRecords, macroRecords,
-        validationPerformed = cross.isDefined, errorCount = trackedErrors)
+        validationPerformed = cross.isDefined, errorCount = requestErrors)
 
       RunResult(requestId, "completed", marketRecords, macroRecords,
         discrepancyCount, csvPath.map(_.toString), reportPath.toString, logPath.toString)
@@ -260,8 +272,11 @@ final class RequestRunner(
       case e: Throwable =>
         // the fatal error itself counts on top of any tracked connector
         // failures (reference marks the request failed and logs the error)
-        writeRequestLog(requestId, req, "failed", errorCount = trackedErrors + 1)
+        writeRequestLog(requestId, req, "failed", errorCount = requestErrors + 1)
         throw e
-    } finally pinned.foreach(_.unpersist())
+    } finally {
+      errorsAccounted = trackedErrors
+      pinned.foreach(_.unpersist())
+    }
   }
 }

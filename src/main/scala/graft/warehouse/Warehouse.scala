@@ -52,34 +52,49 @@ final class Warehouse(spark: SparkSession, root: String) {
     * existing layout does not match: appending `ticker=X/` dirs beside
     * root-level part files (or vice versa) leaves a mixed directory
     * structure Spark refuses to read, corrupting the table for every
-    * later request. One root listStatus — no file enumeration.
+    * later request. The FULL partition-column sequence is compared —
+    * hive layouts are homogeneous by construction (every chain carries
+    * the same columns in the same order), so walking ONE directory chain
+    * down to the first data file observes every level; a first-level-only
+    * check would wave through e.g. disk `ticker=/date=` vs an append with
+    * Seq("ticker"). Cost: one listStatus per partition level.
     */
   private def requireLayout(table: String, partitionCols: Seq[String]): Unit = {
     if (!exists(table)) return
     val p = new org.apache.hadoop.fs.Path(path(table))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val entries = fs.listStatus(p).filterNot { s =>
+    def visible(s: org.apache.hadoop.fs.FileStatus): Boolean = {
       val n = s.getPath.getName
-      n.startsWith("_") || n.startsWith(".")
+      !n.startsWith("_") && !n.startsWith(".")
     }
-    if (entries.isEmpty) return
-    // first-level partition column names on disk ("ticker=X" -> "ticker")
-    val dirCols = entries.collect {
-      case s if s.isDirectory && s.getPath.getName.contains("=") =>
-        s.getPath.getName.takeWhile(_ != '=')
-    }.toSet
+    val rootEntries = fs.listStatus(p).filter(visible)
+    if (rootEntries.isEmpty) return
+    // ordered partition columns on disk: follow one `col=value` chain
+    @annotation.tailrec
+    def chain(dir: org.apache.hadoop.fs.Path, acc: List[String]): List[String] = {
+      val hiveDirs = fs.listStatus(dir).filter(visible).filter { s =>
+        s.isDirectory && s.getPath.getName.contains("=")
+      }
+      hiveDirs.headOption match {
+        case Some(d) =>
+          chain(d.getPath, acc :+ d.getPath.getName.takeWhile(_ != '='))
+        case None => acc
+      }
+    }
+    val diskCols = chain(p, Nil)
     if (partitionCols.nonEmpty) {
-      require(dirCols.nonEmpty || !entries.exists(_.isFile),
+      require(diskCols.nonEmpty || !rootEntries.exists(_.isFile),
         s"table '$table' was written UNPARTITIONED; cannot append with " +
           s"partitionCols=$partitionCols — migrate the table or drop the partitioning")
       // same partitioned-ness is not enough: a different partition COLUMN
-      // (or order) would also interleave conflicting layouts
-      require(dirCols.isEmpty || dirCols == Set(partitionCols.head),
-        s"table '$table' is partitioned by ${dirCols.mkString(",")} on disk; " +
+      // sequence (fewer/more levels, different order) would also
+      // interleave conflicting layouts
+      require(diskCols.isEmpty || diskCols == partitionCols.toList,
+        s"table '$table' is partitioned by ${diskCols.mkString("/")} on disk; " +
           s"cannot append with partitionCols=$partitionCols")
     } else
-      require(dirCols.isEmpty,
-        s"table '$table' is hive-partitioned (${dirCols.mkString(",")}); pass " +
+      require(diskCols.isEmpty,
+        s"table '$table' is hive-partitioned (${diskCols.mkString("/")}); pass " +
           "its partition columns instead of appending unpartitioned files " +
           "beside the partition dirs")
   }
@@ -254,18 +269,21 @@ final class Warehouse(spark: SparkSession, root: String) {
         pruned.join(batch.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(batch)
       }
-    // dynamic overwrite replaces exactly the partitions in `merged`;
-    // materialize first so the overwrite never races its own source scan
-    val staged = merged.cache()
-    staged.count()
+    // dynamic overwrite replaces exactly the partitions in `merged`, whose
+    // plan READS the same path. A cache()+count() barrier is not safe
+    // here: cached blocks can be evicted or lost mid-write, and Spark
+    // would then recompute from source files the overwrite is concurrently
+    // deleting — corrupting the touched partitions. localCheckpoint
+    // TRUNCATES the lineage instead, so a lost block fails the job
+    // (retryable) rather than silently re-reading a half-deleted table.
+    val staged = merged.localCheckpoint(true)
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try staged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path(table))
-    finally {
+    finally
+      // checkpoint blocks are released by the ContextCleaner once `staged`
+      // is unreachable; Dataset.unpersist would be a no-op here
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-      staged.unpersist()
-      ()
-    }
   }
 
   /** K-10: whole-table replace (reference `to_sql(if_exists='replace')`,

@@ -54,6 +54,26 @@ class OutputManagerSpec extends AnyFunSuite {
     assert(s.contains("87.5"))
   }
 
+  test("compat csv renders NaN doubles as empty fields like pandas (null parity)") {
+    val m = mgr()
+    // pandas to_csv writes NaN exactly like None: an empty field (pinned
+    // against `pd.DataFrame(...).to_csv()` on a multi-column frame);
+    // pyFloat's "nan" spelling must not leak into the compat file
+    val df = Seq(
+      ("AAPL", "2024-01-02", 1.5),
+      ("AAPL", "2024-01-03", Double.NaN),
+      ("AAPL", "2024-01-04", Double.PositiveInfinity))
+      .toDF("ticker", "date", "close")
+    val p = m.createReferenceCompatCsv(df, Seq("AAPL"),
+      "2024-01-01", "2024-01-10", "req_nan").get
+    val lines = Files.readAllLines(p)
+    assert(lines.get(0).startsWith("date,Ticker,close"))
+    val rows = (1 to 3).map(i => lines.get(i).split(",", -1))
+    assert(rows(0)(2) === "1.5")
+    assert(rows(1)(2) === "", s"NaN must serialize empty, got '${rows(1)(2)}'")
+    assert(rows(2)(2) === "inf") // pandas spells infinities inf/-inf
+  }
+
   test("anomaly report skips empty, writes single csv otherwise") {
     val m = mgr()
     assert(m.saveAnomalyReport(Seq.empty[(String, Double)].toDF("t", "d"), "anom.csv") === None)

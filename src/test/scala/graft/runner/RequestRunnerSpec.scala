@@ -187,6 +187,13 @@ class RequestRunnerSpec extends AnyFunSuite {
       .select("status", "error_count").head()
     assert(log.getString(0) === "completed")
     assert(log.getLong(1) === 2L)
+    // per-request attribution: a SECOND request through the same runner
+    // with no new connector errors must log 0, not the tracker's
+    // cumulative 2 (one tracker serves the whole pipeline)
+    val rid2 = r.run(Request(Seq("AAPL"), "2024-01-01", "2024-01-03"), df.get).requestId
+    val log2 = spark.read.parquet(s"$base/wh/request_log")
+      .filter($"request_id" === rid2).select("error_count").head()
+    assert(log2.getLong(0) === 0L)
   }
 
   test("writeValidationLog appends issue rows with generated ids (K-6)") {

@@ -144,6 +144,25 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("layout guard sees past the first partition level") {
+    // disk ticker=/date= vs append Seq("ticker"): same first level, so a
+    // first-level-only check would wave it through and interleave
+    // one-level files inside two-level dirs
+    val wh = freshWarehouse()
+    wh.dedupAppend("ml", batch, Seq("ticker", "date"), Seq("ticker", "date"))
+    intercept[IllegalArgumentException] {
+      wh.dedupAppend("ml", batch, Seq("ticker", "date"), Seq("ticker"))
+    }
+    // and the reverse: disk Seq("ticker") vs append Seq("ticker","date")
+    val wh2 = freshWarehouse()
+    wh2.dedupAppend("ml2", batch, Seq("ticker", "date"), Seq("ticker"))
+    intercept[IllegalArgumentException] {
+      wh2.dedupAppend("ml2", batch, Seq("ticker", "date"), Seq("ticker", "date"))
+    }
+    // matching two-level appends still work (idempotent)
+    assert(wh.dedupAppend("ml", batch, Seq("ticker", "date"), Seq("ticker", "date")) === 0L)
+  }
+
   test("empty-string partition values are rejected (hive reads them back as null)") {
     val wh = freshWarehouse()
     val b = Seq(("", "2024-01-01", 1.0)).toDF("ticker", "date", "close")
