@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-side registration of graft's native expressions, so `spark.sql`
+  * users (and external BI/SQL tooling speaking Thrift/Connect to a
+  * session) get the same codegen'd kernels as the Column API:
+  *
+  *   - `vec_cosine(a, b)` / `vec_dot(a, b)` — [[VecCosine]]/[[VecDot]]
+  *   - `topk_freq(col, k, capacity)` — the [[TopKFreq]] space-saving
+  *     heavy-hitters aggregate; `k`/`capacity` must be integer literals
+  *     (they size executor-side state, so they are plan-time constants by
+  *     construction)
+  *
+  * Two wiring paths, same builders:
+  *
+  *   - cluster-wide: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *     (or `.withExtensions(new GraftExtensions)`) injects at session build
+  *   - ad hoc: `GraftFunctions.register(spark)` drops them into an
+  *     existing session's function registry
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def requireArity(name: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n,
+      s"$name expects $n arguments, got ${args.length}")
+
+  /** Plan-time integer constant: the aggregate's state size must be fixed
+    * before execution, so only foldable int literals are accepted.
+    */
+  private def intLiteral(name: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name: $arg must be an INTEGER LITERAL (got ${other.sql})")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (args: Seq[Expression]) => {
+        requireArity("vec_cosine", args, 2)
+        VecCosine(args(0), args(1))
+      }),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        requireArity("vec_dot", args, 2)
+        VecDot(args(0), args(1))
+      }),
+    (FunctionIdentifier("topk_freq"),
+      new ExpressionInfo(classOf[TopKFreq].getName, "topk_freq"),
+      (args: Seq[Expression]) => {
+        requireArity("topk_freq", args, 3)
+        // the analyzer wraps a bare AggregateFunction in the Complete-mode
+        // AggregateExpression, same as built-in sum/min registrations
+        TopKFreq(args(0),
+          intLiteral("topk_freq", "k", args(1)),
+          intLiteral("topk_freq", "capacity", args(2)))
+      }))
+
+  /** Register into an already-built session (idempotent: re-registration
+    * overwrites with identical builders).
+    */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

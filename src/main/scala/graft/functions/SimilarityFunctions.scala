@@ -277,41 +277,119 @@ object SimilarityFunctions {
       qIdCol: String = "query_id", qVecCol: String = "query_vec",
       cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
     val spark = corpus.sparkSession
+    val centArr = collectCentroids(centroids, cIdCol, cVecCol)
+    val bc = spark.sparkContext.broadcast(centArr)
+    // flat per-row argmax: O(nCentroids) per row, fine to ~10^5 centroids
+    val assign = (v: Array[Double]) => {
+      val cs = bc.value
+      var best = -1L; var bestSim = Double.MinValue; var i = 0
+      while (i < cs.length) {
+        val s = cosineLocal(v, cs(i)._2)
+        if (!s.isNaN && s > bestSim) { bestSim = s; best = cs(i)._1 }
+        i += 1
+      }
+      best
+    }
+    // top-nProbe cells by (sim desc, cid asc); NaN sims sort last
+    // (mirrors the old coalesce(-sim, MaxValue) ordering).
+    val probe = (qv: Array[Double]) => {
+      val cs = bc.value
+      cs.map { case (cid, cv) =>
+        val s = cosineLocal(qv, cv)
+        (if (s.isNaN) Double.MaxValue else -s, cid)
+      }.sorted.take(nProbe).map(_._2)
+    }
+    ivfSearch(corpus, queries, k, assign, probe,
+      idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** Two-level ("coarse quantizer over the quantizer") variant of
+    * [[ivfTopK]] for centroid counts past the flat argmax's comfort zone:
+    * the centroids themselves are grouped into `coarseCells` buckets by a
+    * driver-side spherical k-means, and each row scores the coarse means
+    * first (O(coarseCells)), then only the centroids inside its `wProbe`
+    * best coarse groups (O(wProbe × k / coarseCells) for balanced
+    * groups). At coarseCells ≈ √k the per-row cost drops from O(k) to
+    * O(√k) — the difference between 10⁵ and ~600 cosine evals per row at
+    * k = 10⁵.
+    *
+    * The trade is exactness of the ASSIGNMENT: a row whose true nearest
+    * centroid hides in a coarse group that doesn't rank in its top
+    * `wProbe` gets a second-best cell (recall of the final search decays
+    * gracefully — the row is still in a nearby cell). `wProbe =
+    * coarseCells` degrades to the exact flat argmax (every centroid is a
+    * candidate, same tie semantics — pinned by spec), so callers can dial
+    * exactness back up per table. Ties and NaN keep the lower centroid
+    * id, matching [[ivfTopK]].
+    */
+  def ivfTopKHierarchical(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int,
+      coarseCells: Int, wProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
+    require(coarseCells > 0, s"coarseCells must be positive (got $coarseCells)")
+    require(wProbe > 0, s"wProbe must be positive (got $wProbe)")
+    val spark = corpus.sparkSession
+    val centArr = collectCentroids(centroids, cIdCol, cVecCol)
+    val bc = spark.sparkContext.broadcast(
+      buildCoarseIndex(centArr, math.min(coarseCells, centArr.length)))
+    val assign = (v: Array[Double]) => {
+      val idx = bc.value
+      val cand = idx.candidates(v, wProbe)
+      var best = -1L; var bestSim = Double.MinValue; var i = 0
+      while (i < cand.length) {
+        val s = cosineLocal(v, cand(i)._2)
+        if (!s.isNaN && s > bestSim) { bestSim = s; best = cand(i)._1 }
+        i += 1
+      }
+      best
+    }
+    val probe = (qv: Array[Double]) => {
+      val idx = bc.value
+      idx.candidates(qv, wProbe).map { case (cid, cv) =>
+        val s = cosineLocal(qv, cv)
+        (if (s.isNaN) Double.MaxValue else -s, cid)
+      }.sorted.take(nProbe).map(_._2)
+    }
+    ivfSearch(corpus, queries, k, assign, probe,
+      idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  private def collectCentroids(centroids: DataFrame, cIdCol: String,
+      cVecCol: String): Array[(Long, Array[Double])] =
+    centroids.select(col(cIdCol).cast("long"), col(cVecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** Shared IVF search: assign every corpus vector to a cell with
+    * `assign` (−1 drops the row), list each query's probe cells with
+    * `probe`, equi-join on the cell id (probe side broadcast — it is
+    * |queries| × nProbe rows), then the same two-phase bounded-heap
+    * top-k as [[bruteForceTopK]]. Nothing here shuffles scored rows; the
+    * corpus is scanned exactly once, inside ONE mapPartitions whose
+    * closures only touch broadcast state.
+    */
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+      assign: Array[Double] => Long, probe: Array[Double] => Array[Long],
+      idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
     requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
-    val centArr: Array[(Long, Array[Double])] = centroids
-      .select(col(cIdCol).cast("long"), col(cVecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(centArr)
     val assigned = corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val cs = bc.value
         it.flatMap { case (id, v) =>
-          var best = -1L; var bestSim = Double.MinValue; var i = 0
-          while (i < cs.length) {
-            val s = cosineLocal(v, cs(i)._2)
-            if (!s.isNaN && s > bestSim) { bestSim = s; best = cs(i)._1 }
-            i += 1
-          }
-          if (best >= 0) Iterator.single((id, v, best)) else Iterator.empty
+          val cell = assign(v)
+          if (cell >= 0) Iterator.single((id, v, cell)) else Iterator.empty
         }
       }.toDF(idCol, vecCol, "_cell")
-    // query-side probe list from the same broadcast: top-nProbe cells by
-    // (sim desc, cid asc); NaN sims sort last (mirrors the old
-    // coalesce(-sim, MaxValue) ordering).
     val probes = queries
       .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val cs = bc.value
-        it.flatMap { case (qid, qv) =>
-          cs.map { case (cid, cv) =>
-            val s = cosineLocal(qv, cv)
-            (if (s.isNaN) Double.MaxValue else -s, cid)
-          }.sorted.take(nProbe).map { case (_, cid) => (qid, qv, cid) }
-        }
+        it.flatMap { case (qid, qv) => probe(qv).iterator.map(c => (qid, qv, c)) }
       }.toDF(qIdCol, qVecCol, "_cell")
     val scored = assigned.join(broadcast(probes), Seq("_cell"))
       .withColumn("_cos", round(cosine(col(vecCol), col(qVecCol)), 6))
@@ -322,5 +400,89 @@ object SimilarityFunctions {
     topKPerQuery(scored, k)
       .select(col("_q").as(qIdCol), col("_id").as(idCol),
         col("_c").as("cosine"), col("rank"))
+  }
+
+  /** Driver-built two-level quantizer over a centroid table. `means(g)`
+    * is the (unnormalized) element-wise mean direction of coarse group g;
+    * `memberIds(g)` / `memberVecs(g)` its centroids sorted by id so the
+    * candidate scan preserves [[ivfTopK]]'s lower-id tie preference.
+    */
+  private[graft] final case class CoarseIndex(
+      means: Array[Array[Double]],
+      memberIds: Array[Array[Long]],
+      memberVecs: Array[Array[Array[Double]]]) extends Serializable {
+
+    /** Centroid candidates from the `wProbe` coarse groups nearest to
+      * `v`, merged in ascending centroid-id order.
+      */
+    def candidates(v: Array[Double], wProbe: Int): Array[(Long, Array[Double])] = {
+      val ranked = means.indices.map { g =>
+        val s = cosineLocal(v, means(g))
+        (if (s.isNaN) Double.MaxValue else -s, g)
+      }.sorted.take(wProbe).map(_._2)
+      val out = Array.newBuilder[(Long, Array[Double])]
+      ranked.foreach { g =>
+        var i = 0
+        while (i < memberIds(g).length) {
+          out += ((memberIds(g)(i), memberVecs(g)(i))); i += 1
+        }
+      }
+      out.result().sortBy(_._1)
+    }
+  }
+
+  /** Deterministic driver-side spherical k-means over the centroid array
+    * (the centroids already fit in driver memory — that is [[ivfTopK]]'s
+    * broadcast contract). Stride-sampled init, `iters` Lloyd rounds of
+    * assign-by-max-cosine (ties → lower group) + element-wise mean
+    * update; a group left empty keeps its previous mean. No randomness,
+    * so index builds are reproducible across runs and engines.
+    */
+  private[graft] def buildCoarseIndex(cents: Array[(Long, Array[Double])],
+      coarseCells: Int, iters: Int = 10): CoarseIndex = {
+    require(cents.nonEmpty, "cannot build a coarse index over zero centroids")
+    val n = cents.length
+    val stride = math.max(1, n / coarseCells)
+    var means: Array[Array[Double]] =
+      (0 until coarseCells).map(g => cents((g * stride) % n)._2.clone()).toArray
+    var assignment: Array[Int] = Array.fill(n)(0)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestSim = Double.MinValue; var g = 0
+        while (g < coarseCells) {
+          val s = cosineLocal(cents(i)._2, means(g))
+          if (!s.isNaN && s > bestSim) { bestSim = s; best = g }
+          g += 1
+        }
+        assignment(i) = best
+        i += 1
+      }
+      val dim = cents(0)._2.length
+      val sums = Array.fill(coarseCells)(new Array[Double](dim))
+      val counts = new Array[Int](coarseCells)
+      i = 0
+      while (i < n) {
+        val g = assignment(i); val v = cents(i)._2
+        var d = 0
+        while (d < dim) { sums(g)(d) += v(d); d += 1 }
+        counts(g) += 1
+        i += 1
+      }
+      means = (0 until coarseCells).map { g =>
+        if (counts(g) == 0) means(g)
+        else { val m = sums(g); var d = 0
+          while (d < m.length) { m(d) /= counts(g); d += 1 }; m }
+      }.toArray
+    }
+    val byGroup = cents.indices.groupBy(assignment)
+    val memberIds = (0 until coarseCells).map(g =>
+      byGroup.getOrElse(g, Seq.empty).map(cents(_)._1).toArray.sorted).toArray
+    val memberVecs = (0 until coarseCells).map { g =>
+      val idx = byGroup.getOrElse(g, Seq.empty)
+        .sortBy(cents(_)._1).map(cents(_)._2).toArray
+      idx
+    }.toArray
+    CoarseIndex(means, memberIds, memberVecs)
   }
 }

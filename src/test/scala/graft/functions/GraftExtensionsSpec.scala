@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("vec_cosine / vec_dot are SQL-callable and match the Column API") {
+    val r = spark.sql(
+      """SELECT vec_cosine(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS c,
+        |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(r.getDouble(1) === 11.0)
+    // parity with the Column-API construction on the same inputs
+    val viaColumn = Seq((Array(1.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+      .select(SimilarityFunctions.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(r.getDouble(0) === viaColumn)
+  }
+
+  test("topk_freq aggregates through SQL with literal k/capacity") {
+    Seq("a", "a", "a", "b", "b", "c").toDF("w").createOrReplaceTempView("words")
+    val out = spark.sql(
+      "SELECT topk_freq(w, 2, 10) AS top FROM words")
+      .select(explode(col("top")).as("t"))
+      .select(col("t.value"), col("t.count"))
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("topk_freq rejects non-literal k (state size must be plan-time)") {
+    Seq(("a", 2)).toDF("w", "n").createOrReplaceTempView("words_n")
+    val e = intercept[Exception] {
+      spark.sql("SELECT topk_freq(w, n, 10) FROM words_n").collect()
+    }
+    assert(e.getMessage.contains("INTEGER LITERAL"), e.getMessage)
+  }
+
+  test("extensions class injects the same builders at session build") {
+    // the injection seq is shared by construction; assert the class is
+    // instantiable with the zero-arg constructor spark.sql.extensions uses
+    // and exposes all three functions
+    val ext = new GraftExtensions()
+    assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+    assert(GraftFunctions.all.map(_._1.funcName).sorted ===
+      Seq("topk_freq", "vec_cosine", "vec_dot"))
+  }
+}

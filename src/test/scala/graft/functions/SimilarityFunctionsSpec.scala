@@ -151,6 +151,73 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       s"query $qid expected twin ${qid + 10000L}, got $hit") }
   }
 
+  test("hierarchical IVF with full coarse probe equals flat ivfTopK exactly") {
+    val rng = new scala.util.Random(17L)
+    val cents = (0L until 300L).map(i => (i, seededUnitVec(rng, 32)))
+    val corpus = cents.flatMap { case (i, v) =>
+      Seq((i, v.map(_ + 0.01)), (i + 10000L, v.map(_ + 0.02)))
+    }.toDF("vec_id", "embedding")
+    val centroids = cents.toDF("centroid_id", "centroid_vec")
+    val q = corpus.filter(col("vec_id") < 6L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // wProbe = coarseCells makes every centroid a candidate for every
+    // row, so assignment + probes + tie semantics must collapse to flat
+    val flat = SimilarityFunctions.ivfTopK(corpus, q, centroids, k = 3, nProbe = 2)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    val hier = SimilarityFunctions.ivfTopKHierarchical(corpus, q, centroids,
+      k = 3, nProbe = 2, coarseCells = 16, wProbe = 16)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    assert(hier === flat)
+  }
+
+  test("hierarchical IVF narrow probe recovers planted structure at O(sqrt k) cost") {
+    val rng = new scala.util.Random(19L)
+    // genuinely hierarchical centroids: 24 super-directions, 40 perturbed
+    // sub-centroids each (960 total) — the regime the two-level index is
+    // for; a flat-random centroid cloud has no coarse structure to find
+    val superDirs = Seq.fill(24)(seededUnitVec(rng, 64))
+    val cents = superDirs.zipWithIndex.flatMap { case (d, s) =>
+      (0 until 40).map { j =>
+        (s.toLong * 100L + j, d.map(_ + rng.nextGaussian() * 0.05))
+      }
+    }
+    // two perturbed copies per centroid so a query (the first copy) has a
+    // non-self cell-mate: its twin (the second copy) in the same cell
+    val corpus = cents.flatMap { case (i, v) =>
+      Seq((i + 100000L, v.map(_ + 0.01)), (i + 200000L, v.map(_ + 0.02)))
+    }.toDF("vec_id", "embedding")
+    val centroids = cents.toDF("centroid_id", "centroid_vec")
+    val q = corpus.filter(col("vec_id") % 100L === 0L && col("vec_id") < 200000L)
+      .limit(12)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // wProbe=3 of 24 coarse groups: each row scores 24 means + ~120
+    // member centroids instead of all 960; the planted twin must still be
+    // found because the query's true group dominates the coarse ranking
+    val out = SimilarityFunctions.ivfTopKHierarchical(corpus, q, centroids,
+      k = 1, nProbe = 1, coarseCells = 24, wProbe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(out.length === 12)
+    val sameCluster = out.count { case (qid, hit) =>
+      (qid - 100000L) / 100L == (hit - 200000L) / 100L
+    }
+    assert(sameCluster >= 11, s"only $sameCluster/12 hits stayed in-cluster")
+  }
+
+  test("coarse index build is deterministic and covers every centroid once") {
+    val rng = new scala.util.Random(23L)
+    val cents = (0L until 200L).map(i => (i, seededUnitVec(rng, 16))).toArray
+    val a = SimilarityFunctions.buildCoarseIndex(cents, 14)
+    val b = SimilarityFunctions.buildCoarseIndex(cents, 14)
+    assert(a.memberIds.map(_.toSeq).toSeq === b.memberIds.map(_.toSeq).toSeq)
+    // partition property: every centroid in exactly one group
+    val all = a.memberIds.flatten.sorted.toSeq
+    assert(all === (0L until 200L).toSeq)
+    // candidates with full width return every centroid, id-ascending
+    assert(a.candidates(cents(0)._2, 14).map(_._1).toSeq === (0L until 200L).toSeq)
+  }
+
   test("trainCentroids + ivfTopK: k-means centers separate planted clusters") {
     val rng = new scala.util.Random(13L)
     // 3 well-separated cluster directions, 40 members each
