@@ -41,6 +41,32 @@ object SamplingFunctions {
     df.filter(hashBucket(col(keyCol), den, hash) < num)
   }
 
+  /** Per-stratum deterministic sampling — the class-rebalancing shape
+    * (downsample the dominant language/source, keep the rare ones whole)
+    * done as a pure row-local predicate: keep a row when its hash bucket
+    * falls below its stratum's per-mille rate. Same determinism contract
+    * as [[sampleByHash]] (stable across runs, partitionings, and
+    * engines), so rebalanced corpora are reproducible and auditable.
+    * Strata absent from `rates` use `defaultPermille`; null strata use
+    * the default too (their rows still need a keep-decision); null KEYS
+    * drop out (null bucket fails every comparison), consistent with the
+    * other samplers.
+    *
+    * Rates are per-mille (n/1000) so "keep 2.5%" is expressible; the
+    * bucket count is fixed at 1000.
+    */
+  def stratifiedSampleByHash(df: DataFrame, keyCol: String, strataCol: String,
+      ratesPermille: Map[String, Int], defaultPermille: Int,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    (ratesPermille.values.toSeq :+ defaultPermille).foreach(r =>
+      require(r >= 0 && r <= 1000, s"per-mille rate must be in [0, 1000] (got $r)"))
+    val limit = ratesPermille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(rate)).otherwise(acc)
+      }
+    df.filter(hashBucket(col(keyCol), 1000, hash) < limit)
+  }
+
   /** Train/validation/test assignment as a COLUMN, so one pass tags the
     * whole corpus and downstream writers partition by it: buckets
     * [0, pctTrain) → "train", [pctTrain, pctTrain+pctValid) → "valid",

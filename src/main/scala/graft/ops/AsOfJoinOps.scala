@@ -33,7 +33,37 @@ object AsOfJoinOps {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      dropNoMatch: Boolean = false): DataFrame = {
+      dropNoMatch: Boolean = false): DataFrame =
+    asOfJoinImpl(left, right, keys, leftTime, rightTime, payload,
+      dropNoMatch, forward = false)
+
+  /** Forward variant: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` per key — "next scheduled observation"
+    * alignment (next earnings date, next rebalance, next maintenance
+    * window). Identical shape and cost to the backward join; only the
+    * window traversal direction flips. A same-instant right observation
+    * is visible, matching DuckDB `ASOF JOIN ... ON l.t <= r.t`.
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      dropNoMatch: Boolean = false): DataFrame =
+    asOfJoinImpl(left, right, keys, leftTime, rightTime, payload,
+      dropNoMatch, forward = true)
+
+  private def asOfJoinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      dropNoMatch: Boolean,
+      forward: Boolean): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     // internal columns must not clobber real input columns named _t etc.;
     // derive a deterministic collision-free suffix instead of a UUID so
@@ -50,8 +80,12 @@ object AsOfJoinOps {
       .withColumn(cT, col(leftTime))
       .withColumn(cIsLeft, lit(1))
     val unioned = lPrep.unionByName(rPrep, allowMissingColumns = true)
+    // backward walks time ascending (latest right <= left wins); forward
+    // walks descending (earliest right >= left wins). In both, the right
+    // row sorts before a same-time left row, so same-instant
+    // observations are visible.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(cT), col(cIsLeft))
+      .orderBy(if (forward) col(cT).desc else col(cT).asc, col(cIsLeft))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned
       .withColumn(cAsof, last(col(cRv), ignoreNulls = true).over(w))

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions => D, SimilarityFunctions => S, TextFunctions => T}
-import graft.ops.{AsOfJoinOps, CrossValidationOps, FeatureOps, MacroOps, ValidationOps}
+import graft.functions.{DedupFunctions => D, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T}
+import graft.ops.{AsOfJoinOps, CrossValidationOps, FeatureOps, MacroOps, RangeJoinOps, ValidationOps}
 
 /** One driver-verifiable query. `oracle` is the DuckDB-equivalent ANSI
   * SQL over the same parquet tables; None for ops whose hash seeds
@@ -231,6 +231,34 @@ object Queries {
           |SELECT p.ticker, p."date" AS "date", p.close, q.benchmark_close
           |FROM prices p ASOF JOIN qb q
           |  ON p.ticker = q.ticker AND p."date" >= q.qstart
+          |ORDER BY p.ticker, p."date"""".stripMargin)),
+
+    QueryDef("j5_asof_forward",
+      // forward as-of: each daily close aligned to the NEXT quarter
+      // start's benchmark — "next scheduled observation" alignment.
+      // dropNoMatch gives inner semantics, matching DuckDB's native
+      // (inner) ASOF JOIN with the comparison flipped; rows in a
+      // ticker's last quarter have no future benchmark and drop out in
+      // both engines.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+        val quarterly = p
+          .groupBy(col("ticker"), to_date(date_trunc("quarter", col("date"))).as("qstart"))
+          .agg(money2(sum(col("close").cast("decimal(18,2)"))).as("benchmark_close"))
+        AsOfJoinOps.asOfJoinForward(
+          p.select("ticker", "date", "close"), quarterly,
+          Seq("ticker"), "date", "qstart", Seq("benchmark_close"),
+          dropNoMatch = true)
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """, qb AS (
+          |  SELECT ticker, CAST(date_trunc('quarter', "date") AS DATE) AS qstart,
+          |         CAST(ROUND(SUM(CAST(close AS DECIMAL(18,2))), 2) AS DOUBLE) AS benchmark_close
+          |  FROM prices GROUP BY 1, 2)
+          |SELECT p.ticker, p."date" AS "date", p.close, q.benchmark_close
+          |FROM prices p ASOF JOIN qb q
+          |  ON p.ticker = q.ticker AND p."date" <= q.qstart
           |ORDER BY p.ticker, p."date"""".stripMargin)),
 
     // ───────── aggregations ─────────
@@ -867,6 +895,29 @@ object Queries {
              |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM s GROUP BY split ORDER BY split""".stripMargin)),
 
+    QueryDef("d6_stratified_sample",
+      // class-rebalancing: the dominant language keeps 10% while the
+      // rest keep 50% — membership a pure row-local hash predicate
+      // (pushes to the scan, no shuffle, no sampling state), md5-keyed
+      // so DuckDB reproduces the identical kept-set.
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("k", col("doc_id").cast("string"))
+        Sam.stratifiedSampleByHash(d, "k", "lang",
+          Map("en" -> 100), defaultPermille = 500, hash = D.md5Hash60)
+          .groupBy("lang").agg(count(lit(1)).as("n"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, lang FROM b
+             |  WHERE bucket < CASE WHEN lang = 'en' THEN 100 ELSE 500 END)
+             |SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM s GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("d4_embed_dedup",
       // embedding-cosine near-duplicate DEDUP: the s2 pipeline's verified
       // pairs drive the greedy smallest-id-canonical drop — every planted
@@ -974,7 +1025,42 @@ object Queries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id, value))
              |SELECT user_id, rn AS n_events, round(rt, 6) AS running_total
              |FROM r WHERE rn % 10 = 0
-             |ORDER BY user_id, n_events""".stripMargin))
+             |ORDER BY user_id, n_events""".stripMargin)),
+
+    QueryDef("e6_interval_join",
+      // point-in-interval range join via bucket decomposition: clicks
+      // matched into each same-user purchase's following hour, then
+      // counted per purchase (zero-click purchases kept through a left
+      // join against the purchase list). The bucketed equi-join shape —
+      // never a per-key cross product — is the 100 TB path; the oracle
+      // states the same containment as a plain BETWEEN-style join.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("t0"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("t1"))
+        val matched = RangeJoinOps.intervalJoin(clicks, purchases,
+          Seq("user_id"), "click_ts", "t0", "t1", bucketSeconds = 3600L)
+        val counts = matched.groupBy("user_id", "purchase_id")
+          .agg(count(lit(1)).as("n_clicks"))
+        purchases.select("user_id", "purchase_id")
+          .join(counts, Seq("user_id", "purchase_id"), "left")
+          .select(col("user_id"), col("purchase_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+          .orderBy("user_id", "purchase_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id AS purchase_id,
+             |         ts AS t0, ts + INTERVAL 1 HOUR AS t1
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+             |SELECT p.user_id, p.purchase_id, count(c.ts) AS n_clicks
+             |FROM p LEFT JOIN c
+             |  ON c.user_id = p.user_id AND c.ts >= p.t0 AND c.ts < p.t1
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

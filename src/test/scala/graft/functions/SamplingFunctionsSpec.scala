@@ -34,6 +34,33 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     assert(tagged.except(again).isEmpty && again.except(tagged).isEmpty)
   }
 
+  test("stratifiedSampleByHash applies per-stratum rates, default for the rest") {
+    val df = ids.withColumn("cls",
+      when(col("id") <= 1000L, "big").otherwise("small"))
+    val kept = SamplingFunctions.stratifiedSampleByHash(
+      df, "id", "cls", Map("big" -> 100), defaultPermille = 800)
+    val counts = kept.groupBy("cls").count().as[(String, Long)].collect().toMap
+    // ~10% of 1000 "big", ~80% of 1000 "small"
+    assert(counts("big") > 60L && counts("big") < 160L, counts.toString)
+    assert(counts("small") > 700L && counts("small") < 900L, counts.toString)
+    // membership is the same pure hash as sampleByHash: the kept "big"
+    // set must be exactly the 100/1000 hash sample of that stratum
+    val direct = SamplingFunctions.sampleByHash(
+      df.filter(col("cls") === "big"), "id", 100, 1000)
+      .select("id").as[Long].collect().toSet
+    assert(kept.filter(col("cls") === "big").select("id")
+      .as[Long].collect().toSet === direct)
+    // null stratum falls back to the default rate; null key drops out
+    val edge = Seq((Some(5000L), None: Option[String]), (None, Some("big")))
+      .toDF("id", "cls")
+    val keptEdge = SamplingFunctions.stratifiedSampleByHash(
+      edge, "id", "cls", Map("big" -> 1000), defaultPermille = 1000)
+    assert(keptEdge.count() === 1L) // null key gone even at rate 1000
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.stratifiedSampleByHash(df, "id", "cls", Map("big" -> 1001), 0)
+    }
+  }
+
   test("the sample filter is a pushed-down predicate, not a shuffle") {
     val plan = SamplingFunctions.sampleByHash(ids, "id", 1, 10)
       .queryExecution.executedPlan.toString

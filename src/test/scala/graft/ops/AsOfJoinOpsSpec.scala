@@ -48,6 +48,28 @@ class AsOfJoinOpsSpec extends AnyFunSuite {
     assert(out.count() === 3L) // B's row dropped
   }
 
+  test("forward as-of picks the earliest right row at or after each left time") {
+    val out = AsOfJoinOps.asOfJoinForward(prices, macroSeries,
+      Seq("ticker"), "date", "mdate", Seq("rate"))
+      .orderBy("ticker", "date")
+      .select("ticker", "date", "rate").collect()
+    assert(out(0).getAs[Double]("rate") === 5.50) // Jan 5 -> next obs Feb 1
+    assert(out(1).isNullAt(2)) // Feb 10: no obs after -> null
+    assert(out(2).isNullAt(2)) // Mar 20: none
+    assert(out(3).getAs[Double]("rate") === 4.00) // B Jan 5 -> Mar 1 obs
+  }
+
+  test("forward as-of sees a same-instant right observation") {
+    val right = Seq(("A", "2024-03-20", 7.77)).toDF("ticker", "md", "rate")
+      .selectExpr("ticker", "CAST(md AS DATE) AS mdate", "rate")
+    val out = AsOfJoinOps.asOfJoinForward(
+      prices.filter($"ticker" === "A"), right, Seq("ticker"), "date", "mdate", Seq("rate"))
+      .orderBy("date").select("rate").collect()
+    // every A row is at or before Mar 20, so all three see the obs
+    assert(out.forall(!_.isNullAt(0)))
+    assert(out(2).getAs[Double](0) === 7.77)
+  }
+
   test("left columns named like the internals (_t, _asof) are not clobbered") {
     val trickyLeft = prices.withColumn("_t", $"close" * 10)
       .withColumn("_asof", $"close" * 100)
