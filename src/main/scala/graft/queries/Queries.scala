@@ -387,6 +387,19 @@ object Queries {
              |  (SELECT count(DISTINCT event_type) FROM events) AS n_event_types,
              |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_customers""".stripMargin)),
 
+    QueryDef("a7b_approx_distinct",
+      // the 100 TB variant of a7: HyperLogLog++ sketches merge map-side
+      // and shuffle O(sketch) per partition, where exact countDistinct
+      // shuffles the full distinct-key set (its expand+two-phase agg is
+      // the classic cardinality bottleneck). rsd 0.01 → ~1% standard
+      // error. Sketch internals are engine-specific, so rows-only here;
+      // QueriesSpec bounds the estimates against the exact a7 counts.
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_suppkey"), 0.01).as("n_suppliers"))
+        .crossJoin(t(s, dir, "orders")
+          .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_customers"))),
+      None),
+
     QueryDef("a8_table_stats",
       (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("lineitem_rows"))
         .crossJoin(t(s, dir, "orders").agg(
@@ -1060,7 +1073,24 @@ object Queries {
              |SELECT p.user_id, p.purchase_id, count(c.ts) AS n_clicks
              |FROM p LEFT JOIN c
              |  ON c.user_id = p.user_id AND c.ts >= p.t0 AND c.ts < p.t1
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("e7_stream_attribution",
+      // the watermarked stream-stream interval join run in batch mode:
+      // row-level (purchase, click) attribution pairs. Same containment
+      // semantics as e6's bucketed batch join, but through the streaming
+      // operator whose state Spark bounds by watermark + range — batch
+      // and stream agree by the unified-contract spec, and the oracle
+      // states the containment directly.
+      (s, dir) => graft.streaming.EventStreams
+        .clickAttribution(events(s, dir))
+        .orderBy("user_id", "purchase_id", "click_ts"),
+      Some("""SELECT p.user_id, p.event_id AS purchase_id, c.ts AS click_ts
+             |FROM events p JOIN events c
+             |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+             | AND c.user_id = p.user_id
+             | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+             |ORDER BY 1, 2, 3""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

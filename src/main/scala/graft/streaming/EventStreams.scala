@@ -131,6 +131,35 @@ object EventStreams {
       .toDF("user_id", "n_events", "running_total")
   }
 
+  /** Watermarked STREAM-STREAM interval join: each click attributed to
+    * every same-user purchase whose following `window` contains it —
+    * the streaming twin of `RangeJoinOps.intervalJoin` (which is the
+    * scalable BATCH formulation of the same containment). Here the
+    * range condition rides directly on the join: Structured Streaming
+    * derives state expiry from watermark + time bounds, so each side
+    * buffers only `watermark + window` of history — the canonical
+    * bounded-state stream-stream join.
+    *
+    * Works on batch frames too (`withWatermark` is a no-op there),
+    * which is how the registry oracles it; on a true stream both sides
+    * MUST carry the watermark or state grows without bound.
+    */
+  def clickAttribution(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") &&
+        col("click_ts") < col("purchase_ts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("purchase_id"), col("click_ts"))
+  }
+
   /** Per-user session windows with an inactivity gap — built-in
     * `session_window` keeps state O(open sessions) and closes sessions at
     * the watermark.

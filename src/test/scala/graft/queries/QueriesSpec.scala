@@ -34,4 +34,36 @@ class QueriesSpec extends AnyFunSuite {
     for ((n, sql) <- Queries.oracles)
       assert(!sql.contains("\t"), s"$n oracle contains a tab")
   }
+
+  test("a10b approx percentiles land within sketch accuracy of the exact a10") {
+    import org.apache.spark.sql.functions.col
+    // accuracy 10000 → rank error ≤ n/10000 per group; at test scale the
+    // sketch should reproduce a10's exact values almost everywhere, and
+    // NEVER drift past a loose 5% relative band on the positive metrics
+    val exact = Queries.byName("a10_percentiles")(spark, sf)
+      .select("ticker", "p50_close", "p95_close")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Queries.byName("a10b_approx_percentiles")(spark, sf)
+      .select(col("ticker").cast("long"), col("p50_close"), col("p95_close"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (t, (p50, p95)) =>
+      val (e50, e95) = exact(t)
+      assert(math.abs(p50 - e50) <= 0.05 * e50, s"ticker $t p50: $p50 vs exact $e50")
+      assert(math.abs(p95 - e95) <= 0.05 * e95, s"ticker $t p95: $p95 vs exact $e95")
+    }
+  }
+
+  test("a7b approx distinct counts land within HLL error of the exact a7") {
+    val exact = Queries.byName("a7_distinct_counts")(spark, sf)
+      .select("n_suppliers", "n_customers").head()
+    val approx = Queries.byName("a7b_approx_distinct")(spark, sf)
+      .select("n_suppliers", "n_customers").head()
+    // rsd 0.01 → 1% standard error; 5σ band keeps this deterministic-safe
+    for (i <- 0 to 1) {
+      val (e, a) = (exact.getLong(i).toDouble, approx.getLong(i).toDouble)
+      assert(math.abs(a - e) <= math.max(1.0, 0.05 * e),
+        s"col $i: approx $a vs exact $e")
+    }
+  }
 }

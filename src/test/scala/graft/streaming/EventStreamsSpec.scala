@@ -48,6 +48,18 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("clickAttribution: stream-stream interval join equals the batch join") {
+    val batch = EventStreams.clickAttribution(
+      EventStreams.readEvents(spark, dir, streaming = false))
+      .orderBy("user_id", "purchase_id", "click_ts").collect()
+    val stream = runStream(
+      EventStreams.clickAttribution(EventStreams.readEvents(spark, dir, streaming = true)),
+      "append")
+      .orderBy("user_id", "purchase_id", "click_ts").collect()
+    assert(batch.length > 0, "no attribution pairs — fixture broken")
+    assert(stream.toSeq === batch.toSeq)
+  }
+
   test("dedupedEvents drops re-delivered event ids within the watermark") {
     val events = EventStreams.readEvents(spark, dir, streaming = true)
     val doubled = events.union(events) // simulate at-least-once redelivery
