@@ -64,6 +64,14 @@ object GraftFunctions {
         TopKFreq(args(0),
           intLiteral("topk_freq", "k", args(1)),
           intLiteral("topk_freq", "capacity", args(2)))
+      }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => {
+        requireArity("winnow_fingerprints", args, 3)
+        WinnowFingerprints(args(0),
+          intLiteral("winnow_fingerprints", "k", args(1)),
+          intLiteral("winnow_fingerprints", "window", args(2)))
       }))
 
   /** Register into an already-built session (idempotent: re-registration

@@ -128,4 +128,15 @@ object TextFunctions {
         .otherwise(transform(sequence(lit(1), n), i => array_min(slice(hashes, i, lit(window)))))
       array_sort(array_distinct(mins))
     }
+
+  /** Production path of [[winnowedFingerprints]]: the native
+    * [[WinnowFingerprints]] expression — one compiled pass per document
+    * (in-place byte-range hashing, monotonic-deque window minimum)
+    * instead of a lambda frame and a sliced temporary array per
+    * position. Bit-identical to the HOF form at `hash = xxhash64(_)`
+    * (pinned by spec); the HOF form stays for pluggable hashes (the
+    * md5 variant is what the cross-engine oracle can recompute).
+    */
+  def winnowedFingerprintsNative(text: Column, k: Int = 8, window: Int = 4): Column =
+    WinnowFingerprints(regexp_replace(lower(trim(text)), "\\s+", " "), k, window)
 }

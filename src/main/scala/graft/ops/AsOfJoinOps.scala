@@ -93,6 +93,8 @@ object AsOfJoinOps {
     val outCols = left.columns.map(col) ++
       payload.map(p => col(cAsof).getField(p).as(p))
     val joined = filled.select(outCols: _*)
-    if (dropNoMatch) joined.na.drop(payload) else joined
+    if (dropNoMatch)
+      joined.filter(payload.map(col(_).isNotNull).reduce(_ && _))
+    else joined
   }
 }

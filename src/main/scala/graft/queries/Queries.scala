@@ -623,6 +623,20 @@ object Queries {
              |SELECT doc_id, CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints
              |FROM w ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t4b_winnow_native",
+      // the PRODUCTION winnowing path: the native codegen expression over
+      // xxhash64 — one compiled pass per document vs t4's interpreted
+      // HOF + per-k-gram md5 (which exists so the oracle engine can
+      // recompute it). xxhash64 is Spark-specific → rows-only here;
+      // TextFunctionsSpec pins bit-parity with the HOF formulation whose
+      // md5 twin t4 hash-matches DuckDB.
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        size(T.winnowedFingerprintsNative(col("text"), k = 8, window = 4))
+          .as("n_fingerprints"))
+        .orderBy("doc_id"),
+      None),
+
     // ───────── dedup (documents) ─────────
 
     QueryDef("d1_exact_dedup",

@@ -33,6 +33,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(out === Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("winnow_fingerprints is SQL-callable with literal k/window") {
+    val fp = spark.sql(
+      "SELECT winnow_fingerprints('the quick brown fox jumps over it', 8, 4) AS fp")
+      .head().getSeq[Long](0)
+    assert(fp.nonEmpty && fp === fp.sorted && fp.distinct === fp)
+  }
+
   test("topk_freq rejects non-literal k (state size must be plan-time)") {
     Seq(("a", 2)).toDF("w", "n").createOrReplaceTempView("words_n")
     val e = intercept[Exception] {
@@ -48,6 +55,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ext = new GraftExtensions()
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
     assert(GraftFunctions.all.map(_._1.funcName).sorted ===
-      Seq("topk_freq", "vec_cosine", "vec_dot"))
+      Seq("topk_freq", "vec_cosine", "vec_dot", "winnow_fingerprints"))
   }
 }

@@ -102,4 +102,45 @@ class TextFunctionsSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(fp.length === 1)
   }
+
+  test("native winnowing is bit-identical to the HOF form on real documents") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = docs.select(
+      TextFunctions.winnowedFingerprints(col("text"), k = 8, window = 4).as("hof"),
+      TextFunctions.winnowedFingerprintsNative(col("text"), k = 8, window = 4).as("native"))
+      .collect()
+    assert(cmp.length > 0)
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("native winnowing edge cases match: multibyte, short, empty, null, window>n") {
+    val df = Seq(
+      Some("héllo wörld — naïve café ü" * 3), // multibyte k-gram boundaries
+      Some("tiny"),                            // len < k -> whole-text hash
+      Some(""),                                // empty
+      Some("exactly9!"),                       // n=2 hashes < window -> single min
+      None: Option[String]                     // null in, null out
+    ).toDF("text")
+    val cmp = df.select(
+      TextFunctions.winnowedFingerprints(col("text"), k = 8, window = 4).as("hof"),
+      TextFunctions.winnowedFingerprintsNative(col("text"), k = 8, window = 4).as("native"))
+      .collect()
+    cmp.foreach { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) assert(r.isNullAt(0) === r.isNullAt(1))
+      else assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("native winnowing rejects non-string input and bad params") {
+    intercept[IllegalArgumentException] {
+      WinnowFingerprints(col("x"), 0, 4)
+    }
+    val e = intercept[Exception] {
+      Seq(1L).toDF("x").select(WinnowFingerprints(col("x"), 8, 4)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"), e.getMessage)
+  }
 }
