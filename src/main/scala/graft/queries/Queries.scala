@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions => D, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T}
-import graft.ops.{AsOfJoinOps, CrossValidationOps, FeatureOps, MacroOps, RangeJoinOps, ValidationOps}
+import graft.ops.{AsOfJoinOps, CrossValidationOps, FeatureOps, MacroOps, RangeJoinOps, SkewOps, ValidationOps}
 
 /** One driver-verifiable query. `oracle` is the DuckDB-equivalent ANSI
   * SQL over the same parquet tables; None for ops whose hash seeds
@@ -259,6 +259,26 @@ object Queries {
           |SELECT p.ticker, p."date" AS "date", p.close, q.benchmark_close
           |FROM prices p ASOF JOIN qb q
           |  ON p.ticker = q.ticker AND p."date" <= q.qstart
+          |ORDER BY p.ticker, p."date"""".stripMargin)),
+
+    QueryDef("j6_salted_join",
+      // the skew-salted join's correctness contract IS result-invariance:
+      // salting the fact side and replicating the dimension must produce
+      // exactly the plain join — so the oracle is the UNSALTED SQL join.
+      // (SkewOpsSpec separately proves the hot key's rows actually spread
+      // across salt buckets; this row proves the rewrite changes nothing.)
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+        val dim = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("ticker"), col("s_nationkey"))
+        SkewOps.saltedJoin(p, dim, Seq("ticker"), salts = 8)
+          .select("ticker", "date", "close", "s_nationkey")
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """
+          |SELECT p.ticker, p."date" AS "date", p.close, s.s_nationkey
+          |FROM prices p JOIN supplier s ON p.ticker = s.s_suppkey
           |ORDER BY p.ticker, p."date"""".stripMargin)),
 
     // ───────── aggregations ─────────
