@@ -186,6 +186,80 @@ object DedupFunctions {
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Connected components over an undirected pair list: every node gets
+    * `component` = the MINIMUM id reachable from it. This is the
+    * transitive closure [[dropNearDuplicates]] deliberately skips — when
+    * near-dup chains matter (A~B, B~C ⇒ {A,B,C} is ONE duplicate
+    * cluster even though (A,C) was never a candidate pair), cluster
+    * first, then keep one canonical row per cluster.
+    *
+    * Algorithm: min-label propagation — each round every node lowers its
+    * label to the minimum of its neighbors' labels; converges in
+    * O(graph diameter) rounds, each ONE shuffled join + aggregation on
+    * the edge list (the published large-star/small-star variant halves
+    * round count on adversarial long chains; near-dup graphs are piles
+    * of small dense clusters, where plain propagation already converges
+    * in 2-3 rounds). Labels are `localCheckpoint`ed every round, so
+    * lineage stays flat across iterations. Throws after `maxIter`
+    * non-converged rounds rather than returning a half-propagated
+    * labeling.
+    *
+    * Only nodes that appear in `pairs` are returned — callers union in
+    * their untouched rows (see [[dropNearDuplicateClusters]], where
+    * untouched docs survive automatically).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
+    val edges = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .localCheckpoint(true)
+      var iter = 0
+      while (iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("component")).as("nbr"))
+        val updated = labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+          .localCheckpoint(true)
+        val changed = !updated
+          .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+          .filter(col("component") =!= col("prev")).isEmpty
+        labels = updated
+        iter += 1
+        if (!changed) return labels
+      }
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise it")
+    } finally {
+      edges.unpersist()
+      ()
+    }
+  }
+
+  /** Cluster-aware near-dup dedup: connected-components over the pairs,
+    * then keep each cluster's minimum-id row; rows in no pair survive
+    * untouched. Unlike [[dropNearDuplicates]] the keep-set is closed
+    * under chains: exactly one survivor per duplicate CLUSTER.
+    */
+  def dropNearDuplicateClusters(df: DataFrame, pairs: DataFrame,
+      idCol: String, maxIter: Int = 25): DataFrame = {
+    val doomed = connectedComponents(pairs, maxIter = maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** SimHash (64-bit): per shingle hash, each bit votes ±1; signature bit
     * = sign of the vote sum. Single-pass: hash every shingle ONCE
     * (`transform`), then one `aggregate` carries a 64-long vote vector,

@@ -135,6 +135,24 @@ object Queries {
         |WHERE id NOT IN (SELECT id_b FROM verified)
         |ORDER BY id""".stripMargin
 
+  /** d7: the s2 CTEs plus a recursive min-reachability closure — DuckDB's
+    * WITH RECURSIVE replays the same transitive clustering the
+    * distributed label propagation computes.
+    */
+  private lazy val d7OracleSql: String =
+    s2OracleCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM verified
+        |  UNION SELECT id_b, id_a FROM verified),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component AS cluster_id, count(*) AS n_members, max(id) AS max_id
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
 
     // ───────── projections / filters ─────────
@@ -977,6 +995,22 @@ object Queries {
         D.dropNearDuplicates(corpus, pairs, "id").select("id").orderBy("id")
       },
       Some(d4OracleSql)),
+
+    QueryDef("d7_dedup_clusters",
+      // transitive near-dup CLUSTERS: connected components (distributed
+      // min-label propagation) over the verified LSH pairs — A~B, B~C
+      // chains collapse into one cluster even when (A,C) was never a
+      // candidate. Oracle replays the closure with a recursive CTE.
+      (s, dir) => {
+        val corpus = plantedEmbeddings(s, dir)
+        val pairs = S.lshNeighborPairs(corpus, dim = 64, nBits = 16,
+          bands = 4, minCosine = 0.8, idCol = "id", vecCol = "v")
+        D.connectedComponents(pairs)
+          .groupBy(col("component").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+          .orderBy("cluster_id")
+      },
+      Some(d7OracleSql)),
 
     // ───────── event windows ─────────
 

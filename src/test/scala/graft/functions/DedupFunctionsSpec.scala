@@ -79,6 +79,41 @@ class DedupFunctionsSpec extends AnyFunSuite {
     assert(survivors === Set(1L, 3L))
   }
 
+  test("connectedComponents closes chains transitively (what greedy pair-drop misses)") {
+    // chain 1-2-3, pair 10-11, chain 20-21-22-23: min-label must walk the
+    // chains even though (1,3) and (20,22) etc. are not pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val cc = DedupFunctions.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path and respects maxIter") {
+    // path 0-1-2-...-30: diameter 30, label propagation needs ~30 rounds
+    val path = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = DedupFunctions.connectedComponents(path, maxIter = 40)
+    assert(cc.select(countDistinct("component")).head().getLong(0) === 1L)
+    intercept[IllegalStateException] {
+      DedupFunctions.connectedComponents(path, maxIter = 3)
+    }
+  }
+
+  test("dropNearDuplicateClusters keeps one survivor per cluster plus untouched rows") {
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = DedupFunctions.dropNearDuplicateClusters(docs, pairs, "id")
+      .as[Long].collect().toSet
+    // cluster {1,2,3} -> 1; cluster {10,11} -> 10; 99 untouched
+    assert(kept === Set(1L, 10L, 99L))
+    // greedy pair-drop gives the same survivors here, but counts clusters
+    // wrong: it sees two pairs touching {1,2,3}, not one 3-member cluster
+    val nClusters = DedupFunctions.connectedComponents(pairs)
+      .select(countDistinct("component")).head().getLong(0)
+    assert(nClusters === 2L)
+  }
+
   test("simhash64: identical docs get identical signatures (hamming 0)") {
     val sigs = corpus.select(col("doc_id"),
       DedupFunctions.simhash64(DedupFunctions.wordShingles(col("text"), 3)).as("sig"))
