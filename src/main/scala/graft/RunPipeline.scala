@@ -39,6 +39,9 @@ object RunPipeline {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL users of the app session get the native kernels too
+    // (vec_cosine / vec_dot / topk_freq / winnow_fingerprints)
+    graft.functions.GraftFunctions.register(spark)
 
     // every stand-in goes through the Source + retry + tracker chain the
     // real HTTP connectors would use, so transient fetch failures retry

@@ -214,6 +214,10 @@ object DedupFunctions {
     val edges = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      // a null endpoint would mint a phantom (null, null) label row that
+      // joins nothing and never converges meaningfully — drop it loudly
+      // at the boundary instead
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
