@@ -220,28 +220,43 @@ object DedupFunctions {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sc = pairs.sparkSession.sparkContext
+    // Dataset.unpersist is a no-op on a localCheckpoint'd frame (the
+    // checkpoint RDD never enters the CacheManager), so track each
+    // round's checkpoint blocks by persistent-RDD id and release the
+    // superseded round EAGERLY — otherwise up to maxIter full label
+    // snapshots pile up in executor storage until driver GC.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id"))
-        .localCheckpoint(true)
+      var (labels, labelIds) = checkpointTracked(
+        edges.select(col("src").as("id")).distinct()
+          .withColumn("component", col("id")))
       var iter = 0
       while (iter < maxIter) {
         val nbrMin = edges
           .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("component")).as("nbr"))
-        val updated = labels
-          .join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
-          .localCheckpoint(true)
+        val (updated, updatedIds) = checkpointTracked(
+          labels
+            .join(nbrMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("component"), coalesce(col("nbr"), col("component"))).as("component")))
         val changed = !updated
           .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
           .filter(col("component") =!= col("prev")).isEmpty
-        labels = updated
+        release(labelIds)
+        labels = updated; labelIds = updatedIds
         iter += 1
-        if (!changed) return labels
+        if (!changed) return labels // the returned frame keeps its blocks
       }
+      release(labelIds)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise it")

@@ -33,11 +33,19 @@ object GraftFunctions {
     require(args.length == n,
       s"$name expects $n arguments, got ${args.length}")
 
-  /** Plan-time integer constant: the aggregate's state size must be fixed
-    * before execution, so only foldable int literals are accepted.
+  /** Plan-time integer constant: the expression's state/output size must
+    * be fixed before execution. Any FOLDABLE int expression qualifies —
+    * builders run before constant folding, so `CAST(2 AS INT)` or `1+1`
+    * arrive unfolded and are evaluated here.
     */
   private def intLiteral(name: String, arg: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
+    case other if other.foldable && other.dataType == IntegerType =>
+      other.eval() match {
+        case v: Int => v
+        case _ => throw new IllegalArgumentException(
+          s"$name: $arg folded to null; need an INTEGER LITERAL")
+      }
     case other => throw new IllegalArgumentException(
       s"$name: $arg must be an INTEGER LITERAL (got ${other.sql})")
   }

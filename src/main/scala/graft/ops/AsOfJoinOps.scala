@@ -65,17 +65,20 @@ object AsOfJoinOps {
       dropNoMatch: Boolean,
       forward: Boolean): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
-    // internal columns must not clobber real input columns named _t etc.;
-    // derive a deterministic collision-free suffix instead of a UUID so
-    // plans stay stable across runs
+    // internal columns must not clobber real input columns named _t etc.
     val taken = (left.columns ++ right.columns).toSet
-    val sfx = Iterator.from(0).map(i => if (i == 0) "" else s"_$i")
-      .find(s => Seq("_t", "_rv", "_isLeft", "_asof").forall(n => !taken.contains(n + s))).get
-    val cT = "_t" + sfx; val cRv = "_rv" + sfx
-    val cIsLeft = "_isLeft" + sfx; val cAsof = "_asof" + sfx
+    val cT = ColNames.fresh(taken, "_t")
+    val cRv = ColNames.fresh(taken, "_rv")
+    val cIsLeft = ColNames.fresh(taken, "_isLeft")
+    val cAsof = ColNames.fresh(taken, "_asof")
     val rv = struct((rightTime +: payload).map(col): _*)
-    val rPrep = right.select(
-      (keys.map(col) :+ col(rightTime).as(cT) :+ rv.as(cRv) :+ lit(0).as(cIsLeft)): _*)
+    // a null right time satisfies NEITHER inequality, but its rv struct is
+    // non-null — unfiltered it would sort to the partition edge and leak
+    // its payload into every left row before the first real observation
+    val rPrep = right
+      .filter(col(rightTime).isNotNull)
+      .select(
+        (keys.map(col) :+ col(rightTime).as(cT) :+ rv.as(cRv) :+ lit(0).as(cIsLeft)): _*)
     val lPrep = left
       .withColumn(cT, col(leftTime))
       .withColumn(cIsLeft, lit(1))
@@ -83,9 +86,12 @@ object AsOfJoinOps {
     // backward walks time ascending (latest right <= left wins); forward
     // walks descending (earliest right >= left wins). In both, the right
     // row sorts before a same-time left row, so same-instant
-    // observations are visible.
+    // observations are visible; and a NULL-time left row sorts FIRST
+    // (asc default nulls-first; desc needs the explicit variant), so its
+    // frame holds no right rows and it gets a null payload — a null time
+    // satisfies neither inequality in any engine.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(if (forward) col(cT).desc else col(cT).asc, col(cIsLeft))
+      .orderBy(if (forward) col(cT).desc_nulls_first else col(cT).asc, col(cIsLeft))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned
       .withColumn(cAsof, last(col(cRv), ignoreNulls = true).over(w))

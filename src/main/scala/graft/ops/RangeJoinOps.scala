@@ -50,10 +50,7 @@ object RangeJoinOps {
     require(overlap.isEmpty,
       s"non-key columns must be disjoint across sides (both have: " +
         s"${overlap.mkString(", ")}); rename before joining")
-    // collision-free internal cell column (same convention as AsOfJoinOps)
-    val taken = (points.columns ++ intervals.columns).toSet
-    val cell = Iterator.from(0).map(i => if (i == 0) "_cell" else s"_cell_$i")
-      .find(!taken.contains(_)).get
+    val cell = ColNames.fresh((points.columns ++ intervals.columns).toSet, "_cell")
     def cellOf(ts: org.apache.spark.sql.Column) =
       floor(unix_timestamp(ts) / bucketSeconds)
     val p = points.withColumn(cell, cellOf(col(pointCol)))

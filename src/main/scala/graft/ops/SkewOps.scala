@@ -42,8 +42,7 @@ object SkewOps {
     require(allowed.contains(joinType),
       s"saltedJoin supports $allowed (right/full joins would replicate " +
         s"unmatched right rows); got '$joinType'")
-    val taken = (left.columns ++ right.columns).toSet
-    val salt = Iterator.from(0).map(i => s"_salt$i").filterNot(taken.contains).next()
+    val salt = ColNames.fresh((left.columns ++ right.columns).toSet, "_salt")
     // xxhash64 rejects MapType anywhere in a column's type; hash the
     // hashable columns only (callers with huge array/binary payloads can
     // pre-project — the salt only needs SOME row-varying input). If

@@ -69,12 +69,21 @@ final class Warehouse(spark: SparkSession, root: String) {
     }
     val rootEntries = fs.listStatus(p).filter(visible)
     if (rootEntries.isEmpty) return
-    // ordered partition columns on disk: follow one `col=value` chain
+    // ordered partition columns on disk: follow one `col=value` chain —
+    // but at EVERY level first require all sibling hive dirs to agree on
+    // the column name, so an already-mixed layout (a=.../ beside b=.../,
+    // out-of-band corruption) is rejected instead of silently validated
+    // along whichever chain listStatus happens to return first
     @annotation.tailrec
     def chain(dir: org.apache.hadoop.fs.Path, acc: List[String]): List[String] = {
       val hiveDirs = fs.listStatus(dir).filter(visible).filter { s =>
         s.isDirectory && s.getPath.getName.contains("=")
       }
+      val levelCols = hiveDirs.map(_.getPath.getName.takeWhile(_ != '=')).toSet
+      require(levelCols.size <= 1,
+        s"table '$table' has CONFLICTING partition columns at one level " +
+          s"(${levelCols.toSeq.sorted.mkString(", ")} under ${dir.getName}); " +
+          "the layout is already mixed — repair it before appending")
       hiveDirs.headOption match {
         case Some(d) =>
           chain(d.getPath, acc :+ d.getPath.getName.takeWhile(_ != '='))
@@ -276,14 +285,20 @@ final class Warehouse(spark: SparkSession, root: String) {
     // deleting — corrupting the touched partitions. localCheckpoint
     // TRUNCATES the lineage instead, so a lost block fails the job
     // (retryable) rather than silently re-reading a half-deleted table.
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val staged = merged.localCheckpoint(true)
+    val stagedIds = spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(beforeIds)
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try staged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path(table))
-    finally
-      // checkpoint blocks are released by the ContextCleaner once `staged`
-      // is unreachable; Dataset.unpersist would be a no-op here
+    finally {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      // Dataset.unpersist is a no-op on a localCheckpoint'd frame, so
+      // release the checkpoint blocks by RDD id — a long-lived session
+      // looping upserts must not accumulate a stage copy per call
+      stagedIds.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
   }
 
   /** K-10: whole-table replace (reference `to_sql(if_exists='replace')`,

@@ -93,8 +93,13 @@ class DedupFunctionsSpec extends AnyFunSuite {
   test("connectedComponents converges on a long path and respects maxIter") {
     // path 0-1-2-...-30: diameter 30, label propagation needs ~30 rounds
     val path = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
     val cc = DedupFunctions.connectedComponents(path, maxIter = 40)
     assert(cc.select(countDistinct("component")).head().getLong(0) === 1L)
+    // superseded per-round label checkpoints are released eagerly: after
+    // ~30 rounds only the RETURNED labels' blocks may remain pinned
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"leaked checkpoints: $before -> $after")
     intercept[IllegalStateException] {
       DedupFunctions.connectedComponents(path, maxIter = 3)
     }

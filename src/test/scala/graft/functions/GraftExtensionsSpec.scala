@@ -48,6 +48,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("INTEGER LITERAL"), e.getMessage)
   }
 
+  test("topk_freq accepts foldable constant expressions for k/capacity") {
+    Seq("a", "a", "b").toDF("w").createOrReplaceTempView("words_f")
+    // builders run BEFORE constant folding, so CAST(1 AS INT)/1+1 arrive
+    // unfolded; any foldable int expression must work
+    val out = spark.sql(
+      "SELECT topk_freq(w, CAST(1 AS INT), 5 + 5) AS top FROM words_f")
+      .select(explode(col("top")).as("t")).select(col("t.value"))
+      .as[String].collect().toSeq
+    assert(out === Seq("a"))
+  }
+
   test("extensions class injects the same builders at session build") {
     // the injection seq is shared by construction; assert the class is
     // instantiable with the zero-arg constructor spark.sql.extensions uses

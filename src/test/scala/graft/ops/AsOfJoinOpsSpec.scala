@@ -59,6 +59,24 @@ class AsOfJoinOpsSpec extends AnyFunSuite {
     assert(out(3).getAs[Double]("rate") === 4.00) // B Jan 5 -> Mar 1 obs
   }
 
+  test("null times match nothing in either direction") {
+    // a null LEFT time satisfies neither inequality -> null payload;
+    // a null RIGHT time must never act as a fallback observation
+    val l = Seq(("A", Some("2024-02-10")), ("A", None)).toDF("ticker", "d")
+      .selectExpr("ticker", "CAST(d AS DATE) AS date")
+    val r = Seq(("A", Some("2024-01-01"), 5.25), ("A", None, 99.9))
+      .toDF("ticker", "md", "rate")
+      .selectExpr("ticker", "CAST(md AS DATE) AS mdate", "rate")
+    val back = AsOfJoinOps.asOfJoinBackward(l, r, Seq("ticker"), "date", "mdate", Seq("rate"))
+      .orderBy($"date".asc_nulls_first).select("rate").collect()
+    assert(back(0).isNullAt(0), "null left time must get null payload (backward)")
+    assert(back(1).getAs[Double](0) === 5.25, "null right time must not shadow a real obs")
+    val fwd = AsOfJoinOps.asOfJoinForward(l, r, Seq("ticker"), "date", "mdate", Seq("rate"))
+      .orderBy($"date".asc_nulls_first).select("rate").collect()
+    assert(fwd(0).isNullAt(0), "null left time must get null payload (forward)")
+    assert(fwd(1).isNullAt(0), "no obs at/after Feb 10; null-time right row must not match")
+  }
+
   test("forward as-of sees a same-instant right observation") {
     val right = Seq(("A", "2024-03-20", 7.77)).toDF("ticker", "md", "rate")
       .selectExpr("ticker", "CAST(md AS DATE) AS mdate", "rate")

@@ -163,6 +163,20 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.dedupAppend("ml", batch, Seq("ticker", "date"), Seq("ticker", "date")) === 0L)
   }
 
+  test("already-mixed sibling partition columns are rejected, not chain-validated") {
+    // simulate out-of-band corruption: ticker= and date= dirs side by
+    // side at the root; the guard must refuse EVERY partitioned append,
+    // not follow whichever chain the directory listing yields first
+    val root = Files.createTempDirectory("graft_wh_mix").toString
+    val wh = new Warehouse(spark, root)
+    wh.dedupAppend("mix", batch, Seq("ticker", "date"), Seq("ticker"))
+    batch.limit(1).write.parquet(s"$root/mix/date=2024-01-01")
+    val e = intercept[IllegalArgumentException] {
+      wh.dedupAppend("mix", batch, Seq("ticker", "date"), Seq("ticker"))
+    }
+    assert(e.getMessage.contains("CONFLICTING"), e.getMessage)
+  }
+
   test("empty-string partition values are rejected (hive reads them back as null)") {
     val wh = freshWarehouse()
     val b = Seq(("", "2024-01-01", 1.0)).toDF("ticker", "date", "close")
