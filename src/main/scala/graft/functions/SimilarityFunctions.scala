@@ -121,6 +121,42 @@ object SimilarityFunctions {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127, each
+    * element rounds to a signed byte — 4x smaller than float32, 8x
+    * smaller than the double arrays Spark hands around, which at 100 TB
+    * decides whether an ANN corpus fits executor memory at all. Returns
+    * `struct(scale float, q array<tinyint>)`.
+    *
+    * Cosine is invariant to a per-vector positive scale, so quantized
+    * vectors compare DIRECTLY: `cosine(qa.q, qb.q)` equals the cosine of
+    * the dequantized vectors exactly ([[VecCosine]] widens integral
+    * elements), no dequantization in the hot loop. Both the vector and
+    * the derived scale route through [[TextFunctions.bound]] — captured
+    * subexpressions inside array lambdas re-evaluate per ELEMENT, so an
+    * unbound scale would recompute the array_max O(dim) times per row.
+    *
+    * Null vector → null; the 1e-30 floor keeps all-zero vectors from
+    * dividing by zero (they quantize to all-zero bytes).
+    */
+  def quantizeInt8(vec: Column): Column =
+    // explicit null gate: `greatest` IGNORES nulls, so a null vector
+    // would otherwise produce a non-null struct with a floor scale
+    when(vec.isNotNull,
+      TextFunctions.bound(vec) { v =>
+        TextFunctions.bound(
+          greatest(array_max(transform(v, x => abs(x.cast("double")))), lit(1e-30)) / 127.0) { s =>
+          struct(
+            s.cast("float").as("scale"),
+            transform(v, x => round(x.cast("double") / s).cast("byte")).as("q"))
+        }
+      })
+
+  /** Inverse of [[quantizeInt8]]: per-element error ≤ scale/2. */
+  def dequantizeInt8(qv: Column): Column =
+    TextFunctions.bound(qv.getField("scale").cast("double")) { s =>
+      transform(qv.getField("q"), x => x.cast("double") * s)
+    }
+
   /** Deterministic random hyperplanes: coefficient (i, j) from a
     * splitmix-style integer mix of the seed → uniform in [-1, 1]. Pure
     * function of (dim, nBits, seed), so the driver, every executor AND an

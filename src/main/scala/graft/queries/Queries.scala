@@ -840,6 +840,22 @@ object Queries {
 
     // ───────── similarity search (embeddings) ─────────
 
+    QueryDef("s4_quantized_knn",
+      // exact KNN over the int8-QUANTIZED corpus: 4x/8x smaller vectors,
+      // searched directly (cosine is scale-invariant, VecCosine widens
+      // bytes) — the memory-bound 100 TB regime. Quantization rounding is
+      // engine-specific → rows-only; SimilarityFunctionsSpec bounds the
+      // round-trip error and recall@5 against the exact s1 results.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.select(col("vec_id"),
+          S.quantizeInt8(col("embedding")).getField("q").as("embedding"))
+        val q = corpus.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.bruteForceTopK(corpus, q, 5).orderBy("query_id", "rank")
+      },
+      None),
+
     QueryDef("s1_knn_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

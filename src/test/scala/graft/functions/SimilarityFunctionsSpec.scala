@@ -151,6 +151,61 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       s"query $qid expected twin ${qid + 10000L}, got $hit") }
   }
 
+  test("int8 quantization: bounded round-trip error, cosine preserved, null safe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    val rt = emb.select(
+      col("embedding").cast("array<double>").as("v"),
+      SimilarityFunctions.quantizeInt8(col("embedding")).as("qv"))
+      .select(col("v"),
+        SimilarityFunctions.dequantizeInt8(col("qv")).as("d"),
+        col("qv.scale").cast("double").as("scale"))
+      .collect()
+    assert(rt.length === 60)
+    rt.foreach { r =>
+      val v = r.getSeq[Double](0); val d = r.getSeq[Double](1); val s = r.getDouble(2)
+      assert(v.length === d.length)
+      v.zip(d).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= s / 2 + 1e-9, s"error ${math.abs(x - y)} > scale/2 $s")
+      }
+    }
+    // cosine over raw int8 codes tracks the full-precision cosine
+    val pairs = emb.limit(20).select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.limit(20).select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .filter(col("vec_id") < col("id2"))
+    val drift = pairs.select(
+      abs(SimilarityFunctions.cosine(col("embedding"), col("e2")) -
+        SimilarityFunctions.cosine(
+          SimilarityFunctions.quantizeInt8(col("embedding")).getField("q"),
+          SimilarityFunctions.quantizeInt8(col("e2")).getField("q"))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(drift < 0.02, s"quantized cosine drifted $drift")
+    // null vector quantizes to null
+    val nr = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS v")
+      .select(SimilarityFunctions.quantizeInt8(col("v"))).head()
+    assert(nr.isNullAt(0))
+  }
+
+  test("quantized KNN keeps high recall against the exact full-precision top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = SimilarityFunctions.bruteForceTopK(emb, q, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val qcorpus = emb.select(col("vec_id"),
+      SimilarityFunctions.quantizeInt8(col("embedding")).getField("q").as("embedding"))
+    val qq = qcorpus.filter(col("vec_id") < 8L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val approx = SimilarityFunctions.bruteForceTopK(qcorpus, qq, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = exact.map { case (qid, hits) =>
+      val e = hits.map(_._2).toSet
+      val a = approx.getOrElse(qid, Array.empty[(Long, Long)]).map(_._2).toSet
+      e.intersect(a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@5 $mean < 0.9 (${recalls.toSeq.sorted})")
+  }
+
   test("hierarchical IVF with full coarse probe equals flat ivfTopK exactly") {
     val rng = new scala.util.Random(17L)
     val cents = (0L until 300L).map(i => (i, seededUnitVec(rng, 32)))
