@@ -95,6 +95,29 @@ object TextFunctions {
     when(top.getField("hits") <= 0, lit("und")).otherwise(top.getField("lang"))
   }
 
+  /** Duplicate word-n-gram fraction — the Gopher/C4-style repetition
+    * signal (a document whose text is mostly the same phrases over and
+    * over is boilerplate or spam): 1 − distinct-n-grams / n-grams, in
+    * [0, 1], 0 for empty/too-short text. n = 1 is the duplicate-word
+    * fraction; n = 2/3 catch phrase loops that unique words hide. Pure
+    * expressions, single projection; every captured array routes through
+    * [[bound]] (per-element re-evaluation trap).
+    */
+  def duplicateNgramFraction(text: Column, n: Int = 1): Column = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    bound(split(lower(trim(text)), "\\s+")) { toks =>
+      // sequence(1, m) steps BACKWARDS for m < 1, so the too-short case
+      // must short-circuit to an empty gram list (slice keeps the type)
+      bound(when(size(toks) - (n - 1) < 1, slice(toks, 1, 0))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))) { grams =>
+        when(length(trim(text)) === 0 || size(grams) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+      }
+    }
+  }
+
   /** Normalized-text fingerprint: lowercase, collapse whitespace, strip
     * punctuation, md5. Canonical exact-dedup key (whitespace/case
     * variations collapse to one fingerprint).

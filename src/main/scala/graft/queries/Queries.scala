@@ -661,6 +661,35 @@ object Queries {
              |SELECT doc_id, CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints
              |FROM w ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t6_repetition",
+      // Gopher/C4-style repetition filter signals: duplicate word and
+      // bigram fractions per document. Each fraction is ONE IEEE division
+      // of two small exact counts, bit-identical in any engine — no
+      // rounding needed.
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        T.duplicateNgramFraction(col("text"), 1).as("dup_word_frac"),
+        T.duplicateNgramFraction(col("text"), 2).as("dup_bigram_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    string_split_regex(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, w,
+             |    CASE WHEN len(w) < 2 THEN []
+             |         ELSE list_transform(generate_series(1, len(w) - 1),
+             |                i -> w[i] || ' ' || w[i+1]) END AS bg
+             |  FROM toks)
+             |SELECT doc_id,
+             |  CASE WHEN len(w) = 0 THEN 0.0
+             |       ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+             |  END AS dup_word_frac,
+             |  CASE WHEN len(bg) = 0 THEN 0.0
+             |       ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             |  END AS dup_bigram_frac
+             |FROM grams ORDER BY doc_id""".stripMargin)),
+
     QueryDef("t4b_winnow_native",
       // the PRODUCTION winnowing path: the native codegen expression over
       // xxhash64 — one compiled pass per document vs t4's interpreted

@@ -103,6 +103,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fp.length === 1)
   }
 
+  test("duplicateNgramFraction: known fractions, short/empty safety") {
+    val df = Seq(
+      "a b a b a",     // words: 5 toks, 2 distinct -> 0.6; bigrams: 4, 2 distinct -> 0.5
+      "all words differ here",   // 0.0 and 0.0
+      "x",             // single token: no bigrams -> 0.0
+      ""               // empty -> 0.0
+    ).toDF("text").select(
+      TextFunctions.duplicateNgramFraction(col("text"), 1).as("w"),
+      TextFunctions.duplicateNgramFraction(col("text"), 2).as("b"))
+      .as[(Double, Double)].collect()
+    assert(df(0) === ((1.0 - 2.0 / 5.0, 0.5)))
+    assert(df(1) === ((0.0, 0.0)))
+    assert(df(2) === ((0.0, 0.0)))
+    assert(df(3) === ((0.0, 0.0)))
+  }
+
   test("native winnowing is bit-identical to the HOF form on real documents") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
