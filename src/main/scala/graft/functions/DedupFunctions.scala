@@ -82,6 +82,36 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Test-set decontamination: per training document, the number of
+    * distinct word n-grams it shares with ANY held-out/benchmark
+    * document (reference has no equivalent; this is the standard
+    * train/eval-overlap audit an LLM corpus needs before training).
+    * Returns `(idCol, n_shared_grams)` for contaminated docs only —
+    * join back left-anti to drop them, or inspect the counts to set a
+    * threshold.
+    *
+    * Scale shape: the held-out side is a benchmark suite — tiny next to
+    * a 100 TB corpus — so its distinct gram set is BROADCAST
+    * (`broadcastTest=true`, the default) and the train-side explode
+    * joins map-side with NO shuffle of the corpus at all; the only
+    * shuffle is the per-doc count aggregation, which carries (id, gram)
+    * survivors. With a large held-out side, pass `broadcastTest=false`
+    * for a plain hash join on the gram. Grams are matched as strings —
+    * at extreme scale swap in `xxhash64(g)` join keys (64-bit shuffle
+    * rows, ~2⁻⁶⁴ false-positive rate); kept exact here so external
+    * engines can replay the audit verbatim.
+    */
+  def contaminationReport(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, broadcastTest: Boolean = true): DataFrame = {
+    val trainGrams = train.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("g"))
+    val testGrams0 = test.select(explode(wordShingles(col(textCol), n)).as("g")).distinct()
+    val testGrams = if (broadcastTest) broadcast(testGrams0) else testGrams0
+    trainGrams.join(testGrams, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** MinHash signature: k hash functions simulated as
     * `xxhash64(shingle, seed_i)`, signature[i] = min over shingles.
     * Computed with array exprs — no UDF, no extra shuffle; one projection.

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics relevance scoring (BM25) for keyword retrieval over
+  * a document table — the classic quality-retrieval shape a training-data
+  * pipeline uses to pull topic-matched subsets out of a crawl.
+  *
+  * Scale shape: corpus statistics (N, Σdl, per-term document frequency)
+  * are ONE aggregate over the token projection — a single reduce to one
+  * row — broadcast back with a scalar cross join, so scoring is a pure
+  * per-row projection with NO shuffle of documents. The per-term tf/df
+  * computation is fused into the same pass (no per-term scans).
+  */
+object RelevanceFunctions {
+
+  /** BM25 score per document for a fixed bag of query terms.
+    * Tokenization: lowercase whitespace split (the corpus-wide standard
+    * used by [[TextFunctions]]/[[DedupFunctions]]).
+    *
+    * Determinism contract: N, Σdl and df are exact longs; the per-row
+    * score is a FIXED-ORDER (left-associated, query-term order) sum of
+    * per-term IEEE chains, and the result is rounded to 6 decimals — so
+    * an external engine replaying the same formula hash-matches.
+    *
+    * Returns (idCol, bm25).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val base = df.select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("long"))
+    // one fused aggregate: corpus size, total length, and every term's
+    // document frequency in a single reduce-to-one-row pass
+    val statCols =
+      count(lit(1)).as("_n") +: sum(col("_dl")).as("_sumdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("_toks"), t), 1L).otherwise(0L)).as(s"_df_$i")
+        }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val n = col("_n").cast("double")
+    val avgdl = col("_sumdl").cast("double") / n
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("_toks"), x => x === lit(t))).cast("double")
+      val dfT = col(s"_df_$i").cast("double")
+      val idf = log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / avgdl))
+    }.reduce(_ + _) // left fold: summation order is part of the contract
+    scored.select(col(idCol), round(score, 6).as("bm25"))
+  }
+}

@@ -85,4 +85,42 @@ object SamplingFunctions {
       .when(b < pctTrain + pctValid, lit("valid"))
       .when(b.isNotNull, lit("test"))
   }
+
+  /** Sequence packing: assign each document to a fixed-token-budget pack
+    * (the pre-training batching shape — documents are concatenated into
+    * `budgetTokens`-sized training sequences, and the assignment must be
+    * deterministic so every re-run of the corpus job builds identical
+    * shards). Documents are sharded by `idCol % shards`, ordered by id
+    * within the shard, and a document starts in the pack its running
+    * token PREFIX falls in: `pack = prefix_before_doc div budget`.
+    * A document longer than the budget simply spans packs (the trainer's
+    * splitter handles intra-document boundaries).
+    *
+    * Output: (idCol, shard, pack_id, prefix_tokens) — pack_id is unique
+    * WITHIN a shard; (shard, pack_id) is the global pack key.
+    *
+    * Scale shape: ONE shuffle (hash by shard), then per-shard window
+    * cumsum — each shard's packing is independent, so parallelism =
+    * `shards` (size it to the cluster, e.g. one shard per output file).
+    * A single global greedy pack would serialize the whole corpus
+    * through one partition; per-shard packing trades ≤ one partially
+    * filled pack per shard for full parallelism. All-integer math —
+    * bit-identical in any engine.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budgetTokens: Long, shards: Int): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1 (got $budgetTokens)")
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        col(tokensCol).cast("long").as("_tok"))
+      .withColumn("prefix_tokens", sum(col("_tok")).over(w) - col("_tok"))
+      // `div` (integer division), not `/`: Long / Long is a DOUBLE in
+      // Spark SQL, and a 100 TB corpus's token prefix can pass 2^53
+      .select(col(idCol), col("shard"),
+        expr(s"prefix_tokens div ${budgetTokens}L").as("pack_id"),
+        col("prefix_tokens"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions => D, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T}
+import graft.functions.{DedupFunctions => D, RelevanceFunctions => R, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T}
 import graft.ops.{AsOfJoinOps, CrossValidationOps, FeatureOps, MacroOps, RangeJoinOps, SkewOps, ValidationOps}
 
 /** One driver-verifiable query. `oracle` is the DuckDB-equivalent ANSI
@@ -1207,7 +1207,94 @@ object Queries {
              |  ON p.event_type = 'purchase' AND c.event_type = 'click'
              | AND c.user_id = p.user_id
              | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
-             |ORDER BY 1, 2, 3""".stripMargin))
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    QueryDef("c1_decontamination",
+      // train/eval overlap audit: per training doc, distinct word
+      // 3-grams shared with the held-out set (doc_id % 50 == 0 stands in
+      // for the benchmark suite). The held-out gram set broadcasts, so
+      // the corpus side joins map-side with no shuffle of train grams
+      // until the per-doc count. n=3 on this synthetic vocab plays the
+      // role 13-grams do on real text (standard published setting).
+      (s, dir) => {
+        val d = docs(s, dir)
+        D.contaminationReport(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(
+             |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |                i -> array_to_string(w[i:i+2], ' '))) END) AS g
+             |  FROM toks),
+             |test AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+             |SELECT doc_id, count(*) AS n_shared_grams
+             |FROM grams JOIN test USING (g)
+             |WHERE doc_id % 50 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("pack1_sequence_packing",
+      // deterministic sequence packing: documents into 512-token training
+      // packs across 8 shards; the full per-doc assignment is the result
+      // (all-integer math — any engine replays it bit-identically).
+      (s, dir) => Sam.packSequences(
+        docs(s, dir).select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 512L, shards = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, shard, tok,
+             |    CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      - tok AS prefix_tokens
+             |  FROM t)
+             |SELECT doc_id, shard,
+             |  CAST(prefix_tokens // 512 AS BIGINT) AS pack_id, prefix_tokens
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("r1_bm25",
+      // BM25 keyword relevance over the corpus: stats (N, Σdl, per-term
+      // df) aggregate to ONE row and broadcast back, so scoring is a
+      // shuffle-free projection. Score = fixed-order sum of per-term IEEE
+      // chains, rounded to 6dp — cross-engine reproducible.
+      (s, dir) => R.bm25(docs(s, dir), "doc_id", "text",
+        Seq("filter", "stream", "customer")).orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+             |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS dl
+             |  FROM documents),
+             |st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+             |    CAST(sum(CASE WHEN list_contains(w, 'filter') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |    CAST(sum(CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |    CAST(sum(CASE WHEN list_contains(w, 'customer') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |  FROM d),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(w, x -> x = 'filter')) AS DOUBLE) AS tf0,
+             |    CAST(len(list_filter(w, x -> x = 'stream')) AS DOUBLE) AS tf1,
+             |    CAST(len(list_filter(w, x -> x = 'customer')) AS DOUBLE) AS tf2,
+             |    CAST(dl AS DOUBLE) AS dl, n, sumdl, df0, df1, df2
+             |  FROM d, st)
+             |SELECT doc_id, round(
+             |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+             |      * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+             |  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+             |      * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+             |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+             |      * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))),
+             |  6) AS bm25
+             |FROM sc ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -140,4 +140,28 @@ class DedupFunctionsSpec extends AnyFunSuite {
       .head().getAs[Number]("h").longValue()
     assert(d === 3L)
   }
+
+  test("contaminationReport counts distinct shared grams; broadcast-agnostic") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),   // shares "alpha beta gamma"
+      (2L, "zeta eta theta iota"),      // clean -> absent from the report
+      (3L, "alpha beta gamma epsilon")) // shares "alpha beta gamma"
+      .toDF("doc_id", "text")
+    val heldOut = Seq((100L, "alpha beta gamma other words here"))
+      .toDF("doc_id", "text")
+    for (bc <- Seq(true, false)) {
+      val r = DedupFunctions
+        .contaminationReport(train, heldOut, "doc_id", "text", n = 3,
+          broadcastTest = bc)
+        .orderBy("doc_id").as[(Long, Long)].collect()
+      assert(r === Array((1L, 1L), (3L, 1L)), s"broadcastTest=$bc")
+    }
+    // repeated grams inside one doc count ONCE (shingles are distinct)
+    val rep = Seq((7L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val r2 = DedupFunctions.contaminationReport(rep, heldOut, "doc_id", "text", 3)
+      .as[(Long, Long)].collect()
+    // doc 7 grams (distinct): "alpha beta gamma", "beta gamma alpha",
+    // "gamma alpha beta" -> only the first is held-out
+    assert(r2 === Array((7L, 1L)))
+  }
 }

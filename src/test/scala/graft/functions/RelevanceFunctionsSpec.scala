@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RelevanceFunctionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // hand corpus: N=3, dl = 3,2,3, sumdl = 8
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "durian durian durian")).toDF("doc_id", "text")
+
+  /** The EXACT double chain bm25 promises (same association order). */
+  private def term(tf: Double, dfT: Double, dl: Double,
+      n: Double = 3.0, sumdl: Double = 8.0): Double = {
+    val avgdl = sumdl / n
+    val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25 matches the hand-computed chain bit-for-bit (after 6dp round)") {
+    val got = RelevanceFunctions
+      .bm25(corpus, "doc_id", "text", Seq("apple", "banana"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    // df(apple)=1, df(banana)=2; summation order is apple then banana
+    val want = Array(
+      1L -> r6(term(2, 1, 3) + term(1, 2, 3)),
+      2L -> r6(term(0, 1, 2) + term(1, 2, 2)),
+      3L -> r6(term(0, 1, 3) + term(0, 2, 3)))
+    assert(got === want)
+    // absent terms contribute exactly 0, so doc 3 scores 0
+    assert(got(2)._2 === 0.0)
+  }
+
+  test("scores are partitioning-invariant (stats are one global aggregate)") {
+    val a = RelevanceFunctions.bm25(corpus, "doc_id", "text", Seq("banana"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    val b = RelevanceFunctions.bm25(corpus.repartition(5), "doc_id", "text", Seq("banana"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(a === b)
+  }
+
+  test("guards: empty and duplicate term lists are rejected") {
+    intercept[IllegalArgumentException] {
+      RelevanceFunctions.bm25(corpus, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      RelevanceFunctions.bm25(corpus, "doc_id", "text", Seq("a", "a"))
+    }
+  }
+}

@@ -91,4 +91,28 @@ class SamplingFunctionsSpec extends AnyFunSuite {
       assert(sampled.count() === 1L, "null key must never enter a sample")
     }
   }
+
+  test("packSequences: per-shard prefix packing, exact and deterministic") {
+    val df = Seq((0L, 100L), (8L, 200L), (16L, 300L), (24L, 50L),
+      (1L, 500L), (9L, 10L)).toDF("doc_id", "n_tokens")
+    val packed = SamplingFunctions.packSequences(df, "doc_id", "n_tokens", 256L, 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // shard 0 in id order: prefixes 0,100,300,600 -> packs 0,0,1,2
+    // shard 1: prefixes 0,500 -> packs 0,1
+    assert(packed === Array(
+      (0L, 0L, 0L, 0L), (1L, 1L, 0L, 0L), (8L, 0L, 0L, 100L),
+      (9L, 1L, 1L, 500L), (16L, 0L, 1L, 300L), (24L, 0L, 2L, 600L)))
+    // assignment is a function of (id, tokens) only — partitioning-proof
+    val again = SamplingFunctions.packSequences(
+      df.repartition(7), "doc_id", "n_tokens", 256L, 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(again === packed)
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.packSequences(df, "doc_id", "n_tokens", 0L, 8)
+    }
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.packSequences(df, "doc_id", "n_tokens", 256L, 0)
+    }
+  }
 }
