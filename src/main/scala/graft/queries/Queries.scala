@@ -1239,6 +1239,64 @@ object Queries {
              |WHERE doc_id % 50 <> 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    QueryDef("c2_pii_redaction",
+      // PII scrub over a corpus with PLANTED emails/phones/IPs (the raw
+      // synthetic docs carry none — planting creates the condition under
+      // test, the s2 pattern): count matches and redact, as a pure
+      // codegen regexp projection. The oracle replays the identical
+      // plant + pattern chain in RE2 — the patterns are written in the
+      // Java∩RE2 common subset so both engines see the same matches —
+      // and compares the redacted text by md5.
+      (s, dir) => {
+        val planted = docs(s, dir).select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" from 192.168.1.77"))
+            .otherwise(lit(""))).as("text"))
+        planted.select(col("doc_id"),
+          T.piiCount(col("text")).as("n_pii"),
+          md5(T.redactPii(col("text"))).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 7 = 0
+             |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0
+             |            THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.1.77' ELSE '' END
+             |    AS text
+             |  FROM documents),
+             |p1 AS (SELECT doc_id, text,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS c1,
+             |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g') AS t1,
+             |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g') AS r1
+             |  FROM planted),
+             |p2 AS (SELECT doc_id, c1,
+             |  CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS c2,
+             |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', ' ', 'g') AS t2,
+             |  regexp_replace(r1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g') AS r2
+             |  FROM p1),
+             |p3 AS (SELECT doc_id, c1, c2,
+             |  CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS c3,
+             |  regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b', ' ', 'g') AS t3,
+             |  regexp_replace(r2, '\b\d{3}-\d{2}-\d{4}\b', '<PII>', 'g') AS r3
+             |  FROM p2),
+             |p4 AS (SELECT doc_id, c1, c2, c3,
+             |  CAST(len(regexp_extract_all(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS c4,
+             |  regexp_replace(r3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PII>', 'g') AS r4
+             |  FROM p3)
+             |SELECT doc_id, c1 + c2 + c3 + c4 AS n_pii, md5(r4) AS redacted_md5
+             |FROM p4 ORDER BY doc_id""".stripMargin)),
+
     QueryDef("pack1_sequence_packing",
       // deterministic sequence packing: documents into 512-token training
       // packs across 8 shards; the full per-doc assignment is the result

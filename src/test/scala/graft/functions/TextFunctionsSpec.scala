@@ -119,6 +119,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(df(3) === ((0.0, 0.0)))
   }
 
+  test("redactPii masks all four pattern families; piiCount agrees") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",          // email
+      "host 10.0.255.3 and ssn 123-45-6789",            // ipv4 + ssn
+      "call 555-867-5309 or 555.867.5309",              // two phones
+      "clean text with no identifiers at all",          // nothing
+      "a@b.io 1.2.3.4 111-22-3333 222-333-4444"         // one of each
+    ).toDF("text").select(
+      TextFunctions.redactPii(col("text")).as("r"),
+      TextFunctions.piiCount(col("text")).as("n"))
+      .as[(String, Long)].collect()
+    assert(df(0) === (("mail <PII> now", 1L)))
+    assert(df(1) === (("host <PII> and ssn <PII>", 2L)))
+    assert(df(2) === (("call <PII> or <PII>", 2L)))
+    assert(df(3) === (("clean text with no identifiers at all", 0L)))
+    assert(df(4) === (("<PII> <PII> <PII> <PII>", 4L)))
+  }
+
   test("native winnowing is bit-identical to the HOF form on real documents") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
