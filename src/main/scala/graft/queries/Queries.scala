@@ -690,6 +690,69 @@ object Queries {
              |  END AS dup_bigram_frac
              |FROM grams ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t7_filter_chain",
+      // the C4/Gopher-style corpus filter CHAIN: length, quality,
+      // repetition, and language gates composed into one keep decision,
+      // with the per-gate flags kept for auditability (a real pipeline
+      // reports WHY each document dropped). One projection pass — the
+      // gates share the token split and nothing shuffles. Thresholds
+      // chosen to split the synthetic corpus non-trivially on every
+      // gate. Gate comparisons are on unrounded doubles — safe because
+      // t2/t6 pin those chains bit-identical across engines.
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+          T.tokenCount(col("text")).as("n_tokens"),
+          T.qualityScore(col("text")).as("quality"),
+          T.duplicateNgramFraction(col("text"), 2).as("dup_bg"),
+          T.languageId(col("text")).as("lang_id"))
+        .select(col("doc_id"),
+          (col("n_tokens") >= 20 && col("n_tokens") <= 1000).as("len_ok"),
+          (col("quality") >= 75.0).as("quality_ok"),
+          (col("dup_bg") <= 0.05).as("rep_ok"),
+          (col("lang_id") === "en").as("lang_ok"))
+        .withColumn("keep",
+          col("len_ok") && col("quality_ok") && col("rep_ok") && col("lang_ok"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
+             |         END AS punct_ratio,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
+             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, n_tok, w,
+             |    (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+             |     + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+             |     + least(stopword_ratio * 5.0, 1.0) * 0.3) * 100.0 AS quality,
+             |    CASE WHEN len(w) < 2 THEN 0.0
+             |         ELSE 1.0 - CAST(len(list_distinct(list_transform(
+             |                  generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+             |              / (len(w) - 1) END AS dup_bg,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))) AS h_de,
+             |    len(list_filter(w, x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS h_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','los','las','es','una','por','para','que','con'], x))) AS h_es,
+             |    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','pour','dans','que','des'], x))) AS h_fr
+             |  FROM b),
+             |f AS (
+             |  SELECT doc_id,
+             |    n_tok >= 20 AND n_tok <= 1000 AS len_ok,
+             |    quality >= 75.0 AS quality_ok,
+             |    dup_bg <= 0.05 AS rep_ok,
+             |    (CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+             |          WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             |          WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             |          WHEN h_es >= h_fr THEN 'es'
+             |          ELSE 'fr' END) = 'en' AS lang_ok
+             |  FROM g)
+             |SELECT doc_id, len_ok, quality_ok, rep_ok, lang_ok,
+             |  len_ok AND quality_ok AND rep_ok AND lang_ok AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     QueryDef("t4b_winnow_native",
       // the PRODUCTION winnowing path: the native codegen expression over
       // xxhash64 — one compiled pass per document vs t4's interpreted
