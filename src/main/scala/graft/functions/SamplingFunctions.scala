@@ -86,6 +86,33 @@ object SamplingFunctions {
       .when(b.isNotNull, lit("test"))
   }
 
+  /** Quantile-bucket assignment (curriculum/difficulty binning): each
+    * row gets the bucket its `valueCol` falls in among `nBuckets`
+    * equal-mass bins. The scale-correct shape: a global `ntile()` window
+    * would sort the WHOLE corpus through one partition; here the n−1
+    * exact-percentile cut points reduce to ONE row, broadcast back, and
+    * assignment is a per-row comparison count — no shuffle of the data.
+    * Cut points are rounded to 6 dp before comparing (the a + (b−a)·frac
+    * interpolation can differ by ulps across engines; the VALUES are
+    * bit-reproducible, so comparing against rounded cuts makes the
+    * assignment engine-portable — same contract as the a10 oracle).
+    * At extreme scale swap `percentile` for `approx_percentile`: ±ε on
+    * the cut points moves only rows within ε of a boundary.
+    */
+  def quantileBucket(df: DataFrame, idCol: String, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = df.agg(
+      expr(s"percentile($valueCol, array(${fracs.mkString("D,")}D))").as("_cuts"))
+    df.select(col(idCol), col(valueCol))
+      .crossJoin(broadcast(cuts))
+      .select(col(idCol), col(valueCol),
+        aggregate(col("_cuts"), lit(0),
+          (acc, c) => acc + when(col(valueCol) > round(c, 6), 1).otherwise(0))
+          .as("bucket"))
+  }
+
   /** Sequence packing: assign each document to a fixed-token-budget pack
     * (the pre-training batching shape — documents are concatenated into
     * `budgetTokens`-sized training sequences, and the assignment must be

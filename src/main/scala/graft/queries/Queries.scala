@@ -753,6 +753,42 @@ object Queries {
              |  len_ok AND quality_ok AND rep_ok AND lang_ok AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t8_quality_deciles",
+      // curriculum binning: quality-score deciles via broadcast exact
+      // cut points (never a global ntile sort — see quantileBucket's
+      // scaladoc). Values are bit-reproducible chains; cuts are
+      // compared 6dp-rounded, so the assignment is engine-portable.
+      (s, dir) => Sam.quantileBucket(
+          docs(s, dir).select(col("doc_id"),
+            T.qualityScore(col("text")).as("quality")),
+          "doc_id", "quality", nBuckets = 10)
+        .select(col("doc_id"), col("bucket").as("decile"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
+             |         END AS punct_ratio,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
+             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id,
+             |    (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+             |     + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+             |     + least(stopword_ratio * 5.0, 1.0) * 0.3) * 100.0 AS quality
+             |  FROM b),
+             |cuts AS (
+             |  SELECT quantile_cont(quality,
+             |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+             |  FROM q)
+             |SELECT doc_id,
+             |  CAST(len(list_filter(cs, c -> quality > round(c, 6))) AS INTEGER) AS decile
+             |FROM q, cuts ORDER BY doc_id""".stripMargin)),
+
     QueryDef("t4b_winnow_native",
       // the PRODUCTION winnowing path: the native codegen expression over
       // xxhash64 — one compiled pass per document vs t4's interpreted

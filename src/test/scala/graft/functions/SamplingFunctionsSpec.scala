@@ -92,6 +92,23 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileBucket: equal-mass bins, monotone, partitioning-proof") {
+    val df = (1L to 100L).toDF("id").withColumn("v", col("id").cast("double"))
+    val b = SamplingFunctions.quantileBucket(df, "id", "v", 4)
+      .orderBy("id").as[(Long, Double, Int)].collect()
+    // quartile cuts over 1..100: 25.75 / 50.5 / 75.25 -> 25/25/25/25
+    val sizes = b.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes === Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    // bucket is monotone in the value
+    assert(b.sortBy(_._2).map(_._3).sameElements(b.map(_._3).sorted))
+    val again = SamplingFunctions.quantileBucket(df.repartition(9), "id", "v", 4)
+      .orderBy("id").as[(Long, Double, Int)].collect()
+    assert(again === b)
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.quantileBucket(df, "id", "v", 1)
+    }
+  }
+
   test("packSequences: per-shard prefix packing, exact and deterministic") {
     val df = Seq((0L, 100L), (8L, 200L), (16L, 300L), (24L, 50L),
       (1L, 500L), (9L, 10L)).toDF("doc_id", "n_tokens")
