@@ -150,4 +150,35 @@ object SamplingFunctions {
         expr(s"prefix_tokens div ${budgetTokens}L").as("pack_id"),
         col("prefix_tokens"))
   }
+
+  /** Materialize the packs [[packSequences]] assigns: per (shard, pack),
+    * the documents concatenated in id order with `sep` — the actual
+    * training-sequence payload a shard writer emits. Returns
+    * (shard, pack_id, n_docs, pack_tokens, packed_text).
+    *
+    * Scale shape: the assignment join is on the id (the packing frame
+    * carries ids and counts only — never text), then ONE shuffle of the
+    * text to its (shard, pack) group. That shuffle is the shard write
+    * itself — linear, unavoidable, and evenly spread because packs are
+    * budget-bounded. In-group order is made explicit by sorting the
+    * collected (id, text) structs — `collect_list` order is otherwise
+    * partition-arrival nondeterministic.
+    */
+  def materializePacks(df: DataFrame, idCol: String, textCol: String,
+      tokensCol: String, budgetTokens: Long, shards: Int,
+      sep: String = "\n"): DataFrame = {
+    val assign = packSequences(
+      df.select(col(idCol), col(tokensCol)), idCol, tokensCol, budgetTokens, shards)
+    df.select(col(idCol), col(textCol), col(tokensCol).cast("long").as("_tok"))
+      .join(assign, Seq(idCol))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("pack_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol).as("_t")))),
+            s => s.getField("_t")),
+          sep).as("packed_text"))
+  }
 }

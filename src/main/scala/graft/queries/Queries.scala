@@ -1419,6 +1419,33 @@ object Queries {
              |  CAST(prefix_tokens // 512 AS BIGINT) AS pack_id, prefix_tokens
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("pack2_packed_sequences",
+      // the materialized training sequences pack1 assigns: per-pack doc
+      // count, token total, and the id-ordered concatenated payload
+      // (compared by md5 — the oracle replays the same string_agg).
+      (s, dir) => Sam.materializePacks(
+          docs(s, dir).select(col("doc_id"), col("text"),
+            T.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "text", "n_tokens", budgetTokens = 512L, shards = 8)
+        .select(col("shard"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"), md5(col("packed_text")).as("packed_md5"))
+        .orderBy("shard", "pack_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, doc_id % 8 AS shard,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, text, shard, tok,
+             |    CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      - tok AS prefix
+             |  FROM t)
+             |SELECT shard, CAST(prefix // 512 AS BIGINT) AS pack_id,
+             |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens,
+             |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_md5
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("r1_bm25",
       // BM25 keyword relevance over the corpus: stats (N, Σdl, per-term
       // df) aggregate to ONE row and broadcast back, so scoring is a

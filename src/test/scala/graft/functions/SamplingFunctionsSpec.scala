@@ -92,6 +92,25 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("materializePacks: id-ordered payload regardless of partitioning") {
+    val df = Seq(
+      (0L, "doc zero", 100L), (8L, "doc eight", 200L), (16L, "doc sixteen", 300L),
+      (1L, "doc one", 500L), (9L, "doc nine", 10L))
+      .toDF("doc_id", "text", "n_tokens")
+    val packs = SamplingFunctions.materializePacks(
+      df.repartition(5), "doc_id", "text", "n_tokens", 256L, 8)
+      .orderBy("shard", "pack_id")
+      .select("shard", "pack_id", "n_docs", "pack_tokens", "packed_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // shard 0: ids 0,8 -> pack 0 (prefix 0,100); id 16 -> pack 1 (prefix 300)
+    // shard 1: id 1 -> pack 0; id 9 -> pack 1 (prefix 500)
+    assert(packs === Array(
+      (0L, 0L, 2L, 300L, "doc zero\ndoc eight"),
+      (0L, 1L, 1L, 300L, "doc sixteen"),
+      (1L, 0L, 1L, 500L, "doc one"),
+      (1L, 1L, 1L, 10L, "doc nine")))
+  }
+
   test("quantileBucket: equal-mass bins, monotone, partitioning-proof") {
     val df = (1L to 100L).toDF("id").withColumn("v", col("id").cast("double"))
     val b = SamplingFunctions.quantileBucket(df, "id", "v", 4)
