@@ -76,6 +76,38 @@ object FeatureOps {
     * caller supplies the sequence column (ingest order id, timestamp, …).
     * `dropDuplicates` alone is nondeterministic about the survivor.
     */
+  /** Business-day gap repair: expand each entity's Mon–Fri calendar
+    * (same generator as [[ValidationOps.missingBusinessDays]]), left-join
+    * the observations, and forward-fill `value` from the last non-null —
+    * the standard price-series repair before window features (a missing
+    * day would otherwise silently shorten ma/vol frames). Leading rows
+    * never fill from nothing: the calendar starts at each entity's first
+    * OBSERVED day. Emits `<value>_filled` plus a `was_missing` audit
+    * flag; fill values are copied, never recomputed, so the repair is
+    * bit-exact in any engine.
+    *
+    * Scale: the calendar is days × entities (tiny next to the fact
+    * table); the join and the forward-fill window both hash by entity —
+    * one shuffle each, AQE-coalesced; nothing global.
+    */
+  def gapFillBusinessDays(df: DataFrame, entity: String, time: String,
+      value: String): DataFrame = {
+    val spans = df.groupBy(col(entity))
+      .agg(min(col(time)).as("_d0"), max(col(time)).as("_d1"))
+    val calendar = spans
+      .withColumn("_day", explode(sequence(col("_d0"), col("_d1"))))
+      .filter(weekday(col("_day")) < 5)
+      .select(col(entity), col("_day").as(time))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entity)).orderBy(col(time))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    calendar.join(df.select(col(entity), col(time), col(value)),
+        Seq(entity, time), "left")
+      .select(col(entity), col(time),
+        last(col(value), ignoreNulls = true).over(w).as(s"${value}_filled"),
+        col(value).isNull.as("was_missing"))
+  }
+
   def keepLast(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame =
     keepLast(df, keys, Seq(seqCol))
 

@@ -525,6 +525,31 @@ object Queries {
 
     // ───────── set ops ─────────
 
+    QueryDef("w9_gap_fill",
+      // business-day gap repair: calendar-complete each ticker and
+      // forward-fill close (values copied, never recomputed — bit-exact
+      // cross-engine). w8 counts the gaps; w9 repairs them.
+      (s, dir) => FeatureOps.gapFillBusinessDays(
+          prices(t(s, dir, "lineitem")).select("ticker", "date", "close"),
+          "ticker", "date", "close")
+        .orderBy("ticker", "date"),
+      Some(pricesSql +
+        """, spans AS (SELECT ticker, min("date") AS d0, max("date") AS d1 FROM prices GROUP BY 1),
+          |cal AS (
+          |  SELECT ticker,
+          |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS "date"
+          |  FROM spans),
+          |bd AS (SELECT ticker, "date" FROM cal WHERE isodow("date") <= 5),
+          |j AS (
+          |  SELECT b.ticker, b."date", p.close
+          |  FROM bd b LEFT JOIN prices p USING (ticker, "date"))
+          |SELECT ticker, "date",
+          |  last_value(close IGNORE NULLS) OVER (
+          |    PARTITION BY ticker ORDER BY "date"
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+          |  close IS NULL AS was_missing
+          |FROM j ORDER BY ticker, "date"""".stripMargin)),
+
     QueryDef("u1_union",
       (s, dir) => {
         val o = t(s, dir, "orders")

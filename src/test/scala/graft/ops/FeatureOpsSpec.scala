@@ -74,6 +74,25 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((2L, 1L))) // s1 dominates s2
   }
 
+  test("gapFillBusinessDays completes the calendar and forward-fills") {
+    // Thu 2024-01-04 .. Tue 2024-01-09 with Fri missing and the weekend
+    // out of calendar; Mon observed null-free
+    val df = Seq(
+      ("A", "2024-01-04", 10.0), ("A", "2024-01-08", 20.0),
+      ("A", "2024-01-09", 30.0))
+      .toDF("ticker", "d", "close")
+      .select(col("ticker"), to_date(col("d")).as("date"), col("close"))
+    val out = FeatureOps.gapFillBusinessDays(df, "ticker", "date", "close")
+      .orderBy("date")
+      .select(col("date").cast("string"), col("close_filled"), col("was_missing"))
+      .as[(String, Double, Boolean)].collect()
+    assert(out === Array(
+      ("2024-01-04", 10.0, false),
+      ("2024-01-05", 10.0, true),   // Friday gap: filled from Thursday
+      ("2024-01-08", 20.0, false),  // weekend excluded entirely
+      ("2024-01-09", 30.0, false)))
+  }
+
   test("feature stage plans a single exchange for all window columns") {
     val df = FeatureOps.transform(series(Seq(1.0, 2.0, 3.0)),
       maShort = 2, maLong = 3, volWindow = 2)
