@@ -1316,6 +1316,26 @@ object Queries {
              |  ON c.user_id = p.user_id AND c.ts >= p.t0 AND c.ts < p.t1
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("e8_windowed_topk",
+      // per-hour top event types through the space-saving sketch in the
+      // EXACT regime (capacity >> distinct types), oracled against a
+      // plain count + rank; the sketch-in-streaming parity is pinned by
+      // EventStreamsSpec. errors are all 0 by the exact-regime invariant.
+      (s, dir) => graft.streaming.EventStreams
+        .windowedTopTypes(events(s, dir))
+        .orderBy(col("window_start"), desc("n"), col("event_type")),
+      Some("""WITH w AS (
+             |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |         count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY window_start ORDER BY n DESC, event_type) AS rk
+             |  FROM w)
+             |SELECT window_start, event_type, n, CAST(0 AS BIGINT) AS error
+             |FROM r WHERE rk <= 5
+             |ORDER BY window_start, n DESC, event_type""".stripMargin)),
+
     QueryDef("e7_stream_attribution",
       // the watermarked stream-stream interval join run in batch mode:
       // row-level (purchase, click) attribution pairs. Same containment

@@ -131,6 +131,26 @@ object EventStreams {
       .toDF("user_id", "n_events", "running_total")
   }
 
+  /** Windowed heavy hitters: the native space-saving sketch
+    * ([[graft.functions.TopKFreq]]) per tumbling window — the streaming
+    * boilerplate/abuse-detection shape. A TypedImperativeAggregate's
+    * partial/merge contract is exactly what streaming partial
+    * aggregation replays per micro-batch: batch partials merge into the
+    * window's state, so state is O(capacity) per open window and the
+    * watermark closes windows. Choose `capacity` ≥ the distinct-value
+    * count for exact results (the oracle regime); under-capacity gives
+    * the space-saving `count − error ≤ truth ≤ count` guarantee.
+    */
+  def windowedTopTypes(events: DataFrame, k: Int = 5, capacity: Int = 1024,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKFreq(col("event_type"), k, capacity).as("top"))
+      .select(col("window.start").as("window_start"), expr("inline(top)"))
+      .select(col("window_start"), col("value").as("event_type"),
+        col("count").as("n"), col("error"))
+
   /** Watermarked STREAM-STREAM interval join: each click attributed to
     * every same-user purchase whose following `window` contains it —
     * the streaming twin of `RangeJoinOps.intervalJoin` (which is the

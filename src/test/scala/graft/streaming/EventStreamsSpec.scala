@@ -32,6 +32,20 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("windowedTopTypes: the sketch aggregate streams; stream equals batch") {
+    val batch = EventStreams.windowedTopTypes(
+        EventStreams.readEvents(spark, dir, streaming = false))
+      .orderBy("window_start", "n", "event_type").collect()
+    val stream = runStream(
+      EventStreams.windowedTopTypes(EventStreams.readEvents(spark, dir, streaming = true)),
+      "complete")
+      .orderBy("window_start", "n", "event_type").collect()
+    assert(batch.length > 0)
+    assert(stream.toSeq === batch.toSeq)
+    // exact regime: every error is 0
+    assert(batch.forall(_.getLong(3) === 0L))
+  }
+
   test("userSessions: streaming equals batch and sessions respect the gap") {
     val batch = EventStreams.userSessions(EventStreams.readEvents(spark, dir, streaming = false))
       .orderBy("session_start", "user_id").collect()
