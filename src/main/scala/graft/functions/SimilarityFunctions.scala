@@ -46,6 +46,33 @@ object SimilarityFunctions {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
+  /** Mean-pooling of embedding groups (chunk vectors → one document
+    * vector): posexplode to (group, dim, value) and hash-aggregate the
+    * per-dimension means — the explode + codegen-hash-agg shape, with
+    * map-side partials so the shuffle carries one (group, dim) partial
+    * per partition, never the vectors. An array-lambda `zip_with` fold
+    * over `collect_list` would buffer every chunk vector per group AND
+    * run interpreted; this never materializes a group's vectors anywhere.
+    * Returns the flat (groupCol, pos, mean_v) frame — `posexplode` is
+    * 0-based. Re-assemble with [[assembleVec]] when a vector column is
+    * needed downstream.
+    */
+  def meanPoolFlat(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("col")).as("mean_v"))
+
+  /** (group, pos, value) → (group, vec) with positions made explicit —
+    * `collect_list` arrival order is nondeterministic, so the structs
+    * sort on `pos` before projection.
+    */
+  def assembleVec(flat: DataFrame, groupCol: String, posCol: String = "pos",
+      valCol: String = "mean_v"): DataFrame =
+    flat.groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(posCol), col(valCol).as("_v")))),
+        s => s.getField("_v")).as("vec"))
+
   /** Exact top-k neighbors for each query vector, two-phase:
     * phase 1 keeps a bounded per-(partition, query) heap inside
     * `mapPartitions` — each partition emits at most `k × |queries|` rows,

@@ -993,6 +993,30 @@ object Queries {
 
     // ───────── similarity search (embeddings) ─────────
 
+    QueryDef("s5_mean_pooling",
+      // chunk→document embedding pooling: vec_id div 10 groups 10 chunk
+      // vectors per pseudo-document; per-dimension means via the
+      // explode + hash-agg shape (no vector ever buffered per group).
+      // Rounded to 6dp: the 10-term sums are order-insensitive at that
+      // precision (same contract as every float aggregate here).
+      (s, dir) => S.meanPoolFlat(
+          t(s, dir, "embeddings")
+            .select(expr("vec_id div 10").as("doc_id"), col("embedding")),
+          "doc_id", "embedding")
+        .select(col("doc_id"), col("pos"), round(col("mean_v"), 6).as("mean_v"))
+        .orderBy("doc_id", "pos"),
+      Some("""WITH e AS (
+             |  SELECT vec_id // 10 AS doc_id,
+             |         CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |flat AS (
+             |  SELECT doc_id, generate_subscripts(v, 1) - 1 AS pos,
+             |         unnest(v) AS val
+             |  FROM e)
+             |SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             |       round(avg(val), 6) AS mean_v
+             |FROM flat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("s4_quantized_knn",
       // exact KNN over the int8-QUANTIZED corpus: 4x/8x smaller vectors,
       // searched directly (cosine is scale-invariant, VecCosine widens

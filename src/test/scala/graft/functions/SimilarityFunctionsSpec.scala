@@ -323,6 +323,22 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("id") - 1.0) < 1e-12)
   }
 
+  test("meanPoolFlat + assembleVec: exact per-dim means, ordered assembly") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(1.0D, 10.0D)), (1L, array(3.0D, 20.0D)),
+        |  (2L, array(5.0D, 50.0D))
+        |AS t(g, v)""".stripMargin)
+    val flat = SimilarityFunctions.meanPoolFlat(df, "g", "v")
+      .orderBy("g", "pos")
+      .as[(Long, Int, Double)].collect()
+    assert(flat === Array((1L, 0, 2.0), (1L, 1, 15.0), (2L, 0, 5.0), (2L, 1, 50.0)))
+    val vecs = SimilarityFunctions.assembleVec(
+        SimilarityFunctions.meanPoolFlat(df.repartition(4), "g", "v"), "g")
+      .orderBy("g").as[(Long, Seq[Double])].collect()
+    assert(vecs === Array((1L, Seq(2.0, 15.0)), (2L, Seq(5.0, 50.0))))
+  }
+
   test("VecCosine null semantics: length mismatch, null element, zero norm") {
     val df = spark.sql(
       """SELECT CAST(array(1.0, 2.0) AS array<double>) AS a,
