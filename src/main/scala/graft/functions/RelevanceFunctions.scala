@@ -53,4 +53,40 @@ object RelevanceFunctions {
     }.reduce(_ + _) // left fold: summation order is part of the contract
     scored.select(col(idCol), round(score, 6).as("bm25"))
   }
+
+  /** Unigram language-model quality score (the honest in-sandbox stand-in
+    * for the CCNet/C4 KenLM perplexity filter): score(doc) = mean over
+    * its token OCCURRENCES of ln P(token), with P from the corpus's own
+    * unigram frequencies. Low scores flag gibberish / vocabulary-outlier
+    * documents; high scores flag natural (or boilerplate — pair with the
+    * repetition filter) text.
+    *
+    * Scale shape: vocabulary = one explode + hash-agg (map-side
+    * partials); total count rides along as a window-free scalar via
+    * broadcast; scoring joins token occurrences to the vocab — the vocab
+    * is Zipf-small next to the corpus and broadcasts; the only big
+    * shuffle is the per-doc mean over occurrences (one row per token
+    * occurrence, linear). Every token is in-vocab by construction (the
+    * corpus trains on itself), so no smoothing term is needed;
+    * `logProbFloor` guards the empty-doc mean (ln of nothing → null →
+    * floored).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      logProbFloor: Double = -20.0): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+    val vocab = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_n"))
+    val totals = vocab.agg(sum(col("_n")).as("_total"))
+    val scored = toks
+      .join(broadcast(vocab), Seq("_tok"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(avg(log(col("_n").cast("double") / col("_total").cast("double")))
+        .as("_lp"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_lp"), lit(logProbFloor)).as("log_prob"))
+  }
 }

@@ -1377,6 +1377,29 @@ object Queries {
              | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    QueryDef("r2_unigram_lm",
+      // CCNet-style LM quality filter, honest sandbox version: mean
+      // ln P(token) under the corpus's own unigram model. Vocabulary
+      // aggregates once and broadcasts; the per-doc mean is the only
+      // data-sized shuffle.
+      (s, dir) => R.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("log_prob"), 6).as("log_prob"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents),
+             |tt AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+             |vocab AS (SELECT tok, count(*) AS n FROM tt GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM vocab),
+             |sc AS (
+             |  SELECT tt.doc_id,
+             |         avg(ln(CAST(n AS DOUBLE) / total)) AS lp
+             |  FROM tt JOIN vocab USING (tok), tot GROUP BY 1)
+             |SELECT d.doc_id, round(coalesce(sc.lp, -20.0), 6) AS log_prob
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("c1_decontamination",
       // train/eval overlap audit: per training doc, distinct word
       // 3-grams shared with the held-out set (doc_id % 50 == 0 stands in

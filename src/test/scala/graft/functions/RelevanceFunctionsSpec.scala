@@ -46,6 +46,19 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("unigramLogProb: hand-checked means, empty doc floored") {
+    // corpus occurrences: a:3, b:2, c:1 -> total 6
+    val df = Seq((1L, "a a b"), (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
+    val got = RelevanceFunctions.unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    val (pa, pb, pc) = (math.log(3.0 / 6.0), math.log(2.0 / 6.0), math.log(1.0 / 6.0))
+    assert(math.abs(got(0)._2 - (pa + pa + pb) / 3.0) < 1e-12)
+    assert(math.abs(got(1)._2 - (pa + pb + pc) / 3.0) < 1e-12)
+    assert(got(2)._2 === -20.0) // blank doc: no tokens, floored
+    // rarer vocabulary scores strictly lower
+    assert(got(1)._2 < got(0)._2)
+  }
+
   test("guards: empty and duplicate term lists are rejected") {
     intercept[IllegalArgumentException] {
       RelevanceFunctions.bm25(corpus, "doc_id", "text", Seq.empty)
