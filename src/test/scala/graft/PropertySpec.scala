@@ -86,4 +86,50 @@ object PropertySpec extends Properties("graft") {
       val overall = Scoring.overallScore(80.0, Some(r))
       r >= 0.0 && r <= 100.0 && overall >= 0.0 && overall <= 100.0
     }
+
+  property("packSequences conserves tokens and packs within-shard prefixes") =
+    Prop.forAllNoShrink(
+      Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 300L))),
+      Gen.choose(1L, 512L), Gen.choose(1, 6)) { (toks, budget, shards) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "tok")
+      val out = graft.functions.SamplingFunctions
+        .packSequences(df, "id", "tok", budget, shards)
+        .select("id", "shard", "pack_id", "prefix_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+      val byShard = out.groupBy(_._2)
+      // every doc assigned exactly once; shard = id % shards
+      out.length == toks.length &&
+        out.forall { case (id, sh, _, _) => sh == id % shards } &&
+        // within a shard, ordered by id: prefix is the running token sum
+        // and pack_id is its integer quotient by the budget
+        byShard.values.forall { rows =>
+          val sorted = rows.sortBy(_._1)
+          val prefixes = sorted.map(_._1).map(id => toks.take(id.toInt).zipWithIndex
+            .filter { case (_, i) => i % shards == (id % shards) }
+            .map(_._1).sum)
+          sorted.zip(prefixes).forall { case ((_, _, pack, pfx), want) =>
+            pfx == want && pack == pfx / budget
+          }
+        }
+    }
+
+  property("duplicateNgramFraction stays in [0,1] on arbitrary text") =
+    Prop.forAllNoShrink(Gen.listOfN(12, Gen.asciiPrintableStr), Gen.choose(1, 3)) {
+      (texts, n) =>
+      val fr = texts.toDF("text")
+        .select(TextFunctions.duplicateNgramFraction(col("text"), n).as("f"))
+        .as[Double].collect()
+      fr.forall(f => f >= 0.0 && f <= 1.0)
+    }
+
+  property("piiCount is 0 on digit-and-@-free text; redaction a no-op") =
+    Prop.forAllNoShrink(Gen.listOfN(10, Gen.alphaStr)) { words =>
+      val s = words.mkString(" ")
+      val row = Seq(s).toDF("text").select(
+        TextFunctions.piiCount(col("text")).as("n"),
+        TextFunctions.redactPii(col("text")).as("r"))
+        .as[(Long, String)].head()
+      row._1 == 0L && row._2 == s
+    }
 }
