@@ -91,7 +91,14 @@ object FeatureOps {
     * one shuffle each, AQE-coalesced; nothing global.
     */
   def gapFillBusinessDays(df: DataFrame, entity: String, time: String,
-      value: String): DataFrame = {
+      value: String,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // `df` feeds BOTH the span aggregation and the observation join —
+    // without pinning, its whole lineage (often an aggregation itself)
+    // runs twice. StorageLevel.NONE disables for callers that manage
+    // materialization themselves.
+    if (storage != org.apache.spark.storage.StorageLevel.NONE) df.persist(storage)
     val spans = df.groupBy(col(entity))
       .agg(min(col(time)).as("_d0"), max(col(time)).as("_d1"))
     val calendar = spans
