@@ -403,6 +403,52 @@ object Queries {
         .orderBy("ticker"),
       None),
 
+    QueryDef("a11_vwap",
+      // volume-weighted average price per ticker/day: both sums exact
+      // decimal, ONE double division at the end, left UNROUNDED — the
+      // inputs are bit-identical in both engines so the quotient is too,
+      // and rounding would ADD a hazard (a quotient landing exactly on a
+      // .5e-6 boundary splits Spark's HALF_UP from DuckDB's half-even —
+      // observed live at sf0.001, 2058.8259375).
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("ticker"),
+          to_date(col("l_shipdate")).as("date"))
+        .agg((sum(col("l_extendedprice").cast("decimal(12,4)")).cast("double") /
+            sum(col("l_quantity").cast("decimal(12,4)")).cast("double"))
+          .as("vwap"))
+        .orderBy("ticker", "date"),
+      Some("""SELECT l_suppkey AS ticker, CAST(l_shipdate AS DATE) AS "date",
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+             |    / CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS vwap
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("a12_corr_matrix",
+      // pairwise Pearson correlation of daily returns for a small ticker
+      // universe: returns self-join on the date key, corr per pair,
+      // 6dp-rounded (co-moment merge order costs ulps). The join shape is
+      // right for small universes; a full market (10⁴ tickers) pivots to
+      // a matrix and multiplies instead — pairs × days explodes as T².
+      (s, dir) => {
+        val r = pricesWithRet(s, dir)
+          .filter(col("ticker") < 10 && col("ret").isNotNull)
+          .select(col("ticker"), col("date"), col("ret"))
+        val a = r.toDF("ta", "date", "ra")
+        val b = r.toDF("tb", "date", "rb")
+        a.join(b, Seq("date")).filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb")
+          .agg(round(corr(col("ra"), col("rb")), 6).as("ret_corr"),
+            count(lit(1)).as("n_days"))
+          .orderBy("ta", "tb")
+      },
+      Some(pricesSql + retSql +
+        """
+          |SELECT a.ticker AS ta, b.ticker AS tb,
+          |  round(corr(a.ret, b.ret), 6) AS ret_corr, count(*) AS n_days
+          |FROM r a JOIN r b ON a."date" = b."date" AND a.ticker < b.ticker
+          |WHERE a.ticker < 10 AND b.ticker < 10
+          |  AND a.ret IS NOT NULL AND b.ret IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("a6_series_profile",
       (s, dir) => MacroOps.seriesProfile(
           events(s, dir).select(
