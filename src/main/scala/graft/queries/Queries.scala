@@ -596,6 +596,75 @@ object Queries {
           |  close IS NULL AS was_missing
           |FROM j ORDER BY ticker, "date"""".stripMargin)),
 
+    QueryDef("w10_drawdown",
+      // max drawdown per ticker: cumulative-max window then min of the
+      // per-row ratio chain. Everything is exact-or-bit-identical (2dp
+      // closes, one division, min picks an existing value) — UNROUNDED.
+      (s, dir) => {
+        val w = Window.partitionBy("ticker").orderBy("date")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        prices(t(s, dir, "lineitem"))
+          .withColumn("_runmax", max(col("close")).over(w))
+          .withColumn("_dd", col("close") / col("_runmax") - 1)
+          .groupBy("ticker")
+          .agg(min(col("_dd")).as("max_drawdown"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql +
+        """, dd AS (
+          |  SELECT ticker,
+          |    close / max(close) OVER (PARTITION BY ticker ORDER BY "date"
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS d
+          |  FROM prices)
+          |SELECT ticker, min(d) AS max_drawdown
+          |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("w11_rsi",
+      // RSI-14 (SMA variant): rolling mean gains vs losses over a FULL
+      // 14-row frame (pandas min_periods parity — null until complete),
+      // explicit zero-loss guard (100 by definition; double/0 is null in
+      // Spark but inf in DuckDB, so the guard is also the portability
+      // fix). Multi-term float means → final value rounded 6dp.
+      (s, dir) => {
+        val w14 = wTicker.rowsBetween(-13, 0)
+        pricesWithRet(s, dir)
+          // explicit null gate: greatest() IGNORES nulls in Spark (null
+          // ret would become gain 0.0 and count toward the average) and
+          // engines disagree on greatest(NULL, x) — null in, null out
+          .withColumn("_gain",
+            when(col("ret").isNull, lit(null)).otherwise(greatest(col("ret"), lit(0.0))))
+          .withColumn("_loss",
+            when(col("ret").isNull, lit(null)).otherwise(greatest(-col("ret"), lit(0.0))))
+          .withColumn("_n", count(col("ret")).over(w14))
+          .withColumn("_ag", avg(col("_gain")).over(w14))
+          .withColumn("_al", avg(col("_loss")).over(w14))
+          .select(col("ticker"), col("date"),
+            round(when(col("_n") < 14, lit(null))
+              .when(col("_al") === 0.0, lit(100.0))
+              .otherwise(lit(100.0) -
+                lit(100.0) / (lit(1.0) + col("_ag") / col("_al"))), 6)
+              .as("rsi14"))
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql + retSql +
+        """, g AS (
+          |  SELECT ticker, "date", ret,
+          |    CASE WHEN ret IS NULL THEN NULL ELSE greatest(ret, 0.0) END AS gain,
+          |    CASE WHEN ret IS NULL THEN NULL ELSE greatest(-ret, 0.0) END AS loss
+          |  FROM r),
+          |a AS (
+          |  SELECT ticker, "date",
+          |    count(ret) OVER w AS n,
+          |    avg(gain) OVER w AS ag, avg(loss) OVER w AS al
+          |  FROM g
+          |  WINDOW w AS (PARTITION BY ticker ORDER BY "date"
+          |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          |SELECT ticker, "date",
+          |  round(CASE WHEN n < 14 THEN NULL
+          |             WHEN al = 0.0 THEN 100.0
+          |             ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi14
+          |FROM a ORDER BY ticker, "date"""".stripMargin)),
+
     QueryDef("u1_union",
       (s, dir) => {
         val o = t(s, dir, "orders")
