@@ -665,6 +665,32 @@ object Queries {
           |             ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi14
           |FROM a ORDER BY ticker, "date"""".stripMargin)),
 
+    QueryDef("w12_winsorize",
+      // outlier winsorization: clamp close to its per-ticker [p05, p95].
+      // Cut points broadcast back (the quantileBucket shape); cuts are
+      // 6dp-rounded per the a10 interpolation contract, the clamp itself
+      // picks existing exact values — no other rounding.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+        val cuts = p.groupBy("ticker").agg(
+          round(expr("percentile(close, 0.05D)"), 6).as("_lo"),
+          round(expr("percentile(close, 0.95D)"), 6).as("_hi"))
+        p.join(broadcast(cuts), Seq("ticker"))
+          .select(col("ticker"), col("date"),
+            least(greatest(col("close"), col("_lo")), col("_hi")).as("close_w"))
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """, cuts AS (
+          |  SELECT ticker,
+          |    round(quantile_cont(close, 0.05), 6) AS lo,
+          |    round(quantile_cont(close, 0.95), 6) AS hi
+          |  FROM prices GROUP BY 1)
+          |SELECT p.ticker, p."date",
+          |  least(greatest(p.close, c.lo), c.hi) AS close_w
+          |FROM prices p JOIN cuts c USING (ticker)
+          |ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("u1_union",
       (s, dir) => {
         val o = t(s, dir, "orders")
