@@ -691,6 +691,50 @@ object Queries {
           |FROM prices p JOIN cuts c USING (ticker)
           |ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("w13_weekly_ohlc",
+      // resampling daily bars to weekly OHLC: ordered-aggregation via
+      // min_by/max_by on the date (DuckDB arg_min/arg_max) — one hash
+      // aggregate, no window, no sort. Monday-start weeks in both
+      // engines; all outputs are existing exact values or exact sums.
+      (s, dir) => prices(t(s, dir, "lineitem"))
+        .groupBy(col("ticker"),
+          date_trunc("week", col("date")).cast("date").as("week"))
+        .agg(
+          min_by(col("close"), col("date")).as("open"),
+          max(col("close")).as("high"),
+          min(col("close")).as("low"),
+          max_by(col("close"), col("date")).as("close"),
+          sum(col("volume").cast("decimal(18,2)")).cast("double").as("volume"))
+        .orderBy("ticker", "week"),
+      Some(pricesSql +
+        """
+          |SELECT ticker, date_trunc('week', "date") AS week,
+          |  arg_min(close, "date") AS open,
+          |  max(close) AS high, min(close) AS low,
+          |  arg_max(close, "date") AS close,
+          |  CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS volume
+          |FROM prices GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("a13_sharpe",
+      // annualized Sharpe per ticker: mean/stddev of daily returns ×
+      // √252. Multi-term float moments → 6dp round; explicit zero-vol
+      // guard (double/0 is null in Spark, inf in DuckDB).
+      (s, dir) => pricesWithRet(s, dir)
+        .groupBy("ticker")
+        .agg(round(
+          when(stddev_samp(col("ret")) === 0.0, lit(null))
+            .otherwise(avg(col("ret")) / stddev_samp(col("ret")) *
+              lit(math.sqrt(252.0))), 6).as("sharpe"),
+          count(col("ret")).as("n_days"))
+        .orderBy("ticker"),
+      Some(pricesSql + retSql +
+        """
+          |SELECT ticker,
+          |  round(CASE WHEN stddev_samp(ret) = 0.0 THEN NULL
+          |             ELSE avg(ret) / stddev_samp(ret) * sqrt(252.0) END, 6) AS sharpe,
+          |  count(ret) AS n_days
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("u1_union",
       (s, dir) => {
         val o = t(s, dir, "orders")
