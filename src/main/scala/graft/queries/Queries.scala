@@ -1295,6 +1295,28 @@ object Queries {
              |SELECT query_id, vec_id, cosine, "rank" FROM ranked
              |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
+    QueryDef("s3b_ivf_trained",
+      // the IVF path you'd actually run at 10^5 centroids: k-means-TRAINED
+      // centroids (distributed Lloyd, only the k centers reach the driver)
+      // searched through the two-level coarse quantizer, so assignment
+      // costs O(wProbe*k/coarseCells) cosines per row instead of O(k).
+      // k-means initialization is engine-specific (no DuckDB equivalent)
+      // → rows-only; QueriesSpec bounds mean recall@5 against the exact
+      // s1 brute-force results (the a10/a10b twin pattern). The synthetic
+      // embeddings are near-uniform directions (max pairwise cosine <
+      // 0.7, no cluster structure), so the probe budget here is wide —
+      // nProbe 12/16 — to make the recall bound meaningful; real corpora
+      // cluster, and proportionally smaller budgets hold the same recall.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = S.trainCentroids(emb, k = 16, seed = 42L)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.ivfTopKHierarchical(emb, q, centroids, k = 5, nProbe = 12,
+          coarseCells = 4, wProbe = 3).orderBy("query_id", "rank")
+      },
+      None),
+
     QueryDef("s2_lsh_pairs",
       // the embeddings table has NO true near-duplicates (max pairwise
       // cosine < 0.7), so the query plants them: union the corpus with a

@@ -54,6 +54,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s3b trained hierarchical IVF keeps recall@5 against the exact s1") {
+    // measured 0.85 mean recall at this (k=16, nProbe=12, cc=4, wProbe=3)
+    // config over the near-uniform synthetic embeddings; the 0.7 bound
+    // leaves margin for k-means partitioning jitter while still failing
+    // loudly if assignment or probing regresses.
+    def top5(name: String): Map[Long, Set[Long]] =
+      Queries.byName(name)(spark, sf).select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, v) => (q, v.map(_._2).toSet) }
+    val exact = top5("s1_knn_topk")
+    val approx = top5("s3b_ivf_trained")
+    assert(approx.keySet === exact.keySet)
+    val recalls = exact.map { case (q, e) =>
+      e.intersect(approx(q)).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@5 $mean < 0.7 (${recalls.toSeq.sorted})")
+  }
+
   test("a7b approx distinct counts land within HLL error of the exact a7") {
     val exact = Queries.byName("a7_distinct_counts")(spark, sf)
       .select("n_suppliers", "n_customers").head()
