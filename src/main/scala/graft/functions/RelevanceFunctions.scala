@@ -63,26 +63,43 @@ object RelevanceFunctions {
     *
     * Scale shape: vocabulary = one explode + hash-agg (map-side
     * partials); total count rides along as a window-free scalar via
-    * broadcast; scoring joins token occurrences to the vocab — the vocab
-    * is Zipf-small next to the corpus and broadcasts; the only big
-    * shuffle is the per-doc mean over occurrences (one row per token
-    * occurrence, linear). Every token is in-vocab by construction (the
-    * corpus trains on itself), so no smoothing term is needed;
-    * `logProbFloor` guards the empty-doc mean (ln of nothing → null →
-    * floored).
+    * broadcast; scoring joins token occurrences to the vocab; the only
+    * big shuffle is the per-doc mean over occurrences (one row per token
+    * occurrence, linear). "Zipf-small" vocab holds for clean text, but a
+    * raw crawl's unigram table (typos, numbers, URLs) runs to billions of
+    * keys — two independent dials keep the vocab join viable there:
+    * `broadcastVocab = false` routes it through a plain shuffled equi-join
+    * (both sides hashed on the token — no driver-side materialization at
+    * all), and `minCount > 1` drops the long tail from the vocab BEFORE
+    * the join, with dropped-token occurrences scoring `logProbFloor`
+    * (they are rarer than anything kept, so flooring preserves the
+    * ordering the filter exists to produce). Defaults preserve the exact
+    * self-trained semantics: every token in-vocab, no smoothing needed;
+    * `logProbFloor` also guards the empty-doc mean (ln of nothing → null
+    * → floored). P(token) stays n/total over the UNfiltered corpus total,
+    * so minCount changes only which tokens hit the floor, not the
+    * probabilities of kept tokens.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
-      logProbFloor: Double = -20.0): DataFrame = {
+      logProbFloor: Double = -20.0, broadcastVocab: Boolean = true,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1 (got $minCount)")
     val toks = df.select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
       .filter(length(col("_tok")) > 0)
-    val vocab = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_n"))
-    val totals = vocab.agg(sum(col("_n")).as("_total"))
+    val fullVocab = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_n"))
+    val totals = fullVocab.agg(sum(col("_n")).as("_total"))
+    val vocab = if (minCount > 1L) fullVocab.filter(col("_n") >= minCount)
+      else fullVocab
     val scored = toks
-      .join(broadcast(vocab), Seq("_tok"))
+      .join(if (broadcastVocab) broadcast(vocab) else vocab, Seq("_tok"), "left")
       .crossJoin(broadcast(totals))
       .groupBy(col(idCol))
-      .agg(avg(log(col("_n").cast("double") / col("_total").cast("double")))
+      // per-OCCURRENCE floor: a token dropped by minCount scores the
+      // floor (null _n from the left join), it is not skipped by avg
+      .agg(avg(coalesce(
+          log(col("_n").cast("double") / col("_total").cast("double")),
+          lit(logProbFloor)))
         .as("_lp"))
     df.select(col(idCol))
       .join(scored, Seq(idCol), "left")

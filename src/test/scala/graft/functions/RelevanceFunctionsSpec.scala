@@ -59,6 +59,37 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(got(1)._2 < got(0)._2)
   }
 
+  test("unigramLogProb: shuffled-vocab path is bit-identical to broadcast") {
+    val df = Seq((1L, "a a b"), (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
+    val bc = RelevanceFunctions.unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    val sh = RelevanceFunctions
+      .unigramLogProb(df, "doc_id", "text", broadcastVocab = false)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(sh === bc)
+    // the crawl-scale config (shuffled join + tail-trimmed vocab) together
+    val both = RelevanceFunctions.unigramLogProb(df, "doc_id", "text",
+        broadcastVocab = false, minCount = 2L)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(both === RelevanceFunctions
+      .unigramLogProb(df, "doc_id", "text", minCount = 2L)
+      .orderBy("doc_id").as[(Long, Double)].collect())
+  }
+
+  test("unigramLogProb: minCount floors dropped-tail occurrences, keeps P") {
+    // occurrences a:3, b:2, c:1 -> total 6; minCount=2 drops only c
+    val df = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = RelevanceFunctions
+      .unigramLogProb(df, "doc_id", "text", minCount = 2L)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    val (pa, pb) = (math.log(3.0 / 6.0), math.log(2.0 / 6.0))
+    // doc 1 has no dropped tokens: identical to the unfiltered score,
+    // P still n/6 (total is the UNfiltered corpus total)
+    assert(math.abs(got(0)._2 - (pa + pa + pb) / 3.0) < 1e-12)
+    // doc 2's c-occurrence scores the floor, not skipped from the mean
+    assert(math.abs(got(1)._2 - (pa + pb + -20.0) / 3.0) < 1e-12)
+  }
+
   test("guards: empty and duplicate term lists are rejected") {
     intercept[IllegalArgumentException] {
       RelevanceFunctions.bm25(corpus, "doc_id", "text", Seq.empty)
