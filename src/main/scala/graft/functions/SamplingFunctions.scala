@@ -98,6 +98,11 @@ object SamplingFunctions {
     * assignment engine-portable — same contract as the a10 oracle).
     * At extreme scale swap `percentile` for `approx_percentile`: ±ε on
     * the cut points moves only rows within ε of a boundary.
+    *
+    * Null `valueCol` rows get a NULL bucket (unscored rows must never
+    * silently land in the lowest curriculum bin, which is what the bare
+    * comparison count — null > cut ⇒ null ⇒ counted 0 — used to do).
+    * Callers wanting them binned must impute before calling.
     */
   def quantileBucket(df: DataFrame, idCol: String, valueCol: String,
       nBuckets: Int): DataFrame = {
@@ -108,8 +113,9 @@ object SamplingFunctions {
     df.select(col(idCol), col(valueCol))
       .crossJoin(broadcast(cuts))
       .select(col(idCol), col(valueCol),
-        aggregate(col("_cuts"), lit(0),
-          (acc, c) => acc + when(col(valueCol) > round(c, 6), 1).otherwise(0))
+        when(col(valueCol).isNotNull,
+          aggregate(col("_cuts"), lit(0),
+            (acc, c) => acc + when(col(valueCol) > round(c, 6), 1).otherwise(0)))
           .as("bucket"))
   }
 

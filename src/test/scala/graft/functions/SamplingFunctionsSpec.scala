@@ -128,6 +128,19 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileBucket: null values get a null bucket, not bin 0") {
+    val df = spark.sql(
+      "SELECT * FROM VALUES (1L, 1.0D), (2L, 2.0D), (3L, 3.0D), (4L, 4.0D), " +
+        "(5L, CAST(NULL AS DOUBLE)) AS t(id, v)")
+    val rows = SamplingFunctions.quantileBucket(df, "id", "v", 2)
+      .orderBy("id").collect()
+    assert(rows.take(4).forall(!_.isNullAt(2)))
+    assert(rows(4).isNullAt(2), "unscored row must not land in bucket 0")
+    // cuts ignore nulls: the scored rows still split 2/2 around the median
+    assert(rows.map(r => if (r.isNullAt(2)) -1 else r.getInt(2)).toSeq
+      === Seq(0, 0, 1, 1, -1))
+  }
+
   test("packSequences: per-shard prefix packing, exact and deterministic") {
     val df = Seq((0L, 100L), (8L, 200L), (16L, 300L), (24L, 50L),
       (1L, 500L), (9L, 10L)).toDF("doc_id", "n_tokens")
