@@ -42,12 +42,17 @@ final class ShardWriter(spark: SparkSession) {
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.partitionBy(partCols: _*)
       .mode("overwrite").parquet(outDir)
+    // count what was WRITTEN, not the input: re-aggregating `df` here
+    // would re-execute its entire upstream lineage (in CorpusPipeline
+    // that is the whole gate/scrub/dedup chain) a second time, while the
+    // just-written parquet answers from partition-pruned footer metadata.
+    val written = spark.read.parquet(outDir)
     splitCol match {
       case Some(s) =>
-        df.groupBy(col(s)).count().collect()
+        written.groupBy(col(s)).count().collect()
           .map(r => Option(r.get(0)).map(_.toString).getOrElse("null") -> r.getLong(1))
           .toMap
-      case None => Map("all" -> df.count())
+      case None => Map("all" -> written.count())
     }
   }
 }

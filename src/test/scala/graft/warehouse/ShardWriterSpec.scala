@@ -48,6 +48,23 @@ class ShardWriterSpec extends AnyFunSuite {
     assert(train.count() === counts("train"))
   }
 
+  test("export scans its input lineage exactly once (counts read back)") {
+    // an accumulator inside the lineage counts per-row evaluations: the
+    // write pass pays 300, and the per-split counts must come from the
+    // written parquet, not a second execution of the input plan
+    val evals = spark.sparkContext.longAccumulator("lineage-evals")
+    val tick = udf { s: String => evals.add(1L); s }
+    val docs = (1L to 300L).map(i => (i, s"t$i")).toDF("doc_id", "raw")
+      .withColumn("text", tick(col("raw"))).drop("raw")
+      .withColumn("split", graft.functions.SamplingFunctions
+        .splitColumn(col("doc_id").cast("string"), 80, 10))
+    val counts = new ShardWriter(spark)
+      .exportShards(docs, tmp(), "doc_id", shards = 2, splitCol = Some("split"))
+    assert(counts.values.sum === 300L)
+    assert(evals.value === 300L,
+      s"input lineage ran ${evals.value / 300.0}x, expected exactly once")
+  }
+
   test("reserved column and bad shard count are rejected") {
     val df = Seq((1L, 0L)).toDF("doc_id", "shard")
     intercept[IllegalArgumentException] {
