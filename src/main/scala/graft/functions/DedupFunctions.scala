@@ -185,7 +185,7 @@ object DedupFunctions {
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val rows = numHashes / bands
     val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
-    if (storage != StorageLevel.NONE) sh.persist(storage)
+    if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(sh, storage)
     val sigs = minhashSignaturesFromShingles(sh, numHashes, hash)
     val banded = sigs.select(col("id"),
         explode(lshBands(col("sig"), bands, rows, bucketHash)).as("bb"))
@@ -250,21 +250,14 @@ object DedupFunctions {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sc = pairs.sparkSession.sparkContext
-    // Dataset.unpersist is a no-op on a localCheckpoint'd frame (the
-    // checkpoint RDD never enters the CacheManager), so track each
-    // round's checkpoint blocks by persistent-RDD id and release the
-    // superseded round EAGERLY — otherwise up to maxIter full label
-    // snapshots pile up in executor storage until driver GC.
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // each round's label snapshot is localCheckpoint'd (flat lineage) and
+    // the SUPERSEDED round's blocks are released eagerly — otherwise up
+    // to maxIter full label snapshots pile up in executor storage until
+    // driver GC. Release handles come from the checkpointed frame's own
+    // plan (see [[graft.internal.Checkpoints]]), never a registry diff.
+    import graft.internal.Checkpoints.localCheckpointTracked
     try {
-      var (labels, labelIds) = checkpointTracked(
+      var (labels, releaseLabels) = localCheckpointTracked(
         edges.select(col("src").as("id")).distinct()
           .withColumn("component", col("id")))
       var iter = 0
@@ -273,7 +266,7 @@ object DedupFunctions {
           .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("component")).as("nbr"))
-        val (updated, updatedIds) = checkpointTracked(
+        val (updated, releaseUpdated) = localCheckpointTracked(
           labels
             .join(nbrMin, Seq("id"), "left")
             .select(col("id"),
@@ -281,12 +274,12 @@ object DedupFunctions {
         val changed = !updated
           .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
           .filter(col("component") =!= col("prev")).isEmpty
-        release(labelIds)
-        labels = updated; labelIds = updatedIds
+        releaseLabels()
+        labels = updated; releaseLabels = releaseUpdated
         iter += 1
         if (!changed) return labels // the returned frame keeps its blocks
       }
-      release(labelIds)
+      releaseLabels()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise it")

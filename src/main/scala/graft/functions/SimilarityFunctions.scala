@@ -259,7 +259,7 @@ object SimilarityFunctions {
     val rows = nBits / bands
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", hyperplaneSignature(col("v"), dim, nBits, seed))
-    if (storage != StorageLevel.NONE) sig.persist(storage)
+    if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(sig, storage)
     // rows == 64 would make (1L << 64) - 1 wrap to 0 (Java shifts mod 64)
     val mask = if (rows == 64) -1L else (1L << rows) - 1
     val banded = sig.select(col("id"), explode(array((0 until bands).map(b =>

@@ -97,8 +97,10 @@ object FeatureOps {
     // `df` feeds BOTH the span aggregation and the observation join —
     // without pinning, its whole lineage (often an aggregation itself)
     // runs twice. StorageLevel.NONE disables for callers that manage
-    // materialization themselves.
-    if (storage != org.apache.spark.storage.StorageLevel.NONE) df.persist(storage)
+    // materialization themselves; long-lived sessions reclaim the blocks
+    // via [[graft.Caches.releaseAll]].
+    if (storage != org.apache.spark.storage.StorageLevel.NONE)
+      graft.Caches.trackedPersist(df, storage)
     val spans = df.groupBy(col(entity))
       .agg(min(col(time)).as("_d0"), max(col(time)).as("_d1"))
     val calendar = spans

@@ -1520,13 +1520,16 @@ object Queries {
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"))
         // purchases feeds BOTH the interval join (exploded into cells)
-        // and the zero-click left join — persist so the events scan +
-        // filter + interval arithmetic run once, not twice
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("purchase_id"),
-            col("ts").as("t0"),
-            (col("ts") + expr("INTERVAL 1 HOUR")).as("t1"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // and the zero-click left join — pin so the events scan +
+        // filter + interval arithmetic run once, not twice; the tracked
+        // persist lets a long-lived session reclaim the blocks via
+        // graft.Caches.releaseAll() (Bench/Verify clearCache() also works)
+        val purchases = graft.Caches.trackedPersist(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("t0"),
+              (col("ts") + expr("INTERVAL 1 HOUR")).as("t1")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val matched = RangeJoinOps.intervalJoin(clicks, purchases,
           Seq("user_id"), "click_ts", "t0", "t1", bucketSeconds = 3600L)
         val counts = matched.groupBy("user_id", "purchase_id")

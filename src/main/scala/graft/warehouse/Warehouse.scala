@@ -285,19 +285,17 @@ final class Warehouse(spark: SparkSession, root: String) {
     // deleting — corrupting the touched partitions. localCheckpoint
     // TRUNCATES the lineage instead, so a lost block fails the job
     // (retryable) rather than silently re-reading a half-deleted table.
-    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    val staged = merged.localCheckpoint(true)
-    val stagedIds = spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(beforeIds)
+    val (staged, releaseStaged) =
+      graft.internal.Checkpoints.localCheckpointTracked(merged)
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try staged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path(table))
     finally {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-      // Dataset.unpersist is a no-op on a localCheckpoint'd frame, so
-      // release the checkpoint blocks by RDD id — a long-lived session
-      // looping upserts must not accumulate a stage copy per call
-      stagedIds.foreach(id =>
-        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      // a long-lived session looping upserts must not accumulate a
+      // stage copy per call; the handle frees exactly this checkpoint's
+      // blocks (Dataset.unpersist is a no-op on checkpointed frames)
+      releaseStaged()
     }
   }
 
