@@ -77,14 +77,18 @@ object FeatureOps {
     * `dropDuplicates` alone is nondeterministic about the survivor.
     */
   /** Business-day gap repair: expand each entity's Mon–Fri calendar
-    * (same generator as [[ValidationOps.missingBusinessDays]]), left-join
-    * the observations, and forward-fill `value` from the last non-null —
-    * the standard price-series repair before window features (a missing
-    * day would otherwise silently shorten ma/vol frames). Leading rows
-    * never fill from nothing: the calendar starts at each entity's first
-    * OBSERVED day. Emits `<value>_filled` plus a `was_missing` audit
-    * flag; fill values are copied, never recomputed, so the repair is
-    * bit-exact in any engine.
+    * (same generator as [[ValidationOps.missingBusinessDays]]), FULL
+    * OUTER join the observations, and forward-fill `value` from the last
+    * non-null — the standard price-series repair before window features
+    * (a missing day would otherwise silently shorten ma/vol frames).
+    * Leading rows never fill from nothing: the calendar starts at each
+    * entity's first OBSERVED day. The full join (not left) keeps
+    * observations that fall OUTSIDE the Mon–Fri calendar — a weekend or
+    * holiday-session row passes through with its own value (was_missing
+    * = false) and forward-fills into the following Monday, instead of
+    * being silently deleted. Emits `<value>_filled` plus a `was_missing`
+    * audit flag; fill values are copied, never recomputed, so the repair
+    * is bit-exact in any engine.
     *
     * Scale: the calendar is days × entities (tiny next to the fact
     * table); the join and the forward-fill window both hash by entity —
@@ -111,7 +115,7 @@ object FeatureOps {
       .partitionBy(col(entity)).orderBy(col(time))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     calendar.join(df.select(col(entity), col(time), col(value)),
-        Seq(entity, time), "left")
+        Seq(entity, time), "full")
       .select(col(entity), col(time),
         last(col(value), ignoreNulls = true).over(w).as(s"${value}_filled"),
         col(value).isNull.as("was_missing"))

@@ -574,7 +574,9 @@ object Queries {
     QueryDef("w9_gap_fill",
       // business-day gap repair: calendar-complete each ticker and
       // forward-fill close (values copied, never recomputed — bit-exact
-      // cross-engine). w8 counts the gaps; w9 repairs them.
+      // cross-engine). w8 counts the gaps; w9 repairs them. The join is
+      // FULL outer, so lineitem's weekend ship-dates stay in the series
+      // (and fill forward into Monday) instead of being dropped.
       (s, dir) => FeatureOps.gapFillBusinessDays(
           prices(t(s, dir, "lineitem")).select("ticker", "date", "close"),
           "ticker", "date", "close")
@@ -587,8 +589,10 @@ object Queries {
           |  FROM spans),
           |bd AS (SELECT ticker, "date" FROM cal WHERE isodow("date") <= 5),
           |j AS (
-          |  SELECT b.ticker, b."date", p.close
-          |  FROM bd b LEFT JOIN prices p USING (ticker, "date"))
+          |  SELECT COALESCE(b.ticker, p.ticker) AS ticker,
+          |         COALESCE(b."date", p."date") AS "date", p.close
+          |  FROM bd b FULL JOIN prices p
+          |    ON b.ticker = p.ticker AND b."date" = p."date")
           |SELECT ticker, "date",
           |  last_value(close IGNORE NULLS) OVER (
           |    PARTITION BY ticker ORDER BY "date"

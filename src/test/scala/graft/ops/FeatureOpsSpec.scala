@@ -76,7 +76,7 @@ class FeatureOpsSpec extends AnyFunSuite {
 
   test("gapFillBusinessDays completes the calendar and forward-fills") {
     // Thu 2024-01-04 .. Tue 2024-01-09 with Fri missing and the weekend
-    // out of calendar; Mon observed null-free
+    // unobserved; Mon observed null-free
     val df = Seq(
       ("A", "2024-01-04", 10.0), ("A", "2024-01-08", 20.0),
       ("A", "2024-01-09", 30.0))
@@ -89,7 +89,27 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(out === Array(
       ("2024-01-04", 10.0, false),
       ("2024-01-05", 10.0, true),   // Friday gap: filled from Thursday
-      ("2024-01-08", 20.0, false),  // weekend excluded entirely
+      ("2024-01-08", 20.0, false),  // unobserved weekend adds no rows
+      ("2024-01-09", 30.0, false)))
+  }
+
+  test("gapFillBusinessDays keeps weekend observations and fills from them") {
+    // Fri observed, Sat observed (weekend session), Mon missing, Tue
+    // observed: the Saturday row must survive with its own value and be
+    // the fill source for Monday
+    val df = Seq(
+      ("A", "2024-01-05", 10.0), ("A", "2024-01-06", 15.0),
+      ("A", "2024-01-09", 30.0))
+      .toDF("ticker", "d", "close")
+      .select(col("ticker"), to_date(col("d")).as("date"), col("close"))
+    val out = FeatureOps.gapFillBusinessDays(df, "ticker", "date", "close")
+      .orderBy("date")
+      .select(col("date").cast("string"), col("close_filled"), col("was_missing"))
+      .as[(String, Double, Boolean)].collect()
+    assert(out === Array(
+      ("2024-01-05", 10.0, false),
+      ("2024-01-06", 15.0, false),  // Saturday observation kept as-is
+      ("2024-01-08", 15.0, true),   // Monday fills from Saturday
       ("2024-01-09", 30.0, false)))
   }
 
