@@ -47,6 +47,9 @@ object Bench {
       // blocks BEFORE the timer starts so every iteration measures the
       // cold query (not a warm-cache replay of the previous iteration)
       // and the cache cannot grow across 43 queries × N iterations.
+      // releaseAll additionally drains the tracked-pin registry itself —
+      // clearCache drops the blocks but leaves the plan handles queued.
+      Caches.releaseAll()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // NOT df.count(): wrapping the query in Aggregate(count(1)) lets
@@ -112,9 +115,14 @@ object Bench {
     }
     val kept = new StringBuilder
     var used = head.length + 2 // closing "}}"
-    for (e <- entries) {
+    var full = false
+    for (e <- entries if !full) {
       val add = e.length + (if (kept.nonEmpty) 1 else 0)
+      // stop at the FIRST entry that doesn't fit, so the map is a strict
+      // slowest-first prefix — a best-fit fill could skip a slow query in
+      // favor of faster shorter-named ones, misleading the 2x gate.
       if (used + add <= budget) { if (kept.nonEmpty) kept.append(','); kept.append(e); used += add }
+      else full = true
     }
     val line = head + kept + "}}"
     // printed AFTER spark.stop() so no Spark shutdown logging can land

@@ -41,7 +41,10 @@ object Verify {
       } finally {
         persisted.foreach(_.unpersist())
         // several operators persist() shared lineage internally; drop
-        // those blocks so the cache cannot grow across the full registry
+        // those blocks so the cache cannot grow across the full registry.
+        // releaseAll also drains the tracked-pin registry (clearCache
+        // alone would leave the plan handles queued for the session).
+        Caches.releaseAll()
         spark.catalog.clearCache()
       }
     }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Corpus-statistics relevance scoring (BM25) for keyword retrieval over
   * a document table — the classic quality-retrieval shape a training-data
@@ -25,14 +26,25 @@ object RelevanceFunctions {
     * an external engine replaying the same formula hash-matches.
     *
     * Returns (idCol, bm25).
+    *
+    * The token projection feeds BOTH the stats aggregate and the scoring
+    * projection, so it is persisted at `storage` (pass
+    * `StorageLevel.NONE` to disable) — without it the corpus tokenization
+    * runs twice, once per DAG branch. Cached rows are (id, tokens, 1
+    * long)/row ≈ the corpus size; at 100 TB the caller picks the level
+    * (e.g. DISK_ONLY) or pre-tokenizes to a table. Release via
+    * [[graft.Caches.releaseAll]].
     */
   def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(terms.distinct == terms, s"duplicate query terms: $terms")
-    val base = df.select(col(idCol),
+    val base0 = df.select(col(idCol),
         split(lower(trim(col(textCol))), "\\s+").as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
+    val base = if (storage != StorageLevel.NONE)
+      graft.Caches.trackedPersist(base0, storage) else base0
     // one fused aggregate: corpus size, total length, and every term's
     // document frequency in a single reduce-to-one-row pass
     val statCols =
@@ -82,12 +94,23 @@ object RelevanceFunctions {
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
       logProbFloor: Double = -20.0, broadcastVocab: Boolean = true,
-      minCount: Long = 1L): DataFrame = {
+      minCount: Long = 1L,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1 (got $minCount)")
-    val toks = df.select(col(idCol),
+    // `toks` (the per-occurrence explode over the corpus) feeds the vocab
+    // aggregate AND is the scoring join's left side; `fullVocab` feeds
+    // the totals scalar AND the (possibly filtered) vocab join side. Both
+    // are pinned at `storage` (NONE disables) so the corpus explodes once
+    // and the vocab aggregates once — unpinned, the explode evaluates up
+    // to three times. toks caches one (id, token) row per OCCURRENCE ≈
+    // corpus token count; vocab is Zipf-small. Release via
+    // [[graft.Caches.releaseAll]].
+    def pinned(d: DataFrame): DataFrame =
+      if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(d, storage) else d
+    val toks = pinned(df.select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
-      .filter(length(col("_tok")) > 0)
-    val fullVocab = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_n"))
+      .filter(length(col("_tok")) > 0))
+    val fullVocab = pinned(toks.groupBy(col("_tok")).agg(count(lit(1)).as("_n")))
     val totals = fullVocab.agg(sum(col("_n")).as("_total"))
     val vocab = if (minCount > 1L) fullVocab.filter(col("_n") >= minCount)
       else fullVocab

@@ -23,6 +23,28 @@ class CachesSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("pin: two interleaved pin/release sequences stay independent") {
+    import org.apache.spark.storage.StorageLevel
+    spark.catalog.clearCache()
+    Caches.releaseAll()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val (a, releaseA) = Caches.pin(spark.range(50).toDF("a"), StorageLevel.MEMORY_AND_DISK)
+    val (b, releaseB) = Caches.pin(spark.range(60).toDF("b"), StorageLevel.MEMORY_AND_DISK)
+    a.count(); b.count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(baseline).size === 2)
+    // releasing A must not evict B's blocks (the concurrent-session case)
+    releaseA()
+    assert(!(a.storageLevel.useMemory || a.storageLevel.useDisk), "A released")
+    assert(b.storageLevel.useMemory || b.storageLevel.useDisk,
+      "releasing one pin must not drop the other's blocks")
+    // scoped release is idempotent, and releaseAll still drains B
+    releaseA()
+    Caches.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(baseline).isEmpty)
+    // closures for already-swept entries stay safe no-ops
+    releaseB()
+  }
+
   test("releaseAll never touches frames persisted outside trackedPersist") {
     val mine = spark.range(100).toDF("id").persist()
     mine.count()

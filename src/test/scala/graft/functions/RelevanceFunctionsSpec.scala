@@ -90,6 +90,30 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(math.abs(got(1)._2 - (pa + pb + -20.0) / 3.0) < 1e-12)
   }
 
+  test("shared lineage is pinned: the corpus source scans ONCE per call") {
+    // a source that counts every row it hands out: with the internal
+    // persist, each function reads the corpus exactly once however many
+    // DAG branches consume the token projection; unpinned, bm25 would
+    // read 2x and unigramLogProb up to 3x.
+    def countingCorpus(acc: org.apache.spark.util.LongAccumulator) =
+      spark.createDataset(Seq(
+        (1L, "apple banana apple"), (2L, "banana cherry"), (3L, "durian durian")))
+        .map { r => acc.add(1L); r }.toDF("doc_id", "text")
+    graft.Caches.releaseAll()
+    val accB = spark.sparkContext.longAccumulator("bm25_scans")
+    RelevanceFunctions.bm25(countingCorpus(accB), "doc_id", "text", Seq("banana"))
+      .collect()
+    assert(accB.value === 3L, s"bm25 scanned the corpus ${accB.value / 3.0}x")
+    val accU = spark.sparkContext.longAccumulator("unigram_scans")
+    RelevanceFunctions.unigramLogProb(countingCorpus(accU), "doc_id", "text")
+      .collect()
+    // the final left join re-reads df for the id spine (one extra scan of
+    // the RAW source by design — ids only, no tokenization); the pinned
+    // explode itself contributes exactly one scan.
+    assert(accU.value <= 6L, s"unigramLogProb scanned the corpus ${accU.value / 3.0}x")
+    graft.Caches.releaseAll()
+  }
+
   test("guards: empty and duplicate term lists are rejected") {
     intercept[IllegalArgumentException] {
       RelevanceFunctions.bm25(corpus, "doc_id", "text", Seq.empty)
