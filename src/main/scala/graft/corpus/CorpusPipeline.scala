@@ -3,7 +3,7 @@ package graft.corpus
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions, SamplingFunctions, TextFunctions}
+import graft.functions.{DedupFunctions, SamplingFunctions, SimilarityFunctions, TextFunctions}
 import graft.warehouse.ShardWriter
 
 /** Gate thresholds and output shape for [[CorpusPipeline]]. `keepLangs`
@@ -22,6 +22,25 @@ final case class CorpusConfig(
     pctValid: Int = 5,
     shards: Int = 8)
 
+/** Embedding-tier (semantic) dedup knobs for [[CorpusPipeline.clean]].
+  * `dim` is the embedding dimensionality (needed to generate the LSH
+  * hyperplanes); `quantize` routes pooled vectors through int8
+  * quantization before the LSH pass — cosine is invariant to the
+  * per-vector scale, so candidate quality is unchanged while the
+  * shuffled/cached vectors shrink 8x vs double arrays (the knob that
+  * decides whether a 100 TB corpus's vectors fit executor storage);
+  * `minCosine` is the verified-cosine near-dup threshold; `maxIter`
+  * bounds the connected-components propagation.
+  */
+final case class SemanticConfig(
+    dim: Int,
+    nBits: Int = 16,
+    bands: Int = 4,
+    minCosine: Double = 0.9,
+    quantize: Boolean = true,
+    seed: Long = 42L,
+    maxIter: Int = 25)
+
 /** The end-to-end training-corpus pipeline, composed entirely from the
   * oracle-verified operators: quality/repetition/language gates → PII
   * scrub → exact dedup → MinHash-LSH near-dup drop → deterministic
@@ -33,11 +52,64 @@ final case class CorpusConfig(
   */
 object CorpusPipeline {
 
+  /** Semantic (embedding-tier) near-dup dedup over the TEXT-stage
+    * survivors: mean-pool each document's chunk vectors to one doc
+    * vector, optionally int8-quantize, generate banded hyperplane-LSH
+    * candidate pairs with exact-cosine verification, then drop all but
+    * the minimum-id member of every TRANSITIVE near-dup cluster
+    * (connected components — A~B, B~C collapses to one survivor even
+    * when (A,C) was never a candidate).
+    *
+    * `chunks` carries one row per (document, chunk) with the chunk's
+    * embedding vector in `vecCol`, keyed by `chunkIdCol` (the document
+    * id — same id space as `survivors(idCol)`). Chunks of documents
+    * already dropped by the text stages are filtered out BEFORE pooling
+    * (left-semi against the survivor ids), so the embedding tier only
+    * pays for rows that can still matter.
+    *
+    * Scale shape, stage by stage: pooling is one explode + hash-agg
+    * (map-side partials, no vector buffered per group); quantization is
+    * a scan-local projection; candidate generation is a bucketed
+    * equi-join on (band, key) — never all-pairs; clustering is
+    * O(diameter) shuffled joins. Nothing re-executes upstream lineage:
+    * each stage consumes the previous stage's frame exactly once (the
+    * LSH signature frame is pinned internally by [[SimilarityFunctions
+    * .lshNeighborPairs]]).
+    */
+  def semanticDedup(survivors: DataFrame, idCol: String,
+      chunks: DataFrame, chunkIdCol: String, vecCol: String,
+      cfg: SemanticConfig): DataFrame = {
+    val alive = chunks.join(
+      survivors.select(col(idCol).as(chunkIdCol)), Seq(chunkIdCol), "left_semi")
+    val pooled = SimilarityFunctions.assembleVec(
+      SimilarityFunctions.meanPoolFlat(alive, chunkIdCol, vecCol), chunkIdCol)
+    val vecs =
+      if (cfg.quantize)
+        pooled.select(col(chunkIdCol),
+          SimilarityFunctions.quantizeInt8(col("vec")).getField("q").as("vec"))
+      else pooled
+    val pairs = SimilarityFunctions.lshNeighborPairs(vecs, dim = cfg.dim,
+      nBits = cfg.nBits, bands = cfg.bands, minCosine = cfg.minCosine,
+      idCol = chunkIdCol, vecCol = "vec", seed = cfg.seed)
+    DedupFunctions.dropNearDuplicateClusters(survivors, pairs, idCol,
+      maxIter = cfg.maxIter)
+  }
+
   /** Filter + scrub + dedup; returns the surviving rows of `docs`
     * (id, text — text PII-redacted when configured).
+    *
+    * When `chunkEmbeddings` and `semantic` are BOTH given, the embedding
+    * tier ([[semanticDedup]]) runs after the text near-dup drop —
+    * text-LSH catches verbatim-ish copies; the embedding pass catches
+    * paraphrases and re-renderings that share meaning but few shingles.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
-      cfg: CorpusConfig = CorpusConfig()): DataFrame = {
+      cfg: CorpusConfig = CorpusConfig(),
+      chunkEmbeddings: Option[DataFrame] = None,
+      chunkIdCol: String = "doc_id", vecCol: String = "embedding",
+      semantic: Option[SemanticConfig] = None): DataFrame = {
+    require(chunkEmbeddings.isEmpty == semantic.isEmpty,
+      "semantic dedup needs BOTH the chunk-embedding frame and a SemanticConfig")
     val t = col(textCol)
     val langOk =
       if (cfg.keepLangs.isEmpty) lit(true)
@@ -59,17 +131,29 @@ object CorpusPipeline {
     val pairs = DedupFunctions.minhashLshPairs(
       exact.select(col(idCol), col(textCol)), idCol, textCol,
       n = cfg.shingleN, threshold = cfg.nearDupThreshold)
-    DedupFunctions.dropNearDuplicates(exact, pairs, idCol)
+    val textDeduped = DedupFunctions.dropNearDuplicates(exact, pairs, idCol)
+    (chunkEmbeddings, semantic) match {
+      case (Some(chunks), Some(semCfg)) =>
+        semanticDedup(textDeduped, idCol, chunks, chunkIdCol, vecCol, semCfg)
+      case _ => textDeduped
+    }
   }
 
-  /** Full run: read → clean → split → export shards. Returns per-split
-    * row counts.
+  /** Full run: read → clean (text tiers, plus the embedding tier when
+    * `semantic` is set — chunk vectors come from the side-by-side
+    * embeddings table, 10 chunks per document) → split → export shards.
+    * Returns per-split row counts.
     */
   def run(spark: SparkSession, inDir: String, outDir: String,
-      cfg: CorpusConfig = CorpusConfig()): Map[String, Long] = {
+      cfg: CorpusConfig = CorpusConfig(),
+      semantic: Option[SemanticConfig] = None): Map[String, Long] = {
     val docs = spark.read.parquet(s"$inDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val cleaned = clean(docs, "doc_id", "text", cfg)
+    val chunks = semantic.map(_ =>
+      spark.read.parquet(s"$inDir/embeddings.parquet")
+        .select(expr("vec_id div 10").as("doc_id"), col("embedding")))
+    val cleaned = clean(docs, "doc_id", "text", cfg,
+      chunkEmbeddings = chunks, semantic = semantic)
     val tagged = cleaned.withColumn("split",
       SamplingFunctions.splitColumn(
         col("doc_id").cast("string"), cfg.pctTrain, cfg.pctValid))
@@ -77,16 +161,23 @@ object CorpusPipeline {
       tagged, outDir, "doc_id", cfg.shards, splitCol = Some("split"))
   }
 
-  /** CLI: `runMain graft.corpus.CorpusPipeline <sfDir> <outDir>` */
+  /** CLI: `runMain graft.corpus.CorpusPipeline <sfDir> <outDir>
+    * [--semantic [dim]]` — `--semantic` adds the embedding-tier dedup
+    * (default dim 64, the testdata embedding width).
+    */
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
+    val semantic =
+      if (args.drop(2).headOption.contains("--semantic"))
+        Some(SemanticConfig(dim = args.drop(3).headOption.map(_.toInt).getOrElse(64)))
+      else None
     val spark = SparkSession.builder()
       .appName("graft-corpus").master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val counts = run(spark, inDir, outDir)
+    val counts = run(spark, inDir, outDir, semantic = semantic)
     println("corpus shards written: " + counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }.mkString(", "))
     spark.stop()

@@ -45,6 +45,92 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(fps === out.count())
   }
 
+  test("clean + semantic stage: embedding near-dups drop, verified brute-force") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // distinct natural-text plants: NOT exact/text near-dups of anything
+    // (so they must survive the text tier), but their CHUNK VECTORS are
+    // tiny perturbations of doc 7's chunks -> pooled cosine ~ 1, so only
+    // the embedding tier can catch them. 900011 chains off 900010's
+    // vectors, exercising the transitive-cluster drop.
+    val plantA = spark.sql(
+      """SELECT * FROM VALUES (900010L,
+        |  'the archive keeps a full copy of every quarterly review so the analysts can trace how each number moved between the reports')
+        |AS t(doc_id, text)""".stripMargin)
+    val plantB = spark.sql(
+      """SELECT * FROM VALUES (900011L,
+        |  'a completely different sentence about harbor lights and the slow ships that carry grain across the northern water routes every autumn season')
+        |AS t(doc_id, text)""".stripMargin)
+    val planted = docs.unionByName(plantA).unionByName(plantB)
+    // chunk embeddings: 10 real chunks per doc for docs 0..49; the plants
+    // reuse doc 7's chunks shifted elementwise (pooled mean shifts by the
+    // same epsilon, keeping cosine ~ 1)
+    val realChunks = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(expr("vec_id div 10").as("doc_id"), col("embedding"))
+    def shifted(newId: Long, eps: Double) =
+      realChunks.filter(col("doc_id") === 7L)
+        .select(lit(newId).as("doc_id"),
+          transform(col("embedding"), x => x + lit(eps)).as("embedding"))
+    val chunks = realChunks.unionByName(shifted(900010L, 0.002))
+      .unionByName(shifted(900011L, 0.004))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 0.0)
+    val semCfg = SemanticConfig(dim = 64, minCosine = 0.9)
+    val pre = CorpusPipeline.clean(planted, "doc_id", "text", cfg)
+    val post = CorpusPipeline.clean(planted, "doc_id", "text", cfg,
+      chunkEmbeddings = Some(chunks), semantic = Some(semCfg))
+    val preIds = pre.select("doc_id").as[Long].collect().toSet
+    val postIds = post.select("doc_id").as[Long].collect().toSet
+    assert(preIds.contains(900010L) && preIds.contains(900011L),
+      "plants must survive the text tier (else the semantic tier is untested)")
+    val dropped = preIds.diff(postIds)
+    // ORACLE: brute-force all-pairs cosine over the exact vectors the LSH
+    // tier saw (pooled + quantized), same 6dp-rounded threshold, then the
+    // transitive closure via union-find; expected drops = every cluster
+    // member except its minimum id.
+    val pooled = graft.functions.SimilarityFunctions.assembleVec(
+      graft.functions.SimilarityFunctions.meanPoolFlat(
+        chunks.join(pre.select("doc_id"), Seq("doc_id"), "left_semi"),
+        "doc_id", "embedding"), "doc_id")
+    val q = pooled.select(col("doc_id"),
+      graft.functions.SimilarityFunctions.quantizeInt8(col("vec"))
+        .getField("q").as("vec"))
+    val bfPairs = q.as("x").crossJoin(q.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(round(graft.functions.SimilarityFunctions.cosineHof(
+        col("x.vec"), col("y.vec")), 6) >= semCfg.minCosine)
+      .select(col("x.doc_id"), col("y.doc_id")).as[(Long, Long)].collect()
+    assert(bfPairs.nonEmpty, "planted pairs must clear the cosine threshold")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    bfPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val members = bfPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expectedDropped = members.groupBy(find).valuesIterator
+      .flatMap(ms => ms.sorted.drop(1)).toSet
+    assert(dropped === expectedDropped,
+      s"semantic drops must equal the brute-force closure (bf pairs: ${bfPairs.toSeq})")
+    assert(dropped.contains(900010L) && dropped.contains(900011L))
+    assert(postIds.contains(7L), "the cluster's minimum id survives")
+    // docs with no chunk embeddings pass through the semantic tier intact
+    assert(preIds.filter(_ >= 50L).filterNot(Set(900010L, 900011L))
+      .subsetOf(postIds))
+    graft.Caches.releaseAll()
+  }
+
+  test("clean rejects a chunk frame without a config (and vice versa)") {
+    val docs = spark.sql("SELECT * FROM VALUES (1L, 'x') AS t(doc_id, text)")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.clean(docs, "doc_id", "text", CorpusConfig(),
+        chunkEmbeddings = Some(docs))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.clean(docs, "doc_id", "text", CorpusConfig(),
+        semantic = Some(SemanticConfig(dim = 4)))
+    }
+  }
+
   test("run: shards on disk, splits complete, counts match the files") {
     val out = Files.createTempDirectory("corpus").toFile.getAbsolutePath
     val counts = CorpusPipeline.run(spark, sfDir, out,
