@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
@@ -103,6 +104,81 @@ class EventStreamsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val rows = spark.table(name).as[(Long, Long, Double)].collect()
       assert(rows.toSeq === Seq((7L, 10L, 55.0)))
+    } finally q.stop()
+  }
+
+  test("windowedTopTypes: late events drop at the watermark; closed windows emit ONCE") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val events = in.toDF().toDF("event_type", "ts")
+    val name = s"wtt_${System.nanoTime()}"
+    // append mode: a window's row may only be emitted AFTER the watermark
+    // (2 h here) passes its end — the finalized-result contract
+    val q = EventStreams.windowedTopTypes(events)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: three on-time events in the 10:00 window; watermark after
+      // this batch is 10:20 - 2h = 08:20, so nothing can emit yet
+      in.addData(("a", ts("10:05")), ("a", ts("10:10")), ("b", ts("10:20")))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0L,
+        "window still open: append mode must not emit")
+      // batch 2: an event 3h ahead pushes the watermark to 11:30 > the
+      // 10:00 window's end, finalizing it (the engine runs a no-data
+      // batch to flush newly-closed windows)
+      in.addData(("c", ts("13:30")))
+      q.processAllAvailable()
+      val closed = spark.table(name)
+        .filter(col("window_start") === ts("10:00")).orderBy("event_type")
+        .select("event_type", "n").as[(String, Long)].collect()
+      assert(closed.toSeq === Seq(("a", 2L), ("b", 1L)),
+        "the finalized 10:00 window emits its counts exactly once")
+      // batch 3: an event INSIDE the closed window arrives after the
+      // watermark — it must be dropped, not re-open or re-emit the window
+      in.addData(("a", ts("10:25")), ("c", ts("13:40")))
+      q.processAllAvailable()
+      val after = spark.table(name)
+        .filter(col("window_start") === ts("10:00")).orderBy("event_type")
+        .select("event_type", "n").as[(String, Long)].collect()
+      assert(after.toSeq === Seq(("a", 2L), ("b", 1L)),
+        "late event must not change or duplicate the finalized window")
+    } finally q.stop()
+  }
+
+  test("clickAttribution: late clicks drop at the watermark in a true stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = in.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val name = s"attr_${System.nanoTime()}"
+    val q = EventStreams.clickAttribution(events)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: a purchase and an in-window click for user 1 -> one match
+      in.addData((1L, 100L, "purchase", ts("10:00")), (1L, 500L, "click", ts("10:30")))
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+        === Seq((1L, 100L, ts("10:30"))))
+      // batch 2: unmatched click AND purchase 3h ahead — BOTH sides'
+      // event-time maxima advance, so the global watermark moves to 11:30
+      in.addData((55L, 501L, "click", ts("13:30")), (56L, 200L, "purchase", ts("13:30")))
+      q.processAllAvailable()
+      // batch 3: a LATE click for user 1 at 10:40 — inside purchase 100's
+      // attribution window, but older than the watermark: dropped. The
+      // on-time click for user 56 still matches its purchase.
+      in.addData((1L, 502L, "click", ts("10:40")), (56L, 503L, "click", ts("13:45")))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Long, java.sql.Timestamp)]
+        .collect().toSeq.sortBy(r => (r._1, r._3.getTime))
+      assert(rows === Seq((1L, 100L, ts("10:30")), (56L, 200L, ts("13:45"))),
+        "the late click must not produce an attribution row")
     } finally q.stop()
   }
 
