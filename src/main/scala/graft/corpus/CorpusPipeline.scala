@@ -18,6 +18,8 @@ final case class CorpusConfig(
     redactPii: Boolean = true,
     shingleN: Int = 3,
     nearDupThreshold: Double = 0.7,
+    hotBucketThreshold: Long = 4096L,
+    salts: Int = 16,
     pctTrain: Int = 90,
     pctValid: Int = 5,
     shards: Int = 8)
@@ -39,7 +41,9 @@ final case class SemanticConfig(
     minCosine: Double = 0.9,
     quantize: Boolean = true,
     seed: Long = 42L,
-    maxIter: Int = 25)
+    maxIter: Int = 25,
+    hotBucketThreshold: Long = 4096L,
+    salts: Int = 16)
 
 /** The end-to-end training-corpus pipeline, composed entirely from the
   * oracle-verified operators: quality/repetition/language gates → PII
@@ -90,7 +94,8 @@ object CorpusPipeline {
       else pooled
     val pairs = SimilarityFunctions.lshNeighborPairs(vecs, dim = cfg.dim,
       nBits = cfg.nBits, bands = cfg.bands, minCosine = cfg.minCosine,
-      idCol = chunkIdCol, vecCol = "vec", seed = cfg.seed)
+      idCol = chunkIdCol, vecCol = "vec", seed = cfg.seed,
+      hotBucketThreshold = cfg.hotBucketThreshold, salts = cfg.salts)
     DedupFunctions.dropNearDuplicateClusters(survivors, pairs, idCol,
       maxIter = cfg.maxIter)
   }
@@ -128,9 +133,14 @@ object CorpusPipeline {
     val exact = DedupFunctions.dedupExact(
       scrubbed.withColumn("_fp", TextFunctions.fingerprint(col(textCol))),
       idCol, "_fp").drop("_fp")
+    // the text-LSH candidate join arms the skew defense: a crawl's
+    // boilerplate buckets are exactly the pathological same-key groups
+    // selfPairJoin splits (the registry's oracle queries keep the
+    // plain-join default so their benched plans are unchanged)
     val pairs = DedupFunctions.minhashLshPairs(
       exact.select(col(idCol), col(textCol)), idCol, textCol,
-      n = cfg.shingleN, threshold = cfg.nearDupThreshold)
+      n = cfg.shingleN, threshold = cfg.nearDupThreshold,
+      hotBucketThreshold = cfg.hotBucketThreshold, salts = cfg.salts)
     val textDeduped = DedupFunctions.dropNearDuplicates(exact, pairs, idCol)
     (chunkEmbeddings, semantic) match {
       case (Some(chunks), Some(semCfg)) =>

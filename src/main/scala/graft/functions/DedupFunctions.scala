@@ -176,13 +176,22 @@ object DedupFunctions {
     * re-scanned and re-tokenized at verify time. At 100 TB the cached
     * frame is the shingle arrays (≈ the corpus size): the caller picks
     * the level (e.g. DISK_ONLY) or pre-materializes shingles to a table.
+    *
+    * `hotBucketThreshold` arms the skew defense for the candidate
+    * self-join ([[graft.ops.SkewOps.selfPairJoin]]): a boilerplate
+    * (band, bucket) with n members is an n²-pair same-key group no AQE
+    * split can break; past the threshold its pairs are generated through
+    * a salted join across `salts` tasks instead of one. The default
+    * (`Long.MaxValue`) keeps today's plain-join plan; the corpus
+    * pipeline arms it.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7,
       hash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i)),
       bucketHash: (Column, Int) => Column = (c, b) => xxhash64(c, lit(b)),
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      hotBucketThreshold: Long = Long.MaxValue, salts: Int = 16): DataFrame = {
     val rows = numHashes / bands
     val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
     if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(sh, storage)
@@ -190,9 +199,9 @@ object DedupFunctions {
     val banded = sigs.select(col("id"),
         explode(lshBands(col("sig"), bands, rows, bucketHash)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val cands = graft.ops.SkewOps
+      .selfPairJoin(banded, Seq("band", "bucket"), "id", hotBucketThreshold, salts)
+      .distinct()
     cands
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))

@@ -248,7 +248,8 @@ object SimilarityFunctions {
   def lshNeighborPairs(corpus: DataFrame, dim: Int, nBits: Int = 16,
       bands: Int = 4, minCosine: Double = 0.8, idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      hotBucketThreshold: Long = Long.MaxValue, salts: Int = 16): DataFrame = {
     require(bands > 0 && nBits % bands == 0,
       s"nBits ($nBits) must be a positive multiple of bands ($bands)")
     // one 64-bit word per signature: beyond that, shiftleft wraps mod 64
@@ -266,9 +267,11 @@ object SimilarityFunctions {
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * rows).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cands = banded.as("x").join(banded.as("y"), Seq("band", "key"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    // skew defense for dense embedding clusters: see selfPairJoin — the
+    // default threshold keeps the plain self-join plan
+    val cands = graft.ops.SkewOps
+      .selfPairJoin(banded, Seq("band", "key"), "id", hotBucketThreshold, salts)
+      .distinct()
     val vecs = sig.select(col("id"), col("v"))
     cands
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))

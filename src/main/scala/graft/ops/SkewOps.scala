@@ -62,4 +62,61 @@ object SkewOps {
       explode(sequence(lit(0), lit(salts - 1))))
     leftSalted.join(rightSalted, keys :+ salt, joinType).drop(salt)
   }
+
+  /** Skew-split SELF-pair join — the LSH candidate-generation shape:
+    * emit every ordered pair `(id_a < id_b)` of rows sharing `keyCols`
+    * (an LSH (band, bucket), a SimHash chunk, …). Buckets are the skew
+    * hazard: one boilerplate bucket with n members produces an n²-pair
+    * same-key group that AQE cannot split (identical join keys land in
+    * one sort-merge group regardless of partition splitting).
+    *
+    * The fix stays fully LAZY — no driver-side action. A per-bucket
+    * count (one map-side-combined aggregation over `df`) joins back
+    * onto the rows; buckets at or under `hotThreshold` take the plain
+    * self-join, hotter buckets take a salted two-sided join: the left
+    * occurrence of each row gets `pmod(xxhash64(id), salts)` (ids are
+    * distinct within a bucket, so the hash spreads the bucket evenly
+    * — salting by the KEY would change nothing), the right occurrence
+    * explodes to all salts, and the join adds the salt to the key. A
+    * pair is emitted exactly once — at the left element's salt — so
+    * hot ∪ cold is EXACTLY the plain pair set, in any order. A bucket
+    * is entirely hot or entirely cold (the count is a pure function of
+    * the key), so no cross-class pairs exist.
+    *
+    * Cost model: the hot side pays `salts`× replication of its right
+    * occurrence but divides the n²/salts-per-task quadratic work across
+    * `salts` tasks; the count aggregation adds one extra pass over `df`
+    * (both LSH call sites derive `df` from an internally-pinned frame,
+    * so that pass never re-reads the corpus). `hotThreshold =
+    * Long.MaxValue` (the default) bypasses the histogram entirely and
+    * compiles to the plain self-join.
+    */
+  def selfPairJoin(df: DataFrame, keyCols: Seq[String], idCol: String,
+      hotThreshold: Long = Long.MaxValue, salts: Int = 16): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1 (got $salts)")
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1 (got $hotThreshold)")
+    val keys = keyCols.map(col)
+    def pairs(d: DataFrame, joinKeys: Seq[String]) =
+      d.as("x").join(d.as("y"), joinKeys)
+        .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    if (hotThreshold == Long.MaxValue)
+      pairs(df, keyCols) // fast path: no histogram pass at all
+    else {
+      val taken = df.columns.toSet
+      val cnt = ColNames.fresh(taken, "_bucket_n")
+      val salt = ColNames.fresh(taken + cnt, "_salt")
+      val counts = df.groupBy(keys: _*).agg(count(lit(1)).as(cnt))
+      val withCnt = df.join(counts, keyCols)
+      val cold = withCnt.filter(col(cnt) <= hotThreshold).drop(cnt)
+      val hot = withCnt.filter(col(cnt) > hotThreshold).drop(cnt)
+      val hotX = hot.withColumn(salt,
+        pmod(xxhash64(col(idCol)), lit(salts.toLong)).cast("int"))
+      val hotY = hot.withColumn(salt, explode(sequence(lit(0), lit(salts - 1))))
+      val hotPairs = hotX.as("x").join(hotY.as("y"), keyCols :+ salt)
+        .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      pairs(cold, keyCols).unionByName(hotPairs)
+    }
+  }
 }

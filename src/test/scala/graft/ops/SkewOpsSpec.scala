@@ -59,4 +59,48 @@ class SkewOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("_salt"), plan)
   }
+
+  // one boilerplate bucket with 80 members (3160 pairs) plus small ones —
+  // the LSH candidate-generation skew shape
+  private val buckets = ((1 to 80).map(i => ("B_HOT", i.toLong)) ++
+    (1 to 30).map(i => (s"B${i % 5}", 100L + i))).toDF("bucket", "id")
+
+  test("selfPairJoin: salted hot path emits EXACTLY the plain pair set") {
+    val plain = SkewOps.selfPairJoin(buckets, Seq("bucket"), "id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val armed = SkewOps.selfPairJoin(buckets, Seq("bucket"), "id",
+        hotThreshold = 16, salts = 8)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(plain.nonEmpty && plain.size === plain.distinct.size)
+    assert(armed === plain, "skew split must not add, drop, or duplicate pairs")
+    // every pair is ordered
+    assert(plain.forall { case (a, b) => a < b })
+  }
+
+  test("selfPairJoin: the salted plan engages past the threshold, not before") {
+    val armed = SkewOps.selfPairJoin(buckets, Seq("bucket"), "id",
+      hotThreshold = 16, salts = 8).queryExecution.executedPlan.toString
+    assert(armed.contains("_salt"), "hot buckets must route through the salt key")
+    val off = SkewOps.selfPairJoin(buckets, Seq("bucket"), "id")
+      .queryExecution.executedPlan.toString
+    assert(!off.contains("_salt"), "default threshold must keep the plain join")
+  }
+
+  test("minhashLshPairs: armed skew defense is pair-for-pair invariant") {
+    import graft.functions.DedupFunctions
+    // 40 identical docs -> every (band, bucket) they share holds 40
+    // members, far past the threshold; plus distinct filler docs
+    val docs = ((1 to 40).map(i =>
+        (i.toLong, "the same boilerplate sentence repeated across the crawl")) ++
+      (41 to 60).map(i => (i.toLong, s"unique document number $i with its own words")))
+      .toDF("doc_id", "text")
+    val plain = DedupFunctions.minhashLshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    val armed = DedupFunctions.minhashLshPairs(docs, "doc_id", "text",
+        hotBucketThreshold = 8L, salts = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(plain.size === (40 * 39) / 2, "identical docs must all pair up")
+    assert(armed === plain)
+    graft.Caches.releaseAll()
+  }
 }
