@@ -46,7 +46,13 @@ final class ShardWriter(spark: SparkSession) {
     // would re-execute its entire upstream lineage (in CorpusPipeline
     // that is the whole gate/scrub/dedup chain) a second time, while the
     // just-written parquet answers from partition-pruned footer metadata.
-    val written = spark.read.parquet(outDir)
+    // The read gets the writer's EXPLICIT schema: partition-column type
+    // inference would otherwise re-type numeric-looking split dirs
+    // ("01" -> int 1) and the returned keys would no longer match the
+    // input column's values. (Hive dirs still cannot represent the empty
+    // string — it round-trips as null, like in Warehouse appends — so
+    // use non-empty split labels.)
+    val written = spark.read.schema(tagged.schema).parquet(outDir)
     splitCol match {
       case Some(s) =>
         written.groupBy(col(s)).count().collect()

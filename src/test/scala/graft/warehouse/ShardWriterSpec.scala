@@ -65,6 +65,19 @@ class ShardWriterSpec extends AnyFunSuite {
       s"input lineage ran ${evals.value / 300.0}x, expected exactly once")
   }
 
+  test("numeric-looking split labels keep their string identity in counts") {
+    // partition-dir type inference would read "01" back as int 1 and the
+    // returned map key would not match the input value; the explicit-
+    // schema read-back preserves it
+    val docs = (1L to 90L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .withColumn("split",
+        when(col("doc_id") <= 30L, "01")
+          .when(col("doc_id") <= 60L, "002").otherwise("3"))
+    val counts = new ShardWriter(spark)
+      .exportShards(docs, tmp(), "doc_id", shards = 2, splitCol = Some("split"))
+    assert(counts === Map("01" -> 30L, "002" -> 30L, "3" -> 30L))
+  }
+
   test("reserved column and bad shard count are rejected") {
     val df = Seq((1L, 0L)).toDF("doc_id", "shard")
     intercept[IllegalArgumentException] {
