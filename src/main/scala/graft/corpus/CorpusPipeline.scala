@@ -1,6 +1,6 @@
 package graft.corpus
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions, SamplingFunctions, SimilarityFunctions, TextFunctions}
@@ -8,7 +8,11 @@ import graft.warehouse.ShardWriter
 
 /** Gate thresholds and output shape for [[CorpusPipeline]]. `keepLangs`
   * empty keeps every language; percentages follow
-  * [[graft.functions.SamplingFunctions.splitColumn]].
+  * [[graft.functions.SamplingFunctions.splitColumn]]. `minhashHash` /
+  * `minhashBucketHash` expose the near-dup tier's hash functions —
+  * production keeps the xxhash64 defaults; the registry's oracle twin
+  * swaps in the engine-shared md5 hash so the WHOLE composed pipeline
+  * can be replayed externally (the m1b pattern).
   */
 final case class CorpusConfig(
     minTokens: Long = 20,
@@ -17,12 +21,18 @@ final case class CorpusConfig(
     keepLangs: Set[String] = Set.empty,
     redactPii: Boolean = true,
     shingleN: Int = 3,
+    numHashes: Int = 32,
+    bands: Int = 8,
     nearDupThreshold: Double = 0.7,
     hotBucketThreshold: Long = 4096L,
     salts: Int = 16,
     pctTrain: Int = 90,
     pctValid: Int = 5,
-    shards: Int = 8)
+    shards: Int = 8,
+    minhashHash: (Column, Int) => Column =
+      (c, i) => xxhash64(c, lit(i)),
+    minhashBucketHash: (Column, Int) => Column =
+      (c, b) => xxhash64(c, lit(b)))
 
 /** Embedding-tier (semantic) dedup knobs for [[CorpusPipeline.clean]].
   * `dim` is the embedding dimensionality (needed to generate the LSH
@@ -139,7 +149,9 @@ object CorpusPipeline {
     // plain-join default so their benched plans are unchanged)
     val pairs = DedupFunctions.minhashLshPairs(
       exact.select(col(idCol), col(textCol)), idCol, textCol,
-      n = cfg.shingleN, threshold = cfg.nearDupThreshold,
+      n = cfg.shingleN, numHashes = cfg.numHashes, bands = cfg.bands,
+      threshold = cfg.nearDupThreshold,
+      hash = cfg.minhashHash, bucketHash = cfg.minhashBucketHash,
       hotBucketThreshold = cfg.hotBucketThreshold, salts = cfg.salts)
     val textDeduped = DedupFunctions.dropNearDuplicates(exact, pairs, idCol)
     (chunkEmbeddings, semantic) match {

@@ -1702,6 +1702,94 @@ object Queries {
              |SELECT doc_id, c1 + c2 + c3 + c4 AS n_pii, md5(r4) AS redacted_md5
              |FROM p4 ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("c3_corpus_clean_md5",
+      // the COMPOSED corpus pipeline oracle-verified end-to-end: gates
+      // (token count, quality, bigram repetition) -> PII scrub -> exact
+      // fingerprint dedup -> MinHash-LSH near-dup drop, all through the
+      // REAL CorpusPipeline.clean with only the near-dup hash swapped to
+      // the engine-shared md5 form (the m1b twin pattern). Every stage's
+      // SQL is the already-hash-matched CTE from its standalone query
+      // (t7 gates, c2 scrub, d1 dedup, m1b LSH) stitched in clean()'s
+      // order; output binds survivors AND their scrubbed bytes by md5.
+      (s, dir) => {
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7,
+          minhashHash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+          minhashBucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))))
+        graft.corpus.CorpusPipeline.clean(docs(s, dir), "doc_id", "text", cfg)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
+             |         END AS punct_ratio,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
+             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, text, n_tok,
+             |    (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+             |     + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+             |     + least(stopword_ratio * 5.0, 1.0) * 0.3) * 100.0 AS quality,
+             |    CASE WHEN len(w) < 2 THEN 0.0
+             |         ELSE 1.0 - CAST(len(list_distinct(list_transform(
+             |                  generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+             |              / (len(w) - 1) END AS dup_bg
+             |  FROM b),
+             |gated AS (
+             |  SELECT doc_id, text FROM g
+             |  WHERE n_tok >= 20 AND quality >= 50.0 AND dup_bg <= 0.3),
+             |r1 AS (SELECT doc_id, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g') AS text FROM gated),
+             |r2 AS (SELECT doc_id, regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g') AS text FROM r1),
+             |r3 AS (SELECT doc_id, regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '<PII>', 'g') AS text FROM r2),
+             |scrubbed AS (SELECT doc_id, regexp_replace(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PII>', 'g') AS text FROM r3),
+             |exact AS (
+             |  SELECT doc_id, text,
+             |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+             |  FROM scrubbed
+             |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+             |toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM exact),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |sig AS (
+             |  SELECT doc_id, shingles,
+             |    list_transform(generate_series(0, 15), i ->
+             |      list_aggregate(list_transform(shingles, s ->
+             |        CAST(('0x' || substring(md5(s || '#' || i), 1, 15)) AS BIGINT)), 'min')) AS sg
+             |  FROM sh),
+             |banded AS (
+             |  SELECT doc_id, b,
+             |    CAST(('0x' || substring(md5(array_to_string(sg[b*4+1:b*4+4], ',') || '#b#' || b), 1, 15)) AS BIGINT) AS bucket
+             |  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)),
+             |cands AS (
+             |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             |  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
+             |  WHERE x.doc_id < y.doc_id),
+             |doomed AS (
+             |  SELECT DISTINCT c.id_b
+             |  FROM cands c
+             |  JOIN sh a ON a.doc_id = c.id_a
+             |  JOIN sh b ON b.doc_id = c.id_b
+             |  WHERE CAST(len(a.shingles) + len(b.shingles)
+             |         - len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)
+             |SELECT e.doc_id, md5(e.text) AS text_md5
+             |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("pack1_sequence_packing",
       // deterministic sequence packing: documents into 512-token training
       // packs across 8 shards; the full per-doc assignment is the result
