@@ -95,8 +95,14 @@ object CorpusPipeline {
       cfg: SemanticConfig): DataFrame = {
     val alive = chunks.join(
       survivors.select(col(idCol).as(chunkIdCol)), Seq(chunkIdCol), "left_semi")
+    // pooled means are 6dp-rounded (the library-wide float-aggregate
+    // contract): the per-dimension avg is an accumulation-order-sensitive
+    // IEEE sum, so rounding makes the downstream signature bits and
+    // cosine verdicts invariant to partitioning AND replayable by an
+    // external engine (c4's oracle recomputes this exact pipeline).
     val pooled = SimilarityFunctions.assembleVec(
-      SimilarityFunctions.meanPoolFlat(alive, chunkIdCol, vecCol), chunkIdCol)
+      SimilarityFunctions.meanPoolFlat(alive, chunkIdCol, vecCol)
+        .withColumn("mean_v", round(col("mean_v"), 6)), chunkIdCol)
     val vecs =
       if (cfg.quantize)
         pooled.select(col(chunkIdCol),

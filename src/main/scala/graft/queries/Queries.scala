@@ -95,11 +95,17 @@ object Queries {
       transform(col("v"), x => x + lit(0.05)).as("v")))
   }
 
-  private lazy val s2OracleCtes: String = {
-    val planes = S.hyperplanes(dim = 64, nBits = 16)
-    val planesSql = planes
+  /** The 64×16 hyperplane literal both the s2 family and c4 embed: a
+    * pure function of the seed, so Spark, DuckDB and the spec all see
+    * the identical coefficients.
+    */
+  private lazy val planes64x16Sql: String =
+    S.hyperplanes(dim = 64, nBits = 16)
       .map(row => row.mkString("[", ",", "]"))
       .mkString("CAST([", ",", "] AS DOUBLE[][])")
+
+  private lazy val s2OracleCtes: String = {
+    val planesSql = planes64x16Sql
     s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |corpus AS (
        |  SELECT id, v FROM base
@@ -152,6 +158,144 @@ object Queries {
         |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
         |SELECT component AS cluster_id, count(*) AS n_members, max(id) AS max_id
         |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The composed corpus pipeline's text tiers (c3/c4): gates → PII
+    * scrub → exact fingerprint dedup → md5-MinHash-LSH near-dup drop,
+    * each CTE the already-hash-matched form from its standalone query
+    * (t7 / c2 / d1 / m1b), stitched in [[graft.corpus.CorpusPipeline
+    * .clean]]'s stage order. No leading WITH (c4 prefixes RECURSIVE).
+    */
+  private lazy val corpusTextCtes: String =
+    """b AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
+      |         END AS punct_ratio,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
+      |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, text, n_tok,
+      |    (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+      |     + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+      |     + least(stopword_ratio * 5.0, 1.0) * 0.3) * 100.0 AS quality,
+      |    CASE WHEN len(w) < 2 THEN 0.0
+      |         ELSE 1.0 - CAST(len(list_distinct(list_transform(
+      |                  generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+      |              / (len(w) - 1) END AS dup_bg
+      |  FROM b),
+      |gated AS (
+      |  SELECT doc_id, text FROM g
+      |  WHERE n_tok >= 20 AND quality >= 50.0 AND dup_bg <= 0.3),
+      |r1 AS (SELECT doc_id, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g') AS text FROM gated),
+      |r2 AS (SELECT doc_id, regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g') AS text FROM r1),
+      |r3 AS (SELECT doc_id, regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '<PII>', 'g') AS text FROM r2),
+      |scrubbed AS (SELECT doc_id, regexp_replace(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PII>', 'g') AS text FROM r3),
+      |exact AS (
+      |  SELECT doc_id, text,
+      |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+      |  FROM scrubbed
+      |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM exact),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(generate_series(0, 15), i ->
+      |      list_aggregate(list_transform(shingles, s ->
+      |        CAST(('0x' || substring(md5(s || '#' || i), 1, 15)) AS BIGINT)), 'min')) AS sg
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b,
+      |    CAST(('0x' || substring(md5(array_to_string(sg[b*4+1:b*4+4], ',') || '#b#' || b), 1, 15)) AS BIGINT) AS bucket
+      |  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)),
+      |cands AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
+      |  WHERE x.doc_id < y.doc_id),
+      |doomed AS (
+      |  SELECT DISTINCT c.id_b
+      |  FROM cands c
+      |  JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b
+      |  WHERE CAST(len(a.shingles) + len(b.shingles)
+      |         - len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)""".stripMargin
+
+  private lazy val c3OracleSql: String =
+    "WITH " + corpusTextCtes +
+      """
+        |SELECT e.doc_id, md5(e.text) AS text_md5
+        |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)
+        |ORDER BY doc_id""".stripMargin
+
+  /** c4: the text tiers plus the embedding tier — s5's pooling (6dp),
+    * the s2 hyperplane literals, exact-cosine verify, and the d7
+    * recursive min-reachability closure, in [[graft.corpus
+    * .CorpusPipeline.semanticDedup]]'s stage order.
+    */
+  private lazy val c4OracleSql: String =
+    "WITH RECURSIVE " + corpusTextCtes + s""",
+        |survivors AS (
+        |  SELECT e.doc_id, e.text FROM exact e
+        |  WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)),
+        |chunks AS (
+        |  SELECT vec_id // 10 AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id // 10 <> 23
+        |  UNION ALL
+        |  SELECT 23 AS doc_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.002) AS v
+        |  FROM embeddings WHERE vec_id // 10 = 7),
+        |alive AS (
+        |  SELECT doc_id, v FROM chunks
+        |  WHERE doc_id IN (SELECT doc_id FROM survivors)),
+        |flatc AS (
+        |  SELECT doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        |  FROM alive),
+        |pooled AS (
+        |  SELECT doc_id, list(m ORDER BY pos) AS v
+        |  FROM (SELECT doc_id, pos, round(avg(val), 6) AS m
+        |        FROM flatc GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |pl AS (SELECT $planes64x16Sql AS planes),
+        |sig2 AS (
+        |  SELECT doc_id, v,
+        |    CAST(list_aggregate(list_transform(generate_series(0, 15), i ->
+        |      CASE WHEN list_dot_product(v, planes[i+1]) >= 0
+        |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS sig
+        |  FROM pooled, pl),
+        |banded2 AS (
+        |  SELECT doc_id, b, (sig >> (b*4)) & 15 AS key
+        |  FROM sig2, UNNEST([0,1,2,3]) AS t(b)),
+        |cands2 AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM banded2 x JOIN banded2 y ON x.b = y.b AND x.key = y.key
+        |  WHERE x.doc_id < y.doc_id),
+        |verified2 AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cands2 c JOIN sig2 a ON a.doc_id = c.id_a JOIN sig2 b ON b.doc_id = c.id_b
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM verified2
+        |  UNION SELECT id_b, id_a FROM verified2),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |doomed2 AS (SELECT id FROM cc WHERE id <> component)
+        |SELECT s.doc_id, md5(s.text) AS text_md5
+        |FROM survivors s WHERE s.doc_id NOT IN (SELECT id FROM doomed2)
+        |ORDER BY doc_id""".stripMargin
 
   val registry: Seq[QueryDef] = Seq(
 
@@ -1721,74 +1865,38 @@ object Queries {
           .select(col("doc_id"), md5(col("text")).as("text_md5"))
           .orderBy("doc_id")
       },
-      Some("""WITH b AS (
-             |  SELECT doc_id, text,
-             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
-             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-             |    CASE WHEN length(text) = 0 THEN 0.0
-             |         ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
-             |         END AS punct_ratio,
-             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-             |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
-             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio,
-             |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
-             |  FROM documents),
-             |g AS (
-             |  SELECT doc_id, text, n_tok,
-             |    (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
-             |     + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
-             |     + least(stopword_ratio * 5.0, 1.0) * 0.3) * 100.0 AS quality,
-             |    CASE WHEN len(w) < 2 THEN 0.0
-             |         ELSE 1.0 - CAST(len(list_distinct(list_transform(
-             |                  generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
-             |              / (len(w) - 1) END AS dup_bg
-             |  FROM b),
-             |gated AS (
-             |  SELECT doc_id, text FROM g
-             |  WHERE n_tok >= 20 AND quality >= 50.0 AND dup_bg <= 0.3),
-             |r1 AS (SELECT doc_id, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g') AS text FROM gated),
-             |r2 AS (SELECT doc_id, regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g') AS text FROM r1),
-             |r3 AS (SELECT doc_id, regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '<PII>', 'g') AS text FROM r2),
-             |scrubbed AS (SELECT doc_id, regexp_replace(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PII>', 'g') AS text FROM r3),
-             |exact AS (
-             |  SELECT doc_id, text,
-             |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
-             |  FROM scrubbed
-             |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
-             |toks AS (
-             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-             |  FROM exact),
-             |sh AS (
-             |  SELECT doc_id,
-             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
-             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
-             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
-             |  FROM toks),
-             |sig AS (
-             |  SELECT doc_id, shingles,
-             |    list_transform(generate_series(0, 15), i ->
-             |      list_aggregate(list_transform(shingles, s ->
-             |        CAST(('0x' || substring(md5(s || '#' || i), 1, 15)) AS BIGINT)), 'min')) AS sg
-             |  FROM sh),
-             |banded AS (
-             |  SELECT doc_id, b,
-             |    CAST(('0x' || substring(md5(array_to_string(sg[b*4+1:b*4+4], ',') || '#b#' || b), 1, 15)) AS BIGINT) AS bucket
-             |  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)),
-             |cands AS (
-             |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-             |  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
-             |  WHERE x.doc_id < y.doc_id),
-             |doomed AS (
-             |  SELECT DISTINCT c.id_b
-             |  FROM cands c
-             |  JOIN sh a ON a.doc_id = c.id_a
-             |  JOIN sh b ON b.doc_id = c.id_b
-             |  WHERE CAST(len(a.shingles) + len(b.shingles)
-             |         - len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
-             |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)
-             |SELECT e.doc_id, md5(e.text) AS text_md5
-             |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)
-             |ORDER BY doc_id""".stripMargin)),
+      Some(c3OracleSql)),
+
+    QueryDef("c4_corpus_semantic_md5",
+      // c3 PLUS the embedding tier, still through the REAL clean():
+      // chunk vectors (10 per doc, with doc 23's chunks overridden by a
+      // perturbed copy of doc 7's so one semantic near-dup pair exists)
+      // -> mean-pool (6dp) -> hyperplane LSH -> exact-cosine verify ->
+      // transitive-cluster drop. The oracle continues c3's CTEs with
+      // the s5 pooling, the s2 plane literals, and the d7 recursive
+      // closure. quantize=false: int8 rounding is the one step held to
+      // a recall bound rather than SQL equality (s4's contract).
+      (s, dir) => {
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7,
+          minhashHash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+          minhashBucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))))
+        val base = t(s, dir, "embeddings")
+          .select(expr("vec_id div 10").as("doc_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val chunks = base.filter(col("doc_id") =!= 23L)
+          .unionAll(base.filter(col("doc_id") === 7L)
+            .select(lit(23L).as("doc_id"),
+              transform(col("embedding"), x => x + lit(0.002)).as("embedding")))
+        val sem = graft.corpus.SemanticConfig(dim = 64, nBits = 16,
+          bands = 4, minCosine = 0.9, quantize = false)
+        graft.corpus.CorpusPipeline.clean(docs(s, dir), "doc_id", "text", cfg,
+          chunkEmbeddings = Some(chunks), semantic = Some(sem))
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(c4OracleSql)),
 
     QueryDef("pack1_sequence_packing",
       // deterministic sequence packing: documents into 512-token training

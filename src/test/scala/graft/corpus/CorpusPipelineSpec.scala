@@ -90,7 +90,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val pooled = graft.functions.SimilarityFunctions.assembleVec(
       graft.functions.SimilarityFunctions.meanPoolFlat(
         chunks.join(pre.select("doc_id"), Seq("doc_id"), "left_semi"),
-        "doc_id", "embedding"), "doc_id")
+        "doc_id", "embedding")
+        .withColumn("mean_v", round(col("mean_v"), 6)), "doc_id")
     val q = pooled.select(col("doc_id"),
       graft.functions.SimilarityFunctions.quantizeInt8(col("vec"))
         .getField("q").as("vec"))
