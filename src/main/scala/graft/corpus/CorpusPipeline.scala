@@ -162,7 +162,14 @@ object CorpusPipeline {
     val textDeduped = DedupFunctions.dropNearDuplicates(exact, pairs, idCol)
     (chunkEmbeddings, semantic) match {
       case (Some(chunks), Some(semCfg)) =>
-        semanticDedup(textDeduped, idCol, chunks, chunkIdCol, vecCol, semCfg)
+        // the text-tier survivors feed BOTH the semantic tier's
+        // survivor semi-join and the final cluster anti-join — pin them
+        // so the whole gate/scrub/dedup chain executes once, not once
+        // per consumer (released via Caches.releaseAll, like every
+        // operator-internal pin)
+        val pinned = graft.Caches.trackedPersist(
+          textDeduped, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        semanticDedup(pinned, idCol, chunks, chunkIdCol, vecCol, semCfg)
       case _ => textDeduped
     }
   }

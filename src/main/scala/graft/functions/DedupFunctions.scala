@@ -266,25 +266,37 @@ object DedupFunctions {
     // plan (see [[graft.internal.Checkpoints]]), never a registry diff.
     import graft.internal.Checkpoints.localCheckpointTracked
     try {
+      // init fused with the FIRST propagation round: under the identity
+      // labeling, round 1's "min of self and neighbors" is a plain
+      // aggregation over the (symmetric) edge list — least(id, min src)
+      // per dst — so the loop starts one round ahead at no join cost.
       var (labels, releaseLabels) = localCheckpointTracked(
-        edges.select(col("src").as("id")).distinct()
-          .withColumn("component", col("id")))
+        edges.groupBy(col("dst").as("id"))
+          .agg(least(col("dst"), min(col("src"))).as("component")))
       var iter = 0
       while (iter < maxIter) {
-        val nbrMin = edges
+        // Pregel-shaped round, ONE join + ONE aggregation: every edge
+        // sends src's label to dst, each node unions its own label in
+        // (flagged `_self`) and takes the min — the same update rule as
+        // the join-then-update formulation at half the shuffle stages.
+        // The aggregation also carries the node's PREVIOUS label (min
+        // over the self-flagged rows), so the convergence check is a
+        // filter over the just-checkpointed output instead of a join
+        // against the previous round — one cheap action per round.
+        val msgs = edges
           .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("component")).as("nbr"))
+          .select(col("dst").as("id"), col("component"), lit(false).as("_self"))
+        val all = labels
+          .select(col("id"), col("component"), lit(true).as("_self"))
+          .unionByName(msgs)
         val (updated, releaseUpdated) = localCheckpointTracked(
-          labels
-            .join(nbrMin, Seq("id"), "left")
-            .select(col("id"),
-              least(col("component"), coalesce(col("nbr"), col("component"))).as("component")))
-        val changed = !updated
-          .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-          .filter(col("component") =!= col("prev")).isEmpty
+          all.groupBy(col("id")).agg(
+            min(col("component")).as("component"),
+            min(when(col("_self"), col("component"))).as("_prev")))
+        val changed = !updated.filter(col("component") =!= col("_prev")).isEmpty
         releaseLabels()
-        labels = updated; releaseLabels = releaseUpdated
+        labels = updated.drop("_prev") // projection over the checkpointed frame
+        releaseLabels = releaseUpdated
         iter += 1
         if (!changed) return labels // the returned frame keeps its blocks
       }

@@ -95,14 +95,16 @@ object Queries {
       transform(col("v"), x => x + lit(0.05)).as("v")))
   }
 
-  /** The 64×16 hyperplane literal both the s2 family and c4 embed: a
-    * pure function of the seed, so Spark, DuckDB and the spec all see
+  /** Hyperplane literals the s2 family (16-bit) and c4 (32-bit) embed:
+    * a pure function of the seed, so Spark, DuckDB and the spec all see
     * the identical coefficients.
     */
-  private lazy val planes64x16Sql: String =
-    S.hyperplanes(dim = 64, nBits = 16)
+  private def planesSqlLiteral(nBits: Int): String =
+    S.hyperplanes(dim = 64, nBits = nBits)
       .map(row => row.mkString("[", ",", "]"))
       .mkString("CAST([", ",", "] AS DOUBLE[][])")
+
+  private lazy val planes64x16Sql: String = planesSqlLiteral(16)
 
   private lazy val s2OracleCtes: String = {
     val planesSql = planes64x16Sql
@@ -266,15 +268,15 @@ object Queries {
         |  FROM (SELECT doc_id, pos, round(avg(val), 6) AS m
         |        FROM flatc GROUP BY 1, 2)
         |  GROUP BY doc_id),
-        |pl AS (SELECT $planes64x16Sql AS planes),
+        |pl AS (SELECT ${planesSqlLiteral(32)} AS planes),
         |sig2 AS (
         |  SELECT doc_id, v,
-        |    CAST(list_aggregate(list_transform(generate_series(0, 15), i ->
+        |    CAST(list_aggregate(list_transform(generate_series(0, 31), i ->
         |      CASE WHEN list_dot_product(v, planes[i+1]) >= 0
         |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS sig
         |  FROM pooled, pl),
         |banded2 AS (
-        |  SELECT doc_id, b, (sig >> (b*4)) & 15 AS key
+        |  SELECT doc_id, b, (sig >> (b*8)) & 255 AS key
         |  FROM sig2, UNNEST([0,1,2,3]) AS t(b)),
         |cands2 AS (
         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -1889,7 +1891,12 @@ object Queries {
           .unionAll(base.filter(col("doc_id") === 7L)
             .select(lit(23L).as("doc_id"),
               transform(col("embedding"), x => x + lit(0.002)).as("embedding")))
-        val sem = graft.corpus.SemanticConfig(dim = 64, nBits = 16,
+        // 32-bit signatures (8 bits/band): at sf0.1's 5,000 chunked
+        // docs, 16-bit/4-band gives only 16 buckets per band and ~n²/32
+        // false candidates; 256 buckets per band keeps the candidate
+        // join linear-ish while the planted pair (cosine ~0.9999) still
+        // matches a band with probability ~1 - 4e-7
+        val sem = graft.corpus.SemanticConfig(dim = 64, nBits = 32,
           bands = 4, minCosine = 0.9, quantize = false)
         graft.corpus.CorpusPipeline.clean(docs(s, dir), "doc_id", "text", cfg,
           chunkEmbeddings = Some(chunks), semantic = Some(sem))
