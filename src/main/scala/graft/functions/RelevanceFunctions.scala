@@ -129,4 +129,59 @@ object RelevanceFunctions {
       .select(col(idCol),
         coalesce(col("_lp"), lit(logProbFloor)).as("log_prob"))
   }
+
+  /** Bigram language-model quality score — one order up from
+    * [[unigramLogProb]], and a materially better gibberish detector:
+    * a doc of real words in scrambled ORDER scores high under a unigram
+    * model but low here, because P(w₂|w₁) = c(w₁w₂)/c(w₁·) collapses
+    * for never-adjacent pairs. score(doc) = mean over its bigram
+    * OCCURRENCES of ln P(w₂|w₁), with counts self-trained on the corpus
+    * (c(w₁·) is the bigram-PREFIX count, so probabilities per prefix sum
+    * to exactly 1). Docs with < 2 tokens score `logProbFloor`; with
+    * `minCount > 1` rare bigrams leave the table and their occurrences
+    * floor, exactly [[unigramLogProb]]'s tail semantics.
+    *
+    * Scale shape mirrors the unigram op: ONE explode over adjacent
+    * token pairs (pinned — it feeds both count tables and the scoring
+    * join), two hash-aggs with map-side partials, then a join per count
+    * table (broadcast by default, `broadcastVocab = false` for the
+    * crawl-scale shuffled equi-join) and a per-doc mean.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      logProbFloor: Double = -20.0, broadcastVocab: Boolean = true,
+      minCount: Long = 1L,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1 (got $minCount)")
+    def pinned(d: DataFrame): DataFrame =
+      if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(d, storage) else d
+    val bigrams = pinned(df.select(col(idCol),
+        explode(TextFunctions.bound(split(lower(trim(col(textCol))), "\\s+")) { toks =>
+          TextFunctions.bound(size(toks)) { n =>
+            when(n < 2, array().cast("array<struct<_w1:string,_w2:string>>"))
+              .otherwise(transform(sequence(lit(1), n - 1), i =>
+                struct(element_at(toks, i).as("_w1"),
+                  element_at(toks, i + 1).as("_w2"))))
+          }
+        }).as("_bg"))
+      .select(col(idCol), col("_bg._w1").as("_w1"), col("_bg._w2").as("_w2")))
+    val pairCounts0 = bigrams.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_n2"))
+    val pairCounts = if (minCount > 1L) pairCounts0.filter(col("_n2") >= minCount)
+      else pairCounts0
+    val prefixCounts = bigrams.groupBy(col("_w1")).agg(count(lit(1)).as("_n1"))
+    def maybeBroadcast(d: DataFrame) = if (broadcastVocab) broadcast(d) else d
+    val scored = bigrams
+      .join(maybeBroadcast(pairCounts), Seq("_w1", "_w2"), "left")
+      .join(maybeBroadcast(prefixCounts), Seq("_w1"), "left")
+      .groupBy(col(idCol))
+      // per-OCCURRENCE floor: a bigram dropped by minCount has null _n2
+      .agg(avg(coalesce(
+          log(col("_n2").cast("double") / col("_n1").cast("double")),
+          lit(logProbFloor)))
+        .as("_lp"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_lp"), lit(logProbFloor)).as("log_prob"))
+  }
 }

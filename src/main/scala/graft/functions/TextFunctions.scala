@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -200,4 +200,48 @@ object TextFunctions {
     */
   def winnowedFingerprintsNative(text: Column, k: Int = 8, window: Int = 4): Column =
     WinnowFingerprints(regexp_replace(lower(trim(text)), "\\s+", " "), k, window)
+
+  /** Fixed-size token-window chunking with overlap — the front half of
+    * the chunk → embed → pool loop ([[SimilarityFunctions.meanPoolFlat]]
+    * is the back half): document i becomes ⌈max(0, n−size)/stride⌉ + 1
+    * windows of `chunkSize` whitespace tokens starting every `stride`
+    * tokens (the final window may be shorter; blank documents produce
+    * zero chunks). Output: one row per (document, chunk) —
+    * `(idCol, chunk_id, chunk_text, n_tokens)`, chunk ids 0-based in
+    * document order.
+    *
+    * Scale shape: a single projection (the chunk list is one bound
+    * `transform` over the token split — no shuffle, no UDF) followed by
+    * an explode; chunk assignment is a pure row function, so re-runs
+    * and engines agree on the exact chunk set. `stride < chunkSize`
+    * gives sliding overlap (context preserved across boundaries);
+    * `stride == chunkSize` gives disjoint packing.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 128, stride: Int = 64): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1 (got $chunkSize)")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize] (got $stride)")
+    val chunks = bound(split(trim(col(textCol)), "\\s+")) { toks =>
+      bound(size(toks)) { n =>
+        transform(
+          // ceil((max(0, n - size)) / stride) = the last window index,
+          // inclusive (Column `/` is double division — floor restores
+          // the integer ceil-div)
+          sequence(lit(0),
+            floor((greatest(n - chunkSize, lit(0)) + lit(stride - 1))
+              / lit(stride)).cast("int")),
+          i => struct(
+            i.cast("int").as("chunk_id"),
+            concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))).as("chunk_text"),
+            least(lit(chunkSize), n - i * stride).cast("int").as("n_tokens")))
+      }
+    }
+    df.select(col(idCol),
+        explode(when(length(trim(col(textCol))) === 0,
+          array().cast("array<struct<chunk_id:int,chunk_text:string,n_tokens:int>>"))
+          .otherwise(chunks)).as("_c"))
+      .select(col(idCol), col("_c.chunk_id").as("chunk_id"),
+        col("_c.chunk_text").as("chunk_text"), col("_c.n_tokens").as("n_tokens"))
+  }
 }

@@ -1163,6 +1163,26 @@ object Queries {
         .orderBy("doc_id"),
       None),
 
+    QueryDef("t9_chunk_documents",
+      // fixed-size token windows with 50% overlap (32/16) — the front
+      // half of the chunk → embed → pool loop (s5 is the back half).
+      // Chunk membership is a pure row function: one projection + an
+      // explode, no shuffle, and the oracle re-derives the identical
+      // windows from the same token split.
+      (s, dir) => T.chunkDocuments(docs(s, dir), "doc_id", "text",
+          chunkSize = 32, stride = 16)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+             |  FROM documents
+             |  WHERE length(trim(text)) > 0)
+             |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+             |  array_to_string(w[i*16+1 : i*16+32], ' ') AS chunk_text,
+             |  CAST(least(32, len(w) - i*16) AS INTEGER) AS n_tokens
+             |FROM tk, UNNEST(generate_series(0,
+             |  CAST(ceil(greatest(len(w) - 32, 0) / 16.0) AS BIGINT))) AS t(i)
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // ───────── dedup (documents) ─────────
 
     QueryDef("d1_exact_dedup",
@@ -1756,6 +1776,31 @@ object Queries {
              |  SELECT tt.doc_id,
              |         avg(ln(CAST(n AS DOUBLE) / total)) AS lp
              |  FROM tt JOIN vocab USING (tok), tot GROUP BY 1)
+             |SELECT d.doc_id, round(coalesce(sc.lp, -20.0), 6) AS log_prob
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("r3_bigram_lm",
+      // one order up from r2: mean ln P(w2|w1) under the corpus's own
+      // bigram model — scrambled-word gibberish that fools a unigram
+      // model collapses here. Prefix counts make P sum to 1 per prefix.
+      (s, dir) => R.bigramLogProb(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("log_prob"), 6).as("log_prob"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+             |  FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+             |  WHERE len(w) >= 2),
+             |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+             |sc AS (
+             |  SELECT b.doc_id,
+             |         avg(ln(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS lp
+             |  FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+             |  GROUP BY 1)
              |SELECT d.doc_id, round(coalesce(sc.lp, -20.0), 6) AS log_prob
              |FROM documents d LEFT JOIN sc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),

@@ -114,6 +114,39 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("bigramLogProb: hand-checked conditional probabilities; short docs floor") {
+    // bigram events: doc1 (a,b),(b,a),(a,b),(b,c); doc2 (b,a)
+    // c2: (a,b)=2 (b,a)=2 (b,c)=1; prefix counts: a=2, b=3
+    val df = Seq((1L, "a b a b c"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    val got = RelevanceFunctions.bigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    val (pab, pba, pbc) = (math.log(2.0 / 2.0), math.log(2.0 / 3.0), math.log(1.0 / 3.0))
+    assert(math.abs(got(0)._2 - (pab + pba + pab + pbc) / 4.0) < 1e-12)
+    assert(math.abs(got(1)._2 - pba) < 1e-12)
+    assert(got(2)._2 === -20.0) // one token -> no bigrams -> floored
+    graft.Caches.releaseAll()
+  }
+
+  test("bigramLogProb catches scrambled word order that the unigram model misses") {
+    // natural corpus + one doc with the SAME words in an order never
+    // seen elsewhere: unigram scores them identically; bigram separates
+    val natural = (1L to 6L).map(i => (i, "the cat sat on the mat"))
+    val scrambled = Seq((7L, "mat the on sat cat the"))
+    val df = (natural ++ scrambled).toDF("doc_id", "text")
+    val uni = RelevanceFunctions.unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(math.abs(uni(0)._2 - uni(6)._2) < 1e-12, "unigram is order-blind")
+    val bi = RelevanceFunctions.bigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(bi(6)._2 < bi(0)._2 - 0.5, s"bigram must punish scrambled order: $bi")
+    // shuffled-join path is bit-identical, as for the unigram op
+    val biShuffled = RelevanceFunctions
+      .bigramLogProb(df, "doc_id", "text", broadcastVocab = false)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(biShuffled === bi)
+    graft.Caches.releaseAll()
+  }
+
   test("guards: empty and duplicate term lists are rejected") {
     intercept[IllegalArgumentException] {
       RelevanceFunctions.bm25(corpus, "doc_id", "text", Seq.empty)

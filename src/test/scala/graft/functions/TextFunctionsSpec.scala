@@ -168,6 +168,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments: overlapping windows, short/blank docs, disjoint mode") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, "   ")                                     // blank -> zero chunks
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.chunkDocuments(df, "doc_id", "text", chunkSize = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, String, Int)].collect()
+    // doc 1: starts 0,2,4,6 -> 4 windows of exactly 4 tokens
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2, 3))
+    assert(d1.map(_._3).toSeq === Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(d1.forall(_._4 == 4))
+    // doc 2: one short chunk; doc 3: none
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b c", 3)))
+    assert(!out.exists(_._1 == 3L))
+    // disjoint mode (stride == size) is a partition of the tokens
+    val disjoint = TextFunctions.chunkDocuments(df.filter($"doc_id" === 1L),
+        "doc_id", "text", chunkSize = 5, stride = 5)
+      .orderBy("chunk_id").as[(Long, Int, String, Int)].collect()
+    assert(disjoint.map(_._3).mkString(" ") === (1 to 10).map(i => s"w$i").mkString(" "))
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkDocuments(df, "doc_id", "text", chunkSize = 4, stride = 5)
+    }
+  }
+
   test("native winnowing rejects non-string input and bad params") {
     intercept[IllegalArgumentException] {
       WinnowFingerprints(col("x"), 0, 4)
