@@ -55,6 +55,62 @@ object SamplingFunctions {
     * Rates are per-mille (n/1000) so "keep 2.5%" is expressible; the
     * bucket count is fixed at 1000.
     */
+  /** Per-group cap — crawl hygiene's "at most k documents per domain":
+    * keep each group's first `k` rows in `orderCol` order (ties broken
+    * by the order column being unique — pass the stable id, or a
+    * quality score with an id tiebreak struct). One window over the
+    * group key, no second pass; deterministic across runs, engines and
+    * partitionings because the rank depends only on column VALUES.
+    * The Gopher/C4-style pipelines apply exactly this before training
+    * so no single domain dominates the mixture.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Temperature-rebalanced deterministic downsample — the multilingual
+    * LM sampling rule (sample group g proportionally to n_g^α) applied
+    * as a pure hash filter. Group weights w_g = n_g^α / Σ n_h^α; group g
+    * keeps rate r_g = min(1, targetFraction · N · w_g / n_g). α = 1
+    * keeps every group at `targetFraction` (proportional); α = 0 gives
+    * every group an equal row budget (aggressively upweights rare
+    * groups); between, the published temperature interpolation. Rates
+    * derive from the DATA (one count aggregation, broadcast back), so
+    * unlike [[stratifiedSampleByHash]] no caller-supplied table is
+    * needed and the rule adapts as the corpus grows.
+    *
+    * Determinism: membership is `hashBucket(key, 10⁶) < round(r_g, 6)
+    * · 10⁶` — the rate is 6dp-rounded so engine-level `pow`/sum ulp
+    * differences cannot flip a row, and the hash is pluggable
+    * ([[DedupFunctions.md5Hash60]] for external replay). Null keys drop
+    * out (null bucket), null groups rate like any other group value.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+      alpha: Double, targetFraction: Double,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1] (got $alpha)")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0, 1] (got $targetFraction)")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val totals = counts.agg(
+      sum(col("_n")).cast("double").as("_tot"),
+      sum(pow(col("_n").cast("double"), alpha)).as("_pw"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        round(least(lit(1.0),
+          lit(targetFraction) * col("_tot") *
+            pow(col("_n").cast("double"), alpha) / col("_pw") /
+            col("_n").cast("double")), 6).as("_rate"))
+    df.join(broadcast(rates), Seq(groupCol), "left")
+      .filter(hashBucket(col(keyCol), 1000000, hash) < col("_rate") * 1e6)
+      .drop("_rate")
+  }
+
   def stratifiedSampleByHash(df: DataFrame, keyCol: String, strataCol: String,
       ratesPermille: Map[String, Int], defaultPermille: Int,
       hash: Column => Column = xxhash64(_)): DataFrame = {

@@ -1553,6 +1553,45 @@ object Queries {
              |SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM s GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    QueryDef("d8_source_cap",
+      // per-domain cap (Gopher/C4 crawl hygiene): at most 15 documents
+      // per source, first-by-id — one deterministic window, rank a pure
+      // function of column values.
+      (s, dir) => Sam.capPerGroup(docs(s, dir), "source", "doc_id", k = 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+             |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("d9_temperature_sample",
+      // multilingual-LM temperature sampling (rates ∝ n^α, α = 0.5,
+      // 40% target): data-derived per-language keep rates, applied as
+      // the engine-portable md5 hash filter; the oracle re-derives the
+      // identical rates and membership. 6dp rate rounding absorbs
+      // pow/sum ulp differences across engines.
+      (s, dir) => Sam.temperatureSample(
+          docs(s, dir).withColumn("_k", col("doc_id").cast("string")),
+          "_k", "lang", alpha = 0.5, targetFraction = 0.4,
+          hash = D.md5Hash60(_))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang"),
+      Some("""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot,
+             |             sum(pow(CAST(n AS DOUBLE), 0.5)) AS pw FROM n),
+             |r AS (SELECT lang, round(least(1.0,
+             |        0.4 * tot * pow(CAST(n AS DOUBLE), 0.5) / pw
+             |          / CAST(n AS DOUBLE)), 6) AS rate
+             |      FROM n, t),
+             |k AS (
+             |  SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+             |  WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |          % 1000000 < rate * 1e6)
+             |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM k GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     QueryDef("d4_embed_dedup",
       // embedding-cosine near-duplicate DEDUP: the s2 pipeline's verified
       // pairs drive the greedy smallest-id-canonical drop — every planted

@@ -164,4 +164,53 @@ class SamplingFunctionsSpec extends AnyFunSuite {
       SamplingFunctions.packSequences(df, "doc_id", "n_tokens", 256L, 0)
     }
   }
+
+  test("capPerGroup keeps each group's first k rows by the order column") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val out = SamplingFunctions.capPerGroup(df, "grp", "id", k = 5)
+      .as[(Long, String)].collect().toSet
+    assert(out.size === 15)
+    // exactly the 5 LOWEST ids of each group survive
+    val expect = (1L to 100L).groupBy(_ % 3)
+      .flatMap { case (g, ids) => ids.sorted.take(5).map(i => (i, s"g$g")) }.toSet
+    assert(out === expect)
+    // partitioning-proof
+    val again = SamplingFunctions.capPerGroup(df.repartition(7), "grp", "id", 5)
+      .as[(Long, String)].collect().toSet
+    assert(again === out)
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.capPerGroup(df, "grp", "id", 0)
+    }
+  }
+
+  test("temperatureSample: alpha interpolates proportional -> equal budgets") {
+    // skewed corpus: A 2000 rows, B 200 rows
+    val df = ((1L to 2000L).map(i => (i, "A")) ++ (2001L to 2200L).map(i => (i, "B")))
+      .toDF("id", "grp").withColumn("k", col("id").cast("string"))
+    def kept(alpha: Double) = SamplingFunctions
+      .temperatureSample(df, "k", "grp", alpha, targetFraction = 0.5)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    // alpha = 1: proportional — both groups keep ~50%
+    val a1 = kept(1.0)
+    assert(math.abs(a1("A") - 1000L) < 120, s"A at alpha=1: ${a1("A")}")
+    assert(math.abs(a1("B") - 100L) < 40, s"B at alpha=1: ${a1("B")}")
+    // alpha = 0: equal budgets (550 each) — B's budget exceeds its size,
+    // so B is kept WHOLE while A downsamples to ~550
+    val a0 = kept(0.0)
+    assert(a0("B") === 200L, "rare group kept in full at alpha=0")
+    assert(math.abs(a0("A") - 550L) < 120, s"A at alpha=0: ${a0("A")}")
+    // membership is a pure row/rate function — partitioning-proof
+    val ids = SamplingFunctions
+      .temperatureSample(df, "k", "grp", 0.5, 0.5).select("id").as[Long].collect().toSet
+    val again = SamplingFunctions
+      .temperatureSample(df.repartition(7), "k", "grp", 0.5, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again === ids)
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.temperatureSample(df, "k", "grp", 1.5, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.temperatureSample(df, "k", "grp", 0.5, 0.0)
+    }
+  }
 }
