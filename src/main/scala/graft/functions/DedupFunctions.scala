@@ -212,6 +212,59 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus MinHash-LSH near-duplicate pairs — the INCREMENTAL
+    * ingestion shape: a new batch checks against the already-ingested
+    * corpus without the existing×existing self-join ever running. Both
+    * sides arrive as `(id, shingles)` frames (shingle the batch with
+    * [[wordShingles]]; at scale the EXISTING side is a materialized
+    * shingle/signature table maintained at append time, so 100 TB of
+    * history is never re-tokenized per batch). Candidates come from a
+    * banded equi-join BETWEEN the two sides' band tables — each side
+    * signatures/bands independently, identical parameters required —
+    * then true Jaccard verifies on candidates only. Returns
+    * `(id_a, id_b, jaccard)` with `id_a` from `existing` and `id_b`
+    * from `incoming` (so [[dropNearDuplicates]] on the BATCH composes
+    * directly: the incoming copy of an existing doc always drops,
+    * regardless of id ordering). Pairs WITHIN the batch are not
+    * emitted — run [[minhashLshPairs]] on the batch for those; the
+    * two pair sets union.
+    *
+    * Scale shape: both shingle frames are pinned at `storage` (each
+    * feeds its signature branch and the verify join); the candidate
+    * join is hash-partitioned on (band, bucket) — the incoming side is
+    * batch-sized, so at realistic scales Catalyst broadcasts it.
+    */
+  def minhashLshPairsAgainst(existing: DataFrame, incoming: DataFrame,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7,
+      hash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i)),
+      bucketHash: (Column, Int) => Column = (c, b) => xxhash64(c, lit(b)),
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val rows = numHashes / bands
+    def prep(df: DataFrame): DataFrame = {
+      val sh = df.select(col("id"), col("shingles"))
+      if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(sh, storage)
+      sh
+    }
+    def banded(sh: DataFrame): DataFrame =
+      minhashSignaturesFromShingles(sh, numHashes, hash)
+        .select(col("id"),
+          explode(lshBands(col("sig"), bands, rows, bucketHash)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val shA = prep(existing)
+    val shB = prep(incoming)
+    val cands = banded(shA).as("x").join(banded(shB).as("y"), Seq("band", "bucket"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    cands
+      .join(shA.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shB.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Near-duplicate DEDUP from a candidate pair set (ids ordered
     * `id_a < id_b` as every pair generator here emits): drop a row iff
     * some pair names it as the HIGHER id — the greedy smallest-id-

@@ -1295,6 +1295,60 @@ object Queries {
              |FROM verified WHERE jaccard >= 0.7
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("m3_minhash_incremental",
+      // INCREMENTAL near-dup check — a "new batch" (odd ids) against
+      // the "already-ingested corpus" (even ids) without the
+      // existing×existing self-join: per-side signatures + a banded
+      // join BETWEEN the band tables, verify on candidates. The oracle
+      // shares m1b's signature CTEs and swaps the ordering filter for
+      // the side split.
+      (s, dir) => {
+        val d = docs(s, dir)
+        def sh(f: org.apache.spark.sql.DataFrame) = f.select(
+          col("doc_id").as("id"), D.wordShingles(col("text"), 3).as("shingles"))
+        D.minhashLshPairsAgainst(
+            sh(d.filter(col("doc_id") % 2 === 0)),
+            sh(d.filter(col("doc_id") % 2 === 1)),
+            numHashes = 16, bands = 4, threshold = 0.7,
+            hash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+            bucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |sig AS (
+             |  SELECT doc_id, shingles,
+             |    list_transform(generate_series(0, 15), i ->
+             |      list_aggregate(list_transform(shingles, s ->
+             |        CAST(('0x' || substring(md5(s || '#' || i), 1, 15)) AS BIGINT)), 'min')) AS sg
+             |  FROM sh),
+             |banded AS (
+             |  SELECT doc_id, b,
+             |    CAST(('0x' || substring(md5(array_to_string(sg[b*4+1:b*4+4], ',') || '#b#' || b), 1, 15)) AS BIGINT) AS bucket
+             |  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)),
+             |cands AS (
+             |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             |  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
+             |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),
+             |verified AS (
+             |  SELECT c.id_a, c.id_b,
+             |    CAST(len(a.shingles) + len(b.shingles)
+             |         - len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+             |  FROM cands c
+             |  JOIN sh a ON a.doc_id = c.id_a
+             |  JOIN sh b ON b.doc_id = c.id_b)
+             |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+             |FROM verified WHERE jaccard >= 0.7
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef("m1_minhash_pairs",
       (s, dir) => D.minhashLshPairs(docs(s, dir), "doc_id", "text",
           n = 3, numHashes = 32, bands = 8, threshold = 0.7)

@@ -164,4 +164,32 @@ class DedupFunctionsSpec extends AnyFunSuite {
     // "gamma alpha beta" -> only the first is held-out
     assert(r2 === Array((7L, 1L)))
   }
+
+  test("minhashLshPairsAgainst: batch-vs-corpus pairs, sides fixed, no self-join") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    def sh(rows: Seq[(Long, String)]) = rows.toDF("id", "text")
+      .select(col("id"), DedupFunctions.wordShingles(col("text"), 3).as("shingles"))
+    // existing corpus: docs 100, 102; incoming batch: 5 (near-copy of
+    // 100 with a LOWER id), 101 (unrelated), 7 and 9 (near-copies of
+    // each other WITHIN the batch — must NOT pair here)
+    val existing = sh(Seq((100L, base), (102L, "completely different words about ships and harbors and the grain trade routes")))
+    val incoming = sh(Seq(
+      (5L, base + " extra"),
+      (101L, "unrelated text with its own vocabulary entirely and nothing shared at all here"),
+      (7L, "repeated phrase one two three four five six seven eight nine ten eleven twelve"),
+      (9L, "repeated phrase one two three four five six seven eight nine ten eleven twelve")))
+    val pairs = DedupFunctions.minhashLshPairsAgainst(existing, incoming,
+      numHashes = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // id_a is ALWAYS the existing side even when the incoming id is
+    // smaller — that is what makes the batch-side drop composable
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((100L, 5L)))
+    // dropNearDuplicates on the BATCH drops the near-copy, keeps the rest
+    val batch = Seq((5L, "x"), (101L, "x"), (7L, "x"), (9L, "x")).toDF("id", "text")
+    val kept = DedupFunctions.dropNearDuplicates(batch,
+        pairs.toSeq.toDF("id_a", "id_b", "jaccard"), "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(101L, 7L, 9L))
+    graft.Caches.releaseAll()
+  }
 }
