@@ -281,6 +281,51 @@ object SimilarityFunctions {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Cross-corpus hyperplane-LSH near-neighbor pairs — the INCREMENTAL
+    * embedding-dedup shape, mirroring
+    * [[DedupFunctions.minhashLshPairsAgainst]]: a new batch of vectors
+    * checks against the already-indexed corpus without the
+    * existing×existing self-join. Each side signatures independently
+    * (identical planes — same dim/nBits/seed required), the band tables
+    * join ACROSS sides, and exact cosine verifies candidates. Returns
+    * `(id_a, id_b, cosine)` with `id_a` from `existing` and `id_b` from
+    * `incoming`, so dropping the batch's near-dups composes regardless
+    * of id ordering. At scale the existing side's signatures are a
+    * materialized table maintained at append time; the incoming band
+    * table is batch-sized and broadcasts.
+    */
+  def lshNeighborPairsAgainst(existing: DataFrame, incoming: DataFrame,
+      dim: Int, nBits: Int = 16, bands: Int = 4, minCosine: Double = 0.8,
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Long = 42L,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(bands > 0 && nBits % bands == 0,
+      s"nBits ($nBits) must be a positive multiple of bands ($bands)")
+    require(nBits >= 1 && nBits <= 64, s"nBits ($nBits) must be in [1, 64]")
+    val rows = nBits / bands
+    val mask = if (rows == 64) -1L else (1L << rows) - 1
+    def sig(df: DataFrame): DataFrame = {
+      val s = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("sig", hyperplaneSignature(col("v"), dim, nBits, seed))
+      if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(s, storage)
+      s
+    }
+    def banded(s: DataFrame): DataFrame =
+      s.select(col("id"), explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * rows).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sa = sig(existing)
+    val sb = sig(incoming)
+    val cands = banded(sa).as("x").join(banded(sb).as("y"), Seq("band", "key"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    cands
+      .join(sa.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(sb.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Row-local cosine with EXACTLY the accumulation order of [[VecCosine]]
     * / [[cosineHof]] (sequential dot, sequential per-vector norms, sqrt
     * each norm, divide) so centroid ranking done executor-side is

@@ -1541,6 +1541,24 @@ object Queries {
       },
       None),
 
+    QueryDef("s6_lsh_incremental",
+      // INCREMENTAL embedding near-dup: the perturbed copies (ids
+      // +100000) play the "new batch" probing the original corpus —
+      // cross-side banded join only, no existing x existing self-join.
+      // Shares s2's generated-plane CTEs; the candidate filter swaps
+      // the ordering predicate for the side split.
+      (s, dir) => {
+        val all = plantedEmbeddings(s, dir)
+        S.lshNeighborPairsAgainst(
+            all.filter(col("id") < 100000L), all.filter(col("id") >= 100000L),
+            dim = 64, nBits = 16, bands = 4, minCosine = 0.8,
+            idCol = "id", vecCol = "v")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s2OracleCtes.replace("WHERE x.id < y.id",
+          "WHERE x.id < 100000 AND y.id >= 100000") +
+        "\nSELECT id_a, id_b, cosine FROM verified\nORDER BY id_a, id_b")),
+
     QueryDef("s2_lsh_pairs",
       // the embeddings table has NO true near-duplicates (max pairwise
       // cosine < 0.7), so the query plants them: union the corpus with a

@@ -354,4 +354,28 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
+
+  test("lshNeighborPairsAgainst: cross-side pairs only, sides fixed in output") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    // batch: one near-copy of corpus vec 30 (with a LOWER id) plus two
+    // vectors that are near-copies of EACH OTHER but of nothing existing
+    val probe = emb.filter(col("id") === 30L)
+    val batch = probe.select(lit(3L).as("id"), transform(col("v"), x => x + lit(0.01)).as("v"))
+      .unionAll(emb.filter(col("id") === 40L)
+        .select(lit(900L).as("id"), transform(col("v"), x => x * lit(-1.0)).as("v")))
+      .unionAll(emb.filter(col("id") === 40L)
+        .select(lit(901L).as("id"), transform(col("v"), x => x * lit(-1.0) + lit(0.01)).as("v")))
+    val pairs = SimilarityFunctions.lshNeighborPairsAgainst(
+        emb, batch, dim = 64, nBits = 16, bands = 4, minCosine = 0.9,
+        idCol = "id", vecCol = "v")
+      .as[(Long, Long, Double)].collect()
+    // the planted cross pair surfaces with the EXISTING id first even
+    // though the batch id (3) is numerically lower; the within-batch
+    // near-pair (900, 901) must NOT appear — no batch self-join runs
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((30L, 3L)), pairs.toSeq.toString)
+    assert(pairs.head._3 > 0.99)
+    graft.Caches.releaseAll()
+  }
 }
