@@ -101,14 +101,17 @@ object SamplingFunctions {
       sum(col("_n")).cast("double").as("_tot"),
       sum(pow(col("_n").cast("double"), alpha)).as("_pw"))
     val rates = counts.crossJoin(broadcast(totals))
-      .select(col(groupCol),
+      .select(col(groupCol).as("_grp"),
         round(least(lit(1.0),
           lit(targetFraction) * col("_tot") *
             pow(col("_n").cast("double"), alpha) / col("_pw") /
             col("_n").cast("double")), 6).as("_rate"))
-    df.join(broadcast(rates), Seq(groupCol), "left")
+    // null-safe equality: a null GROUP is still a group (the count
+    // aggregation gave it a rate) — a plain equi-join would silently
+    // drop all its rows instead of sampling them
+    df.join(broadcast(rates), col(groupCol) <=> col("_grp"), "left")
       .filter(hashBucket(col(keyCol), 1000000, hash) < col("_rate") * 1e6)
-      .drop("_rate")
+      .drop("_grp", "_rate")
   }
 
   def stratifiedSampleByHash(df: DataFrame, keyCol: String, strataCol: String,

@@ -213,4 +213,17 @@ class SamplingFunctionsSpec extends AnyFunSuite {
       SamplingFunctions.temperatureSample(df, "k", "grp", 0.5, 0.0)
     }
   }
+
+  test("temperatureSample: a null group is sampled, not silently dropped") {
+    val df = ((1L to 400L).map(i => (i, Some("A"))) ++
+      (401L to 800L).map(i => (i, None: Option[String])))
+      .toDF("id", "grp").withColumn("k", col("id").cast("string"))
+    // alpha = 1, target 0.5: both groups (incl. the null one) keep ~50%
+    val kept = SamplingFunctions.temperatureSample(df, "k", "grp", 1.0, 0.5)
+      .groupBy("grp").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(kept.contains(None), "null-group rows must get a keep decision")
+    assert(math.abs(kept(None) - 200L) < 80, s"null group kept ${kept(None)}")
+    assert(math.abs(kept(Some("A")) - 200L) < 80)
+  }
 }
