@@ -56,21 +56,41 @@ object SamplingFunctions {
     * bucket count is fixed at 1000.
     */
   /** Per-group cap — crawl hygiene's "at most k documents per domain":
-    * keep each group's first `k` rows in `orderCol` order (ties broken
-    * by the order column being unique — pass the stable id, or a
-    * quality score with an id tiebreak struct). One window over the
-    * group key, no second pass; deterministic across runs, engines and
-    * partitionings because the rank depends only on column VALUES.
-    * The Gopher/C4-style pipelines apply exactly this before training
-    * so no single domain dominates the mixture.
+    * keep each group's first `k` rows in `orderCol` order (`orderCol`
+    * must be unique within a group — pass the stable id, or a quality
+    * score with an id tiebreak struct — and non-null: null-ordered rows
+    * drop, the library's "null keys fall out of every sample, visibly"
+    * rule). Deterministic across runs, engines and partitionings
+    * because membership depends only on column VALUES.
+    *
+    * Scale shape — deliberately NOT `row_number() OVER (PARTITION BY
+    * group)`: that window sends every row of a group through ONE task,
+    * and the operator's stated purpose (cap the dominant domain so it
+    * can't swamp the mixture) is precisely the case where one group is
+    * half the corpus — one task sorting 50 TB. Instead each group's
+    * k-th smallest `orderCol` is computed by [[KthSmallest]] (an O(k)
+    * bounded heap with map-side partials — the shuffle carries one
+    * k-heap per group per map task, never rows), the per-group cuts —
+    * one row per group — join back (broadcast by default; pass
+    * `broadcastCuts = false` when groups are crawl-scale cardinality),
+    * and the cap is the row-local filter `orderCol <= cut`. Uniqueness
+    * of `orderCol` makes the cut exact: no ties straddle it. The
+    * Gopher/C4-style pipelines apply exactly this before training.
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
-      k: Int): DataFrame = {
+      k: Int, broadcastCuts: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col(orderCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k).drop("_rn")
+    val taken = df.columns.toSet
+    val grp = graft.ops.ColNames.fresh(taken, "_grp")
+    val cut = graft.ops.ColNames.fresh(taken + grp, "_cut")
+    val cuts0 = df.groupBy(col(groupCol).as(grp))
+      .agg(KthSmallest(col(orderCol), k).as(cut))
+    val cuts = if (broadcastCuts) broadcast(cuts0) else cuts0
+    // null-safe equality: a null GROUP is still a group and gets capped
+    // like any other (the window form partitioned nulls together too)
+    df.join(cuts, col(groupCol) <=> col(grp), "left")
+      .filter(col(orderCol) <= col(cut))
+      .drop(grp, cut)
   }
 
   /** Temperature-rebalanced deterministic downsample — the multilingual
@@ -92,26 +112,36 @@ object SamplingFunctions {
     */
   def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
       alpha: Double, targetFraction: Double,
-      hash: Column => Column = xxhash64(_)): DataFrame = {
+      hash: Column => Column = xxhash64(_),
+      broadcastRates: Boolean = true): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1] (got $alpha)")
     require(targetFraction > 0.0 && targetFraction <= 1.0,
       s"targetFraction must be in (0, 1] (got $targetFraction)")
+    // fresh helper names: an input frame that already carries "_grp"
+    // etc. must not have its column silently dropped or made ambiguous
+    val taken = df.columns.toSet
+    val grp = graft.ops.ColNames.fresh(taken, "_grp")
+    val rate = graft.ops.ColNames.fresh(taken + grp, "_rate")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
     val totals = counts.agg(
       sum(col("_n")).cast("double").as("_tot"),
       sum(pow(col("_n").cast("double"), alpha)).as("_pw"))
-    val rates = counts.crossJoin(broadcast(totals))
-      .select(col(groupCol).as("_grp"),
+    val rates0 = counts.crossJoin(broadcast(totals))
+      .select(col(groupCol).as(grp),
         round(least(lit(1.0),
           lit(targetFraction) * col("_tot") *
             pow(col("_n").cast("double"), alpha) / col("_pw") /
-            col("_n").cast("double")), 6).as("_rate"))
+            col("_n").cast("double")), 6).as(rate))
+    // groups are usually domains/languages (small → broadcast, the
+    // default); `broadcastRates = false` is the crawl-scale-cardinality
+    // escape hatch (same convention as broadcastVocab/broadcastTest)
+    val rates = if (broadcastRates) broadcast(rates0) else rates0
     // null-safe equality: a null GROUP is still a group (the count
     // aggregation gave it a rate) — a plain equi-join would silently
     // drop all its rows instead of sampling them
-    df.join(broadcast(rates), col(groupCol) <=> col("_grp"), "left")
-      .filter(hashBucket(col(keyCol), 1000000, hash) < col("_rate") * 1e6)
-      .drop("_grp", "_rate")
+    df.join(rates, col(groupCol) <=> col(grp), "left")
+      .filter(hashBucket(col(keyCol), 1000000, hash) < col(rate) * 1e6)
+      .drop(grp, rate)
   }
 
   def stratifiedSampleByHash(df: DataFrame, keyCol: String, strataCol: String,

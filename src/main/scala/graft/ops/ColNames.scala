@@ -6,7 +6,7 @@ package graft.ops
   * instead of a per-operator copy, so a future resolution tweak (e.g.
   * case-insensitive catalogs) lands everywhere at once.
   */
-private[ops] object ColNames {
+private[graft] object ColNames {
   def fresh(taken: Set[String], base: String): String =
     Iterator.from(0)
       .map(i => if (i == 0) base else s"${base}_$i")

@@ -178,9 +178,37 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     val again = SamplingFunctions.capPerGroup(df.repartition(7), "grp", "id", 5)
       .as[(Long, String)].collect().toSet
     assert(again === out)
+    // the shuffled-cuts escape hatch is bit-identical
+    val noBcast = SamplingFunctions
+      .capPerGroup(df, "grp", "id", 5, broadcastCuts = false)
+      .as[(Long, String)].collect().toSet
+    assert(noBcast === out)
+    // a group SMALLER than k survives whole; a null group is capped too
+    val edge = Seq((1L, Some("a")), (2L, Some("a")), (3L, None),
+      (4L, None), (5L, None)).toDF("id", "grp")
+    val e = SamplingFunctions.capPerGroup(edge, "grp", "id", 2)
+      .select("id").as[Long].collect().toSet
+    assert(e === Set(1L, 2L, 3L, 4L))
     intercept[IllegalArgumentException] {
       SamplingFunctions.capPerGroup(df, "grp", "id", 0)
     }
+  }
+
+  test("capPerGroup plan: bounded partial aggregation, no hot-group window") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val plan = SamplingFunctions.capPerGroup(df, "grp", "id", 5)
+      .queryExecution.executedPlan.toString
+    // the scale contract: the dominant group must NEVER flow through a
+    // single window task — the cut comes from a partially-aggregated
+    // O(k) heap and the cap itself is a row-local filter
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_kth_smallest"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    // an input frame already carrying a helper-named column is untouched
+    val clash = df.withColumn("_grp", lit("keep")).withColumn("_cut", lit(9))
+    val out = SamplingFunctions.capPerGroup(clash, "grp", "id", 5)
+    assert(out.columns.toSeq === Seq("id", "grp", "_grp", "_cut"))
+    assert(out.filter(col("_grp") === "keep" && col("_cut") === 9).count() === 15L)
   }
 
   test("temperatureSample: alpha interpolates proportional -> equal budgets") {
@@ -206,6 +234,12 @@ class SamplingFunctionsSpec extends AnyFunSuite {
       .temperatureSample(df.repartition(7), "k", "grp", 0.5, 0.5)
       .select("id").as[Long].collect().toSet
     assert(again === ids)
+    // the shuffled-rates escape hatch (crawl-scale group cardinality)
+    // keeps the IDENTICAL membership — only the join strategy changes
+    val shuffled = SamplingFunctions
+      .temperatureSample(df, "k", "grp", 0.5, 0.5, broadcastRates = false)
+      .select("id").as[Long].collect().toSet
+    assert(shuffled === ids)
     intercept[IllegalArgumentException] {
       SamplingFunctions.temperatureSample(df, "k", "grp", 1.5, 0.5)
     }
