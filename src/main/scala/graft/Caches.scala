@@ -45,12 +45,15 @@ object Caches {
     */
   private final class Entry(val ds: Dataset[_]) {
     private val released = new AtomicBoolean(false)
-    def release(): Unit =
+    /** `fromSweep`: the [[releaseAll]] drain already poll()ed this entry
+      * off the queue — skipping the O(n) `remove` scan there keeps the
+      * drain O(n) total instead of O(n²) for pin-heavy sessions.
+      */
+    def release(fromSweep: Boolean = false): Unit =
       if (released.compareAndSet(false, true)) {
         try ds.unpersist(blocking = false)
         catch { case NonFatal(_) => () }
-        tracked.remove(this)
-        ()
+        if (!fromSweep) { tracked.remove(this); () }
       }
   }
 
@@ -85,7 +88,7 @@ object Caches {
   def releaseAll(): Unit = {
     var e = tracked.poll()
     while (e != null) {
-      e.release()
+      e.release(fromSweep = true)
       e = tracked.poll()
     }
   }

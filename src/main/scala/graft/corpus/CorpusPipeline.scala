@@ -42,7 +42,12 @@ final case class CorpusConfig(
   * shuffled/cached vectors shrink 8x vs double arrays (the knob that
   * decides whether a 100 TB corpus's vectors fit executor storage);
   * `minCosine` is the verified-cosine near-dup threshold; `maxIter`
-  * bounds the connected-components propagation.
+  * bounds the connected-components propagation. `chunksPerDoc` is how
+  * [[CorpusPipeline.run]] keys the flat embeddings table back to its
+  * documents (`doc_id = vec_id div chunksPerDoc` — the testdata emits a
+  * fixed 10-chunk fanout); a corpus whose embeddings table carries an
+  * explicit doc-id column should pass chunk frames to
+  * [[CorpusPipeline.clean]] directly instead.
   */
 final case class SemanticConfig(
     dim: Int,
@@ -53,7 +58,8 @@ final case class SemanticConfig(
     seed: Long = 42L,
     maxIter: Int = 25,
     hotBucketThreshold: Long = 4096L,
-    salts: Int = 16)
+    salts: Int = 16,
+    chunksPerDoc: Int = 10)
 
 /** The end-to-end training-corpus pipeline, composed entirely from the
   * oracle-verified operators: quality/repetition/language gates → PII
@@ -176,17 +182,17 @@ object CorpusPipeline {
 
   /** Full run: read → clean (text tiers, plus the embedding tier when
     * `semantic` is set — chunk vectors come from the side-by-side
-    * embeddings table, 10 chunks per document) → split → export shards.
-    * Returns per-split row counts.
+    * embeddings table, keyed by `semantic.chunksPerDoc`) → split →
+    * export shards. Returns per-split row counts.
     */
   def run(spark: SparkSession, inDir: String, outDir: String,
       cfg: CorpusConfig = CorpusConfig(),
       semantic: Option[SemanticConfig] = None): Map[String, Long] = {
     val docs = spark.read.parquet(s"$inDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val chunks = semantic.map(_ =>
+    val chunks = semantic.map(sc =>
       spark.read.parquet(s"$inDir/embeddings.parquet")
-        .select(expr("vec_id div 10").as("doc_id"), col("embedding")))
+        .select(expr(s"vec_id div ${sc.chunksPerDoc}").as("doc_id"), col("embedding")))
     val cleaned = clean(docs, "doc_id", "text", cfg,
       chunkEmbeddings = chunks, semantic = semantic)
     val tagged = cleaned.withColumn("split",

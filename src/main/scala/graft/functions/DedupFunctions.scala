@@ -299,10 +299,26 @@ object DedupFunctions {
     * Only nodes that appear in `pairs` are returned — callers union in
     * their untouched rows (see [[dropNearDuplicateClusters]], where
     * untouched docs survive automatically).
+    *
+    * Small-graph gate: the iterative rounds carry a per-round fixed cost
+    * (a shuffled join + aggregation + checkpoint each) that dwarfs the
+    * data cost when the verified pair set is small — the COMMON case for
+    * a well-tuned near-dup threshold (a clean corpus yields a handful of
+    * edges; c4's sf0.1 run has exactly one). So: zero edges returns the
+    * empty labeling with NO rounds, and an edge count at or under
+    * `driverThreshold` (symmetric-edge rows; default 1M ≈ 16 MB — the
+    * same bounded-collect budget the IVF centroids already accept) is
+    * solved by union-find on the driver in one collect. Past the
+    * threshold the distributed propagation runs unchanged; the label
+    * semantics (min reachable id) are identical on every path, and the
+    * count itself rides the edge frame that the loop would persist
+    * anyway.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 25,
+      driverThreshold: Long = 1000000L): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
+    require(driverThreshold >= 0, s"driverThreshold must be >= 0 (got $driverThreshold)")
     val edges = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
@@ -319,6 +335,17 @@ object DedupFunctions {
     // plan (see [[graft.internal.Checkpoints]]), never a registry diff.
     import graft.internal.Checkpoints.localCheckpointTracked
     try {
+      val nEdges = edges.count()
+      if (nEdges == 0L) {
+        // no pairs → no labeled nodes. A LOCAL empty relation, not a
+        // projection over `edges`: the edge frame's lineage is the whole
+        // upstream pair pipeline, which a consumer would re-execute once
+        // the finally block drops the blocks.
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return Seq.empty[(Long, Long)].toDF("id", "component")
+      }
+      if (nEdges <= driverThreshold) return driverUnionFind(edges)
       // init fused with the FIRST propagation round: under the identity
       // labeling, round 1's "min of self and neighbors" is a plain
       // aggregation over the (symmetric) edge list — least(id, min src)
@@ -363,14 +390,47 @@ object DedupFunctions {
     }
   }
 
+  /** Driver-side union-find over a bounded COLLECTED symmetric edge
+    * list — the small-graph arm of [[connectedComponents]]. Union
+    * attaches the larger root under the smaller, so each tree's root is
+    * its component's minimum id — the same label the distributed
+    * propagation converges to; `find` path-compresses, keeping the
+    * whole pass effectively linear.
+    */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.select(col("src"), col("dst")).collect().foreach { row =>
+      val s = row.getLong(0); val d = row.getLong(1)
+      if (!parent.containsKey(s)) parent.put(s, s)
+      if (!parent.containsKey(d)) parent.put(d, d)
+      val rs = find(s); val rd = find(d)
+      if (rs < rd) parent.put(rd, rs)
+      else if (rd < rs) parent.put(rs, rd)
+    }
+    import scala.jdk.CollectionConverters._
+    val spark = edges.sparkSession
+    import spark.implicits._
+    parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+      .toDF("id", "component")
+  }
+
   /** Cluster-aware near-dup dedup: connected-components over the pairs,
     * then keep each cluster's minimum-id row; rows in no pair survive
     * untouched. Unlike [[dropNearDuplicates]] the keep-set is closed
     * under chains: exactly one survivor per duplicate CLUSTER.
     */
   def dropNearDuplicateClusters(df: DataFrame, pairs: DataFrame,
-      idCol: String, maxIter: Int = 25): DataFrame = {
-    val doomed = connectedComponents(pairs, maxIter = maxIter)
+      idCol: String, maxIter: Int = 25,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    val doomed = connectedComponents(pairs, maxIter = maxIter,
+        driverThreshold = driverThreshold)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(doomed, Seq(idCol), "left_anti")

@@ -1555,9 +1555,16 @@ object Queries {
             idCol = "id", vecCol = "v")
           .orderBy("id_a", "id_b")
       },
-      Some(s2OracleCtes.replace("WHERE x.id < y.id",
+      Some {
+        // the oracle is s2's with only the candidate predicate swapped —
+        // a reworded s2 must fail HERE, not silently no-op the replace
+        // and degrade s6's oracle to self-join semantics
+        require(s2OracleCtes.contains("WHERE x.id < y.id"),
+          "s6's oracle rewrites s2's candidate predicate; update both together")
+        s2OracleCtes.replace("WHERE x.id < y.id",
           "WHERE x.id < 100000 AND y.id >= 100000") +
-        "\nSELECT id_a, id_b, cosine FROM verified\nORDER BY id_a, id_b")),
+          "\nSELECT id_a, id_b, cosine FROM verified\nORDER BY id_a, id_b"
+      }),
 
     QueryDef("s2_lsh_pairs",
       // the embeddings table has NO true near-duplicates (max pairwise

@@ -88,21 +88,45 @@ class DedupFunctionsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // the driver union-find (default small-graph gate, used above) and
+    // the distributed propagation label IDENTICALLY
+    val distributed = DedupFunctions.connectedComponents(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed === cc)
+  }
+
+  test("connectedComponents: zero edges returns the empty labeling without a round") {
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val cc = DedupFunctions.connectedComponents(none)
+    assert(cc.columns.toSeq === Seq("id", "component"))
+    assert(cc.isEmpty)
+    // the gate result is a LOCAL relation — consuming it must not
+    // re-execute the (dropped-from-cache) upstream pair pipeline
+    assert(cc.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      cc.queryExecution.optimizedPlan.toString)
   }
 
   test("connectedComponents converges on a long path and respects maxIter") {
     // path 0-1-2-...-30: diameter 30, label propagation needs ~30 rounds
+    // driverThreshold = 0 forces the distributed propagation — the
+    // loop under test here; the small-graph gate would otherwise absorb
+    // a 61-edge graph
     val path = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val before = spark.sparkContext.getPersistentRDDs.size
-    val cc = DedupFunctions.connectedComponents(path, maxIter = 40)
+    val cc = DedupFunctions.connectedComponents(path, maxIter = 40, driverThreshold = 0L)
     assert(cc.select(countDistinct("component")).head().getLong(0) === 1L)
     // superseded per-round label checkpoints are released eagerly: after
     // ~30 rounds only the RETURNED labels' blocks may remain pinned
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after <= before + 1, s"leaked checkpoints: $before -> $after")
     intercept[IllegalStateException] {
-      DedupFunctions.connectedComponents(path, maxIter = 3)
+      DedupFunctions.connectedComponents(path, maxIter = 3, driverThreshold = 0L)
     }
+    // the driver path has no iteration bound: the same 30-diameter
+    // chain that throws above is fine through union-find
+    val viaDriver = DedupFunctions.connectedComponents(path, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver.size === 31 && viaDriver.values.forall(_ == 0L))
   }
 
   test("dropNearDuplicateClusters keeps one survivor per cluster plus untouched rows") {
