@@ -180,6 +180,101 @@ object CorpusPipeline {
     }
   }
 
+  /** Incremental ingestion — the nightly-crawl flow: clean a new batch
+    * and drop everything already represented in the ingested corpus,
+    * WITHOUT ever re-pairing the corpus against itself. Returns the
+    * batch's surviving rows (text scrubbed), ready for
+    * [[graft.warehouse.Warehouse]]'s dedup-append. This is the
+    * distributed answer to a per-row INSERT-OR-IGNORE append
+    * (reference `/root/reference/src/database.py:192-224`): same
+    * idempotence contract — appending a batch twice adds nothing —
+    * with near-duplicate (not just exact) suppression.
+    *
+    * Stages, in order:
+    *  1. batch-internal [[clean]]: gates → scrub → exact dedup →
+    *     MinHash-LSH drop (→ semantic tier when armed) — the batch
+    *     must first be internally canonical or two new copies of the
+    *     same document would both "survive" the corpus check;
+    *  2. exact-vs-corpus: fingerprint anti-join — `existing` holds
+    *     ALREADY-CLEANED text (it was ingested through this pipeline),
+    *     so a re-submitted document scrubs to the identical bytes and
+    *     drops here;
+    *  3. near-dup-vs-corpus: [[DedupFunctions.minhashLshPairsAgainst]]
+    *     emits (existing, batch) candidate pairs from a cross-side
+    *     banded join — no existing×existing pairs — and the batch
+    *     member of every verified pair drops;
+    *  4. semantic-vs-corpus (when `semantic` and BOTH chunk frames are
+    *     given): mean-pooled (6dp) doc vectors on each side, then
+    *     [[SimilarityFunctions.lshNeighborPairsAgainst]] — again
+    *     cross-side only — drops the batch member of every verified
+    *     cosine pair.
+    *
+    * Scale shape: the corpus side is touched by exactly one
+    * fingerprint projection and one shingle scan per batch (both
+    * pinned for their two consumers; at real scale keep materialized
+    * fingerprint/signature tables maintained at append time — the
+    * operator docs call this out — and feed them here); every
+    * cross-side join is batch-sized on one side, so Catalyst
+    * broadcasts it. Nothing in this path shuffles the corpus.
+    */
+  def appendBatch(existing: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, cfg: CorpusConfig = CorpusConfig(),
+      existingChunks: Option[DataFrame] = None,
+      batchChunks: Option[DataFrame] = None,
+      chunkIdCol: String = "doc_id", vecCol: String = "embedding",
+      semantic: Option[SemanticConfig] = None): DataFrame = {
+    require(existingChunks.isEmpty == semantic.isEmpty &&
+        batchChunks.isEmpty == semantic.isEmpty,
+      "semantic append needs BOTH sides' chunk-embedding frames and a SemanticConfig")
+    import graft.Caches.trackedPersist
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // 1. the batch becomes internally canonical (pinned: feeds the
+    // fingerprint branch and, via afterExact, everything downstream)
+    val batchClean = trackedPersist(
+      clean(batch, idCol, textCol, cfg, batchChunks, chunkIdCol, vecCol, semantic),
+      MEMORY_AND_DISK)
+    // 2. exact-vs-corpus fingerprint anti-join (16-byte keys, never text)
+    val fp = graft.ops.ColNames.fresh(
+      (batchClean.columns ++ existing.columns).toSet, "_fp")
+    val exFp = existing.select(TextFunctions.fingerprint(col(textCol)).as(fp))
+    val afterExact = trackedPersist(
+      batchClean.withColumn(fp, TextFunctions.fingerprint(col(textCol)))
+        .join(exFp, Seq(fp), "left_anti").drop(fp),
+      MEMORY_AND_DISK)
+    // 3. near-dup-vs-corpus: batch member of every verified pair drops
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+        DedupFunctions.wordShingles(col(textCol), cfg.shingleN).as("shingles"))
+    val textPairs = DedupFunctions.minhashLshPairsAgainst(
+      shingled(existing), shingled(afterExact),
+      numHashes = cfg.numHashes, bands = cfg.bands,
+      threshold = cfg.nearDupThreshold,
+      hash = cfg.minhashHash, bucketHash = cfg.minhashBucketHash)
+    val textSafe = DedupFunctions.dropNearDuplicates(afterExact, textPairs, idCol)
+    // 4. semantic-vs-corpus, mirroring [[semanticDedup]]'s pooling
+    (existingChunks, batchChunks, semantic) match {
+      case (Some(exCh), Some(bCh), Some(sc)) =>
+        def pooled(survivors: DataFrame, chunks: DataFrame): DataFrame = {
+          val alive = chunks.join(
+            survivors.select(col(idCol).as(chunkIdCol)), Seq(chunkIdCol), "left_semi")
+          val p = SimilarityFunctions.assembleVec(
+            SimilarityFunctions.meanPoolFlat(alive, chunkIdCol, vecCol)
+              .withColumn("mean_v", round(col("mean_v"), 6)), chunkIdCol)
+          if (sc.quantize)
+            p.select(col(chunkIdCol),
+              SimilarityFunctions.quantizeInt8(col("vec")).getField("q").as("vec"))
+          else p
+        }
+        val vecPairs = SimilarityFunctions.lshNeighborPairsAgainst(
+          pooled(existing, exCh), pooled(textSafe, bCh),
+          dim = sc.dim, nBits = sc.nBits, bands = sc.bands,
+          minCosine = sc.minCosine, idCol = chunkIdCol, vecCol = "vec",
+          seed = sc.seed)
+        DedupFunctions.dropNearDuplicates(textSafe, vecPairs, idCol)
+      case _ => textSafe
+    }
+  }
+
   /** Full run: read → clean (text tiers, plus the embedding tier when
     * `semantic` is set — chunk vectors come from the side-by-side
     * embeddings table, keyed by `semantic.chunksPerDoc`) → split →

@@ -166,9 +166,11 @@ object Queries {
     * each CTE the already-hash-matched form from its standalone query
     * (t7 / c2 / d1 / m1b), stitched in [[graft.corpus.CorpusPipeline
     * .clean]]'s stage order. No leading WITH (c4 prefixes RECURSIVE).
+    * Parameterized by the source relation so c5 can run the identical
+    * chain over its batch CTE instead of the raw table.
     */
-  private lazy val corpusTextCtes: String =
-    """b AS (
+  private def corpusTextCtesFrom(src: String): String =
+    raw"""b AS (
       |  SELECT doc_id, text,
       |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
       |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
@@ -179,7 +181,7 @@ object Queries {
       |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
       |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio,
       |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
-      |  FROM documents),
+      |  FROM $src),
       |g AS (
       |  SELECT doc_id, text, n_tok,
       |    (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
@@ -233,6 +235,75 @@ object Queries {
       |  WHERE CAST(len(a.shingles) + len(b.shingles)
       |         - len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
       |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)""".stripMargin
+
+  private lazy val corpusTextCtes: String = corpusTextCtesFrom("documents")
+
+  /** c5: the incremental-append composition ([[graft.corpus
+    * .CorpusPipeline.appendBatch]]) — the batch (docs ≥ 250 plus
+    * re-submitted copies of docs < 30 under shifted ids) runs the FULL
+    * c3 text chain internally, then drops against the existing corpus
+    * (docs < 250, raw): exact fingerprint anti-join, then the
+    * cross-side banded MinHash-LSH join (m3's shape) with true-Jaccard
+    * verification. Existing-side CTEs mirror the batch-side ones; the
+    * batch side reuses `sh`/`banded` restricted to the exact-tier
+    * survivors — the same per-doc values appendBatch computes.
+    */
+  private lazy val c5OracleSql: String =
+    "WITH batch0 AS (\n" +
+      """|  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30),
+         |existing AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |""".stripMargin +
+      corpusTextCtesFrom("batch0") +
+      """,
+        |bsurv AS (
+        |  SELECT e.doc_id, e.text FROM exact e
+        |  WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)),
+        |ex_fp AS (
+        |  SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+        |  FROM existing),
+        |b_fp AS (
+        |  SELECT doc_id, text,
+        |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+        |  FROM bsurv),
+        |afterexact AS (
+        |  SELECT doc_id, text FROM b_fp WHERE fp NOT IN (SELECT fp FROM ex_fp)),
+        |etoks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM existing),
+        |esh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+        |  FROM etoks),
+        |esig AS (
+        |  SELECT doc_id, shingles,
+        |    list_transform(generate_series(0, 15), i ->
+        |      list_aggregate(list_transform(shingles, s ->
+        |        CAST(('0x' || substring(md5(s || '#' || i), 1, 15)) AS BIGINT)), 'min')) AS sg
+        |  FROM esh),
+        |ebanded AS (
+        |  SELECT doc_id, b,
+        |    CAST(('0x' || substring(md5(array_to_string(sg[b*4+1:b*4+4], ',') || '#b#' || b), 1, 15)) AS BIGINT) AS bucket
+        |  FROM esig, UNNEST([0, 1, 2, 3]) AS t(b)),
+        |abanded AS (
+        |  SELECT * FROM banded WHERE doc_id IN (SELECT doc_id FROM afterexact)),
+        |cands2 AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM ebanded x JOIN abanded y ON x.b = y.b AND x.bucket = y.bucket),
+        |doomed2 AS (
+        |  SELECT DISTINCT c.id_b
+        |  FROM cands2 c
+        |  JOIN esh a ON a.doc_id = c.id_a
+        |  JOIN sh y ON y.doc_id = c.id_b
+        |  WHERE CAST(len(a.shingles) + len(y.shingles)
+        |         - len(list_distinct(list_concat(a.shingles, y.shingles))) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, y.shingles))) >= 0.7)
+        |SELECT a.doc_id, md5(a.text) AS text_md5
+        |FROM afterexact a WHERE a.doc_id NOT IN (SELECT id_b FROM doomed2)
+        |ORDER BY doc_id""".stripMargin
 
   private lazy val c3OracleSql: String =
     "WITH " + corpusTextCtes +
@@ -2067,6 +2138,34 @@ object Queries {
           .orderBy("doc_id")
       },
       Some(c4OracleSql)),
+
+    QueryDef("c5_incremental_append_md5",
+      // the INCREMENTAL ingest composition, oracle-verified end-to-end:
+      // a new batch (docs >= 250 plus re-submitted copies of docs < 30
+      // under shifted ids — the nightly re-crawl case) is cleaned
+      // internally and then dropped against the already-ingested corpus
+      // (docs < 250) by exact fingerprint anti-join + the cross-side
+      // banded LSH join — the corpus is never re-paired with itself.
+      // The md5-hash twin of the production xxhash64 path (m1b pattern).
+      (s, dir) => {
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7,
+          minhashHash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+          minhashBucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))))
+        val d = docs(s, dir)
+        val existing = d.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        graft.corpus.CorpusPipeline.appendBatch(
+            existing, batch, "doc_id", "text", cfg)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(c5OracleSql)),
 
     QueryDef("pack1_sequence_packing",
       // deterministic sequence packing: documents into 512-token training

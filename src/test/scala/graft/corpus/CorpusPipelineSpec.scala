@@ -132,6 +132,71 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("appendBatch: drops vs corpus, never corpus-vs-corpus re-pairing; idempotent") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0)
+    // the ingested corpus is CLEANED content (that's the contract: it
+    // went through this same pipeline at its own ingest time)
+    val existing = CorpusPipeline.clean(
+      docs.filter(col("doc_id") < 25), "doc_id", "text", cfg)
+    // batch: genuinely new docs plus a re-crawled byte-identical copy
+    // of an already-ingested doc under a new id
+    val recrawl = existing.orderBy("doc_id").limit(1)
+      .select(lit(900100L).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") >= 25).unionByName(recrawl)
+    val survivors = CorpusPipeline.appendBatch(
+      existing, batch, "doc_id", "text", cfg)
+    val surIds = survivors.select("doc_id").as[Long].collect().toSet
+    assert(surIds.nonEmpty, "new documents must survive")
+    assert(!surIds.contains(900100L), "re-crawled copy of an ingested doc must drop")
+    // INSERT-OR-IGNORE semantics: grow the corpus with the survivors,
+    // append the SAME batch again -> nothing new. Checkpoint first —
+    // in production the grown corpus is read back from the warehouse,
+    // not carried as live lineage over the whole previous append
+    val grown = existing.unionByName(survivors).localCheckpoint(true)
+    val again = CorpusPipeline.appendBatch(grown, batch, "doc_id", "text", cfg)
+    assert(again.isEmpty, "appending the same batch twice must add zero rows")
+    graft.Caches.releaseAll()
+  }
+
+  test("appendBatch semantic tier: an embedding paraphrase of an ingested doc drops") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 0.0)
+    val semCfg = SemanticConfig(dim = 64, minCosine = 0.9)
+    val existing = CorpusPipeline.clean(
+      docs.filter(col("doc_id") < 25), "doc_id", "text", cfg)
+    assert(existing.filter(col("doc_id") === 7L).count() === 1L,
+      "doc 7 must be in the corpus for the plant to pair against")
+    val realChunks = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(expr("vec_id div 10").as("doc_id"), col("embedding"))
+    // the batch doc shares NO text with doc 7 (survives both text
+    // tiers) but its chunk vectors are an epsilon shift of doc 7's —
+    // only the cross-side embedding pass can catch it
+    val plant = spark.sql(
+      """SELECT * FROM VALUES (900200L,
+        |  'a completely different sentence about harbor lights and the slow ships that carry grain across the northern water routes every autumn season')
+        |AS t(doc_id, text)""".stripMargin)
+    val plantChunks = realChunks.filter(col("doc_id") === 7L)
+      .select(lit(900200L).as("doc_id"),
+        transform(col("embedding"), x => x + lit(0.002)).as("embedding"))
+    val textOnly = CorpusPipeline.appendBatch(
+      existing, plant, "doc_id", "text", cfg)
+    assert(textOnly.select("doc_id").as[Long].collect().toSet === Set(900200L),
+      "the paraphrase must clear every text tier")
+    val semantic = CorpusPipeline.appendBatch(
+      existing, plant, "doc_id", "text", cfg,
+      existingChunks = Some(realChunks), batchChunks = Some(plantChunks),
+      semantic = Some(semCfg))
+    assert(semantic.isEmpty, "the embedding tier must drop the paraphrase")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.appendBatch(existing, plant, "doc_id", "text", cfg,
+        existingChunks = Some(realChunks))
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("run: shards on disk, splits complete, counts match the files") {
     val out = Files.createTempDirectory("corpus").toFile.getAbsolutePath
     val counts = CorpusPipeline.run(spark, sfDir, out,
