@@ -42,7 +42,7 @@ final case class CorpusConfig(
   * shuffled/cached vectors shrink 8x vs double arrays (the knob that
   * decides whether a 100 TB corpus's vectors fit executor storage);
   * `minCosine` is the verified-cosine near-dup threshold; `maxIter`
-  * bounds the connected-components propagation. `chunksPerDoc` is how
+  * bounds the connected-components star rounds. `chunksPerDoc` is how
   * [[CorpusPipeline.run]] keys the flat embeddings table back to its
   * documents (`doc_id = vec_id div chunksPerDoc` — the testdata emits a
   * fixed 10-chunk fanout); a corpus whose embeddings table carries an
@@ -91,7 +91,8 @@ object CorpusPipeline {
     * (map-side partials, no vector buffered per group); quantization is
     * a scan-local projection; candidate generation is a bucketed
     * equi-join on (band, key) — never all-pairs; clustering is
-    * O(diameter) shuffled joins. Nothing re-executes upstream lineage:
+    * diameter-independent star rounds (or one bounded driver union-find
+    * for small pair sets). Nothing re-executes upstream lineage:
     * each stage consumes the previous stage's frame exactly once (the
     * LSH signature frame is pinned internally by [[SimilarityFunctions
     * .lshNeighborPairs]]).

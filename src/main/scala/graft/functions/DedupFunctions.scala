@@ -285,34 +285,40 @@ object DedupFunctions {
     * cluster even though (A,C) was never a candidate pair), cluster
     * first, then keep one canonical row per cluster.
     *
-    * Algorithm: min-label propagation — each round every node lowers its
-    * label to the minimum of its neighbors' labels; converges in
-    * O(graph diameter) rounds, each ONE shuffled join + aggregation on
-    * the edge list (the published large-star/small-star variant halves
-    * round count on adversarial long chains; near-dup graphs are piles
-    * of small dense clusters, where plain propagation already converges
-    * in 2-3 rounds). Labels are `localCheckpoint`ed every round, so
-    * lineage stays flat across iterations. Throws after `maxIter`
-    * non-converged rounds rather than returning a half-propagated
-    * labeling.
+    * Algorithm (distributed path): alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014). Each alternation re-points edges at
+    * neighborhood minima — large-star links every LARGER neighbor of u
+    * to min(Γ(u) ∪ {u}); small-star links the smaller neighbors and u
+    * itself there — and the edge set converges to disjoint stars
+    * rooted at each component's minimum id in O(log²) alternations,
+    * INDEPENDENT of graph diameter. That independence is the 100 TB
+    * property: a chained crawl graph (diameter ≫ 25) would exhaust any
+    * per-round budget under plain min-label propagation (O(diameter)
+    * rounds), and re-running a 100 TB clustering is expensive; star
+    * rounds are a small constant for any physical graph. Each round's
+    * edge frame is `localCheckpoint`ed (flat lineage), superseded
+    * frames release eagerly, and the loop throws after `maxIter`
+    * non-converged alternations rather than returning a partial
+    * labeling. Degenerate self-pairs (a,a) are ignored on every path —
+    * a node must have a real neighbor to be "in pairs".
     *
     * Only nodes that appear in `pairs` are returned — callers union in
     * their untouched rows (see [[dropNearDuplicateClusters]], where
     * untouched docs survive automatically).
     *
     * Small-graph gate: the iterative rounds carry a per-round fixed cost
-    * (a shuffled join + aggregation + checkpoint each) that dwarfs the
+    * (shuffled joins + aggregations + checkpoints) that dwarfs the
     * data cost when the verified pair set is small — the COMMON case for
     * a well-tuned near-dup threshold (a clean corpus yields a handful of
     * edges; c4's sf0.1 run has exactly one). So: zero edges returns the
     * empty labeling with NO rounds, and an edge count at or under
-    * `driverThreshold` (symmetric-edge rows; default 1M ≈ 16 MB — the
-    * same bounded-collect budget the IVF centroids already accept) is
-    * solved by union-find on the driver in one collect. Past the
-    * threshold the distributed propagation runs unchanged; the label
-    * semantics (min reachable id) are identical on every path, and the
-    * count itself rides the edge frame that the loop would persist
-    * anyway.
+    * `driverThreshold` (undirected deduped edges; default 1M ≈ 16 MB —
+    * the same bounded-collect budget the IVF centroids already accept)
+    * is solved by union-find on the driver in one collect. Past the
+    * threshold the distributed contraction runs; the label semantics
+    * (min reachable id) are identical on every path, and the count
+    * itself rides the edge frame the loop would persist anyway.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25,
@@ -321,16 +327,20 @@ object DedupFunctions {
     require(driverThreshold >= 0, s"driverThreshold must be >= 0 (got $driverThreshold)")
     val edges = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
-      // a null endpoint would mint a phantom (null, null) label row that
-      // joins nothing and never converges meaningfully — drop it loudly
-      // at the boundary instead
-      .filter(col("src").isNotNull && col("dst").isNotNull)
+      // a null endpoint would mint a phantom label row that joins
+      // nothing and never converges meaningfully — drop it loudly at
+      // the boundary, along with degenerate self-pairs
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      // canonical (hi > lo) orientation: star rounds and the
+      // convergence equality both want ONE row per undirected edge
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // each round's label snapshot is localCheckpoint'd (flat lineage) and
+    // each round's edge snapshot is localCheckpoint'd (flat lineage) and
     // the SUPERSEDED round's blocks are released eagerly — otherwise up
-    // to maxIter full label snapshots pile up in executor storage until
+    // to maxIter full snapshots pile up in executor storage until
     // driver GC. Release handles come from the checkpointed frame's own
     // plan (see [[graft.internal.Checkpoints]]), never a registry diff.
     import graft.internal.Checkpoints.localCheckpointTracked
@@ -346,56 +356,76 @@ object DedupFunctions {
         return Seq.empty[(Long, Long)].toDF("id", "component")
       }
       if (nEdges <= driverThreshold) return driverUnionFind(edges)
-      // init fused with the FIRST propagation round: under the identity
-      // labeling, round 1's "min of self and neighbors" is a plain
-      // aggregation over the (symmetric) edge list — least(id, min src)
-      // per dst — so the loop starts one round ahead at no join cost.
-      var (labels, releaseLabels) = localCheckpointTracked(
-        edges.groupBy(col("dst").as("id"))
-          .agg(least(col("dst"), min(col("src"))).as("component")))
+      // symmetrized neighbor view and per-node neighborhood minimum —
+      // the min is one map-side-combined aggregation, never a window
+      def sym(e: DataFrame): DataFrame =
+        e.select(col("hi").as("u"), col("lo").as("v"))
+          .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      def mins(s: DataFrame): DataFrame =
+        s.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+      // large-star: every neighbor ABOVE u re-points at u's minimum.
+      // v > u ≥ m, so (v, m) is already (hi, lo)-oriented and never a
+      // self-loop.
+      def largeStar(e: DataFrame): DataFrame = {
+        val s = sym(e)
+        s.join(mins(s), Seq("u")).filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo")).distinct()
+      }
+      // small-star: the neighbors at or below u, and u itself,
+      // re-point at u's minimum (m ≤ v ≤ u throughout; v = m rows are
+      // the self-loops and drop).
+      def smallStar(e: DataFrame): DataFrame = {
+        val s = sym(e)
+        val mm = mins(s)
+        s.join(mm, Seq("u")).filter(col("v") < col("u"))
+          .select(col("v").as("n"), col("m"))
+          .unionByName(mm.select(col("u").as("n"), col("m")))
+          .filter(col("n") =!= col("m"))
+          .select(col("n").as("hi"), col("m").as("lo")).distinct()
+      }
+      var cur = edges
+      var releaseCur: () => Unit = () => () // `edges` released in finally
+      var curCount = nEdges
       var iter = 0
       while (iter < maxIter) {
-        // Pregel-shaped round, ONE join + ONE aggregation: every edge
-        // sends src's label to dst, each node unions its own label in
-        // (flagged `_self`) and takes the min — the same update rule as
-        // the join-then-update formulation at half the shuffle stages.
-        // The aggregation also carries the node's PREVIOUS label (min
-        // over the self-flagged rows), so the convergence check is a
-        // filter over the just-checkpointed output instead of a join
-        // against the previous round — one cheap action per round.
-        val msgs = edges
-          .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
-          .select(col("dst").as("id"), col("component"), lit(false).as("_self"))
-        val all = labels
-          .select(col("id"), col("component"), lit(true).as("_self"))
-          .unionByName(msgs)
-        val (updated, releaseUpdated) = localCheckpointTracked(
-          all.groupBy(col("id")).agg(
-            min(col("component")).as("component"),
-            min(when(col("_self"), col("component"))).as("_prev")))
-        val changed = !updated.filter(col("component") =!= col("_prev")).isEmpty
-        releaseLabels()
-        labels = updated.drop("_prev") // projection over the checkpointed frame
-        releaseLabels = releaseUpdated
+        // checkpoint between the two half-rounds: small-star consumes
+        // its input four ways (two sym legs, the min aggregation, the
+        // join) — uncheckpointed, large-star's join+agg+distinct would
+        // re-execute per consumer
+        val (l, releaseL) = localCheckpointTracked(largeStar(cur))
+        val (next, releaseNext) = localCheckpointTracked(smallStar(l))
+        releaseL()
+        val nextCount = next.count()
+        // exact set equality (both sides canonical + distinct): equal
+        // cardinality plus an empty one-sided anti-join
+        val converged = nextCount == curCount &&
+          next.join(cur, Seq("hi", "lo"), "left_anti").isEmpty
+        releaseCur()
+        cur = next; releaseCur = releaseNext; curCount = nextCount
         iter += 1
-        if (!changed) return labels // the returned frame keeps its blocks
+        if (converged)
+          // fixed point: disjoint stars, each rooted at its component's
+          // minimum id (the returned frame keeps its blocks)
+          return cur.select(col("hi").as("id"), col("lo").as("component"))
+            .unionByName(
+              cur.select(col("lo").as("id"), col("lo").as("component")).distinct())
       }
-      releaseLabels()
+      releaseCur()
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "a component's diameter exceeds maxIter; raise it")
+        s"connectedComponents did not converge in $maxIter star rounds — " +
+          "raise maxIter (each round is one large-star + one small-star)")
     } finally {
       edges.unpersist()
       ()
     }
   }
 
-  /** Driver-side union-find over a bounded COLLECTED symmetric edge
-    * list — the small-graph arm of [[connectedComponents]]. Union
-    * attaches the larger root under the smaller, so each tree's root is
-    * its component's minimum id — the same label the distributed
-    * propagation converges to; `find` path-compresses, keeping the
-    * whole pass effectively linear.
+  /** Driver-side union-find over a bounded COLLECTED edge list (one
+    * canonical row per undirected edge) — the small-graph arm of
+    * [[connectedComponents]]. Union attaches the larger root under the
+    * smaller, so each tree's root is its component's minimum id — the
+    * same label the distributed contraction converges to; `find`
+    * path-compresses, keeping the whole pass effectively linear.
     */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]()
@@ -406,7 +436,7 @@ object DedupFunctions {
       while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    edges.select(col("src"), col("dst")).collect().foreach { row =>
+    edges.select(col("hi"), col("lo")).collect().foreach { row =>
       val s = row.getLong(0); val d = row.getLong(1)
       if (!parent.containsKey(s)) parent.put(s, s)
       if (!parent.containsKey(d)) parent.put(d, d)

@@ -145,7 +145,7 @@ object Queries {
 
   /** d7: the s2 CTEs plus a recursive min-reachability closure — DuckDB's
     * WITH RECURSIVE replays the same transitive clustering the
-    * distributed label propagation computes.
+    * distributed clustering computes.
     */
   private lazy val d7OracleSql: String =
     s2OracleCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
@@ -1757,7 +1757,7 @@ object Queries {
 
     QueryDef("d7_dedup_clusters",
       // transitive near-dup CLUSTERS: connected components (distributed
-      // min-label propagation) over the verified LSH pairs — A~B, B~C
+      // star contraction / union-find) over the verified LSH pairs — A~B, B~C
       // chains collapse into one cluster even when (A,C) was never a
       // candidate. Oracle replays the closure with a recursive CTE.
       (s, dir) => {

@@ -108,9 +108,10 @@ class DedupFunctionsSpec extends AnyFunSuite {
 
   test("connectedComponents converges on a long path and respects maxIter") {
     // path 0-1-2-...-30: diameter 30, label propagation needs ~30 rounds
-    // driverThreshold = 0 forces the distributed propagation — the
+    // driverThreshold = 0 forces the distributed star contraction — the
     // loop under test here; the small-graph gate would otherwise absorb
-    // a 61-edge graph
+    // a 30-edge graph. A 31-node path converges in 6 alternations
+    // (~log2 n contractions + the fixed-point confirmation round).
     val path = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val before = spark.sparkContext.getPersistentRDDs.size
     val cc = DedupFunctions.connectedComponents(path, maxIter = 40, driverThreshold = 0L)
@@ -127,6 +128,17 @@ class DedupFunctionsSpec extends AnyFunSuite {
     val viaDriver = DedupFunctions.connectedComponents(path, maxIter = 3)
       .as[(Long, Long)].collect().toMap
     assert(viaDriver.size === 31 && viaDriver.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: star rounds are diameter-independent (300-chain)") {
+    // the 100 TB property: a 300-diameter chain converges well inside
+    // 25 star alternations (min-label propagation would need 299 rounds
+    // and throw). Forced onto the distributed path.
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = DedupFunctions.connectedComponents(chain, maxIter = 25, driverThreshold = 0L)
+      .as[(Long, Long)].collect()
+    assert(cc.length === 300)
+    assert(cc.forall(_._2 == 0L), "every node labels with the chain minimum")
   }
 
   test("dropNearDuplicateClusters keeps one survivor per cluster plus untouched rows") {
