@@ -210,15 +210,53 @@ object CorpusPipeline {
     *     cross-side only — drops the batch member of every verified
     *     cosine pair.
     *
-    * Scale shape: the corpus side is touched by exactly one
-    * fingerprint projection and one shingle scan per batch (both
-    * pinned for their two consumers; at real scale keep materialized
-    * fingerprint/signature tables maintained at append time — the
-    * operator docs call this out — and feed them here); every
-    * cross-side join is batch-sized on one side, so Catalyst
-    * broadcasts it. Nothing in this path shuffles the corpus.
+    * Scale shape: this overload derives the corpus-side index frames
+    * from `existing` on the fly — one fingerprint projection and one
+    * shingle scan of the corpus per batch. For a 100 TB corpus even
+    * those two scans are the dominant cost, so the nightly job should
+    * [[buildTextIndex]] ONCE, store it (plain parquet tables), extend
+    * it with each accepted batch's index rows, and call
+    * [[appendBatchIndexed]] — history is then never re-read or
+    * re-tokenized. Every cross-side join is batch-sized on one side,
+    * so Catalyst broadcasts it. Nothing in this path shuffles the
+    * corpus.
     */
   def appendBatch(existing: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, cfg: CorpusConfig = CorpusConfig(),
+      existingChunks: Option[DataFrame] = None,
+      batchChunks: Option[DataFrame] = None,
+      chunkIdCol: String = "doc_id", vecCol: String = "embedding",
+      semantic: Option[SemanticConfig] = None): DataFrame =
+    appendBatchIndexed(buildTextIndex(existing, idCol, textCol, cfg),
+      batch, idCol, textCol, cfg, existingChunks, batchChunks,
+      chunkIdCol, vecCol, semantic)
+
+  /** The corpus-side dedup state [[appendBatchIndexed]] joins against:
+    * `fingerprints` is `(id, fp)` (md5 of normalized text), `shingles`
+    * is `(id, shingles)` (word n-grams, `cfg.shingleN`). Both are plain
+    * columnar frames — write them to the warehouse as parquet, read
+    * them back next run, and append each accepted batch's
+    * [[buildTextIndex]] rows after its warehouse commit; the index then
+    * grows with the corpus and the raw text is never re-derived.
+    */
+  final case class TextIndex(fingerprints: DataFrame, shingles: DataFrame)
+
+  /** Derive the [[TextIndex]] of an (already-cleaned) corpus or of an
+    * accepted batch — two scan-local projections, no shuffle.
+    */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      cfg: CorpusConfig = CorpusConfig()): TextIndex = TextIndex(
+    fingerprints = docs.select(col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("fp")),
+    shingles = docs.select(col(idCol).as("id"),
+      DedupFunctions.wordShingles(col(textCol), cfg.shingleN).as("shingles")))
+
+  /** [[appendBatch]] against a precomputed [[TextIndex]] — the steady-
+    * state nightly shape: the corpus contributes only its 16-byte
+    * fingerprints and its shingle table; its text is not touched at
+    * all. Semantics are identical to [[appendBatch]] (same stages 1-4).
+    */
+  def appendBatchIndexed(index: TextIndex, batch: DataFrame, idCol: String,
       textCol: String, cfg: CorpusConfig = CorpusConfig(),
       existingChunks: Option[DataFrame] = None,
       batchChunks: Option[DataFrame] = None,
@@ -235,29 +273,27 @@ object CorpusPipeline {
       clean(batch, idCol, textCol, cfg, batchChunks, chunkIdCol, vecCol, semantic),
       MEMORY_AND_DISK)
     // 2. exact-vs-corpus fingerprint anti-join (16-byte keys, never text)
-    val fp = graft.ops.ColNames.fresh(
-      (batchClean.columns ++ existing.columns).toSet, "_fp")
-    val exFp = existing.select(TextFunctions.fingerprint(col(textCol)).as(fp))
+    val fp = graft.ops.ColNames.fresh(batchClean.columns.toSet, "_fp")
     val afterExact = trackedPersist(
       batchClean.withColumn(fp, TextFunctions.fingerprint(col(textCol)))
-        .join(exFp, Seq(fp), "left_anti").drop(fp),
+        .join(index.fingerprints.select(col("fp").as(fp)), Seq(fp), "left_anti")
+        .drop(fp),
       MEMORY_AND_DISK)
     // 3. near-dup-vs-corpus: batch member of every verified pair drops
-    def shingled(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"),
-        DedupFunctions.wordShingles(col(textCol), cfg.shingleN).as("shingles"))
+    val batchShingles = afterExact.select(col(idCol).as("id"),
+      DedupFunctions.wordShingles(col(textCol), cfg.shingleN).as("shingles"))
     val textPairs = DedupFunctions.minhashLshPairsAgainst(
-      shingled(existing), shingled(afterExact),
+      index.shingles, batchShingles,
       numHashes = cfg.numHashes, bands = cfg.bands,
       threshold = cfg.nearDupThreshold,
       hash = cfg.minhashHash, bucketHash = cfg.minhashBucketHash)
     val textSafe = DedupFunctions.dropNearDuplicates(afterExact, textPairs, idCol)
-    // 4. semantic-vs-corpus, mirroring [[semanticDedup]]'s pooling
+    // 4. semantic-vs-corpus, mirroring [[semanticDedup]]'s pooling; the
+    // existing side's live ids come from the index's shingle table
     (existingChunks, batchChunks, semantic) match {
       case (Some(exCh), Some(bCh), Some(sc)) =>
-        def pooled(survivors: DataFrame, chunks: DataFrame): DataFrame = {
-          val alive = chunks.join(
-            survivors.select(col(idCol).as(chunkIdCol)), Seq(chunkIdCol), "left_semi")
+        def pooled(survivorIds: DataFrame, chunks: DataFrame): DataFrame = {
+          val alive = chunks.join(survivorIds, Seq(chunkIdCol), "left_semi")
           val p = SimilarityFunctions.assembleVec(
             SimilarityFunctions.meanPoolFlat(alive, chunkIdCol, vecCol)
               .withColumn("mean_v", round(col("mean_v"), 6)), chunkIdCol)
@@ -267,7 +303,8 @@ object CorpusPipeline {
           else p
         }
         val vecPairs = SimilarityFunctions.lshNeighborPairsAgainst(
-          pooled(existing, exCh), pooled(textSafe, bCh),
+          pooled(index.shingles.select(col("id").as(chunkIdCol)), exCh),
+          pooled(textSafe.select(col(idCol).as(chunkIdCol)), bCh),
           dim = sc.dim, nBits = sc.nBits, bands = sc.bands,
           minCosine = sc.minCosine, idCol = chunkIdCol, vecCol = "vec",
           seed = sc.seed)
