@@ -1742,6 +1742,42 @@ object Queries {
              |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM k GROUP BY 1 ORDER BY lang""".stripMargin)),
 
+    QueryDef("d10_quality_cap",
+      // top-k-by-QUALITY per source — capPerGroup's struct-order path:
+      // orderCol = struct(-quality, doc_id) maps "best first, id
+      // tiebreak" onto the k-smallest cut, exercising the bounded-heap
+      // aggregate's generic struct ordering end-to-end. Orderable
+      // because quality doubles are bit-identical across engines (t2
+      // hash-matches them UNROUNDED); rounding here is output-only.
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            T.qualityScore(col("text")).as("q"))
+          .withColumn("_ord", struct((-col("q")).as("nq"), col("doc_id")))
+        Sam.capPerGroup(d, "source", "_ord", k = 10)
+          .select(col("doc_id"), col("source"), round(col("q"), 6).as("q"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
+             |         END AS punct_ratio,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
+             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio
+             |  FROM documents),
+             |qq AS (SELECT doc_id, source,
+             |  (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+             |   + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+             |   + least(stopword_ratio * 5.0, 1.0) * 0.3) * 100.0 AS q
+             |FROM b)
+             |SELECT doc_id, source, round(q, 6) AS q FROM qq
+             |QUALIFY row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) <= 10
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("d4_embed_dedup",
       // embedding-cosine near-duplicate DEDUP: the s2 pipeline's verified
       // pairs drive the greedy smallest-id-canonical drop — every planted

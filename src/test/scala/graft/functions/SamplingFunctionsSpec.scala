@@ -194,6 +194,19 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerGroup: struct order column (score-descending with id tiebreak)") {
+    // the documented "quality score with an id tiebreak" shape: the cut
+    // aggregate orders the struct field-wise, so negating the score
+    // gives best-first and the id breaks exact score ties
+    val df = Seq((1L, "a", 5.0), (2L, "a", 9.0), (3L, "a", 9.0),
+      (4L, "a", 1.0), (5L, "b", 2.0)).toDF("id", "g", "score")
+      .withColumn("ord", struct((-col("score")).as("ns"), col("id")))
+    val kept = SamplingFunctions.capPerGroup(df, "g", "ord", 2)
+      .select("id").as[Long].collect().toSet
+    // group a keeps its two best (9.0 at ids 2 and 3); b keeps its one row
+    assert(kept === Set(2L, 3L, 5L))
+  }
+
   test("capPerGroup plan: bounded partial aggregation, no hot-group window") {
     val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val plan = SamplingFunctions.capPerGroup(df, "grp", "id", 5)
