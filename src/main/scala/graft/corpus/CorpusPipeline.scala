@@ -287,11 +287,14 @@ object CorpusPipeline {
       numHashes = cfg.numHashes, bands = cfg.bands,
       threshold = cfg.nearDupThreshold,
       hash = cfg.minhashHash, bucketHash = cfg.minhashBucketHash)
-    val textSafe = DedupFunctions.dropNearDuplicates(afterExact, textPairs, idCol)
+    val textSafe0 = DedupFunctions.dropNearDuplicates(afterExact, textPairs, idCol)
     // 4. semantic-vs-corpus, mirroring [[semanticDedup]]'s pooling; the
-    // existing side's live ids come from the index's shingle table
+    // existing side's live ids come from the index's shingle table.
+    // textSafe feeds BOTH the pooling semi-join and the final anti-join
+    // there — pin it so the text-tier LSH drop executes once
     (existingChunks, batchChunks, semantic) match {
       case (Some(exCh), Some(bCh), Some(sc)) =>
+        val textSafe = trackedPersist(textSafe0, MEMORY_AND_DISK)
         def pooled(survivorIds: DataFrame, chunks: DataFrame): DataFrame = {
           val alive = chunks.join(survivorIds, Seq(chunkIdCol), "left_semi")
           val p = SimilarityFunctions.assembleVec(
@@ -309,7 +312,7 @@ object CorpusPipeline {
           minCosine = sc.minCosine, idCol = chunkIdCol, vecCol = "vec",
           seed = sc.seed)
         DedupFunctions.dropNearDuplicates(textSafe, vecPairs, idCol)
-      case _ => textSafe
+      case _ => textSafe0
     }
   }
 
