@@ -42,13 +42,25 @@ object DedupFunctions {
       min(col(idCol)).as("canonical_id"))
       .filter(col("group_size") > 1)
 
-  /** Exact dedup: keep the min-id row per fingerprint. One shuffle on the
-    * 128-bit fingerprint; deterministic survivor.
+  /** Exact dedup: keep the min-id row per fingerprint; deterministic
+    * survivor.
+    *
+    * Deliberately NOT `row_number() over (partition by fp)`: a crawl's
+    * most-duplicated page (one fingerprint, millions of copies) would
+    * flow through ONE window task and sort there. Instead the canonical
+    * (fp, min id) pairs reduce through a map-side-combined aggregation
+    * — partials shrink every hot fingerprint to one row per task before
+    * the shuffle — and a left-semi join on the COMPOSITE (fp, id) key
+    * keeps the winners: the composite key spreads even a
+    * single-fingerprint hot spot across every partition, so no task
+    * ever owns a duplicate pile, and nothing sorts.
     */
   def dedupExact(df: DataFrame, idCol: String, fpCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(fpCol)).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val canon = df.groupBy(col(fpCol)).agg(min(col(idCol)).as(idCol))
+    df.join(canon, Seq(fpCol, idCol), "left_semi")
+      // the using-columns join moves the key columns first; callers get
+      // their frame back in its own column order
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** n-gram Jaccard candidate pairs: explode distinct shingles, self-join
@@ -66,10 +78,16 @@ object DedupFunctions {
         wordShingles(col(textCol), n).as("shingles"))
       .withColumn("n_sh", size(col("shingles")).cast("long"))
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val filtered = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("df") <= maxDf).drop("df")
+    // df-cap WITHOUT a shingle-partitioned window (a boilerplate shingle
+    // with huge df is exactly the row pile that would single-task): the
+    // document frequencies reduce through a map-side-combined count, and
+    // a left-semi join against the under-cap shingle set drops the
+    // boilerplate rows streaming — hot shingles never sort or buffer.
+    val underCap = exploded.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("sh"))
+    val filtered = exploded.join(underCap, Seq("sh"), "left_semi")
     val a = filtered.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("sh"))
     val b = filtered.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("sh"))
     a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))

@@ -28,9 +28,18 @@ class DedupFunctionsSpec extends AnyFunSuite {
 
   test("dedupExact keeps the min-id row per fingerprint") {
     val fp = corpus.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-    val kept = DedupFunctions.dedupExact(fp, "doc_id", "fp")
-      .select("doc_id").as[Long].collect().sorted
+    val deduped = DedupFunctions.dedupExact(fp, "doc_id", "fp")
+    val kept = deduped.select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 2L, 3L)) // 4 deduped into 1
+    // columns pass through untouched, in order
+    assert(deduped.columns.toSeq === fp.columns.toSeq)
+    // the scale contract: a million-fold duplicated page (one hot
+    // fingerprint) must never sort through one window task — the
+    // canonical pick is a partially-aggregated min + a composite-key
+    // semi join
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min"), plan)
   }
 
   test("exactDupGroups reports group size and canonical id") {
@@ -60,6 +69,10 @@ class DedupFunctionsSpec extends AnyFunSuite {
     val pairs = DedupFunctions.jaccardPairs(boiler, "doc_id", "text", n = 2,
       threshold = 0.1, maxDf = 2L)
     assert(pairs.count() === 0L)
+    // the df cap is a map-side-combined count + semi join, never a
+    // shingle-partitioned window (the boilerplate shingle IS the hot key)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
   }
 
   test("minhashLshPairs surfaces the planted near-dup and exact dup") {
