@@ -101,15 +101,18 @@ object Multimodal {
       .withColumn("embedding", bytesToVec(col(mediaCol)))
   }
 
-  /** Exact media dedup on the binary fingerprint: shuffles ONLY
-    * (fingerprint, id), never the media bytes.
+  /** Exact media dedup on the binary fingerprint — the same scale-safe
+    * shape as [[graft.functions.DedupFunctions.dedupExact]] (canonical
+    * min-id per fingerprint via a map-side-combined aggregation, then a
+    * composite-key semi join): a crawl's most-duplicated asset (spacer
+    * gif, default thumbnail — one fingerprint, millions of copies)
+    * spreads across every partition instead of sorting through one
+    * window task. The aggregation shuffles only (fingerprint, id); the
+    * media bytes ride the one data shuffle of the semi join.
     */
   def dedupByFingerprint(df: DataFrame, idCol: String = "asset_id",
       mediaCol: String = "media"): DataFrame = {
     val keyed = df.withColumn("_fp", fingerprintCol(col(mediaCol)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_fp")).orderBy(col(idCol))
-    keyed.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn", "_fp")
+    graft.functions.DedupFunctions.dedupExact(keyed, idCol, "_fp").drop("_fp")
   }
 }
