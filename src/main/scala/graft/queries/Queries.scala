@@ -1742,6 +1742,35 @@ object Queries {
              |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM k GROUP BY 1 ORDER BY lang""".stripMargin)),
 
+    QueryDef("d11_grouped_split",
+      // leakage-safe split carving: the split key is the SOURCE, not
+      // the doc id, so every document of a domain lands in the same
+      // split — near-duplicates within a domain can never straddle
+      // train/test. Membership stays the same pure md5-hash predicate
+      // as d5; the oracle checks each source maps to exactly one split.
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.functions.SamplingFunctions.splitColumn(
+            col("source"), pctTrain = 80, pctValid = 10,
+            hash = D.md5Hash60).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("split"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |    CAST(('0x' || substring(md5(source), 1, 15)) AS BIGINT) % 100 AS bucket
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN bucket < 80 THEN 'train'
+             |         WHEN bucket < 90 THEN 'valid'
+             |         ELSE 'test' END AS split
+             |  FROM b)
+             |SELECT split, count(*) AS n_docs,
+             |       count(DISTINCT source) AS n_sources, min(doc_id) AS min_id
+             |FROM s GROUP BY split ORDER BY split""".stripMargin)),
+
     QueryDef("d10_quality_cap",
       // top-k-by-QUALITY per source — capPerGroup's struct-order path:
       // orderCol = struct(-quality, doc_id) maps "best first, id
