@@ -123,6 +123,22 @@ object PropertySpec extends Properties("graft") {
       fr.forall(f => f >= 0.0 && f <= 1.0)
     }
 
+  property("capPerGroup equals brute-force k-smallest under any partitioning") =
+    // the bounded-heap cut merges partial heaps across partitions; the
+    // survivor set must equal the per-group sort-take-k reference no
+    // matter how rows were distributed when the partials were built
+    Prop.forAllNoShrink(
+      Gen.choose(1, 6), Gen.choose(1, 12),
+      Gen.listOfN(60, Gen.choose(0, 4))) { (k, parts, groups) =>
+      val rows = groups.zipWithIndex.map { case (g, i) => (i.toLong, s"g$g") }
+      val df = rows.toDF("id", "grp").repartition(parts)
+      val kept = graft.functions.SamplingFunctions.capPerGroup(df, "grp", "id", k)
+        .select("id").as[Long].collect().toSet
+      val want = rows.groupBy(_._2).values
+        .flatMap(_.map(_._1).sorted.take(k)).toSet
+      kept == want
+    }
+
   property("piiCount is 0 on digit-and-@-free text; redaction a no-op") =
     Prop.forAllNoShrink(Gen.listOfN(10, Gen.alphaStr)) { words =>
       val s = words.mkString(" ")
