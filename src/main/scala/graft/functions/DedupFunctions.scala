@@ -43,24 +43,24 @@ object DedupFunctions {
       .filter(col("group_size") > 1)
 
   /** Exact dedup: keep the min-id row per fingerprint; deterministic
-    * survivor.
+    * survivor (ids unique by contract).
     *
-    * Deliberately NOT `row_number() over (partition by fp)`: a crawl's
-    * most-duplicated page (one fingerprint, millions of copies) would
-    * flow through ONE window task and sort there. Instead the canonical
-    * (fp, min id) pairs reduce through a map-side-combined aggregation
-    * — partials shrink every hot fingerprint to one row per task before
-    * the shuffle — and a left-semi join on the COMPOSITE (fp, id) key
-    * keeps the winners: the composite key spreads even a
-    * single-fingerprint hot spot across every partition, so no task
-    * ever owns a duplicate pile, and nothing sorts.
+    * ONE hash aggregation, `min_by(row-struct, id)` keyed on the
+    * fingerprint — deliberately NOT `row_number() over (partition by
+    * fp)` and NOT an agg+join-back: the window sends a crawl's
+    * most-duplicated page (one fingerprint, millions of copies)
+    * through ONE task and sorts the pile there, and a join-back pays
+    * the upstream lineage twice (at 100 TB, two corpus scans). Here
+    * the map-side partial keeps a single candidate row per fingerprint
+    * per task — the hot fingerprint collapses BEFORE the shuffle — the
+    * reduce side merges at most one row per task, and nothing sorts.
     */
   def dedupExact(df: DataFrame, idCol: String, fpCol: String): DataFrame = {
-    val canon = df.groupBy(col(fpCol)).agg(min(col(idCol)).as(idCol))
-    df.join(canon, Seq(fpCol, idCol), "left_semi")
-      // the using-columns join moves the key columns first; callers get
-      // their frame back in its own column order
-      .select(df.columns.map(col).toIndexedSeq: _*)
+    val cols = df.columns
+    val row = graft.ops.ColNames.fresh(cols.toSet, "_row")
+    df.groupBy(col(fpCol))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as(row))
+      .select(cols.map(c => col(s"$row.`$c`").as(c)).toIndexedSeq: _*)
   }
 
   /** n-gram Jaccard candidate pairs: explode distinct shingles, self-join
@@ -73,21 +73,33 @@ object DedupFunctions {
     * candidate pairs.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8, maxDf: Long = 1000L): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+      n: Int = 3, threshold: Double = 0.8, maxDf: Long = 1000L,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      broadcastOverCap: Boolean = true): DataFrame = {
+    // pinned for the same reason as in [[minhashLshPairs]]: the shingle
+    // frame feeds the df-count branch AND the candidate join's two
+    // sides — unpinned, the corpus re-tokenizes per consumer
+    val sh0 = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), n).as("shingles"))
       .withColumn("n_sh", size(col("shingles")).cast("long"))
+    val sh = if (storage != StorageLevel.NONE)
+      graft.Caches.trackedPersist(sh0, storage) else sh0
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
     // df-cap WITHOUT a shingle-partitioned window (a boilerplate shingle
     // with huge df is exactly the row pile that would single-task): the
     // document frequencies reduce through a map-side-combined count, and
-    // a left-semi join against the under-cap shingle set drops the
-    // boilerplate rows streaming — hot shingles never sort or buffer.
-    val underCap = exploded.groupBy(col("sh"))
+    // the OVER-cap set — boilerplate n-grams, tiny among distinct
+    // shingles by construction (at most total-occurrences/maxDf of
+    // them) — anti-joins back as a broadcast, so the cap applies
+    // map-side and the exploded rows are never shuffled for it. Pass
+    // `broadcastOverCap = false` for the shuffled anti-join when the
+    // cap is set adversarially low.
+    val overCap0 = exploded.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") > maxDf)
       .select(col("sh"))
-    val filtered = exploded.join(underCap, Seq("sh"), "left_semi")
+    val overCap = if (broadcastOverCap) broadcast(overCap0) else overCap0
+    val filtered = exploded.join(overCap, Seq("sh"), "left_anti")
     val a = filtered.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("sh"))
     val b = filtered.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("sh"))
     a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))

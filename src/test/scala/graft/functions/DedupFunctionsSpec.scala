@@ -35,11 +35,11 @@ class DedupFunctionsSpec extends AnyFunSuite {
     assert(deduped.columns.toSeq === fp.columns.toSeq)
     // the scale contract: a million-fold duplicated page (one hot
     // fingerprint) must never sort through one window task — the
-    // canonical pick is a partially-aggregated min + a composite-key
-    // semi join
+    // survivor row reduces through ONE min_by hash aggregation whose
+    // map-side partial collapses the pile before the shuffle
     val plan = deduped.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
-    assert(plan.contains("partial_min"), plan)
+    assert(plan.contains("partial_min_by"), plan)
   }
 
   test("exactDupGroups reports group size and canonical id") {
