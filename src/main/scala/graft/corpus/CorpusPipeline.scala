@@ -316,6 +316,50 @@ object CorpusPipeline {
     }
   }
 
+  /** Stateful nightly ingest — the driver loop around
+    * [[appendBatchIndexed]]: `stateDir` holds the corpus and its
+    * [[TextIndex]] as plain parquet (`corpus/`, `index_fp/`,
+    * `index_sh/`). The first call cleans the batch and seeds the
+    * state; every later call appends the batch's survivors to the
+    * corpus AND extends the index with exactly their index rows — the
+    * stored history is never re-read beyond the index joins, and
+    * re-ingesting the same batch is a no-op (the INSERT-OR-IGNORE
+    * contract, spec-pinned). Survivors are eagerly checkpointed before
+    * any write: their lineage reads the same state paths the writes
+    * append to, and a lazy plan re-executing mid-write would see its
+    * own output. Returns ingested/corpus-total counts.
+    */
+  def ingest(spark: SparkSession, stateDir: String, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      cfg: CorpusConfig = CorpusConfig()): Map[String, Long] = {
+    val corpusPath = s"$stateDir/corpus"
+    val fpPath = s"$stateDir/index_fp"
+    val shPath = s"$stateDir/index_sh"
+    val seeded = new java.io.File(s"$corpusPath/_SUCCESS").exists()
+    val cleaned =
+      if (!seeded) clean(batch.select(col(idCol), col(textCol)), idCol, textCol, cfg)
+      else appendBatchIndexed(
+        TextIndex(spark.read.parquet(fpPath), spark.read.parquet(shPath)),
+        batch.select(col(idCol), col(textCol)), idCol, textCol, cfg)
+    val (survivors, releaseSurvivors) =
+      graft.internal.Checkpoints.localCheckpointTracked(cleaned)
+    try {
+      val n = survivors.count()
+      survivors.write.mode("append").parquet(corpusPath)
+      val idx = buildTextIndex(survivors, idCol, textCol, cfg)
+      idx.fingerprints.write.mode("append").parquet(fpPath)
+      idx.shingles.write.mode("append").parquet(shPath)
+      Map("ingested" -> n,
+        "corpus_total" -> spark.read.parquet(corpusPath).count())
+    } finally {
+      releaseSurvivors()
+      // the append's internal pins (batch-clean, after-exact) served
+      // their consumers; ingest is a single-tenant driver entry, so
+      // drain them like Bench/Verify do between queries
+      graft.Caches.releaseAll()
+    }
+  }
+
   /** Full run: read → clean (text tiers, plus the embedding tier when
     * `semantic` is set — chunk vectors come from the side-by-side
     * embeddings table, keyed by `semantic.chunksPerDoc`) → split →

@@ -226,6 +226,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("ingest: seeds state, extends it, and re-ingesting a batch is a no-op") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0)
+    val state = Files.createTempDirectory("ingest-state").toFile.getAbsolutePath
+    // night 1: seed from the first half
+    val n1 = CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") < 25),
+      cfg = cfg)
+    assert(n1("ingested") > 0L && n1("ingested") === n1("corpus_total"))
+    // night 2: second half plus a re-crawl of an ingested doc
+    val recrawl = spark.read.parquet(s"$state/corpus").orderBy("doc_id").limit(1)
+      .select(lit(900400L).as("doc_id"), col("text"))
+    val batch2 = docs.filter(col("doc_id") >= 25).unionByName(recrawl)
+    val n2 = CorpusPipeline.ingest(spark, state, batch2, cfg = cfg)
+    assert(n2("ingested") > 0L)
+    assert(n2("corpus_total") === n1("corpus_total") + n2("ingested"))
+    assert(spark.read.parquet(s"$state/corpus")
+      .filter(col("doc_id") === 900400L).isEmpty,
+      "re-crawled copy must not enter the corpus")
+    // night 3: the same batch again — INSERT-OR-IGNORE, nothing new
+    val n3 = CorpusPipeline.ingest(spark, state, batch2, cfg = cfg)
+    assert(n3("ingested") === 0L)
+    assert(n3("corpus_total") === n2("corpus_total"))
+    // the stored index grew in lockstep with the corpus
+    assert(spark.read.parquet(s"$state/index_fp").count() === n3("corpus_total"))
+  }
+
   test("run: shards on disk, splits complete, counts match the files") {
     val out = Files.createTempDirectory("corpus").toFile.getAbsolutePath
     val counts = CorpusPipeline.run(spark, sfDir, out,
