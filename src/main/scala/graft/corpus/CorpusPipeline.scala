@@ -360,6 +360,36 @@ object CorpusPipeline {
     }
   }
 
+  /** Continuous ingestion: every micro-batch of a STREAMING document
+    * frame runs the same [[ingest]] flow the nightly job runs, against
+    * the same parquet state dir — a crawl can feed the corpus live and
+    * hand off to (or from) batch ingestion with no state migration.
+    *
+    * Delivery semantics: `foreachBatch` gives at-least-once for
+    * arbitrary sinks, and that COMPOSES with the append's
+    * INSERT-OR-IGNORE contract — a replayed micro-batch re-drops
+    * against the state it already wrote, so the corpus converges to
+    * the exactly-once result. Caveat: the three state writes (corpus,
+    * fingerprint index, shingle index) are not atomic as a group; a
+    * crash between them can strand index rows behind the corpus, and
+    * the affected batch should simply be replayed (safe, as above).
+    */
+  def ingestStream(stateDir: String, docs: DataFrame, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      cfg: CorpusConfig = CorpusConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // empty micro-batches (timer tick, replay tail) skip the state
+        // round-trip entirely
+        if (!batch.isEmpty) {
+          ingest(batch.sparkSession, stateDir, batch, idCol, textCol, cfg)
+          ()
+        }
+      }
+      .start()
+
   /** Full run: read → clean (text tiers, plus the embedding tier when
     * `semantic` is set — chunk vectors come from the side-by-side
     * embeddings table, keyed by `semantic.chunksPerDoc`) → split →

@@ -253,6 +253,42 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$state/index_fp").count() === n3("corpus_total"))
   }
 
+  test("ingestStream: micro-batches drive the idempotent corpus append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0)
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val state = Files.createTempDirectory("stream-state").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("stream-ckpt").toFile.getAbsolutePath
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.ingestStream(state,
+      in.toDF().toDF("doc_id", "text"), ckpt, cfg = cfg)
+    try {
+      // micro-batch 1 seeds the state
+      in.addData(real.filter(_._1 < 25).toSeq: _*)
+      q.processAllAvailable()
+      val n1 = spark.read.parquet(s"$state/corpus").count()
+      assert(n1 > 0L)
+      // micro-batch 2: new docs plus a live re-crawl of an ingested one
+      val copy = spark.read.parquet(s"$state/corpus").orderBy("doc_id")
+        .limit(1).select(lit(900500L).as("doc_id"), col("text"))
+        .as[(Long, String)].head()
+      in.addData(real.filter(_._1 >= 25).toSeq :+ copy: _*)
+      q.processAllAvailable()
+      val corpus2 = spark.read.parquet(s"$state/corpus")
+      assert(corpus2.filter(col("doc_id") === 900500L).isEmpty,
+        "streamed re-crawl must drop against the live state")
+      val n2 = corpus2.count()
+      assert(n2 > n1)
+      // micro-batch 3 replays batch 2's documents — the at-least-once
+      // case — and the idempotent append admits none of them again
+      in.addData(real.filter(_._1 >= 25).toSeq: _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$state/corpus").count() === n2)
+    } finally q.stop()
+  }
+
   test("run: shards on disk, splits complete, counts match the files") {
     val out = Files.createTempDirectory("corpus").toFile.getAbsolutePath
     val counts = CorpusPipeline.run(spark, sfDir, out,
