@@ -208,6 +208,40 @@ object SamplingFunctions {
           .as("bucket"))
   }
 
+  /** Per-GROUP quantile-bucket assignment — curriculum binning inside
+    * each language/domain instead of over the pooled corpus (a pooled
+    * binning would grade every low-resource language against the
+    * dominant one's score distribution). Same scale shape and
+    * engine-portability contract as [[quantileBucket]]: the n−1 exact
+    * per-group cut points reduce to ONE row per group through an
+    * aggregation, join back (broadcast by default — groups are
+    * languages/domains; `broadcastCuts = false` for crawl-cardinality
+    * groups), and assignment is a per-row comparison count against
+    * 6dp-rounded cuts. Null values get a NULL bucket; null GROUPS are
+    * binned within their own stratum (null-safe join). At extreme
+    * scale swap `percentile` for `approx_percentile`, as
+    * [[quantileBucket]] documents.
+    */
+  def quantileBucketByGroup(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, nBuckets: Int,
+      broadcastCuts: Boolean = true): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val taken = df.columns.toSet
+    val grp = graft.ops.ColNames.fresh(taken, "_grp")
+    val cutsCol = graft.ops.ColNames.fresh(taken + grp, "_cuts")
+    val cuts0 = df.groupBy(col(groupCol).as(grp)).agg(
+      expr(s"percentile($valueCol, array(${fracs.mkString("D,")}D))").as(cutsCol))
+    val cuts = if (broadcastCuts) broadcast(cuts0) else cuts0
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .join(cuts, col(groupCol) <=> col(grp), "left")
+      .select(col(idCol), col(groupCol), col(valueCol),
+        when(col(valueCol).isNotNull,
+          aggregate(col(cutsCol), lit(0),
+            (acc, c) => acc + when(col(valueCol) > round(c, 6), 1).otherwise(0)))
+          .as("bucket"))
+  }
+
   /** Sequence packing: assign each document to a fixed-token-budget pack
     * (the pre-training batching shape — documents are concatenated into
     * `budgetTokens`-sized training sequences, and the assignment must be

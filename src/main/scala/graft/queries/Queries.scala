@@ -1220,6 +1220,42 @@ object Queries {
              |  CAST(len(list_filter(cs, c -> quality > round(c, 6))) AS INTEGER) AS decile
              |FROM q, cuts ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t10_lang_quartiles",
+      // per-GROUP curriculum binning: quality quartiles WITHIN each
+      // language (a pooled binning would grade every low-resource
+      // language against the dominant one's distribution). Cuts reduce
+      // per group and join back broadcast; same 6dp-rounded-cut
+      // portability contract as t8.
+      (s, dir) => Sam.quantileBucketByGroup(
+          docs(s, dir).select(col("doc_id"), col("lang"),
+            T.qualityScore(col("text")).as("quality")),
+          "doc_id", "lang", "quality", nBuckets = 4)
+        .select(col("doc_id"), col("lang"), col("bucket").as("quartile"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
+             |         END AS punct_ratio,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
+             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, lang,
+             |    (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+             |     + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+             |     + least(stopword_ratio * 5.0, 1.0) * 0.3) * 100.0 AS quality
+             |  FROM b),
+             |cuts AS (
+             |  SELECT lang, quantile_cont(quality, [0.25, 0.5, 0.75]) AS cs
+             |  FROM q GROUP BY lang)
+             |SELECT q.doc_id, q.lang,
+             |  CAST(len(list_filter(cs, c -> quality > round(c, 6))) AS INTEGER) AS quartile
+             |FROM q JOIN cuts ON q.lang = cuts.lang ORDER BY doc_id""".stripMargin)),
+
     QueryDef("t4b_winnow_native",
       // the PRODUCTION winnowing path: the native codegen expression over
       // xxhash64 — one compiled pass per document vs t4's interpreted

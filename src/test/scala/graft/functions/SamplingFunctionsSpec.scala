@@ -128,6 +128,29 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileBucketByGroup: each group bins against ITS OWN cuts") {
+    // group A: values 1..100; group B: values 1001..1100 — pooled cuts
+    // would dump all of A in bucket 0 and all of B in bucket 3
+    val df = ((1L to 100L).map(i => (i, "A", i.toDouble)) ++
+      (101L to 200L).map(i => (i, "B", (i + 900L).toDouble)))
+      .toDF("id", "g", "v")
+    val b = SamplingFunctions.quantileBucketByGroup(df, "id", "g", "v", 4)
+      .as[(Long, String, Double, Int)].collect()
+    val sizes = b.groupBy(r => (r._2, r._4)).view.mapValues(_.length).toMap
+    assert(sizes === Map(("A", 0) -> 25, ("A", 1) -> 25, ("A", 2) -> 25,
+      ("A", 3) -> 25, ("B", 0) -> 25, ("B", 1) -> 25, ("B", 2) -> 25,
+      ("B", 3) -> 25))
+    // partitioning-proof and identical through the shuffled-cuts hatch
+    val again = SamplingFunctions
+      .quantileBucketByGroup(df.repartition(7), "id", "g", "v", 4,
+        broadcastCuts = false)
+      .as[(Long, String, Double, Int)].collect()
+    assert(again.sortBy(_._1).sameElements(b.sortBy(_._1)))
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.quantileBucketByGroup(df, "id", "g", "v", 1)
+    }
+  }
+
   test("quantileBucket: null values get a null bucket, not bin 0") {
     val df = spark.sql(
       "SELECT * FROM VALUES (1L, 1.0D), (2L, 2.0D), (3L, 3.0D), (4L, 4.0D), " +
