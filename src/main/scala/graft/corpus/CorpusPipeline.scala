@@ -210,53 +210,17 @@ object CorpusPipeline {
     *     cross-side only — drops the batch member of every verified
     *     cosine pair.
     *
-    * Scale shape: this overload derives the corpus-side index frames
-    * from `existing` on the fly — one fingerprint projection and one
-    * shingle scan of the corpus per batch. For a 100 TB corpus even
-    * those two scans are the dominant cost, so the nightly job should
-    * [[buildTextIndex]] ONCE, store it (plain parquet tables), extend
-    * it with each accepted batch's index rows, and call
-    * [[appendBatchIndexed]] — history is then never re-read or
-    * re-tokenized. Every cross-side join is batch-sized on one side,
-    * so Catalyst broadcasts it. Nothing in this path shuffles the
-    * corpus.
+    * Scale shape: this overload derives BOTH corpus-side indexes from
+    * the live frames on the fly — acceptable for one-off merges, but a
+    * nightly job at 100 TB must not re-derive corpus state per batch:
+    * store the [[TextIndex]] (and [[SemanticIndex]]) as parquet, extend
+    * them with each accepted batch's index rows, and call
+    * [[appendBatchIndexed]] — history is then never re-read,
+    * re-tokenized, re-signatured, or re-pooled (that is [[ingest]]'s
+    * protocol). Every cross-side join is batch-sized on one side, so
+    * Catalyst broadcasts it. Nothing in this path shuffles the corpus.
     */
   def appendBatch(existing: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, cfg: CorpusConfig = CorpusConfig(),
-      existingChunks: Option[DataFrame] = None,
-      batchChunks: Option[DataFrame] = None,
-      chunkIdCol: String = "doc_id", vecCol: String = "embedding",
-      semantic: Option[SemanticConfig] = None): DataFrame =
-    appendBatchIndexed(buildTextIndex(existing, idCol, textCol, cfg),
-      batch, idCol, textCol, cfg, existingChunks, batchChunks,
-      chunkIdCol, vecCol, semantic)
-
-  /** The corpus-side dedup state [[appendBatchIndexed]] joins against:
-    * `fingerprints` is `(id, fp)` (md5 of normalized text), `shingles`
-    * is `(id, shingles)` (word n-grams, `cfg.shingleN`). Both are plain
-    * columnar frames — write them to the warehouse as parquet, read
-    * them back next run, and append each accepted batch's
-    * [[buildTextIndex]] rows after its warehouse commit; the index then
-    * grows with the corpus and the raw text is never re-derived.
-    */
-  final case class TextIndex(fingerprints: DataFrame, shingles: DataFrame)
-
-  /** Derive the [[TextIndex]] of an (already-cleaned) corpus or of an
-    * accepted batch — two scan-local projections, no shuffle.
-    */
-  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
-      cfg: CorpusConfig = CorpusConfig()): TextIndex = TextIndex(
-    fingerprints = docs.select(col(idCol).as("id"),
-      TextFunctions.fingerprint(col(textCol)).as("fp")),
-    shingles = docs.select(col(idCol).as("id"),
-      DedupFunctions.wordShingles(col(textCol), cfg.shingleN).as("shingles")))
-
-  /** [[appendBatch]] against a precomputed [[TextIndex]] — the steady-
-    * state nightly shape: the corpus contributes only its 16-byte
-    * fingerprints and its shingle table; its text is not touched at
-    * all. Semantics are identical to [[appendBatch]] (same stages 1-4).
-    */
-  def appendBatchIndexed(index: TextIndex, batch: DataFrame, idCol: String,
       textCol: String, cfg: CorpusConfig = CorpusConfig(),
       existingChunks: Option[DataFrame] = None,
       batchChunks: Option[DataFrame] = None,
@@ -265,6 +229,123 @@ object CorpusPipeline {
     require(existingChunks.isEmpty == semantic.isEmpty &&
         batchChunks.isEmpty == semantic.isEmpty,
       "semantic append needs BOTH sides' chunk-embedding frames and a SemanticConfig")
+    val semIdx = (existingChunks, semantic) match {
+      case (Some(ch), Some(sc)) => Some(buildSemanticIndex(
+        existing.select(col(idCol).as(chunkIdCol)), ch, chunkIdCol, vecCol, sc))
+      case _ => None
+    }
+    appendBatchIndexed(buildTextIndex(existing, idCol, textCol, cfg),
+      batch, idCol, textCol, cfg, semIdx, batchChunks,
+      chunkIdCol, vecCol, semantic)
+  }
+
+  /** The corpus-side TEXT dedup state [[appendBatchIndexed]] joins
+    * against — three plain columnar frames, all derivable per batch at
+    * its own accept time and append-maintained forever after:
+    * `fingerprints` is `(id, fp)` (md5 of normalized text, 16 bytes);
+    * `shingles` is `(id, shingles)` (word n-grams, `cfg.shingleN`);
+    * `bands` is `(id, band, bucket)` — the banded MinHash signature
+    * keys ([[DedupFunctions.bandedSignatures]], `cfg.bands` rows/doc).
+    * Storing `bands` is what makes the nightly path shuffle-free on the
+    * corpus side: signatures are aggregations over shingles, and
+    * without the stored table every batch would re-run that aggregation
+    * over ALL of history ([[DedupFunctions.minhashLshPairsAgainstIndexed]]
+    * instead equi-joins the stored keys). Write all three to the
+    * warehouse as parquet, read them back next run, and append each
+    * accepted batch's [[buildTextIndex]] rows after its commit.
+    */
+  final case class TextIndex(fingerprints: DataFrame, shingles: DataFrame,
+      bands: DataFrame)
+
+  /** Derive the [[TextIndex]] of an (already-cleaned) corpus or of an
+    * accepted batch: two scan-local projections plus ONE signature
+    * aggregation sized by `docs` itself (at accept time that is the
+    * night's batch, never history). The shingle frame feeds both the
+    * stored table and the signature aggregation, so it is pinned (the
+    * library-wide multi-consumer rule; released via `Caches.releaseAll`).
+    */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      cfg: CorpusConfig = CorpusConfig()): TextIndex = {
+    val sh = graft.Caches.trackedPersist(
+      docs.select(col(idCol).as("id"),
+        DedupFunctions.wordShingles(col(textCol), cfg.shingleN).as("shingles")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TextIndex(
+      fingerprints = docs.select(col(idCol).as("id"),
+        TextFunctions.fingerprint(col(textCol)).as("fp")),
+      shingles = sh,
+      bands = DedupFunctions.bandedSignatures(sh, cfg.numHashes, cfg.bands,
+        cfg.minhashHash, cfg.minhashBucketHash))
+  }
+
+  /** The corpus-side EMBEDDING dedup state — the semantic twin of
+    * [[TextIndex]]: `vectors` is `(id, vec)` (per-document mean-pooled
+    * chunk embeddings, 6dp-rounded, int8-quantized when the config says
+    * so) and `bands` is `(id, band, key)` (banded hyperplane-LSH keys,
+    * [[SimilarityFunctions.hyperplaneBands]]). Both are built from a
+    * batch's own chunks at accept time and append-maintained; the
+    * nightly semantic arm then never re-pools or re-signatures history.
+    */
+  final case class SemanticIndex(vectors: DataFrame, bands: DataFrame)
+
+  /** Mean-pool `chunks` (restricted to `survivorIds`) to one `(id, vec)`
+    * row per document — 6dp-rounded, quantized per `sc` — the exact
+    * vector shape both dedup tiers compare. One explode + hash-agg;
+    * nothing buffers a document's chunk set anywhere.
+    */
+  private def pooledVectors(survivorIds: DataFrame, chunks: DataFrame,
+      chunkIdCol: String, vecCol: String, sc: SemanticConfig): DataFrame = {
+    val alive = chunks.join(survivorIds, Seq(chunkIdCol), "left_semi")
+    val p = SimilarityFunctions.assembleVec(
+      SimilarityFunctions.meanPoolFlat(alive, chunkIdCol, vecCol)
+        .withColumn("mean_v", round(col("mean_v"), 6)), chunkIdCol)
+    val q =
+      if (sc.quantize)
+        p.select(col(chunkIdCol),
+          SimilarityFunctions.quantizeInt8(col("vec")).getField("q").as("vec"))
+      else p
+    q.select(col(chunkIdCol).as("id"), col("vec"))
+  }
+
+  /** Derive the [[SemanticIndex]] of a document set from its chunk
+    * embeddings — one pooling aggregation (sized by the documents being
+    * indexed) plus a scan-local band projection. The pooled frame feeds
+    * both stored tables, so it is pinned.
+    */
+  def buildSemanticIndex(survivorIds: DataFrame, chunks: DataFrame,
+      chunkIdCol: String, vecCol: String, sc: SemanticConfig): SemanticIndex = {
+    val vecs = graft.Caches.trackedPersist(
+      pooledVectors(survivorIds, chunks, chunkIdCol, vecCol, sc),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SemanticIndex(vecs, SimilarityFunctions.hyperplaneBands(
+      vecs, sc.dim, sc.nBits, sc.bands, "id", "vec", sc.seed))
+  }
+
+  /** [[appendBatch]] against precomputed corpus state — the steady-
+    * state nightly shape: the corpus contributes only its 16-byte
+    * fingerprints, its stored band keys (text AND semantic), and —
+    * solely for candidate verification — its shingle and pooled-vector
+    * tables; its text and chunk embeddings are not touched at all, and
+    * NOTHING corpus-sided is aggregated, re-signatured, or re-pooled
+    * (the stored-bands contract, spec-pinned against the plan).
+    * Semantics are identical to [[appendBatch]] (same stages 1-4).
+    *
+    * `semanticIndex = None` with `semantic` armed means the corpus has
+    * no vector state yet (e.g. it was seeded text-only): the batch
+    * still semantic-dedups WITHIN itself via stage 1, and the
+    * vs-corpus embedding arm is skipped — mixed-arming degrades
+    * gracefully instead of failing the night.
+    */
+  def appendBatchIndexed(index: TextIndex, batch: DataFrame, idCol: String,
+      textCol: String, cfg: CorpusConfig = CorpusConfig(),
+      semanticIndex: Option[SemanticIndex] = None,
+      batchChunks: Option[DataFrame] = None,
+      chunkIdCol: String = "doc_id", vecCol: String = "embedding",
+      semantic: Option[SemanticConfig] = None): DataFrame = {
+    require(batchChunks.isEmpty == semantic.isEmpty,
+      "semantic append needs BOTH the batch chunk frame and a SemanticConfig")
+    require(semanticIndex.isEmpty || semantic.isDefined,
+      "a SemanticIndex without a SemanticConfig cannot be used")
     import graft.Caches.trackedPersist
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // 1. the batch becomes internally canonical (pinned: feeds the
@@ -279,83 +360,207 @@ object CorpusPipeline {
         .join(index.fingerprints.select(col("fp").as(fp)), Seq(fp), "left_anti")
         .drop(fp),
       MEMORY_AND_DISK)
-    // 3. near-dup-vs-corpus: batch member of every verified pair drops
+    // 3. near-dup-vs-corpus: the batch signatures freshly; the corpus
+    // side contributes its STORED band table for candidates and its
+    // stored shingles for candidate verification only
     val batchShingles = afterExact.select(col(idCol).as("id"),
       DedupFunctions.wordShingles(col(textCol), cfg.shingleN).as("shingles"))
-    val textPairs = DedupFunctions.minhashLshPairsAgainst(
-      index.shingles, batchShingles,
+    val textPairs = DedupFunctions.minhashLshPairsAgainstIndexed(
+      index.bands, index.shingles, batchShingles,
       numHashes = cfg.numHashes, bands = cfg.bands,
       threshold = cfg.nearDupThreshold,
       hash = cfg.minhashHash, bucketHash = cfg.minhashBucketHash)
     val textSafe0 = DedupFunctions.dropNearDuplicates(afterExact, textPairs, idCol)
-    // 4. semantic-vs-corpus, mirroring [[semanticDedup]]'s pooling; the
-    // existing side's live ids come from the index's shingle table.
-    // textSafe feeds BOTH the pooling semi-join and the final anti-join
-    // there — pin it so the text-tier LSH drop executes once
-    (existingChunks, batchChunks, semantic) match {
-      case (Some(exCh), Some(bCh), Some(sc)) =>
+    // 4. semantic-vs-corpus: batch chunks pool (batch-sized), the
+    // corpus contributes its STORED pooled vectors and band keys.
+    // textSafe feeds both the pooling semi-join and the final anti-join
+    // — pin it so the text-tier LSH drop executes once
+    (semanticIndex, batchChunks, semantic) match {
+      case (Some(semIdx), Some(bCh), Some(sc)) =>
         val textSafe = trackedPersist(textSafe0, MEMORY_AND_DISK)
-        def pooled(survivorIds: DataFrame, chunks: DataFrame): DataFrame = {
-          val alive = chunks.join(survivorIds, Seq(chunkIdCol), "left_semi")
-          val p = SimilarityFunctions.assembleVec(
-            SimilarityFunctions.meanPoolFlat(alive, chunkIdCol, vecCol)
-              .withColumn("mean_v", round(col("mean_v"), 6)), chunkIdCol)
-          if (sc.quantize)
-            p.select(col(chunkIdCol),
-              SimilarityFunctions.quantizeInt8(col("vec")).getField("q").as("vec"))
-          else p
-        }
-        val vecPairs = SimilarityFunctions.lshNeighborPairsAgainst(
-          pooled(index.shingles.select(col("id").as(chunkIdCol)), exCh),
-          pooled(textSafe.select(col(idCol).as(chunkIdCol)), bCh),
+        val vecPairs = SimilarityFunctions.lshNeighborPairsAgainstIndexed(
+          semIdx.bands, semIdx.vectors,
+          pooledVectors(textSafe.select(col(idCol).as(chunkIdCol)), bCh,
+            chunkIdCol, vecCol, sc),
           dim = sc.dim, nBits = sc.nBits, bands = sc.bands,
-          minCosine = sc.minCosine, idCol = chunkIdCol, vecCol = "vec",
+          minCosine = sc.minCosine, idCol = "id", vecCol = "vec",
           seed = sc.seed)
         DedupFunctions.dropNearDuplicates(textSafe, vecPairs, idCol)
       case _ => textSafe0
     }
   }
 
+  // ------------------------------------------------------------------
+  // Stateful ingest: commit-log state protocol
+  //
+  // stateDir/
+  //   commits/commit_<token>      one EMPTY marker file per committed
+  //                               batch — the single commit point
+  //   corpus/batch_<token>/       the batch's surviving documents
+  //   index_fp|index_sh|index_bd/batch_<token>/   TextIndex tables
+  //   index_vec|index_vbd/batch_<token>/          SemanticIndex tables
+  //                               (present only for semantic-armed
+  //                               batches)
+  //
+  // Readers assemble state from COMMITTED batch dirs only, so a crash
+  // anywhere before the marker leaves invisible orphan files and the
+  // batch replays cleanly (same token → the orphans are overwritten,
+  // then committed; different token → content-level INSERT-OR-IGNORE
+  // still drops every already-ingested document). A replay of an
+  // ALREADY-COMMITTED token is skipped outright — exactly-once at the
+  // batch level, on top of the content-level idempotence. The marker
+  // is one small file created after every data write: the closest an
+  // object store/HDFS gets to an atomic multi-table commit without an
+  // external transaction log. All probes go through the Hadoop
+  // FileSystem API, so hdfs:// and s3a:// state dirs behave exactly
+  // like local paths.
+  // ------------------------------------------------------------------
+
+  private def stateFs(spark: SparkSession, stateDir: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Tokens of committed batches, in commit order (derived tokens sort
+    * numerically; the listing is one driver-side `listStatus`, bounded
+    * by the number of ingested batches).
+    */
+  private def committedTokens(spark: SparkSession, stateDir: String): Seq[String] = {
+    val fs = stateFs(spark, stateDir)
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/commits")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("commit_")).map(_.stripPrefix("commit_")).sorted
+  }
+
+  /** Committed batch directories of one state table that actually exist
+    * (the SemanticIndex tables exist only for semantic-armed batches).
+    */
+  private def committedDirs(spark: SparkSession, stateDir: String,
+      table: String): Seq[String] = {
+    val fs = stateFs(spark, stateDir)
+    committedTokens(spark, stateDir)
+      .map(t => s"$stateDir/$table/batch_$t")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+  }
+
+  /** The committed corpus as one frame. Fails loudly on an unseeded
+    * state dir rather than inventing an empty schema.
+    */
+  def readCorpus(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = committedDirs(spark, stateDir, "corpus")
+    require(dirs.nonEmpty, s"no committed corpus batches under $stateDir")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** The committed [[TextIndex]] (all three stored tables). */
+  def readTextIndex(spark: SparkSession, stateDir: String): TextIndex = {
+    def tbl(name: String): DataFrame = {
+      val dirs = committedDirs(spark, stateDir, name)
+      require(dirs.nonEmpty, s"no committed $name batches under $stateDir")
+      spark.read.parquet(dirs: _*)
+    }
+    TextIndex(tbl("index_fp"), tbl("index_sh"), tbl("index_bd"))
+  }
+
+  /** The committed [[SemanticIndex]], or None when no committed batch
+    * was semantic-armed (a text-only corpus).
+    */
+  def readSemanticIndex(spark: SparkSession, stateDir: String): Option[SemanticIndex] = {
+    val vecs = committedDirs(spark, stateDir, "index_vec")
+    val bands = committedDirs(spark, stateDir, "index_vbd")
+    if (vecs.isEmpty || bands.isEmpty) None
+    else Some(SemanticIndex(
+      spark.read.parquet(vecs: _*), spark.read.parquet(bands: _*)))
+  }
+
   /** Stateful nightly ingest — the driver loop around
-    * [[appendBatchIndexed]]: `stateDir` holds the corpus and its
-    * [[TextIndex]] as plain parquet (`corpus/`, `index_fp/`,
-    * `index_sh/`). The first call cleans the batch and seeds the
-    * state; every later call appends the batch's survivors to the
-    * corpus AND extends the index with exactly their index rows — the
-    * stored history is never re-read beyond the index joins, and
-    * re-ingesting the same batch is a no-op (the INSERT-OR-IGNORE
-    * contract, spec-pinned). Survivors are eagerly checkpointed before
-    * any write: their lineage reads the same state paths the writes
-    * append to, and a lazy plan re-executing mid-write would see its
-    * own output. Returns ingested/corpus-total counts.
+    * [[appendBatchIndexed]]: `stateDir` holds the corpus, its
+    * [[TextIndex]] and (when armed) its [[SemanticIndex]] as plain
+    * parquet under the commit-log layout above. The first committed
+    * batch seeds the state; every later call drops the batch against
+    * the STORED indexes (history is never re-read, re-tokenized,
+    * re-signatured, or re-pooled), appends the survivors, and extends
+    * every index with exactly their rows. Re-ingesting a batch is a
+    * no-op at two independent levels: an already-committed `batchId`
+    * is skipped outright, and replayed CONTENT drops against the
+    * indexes (the INSERT-OR-IGNORE contract, spec-pinned).
+    *
+    * The semantic tier arms per call: pass the batch's chunk-embedding
+    * frame and a [[SemanticConfig]] and the batch both dedups against
+    * the stored vector index and contributes its own pooled vectors to
+    * it. A corpus seeded text-only degrades gracefully (vs-corpus
+    * embedding checks begin once vector state exists).
+    *
+    * Survivors are eagerly checkpointed before any write — their
+    * lineage reads committed state, and a lazy plan re-executing
+    * mid-write could otherwise see in-flight files. Returns
+    * ingested/corpus-total counts.
     */
   def ingest(spark: SparkSession, stateDir: String, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      cfg: CorpusConfig = CorpusConfig()): Map[String, Long] = {
-    val corpusPath = s"$stateDir/corpus"
-    val fpPath = s"$stateDir/index_fp"
-    val shPath = s"$stateDir/index_sh"
-    val seeded = new java.io.File(s"$corpusPath/_SUCCESS").exists()
+      cfg: CorpusConfig = CorpusConfig(),
+      batchChunks: Option[DataFrame] = None,
+      chunkIdCol: String = "doc_id", vecCol: String = "embedding",
+      semantic: Option[SemanticConfig] = None,
+      batchId: Option[String] = None): Map[String, Long] = {
+    require(batchChunks.isEmpty == semantic.isEmpty,
+      "semantic ingest needs BOTH the batch chunk frame and a SemanticConfig")
+    val fs = stateFs(spark, stateDir)
+    val committed = committedTokens(spark, stateDir)
+    // derived tokens are zero-padded so the commit listing sorts in
+    // ingest order lexicographically (b0000000000, b0000000001, ...)
+    val token = batchId.getOrElse {
+      val next = committed.filter(_.startsWith("b"))
+        .map(_.drop(1).toLong).maxOption.map(_ + 1L).getOrElse(0L)
+      f"b$next%010d"
+    }
+    require(!token.contains("/"), s"batchId must not contain '/' (got $token)")
+    if (committed.contains(token))
+      // batch-level exactly-once: this token already committed — the
+      // crash-replay and at-least-once-redelivery case
+      return Map("ingested" -> 0L,
+        "corpus_total" -> readCorpus(spark, stateDir).count())
+    val docs = batch.select(col(idCol), col(textCol))
     val cleaned =
-      if (!seeded) clean(batch.select(col(idCol), col(textCol)), idCol, textCol, cfg)
-      else appendBatchIndexed(
-        TextIndex(spark.read.parquet(fpPath), spark.read.parquet(shPath)),
-        batch.select(col(idCol), col(textCol)), idCol, textCol, cfg)
+      if (committed.isEmpty)
+        clean(docs, idCol, textCol, cfg, batchChunks, chunkIdCol, vecCol, semantic)
+      else appendBatchIndexed(readTextIndex(spark, stateDir), docs, idCol,
+        textCol, cfg,
+        semanticIndex = semantic.flatMap(_ => readSemanticIndex(spark, stateDir)),
+        batchChunks = batchChunks, chunkIdCol = chunkIdCol, vecCol = vecCol,
+        semantic = semantic)
     val (survivors, releaseSurvivors) =
       graft.internal.Checkpoints.localCheckpointTracked(cleaned)
     try {
       val n = survivors.count()
-      survivors.write.mode("append").parquet(corpusPath)
+      // batch-scoped staged writes: mode("overwrite") into THIS batch's
+      // dirs, so a crashed attempt's orphans are replaced, never mixed
+      survivors.write.mode("overwrite").parquet(s"$stateDir/corpus/batch_$token")
       val idx = buildTextIndex(survivors, idCol, textCol, cfg)
-      idx.fingerprints.write.mode("append").parquet(fpPath)
-      idx.shingles.write.mode("append").parquet(shPath)
+      idx.fingerprints.write.mode("overwrite").parquet(s"$stateDir/index_fp/batch_$token")
+      idx.shingles.write.mode("overwrite").parquet(s"$stateDir/index_sh/batch_$token")
+      idx.bands.write.mode("overwrite").parquet(s"$stateDir/index_bd/batch_$token")
+      (batchChunks, semantic) match {
+        case (Some(ch), Some(sc)) =>
+          val sIdx = buildSemanticIndex(
+            survivors.select(col(idCol).as(chunkIdCol)), ch, chunkIdCol, vecCol, sc)
+          sIdx.vectors.write.mode("overwrite").parquet(s"$stateDir/index_vec/batch_$token")
+          sIdx.bands.write.mode("overwrite").parquet(s"$stateDir/index_vbd/batch_$token")
+        case _ => ()
+      }
+      // COMMIT POINT: one marker file; until it exists none of the
+      // writes above are visible to any reader
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/commits"))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$stateDir/commits/commit_$token"), true).close()
       Map("ingested" -> n,
-        "corpus_total" -> spark.read.parquet(corpusPath).count())
+        "corpus_total" -> readCorpus(spark, stateDir).count())
     } finally {
       releaseSurvivors()
-      // the append's internal pins (batch-clean, after-exact) served
-      // their consumers; ingest is a single-tenant driver entry, so
-      // drain them like Bench/Verify do between queries
+      // the append's internal pins (batch-clean, after-exact, index
+      // frames) served their consumers; ingest is a single-tenant
+      // driver entry, so drain them like Bench/Verify do between queries
       graft.Caches.releaseAll()
     }
   }
@@ -365,30 +570,44 @@ object CorpusPipeline {
     * the same parquet state dir — a crawl can feed the corpus live and
     * hand off to (or from) batch ingestion with no state migration.
     *
-    * Delivery semantics: `foreachBatch` gives at-least-once for
-    * arbitrary sinks, and that COMPOSES with the append's
-    * INSERT-OR-IGNORE contract — a replayed micro-batch re-drops
-    * against the state it already wrote, so the corpus converges to
-    * the exactly-once result. Caveat: the three state writes (corpus,
-    * fingerprint index, shingle index) are not atomic as a group; a
-    * crash between them can strand index rows behind the corpus, and
-    * the affected batch should simply be replayed (safe, as above).
+    * Delivery semantics: the micro-batch's streaming `batchId` becomes
+    * the commit token (namespaced `s<id>` so it can never collide with
+    * the nightly job's derived tokens), so a foreachBatch REPLAY of a
+    * committed batch is skipped outright — exactly-once at the batch
+    * level. Even across token namespaces (batch job and stream feeding
+    * one corpus), re-delivered content drops against the stored
+    * indexes, so the corpus converges to the exactly-once result. A
+    * crash mid-batch leaves only uncommitted orphan files that the
+    * replay overwrites — see the commit-log notes above.
+    *
+    * `chunksForBatch` arms the semantic tier per micro-batch: given the
+    * batch's documents it returns their chunk-embedding frame (join a
+    * side table, call an embedding service, ...).
     */
   def ingestStream(stateDir: String, docs: DataFrame, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      cfg: CorpusConfig = CorpusConfig())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      cfg: CorpusConfig = CorpusConfig(),
+      chunksForBatch: Option[DataFrame => DataFrame] = None,
+      chunkIdCol: String = "doc_id", vecCol: String = "embedding",
+      semantic: Option[SemanticConfig] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(chunksForBatch.isEmpty == semantic.isEmpty,
+      "semantic streaming ingest needs BOTH a chunk-frame provider and a SemanticConfig")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         // empty micro-batches (timer tick, replay tail) skip the state
         // round-trip entirely
         if (!batch.isEmpty) {
-          ingest(batch.sparkSession, stateDir, batch, idCol, textCol, cfg)
+          ingest(batch.sparkSession, stateDir, batch, idCol, textCol, cfg,
+            batchChunks = chunksForBatch.map(f => f(batch)),
+            chunkIdCol = chunkIdCol, vecCol = vecCol, semantic = semantic,
+            batchId = Some(s"s$bid"))
           ()
         }
       }
       .start()
+  }
 
   /** Full run: read → clean (text tiers, plus the embedding tier when
     * `semantic` is set — chunk vectors come from the side-by-side
@@ -413,24 +632,53 @@ object CorpusPipeline {
   }
 
   /** CLI: `runMain graft.corpus.CorpusPipeline <sfDir> <outDir>
-    * [--semantic [dim]]` — `--semantic` adds the embedding-tier dedup
-    * (default dim 64, the testdata embedding width).
+    * [--semantic [dim]] [--ingest [nights]]` — `--semantic` adds the
+    * embedding-tier dedup (default dim 64, the testdata embedding
+    * width); `--ingest` runs the STATEFUL nightly flow instead of the
+    * one-shot shard export: the input splits into `nights` batches
+    * (default 3) that [[ingest]] into `outDir` as a commit-log state
+    * dir, then the last batch replays to demonstrate the
+    * INSERT-OR-IGNORE no-op.
     */
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
-    val semantic =
-      if (args.drop(2).headOption.contains("--semantic"))
-        Some(SemanticConfig(dim = args.drop(3).headOption.map(_.toInt).getOrElse(64)))
-      else None
+    val flags = args.drop(2)
+    def flagArg(flag: String): Option[String] = {
+      val i = flags.indexOf(flag)
+      if (i < 0) None
+      else Some(flags.lift(i + 1).filterNot(_.startsWith("--")).getOrElse(""))
+    }
+    val semantic = flagArg("--semantic").map(d =>
+      SemanticConfig(dim = if (d.isEmpty) 64 else d.toInt))
     val spark = SparkSession.builder()
       .appName("graft-corpus").master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val counts = run(spark, inDir, outDir, semantic = semantic)
-    println("corpus shards written: " + counts.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString(", "))
+    flagArg("--ingest") match {
+      case Some(n) =>
+        val nights = if (n.isEmpty) 3 else n.toInt
+        val docs = spark.read.parquet(s"$inDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val chunks = semantic.map(sc =>
+          spark.read.parquet(s"$inDir/embeddings.parquet")
+            .select(expr(s"vec_id div ${sc.chunksPerDoc}").as("doc_id"), col("embedding")))
+        def night(i: Int): DataFrame = docs.filter(pmod(col("doc_id"), lit(nights)) === i)
+        (0 until nights).foreach { i =>
+          val c = ingest(spark, outDir, night(i), cfg = CorpusConfig(),
+            batchChunks = chunks, semantic = semantic)
+          println(s"night $i: ingested=${c("ingested")} corpus_total=${c("corpus_total")}")
+        }
+        val replay = ingest(spark, outDir, night(nights - 1), cfg = CorpusConfig(),
+          batchChunks = chunks, semantic = semantic)
+        println(s"replay of night ${nights - 1}: ingested=${replay("ingested")} " +
+          s"corpus_total=${replay("corpus_total")} (INSERT-OR-IGNORE no-op)")
+      case None =>
+        val counts = run(spark, inDir, outDir, semantic = semantic)
+        println("corpus shards written: " + counts.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(", "))
+    }
     spark.stop()
   }
 }

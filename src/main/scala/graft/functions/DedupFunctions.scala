@@ -242,6 +242,73 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Banded MinHash signatures of an `(id, shingles)` frame as the flat
+    * `(id, band, bucket)` table — the MATERIALIZABLE form of the LSH
+    * candidate key: one signature aggregation (map-side partials, the
+    * [[minhashSignaturesFromShingles]] shape) plus a `bands`-way explode.
+    * This is the table an incremental corpus stores alongside its
+    * shingles (`bands` rows per doc — a few longs, tiny next to the
+    * shingle arrays) so that [[minhashLshPairsAgainstIndexed]] can
+    * generate candidates with NO aggregation over corpus state: the
+    * signatures are computed exactly once, at each document's own
+    * accept time.
+    */
+  def bandedSignatures(sh: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      hash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i)),
+      bucketHash: (Column, Int) => Column = (c, b) => xxhash64(c, lit(b))): DataFrame = {
+    val rows = numHashes / bands
+    minhashSignaturesFromShingles(sh, numHashes, hash)
+      .select(col("id"),
+        explode(lshBands(col("sig"), bands, rows, bucketHash)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** [[minhashLshPairsAgainst]] driven by a STORED band table — the
+    * steady-state nightly shape: the corpus side contributes its
+    * materialized `(id, band, bucket)` table (built by
+    * [[bandedSignatures]] at each batch's accept time) and its stored
+    * `(id, shingles)` table; NOTHING on the corpus side is aggregated —
+    * the corpus pays no signature recompute, no explode, no shuffle.
+    * Candidates come from an equi-join of the stored bands against the
+    * batch's (freshly signatured) bands; verification reads corpus
+    * shingles only for candidate ids. Same output contract as
+    * [[minhashLshPairsAgainst]]: `(id_a, id_b, jaccard)`, `id_a` from
+    * the corpus, `id_b` from the batch.
+    *
+    * Scale shape: with `broadcastBatchSide` (default), the batch band
+    * table broadcasts into the candidate join — the stored band table
+    * streams map-side, never shuffles — and the candidate-pair set
+    * (batch-bounded) broadcasts into the corpus-shingle verify join, so
+    * the corpus shingle table is SCANNED once but never shuffled or
+    * aggregated. Pass `false` for plain hash joins when a batch is too
+    * large to broadcast.
+    */
+  def minhashLshPairsAgainstIndexed(existingBands: DataFrame,
+      existingShingles: DataFrame, incoming: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.7,
+      hash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i)),
+      bucketHash: (Column, Int) => Column = (c, b) => xxhash64(c, lit(b)),
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      broadcastBatchSide: Boolean = true): DataFrame = {
+    // the batch shingle frame feeds its signature branch AND the verify
+    // join; pinned like every multi-consumer frame here
+    val shB = incoming.select(col("id"), col("shingles"))
+    if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(shB, storage)
+    val batchBands0 = bandedSignatures(shB, numHashes, bands, hash, bucketHash)
+    val batchBands = if (broadcastBatchSide) broadcast(batchBands0) else batchBands0
+    val cands0 = existingBands.as("x").join(batchBands.as("y"), Seq("band", "bucket"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val cands = if (broadcastBatchSide) broadcast(cands0) else cands0
+    existingShingles.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+      .join(cands, Seq("id_a"))
+      .join(shB.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Cross-corpus MinHash-LSH near-duplicate pairs — the INCREMENTAL
     * ingestion shape: a new batch checks against the already-ingested
     * corpus without the existing×existing self-join ever running. Both
@@ -270,17 +337,13 @@ object DedupFunctions {
       hash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i)),
       bucketHash: (Column, Int) => Column = (c, b) => xxhash64(c, lit(b)),
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val rows = numHashes / bands
     def prep(df: DataFrame): DataFrame = {
       val sh = df.select(col("id"), col("shingles"))
       if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(sh, storage)
       sh
     }
     def banded(sh: DataFrame): DataFrame =
-      minhashSignaturesFromShingles(sh, numHashes, hash)
-        .select(col("id"),
-          explode(lshBands(col("sig"), bands, rows, bucketHash)).as("bb"))
-        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      bandedSignatures(sh, numHashes, bands, hash, bucketHash)
     val shA = prep(existing)
     val shB = prep(incoming)
     val cands = banded(shA).as("x").join(banded(shB).as("y"), Seq("band", "bucket"))

@@ -326,6 +326,71 @@ object SimilarityFunctions {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Banded hyperplane-LSH keys of an `(id, vec)` frame as the flat
+    * `(id, band, key)` table — the MATERIALIZABLE form of the embedding
+    * tier's candidate key, mirroring
+    * [[DedupFunctions.bandedSignatures]]: ONE scan-local projection
+    * (the signature is a per-row expression — no aggregation at all),
+    * `bands` rows per vector. An incremental corpus stores this table
+    * alongside its pooled doc vectors so
+    * [[lshNeighborPairsAgainstIndexed]] can generate candidates without
+    * ever re-projecting corpus vectors through the hyperplanes.
+    */
+  def hyperplaneBands(vecs: DataFrame, dim: Int, nBits: Int = 16,
+      bands: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    require(bands > 0 && nBits % bands == 0,
+      s"nBits ($nBits) must be a positive multiple of bands ($bands)")
+    require(nBits >= 1 && nBits <= 64, s"nBits ($nBits) must be in [1, 64]")
+    val rows = nBits / bands
+    val mask = if (rows == 64) -1L else (1L << rows) - 1
+    vecs.select(col(idCol).as("id"),
+        hyperplaneSignature(col(vecCol), dim, nBits, seed).as("sig"))
+      .select(col("id"), explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * rows).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** [[lshNeighborPairsAgainst]] driven by STORED corpus state — the
+    * steady-state embedding-tier shape, mirroring
+    * [[DedupFunctions.minhashLshPairsAgainstIndexed]]: the corpus side
+    * contributes its materialized `(id, band, key)` table (built by
+    * [[hyperplaneBands]] at accept time) and its stored `(id, vec)`
+    * pooled-vector table; nothing on the corpus side is re-signatured
+    * or re-pooled. The batch side signatures freshly (same
+    * dim/nBits/seed — the planes are a pure function of those), the
+    * band tables join across sides, exact cosine verifies candidates.
+    * Output contract unchanged: `(id_a, id_b, cosine)`, `id_a` from the
+    * corpus, `id_b` from the batch.
+    *
+    * With `broadcastBatchSide` (default) the batch band table and the
+    * candidate-pair set broadcast, so the stored band and vector tables
+    * stream map-side — scanned, never shuffled. Pass `false` for plain
+    * hash joins when a batch outgrows broadcast.
+    */
+  def lshNeighborPairsAgainstIndexed(existingBands: DataFrame,
+      existingVecs: DataFrame, incoming: DataFrame,
+      dim: Int, nBits: Int = 16, bands: Int = 4, minCosine: Double = 0.8,
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Long = 42L,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      broadcastBatchSide: Boolean = true): DataFrame = {
+    // batch vectors feed the signature projection AND the verify join
+    val vb = incoming.select(col(idCol).as("id"), col(vecCol).as("v"))
+    if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(vb, storage)
+    val batchBands0 = hyperplaneBands(vb, dim, nBits, bands, "id", "v", seed)
+    val batchBands = if (broadcastBatchSide) broadcast(batchBands0) else batchBands0
+    val cands0 = existingBands.as("x").join(batchBands.as("y"), Seq("band", "key"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val cands = if (broadcastBatchSide) broadcast(cands0) else cands0
+    existingVecs.select(col("id").as("id_a"), col("vec").as("va"))
+      .join(cands, Seq("id_a"))
+      .join(vb.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Row-local cosine with EXACTLY the accumulation order of [[VecCosine]]
     * / [[cosineHof]] (sequential dot, sequential per-vector norms, sqrt
     * each norm, divide) so centroid ranking done executor-side is

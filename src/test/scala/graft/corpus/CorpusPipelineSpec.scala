@@ -179,13 +179,132 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("corpus-index").toFile.getAbsolutePath
     idx.fingerprints.write.parquet(s"$dir/fp")
     idx.shingles.write.parquet(s"$dir/sh")
+    idx.bands.write.parquet(s"$dir/bd")
     val loaded = CorpusPipeline.TextIndex(
-      spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/sh"))
+      spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/sh"),
+      spark.read.parquet(s"$dir/bd"))
     val viaIndex = CorpusPipeline.appendBatchIndexed(
         loaded, batch, "doc_id", "text", cfg)
       .select("doc_id").as[Long].collect().toSet
     assert(viaIndex === direct)
     assert(!viaIndex.contains(900300L), "re-crawled copy drops through the stored index")
+    graft.Caches.releaseAll()
+  }
+
+  test("appendBatchIndexed plan: NO aggregation consumes the stored corpus shingles") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0)
+    val existing = CorpusPipeline.clean(
+      docs.filter(col("doc_id") < 25), "doc_id", "text", cfg)
+    val idx = CorpusPipeline.buildTextIndex(existing, "doc_id", "text", cfg)
+    val dir = Files.createTempDirectory("corpus-index-plan").toFile.getAbsolutePath
+    idx.fingerprints.write.parquet(s"$dir/fp")
+    idx.shingles.write.parquet(s"$dir/sh")
+    idx.bands.write.parquet(s"$dir/bd")
+    graft.Caches.releaseAll() // drop build-time pins so plans show raw scans
+    val loaded = CorpusPipeline.TextIndex(
+      spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/sh"),
+      spark.read.parquet(s"$dir/bd"))
+    def scansShingles(p: LogicalPlan): Boolean = p match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toString.contains(s"$dir/sh"))
+        case _ => false
+      }
+      case _ => false
+    }
+    // an Aggregate is "over the corpus shingle frame" when the shingle
+    // scan is reachable from it WITHOUT crossing a Join — i.e. the
+    // aggregation's input IS shingle rows (the signature-recompute
+    // shape), not a candidate-bounded join result (distinct over
+    // verified pairs is fine)
+    def reachesWithoutJoin(p: LogicalPlan): Boolean =
+      if (scansShingles(p)) true
+      else p match {
+        case _: Join => false
+        case other => other.children.exists(reachesWithoutJoin)
+      }
+    val out = CorpusPipeline.appendBatchIndexed(
+      loaded, docs.filter(col("doc_id") >= 25), "doc_id", "text", cfg)
+    val plan = out.queryExecution.optimizedPlan
+    assert(plan.exists(scansShingles(_)),
+      "the shingle scan must appear (candidate verification reads it)")
+    val badAggs = plan.collect {
+      case a: Aggregate if a.children.exists(reachesWithoutJoin) => a
+    }
+    assert(badAggs.isEmpty,
+      s"stored-bands path must not aggregate corpus shingles:\n${badAggs.mkString("\n")}")
+    // positive control: the pre-index shape (recompute signatures from
+    // the stored shingle table) MUST trip the detector — proves the
+    // detector actually sees the recompute
+    val batchShingles = docs.filter(col("doc_id") >= 25)
+      .select(col("doc_id").as("id"),
+        graft.functions.DedupFunctions.wordShingles(col("text"), cfg.shingleN).as("shingles"))
+    val oldShape = graft.functions.DedupFunctions.minhashLshPairsAgainst(
+      loaded.shingles, batchShingles, numHashes = cfg.numHashes,
+      bands = cfg.bands, threshold = cfg.nearDupThreshold,
+      storage = org.apache.spark.storage.StorageLevel.NONE)
+    val oldBad = oldShape.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.children.exists(reachesWithoutJoin) => a
+    }
+    assert(oldBad.nonEmpty, "detector sanity: the derived path recomputes signatures")
+    graft.Caches.releaseAll()
+  }
+
+  test("appendBatchIndexed: a parquet round-tripped SemanticIndex reproduces the re-pooling path") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 0.0)
+    val semCfg = SemanticConfig(dim = 64, minCosine = 0.9)
+    val existing = CorpusPipeline.clean(
+      docs.filter(col("doc_id") < 25), "doc_id", "text", cfg)
+    val realChunks = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(expr("vec_id div 10").as("doc_id"), col("embedding"))
+    // batch: an embedding paraphrase of corpus doc 7 (must drop through
+    // the stored vector index) plus a genuinely new doc (must survive)
+    val plant = spark.sql(
+      """SELECT * FROM VALUES
+        |  (900700L, 'a completely different sentence about harbor lights and the slow ships that carry grain across the northern water routes every autumn season'),
+        |  (900701L, 'an unrelated report on mountain weather stations records wind speed and snow depth at hourly intervals through the long winter observation season')
+        |AS t(doc_id, text)""".stripMargin)
+    val plantChunks = realChunks.filter(col("doc_id") === 7L)
+      .select(lit(900700L).as("doc_id"),
+        transform(col("embedding"), x => x + lit(0.002)).as("embedding"))
+      .unionByName(realChunks.filter(col("doc_id") === 8L)
+        .select(lit(900701L).as("doc_id"),
+          transform(col("embedding"), x => x * lit(-1.0)).as("embedding")))
+    // the re-pooling path (appendBatch derives all indexes on the fly)
+    val direct = CorpusPipeline.appendBatch(
+        existing, plant, "doc_id", "text", cfg,
+        existingChunks = Some(realChunks), batchChunks = Some(plantChunks),
+        semantic = Some(semCfg))
+      .select("doc_id").as[Long].collect().toSet
+    assert(direct === Set(900701L),
+      "sanity: paraphrase drops, the unrelated doc survives")
+    // the stored-state path: both indexes round-trip through parquet
+    val dir = Files.createTempDirectory("semantic-index").toFile.getAbsolutePath
+    val tIdx = CorpusPipeline.buildTextIndex(existing, "doc_id", "text", cfg)
+    tIdx.fingerprints.write.parquet(s"$dir/fp")
+    tIdx.shingles.write.parquet(s"$dir/sh")
+    tIdx.bands.write.parquet(s"$dir/bd")
+    val sIdx = CorpusPipeline.buildSemanticIndex(
+      existing.select(col("doc_id")), realChunks, "doc_id", "embedding", semCfg)
+    sIdx.vectors.write.parquet(s"$dir/vec")
+    sIdx.bands.write.parquet(s"$dir/vbd")
+    graft.Caches.releaseAll()
+    val viaIndex = CorpusPipeline.appendBatchIndexed(
+        CorpusPipeline.TextIndex(spark.read.parquet(s"$dir/fp"),
+          spark.read.parquet(s"$dir/sh"), spark.read.parquet(s"$dir/bd")),
+        plant, "doc_id", "text", cfg,
+        semanticIndex = Some(CorpusPipeline.SemanticIndex(
+          spark.read.parquet(s"$dir/vec"), spark.read.parquet(s"$dir/vbd"))),
+        batchChunks = Some(plantChunks), semantic = Some(semCfg))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex === direct,
+      "index-fed semantic append must equal the re-pooling path row-for-row")
     graft.Caches.releaseAll()
   }
 
@@ -236,21 +355,99 @@ class CorpusPipelineSpec extends AnyFunSuite {
       cfg = cfg)
     assert(n1("ingested") > 0L && n1("ingested") === n1("corpus_total"))
     // night 2: second half plus a re-crawl of an ingested doc
-    val recrawl = spark.read.parquet(s"$state/corpus").orderBy("doc_id").limit(1)
+    val recrawl = CorpusPipeline.readCorpus(spark, state).orderBy("doc_id").limit(1)
       .select(lit(900400L).as("doc_id"), col("text"))
     val batch2 = docs.filter(col("doc_id") >= 25).unionByName(recrawl)
     val n2 = CorpusPipeline.ingest(spark, state, batch2, cfg = cfg)
     assert(n2("ingested") > 0L)
     assert(n2("corpus_total") === n1("corpus_total") + n2("ingested"))
-    assert(spark.read.parquet(s"$state/corpus")
+    assert(CorpusPipeline.readCorpus(spark, state)
       .filter(col("doc_id") === 900400L).isEmpty,
       "re-crawled copy must not enter the corpus")
-    // night 3: the same batch again — INSERT-OR-IGNORE, nothing new
+    // night 3: the same batch again (fresh token, replayed CONTENT) —
+    // INSERT-OR-IGNORE, nothing new
     val n3 = CorpusPipeline.ingest(spark, state, batch2, cfg = cfg)
     assert(n3("ingested") === 0L)
     assert(n3("corpus_total") === n2("corpus_total"))
-    // the stored index grew in lockstep with the corpus
-    assert(spark.read.parquet(s"$state/index_fp").count() === n3("corpus_total"))
+    // all three stored text-index tables grew in lockstep with the corpus
+    val idx = CorpusPipeline.readTextIndex(spark, state)
+    assert(idx.fingerprints.count() === n3("corpus_total"))
+    assert(idx.shingles.count() === n3("corpus_total"))
+    assert(idx.bands.select("id").distinct().count() === n3("corpus_total"))
+  }
+
+  test("ingest crash recovery: uncommitted orphans are invisible; replay converges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0)
+    val state = Files.createTempDirectory("ingest-crash").toFile.getAbsolutePath
+    val n1 = CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") < 25),
+      cfg = cfg)
+    // simulate a night-2 crash AFTER the corpus write but BEFORE the
+    // commit marker: data files exist under the next batch token's dir
+    // with no marker — exactly the torn state the old append-mode
+    // layout could not recover from
+    docs.filter(col("doc_id") >= 25 && col("doc_id") < 30)
+      .write.parquet(s"$state/corpus/batch_b0000000001")
+    assert(CorpusPipeline.readCorpus(spark, state).count() === n1("corpus_total"),
+      "uncommitted orphan files must be invisible to readers")
+    // the replayed night 2 derives the SAME token, overwrites the
+    // orphans, and commits — no duplicates, no lost survivors
+    val n2 = CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") >= 25),
+      cfg = cfg)
+    val corpus = CorpusPipeline.readCorpus(spark, state)
+    assert(corpus.count() === n1("corpus_total") + n2("ingested"))
+    assert(corpus.select("doc_id").distinct().count() === corpus.count(),
+      "no duplicate ids after crash replay")
+    // a replay of an already-committed batchId is skipped outright
+    val n3 = CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") >= 25),
+      cfg = cfg, batchId = Some("b0000000001"))
+    assert(n3("ingested") === 0L)
+    assert(n3("corpus_total") === n2("corpus_total"))
+  }
+
+  test("ingest semantic tier: a night-2 embedding paraphrase of a night-1 doc drops") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 0.0)
+    val semCfg = SemanticConfig(dim = 64, minCosine = 0.9)
+    val realChunks = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(expr("vec_id div 10").as("doc_id"), col("embedding"))
+    val state = Files.createTempDirectory("ingest-semantic").toFile.getAbsolutePath
+    // night 1 seeds WITH vector state
+    val n1 = CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") < 25),
+      cfg = cfg, batchChunks = Some(realChunks), semantic = Some(semCfg))
+    assert(n1("ingested") > 0L)
+    assert(CorpusPipeline.readCorpus(spark, state)
+      .filter(col("doc_id") === 7L).count() === 1L,
+      "doc 7 must be in the corpus for the plant to pair against")
+    assert(CorpusPipeline.readSemanticIndex(spark, state).isDefined)
+    // night 2: a text-unrelated paraphrase whose chunk vectors are an
+    // epsilon shift of doc 7's, plus a genuinely new doc
+    val batch2 = spark.sql(
+      """SELECT * FROM VALUES
+        |  (900800L, 'a completely different sentence about harbor lights and the slow ships that carry grain across the northern water routes every autumn season'),
+        |  (900801L, 'an unrelated report on mountain weather stations records wind speed and snow depth at hourly intervals through the long winter observation season')
+        |AS t(doc_id, text)""".stripMargin)
+    val batch2Chunks = realChunks.filter(col("doc_id") === 7L)
+      .select(lit(900800L).as("doc_id"),
+        transform(col("embedding"), x => x + lit(0.002)).as("embedding"))
+      .unionByName(realChunks.filter(col("doc_id") === 8L)
+        .select(lit(900801L).as("doc_id"),
+          transform(col("embedding"), x => x * lit(-1.0)).as("embedding")))
+    val n2 = CorpusPipeline.ingest(spark, state, batch2, cfg = cfg,
+      batchChunks = Some(batch2Chunks), semantic = Some(semCfg))
+    assert(n2("ingested") === 1L,
+      "the paraphrase drops against the STORED vector index; the new doc survives")
+    val ids = CorpusPipeline.readCorpus(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(900800L) && ids.contains(900801L))
+    // night 3 replays night 2's content under a fresh token — the
+    // survivor's own vectors are now in the index, so nothing re-enters
+    val n3 = CorpusPipeline.ingest(spark, state, batch2, cfg = cfg,
+      batchChunks = Some(batch2Chunks), semantic = Some(semCfg))
+    assert(n3("ingested") === 0L)
+    assert(n3("corpus_total") === n2("corpus_total"))
   }
 
   test("ingestStream: micro-batches drive the idempotent corpus append") {
@@ -268,24 +465,25 @@ class CorpusPipelineSpec extends AnyFunSuite {
       // micro-batch 1 seeds the state
       in.addData(real.filter(_._1 < 25).toSeq: _*)
       q.processAllAvailable()
-      val n1 = spark.read.parquet(s"$state/corpus").count()
+      val n1 = CorpusPipeline.readCorpus(spark, state).count()
       assert(n1 > 0L)
       // micro-batch 2: new docs plus a live re-crawl of an ingested one
-      val copy = spark.read.parquet(s"$state/corpus").orderBy("doc_id")
+      val copy = CorpusPipeline.readCorpus(spark, state).orderBy("doc_id")
         .limit(1).select(lit(900500L).as("doc_id"), col("text"))
         .as[(Long, String)].head()
       in.addData(real.filter(_._1 >= 25).toSeq :+ copy: _*)
       q.processAllAvailable()
-      val corpus2 = spark.read.parquet(s"$state/corpus")
+      val corpus2 = CorpusPipeline.readCorpus(spark, state)
       assert(corpus2.filter(col("doc_id") === 900500L).isEmpty,
         "streamed re-crawl must drop against the live state")
       val n2 = corpus2.count()
       assert(n2 > n1)
       // micro-batch 3 replays batch 2's documents — the at-least-once
-      // case — and the idempotent append admits none of them again
+      // case (a FRESH micro-batch id, so the batch-level skip cannot
+      // fire) — and the content-level idempotent append admits none
       in.addData(real.filter(_._1 >= 25).toSeq: _*)
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$state/corpus").count() === n2)
+      assert(CorpusPipeline.readCorpus(spark, state).count() === n2)
     } finally q.stop()
   }
 

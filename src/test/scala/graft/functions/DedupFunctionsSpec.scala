@@ -241,4 +241,32 @@ class DedupFunctionsSpec extends AnyFunSuite {
     assert(kept === Set(101L, 7L, 9L))
     graft.Caches.releaseAll()
   }
+
+  test("minhashLshPairsAgainstIndexed: stored bands reproduce the derived path") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    def sh(rows: Seq[(Long, String)]) = rows.toDF("id", "text")
+      .select(col("id"), DedupFunctions.wordShingles(col("text"), 3).as("shingles"))
+    val existing = sh(Seq((100L, base),
+      (102L, "completely different words about ships and harbors and the grain trade routes")))
+    val incoming = sh(Seq(
+      (5L, base + " extra"),
+      (101L, "unrelated text with its own vocabulary entirely and nothing shared at all here"),
+      (7L, "repeated phrase one two three four five six seven eight nine ten eleven twelve"),
+      (9L, "repeated phrase one two three four five six seven eight nine ten eleven twelve")))
+    val derived = DedupFunctions.minhashLshPairsAgainst(existing, incoming,
+      numHashes = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // the nightly shape: the corpus side's bands were materialized at
+    // its own accept time; only the stored tables are joined
+    val storedBands = DedupFunctions.bandedSignatures(existing, numHashes = 16, bands = 4)
+    for (bc <- Seq(true, false)) {
+      val viaIndex = DedupFunctions.minhashLshPairsAgainstIndexed(
+        storedBands, existing, incoming,
+        numHashes = 16, bands = 4, threshold = 0.5, broadcastBatchSide = bc)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaIndex === derived, s"broadcastBatchSide=$bc")
+      assert(viaIndex.map(p => (p._1, p._2)) === Set((100L, 5L)))
+    }
+    graft.Caches.releaseAll()
+  }
 }

@@ -378,4 +378,33 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(pairs.head._3 > 0.99)
     graft.Caches.releaseAll()
   }
+
+  test("lshNeighborPairsAgainstIndexed: stored bands + vectors reproduce the derived path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val probe = emb.filter(col("id") === 30L)
+    val batch = probe.select(lit(3L).as("id"), transform(col("v"), x => x + lit(0.01)).as("v"))
+      .unionAll(emb.filter(col("id") === 40L)
+        .select(lit(900L).as("id"), transform(col("v"), x => x * lit(-1.0)).as("v")))
+    val derived = SimilarityFunctions.lshNeighborPairsAgainst(
+        emb, batch, dim = 64, nBits = 16, bands = 4, minCosine = 0.9,
+        idCol = "id", vecCol = "v")
+      .as[(Long, Long, Double)].collect().toSet
+    // the nightly shape: the corpus side's band keys were materialized
+    // at accept time as (id, band, key); vectors stored as (id, vec)
+    val storedBands = SimilarityFunctions.hyperplaneBands(
+      emb, dim = 64, nBits = 16, bands = 4, idCol = "id", vecCol = "v")
+    val storedVecs = emb.select(col("id"), col("v").as("vec"))
+    for (bc <- Seq(true, false)) {
+      val viaIndex = SimilarityFunctions.lshNeighborPairsAgainstIndexed(
+        storedBands, storedVecs, batch,
+        dim = 64, nBits = 16, bands = 4, minCosine = 0.9,
+        idCol = "id", vecCol = "v", broadcastBatchSide = bc)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaIndex === derived, s"broadcastBatchSide=$bc")
+      assert(viaIndex.map(p => (p._1, p._2)) === Set((30L, 3L)))
+    }
+    graft.Caches.releaseAll()
+  }
 }
