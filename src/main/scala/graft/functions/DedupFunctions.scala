@@ -519,6 +519,12 @@ object DedupFunctions {
     * smaller, so each tree's root is its component's minimum id — the
     * same label the distributed contraction converges to; `find`
     * path-compresses, keeping the whole pass effectively linear.
+    *
+    * Edges collect as PRIMITIVE tuples (the typed Dataset path), not
+    * Rows — at the 1M-edge default threshold that is ~16 MB of longs
+    * in boxed pairs rather than ~100+ bytes per GenericRow, keeping
+    * the driver footprint inside the documented bounded-collect budget
+    * (tens of MB, the IVF-centroid precedent).
     */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]()
@@ -529,8 +535,9 @@ object DedupFunctions {
       while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    edges.select(col("hi"), col("lo")).collect().foreach { row =>
-      val s = row.getLong(0); val d = row.getLong(1)
+    val session = edges.sparkSession
+    import session.implicits._
+    edges.select(col("hi"), col("lo")).as[(Long, Long)].collect().foreach { case (s, d) =>
       if (!parent.containsKey(s)) parent.put(s, s)
       if (!parent.containsKey(d)) parent.put(d, d)
       val rs = find(s); val rd = find(d)
@@ -538,8 +545,6 @@ object DedupFunctions {
       else if (rd < rs) parent.put(rs, rd)
     }
     import scala.jdk.CollectionConverters._
-    val spark = edges.sparkSession
-    import spark.implicits._
     parent.keySet().asScala.toSeq.map(id => (id, find(id)))
       .toDF("id", "component")
   }

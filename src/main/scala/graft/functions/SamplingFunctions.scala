@@ -60,8 +60,12 @@ object SamplingFunctions {
     * must be unique within a group — pass the stable id, or a quality
     * score with an id tiebreak struct — and non-null: null-ordered rows
     * drop, the library's "null keys fall out of every sample, visibly"
-    * rule). Deterministic across runs, engines and partitionings
-    * because membership depends only on column VALUES.
+    * rule). Float/double order columns may carry at most ONE NaN per
+    * group; it ranks greatest (Spark's sort order), matching the
+    * row_number-window form. STRUCT order columns must keep their
+    * fields NaN-free (no per-field normalization happens inside a
+    * struct comparison). Deterministic across runs, engines and
+    * partitionings because membership depends only on column VALUES.
     *
     * Scale shape — deliberately NOT `row_number() OVER (PARTITION BY
     * group)`: that window sends every row of a group through ONE task,
@@ -86,10 +90,23 @@ object SamplingFunctions {
     val cuts0 = df.groupBy(col(groupCol).as(grp))
       .agg(KthSmallest(col(orderCol), k).as(cut))
     val cuts = if (broadcastCuts) broadcast(cuts0) else cuts0
+    // NaN hazard on float/double order columns: KthSmallest's ORDERING
+    // ranks NaN greatest (Spark's sort semantics), but the row-local
+    // `<=` comparison is IEEE — false against a NaN cut — so a group
+    // whose k smallest include a NaN would drop WHOLESALE. Normalize
+    // both sides through nanvl(+Inf) so a NaN cut behaves like the
+    // ordering that produced it (and like the row_number window form).
+    // Uniqueness still binds: at most one non-finite value per group,
+    // or ties straddle the cut (same caveat as any duplicate value).
+    val dt = df.schema(orderCol).dataType
+    val isFloating = dt == org.apache.spark.sql.types.DoubleType ||
+      dt == org.apache.spark.sql.types.FloatType
+    def norm(c: Column): Column =
+      if (isFloating) nanvl(c.cast("double"), lit(Double.PositiveInfinity)) else c
     // null-safe equality: a null GROUP is still a group and gets capped
     // like any other (the window form partitioned nulls together too)
     df.join(cuts, col(groupCol) <=> col(grp), "left")
-      .filter(col(orderCol) <= col(cut))
+      .filter(norm(col(orderCol)) <= norm(col(cut)))
       .drop(grp, cut)
   }
 

@@ -101,14 +101,14 @@ object Multimodal {
       .withColumn("embedding", bytesToVec(col(mediaCol)))
   }
 
-  /** Exact media dedup on the binary fingerprint — the same scale-safe
-    * shape as [[graft.functions.DedupFunctions.dedupExact]] (canonical
-    * min-id per fingerprint via a map-side-combined aggregation, then a
-    * composite-key semi join): a crawl's most-duplicated asset (spacer
-    * gif, default thumbnail — one fingerprint, millions of copies)
-    * spreads across every partition instead of sorting through one
-    * window task. The aggregation shuffles only (fingerprint, id); the
-    * media bytes ride the one data shuffle of the semi join.
+  /** Exact media dedup on the binary fingerprint — delegates to
+    * [[graft.functions.DedupFunctions.dedupExact]]: ONE `min_by(row
+    * struct, id)` hash aggregation keyed on the fingerprint, map-side
+    * partials keeping a single candidate row per fingerprint per task.
+    * A crawl's most-duplicated asset (spacer gif, default thumbnail —
+    * one fingerprint, millions of copies) collapses BEFORE the shuffle
+    * instead of sorting through one window task; the media bytes are
+    * shuffled exactly once, inside the surviving candidates' structs.
     */
   def dedupByFingerprint(df: DataFrame, idCol: String = "asset_id",
       mediaCol: String = "media"): DataFrame = {

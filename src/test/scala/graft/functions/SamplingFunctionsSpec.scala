@@ -217,6 +217,24 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerGroup: a NaN inside a group's k smallest matches the window form") {
+    // doubles with a NaN: the ordering ranks NaN greatest, so when the
+    // k-th smallest IS the NaN, the cut is NaN — the raw IEEE `<=`
+    // would be false for every row and drop the whole group. The
+    // nanvl-normalized filter keeps the k rows the row_number window
+    // would keep (NaN-last ordering).
+    val df = Seq((1L, "a", 1.0), (2L, "a", Double.NaN), (3L, "a", 2.0),
+      (4L, "b", 5.0), (5L, "b", 6.0), (6L, "b", 7.0)).toDF("id", "g", "q")
+    // group a, k=2: smallest two by NaN-last order are q=1.0 and q=2.0
+    val k2 = SamplingFunctions.capPerGroup(df, "g", "q", 2)
+      .select("id").as[Long].collect().toSet
+    assert(k2 === Set(1L, 3L, 4L, 5L))
+    // group a, k=3: the NaN row itself is the cut and survives
+    val k3 = SamplingFunctions.capPerGroup(df, "g", "q", 3)
+      .select("id").as[Long].collect().toSet
+    assert(k3 === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("capPerGroup: struct order column (score-descending with id tiebreak)") {
     // the documented "quality score with an id tiebreak" shape: the cut
     // aggregate orders the struct field-wise, so negating the score
