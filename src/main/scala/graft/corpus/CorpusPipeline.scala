@@ -394,8 +394,12 @@ object CorpusPipeline {
   // Stateful ingest: commit-log state protocol
   //
   // stateDir/
-  //   commits/commit_<token>      one EMPTY marker file per committed
-  //                               batch — the single commit point
+  //   commits/commit_<token>      one tiny marker file per committed
+  //                               batch — the single commit point; its
+  //                               content is the batch's survivor count,
+  //                               so corpus_total is a sum over markers
+  //                               (driver-side, bounded by batch count)
+  //                               instead of a nightly corpus scan
   //   corpus/batch_<token>/       the batch's surviving documents
   //   index_fp|index_sh|index_bd/batch_<token>/   TextIndex tables
   //   index_vec|index_vbd/batch_<token>/          SemanticIndex tables
@@ -431,6 +435,28 @@ object CorpusPipeline {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("commit_")).map(_.stripPrefix("commit_")).sorted
+  }
+
+  /** Total committed corpus rows, summed from the counts the commit
+    * markers carry — a driver-side listing plus one tiny read per
+    * committed batch, NEVER a corpus scan (at 100 TB a nightly
+    * `count()` would launch a job over every corpus file's footer just
+    * to report a number the commit log already knows). Markers written
+    * by an older (empty-marker) layout fall back to the one-off scan.
+    */
+  private def corpusTotal(spark: SparkSession, stateDir: String): Long = {
+    val fs = stateFs(spark, stateDir)
+    val counts = committedTokens(spark, stateDir).map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/commits/commit_$t")
+      val in = fs.open(p)
+      try scala.util.Try(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          .trim.toLong).toOption
+      finally in.close()
+    }
+    if (counts.nonEmpty && counts.forall(_.isDefined)) counts.flatten.sum
+    else if (counts.isEmpty) 0L
+    else readCorpus(spark, stateDir).count()
   }
 
   /** Committed batch directories of one state table that actually exist
@@ -520,7 +546,7 @@ object CorpusPipeline {
       // batch-level exactly-once: this token already committed — the
       // crash-replay and at-least-once-redelivery case
       return Map("ingested" -> 0L,
-        "corpus_total" -> readCorpus(spark, stateDir).count())
+        "corpus_total" -> corpusTotal(spark, stateDir))
     val docs = batch.select(col(idCol), col(textCol))
     val cleaned =
       if (committed.isEmpty)
@@ -549,13 +575,16 @@ object CorpusPipeline {
           sIdx.bands.write.mode("overwrite").parquet(s"$stateDir/index_vbd/batch_$token")
         case _ => ()
       }
-      // COMMIT POINT: one marker file; until it exists none of the
-      // writes above are visible to any reader
+      // COMMIT POINT: one marker file carrying the survivor count;
+      // until it exists none of the writes above are visible to any
+      // reader
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/commits"))
-      fs.create(new org.apache.hadoop.fs.Path(
-        s"$stateDir/commits/commit_$token"), true).close()
+      val marker = fs.create(new org.apache.hadoop.fs.Path(
+        s"$stateDir/commits/commit_$token"), true)
+      try marker.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally marker.close()
       Map("ingested" -> n,
-        "corpus_total" -> readCorpus(spark, stateDir).count())
+        "corpus_total" -> corpusTotal(spark, stateDir))
     } finally {
       releaseSurvivors()
       // the append's internal pins (batch-clean, after-exact, index

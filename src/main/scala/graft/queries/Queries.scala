@@ -2268,6 +2268,44 @@ object Queries {
       },
       Some(c5OracleSql)),
 
+    QueryDef("mm1_media_dedup",
+      // multimodal exact dedup with a REAL oracle: the media column is a
+      // synthetic deterministic binary — the UTF-8 bytes of text#lang,
+      // which DuckDB's encode() rebuilds identically — duplicated for
+      // doc_id < 40 under shifted asset ids (the re-crawled-asset case).
+      // dedupByFingerprint keys on xxhash64(media), which DuckDB lacks,
+      // but the SURVIVOR SET depends only on byte-equality groups (min
+      // id per group), so the hash function cancels out of the answer
+      // and the oracle replays it with a min-per-payload window. Output
+      // compares byte length and md5 of the surviving binaries.
+      (s, dir) => {
+        val d = docs(s, dir)
+        def assets(f: DataFrame, shift: Long) = f.select(
+          (col("doc_id") + shift).as("asset_id"),
+          concat(col("text"), lit("#"), col("lang")).cast("binary").as("media"))
+        val all = assets(d, 0L)
+          .unionAll(assets(d.filter(col("doc_id") < 40), 100000L))
+        graft.multimodal.Multimodal.dedupByFingerprint(all, "asset_id", "media")
+          .select(col("asset_id"),
+            length(col("media")).cast("long").as("n_bytes"),
+            md5(col("media")).as("media_md5"))
+          .orderBy("asset_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS asset_id, text || '#' || lang AS payload
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text || '#' || lang
+             |  FROM documents WHERE doc_id < 40),
+             |k AS (
+             |  SELECT asset_id, payload,
+             |         min(asset_id) OVER (PARTITION BY payload) AS keep
+             |  FROM a)
+             |SELECT asset_id,
+             |       CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+             |       md5(payload) AS media_md5
+             |FROM k WHERE asset_id = keep ORDER BY asset_id""".stripMargin)),
+
     QueryDef("pack1_sequence_packing",
       // deterministic sequence packing: documents into 512-token training
       // packs across 8 shards; the full per-doc assignment is the result
