@@ -305,6 +305,170 @@ object Queries {
         |FROM afterexact a WHERE a.doc_id NOT IN (SELECT id_b FROM doomed2)
         |ORDER BY doc_id""".stripMargin
 
+  /** The c6 planted batch document: fresh prose that sails through every
+    * text gate (29 tokens, zero punctuation, stopword-rich, all bigrams
+    * distinct, no shingle overlap with the synthetic corpus) so the ONLY
+    * stage that can drop it is the vs-corpus embedding arm its planted
+    * chunk vectors (doc 7's, epsilon-shifted) aim at. No apostrophes —
+    * it embeds in a SQL string literal verbatim.
+    */
+  private val c6PlantText: String =
+    "the quiet harbor keeps a long record of tides and the old keeper " +
+      "writes each level in a worn ledger while gulls circle over the " +
+      "gray water at dawn"
+
+  /** c6: c5's incremental append with BOTH semantic arms armed — the
+    * batch runs the full two-tier clean internally (text CTEs + the c4
+    * pooling/LSH/cosine/closure replay over its own chunks), then drops
+    * against the corpus by exact fingerprint, cross-side text LSH, and
+    * cross-side embedding LSH (the stored-SemanticIndex path: corpus
+    * chunks pool once, batch pooled vectors join the corpus band keys).
+    * A planted batch doc (900260 — fresh text, chunk vectors an epsilon
+    * shift of existing doc 7's) proves the vs-corpus embedding arm
+    * actually fires: it survives every text stage and must drop at the
+    * last one.
+    */
+  private lazy val c6OracleSql: String = {
+    val planes = planesSqlLiteral(32)
+    val sigExpr =
+      """CAST(list_aggregate(list_transform(generate_series(0, 31), i ->
+        |      CASE WHEN list_dot_product(v, planes[i+1]) >= 0
+        |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)""".stripMargin
+    "WITH RECURSIVE batch0 AS (\n" +
+      s"""|  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30
+          |  UNION ALL
+          |  SELECT CAST(900260 AS BIGINT) AS doc_id, '$c6PlantText' AS text),
+          |existing AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+          |""".stripMargin +
+      corpusTextCtesFrom("batch0") +
+      s""",
+        |tsurv AS (
+        |  SELECT e.doc_id, e.text FROM exact e
+        |  WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)),
+        |bchunks AS (
+        |  SELECT vec_id // 10 AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id // 10 >= 250
+        |  UNION ALL
+        |  SELECT CAST(900260 AS BIGINT) AS doc_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.002) AS v
+        |  FROM embeddings WHERE vec_id // 10 = 7),
+        |aliveb AS (
+        |  SELECT doc_id, v FROM bchunks
+        |  WHERE doc_id IN (SELECT doc_id FROM tsurv)),
+        |flatb AS (
+        |  SELECT doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        |  FROM aliveb),
+        |pooledb AS (
+        |  SELECT doc_id, list(m ORDER BY pos) AS v
+        |  FROM (SELECT doc_id, pos, round(avg(val), 6) AS m
+        |        FROM flatb GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |pl AS (SELECT $planes AS planes),
+        |sigb AS (
+        |  SELECT doc_id, v, $sigExpr AS sig
+        |  FROM pooledb, pl),
+        |bandedb AS (
+        |  SELECT doc_id, b, (sig >> (b*8)) & 255 AS key
+        |  FROM sigb, UNNEST([0,1,2,3]) AS t(b)),
+        |candsb AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bandedb x JOIN bandedb y ON x.b = y.b AND x.key = y.key
+        |  WHERE x.doc_id < y.doc_id),
+        |verifiedb AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM candsb c JOIN sigb aa ON aa.doc_id = c.id_a
+        |                JOIN sigb bb ON bb.doc_id = c.id_b
+        |  WHERE round(list_cosine_similarity(aa.v, bb.v), 6) >= 0.9),
+        |edgesb AS (
+        |  SELECT id_a AS src, id_b AS dst FROM verifiedb
+        |  UNION SELECT id_b, id_a FROM verifiedb),
+        |reachb(id, r) AS (
+        |  SELECT src, src FROM edgesb
+        |  UNION
+        |  SELECT reachb.id, e.dst FROM reachb JOIN edgesb e ON reachb.r = e.src),
+        |ccb AS (SELECT id, min(r) AS component FROM reachb GROUP BY id),
+        |doomedb AS (SELECT id FROM ccb WHERE id <> component),
+        |bsurv AS (
+        |  SELECT doc_id, text FROM tsurv
+        |  WHERE doc_id NOT IN (SELECT id FROM doomedb)),
+        |ex_fp AS (
+        |  SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fp
+        |  FROM existing),
+        |b_fp AS (
+        |  SELECT doc_id, text,
+        |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fp
+        |  FROM bsurv),
+        |afterexact AS (
+        |  SELECT doc_id, text FROM b_fp WHERE fp NOT IN (SELECT fp FROM ex_fp)),
+        |etoks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        |  FROM existing),
+        |esh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+        |  FROM etoks),
+        |esig AS (
+        |  SELECT doc_id, shingles,
+        |    list_transform(generate_series(0, 15), i ->
+        |      list_aggregate(list_transform(shingles, s ->
+        |        CAST(('0x' || substring(md5(s || '#' || i), 1, 15)) AS BIGINT)), 'min')) AS sg
+        |  FROM esh),
+        |ebanded AS (
+        |  SELECT doc_id, b,
+        |    CAST(('0x' || substring(md5(array_to_string(sg[b*4+1:b*4+4], ',') || '#b#' || b), 1, 15)) AS BIGINT) AS bucket
+        |  FROM esig, UNNEST([0, 1, 2, 3]) AS t(b)),
+        |abanded AS (
+        |  SELECT * FROM banded WHERE doc_id IN (SELECT doc_id FROM afterexact)),
+        |cands2 AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM ebanded x JOIN abanded y ON x.b = y.b AND x.bucket = y.bucket),
+        |doomed2 AS (
+        |  SELECT DISTINCT c.id_b
+        |  FROM cands2 c
+        |  JOIN esh aa ON aa.doc_id = c.id_a
+        |  JOIN sh yy ON yy.doc_id = c.id_b
+        |  WHERE CAST(len(aa.shingles) + len(yy.shingles)
+        |         - len(list_distinct(list_concat(aa.shingles, yy.shingles))) AS DOUBLE)
+        |      / len(list_distinct(list_concat(aa.shingles, yy.shingles))) >= 0.7),
+        |textsafe AS (
+        |  SELECT doc_id, text FROM afterexact
+        |  WHERE doc_id NOT IN (SELECT id_b FROM doomed2)),
+        |echunks AS (
+        |  SELECT vec_id // 10 AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id // 10 < 250),
+        |eflat AS (
+        |  SELECT doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        |  FROM echunks),
+        |epooled AS (
+        |  SELECT doc_id, list(m ORDER BY pos) AS v
+        |  FROM (SELECT doc_id, pos, round(avg(val), 6) AS m
+        |        FROM eflat GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |esig2 AS (
+        |  SELECT doc_id, v, $sigExpr AS sig
+        |  FROM epooled, pl),
+        |ebanded2 AS (
+        |  SELECT doc_id, b, (sig >> (b*8)) & 255 AS key
+        |  FROM esig2, UNNEST([0,1,2,3]) AS t(b)),
+        |bband3 AS (
+        |  SELECT * FROM bandedb WHERE doc_id IN (SELECT doc_id FROM textsafe)),
+        |cands3 AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM ebanded2 x JOIN bband3 y ON x.b = y.b AND x.key = y.key),
+        |verified3 AS (
+        |  SELECT DISTINCT c.id_b
+        |  FROM cands3 c JOIN esig2 aa ON aa.doc_id = c.id_a
+        |                JOIN sigb bb ON bb.doc_id = c.id_b
+        |  WHERE round(list_cosine_similarity(aa.v, bb.v), 6) >= 0.9)
+        |SELECT t.doc_id, md5(t.text) AS text_md5
+        |FROM textsafe t WHERE t.doc_id NOT IN (SELECT id_b FROM verified3)
+        |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val c3OracleSql: String =
     "WITH " + corpusTextCtes +
       """
@@ -2267,6 +2431,51 @@ object Queries {
           .orderBy("doc_id")
       },
       Some(c5OracleSql)),
+
+    QueryDef("c6_semantic_append_md5",
+      // c5's incremental append with BOTH semantic arms armed, oracle-
+      // verified end-to-end: the batch cleans internally through text
+      // AND embedding tiers, then drops against the corpus by exact
+      // fingerprint, cross-side text LSH, and cross-side embedding LSH
+      // — the stored-SemanticIndex shape (appendBatch derives the same
+      // index buildSemanticIndex materializes). A planted doc (900260:
+      // gate-proof fresh text, chunk vectors = existing doc 7's shifted
+      // by 0.002) survives every text stage and MUST drop at the
+      // vs-corpus embedding arm — proving that arm fires, not just
+      // compiles. md5 hash twin + quantize=false, c4's oracle contract.
+      (s, dir) => {
+        import s.implicits._
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7,
+          minhashHash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+          minhashBucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))))
+        val sem = graft.corpus.SemanticConfig(dim = 64, nBits = 32,
+          bands = 4, minCosine = 0.9, quantize = false)
+        val d = docs(s, dir)
+        val existing = d.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .unionAll(Seq((900260L, c6PlantText)).toDF("doc_id", "text"))
+        val base = t(s, dir, "embeddings")
+          .select(expr("vec_id div 10").as("doc_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val exCh = base.filter(col("doc_id") < 250)
+        val bCh = base.filter(col("doc_id") >= 250)
+          .unionAll(base.filter(col("doc_id") === 7L)
+            .select(lit(900260L).as("doc_id"),
+              transform(col("embedding"), x => x + lit(0.002)).as("embedding")))
+        graft.corpus.CorpusPipeline.appendBatch(
+            existing, batch, "doc_id", "text", cfg,
+            existingChunks = Some(exCh), batchChunks = Some(bCh),
+            semantic = Some(sem))
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(c6OracleSql)),
 
     QueryDef("mm1_media_dedup",
       // multimodal exact dedup with a REAL oracle: the media column is a
