@@ -500,6 +500,55 @@ object CorpusPipeline {
       spark.read.parquet(vecs: _*), spark.read.parquet(bands: _*)))
   }
 
+  /** Compact a commit-log state dir into `targetDir`: every committed
+    * table consolidates into ONE batch dir (`batch_b0000000000`) under
+    * a fresh commit log whose single marker carries the total count.
+    * Years of nightly ingests leave one dir per (table, batch) — the
+    * listings stay cheap (driver-side, one `listStatus` per table) but
+    * parquet fragments: each nightly append writes files sized by that
+    * NIGHT's survivors, so scan planning at 100 TB eventually opens
+    * thousands of small footers per table. Compaction is one
+    * partitioned read → write per table, all columnar, no dedup logic
+    * re-run (the state is already canonical by construction).
+    *
+    * Writes to a NEW directory rather than rewriting in place: swapping
+    * markers inside a live state dir has no atomic multi-file commit
+    * (a crash between "new marker created" and "old markers removed"
+    * would double-count every row), while pointing the nightly job at
+    * `targetDir` after a completed compaction is a single orchestration
+    * step with the same crash story as any other batch: `targetDir`
+    * missing its `commits/` is simply not adopted. The source dir is
+    * left untouched for the operator to retire.
+    *
+    * Returns the compacted corpus row count. Token `b0000000000` keeps
+    * derived-token ingestion flowing (next derived token is b…1).
+    */
+  def compact(spark: SparkSession, stateDir: String, targetDir: String): Long = {
+    val fs = stateFs(spark, targetDir)
+    require(committedTokens(spark, stateDir).nonEmpty,
+      s"nothing committed under $stateDir to compact")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/commits")),
+      s"$targetDir already holds committed state")
+    val token = "b0000000000"
+    val corpus = readCorpus(spark, stateDir)
+    val n = corpus.count()
+    corpus.write.mode("overwrite").parquet(s"$targetDir/corpus/batch_$token")
+    val idx = readTextIndex(spark, stateDir)
+    idx.fingerprints.write.mode("overwrite").parquet(s"$targetDir/index_fp/batch_$token")
+    idx.shingles.write.mode("overwrite").parquet(s"$targetDir/index_sh/batch_$token")
+    idx.bands.write.mode("overwrite").parquet(s"$targetDir/index_bd/batch_$token")
+    readSemanticIndex(spark, stateDir).foreach { sIdx =>
+      sIdx.vectors.write.mode("overwrite").parquet(s"$targetDir/index_vec/batch_$token")
+      sIdx.bands.write.mode("overwrite").parquet(s"$targetDir/index_vbd/batch_$token")
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$targetDir/commits"))
+    val marker = fs.create(new org.apache.hadoop.fs.Path(
+      s"$targetDir/commits/commit_$token"), true)
+    try marker.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally marker.close()
+    n
+  }
+
   /** Stateful nightly ingest — the driver loop around
     * [[appendBatchIndexed]]: `stateDir` holds the corpus, its
     * [[TextIndex]] and (when armed) its [[SemanticIndex]] as plain

@@ -406,6 +406,66 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(n3("corpus_total") === n2("corpus_total"))
   }
 
+  test("corpus_total: a legacy empty commit marker falls back to the corpus scan") {
+    // markers written before the count-carrying layout are empty; the
+    // total must silently fall back to counting committed batch dirs
+    // instead of mis-summing or failing
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0)
+    val state = Files.createTempDirectory("ingest-legacy").toFile.getAbsolutePath
+    CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") < 25), cfg = cfg)
+    val n2 = CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") >= 25),
+      cfg = cfg)
+    // blank night-1's marker, simulating pre-count state
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$state/commits/commit_b0000000000"),
+      Array.emptyByteArray)
+    // a replay of night-2 CONTENT under a fresh token ingests nothing;
+    // its reported total must come from the fallback scan, not a
+    // partial marker sum
+    val n3 = CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") >= 25),
+      cfg = cfg)
+    assert(n3("ingested") === 0L)
+    assert(n3("corpus_total") === n2("corpus_total"))
+    assert(n3("corpus_total") === CorpusPipeline.readCorpus(spark, state).count())
+  }
+
+  test("compact: consolidated state equals the original; ingestion continues on it") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0)
+    val state = Files.createTempDirectory("compact-src").toFile.getAbsolutePath
+    CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") < 25), cfg = cfg)
+    val n2 = CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") >= 25),
+      cfg = cfg)
+    val target = Files.createTempDirectory("compact-dst").toFile.getAbsolutePath + "/c"
+    val n = CorpusPipeline.compact(spark, state, target)
+    assert(n === n2("corpus_total"))
+    // every table survives consolidation row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(rows(CorpusPipeline.readCorpus(spark, target))
+      === rows(CorpusPipeline.readCorpus(spark, state)))
+    val (src, dst) = (CorpusPipeline.readTextIndex(spark, state),
+      CorpusPipeline.readTextIndex(spark, target))
+    assert(rows(dst.fingerprints) === rows(src.fingerprints))
+    assert(rows(dst.shingles.selectExpr("id", "array_join(shingles, ',')"))
+      === rows(src.shingles.selectExpr("id", "array_join(shingles, ',')")))
+    assert(rows(dst.bands) === rows(src.bands))
+    // exactly one batch dir per table after compaction
+    assert(new java.io.File(s"$target/corpus").listFiles().length === 1)
+    // the nightly flow continues against the compacted dir: replayed
+    // content is still a no-op; genuinely new content still ingests
+    val replay = CorpusPipeline.ingest(spark, target,
+      docs.filter(col("doc_id") >= 25), cfg = cfg)
+    assert(replay("ingested") === 0L && replay("corpus_total") === n)
+    // refuse to compact onto committed state
+    assertThrows[IllegalArgumentException] {
+      CorpusPipeline.compact(spark, state, target)
+    }
+  }
+
   test("ingest semantic tier: a night-2 embedding paraphrase of a night-1 doc drops") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
