@@ -508,6 +508,13 @@ class CorpusPipelineSpec extends AnyFunSuite {
       batchChunks = Some(batch2Chunks), semantic = Some(semCfg))
     assert(n3("ingested") === 0L)
     assert(n3("corpus_total") === n2("corpus_total"))
+    // compaction carries the SEMANTIC tables too (the armed branch)
+    val target = Files.createTempDirectory("compact-sem").toFile.getAbsolutePath + "/c"
+    assert(CorpusPipeline.compact(spark, state, target) === n3("corpus_total"))
+    val (srcIdx, dstIdx) = (CorpusPipeline.readSemanticIndex(spark, state).get,
+      CorpusPipeline.readSemanticIndex(spark, target).get)
+    assert(dstIdx.vectors.count() === srcIdx.vectors.count())
+    assert(dstIdx.bands.count() === srcIdx.bands.count())
   }
 
   test("ingestStream: micro-batches drive the idempotent corpus append") {
