@@ -308,6 +308,95 @@ class CorpusPipelineSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("appendBatchIndexed plan: corpus chunks NEVER scanned; stored vectors join-only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 0.0)
+    val semCfg = SemanticConfig(dim = 64, minCosine = 0.9)
+    val existing = CorpusPipeline.clean(
+      docs.filter(col("doc_id") < 25), "doc_id", "text", cfg)
+    // corpus chunks as PARQUET so a scan of them is detectable by path
+    val dir = Files.createTempDirectory("semantic-plan").toFile.getAbsolutePath
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(expr("vec_id div 10").as("doc_id"), col("embedding"))
+      .write.parquet(s"$dir/chunks")
+    val exChunks = spark.read.parquet(s"$dir/chunks")
+    val tIdx = CorpusPipeline.buildTextIndex(existing, "doc_id", "text", cfg)
+    tIdx.fingerprints.write.parquet(s"$dir/fp")
+    tIdx.shingles.write.parquet(s"$dir/sh")
+    tIdx.bands.write.parquet(s"$dir/bd")
+    val sIdx = CorpusPipeline.buildSemanticIndex(
+      existing.select(col("doc_id")), exChunks, "doc_id", "embedding", semCfg)
+    sIdx.vectors.write.parquet(s"$dir/vec")
+    sIdx.bands.write.parquet(s"$dir/vbd")
+    graft.Caches.releaseAll()
+    def scansPath(sub: String)(p: LogicalPlan): Boolean = p match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toString.contains(s"$dir/$sub"))
+        case _ => false
+      }
+      case _ => false
+    }
+    def reachesWithoutJoin(p: LogicalPlan, sub: String): Boolean =
+      if (scansPath(sub)(p)) true
+      else p match {
+        case _: Join => false
+        case other => other.children.exists(reachesWithoutJoin(_, sub))
+      }
+    val batch = docs.filter(col("doc_id") >= 25)
+    val batchChunks = exChunks.filter(col("doc_id") >= 25)
+    val indexed = CorpusPipeline.appendBatchIndexed(
+      CorpusPipeline.TextIndex(spark.read.parquet(s"$dir/fp"),
+        spark.read.parquet(s"$dir/sh"), spark.read.parquet(s"$dir/bd")),
+      batch, "doc_id", "text", cfg,
+      semanticIndex = Some(CorpusPipeline.SemanticIndex(
+        spark.read.parquet(s"$dir/vec"), spark.read.parquet(s"$dir/vbd"))),
+      batchChunks = Some(batchChunks), semantic = Some(semCfg))
+    // drop the pipeline's internal pins BEFORE resolving the plan —
+    // cache substitution would otherwise bury scans inside
+    // InMemoryRelation leaves the logical traversal cannot enter
+    graft.Caches.releaseAll()
+    val plan = indexed.queryExecution.optimizedPlan
+    assert(plan.exists(scansPath("vec")),
+      "stored pooled vectors must appear (cosine verification reads them)")
+    assert(plan.exists(scansPath("vbd")),
+      "stored band keys must appear (candidate generation reads them)")
+    // the steady-state contract, strongest form: history's chunk table
+    // is never read. The batch's own chunks scan the same parquet dir,
+    // so "corpus side" is detected as a chunk scan reachable WITHOUT
+    // crossing the batch's doc_id >= 25 filter — the indexed plan must
+    // have none.
+    def unfilteredChunkScan(p: LogicalPlan): Boolean =
+      if (scansPath("chunks")(p)) true
+      else p match {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains(">= 25") => false
+        case other => other.children.exists(unfilteredChunkScan)
+      }
+    assert(!unfilteredChunkScan(plan),
+      "the indexed plan must not read the corpus chunk table (only the " +
+        "batch's own >= 25-filtered chunks)")
+    // stored vectors feed joins only — no aggregation re-derives them
+    val badAggs = plan.collect {
+      case a: Aggregate if a.children.exists(reachesWithoutJoin(_, "vec")) => a
+    }
+    assert(badAggs.isEmpty,
+      s"stored-vector path must not aggregate the vector table:\n${badAggs.mkString("\n")}")
+    // positive control: the DERIVED path (appendBatch with the corpus
+    // chunk frame) reads the corpus chunks — proves the absence above
+    // is the index's doing, not the detector's blindness
+    val derived = CorpusPipeline.appendBatch(
+      existing, batch, "doc_id", "text", cfg,
+      existingChunks = Some(exChunks), batchChunks = Some(batchChunks),
+      semantic = Some(semCfg))
+    graft.Caches.releaseAll() // same un-pinning, same reason
+    assert(unfilteredChunkScan(derived.queryExecution.optimizedPlan),
+      "detector sanity: the derived path scans the corpus chunk table")
+  }
+
   test("appendBatch semantic tier: an embedding paraphrase of an ingested doc drops") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -551,6 +640,54 @@ class CorpusPipelineSpec extends AnyFunSuite {
       in.addData(real.filter(_._1 >= 25).toSeq: _*)
       q.processAllAvailable()
       assert(CorpusPipeline.readCorpus(spark, state).count() === n2)
+    } finally q.stop()
+  }
+
+  test("ingestStream semantic tier: the chunk provider arms embedding dedup per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 0.0)
+    val semCfg = SemanticConfig(dim = 64, minCosine = 0.9)
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val realChunks = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(expr("vec_id div 10").as("doc_id"), col("embedding"))
+    // side table the provider serves from: natural chunks, plus the
+    // paraphrase plant (doc 7's vectors, epsilon-shifted) and a
+    // genuinely-new doc's (doc 8's, sign-flipped)
+    val chunkTable = realChunks
+      .unionByName(realChunks.filter(col("doc_id") === 7L)
+        .select(lit(900900L).as("doc_id"),
+          transform(col("embedding"), x => x + lit(0.002)).as("embedding")))
+      .unionByName(realChunks.filter(col("doc_id") === 8L)
+        .select(lit(900901L).as("doc_id"),
+          transform(col("embedding"), x => x * lit(-1.0)).as("embedding")))
+    val provider = (b: org.apache.spark.sql.DataFrame) =>
+      chunkTable.join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+    val state = Files.createTempDirectory("stream-sem-state").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("stream-sem-ckpt").toFile.getAbsolutePath
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.ingestStream(state,
+      in.toDF().toDF("doc_id", "text"), ckpt, cfg = cfg,
+      chunksForBatch = Some(provider), semantic = Some(semCfg))
+    try {
+      // micro-batch 1 seeds (semantic-armed): docs < 25 incl. doc 7
+      in.addData(real.filter(_._1 < 25).toSeq: _*)
+      q.processAllAvailable()
+      assert(CorpusPipeline.readSemanticIndex(spark, state).isDefined,
+        "seeding through the stream must create vector state")
+      // micro-batch 2: a text-unrelated paraphrase of doc 7 plus a
+      // genuinely new doc — only the vs-corpus embedding arm separates
+      // them
+      in.addData(
+        (900900L, "a completely different sentence about harbor lights and the slow ships that carry grain across the northern water routes every autumn season"),
+        (900901L, "an unrelated report on mountain weather stations records wind speed and snow depth at hourly intervals through the long winter observation season"))
+      q.processAllAvailable()
+      val ids = CorpusPipeline.readCorpus(spark, state)
+        .select("doc_id").as[Long].collect().toSet
+      assert(!ids.contains(900900L),
+        "the streamed paraphrase must drop against the stored vector index")
+      assert(ids.contains(900901L), "the genuinely new doc must survive")
     } finally q.stop()
   }
 
