@@ -2368,6 +2368,27 @@ object Queries {
       },
       Some(c3OracleSql)),
 
+    QueryDef("c3b_corpus_clean_prod",
+      // the PRODUCTION twin of c3: identical gates, scrub, exact-dedup
+      // and LSH geometry (16 hashes, 4 bands, 0.7), but the default
+      // xxhash64 hash family instead of the oracle-replayable md5 form
+      // — the number a user actually pays for the composed clean. No
+      // oracle by the m1/m1b pattern (DuckDB lacks xxhash64 seeds);
+      // candidate sets differ only by banding randomness and every
+      // candidate is verified by EXACT Jaccard in both variants, so the
+      // survivor sets agree wherever both bandings surface the same
+      // true near-dup pairs. Rows-only driver check; c3 carries the
+      // full hash-verified replay of the identical pipeline shape.
+      (s, dir) => {
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7)
+        graft.corpus.CorpusPipeline.clean(docs(s, dir), "doc_id", "text", cfg)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      None),
+
     QueryDef("c4_corpus_semantic_md5",
       // c3 PLUS the embedding tier, still through the REAL clean():
       // chunk vectors (10 per doc, with doc 23's chunks overridden by a
