@@ -527,7 +527,10 @@ object CorpusPipeline {
     val fs = stateFs(spark, targetDir)
     require(committedTokens(spark, stateDir).nonEmpty,
       s"nothing committed under $stateDir to compact")
-    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/commits")),
+    // guard on COMMITTED tokens, not the commits dir: a compact that
+    // crashed between mkdirs and marker-create leaves an empty commits/
+    // that must not block the rerun (its data orphans get overwritten)
+    require(committedTokens(spark, targetDir).isEmpty,
       s"$targetDir already holds committed state")
     val token = "b0000000000"
     val corpus = readCorpus(spark, stateDir)
