@@ -2453,6 +2453,30 @@ object Queries {
       },
       Some(c5OracleSql)),
 
+    QueryDef("c5b_append_prod",
+      // the PRODUCTION twin of c5 (the c3b pattern): identical batch/
+      // corpus split and LSH geometry, default xxhash64 hashes — the
+      // incremental append cost a nightly job actually pays. Rows-only
+      // driver check; exact-Jaccard verification makes the survivor set
+      // agree with c5 wherever both bandings surface the true pairs.
+      (s, dir) => {
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7)
+        val d = docs(s, dir)
+        val existing = d.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        graft.corpus.CorpusPipeline.appendBatch(
+            existing, batch, "doc_id", "text", cfg)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      None),
+
     QueryDef("c6_semantic_append_md5",
       // c5's incremental append with BOTH semantic arms armed, oracle-
       // verified end-to-end: the batch cleans internally through text
