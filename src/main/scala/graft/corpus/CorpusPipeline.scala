@@ -348,11 +348,32 @@ object CorpusPipeline {
       "a SemanticIndex without a SemanticConfig cannot be used")
     import graft.Caches.trackedPersist
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // 1. the batch becomes internally canonical (pinned: feeds the
-    // fingerprint branch and, via afterExact, everything downstream)
-    val batchClean = trackedPersist(
-      clean(batch, idCol, textCol, cfg, batchChunks, chunkIdCol, vecCol, semantic),
-      MEMORY_AND_DISK)
+    // 1. the batch becomes internally canonical. The semantic arm runs
+    // OUTSIDE clean() here so the batch's chunk table pools exactly
+    // ONCE — the pinned pooled frame serves the batch-internal dedup
+    // now and the vs-corpus arm at stage 4 (the values are identical:
+    // pooling is per-doc, and stage 4 only ever needs a SUBSET of the
+    // ids pooled here). Avoids a second explode+aggregation over the
+    // night's chunks.
+    val textClean = trackedPersist(
+      clean(batch, idCol, textCol, cfg), MEMORY_AND_DISK)
+    val (batchClean, pooledBatch) = (batchChunks, semantic) match {
+      case (Some(bCh), Some(sc)) =>
+        val pooled = trackedPersist(
+          pooledVectors(textClean.select(col(idCol).as(chunkIdCol)), bCh,
+            chunkIdCol, vecCol, sc),
+          MEMORY_AND_DISK)
+        val pairs = SimilarityFunctions.lshNeighborPairs(pooled,
+          dim = sc.dim, nBits = sc.nBits, bands = sc.bands,
+          minCosine = sc.minCosine, idCol = "id", vecCol = "vec",
+          seed = sc.seed, hotBucketThreshold = sc.hotBucketThreshold,
+          salts = sc.salts)
+        (trackedPersist(
+          DedupFunctions.dropNearDuplicateClusters(textClean, pairs, idCol,
+            maxIter = sc.maxIter),
+          MEMORY_AND_DISK), Some(pooled))
+      case _ => (textClean, None)
+    }
     // 2. exact-vs-corpus fingerprint anti-join (16-byte keys, never text)
     val fp = graft.ops.ColNames.fresh(batchClean.columns.toSet, "_fp")
     val afterExact = trackedPersist(
@@ -371,17 +392,18 @@ object CorpusPipeline {
       threshold = cfg.nearDupThreshold,
       hash = cfg.minhashHash, bucketHash = cfg.minhashBucketHash)
     val textSafe0 = DedupFunctions.dropNearDuplicates(afterExact, textPairs, idCol)
-    // 4. semantic-vs-corpus: batch chunks pool (batch-sized), the
-    // corpus contributes its STORED pooled vectors and band keys.
-    // textSafe feeds both the pooling semi-join and the final anti-join
-    // — pin it so the text-tier LSH drop executes once
-    (semanticIndex, batchChunks, semantic) match {
-      case (Some(semIdx), Some(bCh), Some(sc)) =>
+    // 4. semantic-vs-corpus: the batch side REUSES the stage-1 pooled
+    // vectors (semi-join restriction of the pinned frame — no second
+    // pooling); the corpus contributes its STORED pooled vectors and
+    // band keys. textSafe feeds both the restriction and the final
+    // anti-join — pin it so the text-tier LSH drop executes once
+    (semanticIndex, pooledBatch, semantic) match {
+      case (Some(semIdx), Some(pooled), Some(sc)) =>
         val textSafe = trackedPersist(textSafe0, MEMORY_AND_DISK)
+        val incoming = pooled.join(
+          textSafe.select(col(idCol).as("id")), Seq("id"), "left_semi")
         val vecPairs = SimilarityFunctions.lshNeighborPairsAgainstIndexed(
-          semIdx.bands, semIdx.vectors,
-          pooledVectors(textSafe.select(col(idCol).as(chunkIdCol)), bCh,
-            chunkIdCol, vecCol, sc),
+          semIdx.bands, semIdx.vectors, incoming,
           dim = sc.dim, nBits = sc.nBits, bands = sc.bands,
           minCosine = sc.minCosine, idCol = "id", vecCol = "vec",
           seed = sc.seed)
