@@ -99,25 +99,21 @@ object CorpusPipeline {
     */
   def semanticDedup(survivors: DataFrame, idCol: String,
       chunks: DataFrame, chunkIdCol: String, vecCol: String,
-      cfg: SemanticConfig): DataFrame = {
-    val alive = chunks.join(
-      survivors.select(col(idCol).as(chunkIdCol)), Seq(chunkIdCol), "left_semi")
-    // pooled means are 6dp-rounded (the library-wide float-aggregate
-    // contract): the per-dimension avg is an accumulation-order-sensitive
-    // IEEE sum, so rounding makes the downstream signature bits and
-    // cosine verdicts invariant to partitioning AND replayable by an
-    // external engine (c4's oracle recomputes this exact pipeline).
-    val pooled = SimilarityFunctions.assembleVec(
-      SimilarityFunctions.meanPoolFlat(alive, chunkIdCol, vecCol)
-        .withColumn("mean_v", round(col("mean_v"), 6)), chunkIdCol)
-    val vecs =
-      if (cfg.quantize)
-        pooled.select(col(chunkIdCol),
-          SimilarityFunctions.quantizeInt8(col("vec")).getField("q").as("vec"))
-      else pooled
-    val pairs = SimilarityFunctions.lshNeighborPairs(vecs, dim = cfg.dim,
+      cfg: SemanticConfig): DataFrame =
+    semanticDedupPooled(survivors, idCol,
+      pooledVectors(survivors.select(col(idCol).as(chunkIdCol)), chunks,
+        chunkIdCol, vecCol, cfg), cfg)
+
+  /** [[semanticDedup]] over ALREADY-POOLED doc vectors (`(id, vec)`,
+    * the [[pooledVectors]] shape) — the entry [[appendBatchIndexed]]
+    * uses so one pinned pooled frame can serve both the batch-internal
+    * pass and the vs-corpus arm.
+    */
+  private def semanticDedupPooled(survivors: DataFrame, idCol: String,
+      pooled: DataFrame, cfg: SemanticConfig): DataFrame = {
+    val pairs = SimilarityFunctions.lshNeighborPairs(pooled, dim = cfg.dim,
       nBits = cfg.nBits, bands = cfg.bands, minCosine = cfg.minCosine,
-      idCol = chunkIdCol, vecCol = "vec", seed = cfg.seed,
+      idCol = "id", vecCol = "vec", seed = cfg.seed,
       hotBucketThreshold = cfg.hotBucketThreshold, salts = cfg.salts)
     DedupFunctions.dropNearDuplicateClusters(survivors, pairs, idCol,
       maxIter = cfg.maxIter)
@@ -363,14 +359,8 @@ object CorpusPipeline {
           pooledVectors(textClean.select(col(idCol).as(chunkIdCol)), bCh,
             chunkIdCol, vecCol, sc),
           MEMORY_AND_DISK)
-        val pairs = SimilarityFunctions.lshNeighborPairs(pooled,
-          dim = sc.dim, nBits = sc.nBits, bands = sc.bands,
-          minCosine = sc.minCosine, idCol = "id", vecCol = "vec",
-          seed = sc.seed, hotBucketThreshold = sc.hotBucketThreshold,
-          salts = sc.salts)
         (trackedPersist(
-          DedupFunctions.dropNearDuplicateClusters(textClean, pairs, idCol,
-            maxIter = sc.maxIter),
+          semanticDedupPooled(textClean, idCol, pooled, sc),
           MEMORY_AND_DISK), Some(pooled))
       case _ => (textClean, None)
     }
