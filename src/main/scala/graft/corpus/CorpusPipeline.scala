@@ -580,7 +580,13 @@ object CorpusPipeline {
     * frame and a [[SemanticConfig]] and the batch both dedups against
     * the stored vector index and contributes its own pooled vectors to
     * it. A corpus seeded text-only degrades gracefully (vs-corpus
-    * embedding checks begin once vector state exists).
+    * embedding checks begin once vector state exists) — but the REVERSE
+    * downgrade is refused: once a committed batch has armed the
+    * semantic tier, a text-only call would append survivors the stored
+    * vector index never sees, so every later semantic batch would
+    * silently dedup against a partial index. That call fails fast
+    * instead of corrupting the invariant (arm the call, or compact to
+    * a text-only state dir to deliberately drop the tier).
     *
     * Survivors are eagerly checkpointed before any write — their
     * lineage reads committed state, and a lazy plan re-executing
@@ -611,6 +617,15 @@ object CorpusPipeline {
       // crash-replay and at-least-once-redelivery case
       return Map("ingested" -> 0L,
         "corpus_total" -> corpusTotal(spark, stateDir))
+    // downgrade guard: a text-only call against semantic-armed state
+    // would append survivors invisible to the stored vector index —
+    // every later semantic batch would dedup against a silently-partial
+    // index. Cheap driver-side listing; only probed on the risky arm.
+    if (semantic.isEmpty && committed.nonEmpty)
+      require(readSemanticIndex(spark, stateDir).isEmpty,
+        s"$stateDir holds a committed SemanticIndex; pass batchChunks + " +
+          "SemanticConfig so this batch extends it (or compact to a new " +
+          "text-only state dir to drop the semantic tier deliberately)")
     val docs = batch.select(col(idCol), col(textCol))
     val cleaned =
       if (committed.isEmpty)

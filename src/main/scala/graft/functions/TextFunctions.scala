@@ -185,8 +185,15 @@ object TextFunctions {
       hash: Column => Column = xxhash64(_)): Column =
     bound(kgramHashes(text, k, hash)) { hashes =>
       val n = size(hashes) - (window - 1)
+      // window is a plan-time constant, so each window minimum unrolls to
+      // one `least` over `window` O(1) element_at reads — no sliced
+      // temporary array per position (the slice+array_min form allocated
+      // and scanned a fresh 4-element array for every window). least and
+      // array_min agree on never-null hash values.
+      def winMin(i: Column): Column =
+        least((0 until window).map(o => element_at(hashes, i + lit(o))): _*)
       val mins = when(n <= 0, array(array_min(hashes)))
-        .otherwise(transform(sequence(lit(1), n), i => array_min(slice(hashes, i, lit(window)))))
+        .otherwise(transform(sequence(lit(1), n), i => winMin(i)))
       array_sort(array_distinct(mins))
     }
 

@@ -1120,6 +1120,65 @@ object Queries {
           |  count(ret) AS n_days
           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    QueryDef("a14_psi_drift",
+      // Population Stability Index of the per-ticker daily-return
+      // distribution, early era (before 1995-06-01) vs late — the
+      // standard training-data drift monitor (PSI = Σ (p−q)·ln(p/q)
+      // over histogram buckets; > 0.2 conventionally flags a shifted
+      // feature). Buckets are a fixed literal CASE chain over the
+      // bit-reproducible `ret`; fractions are Laplace-smoothed
+      // (cnt+1)/(n+8) over the OBSERVED bucket set, which both engines
+      // materialize identically because the exact counts do. Scale
+      // shape: ONE data-sized aggregation to (ticker, bucket), then a
+      // bounded window (≤ 8 rows per ticker) for the totals and the
+      // per-ticker sum — history never shuffles twice. ln-sum → 6dp.
+      (s, dir) => {
+        val early = col("date") < lit("1995-06-01").cast("date")
+        val bucket = when(col("ret") < -0.02, 0).when(col("ret") < -0.01, 1)
+          .when(col("ret") < -0.005, 2).when(col("ret") < 0.0, 3)
+          .when(col("ret") < 0.005, 4).when(col("ret") < 0.01, 5)
+          .when(col("ret") < 0.02, 6).otherwise(7)
+        val counts = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .groupBy(col("ticker"), bucket.as("bucket"))
+          .agg(sum(when(early, 1L).otherwise(0L)).as("ca"),
+            sum(when(early, 0L).otherwise(1L)).as("cb"))
+        val wT = Window.partitionBy("ticker")
+        val p = (col("ca") + 1).cast("double") / (sum("ca").over(wT) + 8)
+        val q = (col("cb") + 1).cast("double") / (sum("cb").over(wT) + 8)
+        counts.withColumn("term", (p - q) * log(p / q))
+          .groupBy("ticker")
+          .agg(round(sum(col("term")), 6).as("psi"),
+            sum("ca").as("n_early"), sum("cb").as("n_late"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, bk AS (
+          |  SELECT ticker,
+          |    CASE WHEN ret < -0.02 THEN 0 WHEN ret < -0.01 THEN 1
+          |         WHEN ret < -0.005 THEN 2 WHEN ret < 0.0 THEN 3
+          |         WHEN ret < 0.005 THEN 4 WHEN ret < 0.01 THEN 5
+          |         WHEN ret < 0.02 THEN 6 ELSE 7 END AS bucket,
+          |    CASE WHEN "date" < DATE '1995-06-01' THEN 1 ELSE 0 END AS early
+          |  FROM r WHERE ret IS NOT NULL),
+          |c AS (
+          |  SELECT ticker, bucket,
+          |    CAST(SUM(early) AS BIGINT) AS ca,
+          |    CAST(SUM(1 - early) AS BIGINT) AS cb
+          |  FROM bk GROUP BY 1, 2),
+          |tt AS (
+          |  SELECT ticker, ca, cb,
+          |    SUM(ca) OVER (PARTITION BY ticker) AS na,
+          |    SUM(cb) OVER (PARTITION BY ticker) AS nb
+          |  FROM c)
+          |SELECT ticker,
+          |  round(SUM((CAST(ca + 1 AS DOUBLE) / (na + 8)
+          |             - CAST(cb + 1 AS DOUBLE) / (nb + 8))
+          |        * ln((CAST(ca + 1 AS DOUBLE) / (na + 8))
+          |             / (CAST(cb + 1 AS DOUBLE) / (nb + 8)))), 6) AS psi,
+          |  CAST(SUM(ca) AS BIGINT) AS n_early,
+          |  CAST(SUM(cb) AS BIGINT) AS n_late
+          |FROM tt GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("u1_union",
       (s, dir) => {
         val o = t(s, dir, "orders")
@@ -1347,6 +1406,83 @@ object Queries {
              |SELECT doc_id, len_ok, quality_ok, rep_ok, lang_ok,
              |  len_ok AND quality_ok AND rep_ok AND lang_ok AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("t11_gate_report",
+      // Per-source gate observability: how many documents each
+      // C4/Gopher-style gate (t7's length / quality / repetition /
+      // language thresholds) rejects per crawl source, and how many
+      // pass all four — the report a nightly 100 TB clean publishes so
+      // a drifting source is caught the day it drifts. ONE fused
+      // projection + aggregation pass: the gates share the token split,
+      // counts combine map-side onto a handful of source keys, no
+      // second scan, no window. Gate comparisons are on unrounded
+      // doubles — t2/t6 pin those chains bit-identical across engines.
+      (s, dir) => {
+        val flags = docs(s, dir).select(col("source"),
+            T.tokenCount(col("text")).as("n_tokens"),
+            T.qualityScore(col("text")).as("quality"),
+            T.duplicateNgramFraction(col("text"), 2).as("dup_bg"),
+            T.languageId(col("text")).as("lang_id"))
+          .select(col("source"),
+            (col("n_tokens") >= 20 && col("n_tokens") <= 1000).as("len_ok"),
+            (col("quality") >= 75.0).as("quality_ok"),
+            (col("dup_bg") <= 0.05).as("rep_ok"),
+            (col("lang_id") === "en").as("lang_ok"))
+        def fails(c: Column): Column = sum(when(!c, 1L).otherwise(0L))
+        flags.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            fails(col("len_ok")).as("n_len_fail"),
+            fails(col("quality_ok")).as("n_quality_fail"),
+            fails(col("rep_ok")).as("n_rep_fail"),
+            fails(col("lang_ok")).as("n_lang_fail"),
+            sum(when(col("len_ok") && col("quality_ok") && col("rep_ok")
+              && col("lang_ok"), 1L).otherwise(0L)).as("n_pass"))
+          .orderBy("source")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
+             |         END AS punct_ratio,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
+             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, source, n_tok, w,
+             |    (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+             |     + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+             |     + least(stopword_ratio * 5.0, 1.0) * 0.3) * 100.0 AS quality,
+             |    CASE WHEN len(w) < 2 THEN 0.0
+             |         ELSE 1.0 - CAST(len(list_distinct(list_transform(
+             |                  generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+             |              / (len(w) - 1) END AS dup_bg,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))) AS h_de,
+             |    len(list_filter(w, x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS h_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','los','las','es','una','por','para','que','con'], x))) AS h_es,
+             |    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','pour','dans','que','des'], x))) AS h_fr
+             |  FROM b),
+             |f AS (
+             |  SELECT source,
+             |    n_tok >= 20 AND n_tok <= 1000 AS len_ok,
+             |    quality >= 75.0 AS quality_ok,
+             |    dup_bg <= 0.05 AS rep_ok,
+             |    (CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+             |          WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             |          WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             |          WHEN h_es >= h_fr THEN 'es'
+             |          ELSE 'fr' END) = 'en' AS lang_ok
+             |  FROM g)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(COALESCE(SUM(CASE WHEN NOT len_ok THEN 1 END), 0) AS BIGINT) AS n_len_fail,
+             |  CAST(COALESCE(SUM(CASE WHEN NOT quality_ok THEN 1 END), 0) AS BIGINT) AS n_quality_fail,
+             |  CAST(COALESCE(SUM(CASE WHEN NOT rep_ok THEN 1 END), 0) AS BIGINT) AS n_rep_fail,
+             |  CAST(COALESCE(SUM(CASE WHEN NOT lang_ok THEN 1 END), 0) AS BIGINT) AS n_lang_fail,
+             |  CAST(COALESCE(SUM(CASE WHEN len_ok AND quality_ok AND rep_ok AND lang_ok THEN 1 END), 0) AS BIGINT) AS n_pass
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef("t8_quality_deciles",
       // curriculum binning: quality-score deciles via broadcast exact
@@ -1836,6 +1972,82 @@ object Queries {
           "WHERE x.id < 100000 AND y.id >= 100000") +
           "\nSELECT id_a, id_b, cosine FROM verified\nORDER BY id_a, id_b"
       }),
+
+    QueryDef("s7_ann_recall",
+      // Recall@5 of the IVF index against the exact brute-force scan,
+      // per query — the evaluation harness every ANN deployment ships
+      // beside the index itself (an approximate index without a
+      // measured recall is a guess). Reuses s1's and s3's operators
+      // UNCHANGED and joins the two top-k sets on (query_id, vec_id);
+      // both sides are k·|queries| rows — broadcast-sized by
+      // construction at any corpus scale, so the recall overlay adds
+      // no data-sized shuffle beyond what the two searches already do.
+      // n_hits is an exact count; recall one exact IEEE division.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        val centroids = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+        val exact = S.bruteForceTopK(emb, q, 5).select("query_id", "vec_id")
+        val approx = S.ivfTopK(emb, q, centroids, k = 5, nProbe = 2)
+          .select("query_id", "vec_id")
+        val hits = exact.join(approx, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        q.select("query_id").join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall", col("n_hits").cast("double") / 5.0)
+          .orderBy("query_id")
+      },
+      Some("""WITH bq AS (
+             |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 8),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |bscored AS (
+             |  SELECT bq.query_id, e.vec_id,
+             |         round(list_cosine_similarity(e.v, bq.qv), 6) AS cosine
+             |  FROM e, bq WHERE e.vec_id <> bq.query_id),
+             |bf AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           row_number() OVER (PARTITION BY query_id
+             |             ORDER BY cosine DESC, vec_id) AS rn
+             |    FROM bscored) WHERE rn <= 5),
+             |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |      FROM embeddings WHERE vec_id < 4),
+             |assign AS (
+             |  SELECT vec_id, v, cid FROM (
+             |    SELECT e.vec_id, e.v, c.cid,
+             |           row_number() OVER (PARTITION BY e.vec_id
+             |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+             |    FROM e, c) WHERE rn = 1),
+             |probes AS (
+             |  SELECT query_id, qv, cid FROM (
+             |    SELECT bq.query_id, bq.qv, c.cid,
+             |           row_number() OVER (PARTITION BY bq.query_id
+             |             ORDER BY list_cosine_similarity(bq.qv, c.cv) DESC, c.cid) AS rn
+             |    FROM bq, c) WHERE rn <= 2),
+             |ascored AS (
+             |  SELECT p.query_id, a.vec_id,
+             |         round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+             |  FROM assign a JOIN probes p ON a.cid = p.cid
+             |  WHERE a.vec_id <> p.query_id),
+             |af AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           row_number() OVER (PARTITION BY query_id
+             |             ORDER BY cosine DESC, vec_id) AS rn
+             |    FROM ascored) WHERE rn <= 5),
+             |hits AS (
+             |  SELECT bf.query_id, count(*) AS n
+             |  FROM bf JOIN af ON bf.query_id = af.query_id AND bf.vec_id = af.vec_id
+             |  GROUP BY 1)
+             |SELECT bq.query_id,
+             |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+             |  CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0 AS recall
+             |FROM bq LEFT JOIN hits h ON bq.query_id = h.query_id
+             |ORDER BY bq.query_id""".stripMargin)),
 
     QueryDef("s2_lsh_pairs",
       // the embeddings table has NO true near-duplicates (max pairwise

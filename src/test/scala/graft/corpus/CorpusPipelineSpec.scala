@@ -604,6 +604,13 @@ class CorpusPipelineSpec extends AnyFunSuite {
       CorpusPipeline.readSemanticIndex(spark, target).get)
     assert(dstIdx.vectors.count() === srcIdx.vectors.count())
     assert(dstIdx.bands.count() === srcIdx.bands.count())
+    // the reverse downgrade is refused: a text-only call against the
+    // semantic-armed state would append survivors the stored vector
+    // index never sees; it must fail fast, not silently go partial
+    val err = intercept[IllegalArgumentException] {
+      CorpusPipeline.ingest(spark, state, batch2, cfg = cfg)
+    }
+    assert(err.getMessage.contains("SemanticIndex"))
   }
 
   test("ingestStream: micro-batches drive the idempotent corpus append") {
