@@ -430,6 +430,17 @@ object CorpusPipeline {
   // external transaction log. All probes go through the Hadoop
   // FileSystem API, so hdfs:// and s3a:// state dirs behave exactly
   // like local paths.
+  //
+  // SINGLE WRITER, like a Structured Streaming checkpoint dir: one
+  // ingesting job per state dir at a time (the scheduler's job — the
+  // nightly cron, or the one ingestStream query, which serializes its
+  // own micro-batches). Two CONCURRENT writers could derive the same
+  // next token and overwrite each other's staged dirs mid-write; the
+  // commit log makes crashes and replays safe, not interleaved
+  // writers. Multi-writer upgrades (Delta/Iceberg-style CAS on a log
+  // entry) slot in behind this same layout; dedup correctness never
+  // depends on it because content-level INSERT-OR-IGNORE holds
+  // regardless of which writer's batch lands first.
   // ------------------------------------------------------------------
 
   private def stateFs(spark: SparkSession, stateDir: String)
