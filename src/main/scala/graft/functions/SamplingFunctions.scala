@@ -161,6 +161,47 @@ object SamplingFunctions {
       .drop(grp, rate)
   }
 
+  /** Token-budget downsampling — the data-mixing shape ("at most B
+    * tokens from each source/language in the final mixture"): each
+    * group keeps rate r_g = min(1, B / Σ tokens_g), applied as the same
+    * pure hash-bucket predicate the other samplers use, so the KEPT
+    * token mass converges to the budget (law of large numbers over
+    * hash buckets) while membership stays deterministic across runs,
+    * partitionings, and engines. Groups already under budget keep
+    * everything; rates are 6dp-rounded so engine-level division ulps
+    * cannot flip a row (the temperatureSample contract).
+    *
+    * Scale shape: ONE token-sum aggregation to one row per group
+    * (map-side combine), rates broadcast back (escape hatch
+    * `broadcastRates = false` for crawl-cardinality groups), and the
+    * keep-decision is a row-local filter — the corpus itself is never
+    * shuffled. The rate-based form is what holds at 100 TB: an exact
+    * greedy "take best docs until the budget fills" needs a per-group
+    * ordered scan (one task per group — the capPerGroup anti-pattern);
+    * compose with [[capPerGroup]] on a quality struct first when
+    * quality-ranked selection matters. Null keys drop out (null
+    * bucket); null groups budget like any other group value.
+    */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, groupCol: String,
+      tokensCol: String, budgetTokens: Long,
+      hash: Column => Column = xxhash64(_),
+      broadcastRates: Boolean = true): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1 (got $budgetTokens)")
+    val taken = df.columns.toSet
+    val grp = graft.ops.ColNames.fresh(taken, "_grp")
+    val rate = graft.ops.ColNames.fresh(taken + grp, "_rate")
+    val rates0 = df.groupBy(col(groupCol).as(grp))
+      .agg(sum(col(tokensCol).cast("long")).as("_tok"))
+      .select(col(grp),
+        round(least(lit(1.0),
+          lit(budgetTokens.toDouble) / col("_tok").cast("double")), 6).as(rate))
+    val rates = if (broadcastRates) broadcast(rates0) else rates0
+    // null-safe equality: a null GROUP still has a token sum and a rate
+    df.join(rates, col(groupCol) <=> col(grp), "left")
+      .filter(hashBucket(col(keyCol), 1000000, hash) < col(rate) * 1e6)
+      .drop(grp, rate)
+  }
+
   def stratifiedSampleByHash(df: DataFrame, keyCol: String, strataCol: String,
       ratesPermille: Map[String, Int], defaultPermille: Int,
       hash: Column => Column = xxhash64(_)): DataFrame = {

@@ -302,6 +302,39 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetSample: over-budget groups thin to ~budget, others kept whole") {
+    // A holds ~40k tokens, B ~1k: budget 4000 → A keeps rate ~0.1, B whole
+    val df = ((1L to 2000L).map(i => (i, "A", 20L)) ++
+      (2001L to 2100L).map(i => (i, "B", 10L)))
+      .toDF("id", "grp", "n_tok").withColumn("k", col("id").cast("string"))
+    val kept = SamplingFunctions
+      .tokenBudgetSample(df, "k", "grp", "n_tok", budgetTokens = 4000L)
+    val toks = kept.groupBy("grp").agg(sum("n_tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(toks("B") === 1000L, "under-budget group kept in full")
+    assert(math.abs(toks("A") - 4000L) < 1200, s"A kept ${toks("A")} of 4000 budget")
+    // membership is a pure row/rate function — partitioning-proof, and
+    // the shuffled-rates escape hatch changes only the join strategy
+    val ids = kept.select("id").as[Long].collect().toSet
+    val again = SamplingFunctions
+      .tokenBudgetSample(df.repartition(7), "k", "grp", "n_tok", 4000L)
+      .select("id").as[Long].collect().toSet
+    assert(again === ids)
+    val shuffled = SamplingFunctions
+      .tokenBudgetSample(df, "k", "grp", "n_tok", 4000L, broadcastRates = false)
+      .select("id").as[Long].collect().toSet
+    assert(shuffled === ids)
+    // a null group still has a token mass and a rate; null keys drop out
+    val edge = Seq((Some("1"), None: Option[String], 10L),
+      (None: Option[String], Some("B"), 10L)).toDF("k", "grp", "n_tok")
+    val keptEdge = SamplingFunctions
+      .tokenBudgetSample(edge, "k", "grp", "n_tok", 1000L)
+    assert(keptEdge.count() === 1L, "null-group row kept (rate 1), null key gone")
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.tokenBudgetSample(df, "k", "grp", "n_tok", 0L)
+    }
+  }
+
   test("temperatureSample: a null group is sampled, not silently dropped") {
     val df = ((1L to 400L).map(i => (i, Some("A"))) ++
       (401L to 800L).map(i => (i, None: Option[String])))
