@@ -63,6 +63,37 @@ object DedupFunctions {
       .select(cols.map(c => col(s"$row.`$c`").as(c)).toIndexedSeq: _*)
   }
 
+  /** Build a Bloom filter over a (fingerprint) column — the stored
+    * membership sketch that lets incremental ingest prove most batch
+    * rows ABSENT from the corpus without touching the fingerprint
+    * index at all ([[graft.functions.BloomMightContain]] is the probe
+    * side). Values insert by `putString` (UTF-8 bytes), matching the
+    * probe's `mightContainBinary`; nulls are skipped (a null
+    * fingerprint row can't be a duplicate of anything).
+    *
+    * `expectedItems`/`fpp` fix the filter GEOMETRY: every filter built
+    * with the same knobs merges via `mergeInPlace`, which is what lets
+    * per-batch filters accumulate into one corpus-wide sketch — so
+    * size `expectedItems` for the CORPUS the filters will accumulate
+    * into, not for one batch (a per-batch filter is just a sparse
+    * corpus-sized one). One aggregation sized by `df`, combined
+    * tree-wise; the result lives on the driver (n·ln(1/fpp)/ln²2 bits
+    * ≈ 7.3 bits/item at 3% — ~0.9 GB per billion fingerprints, the
+    * documented cost of skipping a nightly multi-TB index scan).
+    */
+  def fingerprintBloom(df: DataFrame, fpCol: String, expectedItems: Long,
+      fpp: Double = 0.03): org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedItems >= 1, s"expectedItems must be >= 1 (got $expectedItems)")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1) (got $fpp)")
+    import org.apache.spark.sql.Encoders
+    df.select(col(fpCol).cast("string")).na.drop()
+      .as[String](Encoders.STRING).rdd
+      .treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
+        (bf, s) => { bf.putString(s); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+  }
+
   /** n-gram Jaccard candidate pairs: explode distinct shingles, self-join
     * on the shingle (ids ordered to halve the pairs), count shared
     * shingles, compute exact Jaccard = |∩| / (|A|+|B|−|∩|), keep pairs ≥
@@ -560,6 +591,56 @@ object DedupFunctions {
     val doomed = connectedComponents(pairs, maxIter = maxIter,
         driverThreshold = driverThreshold)
       .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  /** [[dropNearDuplicateClusters]] with a QUALITY keep rule: each
+    * near-dup cluster keeps its highest-`scoreCol` member (smallest id
+    * on ties) instead of its smallest-id member — the canonicalization
+    * real pipelines want, because the min-id survivor of a
+    * boilerplate cluster is an arbitrary crawl accident while the
+    * max-quality one is the best rendering of the shared content.
+    * Rows in no pair survive untouched.
+    *
+    * `scoreCol` casts to double; a null or NaN score ranks LAST (a row
+    * without a usable score must never beat a scored one — the
+    * normalization below, not raw struct ordering, which would rank a
+    * null field first and crown the unscored row).
+    *
+    * Scale shape: clustering is [[connectedComponents]] (bounded star
+    * rounds / driver union-find — never data-diameter); the score
+    * attach is one equi-join of the PAIR-NODE set (not the corpus)
+    * against `df`'s (id, score) projection; the per-cluster argmax is
+    * one `min_by` hash aggregation (map-side partials carry a single
+    * candidate per cluster per task); and the drop is the same
+    * anti-join every dedup operator ends with.
+    */
+  def keepBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String, maxIter: Int = 25,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter = maxIter,
+      driverThreshold = driverThreshold)
+    // rank key: smaller is better — negated score with null/NaN pushed
+    // to +Inf (rank-last), id as the deterministic tiebreak
+    val rank = struct(
+      coalesce(nanvl(-col("_s"), lit(Double.PositiveInfinity)),
+        lit(Double.PositiveInfinity)).as("ns"),
+      col("id").as("tie"))
+    // the scored node frame feeds both the argmax aggregation and the
+    // join-back — pin it so clustering + the score attach execute once
+    // (the library-wide multi-consumer rule; released via
+    // Caches.releaseAll)
+    val scored = graft.Caches.trackedPersist(
+      cc.join(
+        df.select(col(idCol).as("id"), col(scoreCol).cast("double").as("_s")),
+        Seq("id")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val doomed = scored
+      .groupBy(col("component"))
+      .agg(min_by(col("id"), rank).as("_keep"))
+      .join(scored.select(col("id"), col("component")), Seq("component"))
+      .filter(col("id") =!= col("_keep"))
       .select(col("id").as(idCol))
     df.join(doomed, Seq(idCol), "left_anti")
   }

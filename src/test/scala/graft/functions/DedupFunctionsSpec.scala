@@ -168,6 +168,54 @@ class DedupFunctionsSpec extends AnyFunSuite {
     assert(nClusters === 2L)
   }
 
+  test("keepBestPerCluster keeps the highest-score member; null/NaN scores lose") {
+    val docs = Seq(
+      (1L, 10.0), (2L, 50.0), (3L, 50.0),     // cluster {1,2,3}: max q tie 2/3 -> 2
+      (10L, 5.0), (11L, Double.NaN),          // cluster {10,11}: NaN loses -> 10
+      (20L, 1.0), (99L, 0.0))                 // 20 paired w/ null-score 21 below; 99 untouched
+      .toDF("id", "q")
+      .unionByName(Seq((21L, Option.empty[Double])).toDF("id", "q"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val kept = DedupFunctions.keepBestPerCluster(docs, pairs, "id", "q")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 10L, 20L, 99L))
+    // same clusters under min-id keep the ARBITRARY member instead —
+    // the quality rule is what changed, not the clustering
+    val minId = DedupFunctions.dropNearDuplicateClusters(docs, pairs, "id")
+      .select("id").as[Long].collect().toSet
+    assert(minId === Set(1L, 10L, 20L, 99L))
+    graft.Caches.releaseAll()
+  }
+
+  test("fingerprintBloom + BloomMightContain: no false negatives, merged batches covered") {
+    val a = (1L to 500L).map(i => s"fp_$i").toDF("fp")
+    val b = (501L to 900L).map(i => s"fp_$i").toDF("fp")
+    val bfA = DedupFunctions.fingerprintBloom(a, "fp", expectedItems = 2000L)
+    // the load-bearing property: every inserted value probes TRUE
+    // through the expression (a false negative would silently admit a
+    // duplicate into the corpus)
+    assert(a.filter(!BloomMightContain(col("fp"), bfA)).count() === 0L)
+    // per-batch filters with the same geometry merge into one sketch
+    // covering both batches — the stored-state accumulation contract
+    val bfB = DedupFunctions.fingerprintBloom(b, "fp", expectedItems = 2000L)
+    bfA.mergeInPlace(bfB)
+    assert(a.unionByName(b).filter(!BloomMightContain(col("fp"), bfA)).count() === 0L)
+    // absent keys mostly probe false (fpp stays in band), and a null
+    // input probes null like any null-strict predicate
+    val absent = (1L to 1000L).map(i => s"zz_$i").toDF("fp")
+    val fpHits = absent.filter(BloomMightContain(col("fp"), bfA)).count()
+    assert(fpHits < 200L, s"false-positive rate out of band: $fpHits/1000")
+    val probed = Seq(Some("fp_1"), None).toDF("fp")
+      .select(BloomMightContain(col("fp"), bfA).as("hit")).collect()
+    assert(probed.map(r => Option(r.get(0))).toSet === Set(Some(true), None))
+    intercept[IllegalArgumentException] {
+      DedupFunctions.fingerprintBloom(a, "fp", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      DedupFunctions.fingerprintBloom(a, "fp", 10L, fpp = 1.0)
+    }
+  }
+
   test("simhash64: identical docs get identical signatures (hamming 0)") {
     val sigs = corpus.select(col("doc_id"),
       DedupFunctions.simhash64(DedupFunctions.wordShingles(col("text"), 3)).as("sig"))
