@@ -32,7 +32,17 @@ final case class CorpusConfig(
     minhashHash: (Column, Int) => Column =
       (c, i) => xxhash64(c, lit(i)),
     minhashBucketHash: (Column, Int) => Column =
-      (c, b) => xxhash64(c, lit(b)))
+      (c, b) => xxhash64(c, lit(b)),
+    // `fpBloomItems` arms the Bloom gate on the exact-vs-corpus tier of
+    // the stateful ingest: per-batch fingerprint Bloom filters persist
+    // alongside the TextIndex and merge into one corpus-wide sketch the
+    // nightly append probes BEFORE the fingerprint anti-join — a bloom
+    // miss is proof of absence, so the mostly-fresh crawl skips the
+    // index join for almost every row. Size it for the TARGET corpus
+    // (it fixes the filter geometry all batches must share; ~7.3
+    // bits/item at the default 3% fpp). None = gate off.
+    fpBloomItems: Option[Long] = None,
+    fpBloomFpp: Double = 0.03)
 
 /** Embedding-tier (semantic) dedup knobs for [[CorpusPipeline.clean]].
   * `dim` is the embedding dimensionality (needed to generate the LSH
@@ -337,7 +347,8 @@ object CorpusPipeline {
       semanticIndex: Option[SemanticIndex] = None,
       batchChunks: Option[DataFrame] = None,
       chunkIdCol: String = "doc_id", vecCol: String = "embedding",
-      semantic: Option[SemanticConfig] = None): DataFrame = {
+      semantic: Option[SemanticConfig] = None,
+      fpBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     require(batchChunks.isEmpty == semantic.isEmpty,
       "semantic append needs BOTH the batch chunk frame and a SemanticConfig")
     require(semanticIndex.isEmpty || semantic.isDefined,
@@ -364,13 +375,31 @@ object CorpusPipeline {
           MEMORY_AND_DISK), Some(pooled))
       case _ => (textClean, None)
     }
-    // 2. exact-vs-corpus fingerprint anti-join (16-byte keys, never text)
+    // 2. exact-vs-corpus fingerprint anti-join (16-byte keys, never text).
+    // With a corpus Bloom filter armed, rows the filter rejects are
+    // PROVEN absent (no false negatives) and bypass the index join
+    // entirely — at steady state a fresh crawl is almost all misses, so
+    // the nightly job stops scanning the multi-billion-row fingerprint
+    // table to learn what it already knows. Only bloom hits (true
+    // duplicates plus the fpp fraction) verify against the stored
+    // fingerprints, and that join's batch side is now hit-sized. The
+    // two filters re-run the fingerprint projection, but over the
+    // PINNED batch-clean frame — scan-local, never upstream lineage.
+    // A null fingerprint (null text) can't match anything: it takes the
+    // miss arm, same as the anti-join's null-key semantics.
     val fp = graft.ops.ColNames.fresh(batchClean.columns.toSet, "_fp")
-    val afterExact = trackedPersist(
-      batchClean.withColumn(fp, TextFunctions.fingerprint(col(textCol)))
-        .join(index.fingerprints.select(col("fp").as(fp)), Seq(fp), "left_anti")
-        .drop(fp),
-      MEMORY_AND_DISK)
+    val withFp = batchClean.withColumn(fp, TextFunctions.fingerprint(col(textCol)))
+    val probed = fpBloom match {
+      case Some(bloom) =>
+        val hit = coalesce(
+          graft.functions.BloomMightContain(col(fp), bloom), lit(false))
+        withFp.filter(!hit).unionByName(
+          withFp.filter(hit)
+            .join(index.fingerprints.select(col("fp").as(fp)), Seq(fp), "left_anti"))
+      case None =>
+        withFp.join(index.fingerprints.select(col("fp").as(fp)), Seq(fp), "left_anti")
+    }
+    val afterExact = trackedPersist(probed.drop(fp), MEMORY_AND_DISK)
     // 3. near-dup-vs-corpus: the batch signatures freshly; the corpus
     // side contributes its STORED band table for candidates and its
     // stored shingles for candidate verification only
@@ -417,6 +446,11 @@ object CorpusPipeline {
   //   index_vec|index_vbd/batch_<token>/          SemanticIndex tables
   //                               (present only for semantic-armed
   //                               batches)
+  //   index_bl/batch_<token>/bloom.bin            per-batch fingerprint
+  //                               Bloom filter (present only for
+  //                               bloom-armed batches; all share the
+  //                               cfg-fixed geometry so they merge into
+  //                               one corpus-wide sketch at read time)
   //
   // Readers assemble state from COMMITTED batch dirs only, so a crash
   // anywhere before the marker leaves invisible orphan files and the
@@ -523,6 +557,56 @@ object CorpusPipeline {
       spark.read.parquet(vecs: _*), spark.read.parquet(bands: _*)))
   }
 
+  /** The corpus-wide fingerprint Bloom filter: every committed batch's
+    * stored filter, merged (same geometry by the cfg contract — a
+    * mid-corpus knob change surfaces as the merge error it is, with the
+    * remedy in the message). Returns None when ANY committed batch
+    * lacks a filter: a partial sketch would have false NEGATIVES for
+    * the uncovered batches' fingerprints — the one failure mode a
+    * Bloom gate must never have — so mixed state disarms the gate
+    * (correct, just join-speed) instead of silently dropping nothing.
+    * Driver-side: one tiny file read per committed batch.
+    */
+  def readFpBloom(spark: SparkSession, stateDir: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val fs = stateFs(spark, stateDir)
+    val toks = committedTokens(spark, stateDir)
+    if (toks.isEmpty) return None
+    val paths = toks.map(t =>
+      new org.apache.hadoop.fs.Path(s"$stateDir/index_bl/batch_$t/bloom.bin"))
+    if (!paths.forall(fs.exists)) None
+    else {
+      val filters = paths.map { p =>
+        val in = fs.open(p)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      }
+      Some(filters.reduce { (a, b) =>
+        try a.mergeInPlace(b)
+        catch {
+          case e: org.apache.spark.util.sketch.IncompatibleMergeException =>
+            throw new IllegalStateException(
+              s"committed Bloom filters under $stateDir have mixed geometry — " +
+                "fpBloomItems/fpBloomFpp changed mid-corpus; compact with the " +
+                "new knobs to rebuild one consistent sketch", e)
+        }
+      })
+    }
+  }
+
+  /** Write one batch's fingerprint Bloom filter into the staged layout
+    * (committed, like every other table, by the batch's marker).
+    */
+  private def writeFpBloom(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, token: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$stateDir/index_bl/batch_$token/bloom.bin")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
   /** Compact a commit-log state dir into `targetDir`: every committed
     * table consolidates into ONE batch dir (`batch_b0000000000`) under
     * a fresh commit log whose single marker carries the total count.
@@ -567,6 +651,11 @@ object CorpusPipeline {
       sIdx.vectors.write.mode("overwrite").parquet(s"$targetDir/index_vec/batch_$token")
       sIdx.bands.write.mode("overwrite").parquet(s"$targetDir/index_vbd/batch_$token")
     }
+    // the merged corpus-wide Bloom sketch carries over as the single
+    // batch's filter; a mixed-arming source (readFpBloom → None) keeps
+    // the compacted dir bloom-free rather than writing a sketch with
+    // false negatives for the uncovered batches
+    readFpBloom(spark, stateDir).foreach(b => writeFpBloom(fs, targetDir, token, b))
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$targetDir/commits"))
     val marker = fs.create(new org.apache.hadoop.fs.Path(
       s"$targetDir/commits/commit_$token"), true)
@@ -645,7 +734,10 @@ object CorpusPipeline {
         textCol, cfg,
         semanticIndex = semantic.flatMap(_ => readSemanticIndex(spark, stateDir)),
         batchChunks = batchChunks, chunkIdCol = chunkIdCol, vecCol = vecCol,
-        semantic = semantic)
+        semantic = semantic,
+        // the gate arms only when the cfg asks AND every committed
+        // batch stored a filter (readFpBloom's no-false-negative rule)
+        fpBloom = cfg.fpBloomItems.flatMap(_ => readFpBloom(spark, stateDir)))
     val (survivors, releaseSurvivors) =
       graft.internal.Checkpoints.localCheckpointTracked(cleaned)
     try {
@@ -657,6 +749,13 @@ object CorpusPipeline {
       idx.fingerprints.write.mode("overwrite").parquet(s"$stateDir/index_fp/batch_$token")
       idx.shingles.write.mode("overwrite").parquet(s"$stateDir/index_sh/batch_$token")
       idx.bands.write.mode("overwrite").parquet(s"$stateDir/index_bd/batch_$token")
+      // bloom-armed batches stage their fingerprint sketch with the
+      // other index tables (one aggregation over the checkpointed
+      // survivors; geometry fixed by the cfg so all batches merge)
+      cfg.fpBloomItems.foreach { items =>
+        writeFpBloom(fs, stateDir, token, graft.functions.DedupFunctions
+          .fingerprintBloom(idx.fingerprints, "fp", items, cfg.fpBloomFpp))
+      }
       (batchChunks, semantic) match {
         case (Some(ch), Some(sc)) =>
           val sIdx = buildSemanticIndex(

@@ -191,6 +191,85 @@ class CorpusPipelineSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("appendBatchIndexed: the Bloom gate is result-transparent, even saturated") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0)
+    val existing = CorpusPipeline.clean(
+      docs.filter(col("doc_id") < 25), "doc_id", "text", cfg)
+    val recrawl = existing.orderBy("doc_id").limit(1)
+      .select(lit(900500L).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") >= 25).unionByName(recrawl)
+    val idx = CorpusPipeline.buildTextIndex(existing, "doc_id", "text", cfg)
+    val plain = CorpusPipeline.appendBatchIndexed(idx, batch, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    // a well-sized sketch: misses skip the index join, hits verify —
+    // survivor set identical, recrawl still drops
+    val bloom = graft.functions.DedupFunctions.fingerprintBloom(
+      idx.fingerprints, "fp", expectedItems = 100000L)
+    val gated = CorpusPipeline.appendBatchIndexed(idx, batch, "doc_id", "text",
+        cfg, fpBloom = Some(bloom))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated === plain)
+    assert(!gated.contains(900500L))
+    // a SATURATED sketch (2 expected items, hundreds inserted → nearly
+    // every probe a false positive) degrades to the plain anti-join's
+    // cost, never to wrong results
+    val saturated = graft.functions.DedupFunctions.fingerprintBloom(
+      idx.fingerprints, "fp", expectedItems = 2L, fpp = 0.5)
+    val viaSaturated = CorpusPipeline.appendBatchIndexed(idx, batch, "doc_id",
+        "text", cfg, fpBloom = Some(saturated))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaSaturated === plain)
+    graft.Caches.releaseAll()
+  }
+
+  test("ingest: bloom-armed nights converge; mixed state disarms the gate safely") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0,
+      fpBloomItems = Some(100000L))
+    val state = Files.createTempDirectory("ingest-bloom").toFile.getAbsolutePath
+    val n1 = CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") < 25),
+      cfg = cfg)
+    assert(CorpusPipeline.readFpBloom(spark, state).isDefined,
+      "an armed batch must stage its sketch")
+    // night 2 probes the stored sketch; the re-crawl is a bloom HIT and
+    // drops through the verify join
+    val recrawl = CorpusPipeline.readCorpus(spark, state).orderBy("doc_id").limit(1)
+      .select(lit(900600L).as("doc_id"), col("text"))
+    val n2 = CorpusPipeline.ingest(spark, state,
+      docs.filter(col("doc_id") >= 25).unionByName(recrawl), cfg = cfg)
+    assert(n2("ingested") > 0L)
+    assert(CorpusPipeline.readCorpus(spark, state)
+      .filter(col("doc_id") === 900600L).isEmpty,
+      "re-crawled copy must drop through the bloom-gated tier")
+    // replayed content under a fresh token: INSERT-OR-IGNORE holds
+    val n3 = CorpusPipeline.ingest(spark, state,
+      docs.filter(col("doc_id") >= 25), cfg = cfg)
+    assert(n3("ingested") === 0L)
+    // compaction carries the merged sketch into the new state dir
+    val target = Files.createTempDirectory("ingest-bloom-compact").toFile.getAbsolutePath
+    CorpusPipeline.compact(spark, state, target)
+    assert(CorpusPipeline.readFpBloom(spark, target).isDefined,
+      "compaction must preserve the corpus-wide sketch")
+    // MIXED state: a corpus seeded WITHOUT the bloom knob, then an
+    // armed night — the partial sketch would have false negatives, so
+    // the gate must disarm (readFpBloom None) and dedup must still hold
+    val mixed = Files.createTempDirectory("ingest-bloom-mixed").toFile.getAbsolutePath
+    CorpusPipeline.ingest(spark, mixed, docs.filter(col("doc_id") < 25),
+      cfg = cfg.copy(fpBloomItems = None))
+    assert(CorpusPipeline.readFpBloom(spark, mixed).isEmpty,
+      "a pre-bloom batch must disarm the merged sketch")
+    val recrawl2 = CorpusPipeline.readCorpus(spark, mixed).orderBy("doc_id").limit(1)
+      .select(lit(900601L).as("doc_id"), col("text"))
+    CorpusPipeline.ingest(spark, mixed,
+      docs.filter(col("doc_id") >= 25).unionByName(recrawl2), cfg = cfg)
+    assert(CorpusPipeline.readCorpus(spark, mixed)
+      .filter(col("doc_id") === 900601L).isEmpty,
+      "dedup must hold even with the gate disarmed")
+  }
+
   test("appendBatchIndexed plan: NO aggregation consumes the stored corpus shingles") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
