@@ -2183,6 +2183,109 @@ object Queries {
              |       count(DISTINCT source) AS n_sources, min(doc_id) AS min_id
              |FROM s GROUP BY split ORDER BY split""".stripMargin)),
 
+    QueryDef("d12_token_budget",
+      // token-budget mixture downsampling: every source keeps rate
+      // min(1, 1300 / its token mass) — over-budget sources thin toward
+      // 1300 kept tokens, under-budget ones keep everything — applied
+      // as the engine-portable md5 hash predicate. The oracle re-derives
+      // the identical 6dp rates and membership from the same token CTE
+      // d10 already hash-matches.
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            T.tokenCount(col("text")).as("n_tok"))
+          .withColumn("_k", col("doc_id").cast("string"))
+        Sam.tokenBudgetSample(d, "_k", "source", "n_tok", budgetTokens = 1300L,
+            hash = D.md5Hash60(_))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("source")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+             |  FROM documents),
+             |r AS (SELECT source,
+             |        round(least(1.0, 1300.0 / CAST(sum(n_tok) AS DOUBLE)), 6) AS rate
+             |      FROM b GROUP BY 1),
+             |k AS (
+             |  SELECT b.doc_id, b.source, b.n_tok FROM b JOIN r USING (source)
+             |  WHERE CAST(('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |          % 1000000 < rate * 1e6)
+             |SELECT source, count(*) AS n_kept,
+             |       CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+             |       min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("d13_cluster_keep_best",
+      // quality-canonical near-dup dedup: exact-jaccard clusters (d3's
+      // pairs, d7's transitive closure) keep their HIGHEST-quality
+      // member (min-id tiebreak) instead of min-id — the survivor of a
+      // boilerplate cluster is its best rendering, not a crawl
+      // accident. Oracle stitches the three already-hash-matched CTE
+      // families and replays the argmax with a window.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = d.select(col("doc_id"),
+          T.qualityScore(col("text")).as("q"))
+        val pairs = D.jaccardPairs(d, "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 1000L)
+        D.keepBestPerCluster(scored, pairs, "doc_id", "q")
+          .select(col("doc_id"), round(col("q"), 6).as("q"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sgl FROM sh),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             |         count(*) AS shared
+             |  FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |v AS (
+             |  SELECT id_a, id_b FROM p
+             |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM v
+             |          UNION SELECT id_b, id_a FROM v),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT reach.id, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src),
+             |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             |m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
+             |         END AS punct_ratio,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
+             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio
+             |  FROM documents),
+             |q0 AS (SELECT doc_id,
+             |  (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+             |   + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+             |   + least(stopword_ratio * 5.0, 1.0) * 0.3) * 100.0 AS q
+             |FROM m),
+             |ranked AS (
+             |  SELECT cc.id,
+             |    row_number() OVER (PARTITION BY cc.component ORDER BY q0.q DESC, cc.id) AS rn
+             |  FROM cc JOIN q0 ON q0.doc_id = cc.id),
+             |doomed AS (SELECT id FROM ranked WHERE rn > 1)
+             |SELECT doc_id, round(q, 6) AS q FROM q0
+             |WHERE doc_id NOT IN (SELECT id FROM doomed)
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("d10_quality_cap",
       // top-k-by-QUALITY per source — capPerGroup's struct-order path:
       // orderCol = struct(-quality, doc_id) maps "best first, id
@@ -2660,6 +2763,39 @@ object Queries {
             .select((col("doc_id") + 100000).as("doc_id"), col("text")))
         graft.corpus.CorpusPipeline.appendBatch(
             existing, batch, "doc_id", "text", cfg)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(c5OracleSql)),
+
+    QueryDef("c5c_append_bloom",
+      // c5's append through the BLOOM-GATED exact tier: the corpus
+      // fingerprint sketch proves most batch rows absent before the
+      // anti-join, so only bloom hits touch the stored fingerprint
+      // table. The gate is result-transparent by construction (misses
+      // are proofs of absence; hits still verify against the real
+      // index), so the full c5 oracle applies UNCHANGED — the
+      // hash-match is the proof the gate never drops or admits a row
+      // the anti-join wouldn't.
+      (s, dir) => {
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7,
+          minhashHash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+          minhashBucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))))
+        val d = docs(s, dir)
+        val existing = d.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val idx = graft.corpus.CorpusPipeline.buildTextIndex(
+          existing, "doc_id", "text", cfg)
+        val bloom = D.fingerprintBloom(idx.fingerprints, "fp",
+          expectedItems = 100000L)
+        graft.corpus.CorpusPipeline.appendBatchIndexed(
+            idx, batch, "doc_id", "text", cfg, fpBloom = Some(bloom))
           .select(col("doc_id"), md5(col("text")).as("text_md5"))
           .orderBy("doc_id")
       },
