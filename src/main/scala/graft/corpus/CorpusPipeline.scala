@@ -375,27 +375,40 @@ object CorpusPipeline {
           MEMORY_AND_DISK), Some(pooled))
       case _ => (textClean, None)
     }
-    // 2. exact-vs-corpus fingerprint anti-join (16-byte keys, never text).
-    // With a corpus Bloom filter armed, rows the filter rejects are
-    // PROVEN absent (no false negatives) and bypass the index join
-    // entirely — at steady state a fresh crawl is almost all misses, so
-    // the nightly job stops scanning the multi-billion-row fingerprint
-    // table to learn what it already knows. Only bloom hits (true
-    // duplicates plus the fpp fraction) verify against the stored
-    // fingerprints, and that join's batch side is now hit-sized. The
-    // two filters re-run the fingerprint projection, but over the
+    // 2. exact-vs-corpus fingerprint check (16-byte keys, never text).
+    //
+    // The plain form is one anti-join. Its scale flaw is subtle: an
+    // ANTI join can only broadcast its RIGHT (build) side, so however
+    // small the batch is, Catalyst must SHUFFLE the corpus-sized
+    // fingerprint table every night to execute batch ⋉̸ index.
+    //
+    // The Bloom gate fixes both halves. Rows the corpus sketch rejects
+    // are PROVEN absent (no false negatives) and skip the index
+    // entirely — at steady state a fresh crawl is almost all misses.
+    // The surviving hits (true duplicates plus the fpp fraction) are
+    // tiny BY CONSTRUCTION, so their keys broadcast into a left-semi
+    // probe of the index scan — the corpus side is now SCAN-ONLY (one
+    // 16-byte column, row-groups prunable against the broadcast keys),
+    // never shuffled — and the verified-present set, bounded by the
+    // hit count, broadcasts back into the final row-local anti-join.
+    // Nothing corpus-sized moves; the one remaining corpus cost is the
+    // columnar fp-column read, which only a keyed store could remove.
+    //
+    // The filters re-run the fingerprint projection, but over the
     // PINNED batch-clean frame — scan-local, never upstream lineage.
-    // A null fingerprint (null text) can't match anything: it takes the
-    // miss arm, same as the anti-join's null-key semantics.
+    // A null fingerprint (null text) can't match anything: it takes
+    // the miss arm, same as the anti-join's null-key semantics.
     val fp = graft.ops.ColNames.fresh(batchClean.columns.toSet, "_fp")
     val withFp = batchClean.withColumn(fp, TextFunctions.fingerprint(col(textCol)))
     val probed = fpBloom match {
       case Some(bloom) =>
         val hit = coalesce(
           graft.functions.BloomMightContain(col(fp), bloom), lit(false))
+        val hits = withFp.filter(hit)
+        val present = index.fingerprints.select(col("fp").as(fp))
+          .join(broadcast(hits.select(col(fp)).distinct()), Seq(fp), "left_semi")
         withFp.filter(!hit).unionByName(
-          withFp.filter(hit)
-            .join(index.fingerprints.select(col("fp").as(fp)), Seq(fp), "left_anti"))
+          hits.join(broadcast(present), Seq(fp), "left_anti"))
       case None =>
         withFp.join(index.fingerprints.select(col("fp").as(fp)), Seq(fp), "left_anti")
     }

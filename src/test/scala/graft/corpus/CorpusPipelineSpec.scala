@@ -224,6 +224,84 @@ class CorpusPipelineSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("appendBatchIndexed plan: bloom-armed exact tier never SHUFFLES the fingerprint index") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0)
+    val existing = CorpusPipeline.clean(
+      docs.filter(col("doc_id") < 25), "doc_id", "text", cfg)
+    val dir = Files.createTempDirectory("bloom-plan").toFile.getAbsolutePath
+    val idx = CorpusPipeline.buildTextIndex(existing, "doc_id", "text", cfg)
+    idx.fingerprints.write.parquet(s"$dir/fp")
+    idx.shingles.write.parquet(s"$dir/sh")
+    idx.bands.write.parquet(s"$dir/bd")
+    graft.Caches.releaseAll()
+    val loaded = CorpusPipeline.TextIndex(
+      spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/sh"),
+      spark.read.parquet(s"$dir/bd"))
+    val bloom = graft.functions.DedupFunctions.fingerprintBloom(
+      loaded.fingerprints, "fp", expectedItems = 100000L)
+    // the exact tier sits under the operator's internal pin, so the
+    // claim must be checked inside every cached FRAGMENT — but a
+    // downstream exchange above a cache scan shuffles the cache's
+    // (batch-sized) OUTPUT, not the index, so attribution stops at the
+    // materialization boundary
+    def fragments(p: SparkPlan): Seq[SparkPlan] = {
+      val nodes = p.collect { case n => n }
+      p +: nodes.flatMap {
+        case i: InMemoryTableScanExec => fragments(i.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => fragments(a.initialPlan)
+        case _ => Nil
+      }
+    }
+    def scansFpShallow(p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains(s"$dir/fp"))
+      case _: InMemoryTableScanExec => false
+      case a: AdaptiveSparkPlanExec => scansFpShallow(a.initialPlan)
+      case other => other.children.exists(scansFpShallow)
+    }
+    def shuffledFpExchanges(p: SparkPlan): Seq[SparkPlan] =
+      fragments(p).flatMap(_.collect {
+        case e: ShuffleExchangeExec if scansFpShallow(e.child) => e
+      })
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val abtWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // a 100 TB fingerprint index does NOT fit the auto-broadcast
+    // threshold — disable it so the plan shows the at-scale shapes.
+    // The gate's EXPLICIT broadcast hints (hit keys, verified set) are
+    // unaffected: they are batch/hit-sized by construction.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = CorpusPipeline.appendBatchIndexed(loaded,
+        docs.filter(col("doc_id") >= 25), "doc_id", "text", cfg,
+        fpBloom = Some(bloom)).queryExecution.executedPlan
+      assert(fragments(gated).exists(scansFpShallow),
+        "the fp scan must appear (hit verification reads it)")
+      val shuffledFp = shuffledFpExchanges(gated)
+      assert(shuffledFp.isEmpty,
+        s"bloom-armed exact tier must keep the fingerprint index scan-only:\n${shuffledFp.mkString("\n")}")
+      graft.Caches.releaseAll()
+      // positive control: the plain anti-join cannot broadcast its huge
+      // build side, so it SHUFFLES the index — proves the detector sees
+      // the shape the gate removes
+      val plain = CorpusPipeline.appendBatchIndexed(loaded,
+        docs.filter(col("doc_id") >= 25), "doc_id", "text", cfg)
+        .queryExecution.executedPlan
+      assert(shuffledFpExchanges(plain).nonEmpty,
+        "detector sanity: the un-gated anti-join shuffles the fingerprint index")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abtWas)
+      graft.Caches.releaseAll()
+    }
+  }
+
   test("ingest: bloom-armed nights converge; mixed state disarms the gate safely") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
