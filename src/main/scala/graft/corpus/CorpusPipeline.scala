@@ -42,7 +42,15 @@ final case class CorpusConfig(
     // (it fixes the filter geometry all batches must share; ~7.3
     // bits/item at the default 3% fpp). None = gate off.
     fpBloomItems: Option[Long] = None,
-    fpBloomFpp: Double = 0.03)
+    fpBloomFpp: Double = 0.03,
+    // decontamination knobs (active when a `holdout` frame is passed to
+    // [[CorpusPipeline.clean]]/append/ingest): a survivor sharing more
+    // than `maxSharedGrams` distinct word `decontamNgram`-grams with
+    // ANY holdout document is dropped. 13 is the published LLM-dedup
+    // setting for natural text; the registry's synthetic-vocab oracle
+    // uses 3 (the c1 convention).
+    decontamNgram: Int = 13,
+    maxSharedGrams: Long = 0L)
 
 /** Embedding-tier (semantic) dedup knobs for [[CorpusPipeline.clean]].
   * `dim` is the embedding dimensionality (needed to generate the LSH
@@ -136,12 +144,24 @@ object CorpusPipeline {
     * tier ([[semanticDedup]]) runs after the text near-dup drop —
     * text-LSH catches verbatim-ish copies; the embedding pass catches
     * paraphrases and re-renderings that share meaning but few shingles.
+    *
+    * When `holdout` is given (a benchmark/eval suite carrying
+    * `textCol`), survivors sharing more than `cfg.maxSharedGrams`
+    * distinct `cfg.decontamNgram`-grams with ANY holdout document are
+    * dropped ([[graft.functions.DedupFunctions.contaminationReport]]
+    * as a drop gate) — eval contamination is a data defect exactly
+    * like duplication, and the nightly clean is where both belong.
+    * It runs AFTER the text dedup tiers: the gram explode is the
+    * widest projection in the pipeline, so it should see the fewest
+    * rows, and the holdout gram set broadcasts, so the placement costs
+    * nothing corpus-shaped either way.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       cfg: CorpusConfig = CorpusConfig(),
       chunkEmbeddings: Option[DataFrame] = None,
       chunkIdCol: String = "doc_id", vecCol: String = "embedding",
-      semantic: Option[SemanticConfig] = None): DataFrame = {
+      semantic: Option[SemanticConfig] = None,
+      holdout: Option[DataFrame] = None): DataFrame = {
     require(chunkEmbeddings.isEmpty == semantic.isEmpty,
       "semantic dedup needs BOTH the chunk-embedding frame and a SemanticConfig")
     val t = col(textCol)
@@ -172,7 +192,21 @@ object CorpusPipeline {
       threshold = cfg.nearDupThreshold,
       hash = cfg.minhashHash, bucketHash = cfg.minhashBucketHash,
       hotBucketThreshold = cfg.hotBucketThreshold, salts = cfg.salts)
-    val textDeduped = DedupFunctions.dropNearDuplicates(exact, pairs, idCol)
+    val textDeduped0 = DedupFunctions.dropNearDuplicates(exact, pairs, idCol)
+    val textDeduped = holdout match {
+      case Some(h) =>
+        // the dedup survivors feed BOTH the contamination report and
+        // the drop anti-join — pin them so the whole gate/dedup chain
+        // executes once (the multi-consumer rule; Caches.releaseAll)
+        val pinned = graft.Caches.trackedPersist(textDeduped0,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val contaminated = DedupFunctions.contaminationReport(
+          pinned, h, idCol, textCol, n = cfg.decontamNgram)
+          .filter(col("n_shared_grams") > cfg.maxSharedGrams)
+          .select(col(idCol))
+        pinned.join(contaminated, Seq(idCol), "left_anti")
+      case _ => textDeduped0
+    }
     (chunkEmbeddings, semantic) match {
       case (Some(chunks), Some(semCfg)) =>
         // the text-tier survivors feed BOTH the semantic tier's
@@ -231,7 +265,8 @@ object CorpusPipeline {
       existingChunks: Option[DataFrame] = None,
       batchChunks: Option[DataFrame] = None,
       chunkIdCol: String = "doc_id", vecCol: String = "embedding",
-      semantic: Option[SemanticConfig] = None): DataFrame = {
+      semantic: Option[SemanticConfig] = None,
+      holdout: Option[DataFrame] = None): DataFrame = {
     require(existingChunks.isEmpty == semantic.isEmpty &&
         batchChunks.isEmpty == semantic.isEmpty,
       "semantic append needs BOTH sides' chunk-embedding frames and a SemanticConfig")
@@ -242,7 +277,7 @@ object CorpusPipeline {
     }
     appendBatchIndexed(buildTextIndex(existing, idCol, textCol, cfg),
       batch, idCol, textCol, cfg, semIdx, batchChunks,
-      chunkIdCol, vecCol, semantic)
+      chunkIdCol, vecCol, semantic, holdout = holdout)
   }
 
   /** The corpus-side TEXT dedup state [[appendBatchIndexed]] joins
@@ -348,7 +383,8 @@ object CorpusPipeline {
       batchChunks: Option[DataFrame] = None,
       chunkIdCol: String = "doc_id", vecCol: String = "embedding",
       semantic: Option[SemanticConfig] = None,
-      fpBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+      fpBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      holdout: Option[DataFrame] = None): DataFrame = {
     require(batchChunks.isEmpty == semantic.isEmpty,
       "semantic append needs BOTH the batch chunk frame and a SemanticConfig")
     require(semanticIndex.isEmpty || semantic.isDefined,
@@ -363,7 +399,7 @@ object CorpusPipeline {
     // ids pooled here). Avoids a second explode+aggregation over the
     // night's chunks.
     val textClean = trackedPersist(
-      clean(batch, idCol, textCol, cfg), MEMORY_AND_DISK)
+      clean(batch, idCol, textCol, cfg, holdout = holdout), MEMORY_AND_DISK)
     val (batchClean, pooledBatch) = (batchChunks, semantic) match {
       case (Some(bCh), Some(sc)) =>
         val pooled = trackedPersist(
@@ -712,7 +748,8 @@ object CorpusPipeline {
       batchChunks: Option[DataFrame] = None,
       chunkIdCol: String = "doc_id", vecCol: String = "embedding",
       semantic: Option[SemanticConfig] = None,
-      batchId: Option[String] = None): Map[String, Long] = {
+      batchId: Option[String] = None,
+      holdout: Option[DataFrame] = None): Map[String, Long] = {
     require(batchChunks.isEmpty == semantic.isEmpty,
       "semantic ingest needs BOTH the batch chunk frame and a SemanticConfig")
     val fs = stateFs(spark, stateDir)
@@ -742,7 +779,8 @@ object CorpusPipeline {
     val docs = batch.select(col(idCol), col(textCol))
     val cleaned =
       if (committed.isEmpty)
-        clean(docs, idCol, textCol, cfg, batchChunks, chunkIdCol, vecCol, semantic)
+        clean(docs, idCol, textCol, cfg, batchChunks, chunkIdCol, vecCol,
+          semantic, holdout = holdout)
       else appendBatchIndexed(readTextIndex(spark, stateDir), docs, idCol,
         textCol, cfg,
         semanticIndex = semantic.flatMap(_ => readSemanticIndex(spark, stateDir)),
@@ -750,7 +788,8 @@ object CorpusPipeline {
         semantic = semantic,
         // the gate arms only when the cfg asks AND every committed
         // batch stored a filter (readFpBloom's no-false-negative rule)
-        fpBloom = cfg.fpBloomItems.flatMap(_ => readFpBloom(spark, stateDir)))
+        fpBloom = cfg.fpBloomItems.flatMap(_ => readFpBloom(spark, stateDir)),
+        holdout = holdout)
     val (survivors, releaseSurvivors) =
       graft.internal.Checkpoints.localCheckpointTracked(cleaned)
     try {
@@ -820,7 +859,8 @@ object CorpusPipeline {
       cfg: CorpusConfig = CorpusConfig(),
       chunksForBatch: Option[DataFrame => DataFrame] = None,
       chunkIdCol: String = "doc_id", vecCol: String = "embedding",
-      semantic: Option[SemanticConfig] = None)
+      semantic: Option[SemanticConfig] = None,
+      holdout: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(chunksForBatch.isEmpty == semantic.isEmpty,
       "semantic streaming ingest needs BOTH a chunk-frame provider and a SemanticConfig")
@@ -833,7 +873,7 @@ object CorpusPipeline {
           ingest(batch.sparkSession, stateDir, batch, idCol, textCol, cfg,
             batchChunks = chunksForBatch.map(f => f(batch)),
             chunkIdCol = chunkIdCol, vecCol = vecCol, semantic = semantic,
-            batchId = Some(s"s$bid"))
+            batchId = Some(s"s$bid"), holdout = holdout)
           ()
         }
       }

@@ -476,6 +476,38 @@ object Queries {
         |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)
         |ORDER BY doc_id""".stripMargin
 
+  /** c7: the c3 text chain over the non-holdout corpus, then the c1
+    * decontamination join as a DROP gate — survivors share ZERO word
+    * 3-grams with the held-out suite (maxSharedGrams = 0). Survivor
+    * grams come from the SCRUBBED text (the pipeline decontaminates
+    * what it would ship); holdout grams from the raw benchmark text.
+    */
+  private lazy val c7OracleSql: String =
+    "WITH corpus_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),\n" +
+      corpusTextCtesFrom("corpus_src") +
+      """,
+        |survivors AS (
+        |  SELECT e.doc_id, e.text FROM exact e
+        |  WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)),
+        |sgr AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> array_to_string(w[i:i+2], ' '))) END) AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |        FROM survivors)),
+        |hgr AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> array_to_string(w[i:i+2], ' '))) END) AS g
+        |  FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |        FROM documents WHERE doc_id % 50 = 0)),
+        |contaminated AS (SELECT DISTINCT doc_id FROM sgr JOIN hgr USING (g))
+        |SELECT s.doc_id, md5(s.text) AS text_md5 FROM survivors s
+        |WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin
+
   /** c4: the text tiers plus the embedding tier — s5's pooling (6dp),
     * the s2 hyperplane literals, exact-cosine verify, and the d7
     * recursive min-reachability closure, in [[graft.corpus
@@ -2739,6 +2771,28 @@ object Queries {
           .orderBy("doc_id")
       },
       Some(c4OracleSql)),
+
+    QueryDef("c7_decontaminated_clean_md5",
+      // the composed clean with the decontamination DROP gate armed:
+      // docs ≢ 0 (mod 50) clean through the full c3 text chain, then
+      // any survivor sharing a word 3-gram with the held-out suite
+      // (doc_id % 50 == 0, the c1 convention) drops. The holdout gram
+      // set broadcasts; nothing corpus-shaped moves for the gate.
+      (s, dir) => {
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7,
+          minhashHash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+          minhashBucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))),
+          decontamNgram = 3)
+        val d = docs(s, dir)
+        graft.corpus.CorpusPipeline.clean(
+            d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", cfg,
+            holdout = Some(d.filter(col("doc_id") % 50 === 0)))
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(c7OracleSql)),
 
     QueryDef("c5_incremental_append_md5",
       // the INCREMENTAL ingest composition, oracle-verified end-to-end:

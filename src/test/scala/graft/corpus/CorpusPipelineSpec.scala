@@ -120,6 +120,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("clean + holdout: exactly the contaminated survivors drop, nothing else") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0, decontamNgram = 3)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val holdout = docs.filter(col("doc_id") % 50 === 0)
+    val base = CorpusPipeline.clean(train, "doc_id", "text", cfg)
+    val baseIds = base.select("doc_id").as[Long].collect().toSet
+    val decon = CorpusPipeline.clean(train, "doc_id", "text", cfg,
+      holdout = Some(holdout))
+    val deconIds = decon.select("doc_id").as[Long].collect().toSet
+    assert(deconIds.subsetOf(baseIds), "the gate only ever drops")
+    // the dropped set is EXACTLY the contamination report over the
+    // un-gated survivors — the gate is the report applied as a filter
+    val contaminated = graft.functions.DedupFunctions.contaminationReport(
+        base, holdout, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(baseIds -- deconIds === contaminated)
+    assert(contaminated.nonEmpty, "fixture sanity: some overlap must exist")
+    graft.Caches.releaseAll()
+  }
+
   test("clean rejects a chunk frame without a config (and vice versa)") {
     val docs = spark.sql("SELECT * FROM VALUES (1L, 'x') AS t(doc_id, text)")
     intercept[IllegalArgumentException] {
