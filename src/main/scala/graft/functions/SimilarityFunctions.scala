@@ -661,4 +661,180 @@ object SimilarityFunctions {
     }.toArray
     CoarseIndex(means, memberIds, memberVecs)
   }
+
+  // ───────── product quantization (Jégou/Douze/Schmid, TPAMI 2011) ─────────
+
+  /** Train per-subspace PQ codebooks: `dim` splits into `m` contiguous
+    * subspaces of dim/m; each subspace gets its own k-means codebook of
+    * `codes` entries fitted on the training sample's sub-vectors.
+    * Returns `(subspace, code, centroid_vec)` — m·codes rows, tiny at
+    * any scale (the whole point: 256 codes × 8 subspaces × 8 dims of
+    * doubles ≈ 128 KB describes a compressor for billions of vectors).
+    * Train on a SAMPLE ([[graft.functions.SamplingFunctions
+    * .sampleByHash]]) — codebook quality saturates long before corpus
+    * size matters. Seeded per subspace for reproducibility, same
+    * determinism contract as [[trainCentroids]].
+    */
+  def trainPqCodebooks(train: DataFrame, dim: Int, m: Int, codes: Int,
+      vecCol: String = "embedding", seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    require(codes >= 2, s"codes must be >= 2 (got $codes)")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val d0 = dim / m
+    (0 until m).map { s =>
+      val feats = train.select(org.apache.spark.ml.functions.array_to_vector(
+        slice(col(vecCol).cast("array<double>"), s * d0 + 1, d0)).as("features"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(codes).setSeed(seed + s).setMaxIter(maxIter).fit(feats)
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (s, i, c.toArray.toSeq) }.toSeq
+        .toDF("subspace", "code", "centroid_vec")
+    }.reduce(_ unionByName _)
+  }
+
+  private def collectPqCodebooks(codebooks: DataFrame, m: Int,
+      codes: Int): Array[Array[Array[Double]]] = {
+    val arr = Array.ofDim[Array[Double]](m, codes)
+    codebooks.select(col("subspace").cast("int"), col("code").cast("int"),
+        col("centroid_vec").cast("array<double>"))
+      .collect().foreach { r =>
+        arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+    require(arr.forall(_.forall(_ != null)),
+      s"codebooks must cover every (subspace, code) in [0,$m)×[0,$codes)")
+    arr
+  }
+
+  /** PQ-encode a vector corpus: each vector becomes `m` small codes —
+    * per subspace, the index of the L2-nearest codebook entry (lower
+    * code on exact ties, so encoding is deterministic and
+    * partitioning-proof). Output `(idCol, codes array<int>)`: m ints
+    * instead of dim doubles — 32× smaller at dim=64/m=8 before even
+    * packing codes into bytes — which is what lets a 100 TB corpus's
+    * vectors live in executor memory for ANN serving. The codebook
+    * broadcasts (m·codes sub-vectors); encoding is one mapPartitions
+    * scan, no shuffle, no join. Null or wrong-dimension vectors drop
+    * (the library's visible-null rule).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, dim: Int, m: Int,
+      codes: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    requireIntegralId(corpus, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d0 = dim / m
+    val cb = spark.sparkContext.broadcast(collectPqCodebooks(codebooks, m, codes))
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val books = cb.value
+        it.map { case (id, v) =>
+          val cs = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            val book = books(s)
+            var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+            while (c < book.length) {
+              var d = 0.0; var j = 0
+              while (j < d0) {
+                val diff = v(s * d0 + j) - book(c)(j); d += diff * diff; j += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            cs(s) = best; s += 1
+          }
+          (id, cs.toSeq)
+        }
+      }.toDF(idCol, "codes")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    * query precomputes one lookup table of per-(subspace, code) partial
+    * dot products and squared norms against the codebooks, and every
+    * encoded row scores with m table reads instead of dim multiplies —
+    * the approximate cosine of the query against the row's RECONSTRUCTED
+    * vector, 6dp-rounded like every cosine in this library. Self-matches
+    * (same id) are excluded, zero-norm sides drop, ties break by lower
+    * id — [[bruteForceTopK]]'s exact contract, so recall is measurable
+    * by a direct join of the two result sets (the s7 harness shape).
+    *
+    * Scale shape: queries and their LUTs are driver-bounded (|queries| ·
+    * m · codes doubles — the same "queries are the small side" contract
+    * bruteForceTopK's broadcast already assumes), the corpus side is ONE
+    * mapPartitions scan of the m-int code rows (never the raw vectors),
+    * and the top-k is the shared bounded-heap path — nothing shuffles
+    * scored rows. Compose with an exact re-rank by joining the top-R ids
+    * back to the raw vectors and re-scoring via [[bruteForceTopK]] on
+    * that R-row slice when ADC recall needs a final exact pass.
+    */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      dim: Int, m: Int, codes: Int, k: Int,
+      idCol: String = "vec_id", codesCol: String = "codes",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    requireIntegralId(encoded, idCol); requireIntegralId(queries, qIdCol)
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val d0 = dim / m
+    val books = collectPqCodebooks(codebooks, m, codes)
+    // per-code squared norms, summed per subspace at score time so the
+    // grouping matches an external replay's per-subspace partial sums
+    val normLut: Array[Array[Double]] = books.map(_.map { cv =>
+      var n = 0.0; var j = 0
+      while (j < d0) { n += cv(j) * cv(j); j += 1 }; n
+    })
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .filter(col(qVecCol).isNotNull && size(col(qVecCol)) === dim)
+      .as[(Long, Array[Double])].collect()
+    val luts = qRows.map { case (qid, qv) =>
+      val dotLut = Array.ofDim[Double](m, codes)
+      var nq2 = 0.0
+      var s = 0
+      while (s < m) {
+        var sub = 0.0
+        var j = 0
+        while (j < d0) { val x = qv(s * d0 + j); sub += x * x; j += 1 }
+        nq2 += sub
+        var c = 0
+        while (c < codes) {
+          var d = 0.0; var jj = 0
+          while (jj < d0) { d += qv(s * d0 + jj) * books(s)(c)(jj); jj += 1 }
+          dotLut(s)(c) = d; c += 1
+        }
+        s += 1
+      }
+      (qid, dotLut, nq2)
+    }
+    val bc = spark.sparkContext.broadcast((luts, normLut))
+    val scored = encoded
+      .select(col(idCol).cast("long"), col(codesCol).cast("array<int>"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val (qs, norms) = bc.value
+        it.flatMap { case (id, cs) =>
+          qs.iterator.flatMap { case (qid, dotLut, nq2) =>
+            if (qid == id) Iterator.empty
+            else {
+              var dot = 0.0; var nx2 = 0.0; var s = 0
+              while (s < m) {
+                val c = cs(s); dot += dotLut(s)(c); nx2 += norms(s)(c); s += 1
+              }
+              val denom = math.sqrt(nx2) * math.sqrt(nq2)
+              if (denom == 0.0) Iterator.empty
+              else Iterator.single((qid, id,
+                BigDecimal(dot / denom).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            }
+          }
+        }
+      }
+    topKPerQuery(scored, k)
+      .select(col("_q").as(qIdCol), col("_id").as(idCol),
+        col("_c").as("cosine"), col("rank"))
+  }
 }
