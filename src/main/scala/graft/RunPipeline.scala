@@ -80,9 +80,9 @@ object RunPipeline {
     val macroData =
       if (flag("--with-macro"))
         SourceOps.fetchAllOrLog(Seq("fred" -> src { s =>
-          Q.t(s, sfDir, "events")
+          graft.queries.Queries.events(s, sfDir)
             .select(col("event_type").as("series_id"),
-              to_date(timestamp_micros(expr("ts div 1000"))).as("date"),
+              to_date(col("ts")).as("date"),
               col("value"))
             .groupBy("series_id", "date")
             .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value"))

@@ -63,6 +63,63 @@ object DedupFunctions {
       .select(cols.map(c => col(s"$row.`$c`").as(c)).toIndexedSeq: _*)
   }
 
+  /** C4-style cross-document duplicate-LINE removal (Raffel et al.,
+    * JMLR 2020 §2.2 discards repeated three-sentence spans; line
+    * granularity is the CCNet/RefinedWeb variant): any line whose
+    * TRIMMED form occurs at more than one (doc, position) keeps only
+    * its first occurrence — lowest (id, position) — and every other
+    * copy is cut out of its document in place; surrounding lines stay,
+    * order intact. Boilerplate (nav bars, cookie banners, licence
+    * footers) dies line-by-line without dropping whole documents.
+    *
+    * Lines whose trimmed form is shorter than `minChars` are exempt
+    * (kept everywhere): deduping "" or "---" across a corpus would
+    * shred formatting. Matching keys on the trimmed line; the kept
+    * output preserves the original untrimmed line. Documents whose
+    * every line is removed come back with empty text (never dropped).
+    *
+    * Scale shape: one explode to (id, pos, line) rows; the keeper per
+    * distinct line value is ONE `min(struct(id, pos))` hash
+    * aggregation — map-side partials collapse a million-copy cookie
+    * banner to one candidate per task BEFORE the shuffle (the
+    * [[dedupExact]] argument) — and the join back to occurrences
+    * carries exactly one build row per line value, so AQE's skew split
+    * handles crawl-scale hot lines on the probe side. Reassembly
+    * collects each document's OWN surviving lines (bounded by document
+    * size, the [[TextFunctions.chunkDocuments]] contract) — never a
+    * corpus-wide window or sort.
+    */
+  def removeDuplicateLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minChars: Int = 10): DataFrame = {
+    require(minChars >= 0, s"minChars must be >= 0 (got $minChars)")
+    val used = docs.columns.toSet
+    val pos = graft.ops.ColNames.fresh(used, "_rdl_pos")
+    val line = graft.ops.ColNames.fresh(used, "_rdl_line")
+    val key = graft.ops.ColNames.fresh(used, "_rdl_key")
+    val keeper = graft.ops.ColNames.fresh(used, "_rdl_keeper")
+    val newText = graft.ops.ColNames.fresh(used, "_rdl_text")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq(pos, line)))
+      .withColumn(key, trim(col(line)))
+    // one row per distinct eligible line value: its first occurrence
+    val keep = lines.filter(length(col(key)) >= minChars)
+      .groupBy(col(key))
+      .agg(min(struct(col(idCol), col(pos))).as(keeper))
+    val kept = lines.join(keep, Seq(key), "left")
+      .filter(col(keeper).isNull || // short-line exemption (never in `keep`)
+        (col(keeper).getField(idCol) === col(idCol) &&
+          col(keeper).getField(pos) === col(pos)))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col(pos), col(line)))),
+        x => x.getField(line)), "\n").as(newText))
+    docs.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(newText), lit("")))
+      .drop(newText)
+      .select(docs.columns.map(col).toIndexedSeq: _*) // original column order
+  }
+
   /** Build a Bloom filter over a (fingerprint) column — the stored
     * membership sketch that lets incremental ingest prove most batch
     * rows ABSENT from the corpus without touching the fingerprint

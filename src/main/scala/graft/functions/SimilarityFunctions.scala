@@ -837,4 +837,53 @@ object SimilarityFunctions {
       .select(col("_q").as(qIdCol), col("_id").as(idCol),
         col("_c").as("cosine"), col("rank"))
   }
+
+  /** ADC candidates → exact re-rank: the production ANN serving shape.
+    * [[pqTopK]] scans the compressed codes for each query's `rerank`
+    * best approximate matches, then ONLY those candidate rows read
+    * their raw vectors for an exact cosine, and the final top-`k` ranks
+    * the exact scores — ADC's memory/speed shape with the exact scan's
+    * precision on the head of the list (Jégou TPAMI 2011 §V's IVFADC-R
+    * refinement step, re-expressed over DataFrames).
+    *
+    * Scale shape: the candidate pair set is |queries| · rerank rows —
+    * broadcast-sized by the same "queries are the small side" contract
+    * every top-k entry point assumes — so the raw-vector table is
+    * probed by a BROADCAST semi-style join: one scan, never shuffled,
+    * and only ≤ |queries| · rerank rows survive to the exact-cosine
+    * stage. Per-query candidate lists stay per-query (a candidate of
+    * query A is not rescored for query B), so the result is exactly
+    * "re-rank MY candidate list", replayable row-for-row by an external
+    * engine. Self-matches and zero/null cosines are already excluded by
+    * the ADC pass; exact ties break by lower id ([[bruteForceTopK]]'s
+    * contract).
+    */
+  def pqTopKRerank(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      codebooks: DataFrame, dim: Int, m: Int, codes: Int, k: Int,
+      rerank: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      codesCol: String = "codes", qIdCol: String = "query_id",
+      qVecCol: String = "query_vec"): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must be >= k=$k")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val cand = pqTopK(encoded, queries, codebooks, dim, m, codes, rerank,
+        idCol, codesCol, qIdCol, qVecCol)
+      .select(col(qIdCol).cast("long"), col(idCol).cast("long"))
+    val slice = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .join(broadcast(cand), Seq(idCol))
+    val scored = slice
+      .join(broadcast(queries
+        .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+        .filter(col(qVecCol).isNotNull && size(col(qVecCol)) === dim)),
+        Seq(qIdCol))
+      .withColumn("_cos", round(cosine(col(vecCol), col(qVecCol)), 6))
+      .filter(col("_cos").isNotNull)
+      .select(col(qIdCol), col(idCol), col("_cos"))
+      .as[(Long, Long, Double)]
+    topKPerQuery(scored, k)
+      .select(col("_q").as(qIdCol), col("_id").as(idCol),
+        col("_c").as("cosine"), col("rank"))
+  }
 }

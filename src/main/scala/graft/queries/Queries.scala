@@ -61,17 +61,24 @@ object Queries {
 
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long and floor-convert to a
-    * microsecond TimestampType — the same truncation DuckDB applies when
-    * it loads nanosecond parquet into its µs timestamps.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set by the Bench/Verify/RunPipeline/TestSpark builders) — query
-    * functions stay pure, no session mutation here.
+  /** `events.parquet`'s `ts` physical type varies by generator version:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    * nanos as long via `spark.sql.legacy.parquet.nanosAsLong=true` and
+    * floor-convert, the same truncation DuckDB applies loading
+    * nanosecond parquet into its µs timestamps) or TIMESTAMP(MICROS)
+    * (read natively, surfacing as TIMESTAMP_NTZ — cast to TimestampType
+    * under the UTC session, an identity re-labeling). Branching on the
+    * OBSERVED schema keeps every consumer correct against either file
+    * without session mutation; both arms end at a µs TimestampType.
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Oracle for `s2_lsh_pairs`, generated — not hand-written — so the
     * hyperplane coefficients are the exact doubles Spark uses: Scala's
@@ -2081,6 +2088,132 @@ object Queries {
              |FROM bq LEFT JOIN hits h ON bq.query_id = h.query_id
              |ORDER BY bq.query_id""".stripMargin)),
 
+    QueryDef("s8_pq_adc_topk",
+      // Product-quantized ANN (Jégou TPAMI 2011): the 64-dim corpus
+      // compresses to 8 subspace codes per vector ([[SimilarityFunctions
+      // .pqEncode]]) and queries scan the CODES, never the raw vectors,
+      // via per-query ADC lookup tables ([[pqTopK]]) — the memory shape
+      // that lets a 100 TB corpus's vectors serve ANN from executor RAM.
+      // Codebooks here are data-derived, not trained (code c of subspace
+      // s = dims [8s,8s+8) of embedding c, c < 4 — the same fixed-
+      // centroid convention s3/s7 use), so DuckDB replays the ENTIRE
+      // pipeline exactly: slice → argmin-L2 encode → reconstruct →
+      // cosine → top-k. Recall vs the exact scan is pinned by the
+      // trained-codebook spec; THIS query pins bit-level semantics.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("code"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(explode(sequence(lit(0), lit(7))).as("subspace"),
+            col("code"), col("v"))
+          .select(col("subspace"), col("code"),
+            slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+        val enc = S.pqEncode(emb, cb, dim = 64, m = 8, codes = 4)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.pqTopK(enc, q, cb, dim = 64, m = 8, codes = 4, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cb AS (
+             |  SELECT s.subspace, CAST(c.vec_id AS INTEGER) AS code,
+             |         list_slice(c.v, s.subspace * 8 + 1, s.subspace * 8 + 8) AS centroid_vec
+             |  FROM e c, generate_series(0, 7) AS s(subspace)
+             |  WHERE c.vec_id < 4),
+             |enc AS (
+             |  SELECT vec_id, subspace, centroid_vec FROM (
+             |    SELECT e.vec_id, cb.subspace, cb.centroid_vec,
+             |           row_number() OVER (PARTITION BY e.vec_id, cb.subspace
+             |             ORDER BY list_distance(
+             |               list_slice(e.v, cb.subspace * 8 + 1, cb.subspace * 8 + 8),
+             |               cb.centroid_vec), cb.code) AS rn
+             |    FROM e, cb) WHERE rn = 1),
+             |recon AS (
+             |  SELECT vec_id, flatten(list(centroid_vec ORDER BY subspace)) AS rv
+             |  FROM enc GROUP BY vec_id),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q.query_id, r.vec_id,
+             |         round(list_cosine_similarity(r.rv, q.qv), 6) AS cosine
+             |  FROM recon r, q WHERE r.vec_id <> q.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, cosine,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |           ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+             |  FROM scored)
+             |SELECT query_id, vec_id, cosine, "rank" FROM ranked
+             |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+
+    QueryDef("s9_pq_rerank",
+      // ADC candidates → exact re-rank ([[SimilarityFunctions
+      // .pqTopKRerank]]): the compressed-code scan nominates each
+      // query's 15 best approximate matches, ONLY those rows read their
+      // raw vectors for an exact cosine, and the final top-5 ranks the
+      // exact scores — the production ANN serving shape (compressed
+      // index in RAM, exact precision on the head of the list). Same
+      // fixed data-derived codebooks as s8, so DuckDB replays candidate
+      // generation bit-for-bit and then the exact rescore join.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("code"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(explode(sequence(lit(0), lit(7))).as("subspace"),
+            col("code"), col("v"))
+          .select(col("subspace"), col("code"),
+            slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+        val enc = S.pqEncode(emb, cb, dim = 64, m = 8, codes = 4)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.pqTopKRerank(enc, emb, q, cb, dim = 64, m = 8, codes = 4,
+            k = 5, rerank = 15)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cb AS (
+             |  SELECT s.subspace, CAST(c.vec_id AS INTEGER) AS code,
+             |         list_slice(c.v, s.subspace * 8 + 1, s.subspace * 8 + 8) AS centroid_vec
+             |  FROM e c, generate_series(0, 7) AS s(subspace)
+             |  WHERE c.vec_id < 4),
+             |enc AS (
+             |  SELECT vec_id, subspace, centroid_vec FROM (
+             |    SELECT e.vec_id, cb.subspace, cb.centroid_vec,
+             |           row_number() OVER (PARTITION BY e.vec_id, cb.subspace
+             |             ORDER BY list_distance(
+             |               list_slice(e.v, cb.subspace * 8 + 1, cb.subspace * 8 + 8),
+             |               cb.centroid_vec), cb.code) AS rn
+             |    FROM e, cb) WHERE rn = 1),
+             |recon AS (
+             |  SELECT vec_id, flatten(list(centroid_vec ORDER BY subspace)) AS rv
+             |  FROM enc GROUP BY vec_id),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+             |adc AS (
+             |  SELECT q.query_id, r.vec_id,
+             |         round(list_cosine_similarity(r.rv, q.qv), 6) AS acos
+             |  FROM recon r, q WHERE r.vec_id <> q.query_id),
+             |cand AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           row_number() OVER (PARTITION BY query_id
+             |             ORDER BY acos DESC, vec_id) AS rn
+             |    FROM adc) WHERE rn <= 15),
+             |rescored AS (
+             |  SELECT c.query_id, c.vec_id,
+             |         round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+             |  FROM cand c
+             |  JOIN e ON e.vec_id = c.vec_id
+             |  JOIN q ON q.query_id = c.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, cosine,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |           ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+             |  FROM rescored)
+             |SELECT query_id, vec_id, cosine, "rank" FROM ranked
+             |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+
     QueryDef("s2_lsh_pairs",
       // the embeddings table has NO true near-duplicates (max pairwise
       // cosine < 0.7), so the query plants them: union the corpus with a
@@ -2317,6 +2450,58 @@ object Queries {
              |SELECT doc_id, round(q, 6) AS q FROM q0
              |WHERE doc_id NOT IN (SELECT id FROM doomed)
              |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("d14_line_dedup",
+      // C4-style duplicate-LINE removal ([[DedupFunctions
+      // .removeDuplicateLines]]): boilerplate dies line-by-line inside
+      // documents instead of dropping whole pages. The synthetic docs
+      // are single-line and all-distinct, so the query plants the
+      // boilerplate deterministically (cookie header on doc_id%3,
+      // legal footer on doc_id%2, a short "--" separator everywhere —
+      // below minChars, so it must SURVIVE everywhere); after removal
+      // each planted line exists only at its lowest (doc, pos) and
+      // every original text line is untouched. Both engines build the
+      // same planted corpus, so the oracle replays end-to-end.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val planted = d.select(col("doc_id"),
+          concat_ws("\n",
+            when(col("doc_id") % 3 === 0,
+              lit("COOKIE NOTICE: this site uses cookies to improve your experience")),
+            lit("--"),
+            col("text"),
+            when(col("doc_id") % 2 === 0,
+              lit("(c) example.com - all rights reserved - terms apply")))
+            .as("text"))
+        D.removeDuplicateLines(planted, "doc_id", "text", minChars = 10)
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, concat_ws(chr(10),
+             |    CASE WHEN doc_id % 3 = 0 THEN 'COOKIE NOTICE: this site uses cookies to improve your experience' END,
+             |    '--',
+             |    text,
+             |    CASE WHEN doc_id % 2 = 0 THEN '(c) example.com - all rights reserved - terms apply' END) AS text
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS line
+             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted)),
+             |keyed AS (SELECT doc_id, pos, line, trim(line) AS k FROM lines),
+             |keep AS (
+             |  SELECT k, doc_id AS kid, pos AS kpos FROM (
+             |    SELECT k, doc_id, pos,
+             |           row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+             |    FROM keyed WHERE length(k) >= 10) WHERE rn = 1),
+             |kept AS (
+             |  SELECT l.doc_id, l.pos, l.line
+             |  FROM keyed l LEFT JOIN keep ON l.k = keep.k
+             |  WHERE length(l.k) < 10 OR (l.doc_id = keep.kid AND l.pos = keep.kpos)),
+             |rebuilt AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT p.doc_id, coalesce(r.text, '') AS text
+             |FROM planted p LEFT JOIN rebuilt r USING (doc_id)
+             |ORDER BY p.doc_id""".stripMargin)),
 
     QueryDef("d10_quality_cap",
       // top-k-by-QUALITY per source — capPerGroup's struct-order path:

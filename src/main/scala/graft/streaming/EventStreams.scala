@@ -34,17 +34,30 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** Batch OR streaming source with a proper µs TimestampType `ts`.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set by the harness session builders — no mutation here).
+    *
+    * The file's `ts` physical type varies by generator version —
+    * TIMESTAMP(NANOS) (requires `spark.sql.legacy.parquet
+    * .nanosAsLong=true` on the session, surfaces as a nanos long) or
+    * TIMESTAMP(MICROS) (surfaces as TIMESTAMP_NTZ). The footer schema
+    * of the actual file decides the branch — a streaming source needs
+    * its schema up front, so probe with one batch footer read (driver
+    * metadata only, no data scan) — and both arms end at a µs
+    * TimestampType under the UTC session.
     */
   def readEvents(spark: SparkSession, dir: String, streaming: Boolean): DataFrame = {
+    val observed = spark.read.parquet(s"$dir/events.parquet").schema
+    val nanosAsLong = observed("ts").dataType == LongType
+    val schema = if (nanosAsLong) rawSchema
+      else StructType(rawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = observed("ts").dataType) else f))
     // FileStreamSource requires a directory path; glob-filter to the
     // events file so co-located tables in the same dir are not consumed.
     val raw =
-      if (streaming) spark.readStream.schema(rawSchema)
+      if (streaming) spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      else spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else spark.read.schema(schema).parquet(s"$dir/events.parquet")
+    if (nanosAsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Tumbling hourly aggregate with a watermark: the streaming version of

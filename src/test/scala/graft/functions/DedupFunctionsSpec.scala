@@ -317,4 +317,30 @@ class DedupFunctionsSpec extends AnyFunSuite {
     }
     graft.Caches.releaseAll()
   }
+
+  test("removeDuplicateLines: first occurrence survives, short lines exempt") {
+    val banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    val docs = Seq(
+      (1L, s"alpha unique content line one\n$banner\n--", "a"),
+      (2L, s"$banner\nbeta unique content line two\n--", "b"),
+      (3L, s"--\n  $banner  \ngamma unique content line three", "c"),
+      (4L, banner, "d")) // every line a dup → empty text, doc kept
+      .toDF("doc_id", "text", "source")
+    val out = DedupFunctions.removeDuplicateLines(docs, "doc_id", "text",
+      minChars = 10)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "source"),
+      "column order and passthrough columns preserved")
+    val m = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    // the banner's first occurrence is (doc 1, pos 1); trimmed matching
+    // kills doc 3's padded copy too; "--" is under minChars → everywhere
+    assert(m(1L) === s"alpha unique content line one\n$banner\n--")
+    assert(m(2L) === "beta unique content line two\n--")
+    assert(m(3L) === "--\ngamma unique content line three")
+    assert(m(4L) === "", "fully-deduped doc comes back with empty text, not dropped")
+    assert(out.count() === 4)
+    // partitioning-proof: keeper choice depends on values, not layout
+    val b = DedupFunctions.removeDuplicateLines(docs.repartition(7), "doc_id", "text", 10)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(b === m)
+  }
 }
