@@ -184,4 +184,47 @@ object RelevanceFunctions {
       .select(col(idCol),
         coalesce(col("_lp"), lit(logProbFloor)).as("log_prob"))
   }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) of ranked
+    * retrieval lists — the standard way to combine a keyword ranking
+    * (BM25) with a vector ranking (cosine top-k) without score
+    * calibration: fused(d) = Σ over lists of 1 / (k0 + rank_d), items
+    * absent from a list contribute nothing. Returns the top `topK` by
+    * fused score as (idCol, rrf, rank); ties break by lower id.
+    *
+    * Determinism contract: each list's contribution lands in its OWN
+    * pivot column (lists are positional), and the fused score is a
+    * FIXED-ORDER left fold over those columns — IEEE addition is not
+    * associative, so a groupBy-sum whose merge order depends on
+    * partitioning could flip a 6dp boundary; the fold can't. Rounded to
+    * 6dp like every float the library emits.
+    *
+    * Scale shape: inputs are top-R lists (each ≤ R·|queries| rows —
+    * bounded by construction from [[SimilarityFunctions.topKPerQuery]]
+    * /TakeOrdered producers, NOT corpus-sized), so the union + pivot
+    * hash-aggregation moves only list rows; the final top-K is
+    * `orderBy(...).limit(topK)` — Spark's TakeOrdered, a per-partition
+    * heap + driver merge of topK rows, never a single-partition global
+    * sort — and the rank window runs on ≤ topK surviving rows.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      topK: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(topK > 0, s"topK must be > 0 (got $topK)")
+    require(k0 >= 0, s"k0 must be >= 0 (got $k0)")
+    val tagged = lists.zipWithIndex.map { case (d, i) =>
+      d.select(col(idCol), lit(i).as("_list"),
+        (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double"))).as("_contrib"))
+    }.reduce(_ unionByName _)
+    val wide = tagged.groupBy(col(idCol))
+      .pivot("_list", lists.indices.map(Integer.valueOf))
+      .agg(first(col("_contrib")))
+    val fused = lists.indices.map(i => coalesce(col(s"`$i`"), lit(0.0)))
+      .reduce(_ + _) // left fold: summation order is part of the contract
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col(idCol)) // ≤ topK rows: bounded window
+    wide.select(col(idCol), round(fused, 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(topK)
+      .withColumn("rank", row_number().over(w))
+  }
 }

@@ -886,4 +886,46 @@ object SimilarityFunctions {
       .select(col("_q").as(qIdCol), col("_id").as(idCol),
         col("_c").as("cosine"), col("rank"))
   }
+
+  /** KNN majority-vote label assignment — auto-labeling / label
+    * propagation over an embedding space: each query point takes the
+    * label held by most of its `k` nearest labeled neighbors (exact
+    * cosine; vote ties break by the LOWER label, so the result is
+    * deterministic). The workhorse for bootstrapping classifiers from
+    * a small labeled seed set, and (run with queries = the labeled
+    * points themselves, self excluded by the top-k contract) the
+    * standard leave-one-out check that a label column is consistent
+    * with the geometry.
+    *
+    * Returns (qIdCol, labelCol, votes) — `votes` is the winning
+    * label's neighbor count. Neighbors missing from `labeled` (or
+    * with null labels) simply don't vote; a query whose entire
+    * neighborhood is unlabeled drops from the output (visible-null
+    * rule).
+    *
+    * Scale shape: neighbor search is [[bruteForceTopK]] (queries
+    * broadcast, corpus scan + bounded heaps — swap in [[ivfTopK]]
+    * candidates upstream when the corpus outgrows the exact scan);
+    * the neighbor→label join moves k·|queries| rows against the
+    * labeled table (broadcast the k·|queries| side); the vote is two
+    * hash aggregations over ≤ k·|queries| rows. Nothing corpus-sized
+    * shuffles.
+    */
+  def knnLabelVote(corpus: DataFrame, queries: DataFrame, labeled: DataFrame,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec",
+      labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, k, idCol, vecCol, qIdCol, qVecCol)
+      .select(col(qIdCol), col(idCol))
+    val votes = broadcast(nn)
+      .join(labeled.select(col(idCol), col(labelCol))
+        .filter(col(labelCol).isNotNull), Seq(idCol))
+      .groupBy(col(qIdCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col(qIdCol))
+      .agg(min_by(struct(col(labelCol), col("votes")),
+        struct(negate(col("votes")), col(labelCol))).as("_win"))
+      .select(col(qIdCol), col("_win").getField(labelCol).as(labelCol),
+        col("_win.votes").as("votes"))
+  }
 }

@@ -2214,6 +2214,50 @@ object Queries {
              |SELECT query_id, vec_id, cosine, "rank" FROM ranked
              |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
+    QueryDef("s10_knn_label_vote",
+      // KNN majority-vote auto-labeling ([[SimilarityFunctions
+      // .knnLabelVote]]) over the labeled embeddings: each of the first
+      // 20 vectors takes the label held by most of its 10 exact-cosine
+      // nearest neighbors (self excluded, vote ties to the lower label)
+      // — leave-one-out label propagation, the bootstrap for
+      // classifying an unlabeled corpus from a seed set. The synthetic
+      // labels are nearly geometry-free (within-label cosine ≈ 0.01 vs
+      // ≈ 0 across), so this pins the vote SEMANTICS bit-for-bit, not
+      // accuracy — the clustered-data behavior is spec-pinned with
+      // controlled vectors. Full DuckDB replay: scan → top-k → label
+      // join → argmax.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.knnLabelVote(emb, q, emb.select(col("vec_id"), col("label")), k = 10)
+          .orderBy("query_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+             |  FROM e, q WHERE e.vec_id <> q.query_id),
+             |nn AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           row_number() OVER (PARTITION BY query_id
+             |             ORDER BY cos DESC, vec_id) AS rn
+             |    FROM scored) WHERE rn <= 10),
+             |v AS (
+             |  SELECT nn.query_id, e.label, count(*) AS votes
+             |  FROM nn JOIN e ON e.vec_id = nn.vec_id
+             |  WHERE e.label IS NOT NULL GROUP BY 1, 2),
+             |w AS (
+             |  SELECT query_id, label, votes,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY votes DESC, label) AS rn
+             |  FROM v)
+             |SELECT query_id, label, votes FROM w WHERE rn = 1
+             |ORDER BY query_id""".stripMargin)),
+
     QueryDef("s2_lsh_pairs",
       // the embeddings table has NO true near-duplicates (max pairwise
       // cosine < 0.7), so the query plants them: union the corpus with a
@@ -3229,7 +3273,80 @@ object Queries {
              |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
              |      * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))),
              |  6) AS bm25
-             |FROM sc ORDER BY doc_id""".stripMargin))
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("r4_hybrid_rrf",
+      // hybrid retrieval: BM25 keyword top-20 fused with cosine vector
+      // top-20 by reciprocal-rank fusion ([[RelevanceFunctions
+      // .rrfFuse]], Cormack & Clarke SIGIR 2009) — no score calibration,
+      // just 1/(60+rank) per list. The regenerated embeddings table is
+      // 1:1 with documents (vec_id = doc_id), so the two rankings share
+      // an id space; the vector query is document 0's own embedding
+      // (self excluded by the top-k contract). Both engines derive both
+      // lists and the fusion end-to-end.
+      (s, dir) => {
+        val kwW = Window.orderBy(col("bm25").desc, col("doc_id"))
+        val kw = R.bm25(docs(s, dir), "doc_id", "text",
+            Seq("filter", "stream", "customer"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(kwW))
+          .select("doc_id", "rank")
+        val emb = t(s, dir, "embeddings")
+        val q0 = emb.filter(col("vec_id") === 0)
+          .select(lit(0L).as("query_id"), col("embedding").as("query_vec"))
+        val vec = S.bruteForceTopK(emb, q0, 20)
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        R.rrfFuse(Seq(kw, vec), "doc_id", "rank", topK = 10)
+          .orderBy("rank")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+             |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS dl
+             |  FROM documents),
+             |st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+             |    CAST(sum(CASE WHEN list_contains(w, 'filter') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |    CAST(sum(CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |    CAST(sum(CASE WHEN list_contains(w, 'customer') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |  FROM d),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(w, x -> x = 'filter')) AS DOUBLE) AS tf0,
+             |    CAST(len(list_filter(w, x -> x = 'stream')) AS DOUBLE) AS tf1,
+             |    CAST(len(list_filter(w, x -> x = 'customer')) AS DOUBLE) AS tf2,
+             |    CAST(dl AS DOUBLE) AS dl, n, sumdl, df0, df1, df2
+             |  FROM d, st),
+             |bm AS (
+             |  SELECT doc_id, round(
+             |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+             |        * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+             |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+             |        * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+             |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+             |        * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))),
+             |    6) AS bm25
+             |  FROM sc),
+             |kw AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+             |  FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |vs AS (
+             |  SELECT e.vec_id AS doc_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+             |  FROM e, q WHERE e.vec_id <> 0),
+             |vec AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+             |  FROM vs ORDER BY cos DESC, doc_id LIMIT 20),
+             |fused AS (
+             |  SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+             |         round(coalesce(1.0 / (60 + kw.r), 0) + coalesce(1.0 / (60 + vec.r), 0), 6) AS rrf
+             |  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id),
+             |ranked AS (
+             |  SELECT doc_id, rrf,
+             |         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS "rank"
+             |  FROM fused)
+             |SELECT doc_id, rrf, "rank" FROM ranked
+             |WHERE "rank" <= 10 ORDER BY "rank"""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -155,4 +155,28 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
       RelevanceFunctions.bm25(corpus, "doc_id", "text", Seq("a", "a"))
     }
   }
+
+  test("rrfFuse: both-list items dominate, absent lists contribute zero, ties to lower id") {
+    val kw = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val vec = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
+    val got = RelevanceFunctions.rrfFuse(Seq(kw, vec), "id", "rank", topK = 4)
+      .as[(Long, Double, Int)].collect().toList
+    def c(r: Int) = 1.0 / (60.0 + r)
+    // fixed-order fold (list 0 + list 1), rounded HALF_UP at 6dp
+    val expected = List(
+      (11L, r6(c(2) + c(1)), 1), // in both lists → highest fused score
+      (10L, r6(c(1)), 2),
+      (13L, r6(c(2)), 3),        // beats 12 (same-rank contribution from a later list)...
+      (12L, r6(c(3)), 4))
+    assert(got === expected)
+    // tie-break: two ids with identical contributions rank by lower id
+    val a = Seq((5L, 1), (3L, 2)).toDF("id", "rank")
+    val b = Seq((3L, 1), (5L, 2)).toDF("id", "rank")
+    val tied = RelevanceFunctions.rrfFuse(Seq(a, b), "id", "rank", topK = 2)
+      .as[(Long, Double, Int)].collect().toList
+    assert(tied.map(_._1) === List(3L, 5L), "equal fused scores break by lower id")
+    assert(tied.map(_._3) === List(1, 2))
+    // topK truncates
+    assert(RelevanceFunctions.rrfFuse(Seq(kw, vec), "id", "rank", topK = 2).count() === 2)
+  }
 }

@@ -391,6 +391,30 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       s"rerank recall regressed: $rerHits < $adcHits")
   }
 
+  test("knnLabelVote: majority wins, ties to lower label, unlabeled neighbors don't vote") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.95, 0.05)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.1, 0.9))).toDF("vec_id", "embedding")
+    val labeled = Seq(
+      (1L, Some(7)), (2L, Some(7)), (3L, None: Option[Int]),
+      (4L, Some(3)), (5L, Some(3))).toDF("vec_id", "label")
+    // q100 sits in the label-7 cluster: neighbors 1,2,3 — id 3 is
+    // unlabeled so the vote is 7×2 (not 7×2 vs anything)
+    val q1 = Seq((100L, Seq(1.0, 0.02))).toDF("query_id", "query_vec")
+    val r1 = SimilarityFunctions.knnLabelVote(corpus, q1, labeled, k = 3)
+      .as[(Long, Int, Long)].collect().toList
+    assert(r1 === List((100L, 7, 2L)))
+    // q102 is equidistant: top-2 = ids 2 (label 7) and 5 (label 3),
+    // one vote each — the tie goes to the LOWER label
+    val q2 = Seq((102L, Seq(0.707, 0.707))).toDF("query_id", "query_vec")
+    val r2 = SimilarityFunctions.knnLabelVote(corpus, q2, labeled, k = 2)
+      .as[(Long, Int, Long)].collect().toList
+    assert(r2 === List((102L, 3, 1L)))
+    // q103's whole neighborhood (k=1 → id 3) is unlabeled → no row
+    val q3 = Seq((103L, Seq(0.95, 0.05))).toDF("query_id", "query_vec")
+    assert(SimilarityFunctions.knnLabelVote(corpus, q3, labeled, k = 1).isEmpty)
+  }
+
   test("native VecCosine is bit-identical to the HOF cosine on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.limit(50).select(col("vec_id"), col("embedding"))
