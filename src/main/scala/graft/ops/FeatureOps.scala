@@ -132,4 +132,46 @@ object FeatureOps {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(seqCols.map(col(_).desc): _*)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
+
+  /** Truncated exponentially-weighted moving average — pandas
+    * `ewm(span=span, adjust=True).mean()` computed over the last
+    * `lookback` rows only: ewma_t = Σ_{i<m} (1-α)^i·x_{t-i} / Σ (1-α)^i
+    * with α = 2/(span+1) and m = rows present in the frame (≤ lookback).
+    * Truncation is the standard production form — with span 20, the
+    * weight 20 rows back is (19/21)^20 ≈ 0.13 and the tail beyond a
+    * few spans contributes < 1%, while an UNtruncated recursive EWMA
+    * would make every output depend on the entire per-entity history.
+    *
+    * Determinism contract: the weighted numerator is an ORDERED left
+    * fold (`aggregate`) over the frame's (rn, value) structs — frame
+    * order = time order — and the denominator is the closed-form
+    * geometric sum (1-(1-α)^m)/α, so an external engine folding the
+    * same list reproduces the double bit-for-bit before the 6dp round.
+    * (entity, time) must be unique, like every w-family operator.
+    *
+    * Scale shape: one per-entity sort (shares the exchange with any
+    * other same-spec window column), a BOUNDED `lookback`-row frame —
+    * per-row state is O(lookback), independent of history length — and
+    * a scan-local fold. No data-controlled window cardinality.
+    */
+  def withEwma(df: DataFrame, entity: String, time: String, value: String,
+      span: Int, lookback: Int, out: String): DataFrame = {
+    require(span >= 1, s"span must be >= 1 (got $span)")
+    require(lookback >= 1, s"lookback must be >= 1 (got $lookback)")
+    val alpha = 2.0 / (span + 1.0)
+    val oneMinus = 1.0 - alpha
+    val used = df.columns.toSet
+    val rn = ColNames.fresh(used, "_ewma_rn")
+    val h = ColNames.fresh(used + rn, "_ewma_h")
+    val w = Window.partitionBy(entity).orderBy(time)
+    val frame = w.rowsBetween(-(lookback - 1), 0)
+    df.withColumn(rn, row_number().over(w))
+      .withColumn(h, collect_list(
+        struct(col(rn).as("rn"), col(value).cast("double").as("c"))).over(frame))
+      .withColumn(out, round(
+        aggregate(col(h), lit(0.0), (acc, e) =>
+          acc + e.getField("c") * pow(lit(oneMinus), col(rn) - e.getField("rn")))
+          / ((lit(1.0) - pow(lit(oneMinus), size(col(h)))) / lit(alpha)), 6))
+      .drop(rn, h)
+  }
 }

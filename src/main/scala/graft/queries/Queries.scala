@@ -1139,6 +1139,35 @@ object Queries {
           |  CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS volume
           |FROM prices GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("w14_ewma",
+      // truncated EWMA-20 ([[graft.ops.FeatureOps.withEwma]], pandas
+      // `ewm(span=20, adjust=True)` over the last 20 rows): the
+      // weighted numerator is an ORDERED left fold over the frame's
+      // (rn, close) structs and the denominator the closed-form
+      // geometric sum — DuckDB folds the SAME list in the same order
+      // (list window aggregate + list_transform/list_sum), so the
+      // doubles agree bit-for-bit before the 6dp round. Bounded
+      // 20-row frame: per-row state independent of history length.
+      (s, dir) => FeatureOps.withEwma(prices(t(s, dir, "lineitem")),
+          "ticker", "date", "close", span = 20, lookback = 20, out = "ewma20")
+        .select("ticker", "date", "ewma20")
+        .orderBy("ticker", "date"),
+      Some(pricesSql +
+        """, r2 AS (
+          |  SELECT ticker, "date", close,
+          |         row_number() OVER (PARTITION BY ticker ORDER BY "date") AS rn
+          |  FROM prices),
+          |l AS (
+          |  SELECT ticker, "date", rn,
+          |         list(struct_pack(rn := rn, c := close))
+          |           OVER (PARTITION BY ticker ORDER BY "date"
+          |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS h
+          |  FROM r2)
+          |SELECT ticker, "date",
+          |  round(list_sum(list_transform(h, e -> e.c * pow(1.0 - 2.0/21.0, rn - e.rn)))
+          |        / ((1 - pow(1.0 - 2.0/21.0, len(h))) / (2.0/21.0)), 6) AS ewma20
+          |FROM l ORDER BY ticker, "date"""".stripMargin)),
+
     QueryDef("a13_sharpe",
       // annualized Sharpe per ticker: mean/stddev of daily returns ×
       // √252. Multi-term float moments → 6dp round; explicit zero-vol

@@ -120,4 +120,39 @@ class FeatureOpsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, s"expected one window exchange, plan:\n$plan")
   }
+
+  test("withEwma matches pandas ewm(adjust=True) on a hand series, truncates at lookback") {
+    // pandas: s.ewm(span=20, adjust=True).mean() with alpha = 2/21:
+    // t0: 10; t1: (10*(19/21) + 20) / (1 + 19/21)
+    val alpha = 2.0 / 21.0
+    val om = 1.0 - alpha
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = FeatureOps.withEwma(series(Seq(10.0, 20.0, 30.0)),
+        "ticker", "date", "close", span = 20, lookback = 20, out = "ewma20")
+      .orderBy("date").select("ewma20").as[Double].collect().toSeq
+    // left-fold exact expectations: num = Σ x_i (1-α)^(n-1-i), den = (1-(1-α)^n)/α
+    def expect(xs: Seq[Double]) = {
+      val n = xs.length
+      val num = xs.zipWithIndex.foldLeft(0.0) { case (acc, (x, i)) =>
+        acc + x * math.pow(om, (n - 1 - i).toDouble)
+      }
+      r6(num / ((1.0 - math.pow(om, n.toDouble)) / alpha))
+    }
+    assert(got === Seq(expect(Seq(10.0)), expect(Seq(10.0, 20.0)),
+      expect(Seq(10.0, 20.0, 30.0))))
+    // cross-check the weighted form against pandas' recursive definition
+    val e1 = (10.0 * om + 20.0) / (om + 1.0)
+    assert(math.abs(got(1) - e1) < 1e-9)
+    // truncation: with lookback = 2 only the last 2 rows weigh in
+    val trunc = FeatureOps.withEwma(series(Seq(10.0, 20.0, 30.0)),
+        "ticker", "date", "close", span = 20, lookback = 2, out = "e")
+      .orderBy("date").select("e").as[Double].collect().toSeq
+    assert(trunc(2) === expect(Seq(20.0, 30.0)))
+    // per-entity isolation: a second ticker's history never leaks in
+    val two = series(Seq(10.0, 20.0)).unionByName(series(Seq(100.0), ticker = "B"))
+    val m = FeatureOps.withEwma(two, "ticker", "date", "close", 20, 20, "e")
+      .select("ticker", "e").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(m("B") === Set(100.0))
+  }
 }
