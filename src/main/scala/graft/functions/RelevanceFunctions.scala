@@ -185,6 +185,44 @@ object RelevanceFunctions {
         coalesce(col("_lp"), lit(logProbFloor)).as("log_prob"))
   }
 
+  /** Per-document keyword extraction: the top `k` terms of each
+    * document by TF-IDF (tf · ln(N/df), the plain variant — df ≥ 1 by
+    * construction, corpus-universal terms score 0). The standard
+    * corpus-exploration / topic-tagging pass a curation pipeline runs
+    * to summarize what each document is about.
+    *
+    * Scale shape: tokenize-and-count is explode + hash aggregation
+    * (map-side partials); document frequency is a second hash agg over
+    * the (doc, term) pairs; N broadcasts as a one-row frame (the bm25
+    * stats pattern); the vocab join is a plain shuffled equi-join on
+    * the term (both sides data-sized — broadcast would materialize a
+    * crawl-scale vocabulary on the driver); and the per-doc top-k is
+    * [[graft.functions.SamplingFunctions.capPerGroup]]'s bounded
+    * KthSmallest heap on struct(-tfidf, term) — map-side partial cuts,
+    * NO per-document sort, no data-controlled window. Ties cannot
+    * straddle the cut (the term makes the struct unique per doc).
+    *
+    * Returns (idCol, term, tfidf) — tfidf 6dp-rounded.
+    */
+  def topTfIdfTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val toks = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("_term"))
+    val tf = toks.groupBy(col(idCol), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfc = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfc, Seq("_term"))
+      .crossJoin(broadcast(n))
+      .withColumn("_tfidf", col("_tf").cast("double") *
+        log(col("_n").cast("double") / col("_df").cast("double")))
+      .withColumn("_ord", struct(negate(col("_tfidf")), col("_term")))
+    SamplingFunctions.capPerGroup(scored, idCol, "_ord", k)
+      .select(col(idCol), col("_term").as("term"),
+        round(col("_tfidf"), 6).as("tfidf"))
+  }
+
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) of ranked
     * retrieval lists — the standard way to combine a keyword ranking
     * (BM25) with a vector ranking (cosine top-k) without score

@@ -694,6 +694,31 @@ object SimilarityFunctions {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-query ADC lookup table: dotLut(s)(c) = dot(q_s, codebook_s_c)
+    * accumulated as per-subspace partial sums (the grouping an external
+    * replay's per-subspace reconstruction reproduces), plus ||q||².
+    */
+  private def adcLut(qv: Array[Double], books: Array[Array[Array[Double]]],
+      m: Int, codes: Int, d0: Int): (Array[Array[Double]], Double) = {
+    val dotLut = Array.ofDim[Double](m, codes)
+    var nq2 = 0.0
+    var s = 0
+    while (s < m) {
+      var sub = 0.0
+      var j = 0
+      while (j < d0) { val x = qv(s * d0 + j); sub += x * x; j += 1 }
+      nq2 += sub
+      var c = 0
+      while (c < codes) {
+        var d = 0.0; var jj = 0
+        while (jj < d0) { d += qv(s * d0 + jj) * books(s)(c)(jj); jj += 1 }
+        dotLut(s)(c) = d; c += 1
+      }
+      s += 1
+    }
+    (dotLut, nq2)
+  }
+
   private def collectPqCodebooks(codebooks: DataFrame, m: Int,
       codes: Int): Array[Array[Array[Double]]] = {
     val arr = Array.ofDim[Array[Double]](m, codes)
@@ -793,22 +818,7 @@ object SimilarityFunctions {
       .filter(col(qVecCol).isNotNull && size(col(qVecCol)) === dim)
       .as[(Long, Array[Double])].collect()
     val luts = qRows.map { case (qid, qv) =>
-      val dotLut = Array.ofDim[Double](m, codes)
-      var nq2 = 0.0
-      var s = 0
-      while (s < m) {
-        var sub = 0.0
-        var j = 0
-        while (j < d0) { val x = qv(s * d0 + j); sub += x * x; j += 1 }
-        nq2 += sub
-        var c = 0
-        while (c < codes) {
-          var d = 0.0; var jj = 0
-          while (jj < d0) { d += qv(s * d0 + jj) * books(s)(c)(jj); jj += 1 }
-          dotLut(s)(c) = d; c += 1
-        }
-        s += 1
-      }
+      val (dotLut, nq2) = adcLut(qv, books, m, codes, d0)
       (qid, dotLut, nq2)
     }
     val bc = spark.sparkContext.broadcast((luts, normLut))
@@ -882,6 +892,142 @@ object SimilarityFunctions {
       .filter(col("_cos").isNotNull)
       .select(col(qIdCol), col(idCol), col("_cos"))
       .as[(Long, Long, Double)]
+    topKPerQuery(scored, k)
+      .select(col("_q").as(qIdCol), col("_id").as(idCol),
+        col("_c").as("cosine"), col("rank"))
+  }
+
+  /** Build the IVF-PQ index table — ONE mapPartitions pass over the
+    * corpus producing `(idCol, cell, codes)`: the id of the
+    * L2/cosine-nearest coarse centroid (cell) and the vector's PQ codes
+    * ([[pqEncode]] semantics). This is the stored form a 100 TB ANN
+    * deployment materializes at ingest: m small ints + one cell id per
+    * vector — the raw vectors never need to be resident at serve time.
+    * Centroids and codebooks broadcast; no shuffle, no join. Null /
+    * wrong-dimension vectors drop (visible-null rule); a vector with no
+    * valid cell (all-NaN sims) drops like [[ivfTopK]]'s assignment.
+    */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      dim: Int, m: Int, codes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    requireIntegralId(corpus, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d0 = dim / m
+    val bcC = spark.sparkContext.broadcast(collectCentroids(centroids, cIdCol, cVecCol))
+    val bcB = spark.sparkContext.broadcast(collectPqCodebooks(codebooks, m, codes))
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcC.value; val books = bcB.value
+        it.flatMap { case (id, v) =>
+          var best = -1L; var bestSim = Double.MinValue; var i = 0
+          while (i < cs.length) {
+            val s = cosineLocal(v, cs(i)._2)
+            if (!s.isNaN && s > bestSim) { bestSim = s; best = cs(i)._1 }
+            i += 1
+          }
+          if (best < 0) Iterator.empty
+          else {
+            val enc = new Array[Int](m)
+            var s = 0
+            while (s < m) {
+              val book = books(s)
+              var bc = 0; var bd = Double.PositiveInfinity; var c = 0
+              while (c < book.length) {
+                var d = 0.0; var j = 0
+                while (j < d0) { val diff = v(s * d0 + j) - book(c)(j); d += diff * diff; j += 1 }
+                if (d < bd) { bd = d; bc = c }
+                c += 1
+              }
+              enc(s) = bc; s += 1
+            }
+            Iterator.single((id, best, enc.toSeq))
+          }
+        }
+      }.toDF(idCol, "cell", "codes")
+  }
+
+  /** IVF-PQ search — the composition that serves ANN at 100 TB: each
+    * query probes its `nProbe` nearest coarse cells ([[ivfTopK]]'s
+    * probe rule: cosine desc, centroid id asc, NaN last) and
+    * ADC-scores ONLY the index rows in probed cells via the per-query
+    * lookup table ([[pqTopK]]'s scoring: approximate cosine against
+    * the reconstruction, 6dp-rounded, self-matches excluded, zero
+    * norms drop, ties to lower id). Probing multiplies the ADC scan
+    * savings: nProbe/nCells of the corpus is touched, and each touched
+    * row costs m table reads — compose with [[pqTopKRerank]]'s exact
+    * tail when the final head must be exact.
+    *
+    * Scale shape: centroids, codebooks, and the per-query LUTs
+    * broadcast (all driver-bounded by the same contracts as their
+    * parent operators); the scan is ONE mapPartitions over the
+    * `(cell, codes)` index — the cell filter is a broadcast hash-set
+    * probe per row, raw vectors are never read — and the top-k rides
+    * the shared bounded-heap path. Nothing corpus-sized shuffles.
+    */
+  def ivfPqTopK(index: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, dim: Int, m: Int, codes: Int, k: Int, nProbe: Int,
+      idCol: String = "vec_id", cellCol: String = "cell",
+      codesCol: String = "codes", qIdCol: String = "query_id",
+      qVecCol: String = "query_vec",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    require(nProbe > 0, s"nProbe must be positive (got $nProbe)")
+    requireIntegralId(index, idCol); requireIntegralId(queries, qIdCol)
+    val spark = index.sparkSession
+    import spark.implicits._
+    val d0 = dim / m
+    val cents = collectCentroids(centroids, cIdCol, cVecCol)
+    val books = collectPqCodebooks(codebooks, m, codes)
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .filter(col(qVecCol).isNotNull && size(col(qVecCol)) === dim)
+      .as[(Long, Array[Double])].collect()
+    // cell -> queries probing it, each with its ADC LUT
+    val byCell: Map[Long, Array[(Long, Array[Array[Double]], Double)]] = qRows
+      .flatMap { case (qid, qv) =>
+        val probed = cents.map { case (cid, cv) =>
+          val s = cosineLocal(qv, cv)
+          (if (s.isNaN) Double.MaxValue else -s, cid)
+        }.sorted.take(nProbe).map(_._2)
+        val (dotLut, nq2) = adcLut(qv, books, m, codes, d0)
+        probed.map(cell => (cell, (qid, dotLut, nq2)))
+      }
+      .groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2) }
+    // per-code squared norms, summed per subspace at score time (the
+    // same external-replay-friendly grouping pqTopK uses)
+    val normLut: Array[Array[Double]] = books.map(_.map { cv =>
+      var n = 0.0; var j = 0
+      while (j < cv.length) { n += cv(j) * cv(j); j += 1 }; n
+    })
+    val bc = spark.sparkContext.broadcast((byCell, normLut))
+    val scored = index
+      .select(col(idCol).cast("long"), col(cellCol).cast("long"),
+        col(codesCol).cast("array<int>"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val (cells, norms) = bc.value
+        it.flatMap { case (id, cell, cs) =>
+          cells.getOrElse(cell, Array.empty[(Long, Array[Array[Double]], Double)])
+            .iterator.flatMap { case (qid, dotLut, nq2) =>
+              if (qid == id) Iterator.empty
+              else {
+                var dot = 0.0; var nx2 = 0.0; var s = 0
+                while (s < m) {
+                  val c = cs(s); dot += dotLut(s)(c); nx2 += norms(s)(c); s += 1
+                }
+                val denom = math.sqrt(nx2) * math.sqrt(nq2)
+                if (denom == 0.0) Iterator.empty
+                else Iterator.single((qid, id,
+                  BigDecimal(dot / denom).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              }
+            }
+        }
+      }
     topKPerQuery(scored, k)
       .select(col("_q").as(qIdCol), col("_id").as(idCol),
         col("_c").as("cosine"), col("rank"))

@@ -2287,6 +2287,82 @@ object Queries {
              |SELECT query_id, label, votes FROM w WHERE rn = 1
              |ORDER BY query_id""".stripMargin)),
 
+    QueryDef("s11_ivfpq_topk",
+      // IVF-PQ, the composition that serves ANN at 100 TB
+      // ([[SimilarityFunctions.ivfPqIndex]]/[[ivfPqTopK]]): the stored
+      // index is (cell, 8 codes) per vector — raw vectors never resident
+      // at serve time — and each query ADC-scans ONLY its 2 nearest of 4
+      // coarse cells. Fixed data-derived centroids (vec_id < 4, the
+      // s3/s7 convention) and codebooks (s8's), so DuckDB replays
+      // assignment, probing, encoding, reconstruction, and scoring
+      // bit-for-bit.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("code"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(explode(sequence(lit(0), lit(7))).as("subspace"),
+            col("code"), col("v"))
+          .select(col("subspace"), col("code"),
+            slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").cast("array<double>").as("centroid_vec"))
+        val idx = S.ivfPqIndex(emb, cents, cb, dim = 64, m = 8, codes = 4)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.ivfPqTopK(idx, q, cents, cb, dim = 64, m = 8, codes = 4,
+            k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cb AS (
+             |  SELECT s.subspace, CAST(c.vec_id AS INTEGER) AS code,
+             |         list_slice(c.v, s.subspace * 8 + 1, s.subspace * 8 + 8) AS centroid_vec
+             |  FROM e c, generate_series(0, 7) AS s(subspace)
+             |  WHERE c.vec_id < 4),
+             |enc AS (
+             |  SELECT vec_id, subspace, centroid_vec FROM (
+             |    SELECT e.vec_id, cb.subspace, cb.centroid_vec,
+             |           row_number() OVER (PARTITION BY e.vec_id, cb.subspace
+             |             ORDER BY list_distance(
+             |               list_slice(e.v, cb.subspace * 8 + 1, cb.subspace * 8 + 8),
+             |               cb.centroid_vec), cb.code) AS rn
+             |    FROM e, cb) WHERE rn = 1),
+             |recon AS (
+             |  SELECT vec_id, flatten(list(centroid_vec ORDER BY subspace)) AS rv
+             |  FROM enc GROUP BY vec_id),
+             |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+             |cell AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |           row_number() OVER (PARTITION BY e.vec_id
+             |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+             |    FROM e, cents c) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+             |probe AS (
+             |  SELECT query_id, cid FROM (
+             |    SELECT q.query_id, c.cid,
+             |           row_number() OVER (PARTITION BY q.query_id
+             |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+             |    FROM q, cents c) WHERE rn <= 2),
+             |scored AS (
+             |  SELECT q.query_id, r.vec_id,
+             |         round(list_cosine_similarity(r.rv, q.qv), 6) AS cosine
+             |  FROM recon r
+             |  JOIN cell ON cell.vec_id = r.vec_id
+             |  JOIN probe p ON p.cid = cell.cid
+             |  JOIN q ON q.query_id = p.query_id
+             |  WHERE r.vec_id <> q.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, cosine,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |           ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+             |  FROM scored)
+             |SELECT query_id, vec_id, cosine, "rank" FROM ranked
+             |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+
     QueryDef("s2_lsh_pairs",
       // the embeddings table has NO true near-duplicates (max pairwise
       // cosine < 0.7), so the query plants them: union the corpus with a
@@ -3303,6 +3379,35 @@ object Queries {
              |      * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))),
              |  6) AS bm25
              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("r5_tfidf_keywords",
+      // per-document keyword extraction ([[RelevanceFunctions
+      // .topTfIdfTerms]]): top-5 terms by tf·ln(N/df) — the
+      // corpus-exploration pass that tags what each document is about.
+      // The per-doc top-k is capPerGroup's bounded KthSmallest heap on
+      // struct(-tfidf, term) (no per-document sort, no window); the
+      // oracle replays with a row_number window — semantics must agree
+      // exactly, which is the point.
+      (s, dir) => R.topTfIdfTerms(docs(s, dir), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |         CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(dfc.df AS DOUBLE)) AS tfidf
+             |  FROM tf JOIN dfc USING (term), n),
+             |ranked AS (
+             |  SELECT doc_id, term, tfidf,
+             |         row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY tfidf DESC, term) AS rn
+             |  FROM scored)
+             |SELECT doc_id, term, round(tfidf, 6) AS tfidf FROM ranked
+             |WHERE rn <= 5 ORDER BY doc_id, round(tfidf, 6) DESC, term""".stripMargin)),
 
     QueryDef("r4_hybrid_rrf",
       // hybrid retrieval: BM25 keyword top-20 fused with cosine vector

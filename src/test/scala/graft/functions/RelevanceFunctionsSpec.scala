@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -154,6 +155,26 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       RelevanceFunctions.bm25(corpus, "doc_id", "text", Seq("a", "a"))
     }
+  }
+
+  test("topTfIdfTerms: hand-computed scores, top-k per doc, corpus-universal terms score 0") {
+    // corpus: banana is in all 3 docs (idf = ln(1) = 0), apple in 2,
+    // cherry/durian in 1
+    val hand = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry apple"),
+      (3L, "banana durian durian")).toDF("doc_id", "text")
+    val got = RelevanceFunctions.topTfIdfTerms(hand, "doc_id", "text", k = 2)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+      .as[(Long, String, Double)].collect().toList
+    def s(tf: Int, df: Int) = r6(tf * math.log(3.0 / df))
+    assert(got === List(
+      (1L, "apple", s(2, 2)), (1L, "banana", 0.0),
+      (2L, "cherry", s(1, 1)), (2L, "apple", s(1, 2)),
+      (3L, "durian", s(2, 1)), (3L, "banana", 0.0)))
+    // k larger than the vocab: every term comes back, none invented
+    assert(RelevanceFunctions.topTfIdfTerms(hand, "doc_id", "text", k = 10)
+      .count() === 7) // 2 + 3 + 2 distinct (doc, term) pairs
   }
 
   test("rrfFuse: both-list items dominate, absent lists contribute zero, ties to lower id") {

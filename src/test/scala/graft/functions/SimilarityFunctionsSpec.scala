@@ -391,6 +391,47 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       s"rerank recall regressed: $rerHits < $adcHits")
   }
 
+  test("ivfPqIndex/ivfPqTopK: index composes assignment+encoding; full probe equals pure ADC") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cb = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("code"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(explode(sequence(lit(0), lit(7))).as("subspace"), col("code"), col("v"))
+      .select(col("subspace"), col("code"),
+        slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("centroid_vec"))
+    val idx = SimilarityFunctions.ivfPqIndex(emb, cents, cb, 64, 8, 4)
+    assert(idx.count() === emb.count())
+    // the index's codes are EXACTLY pqEncode's (one pass, two outputs)
+    val viaPq = SimilarityFunctions.pqEncode(emb, cb, 64, 8, 4)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val viaIdx = idx.select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(viaIdx === viaPq)
+    // partitioning-proof cells
+    val cellsA = idx.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val cellsB = SimilarityFunctions.ivfPqIndex(emb.repartition(7), cents, cb, 64, 8, 4)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cellsA === cellsB)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // probing EVERY cell degenerates to the pure ADC scan — same rows
+    val full = SimilarityFunctions.ivfPqTopK(idx, q, cents, cb, 64, 8, 4,
+        k = 5, nProbe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val adc = SimilarityFunctions.pqTopK(
+        SimilarityFunctions.pqEncode(emb, cb, 64, 8, 4), q, cb, 64, 8, 4, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === adc, "full probe must equal the unpruned ADC scan")
+    // narrow probe returns only rows from probed cells, ≤ k per query
+    val narrow = SimilarityFunctions.ivfPqTopK(idx, q, cents, cb, 64, 8, 4,
+      k = 5, nProbe = 1)
+    assert(narrow.groupBy("query_id").count().filter(col("count") > 5).isEmpty)
+    assert(narrow.filter(col("query_id") === col("vec_id")).isEmpty)
+  }
+
   test("knnLabelVote: majority wins, ties to lower label, unlabeled neighbors don't vote") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.95, 0.05)),
