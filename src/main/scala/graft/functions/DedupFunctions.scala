@@ -101,10 +101,17 @@ object DedupFunctions {
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq(pos, line)))
       .withColumn(key, trim(col(line)))
-    // one row per distinct eligible line value: its first occurrence
+    // one row per distinct eligible line value: its first occurrence.
+    // KthSmallest(·, 1) (the library's bounded-heap aggregate), NOT
+    // min/min_by over the struct: both declarative forms carry a
+    // struct-typed buffer, which Spark can only plan as a
+    // SortAggregate — a per-partition sort of the whole exploded
+    // corpus — while the TypedImperativeAggregate plans as an
+    // ObjectHashAggregate: one candidate per line value per map task,
+    // no sort anywhere (plan-pinned by the spec).
     val keep = lines.filter(length(col(key)) >= minChars)
       .groupBy(col(key))
-      .agg(min(struct(col(idCol), col(pos))).as(keeper))
+      .agg(KthSmallest(struct(col(idCol), col(pos)), 1).as(keeper))
     val kept = lines.join(keep, Seq(key), "left")
       .filter(col(keeper).isNull || // short-line exemption (never in `keep`)
         (col(keeper).getField(idCol) === col(idCol) &&

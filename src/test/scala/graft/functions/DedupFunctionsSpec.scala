@@ -342,5 +342,11 @@ class DedupFunctionsSpec extends AnyFunSuite {
     val b = DedupFunctions.removeDuplicateLines(docs.repartition(7), "doc_id", "text", 10)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(b === m)
+    // plan pin: the keeper aggregation must be object-hash, never a
+    // SortAggregate (min/min_by over a struct buffer would sort the
+    // whole exploded corpus per partition)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"keeper agg degraded to SortAggregate:\n$plan")
   }
 }
