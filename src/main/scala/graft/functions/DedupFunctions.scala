@@ -63,6 +63,77 @@ object DedupFunctions {
       .select(cols.map(c => col(s"$row.`$c`").as(c)).toIndexedSeq: _*)
   }
 
+  /** Distinct character q-grams of a string; strings of length ≤ q
+    * yield themselves as the single gram (the [[wordShingles]] short-doc
+    * convention).
+    */
+  def charGrams(text: Column, q: Int): Column =
+    graft.functions.TextFunctions.bound(text) { t =>
+      graft.functions.TextFunctions.bound(length(t)) { n =>
+        when(n <= q, array(t)).otherwise(array_distinct(transform(
+          sequence(lit(0), n - q), i => t.substr(i + 1, lit(q)))))
+      }
+    }
+
+  /** Near-duplicate pairs by bounded edit distance — the title / name /
+    * short-field dedup a catalog or metadata pipeline runs where
+    * Jaccard is too coarse ("Reprt 2024" vs "Report 2024"). Returns
+    * `(id_a, id_b, dist)` for every pair with Levenshtein distance ≤
+    * `maxDist` that shares at least one character q-gram.
+    *
+    * Recall contract (q-gram count lemma, Ukkonen TCS 1992): d edits
+    * destroy at most d·q of a string's (len − q + 1) positional
+    * q-grams, so any pair within distance `maxDist` whose longer side
+    * has more than `maxDist`·q grams MUST share one — blocking is
+    * complete for strings longer than q·(maxDist+1) + q − 1 chars;
+    * shorter strings may only be found via their whole-string gram.
+    * The `maxDf` cap drops corpus-universal grams (the jaccardPairs
+    * shape — over-cap grams broadcast into a map-side anti-join);
+    * capped grams trade recall for never letting one boilerplate gram
+    * build an O(df²) candidate block.
+    *
+    * Scale shape: explode to (id, gram) rows; candidate generation is
+    * an equi-join on the gram with an |len_a − len_b| ≤ maxDist
+    * prefilter; `distinct` collapses multi-gram agreement BEFORE the
+    * texts are fetched (one hash agg on id pairs); only candidate
+    * pairs join the raw strings back and pay the Levenshtein verify —
+    * with the threshold form, which early-exits at maxDist+1.
+    * Intended for SHORT strings (titles): the gram explode carries
+    * ids + lengths only, never the text.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 2, q: Int = 3, maxDf: Long = 1000L,
+      broadcastOverCap: Boolean = true): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    require(q >= 1, s"q must be >= 1 (got $q)")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .filter(col("txt").isNotNull)
+      .withColumn("len", length(col("txt")))
+    val grams0 = base.select(col("id"), col("len"),
+      explode(charGrams(col("txt"), q)).as("g"))
+    val overCap0 = grams0.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("g"))
+    val overCap = if (broadcastOverCap) broadcast(overCap0) else overCap0
+    val grams = grams0.join(overCap, Seq("g"), "left_anti")
+    val a = grams.select(col("id").as("id_a"), col("len").as("len_a"), col("g"))
+    val b = grams.select(col("id").as("id_b"), col("len").as("len_b"), col("g"))
+    val cand = a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("txt").as("_ta")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("txt").as("_tb")), Seq("id_b"))
+      // threshold form: the DP early-exits once a row of the edit
+      // matrix exceeds maxDist (returns -1), so far-apart candidates
+      // cost O(len·maxDist), not O(len²)
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** C4-style cross-document duplicate-LINE removal (Raffel et al.,
     * JMLR 2020 §2.2 discards repeated three-sentence spans; line
     * granularity is the CCNet/RefinedWeb variant): any line whose

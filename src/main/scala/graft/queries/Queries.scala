@@ -2652,6 +2652,68 @@ object Queries {
              |FROM planted p LEFT JOIN rebuilt r USING (doc_id)
              |ORDER BY p.doc_id""".stripMargin)),
 
+    QueryDef("d15_title_dedup",
+      // bounded-edit-distance near-dup pairs ([[DedupFunctions
+      // .editDistancePairs]]) — the short-string dedup Jaccard is too
+      // coarse for. The synthetic docs have no titles, so the query
+      // plants them (typo'd twins at distance 1 and 2, plus numbered
+      // series whose neighbors differ by a digit) over doc_id < 60;
+      // candidates block on shared char trigrams (q-gram lemma — see
+      // the operator doc), far grams df-capped, Levenshtein verified.
+      // Both engines build the same titles and replay end-to-end.
+      (s, dir) => {
+        val titles = docs(s, dir).filter(col("doc_id") < 60)
+          .select(col("doc_id"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("stochastic gradient descent overview "),
+                expr("doc_id div 4")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("stochastic gradient descent overviev "),
+                expr("doc_id div 4")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("complete treatise on offshore sailing "),
+                expr("doc_id div 4")))
+            .otherwise(
+              concat(lit("cmplete treatise on offshore sailng "),
+                expr("doc_id div 4")))
+            .as("title"))
+        D.editDistancePairs(titles, "doc_id", "title",
+            maxDist = 2, q = 3, maxDf = 50L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH titles AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0
+             |           THEN 'stochastic gradient descent overview ' || CAST(doc_id // 4 AS VARCHAR)
+             |         WHEN doc_id % 4 = 1
+             |           THEN 'stochastic gradient descent overviev ' || CAST(doc_id // 4 AS VARCHAR)
+             |         WHEN doc_id % 4 = 2
+             |           THEN 'complete treatise on offshore sailing ' || CAST(doc_id // 4 AS VARCHAR)
+             |         ELSE 'cmplete treatise on offshore sailng ' || CAST(doc_id // 4 AS VARCHAR)
+             |    END AS title
+             |  FROM documents WHERE doc_id < 60),
+             |g0 AS (
+             |  SELECT doc_id, length(title) AS len, unnest(
+             |    CASE WHEN length(title) <= 3 THEN [title]
+             |         ELSE list_distinct(list_transform(
+             |           generate_series(1, length(title) - 2),
+             |           i -> substr(title, i, 3))) END) AS g
+             |  FROM titles),
+             |oc AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+             |gf AS (SELECT g0.* FROM g0 LEFT JOIN oc USING (g) WHERE oc.g IS NULL),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM gf a JOIN gf b ON a.g = b.g
+             |  WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 2),
+             |v AS (
+             |  SELECT c.id_a, c.id_b,
+             |         CAST(levenshtein(ta.title, tb.title) AS INTEGER) AS dist
+             |  FROM cand c
+             |  JOIN titles ta ON ta.doc_id = c.id_a
+             |  JOIN titles tb ON tb.doc_id = c.id_b)
+             |SELECT id_a, id_b, dist FROM v WHERE dist <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef("d10_quality_cap",
       // top-k-by-QUALITY per source — capPerGroup's struct-order path:
       // orderCol = struct(-quality, doc_id) maps "best first, id

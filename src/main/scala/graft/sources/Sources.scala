@@ -32,6 +32,43 @@ final class JsonSource(path: String, schema: StructType) extends Source {
   def fetch(spark: SparkSession): DataFrame = spark.read.schema(schema).json(path)
 }
 
+/** JSONL corpus ingestion — the crawl-interchange format training
+  * corpora actually arrive in, where some fraction of lines is always
+  * broken (truncated uploads, unescaped control chars, encoding junk).
+  * FAILFAST would kill a nightly job on one bad line; DROPMALFORMED
+  * silently shrinks the corpus with no audit trail. This reads
+  * PERMISSIVE with an explicit corrupt-record column and QUARANTINES:
+  * `read` returns (clean rows in the declared schema, corrupt raw
+  * lines) so the pipeline ingests what parses and ships the rest to a
+  * reject store with full provenance.
+  *
+  * The source is pinned once ([[graft.Caches.trackedPersist]]) because
+  * both outputs branch from one scan — also required: Spark refuses
+  * queries that select ONLY the corrupt column from a raw JSON scan
+  * (SPARK-21610), and the cache boundary is the documented workaround.
+  * Release via [[graft.Caches.releaseAll]].
+  */
+object JsonlCorpus {
+  val corruptCol = "_corrupt_record"
+
+  def read(spark: SparkSession, path: String, schema: StructType,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema must not already contain $corruptCol")
+    val full = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    val raw = spark.read.schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+    val pinned = graft.Caches.trackedPersist(raw, storage)
+    (pinned.filter(col(corruptCol).isNull).drop(corruptCol),
+      pinned.filter(col(corruptCol).isNotNull)
+        .select(col(corruptCol).as("raw_line")))
+  }
+}
+
 object SourceOps {
 
   /** Fail-fast required-column assertion (reference `src/validation.py:113-116`).

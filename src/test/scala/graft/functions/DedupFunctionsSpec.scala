@@ -318,6 +318,36 @@ class DedupFunctionsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("editDistancePairs: q-gram blocking finds planted typos, bounds hold") {
+    val titles = Seq(
+      (1L, "annual financial report 2024"),
+      (2L, "annual financial reprt 2024"),   // deletion: dist 1 from 1
+      (3L, "annual financial report 2025"),  // subst: dist 1 from 1, 2 from 2
+      (4L, "guide to alpine wildflowers"),   // unrelated
+      (5L, "guide to alpine wildflower"),    // dist 1 from 4
+      (6L, "xy"),                            // short-string single-gram path
+      (7L, "xz")).toDF("id", "title")        // dist 1 from 6; grams differ!
+    val got = DedupFunctions.editDistancePairs(titles, "id", "title",
+        maxDist = 2, q = 3, maxDf = 100L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 1)))
+    assert(got.contains((1L, 3L, 1)))
+    assert(got.contains((2L, 3L, 2)))
+    assert(got.contains((4L, 5L, 1)))
+    // every reported pair respects the bound and is a real distance
+    assert(got.forall(_._3 <= 2))
+    assert(!got.exists(p => Set(p._1, p._2).intersect(Set(1L, 2L, 3L)).size == 1 &&
+      Set(p._1, p._2).intersect(Set(4L, 5L)).size == 1),
+      "unrelated title families must not pair")
+    // the documented recall boundary: "xy"/"xz" share NO gram (each is
+    // its own whole-string gram), so blocking cannot surface them
+    assert(!got.exists(p => p._1 == 6L && p._2 == 7L))
+    // df-capping every gram kills all candidates — the escape hatch
+    // trade documented on maxDf
+    assert(DedupFunctions.editDistancePairs(titles, "id", "title",
+      maxDist = 2, q = 3, maxDf = 0L).isEmpty)
+  }
+
   test("removeDuplicateLines: first occurrence survives, short lines exempt") {
     val banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
     val docs = Seq(

@@ -47,6 +47,32 @@ class ConnectorsSpec extends AnyFunSuite {
       === Schemas.priceBar.fields.map(f => (f.name, f.dataType)))
   }
 
+  test("JsonlCorpus quarantines corrupt lines instead of failing or dropping") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("src_jsonl").toString
+    val f = new java.io.File(dir, "docs.jsonl")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("""{"doc_id": 1, "text": "clean document one"}""")
+    w.println("""{"doc_id": 2, "text": "clean document two"}""")
+    w.println("""{"doc_id": 3, "text": "truncated""")   // broken JSON
+    w.println("""not json at all""")
+    w.println("""{"doc_id": 4, "text": "clean document three"}""")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, corrupt) = JsonlCorpus.read(spark, f.toString, schema)
+    assert(clean.columns.toSeq === Seq("doc_id", "text"))
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    // quarantine carries the raw offending line, full provenance
+    val bad = corrupt.select("raw_line").as[String].collect().toSet
+    assert(bad === Set("""{"doc_id": 3, "text": "truncated""", "not json at all"))
+    // declared schema must not smuggle the corrupt column
+    intercept[IllegalArgumentException] {
+      JsonlCorpus.read(spark, f.toString, schema.add(JsonlCorpus.corruptCol, StringType))
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("full ingest chain: fetch -> standardize -> assert -> metadata -> range") {
     val dir = Files.createTempDirectory("src_chain").toString + "/t"
     bars.withColumnRenamed("adj_close", "Adj Close").write.parquet(dir)
