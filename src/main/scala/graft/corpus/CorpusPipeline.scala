@@ -50,7 +50,19 @@ final case class CorpusConfig(
     // setting for natural text; the registry's synthetic-vocab oracle
     // uses 3 (the c1 convention).
     decontamNgram: Int = 13,
-    maxSharedGrams: Long = 0L)
+    maxSharedGrams: Long = 0L,
+    // C4/CCNet-style cross-document duplicate-LINE removal as stage 0
+    // of [[CorpusPipeline.clean]] (before the gates, so quality is
+    // judged on the de-boilerplated text, and before fingerprinting,
+    // so two crawls of one page differing only in nav/banner placement
+    // collapse into exact duplicates). The value is
+    // [[graft.functions.DedupFunctions.removeDuplicateLines]]'s
+    // `minChars` exemption threshold. None = stage off. In the
+    // incremental flows (appendBatch/ingest) the stage sees one BATCH
+    // at a time: within-batch boilerplate dies, but a banner line the
+    // corpus already holds keeps its per-batch first occurrence — the
+    // same per-shipment scope every batch-level text stage has here.
+    lineDedupMinChars: Option[Int] = None)
 
 /** Embedding-tier (semantic) dedup knobs for [[CorpusPipeline.clean]].
   * `dim` is the embedding dimensionality (needed to generate the LSH
@@ -164,11 +176,19 @@ object CorpusPipeline {
       holdout: Option[DataFrame] = None): DataFrame = {
     require(chunkEmbeddings.isEmpty == semantic.isEmpty,
       "semantic dedup needs BOTH the chunk-embedding frame and a SemanticConfig")
+    // stage 0 (optional): cross-document duplicate-line removal —
+    // boilerplate dies line-by-line BEFORE quality is judged or
+    // fingerprints are taken (cfg.lineDedupMinChars)
+    val preDeduped = cfg.lineDedupMinChars match {
+      case Some(mc) =>
+        DedupFunctions.removeDuplicateLines(docs, idCol, textCol, mc)
+      case None => docs
+    }
     val t = col(textCol)
     val langOk =
       if (cfg.keepLangs.isEmpty) lit(true)
       else TextFunctions.languageId(t).isin(cfg.keepLangs.toSeq: _*)
-    val gated = docs.filter(
+    val gated = preDeduped.filter(
       TextFunctions.tokenCount(t) >= cfg.minTokens &&
         TextFunctions.qualityScore(t) >= cfg.minQuality &&
         TextFunctions.duplicateNgramFraction(t, 2) <= cfg.maxDupBigramFrac &&

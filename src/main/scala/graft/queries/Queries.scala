@@ -483,6 +483,47 @@ object Queries {
         |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)
         |ORDER BY doc_id""".stripMargin
 
+  /** c8: the c3 text chain with the duplicate-LINE removal stage armed
+    * (cfg.lineDedupMinChars) over a corpus where every doc carries a
+    * shared banner line and one doc in ten is re-crawled with the SAME
+    * banner on the other side. The d14 line CTEs rebuild the cleaned
+    * text; only doc 0 keeps the banner (lowest (id, pos)), every twin
+    * collapses onto its original at the exact-dedup tier.
+    */
+  private lazy val c8OracleSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |         'SHARED COOKIE BANNER TEXT HERE' || chr(10) || text AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |         text || chr(10) || 'SHARED COOKIE BANNER TEXT HERE'
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |lines AS (
+      |  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted)),
+      |keyed AS (SELECT doc_id, pos, line, trim(line) AS k FROM lines),
+      |keep AS (
+      |  SELECT k, doc_id AS kid, pos AS kpos FROM (
+      |    SELECT k, doc_id, pos,
+      |           row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+      |    FROM keyed WHERE length(k) >= 10) WHERE rn = 1),
+      |kept AS (
+      |  SELECT l.doc_id, l.pos, l.line
+      |  FROM keyed l LEFT JOIN keep ON l.k = keep.k
+      |  WHERE length(l.k) < 10 OR (l.doc_id = keep.kid AND l.pos = keep.kpos)),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      |  FROM kept GROUP BY doc_id),
+      |ld AS (
+      |  SELECT p.doc_id, coalesce(r.text, '') AS text
+      |  FROM planted p LEFT JOIN rebuilt r USING (doc_id)),
+      |""".stripMargin + corpusTextCtesFrom("ld") +
+      """
+        |SELECT e.doc_id, md5(e.text) AS text_md5
+        |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)
+        |ORDER BY doc_id""".stripMargin
+
   /** c7: the c3 text chain over the non-holdout corpus, then the c1
     * decontamination join as a DROP gate — survivors share ZERO word
     * 3-grams with the held-out suite (maxSharedGrams = 0). Survivor
@@ -3167,6 +3208,35 @@ object Queries {
           .orderBy("doc_id")
       },
       Some(c4OracleSql)),
+
+    QueryDef("c8_line_dedup_clean",
+      // the composed clean with stage-0 duplicate-LINE removal armed
+      // (CorpusConfig.lineDedupMinChars): every doc carries a shared
+      // cookie banner and one doc in ten is re-crawled with the banner
+      // on the OTHER side — line dedup strips the boilerplate before
+      // quality gating or fingerprinting, so each re-crawl collapses
+      // onto its original at the exact tier (the reason real pipelines
+      // run paragraph dedup first). Same md5 hash family and geometry
+      // as c3; the oracle prefixes the d14 line CTEs onto the c3 chain.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val banner = "SHARED COOKIE BANNER TEXT HERE"
+        val planted = d.select(col("doc_id"),
+            concat(lit(banner), lit("\n"), col("text")).as("text"))
+          .unionByName(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit("\n"), lit(banner)).as("text")))
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7,
+          minhashHash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+          minhashBucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))),
+          lineDedupMinChars = Some(10))
+        graft.corpus.CorpusPipeline.clean(planted, "doc_id", "text", cfg)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(c8OracleSql)),
 
     QueryDef("c7_decontaminated_clean_md5",
       // the composed clean with the decontamination DROP gate armed:

@@ -45,6 +45,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(fps === out.count())
   }
 
+  test("clean + lineDedupMinChars: re-crawls differing only in banner placement collapse") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val banner = "SHARED COOKIE BANNER TEXT HERE"
+    // every doc gets the banner on top; docs %10==0 are re-crawled with
+    // the SAME banner at the bottom under a shifted id
+    val planted = docs
+      .select(col("doc_id"), concat(lit(banner), lit("\n"), col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit("\n"), lit(banner)).as("text")))
+    val base = CorpusConfig(minTokens = 15, minQuality = 50.0)
+    // WITHOUT line dedup the re-crawls do drop (the LSH tier sees them
+    // as near-dups) but every surviving document still CARRIES the
+    // banner — the pollution line dedup exists to remove...
+    val off = CorpusPipeline.clean(planted, "doc_id", "text", base)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(off.count(_._2.contains(banner)) === off.length,
+      "without line dedup every survivor keeps the banner")
+    // ...WITH it, every re-crawl collapses onto its lower-id original
+    // at the cheap EXACT tier, and only doc 0 (the banner's first
+    // occurrence) still carries it
+    val on = CorpusPipeline.clean(planted, "doc_id", "text",
+      base.copy(lineDedupMinChars = Some(10)))
+    val onRows = on.select("doc_id", "text").as[(Long, String)].collect()
+    assert(!onRows.exists(_._1 >= 100000L), "every re-crawl must collapse")
+    val withBanner = onRows.filter(_._2.contains(banner)).map(_._1).toSeq
+    assert(withBanner === Seq(0L), s"banner must survive only in doc 0, got $withBanner")
+    graft.Caches.releaseAll()
+  }
+
   test("clean + semantic stage: embedding near-dups drop, verified brute-force") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
