@@ -81,6 +81,39 @@ object SamplingFunctions {
     * of `orderCol` makes the cut exact: no ties straddle it. The
     * Gopher/C4-style pipelines apply exactly this before training.
     */
+  /** Weighted sampling without replacement, per group (Efraimidis &
+    * Spirakis, IPL 2006): each row draws the key u^(1/w) — u a
+    * deterministic uniform in (0,1) from the pluggable stable hash of
+    * `keyCol`, w the row's weight — and the group's `k` LARGEST keys
+    * win. Inclusion probability is proportional to weight in the
+    * without-replacement sense, yet the draw is a pure function of the
+    * row: reproducible across runs, partitionings, and ENGINES (pass
+    * [[DedupFunctions.md5Hash60]] and an external oracle recomputes
+    * the identical sample — the d5 portability contract). The mixture
+    * op behind "sample each source's documents ∝ quality/length
+    * without a per-group serial pass". Null keys, null weights, and
+    * weights ≤ 0 drop (visible-null rule).
+    *
+    * Scale shape: the key is a scan-local projection; selection rides
+    * [[capPerGroup]]'s bounded KthSmallest heap on struct(-key, id) —
+    * map-side partial cuts, broadcast cut join, row-local filter — so
+    * nothing sorts and no group serializes through one task.
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      weightCol: String, k: Int, buckets: Int = 1000000,
+      hash: Column => Column = xxhash64(_),
+      broadcastCuts: Boolean = true): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    val es = graft.ops.ColNames.fresh(df.columns.toSet, "_es_key")
+    val filtered = df.filter(col(keyCol).isNotNull &&
+      col(weightCol).isNotNull && col(weightCol).cast("double") > 0.0)
+    val u = (hashBucket(col(keyCol), buckets, hash).cast("double") + 0.5) /
+      buckets.toDouble
+    val keyed = filtered.withColumn(es,
+      struct(negate(pow(u, lit(1.0) / col(weightCol).cast("double"))), col(keyCol)))
+    capPerGroup(keyed, groupCol, es, k, broadcastCuts).drop(es)
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
       k: Int, broadcastCuts: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")

@@ -2755,6 +2755,36 @@ object Queries {
              |SELECT id_a, id_b, dist FROM v WHERE dist <= 2
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("d16_weighted_sample",
+      // weighted sampling without replacement ([[SamplingFunctions
+      // .weightedSamplePerGroup]], Efraimidis-Spirakis keys u^(1/w)):
+      // each source keeps the 20 docs with the largest keys, weighted
+      // by length (n_chars) — "prefer substantial documents" as a pure
+      // deterministic draw. md5 hash form → DuckDB recomputes the
+      // identical sample (the d5 portability contract).
+      (s, dir) => Sam.weightedSamplePerGroup(
+          docs(s, dir).withColumn("_k", col("doc_id").cast("string")),
+          groupCol = "source", keyCol = "_k", weightCol = "n_chars",
+          k = 20, hash = D.md5Hash60)
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |       % 1000000 + 0.5) / 1000000.0 AS u,
+             |    n_chars
+             |  FROM documents
+             |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+             |ek AS (
+             |  SELECT doc_id, source, pow(u, 1.0 / n_chars) AS ekey FROM b),
+             |r AS (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY ekey DESC, doc_id) AS rn
+             |  FROM ek)
+             |SELECT doc_id, source FROM r WHERE rn <= 20
+             |ORDER BY source, doc_id""".stripMargin)),
+
     QueryDef("d10_quality_cap",
       // top-k-by-QUALITY per source — capPerGroup's struct-order path:
       // orderCol = struct(-quality, doc_id) maps "best first, id

@@ -335,6 +335,39 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSamplePerGroup: selection = k largest u^(1/w), bad weights drop") {
+    val df = (1L to 200L).map { i =>
+      (i, if (i <= 100) "A" else "B", (i % 7 + 1).toDouble)
+    }.toDF("id", "grp", "w").withColumn("k", col("id").cast("string"))
+    val got = SamplingFunctions.weightedSamplePerGroup(df, "grp", "k", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    // recompute the keys with the same projection and take top-10/group
+    val keys = df.select(col("id"), col("grp"),
+        pow((SamplingFunctions.hashBucket(col("k"), 1000000).cast("double") + 0.5)
+          / 1000000.0, lit(1.0) / col("w")).as("ek"))
+      .as[(Long, String, Double)].collect()
+    val expect = keys.groupBy(_._2).values.flatMap(
+      _.sortBy(t => (-t._3, t._1)).take(10).map(_._1)).toSet
+    assert(got === expect)
+    // an enormous weight forces the key toward 1: always selected
+    val dom = df.unionByName(Seq((9999L, "A", 1e12))
+      .toDF("id", "grp", "w").withColumn("k", col("id").cast("string"))
+      .select("id", "grp", "w", "k"))
+    assert(SamplingFunctions.weightedSamplePerGroup(dom, "grp", "k", "w", 10)
+      .filter(col("id") === 9999L).count() === 1L)
+    // null / zero / negative weights and null keys fall out visibly
+    val edge = Seq((1L, "A", Some(0.0)), (2L, "A", Some(-3.0)),
+        (3L, "A", None: Option[Double]), (4L, "A", Some(2.0)))
+      .toDF("id", "grp", "w").withColumn("k",
+        when(col("id") === 4L, lit(null).cast("string"))
+          .otherwise(col("id").cast("string")))
+    assert(SamplingFunctions.weightedSamplePerGroup(edge, "grp", "k", "w", 10).isEmpty)
+    // partitioning-proof
+    val b = SamplingFunctions.weightedSamplePerGroup(df.repartition(13), "grp", "k", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(b === got)
+  }
+
   test("temperatureSample: a null group is sampled, not silently dropped") {
     val df = ((1L to 400L).map(i => (i, Some("A"))) ++
       (401L to 800L).map(i => (i, None: Option[String])))
