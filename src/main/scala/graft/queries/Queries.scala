@@ -3542,6 +3542,26 @@ object Queries {
              |  6) AS bm25
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("z1_zvalue",
+      // Morton z-value ([[graft.ops.ZOrderOps.zValue]]) over two
+      // 8-bit-bucketed dimensions — the sort key behind multi-
+      // dimensional scan pruning (Delta/Iceberg OPTIMIZE ZORDER).
+      // Pure bit arithmetic, so the oracle recomputes it from the SAME
+      // generated expression ([[ZOrderOps.zValueSql]] — the s2
+      // generated-oracle pattern: the two engines cannot drift).
+      // Layout effectiveness (tight per-partition bounding boxes in
+      // BOTH dims after range-partitioning) is spec-pinned.
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.ZOrderOps.zValue(Seq(
+            pmod(col("l_suppkey"), lit(256)),
+            pmod(col("l_partkey"), lit(256))), bits = 8).as("z"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ${graft.ops.ZOrderOps.zValueSql(
+                   Seq("l_suppkey % 256", "l_partkey % 256"), 8)} AS z
+              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     QueryDef("r5_tfidf_keywords",
       // per-document keyword extraction ([[RelevanceFunctions
       // .topTfIdfTerms]]): top-5 terms by tf·ln(N/df) — the
