@@ -3542,6 +3542,22 @@ object Queries {
              |  6) AS bm25
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("a15_cms_freq",
+      // count-min frequency estimates ([[SketchFunctions.cmsCounts]])
+      // of the five event types — the fixed-few-KB answer to "how hot
+      // is THIS key" that a drift alarm or skew probe asks at 100 TB
+      // without materializing a data-sized exact count table. One
+      // tree-aggregated pass, nothing keyed shuffles. NO DuckDB oracle
+      // by the a7b/a10b sketch pattern (the sketch's hash layout is
+      // JVM-implementation-specific); the spec pins the CMS bound
+      // est ∈ [exact, exact + eps·N] against the exact counts and
+      // seed-determinism.
+      (s, dir) => graft.functions.SketchFunctions.cmsCounts(
+          events(s, dir), "event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("event_type"),
+      None),
+
     QueryDef("z1_zvalue",
       // Morton z-value ([[graft.ops.ZOrderOps.zValue]]) over two
       // 8-bit-bucketed dimensions — the sort key behind multi-

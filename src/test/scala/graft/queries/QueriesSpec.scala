@@ -5,6 +5,7 @@ import graft.TestSpark
 
 class QueriesSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+  import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
   test("registry names are unique and oracles reference registered queries") {
@@ -83,5 +84,27 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(a - e) <= math.max(1.0, 0.05 * e),
         s"col $i: approx $a vs exact $e")
     }
+  }
+
+  test("a15 CMS estimates respect the count-min bound against exact counts") {
+    import org.apache.spark.sql.functions._
+    val est = Queries.byName("a15_cms_freq")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val ev = graft.queries.Queries.events(spark, sf)
+    val n = ev.count()
+    val exact = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    for ((k, e) <- exact) {
+      // CMS never undercounts; overcount bounded by eps*N (eps=0.001)
+      // at 99% confidence — use 5x the bound to stay deterministic-safe
+      assert(est(k) >= e, s"$k: CMS undercounted ${est(k)} < $e")
+      assert(est(k) <= e + math.max(5.0, 5 * 0.001 * n),
+        s"$k: CMS overcount ${est(k)} vs $e (N=$n)")
+    }
+    // same seed, same data -> identical estimates (determinism)
+    val again = Queries.byName("a15_cms_freq")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(again === est)
   }
 }
