@@ -32,8 +32,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // events.parquet carries nanosecond timestamps; queries are pure and
-      // expect the session to be configured for them (see Queries.events).
+      // harmless for TIMESTAMP(MICROS) events.parquet; required for the
+      // TIMESTAMP(NANOS) generation (see Queries.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

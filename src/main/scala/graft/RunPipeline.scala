@@ -34,8 +34,8 @@ object RunPipeline {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries nanosecond timestamps; source/query
-      // functions are pure and expect the session pre-configured.
+      // harmless for TIMESTAMP(MICROS) events.parquet; required for the
+      // TIMESTAMP(NANOS) generation (see Queries.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

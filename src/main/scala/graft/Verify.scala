@@ -14,8 +14,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries nanosecond timestamps; query functions are
-      // pure and expect the session to be configured for them.
+      // harmless for TIMESTAMP(MICROS) events.parquet; required for the
+      // TIMESTAMP(NANOS) generation (Queries.events branches on the
+      // observed schema — the session just has to allow the nanos read).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

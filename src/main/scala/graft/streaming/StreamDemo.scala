@@ -17,7 +17,9 @@ object StreamDemo {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries nanosecond timestamps (see EventStreams.readEvents)
+      // harmless for TIMESTAMP(MICROS) generations of events.parquet;
+      // required when the file carries TIMESTAMP(NANOS) (readEvents
+      // branches on the observed footer schema either way)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
