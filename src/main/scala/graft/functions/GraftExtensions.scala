@@ -14,6 +14,9 @@ import org.apache.spark.sql.types.IntegerType
   *     heavy-hitters aggregate; `k`/`capacity` must be integer literals
   *     (they size executor-side state, so they are plan-time constants by
   *     construction)
+  *   - `nfc_normalize(s)` — [[NfcNormalize]] Unicode canonical
+  *     composition (byte equality = visual equality before byte-keyed
+  *     dedup)
   *
   * Two wiring paths, same builders:
   *
@@ -80,6 +83,12 @@ object GraftFunctions {
         WinnowFingerprints(args(0),
           intLiteral("winnow_fingerprints", "k", args(1)),
           intLiteral("winnow_fingerprints", "window", args(2)))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        requireArity("nfc_normalize", args, 1)
+        NfcNormalize(args(0))
       }))
 
   /** Register into an already-built session (idempotent: re-registration

@@ -23,6 +23,23 @@ object TextFunctions {
   def bound(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
+  /** Canonical text normalization — run BEFORE any byte-keyed operator
+    * (fingerprints, shingles, exact dedup, Bloom probes) so that byte
+    * equality means visual equality: Unicode NFC composition
+    * ([[NfcNormalize]], native + codegen'd), optional lowercasing,
+    * control characters stripped (except newline and tab — document
+    * structure), runs of spaces/tabs collapsed to one space, ends
+    * trimmed. Scan-local projection; every step is engine-replayable
+    * (DuckDB: nfc_normalize / lower / regexp_replace 'g').
+    */
+  def normalizeText(text: Column, lowercase: Boolean = true): Column = {
+    val nfc = NfcNormalize(text)
+    val cased = if (lowercase) lower(nfc) else nfc
+    trim(regexp_replace(
+      regexp_replace(cased, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+  }
+
   /** Whitespace token count. Empty/blank text → 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))

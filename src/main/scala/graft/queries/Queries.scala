@@ -1516,6 +1516,40 @@ object Queries {
              |  len_ok AND quality_ok AND rep_ok AND lang_ok AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t12_normalize_text",
+      // canonical text normalization ([[TextFunctions.normalizeText]]
+      // over the native [[NfcNormalize]] expression): NFC composition →
+      // lowercase → control-char strip → whitespace collapse → trim.
+      // The planted rows make the POINT: "CAFE" + U+0301 (decomposed)
+      // and "café" (precomposed) are different byte sequences that
+      // normalize to the IDENTICAL string — byte-keyed dedup only works
+      // downstream of this pass. Both engines implement Unicode NFC
+      // (java.text.Normalizer / utf8proc), so the oracle replays
+      // byte-for-byte.
+      (s, dir) => docs(s, dir).filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("CAFE"), lit("\u0301"), lit(" LATTE\tMENU  du jour")))
+          .when(col("doc_id") % 3 === 1,
+            lit("caf\u00e9 latte menu du jour"))
+          .otherwise(concat(
+            lit("control\u0001chars\u0007here  "), col("text")))
+          .as("text"))
+        .select(col("doc_id"),
+          T.normalizeText(col("text")).as("norm"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(
+             |    lower(nfc_normalize(
+             |      CASE WHEN doc_id % 3 = 0
+             |             THEN 'CAFE' || chr(769) || ' LATTE' || chr(9) || 'MENU  du jour'
+             |           WHEN doc_id % 3 = 1 THEN 'caf' || chr(233) || ' latte menu du jour'
+             |           ELSE 'control' || chr(1) || 'chars' || chr(7) || 'here  ' || text
+             |      END)),
+             |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |    '[ \t]+', ' ', 'g')) AS norm
+             |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin)),
+
     QueryDef("t11_gate_report",
       // Per-source gate observability: how many documents each
       // C4/Gopher-style gate (t7's length / quality / repetition /

@@ -5,6 +5,40 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 class TextFunctionsSpec extends AnyFunSuite {
+
+  test("NfcNormalize + normalizeText: decomposed and precomposed forms converge") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "CAFE\u0301 LATTE\tMENU  du jour"), // decomposed e+acute, tab, runs
+      (2L, "caf\u00e9 latte menu du jour"),      // precomposed
+      (3L, "control\u0001chars\u0007here"),
+      (4L, "plain ascii stays put"),
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextFunctions.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === out(2L), "NFC must make the two spellings byte-equal")
+    assert(out(1L) === "caf\u00e9 latte menu du jour")
+    assert(out(3L) === "controlcharshere")
+    assert(out(4L) === "plain ascii stays put")
+    assert(out(5L) === null, "null-strict")
+    // byte-keyed dedup works downstream: identical fingerprints
+    val fps = df.filter(col("id") <= 2)
+      .select(TextFunctions.fingerprint(TextFunctions.normalizeText(col("t"))))
+      .distinct().count()
+    assert(fps === 1L)
+    // SQL registration serves the same kernel
+    GraftFunctions.register(spark2)
+    val viaSql = spark2.sql(
+      "SELECT nfc_normalize('CAFE\u0301') = 'CAF\u00c9' AS eq").head().getBoolean(0)
+    assert(viaSql)
+    // the interpreted path shares the kernel with codegen
+    val e = NfcNormalize(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("no\u0308l")))
+    assert(e.eval(null).toString === "n\u00f6l")
+  }
   private val spark = TestSpark.spark
   import spark.implicits._
 
