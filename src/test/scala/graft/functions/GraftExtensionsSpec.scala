@@ -62,10 +62,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("extensions class injects the same builders at session build") {
     // the injection seq is shared by construction; assert the class is
     // instantiable with the zero-arg constructor spark.sql.extensions uses
-    // and exposes all three functions
+    // and exposes every registered function
     val ext = new GraftExtensions()
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
     assert(GraftFunctions.all.map(_._1.funcName).sorted ===
-      Seq("topk_freq", "vec_cosine", "vec_dot", "winnow_fingerprints"))
+      Seq("nfc_normalize", "topk_freq", "vec_cosine", "vec_dot",
+        "winnow_fingerprints"))
   }
 }
