@@ -134,6 +134,34 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Cross-split leakage report — the eval-hygiene check a training
+    * pipeline runs AFTER splitting: every near-duplicate pair whose two
+    * members landed in DIFFERENT splits (a test document with a
+    * train-side near-copy makes the eval score a lie). `pairs` is any
+    * scored pair frame (`jaccardPairs`, `minhashLshPairs`,
+    * `editDistancePairs`, embedding LSH — columns `id_a`, `id_b` plus
+    * whatever score it carries); `splits` maps ids to split labels.
+    * Returns the straddling pairs with both labels attached — empty is
+    * the passing grade. The leakage-SAFE split for new corpora is
+    * [[graft.functions.SamplingFunctions]]' grouped split (d11); this
+    * report is for auditing splits you didn't control.
+    *
+    * Scale shape: two equi-joins of the (bounded-by-construction) pair
+    * frame against the split table, then a row-local filter — the pair
+    * frame is the small side; broadcast it when tiny, AQE picks
+    * otherwise. Nothing corpus-sized shuffles beyond the split-table
+    * scans.
+    */
+  def crossSplitLeakage(pairs: DataFrame, splits: DataFrame,
+      idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
+    val a = splits.select(col(idCol).as("id_a"), col(splitCol).as("split_a"))
+    val b = splits.select(col(idCol).as("id_b"), col(splitCol).as("split_b"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select((pairs.columns.map(col) :+ col("split_a") :+ col("split_b"))
+        .toIndexedSeq: _*)
+  }
+
   /** C4-style cross-document duplicate-LINE removal (Raffel et al.,
     * JMLR 2020 §2.2 discards repeated three-sentence spans; line
     * granularity is the CCNet/RefinedWeb variant): any line whose

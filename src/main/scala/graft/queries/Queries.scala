@@ -2789,6 +2789,67 @@ object Queries {
              |SELECT id_a, id_b, dist FROM v WHERE dist <= 2
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("d17_split_leakage",
+      // cross-split leakage audit ([[DedupFunctions.crossSplitLeakage]]):
+      // near-dup pairs straddling train/valid/test make eval scores
+      // lie. The query plants republished near-copies under shifted ids
+      // (c5's batch pattern — a few appended words keep jaccard >= 0.8
+      // for substantial docs), hash-splits 80/10/10 (d5's md5 form),
+      // and reports every straddling pair with both labels. Oracle =
+      // the d3 pair CTEs over the planted corpus + the d5 split CTE +
+      // the straddle join.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val planted = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 9 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(" extracted republished copy")).as("text")))
+        val pairs = D.jaccardPairs(planted, "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 2000L)
+        val splits = planted.select(col("doc_id"),
+          Sam.splitColumn(col("doc_id").cast("string"), pctTrain = 80,
+            pctValid = 10, hash = D.md5Hash60).as("split"))
+        D.crossSplitLeakage(pairs, splits, "doc_id")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text || ' extracted republished copy'
+             |  FROM documents WHERE doc_id % 9 = 0),
+             |toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM planted),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sgl FROM sh),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             |         count(*) AS shared
+             |  FROM e a JOIN e b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pairs AS (
+             |  SELECT id_a, id_b,
+             |         round(CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+             |  FROM p
+             |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.8),
+             |sp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+             |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'valid'
+             |         ELSE 'test' END AS split
+             |  FROM planted)
+             |SELECT pr.id_a, pr.id_b, pr.jaccard, sa.split AS split_a, sb.split AS split_b
+             |FROM pairs pr
+             |JOIN sp sa ON sa.doc_id = pr.id_a
+             |JOIN sp sb ON sb.doc_id = pr.id_b
+             |WHERE sa.split <> sb.split
+             |ORDER BY pr.id_a, pr.id_b""".stripMargin)),
+
     QueryDef("d16_weighted_sample",
       // weighted sampling without replacement ([[SamplingFunctions
       // .weightedSamplePerGroup]], Efraimidis-Spirakis keys u^(1/w)):

@@ -318,6 +318,21 @@ class DedupFunctionsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("crossSplitLeakage: straddling pairs surface with labels, same-split pairs drop") {
+    val pairs = Seq((1L, 2L, 0.95), (3L, 4L, 0.9), (5L, 6L, 0.85))
+      .toDF("id_a", "id_b", "jaccard")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"),
+      (5L, "valid"), (6L, "train")).toDF("doc_id", "split")
+    val got = DedupFunctions.crossSplitLeakage(pairs, splits)
+      .as[(Long, Long, Double, String, String)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 0.95, "train", "test"),
+      (5L, 6L, 0.85, "valid", "train")))
+    // the passing grade: no straddlers -> empty report
+    val clean = Seq((3L, 4L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    assert(DedupFunctions.crossSplitLeakage(clean, splits).isEmpty)
+  }
+
   test("editDistancePairs: q-gram blocking finds planted typos, bounds hold") {
     val titles = Seq(
       (1L, "annual financial report 2024"),
