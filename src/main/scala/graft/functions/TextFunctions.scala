@@ -40,6 +40,45 @@ object TextFunctions {
       "[ \\t]+", " "))
   }
 
+  /** Rewrite each document keeping only the lines that satisfy
+    * `keepLine` — the within-document sibling of [[graft.functions
+    * .DedupFunctions.removeDuplicateLines]] (that one needs cross-doc
+    * state; this one is fully scan-local): one explode to
+    * (id, pos, line), a row-local predicate, and a per-document
+    * collect of its OWN surviving lines (bounded by document length).
+    * No joins, no cross-row state — the cheapest possible line gate.
+    * Documents whose every line is dropped come back with empty text
+    * (never dropped — the caller's gates decide their fate).
+    */
+  def filterLines(docs: DataFrame, idCol: String, textCol: String,
+      keepLine: Column => Column): DataFrame = {
+    val used = docs.columns.toSet
+    val pos = graft.ops.ColNames.fresh(used, "_fl_pos")
+    val line = graft.ops.ColNames.fresh(used, "_fl_line")
+    val newText = graft.ops.ColNames.fresh(used, "_fl_text")
+    val kept = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq(pos, line)))
+      .filter(keepLine(col(line)))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col(pos), col(line)))),
+        x => x.getField(line)), "\n").as(newText))
+    docs.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(newText), lit("")))
+      .drop(newText)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** The C4 line gate (Raffel et al., JMLR 2020 §2.2): keep a line only
+    * if it ends in a terminal punctuation mark (period, exclamation,
+    * question mark, or closing quotation) AND carries at least
+    * `minWords` whitespace words. Boilerplate fragments — nav labels,
+    * button text, cookie-notice stubs — rarely do either.
+    */
+  def c4KeepLine(line: Column, minWords: Int = 3): Column =
+    line.rlike("[.!?\"\u201d]\\s*$") && tokenCount(line) >= minWords
+
   /** Whitespace token count. Empty/blank text → 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))

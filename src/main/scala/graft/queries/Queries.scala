@@ -1516,6 +1516,48 @@ object Queries {
              |  len_ok AND quality_ok AND rep_ok AND lang_ok AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t13_c4_line_gate",
+      // the C4 line gate (Raffel et al. JMLR 2020 §2.2) through the
+      // scan-local [[TextFunctions.filterLines]] rewrite: keep only
+      // lines ending in terminal punctuation with >= 3 words —
+      // nav labels, button stubs, and survey fragments die; prose
+      // survives. Planted six-line pages make every branch observable;
+      // both engines rebuild the same pages and replay the gate.
+      (s, dir) => {
+        val d = docs(s, dir).filter(col("doc_id") < 40)
+        val planted = d.select(col("doc_id"), concat_ws("\n",
+          lit("Home"),
+          lit("Read the full story here."),
+          lit("Subscribe"),
+          concat(col("text"), lit(".")),
+          lit("Was this helpful? Yes No"),
+          lit("He said \"stop now please.\"")).as("text"))
+        T.filterLines(planted, "doc_id", "text", l => T.c4KeepLine(l))
+          .orderBy("doc_id")
+      },
+      Some(("""WITH planted AS (
+             |  SELECT doc_id,
+             |    'Home' || chr(10) || 'Read the full story here.' || chr(10)
+             |      || 'Subscribe' || chr(10) || text || '.' || chr(10)
+             |      || 'Was this helpful? Yes No' || chr(10)
+             |      || 'He said "stop now please."' AS text
+             |  FROM documents WHERE doc_id < 40),
+             |lines AS (
+             |  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS line
+             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted)),
+             |kept AS (
+             |  SELECT doc_id, pos, line FROM lines
+             |  WHERE regexp_matches(line, '[.!?"QUOTE]\s*$')
+             |    AND (CASE WHEN length(trim(line)) = 0 THEN 0
+             |              ELSE len(regexp_split_to_array(trim(line), '\s+'))
+             |         END) >= 3),
+             |rebuilt AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT p.doc_id, coalesce(r.text, '') AS text
+             |FROM planted p LEFT JOIN rebuilt r USING (doc_id)
+             |ORDER BY p.doc_id""").stripMargin.replace("QUOTE", "\u201d"))),
+
     QueryDef("t12_normalize_text",
       // canonical text normalization ([[TextFunctions.normalizeText]]
       // over the native [[NfcNormalize]] expression): NFC composition →

@@ -45,6 +45,28 @@ class TextFunctionsSpec extends AnyFunSuite {
   private def one[T](c: org.apache.spark.sql.Column, text: String): T =
     Seq(text).toDF("text").select(c.as("v")).head().getAs[T]("v")
 
+  test("filterLines + c4KeepLine: terminal-punct prose survives, stubs die") {
+    val docs = Seq(
+      (1L, "Home\nRead the full story here.\nSubscribe\nIt really works!\nOk no", "a"),
+      (2L, "Nav\nMenu", "b"), // every line dies -> empty text, doc kept
+      (3L, "He said \u201cstop now please.\u201d", "c")) // curly close-quote terminal
+      .toDF("doc_id", "text", "source")
+    val out = TextFunctions.filterLines(docs, "doc_id", "text",
+        l => TextFunctions.c4KeepLine(l))
+      .orderBy("doc_id")
+    assert(out.columns.toSeq === Seq("doc_id", "text", "source"))
+    val m = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(m(1L) === "Read the full story here.\nIt really works!")
+    assert(m(2L) === "", "fully-gated doc comes back empty, not dropped")
+    assert(m(3L) === "He said \u201cstop now please.\u201d")
+    // minWords binds: a 2-word terminal line dies at the default 3
+    val short = Seq((9L, "Too short.")).toDF("doc_id", "text")
+    assert(TextFunctions.filterLines(short, "doc_id", "text",
+      l => TextFunctions.c4KeepLine(l)).head().getString(1) === "")
+    assert(TextFunctions.filterLines(short, "doc_id", "text",
+      l => TextFunctions.c4KeepLine(l, minWords = 2)).head().getString(1) === "Too short.")
+  }
+
   test("tokenCount: whitespace tokens; empty and blank → 0") {
     assert(one[Long](TextFunctions.tokenCount(col("text")), "a b  c") === 3L)
     assert(one[Long](TextFunctions.tokenCount(col("text")), "") === 0L)
