@@ -1180,6 +1180,40 @@ object Queries {
           |  CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS volume
           |FROM prices GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("w15_bollinger",
+      // Bollinger bands: 20-day mid ± 2σ with pandas min_periods parity
+      // (null until the frame is full — the w5/w11 guard). One window
+      // spec serves count/avg/stddev, so Catalyst plans a single
+      // exchange+sort; multi-term float moments → 6dp round.
+      (s, dir) => {
+        val w20 = wTicker.rowsBetween(-19, 0)
+        prices(t(s, dir, "lineitem"))
+          .withColumn("_n", count(col("close")).over(w20))
+          .withColumn("_ma", avg(col("close")).over(w20))
+          .withColumn("_sd", stddev_samp(col("close")).over(w20))
+          .select(col("ticker"), col("date"),
+            round(when(col("_n") < 20, lit(null)).otherwise(col("_ma")), 6).as("mid"),
+            round(when(col("_n") < 20, lit(null))
+              .otherwise(col("_ma") + lit(2.0) * col("_sd")), 6).as("upper"),
+            round(when(col("_n") < 20, lit(null))
+              .otherwise(col("_ma") - lit(2.0) * col("_sd")), 6).as("lower"))
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """, a AS (
+          |  SELECT ticker, "date",
+          |    count(close) OVER w AS n,
+          |    avg(close) OVER w AS ma,
+          |    stddev_samp(close) OVER w AS sd
+          |  FROM prices
+          |  WINDOW w AS (PARTITION BY ticker ORDER BY "date"
+          |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          |SELECT ticker, "date",
+          |  round(CASE WHEN n < 20 THEN NULL ELSE ma END, 6) AS mid,
+          |  round(CASE WHEN n < 20 THEN NULL ELSE ma + 2.0 * sd END, 6) AS upper,
+          |  round(CASE WHEN n < 20 THEN NULL ELSE ma - 2.0 * sd END, 6) AS lower
+          |FROM a ORDER BY ticker, "date"""".stripMargin)),
+
     QueryDef("w14_ewma",
       // truncated EWMA-20 ([[graft.ops.FeatureOps.withEwma]], pandas
       // `ewm(span=20, adjust=True)` over the last 20 rows): the
