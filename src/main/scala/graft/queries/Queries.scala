@@ -1180,6 +1180,35 @@ object Queries {
           |  CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS volume
           |FROM prices GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("w16_standardize",
+      // per-entity feature standardization: (close − mean)/stddev over
+      // each ticker's own history — the preprocessing step before any
+      // scale-sensitive model consumes a panel of heterogeneous price
+      // levels. Per-ticker moments reduce in ONE hash aggregation and
+      // broadcast back (the w12 cut-points shape — no window, no sort);
+      // zero-variance tickers yield null visibly (both engines guard
+      // double/0 the same way).
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+        val m = p.groupBy("ticker").agg(
+          avg(col("close")).as("_mu"),
+          stddev_samp(col("close")).as("_sd"))
+        p.join(broadcast(m), Seq("ticker"))
+          .select(col("ticker"), col("date"),
+            round(when(col("_sd") === 0.0, lit(null))
+              .otherwise((col("close") - col("_mu")) / col("_sd")), 6).as("z"))
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """, m AS (
+          |  SELECT ticker, avg(close) AS mu, stddev_samp(close) AS sd
+          |  FROM prices GROUP BY 1)
+          |SELECT p.ticker, p."date",
+          |  round(CASE WHEN m.sd = 0.0 THEN NULL
+          |             ELSE (p.close - m.mu) / m.sd END, 6) AS z
+          |FROM prices p JOIN m USING (ticker)
+          |ORDER BY p.ticker, p."date"""".stripMargin)),
+
     QueryDef("w15_bollinger",
       // Bollinger bands: 20-day mid ± 2σ with pandas min_periods parity
       // (null until the frame is full — the w5/w11 guard). One window
