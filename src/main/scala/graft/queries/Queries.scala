@@ -1180,6 +1180,73 @@ object Queries {
           |  CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS volume
           |FROM prices GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("w17_macd",
+      // MACD through the truncated-EWMA machinery ([[FeatureOps
+      // .withEwma]] composed three times): macd = ewma12 − ewma26 of
+      // close, signal = ewma9 OF THE MACD COLUMN (an EWMA over a
+      // derived series — the composition w14 pins the primitive for),
+      // histogram = macd − signal. All three window passes share the
+      // per-ticker exchange; every fold is ordered, so DuckDB replays
+      // the doubles bit-for-bit through two stacked list windows.
+      (s, dir) => {
+        val base = prices(t(s, dir, "lineitem"))
+        val e12 = FeatureOps.withEwma(base, "ticker", "date", "close",
+          span = 12, lookback = 12, out = "e12")
+        val e26 = FeatureOps.withEwma(e12, "ticker", "date", "close",
+          span = 26, lookback = 26, out = "e26")
+        val m = e26.withColumn("macd", col("e12") - col("e26"))
+        val sig = FeatureOps.withEwma(m, "ticker", "date", "macd",
+          span = 9, lookback = 9, out = "signal")
+        sig.select(col("ticker"), col("date"),
+            round(col("macd"), 6).as("macd"), col("signal"),
+            round(col("macd") - col("signal"), 6).as("hist"))
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """, r2 AS (
+          |  SELECT ticker, "date", close,
+          |         row_number() OVER (PARTITION BY ticker ORDER BY "date") AS rn
+          |  FROM prices),
+          |l12 AS (
+          |  SELECT ticker, "date", rn,
+          |         list(struct_pack(rn := rn, c := close))
+          |           OVER (PARTITION BY ticker ORDER BY "date"
+          |                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS h
+          |  FROM r2),
+          |e12 AS (
+          |  SELECT ticker, "date", rn,
+          |    round(list_sum(list_transform(h, e -> e.c * pow(1.0 - 2.0/13.0, rn - e.rn)))
+          |          / ((1 - pow(1.0 - 2.0/13.0, len(h))) / (2.0/13.0)), 6) AS v
+          |  FROM l12),
+          |l26 AS (
+          |  SELECT ticker, "date", rn,
+          |         list(struct_pack(rn := rn, c := close))
+          |           OVER (PARTITION BY ticker ORDER BY "date"
+          |                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS h
+          |  FROM r2),
+          |e26 AS (
+          |  SELECT ticker, "date", rn,
+          |    round(list_sum(list_transform(h, e -> e.c * pow(1.0 - 2.0/27.0, rn - e.rn)))
+          |          / ((1 - pow(1.0 - 2.0/27.0, len(h))) / (2.0/27.0)), 6) AS v
+          |  FROM l26),
+          |m AS (
+          |  SELECT e12.ticker, e12."date", e12.rn, e12.v - e26.v AS macd
+          |  FROM e12 JOIN e26 ON e12.ticker = e26.ticker AND e12.rn = e26.rn),
+          |l9 AS (
+          |  SELECT ticker, "date", rn, macd,
+          |         list(struct_pack(rn := rn, c := macd))
+          |           OVER (PARTITION BY ticker ORDER BY "date"
+          |                 ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS h
+          |  FROM m),
+          |sg AS (
+          |  SELECT ticker, "date", macd,
+          |    round(list_sum(list_transform(h, e -> e.c * pow(1.0 - 2.0/10.0, rn - e.rn)))
+          |          / ((1 - pow(1.0 - 2.0/10.0, len(h))) / (2.0/10.0)), 6) AS s
+          |  FROM l9)
+          |SELECT ticker, "date", round(macd, 6) AS macd, s AS signal,
+          |       round(macd - s, 6) AS hist
+          |FROM sg ORDER BY ticker, "date"""".stripMargin)),
+
     QueryDef("w16_standardize",
       // per-entity feature standardization: (close − mean)/stddev over
       // each ticker's own history — the preprocessing step before any
