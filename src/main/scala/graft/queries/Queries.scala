@@ -2151,9 +2151,15 @@ object Queries {
     QueryDef("s4_quantized_knn",
       // exact KNN over the int8-QUANTIZED corpus: 4x/8x smaller vectors,
       // searched directly (cosine is scale-invariant, VecCosine widens
-      // bytes) — the memory-bound 100 TB regime. Quantization rounding is
-      // engine-specific → rows-only; SimilarityFunctionsSpec bounds the
-      // round-trip error and recall@5 against the exact s1 results.
+      // bytes) — the memory-bound 100 TB regime. FULLY oracled: the
+      // quantization is deterministic double arithmetic (scale =
+      // max|x|/127 floored at 1e-30; round is half-away-from-zero in
+      // both engines), and the quantized dot products are sums of
+      // integer products < 2^53 — EXACT in double — so the only FP in
+      // the cosine is the final sqrt/divide, identical IEEE ops in both
+      // engines, absorbed by the same 6 dp pre-rank rounding s1 uses.
+      // SimilarityFunctionsSpec additionally bounds the round-trip
+      // error and recall@5 against the exact s1 results.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val corpus = emb.select(col("vec_id"),
@@ -2162,7 +2168,23 @@ object Queries {
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         S.bruteForceTopK(corpus, q, 5).orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH qz AS (
+             |  SELECT vec_id,
+             |         list_transform(CAST(embedding AS DOUBLE[]),
+             |           x -> round(x / (greatest(list_max(list_transform(
+             |                  CAST(embedding AS DOUBLE[]), y -> abs(y))), 1e-30) / 127.0))) AS qv
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, qv AS query_vec FROM qz WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_cosine_similarity(e.qv, q.query_vec), 6) AS cosine
+             |  FROM qz e, q WHERE e.vec_id <> q.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, cosine,
+             |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+             |  FROM scored)
+             |SELECT query_id, vec_id, cosine, "rank" FROM ranked
+             |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
     QueryDef("s1_knn_topk",
       (s, dir) => {
