@@ -788,12 +788,15 @@ object SimilarityFunctions {
     * id — [[bruteForceTopK]]'s exact contract, so recall is measurable
     * by a direct join of the two result sets (the s7 harness shape).
     *
-    * Scale shape: queries and their LUTs are driver-bounded (|queries| ·
-    * m · codes doubles — the same "queries are the small side" contract
-    * bruteForceTopK's broadcast already assumes), the corpus side is ONE
-    * mapPartitions scan of the m-int code rows (never the raw vectors),
-    * and the top-k is the shared bounded-heap path — nothing shuffles
-    * scored rows. Compose with an exact re-rank by joining the top-R ids
+    * Scale shape: only the RAW query vectors are driver-collected and
+    * broadcast (|queries| · dim doubles — the same "queries are the
+    * small side" contract bruteForceTopK's broadcast already assumes);
+    * the m·codes-per-query LUTs are built executor-side, once per
+    * executor ([[graft.internal.ExecutorMemo]]), so a large offline
+    * batch's LUT construction parallelizes instead of serializing
+    * through the driver. The corpus side is ONE mapPartitions scan of
+    * the m-int code rows (never the raw vectors), and the top-k is the
+    * shared bounded-heap path — nothing shuffles scored rows. Compose with an exact re-rank by joining the top-R ids
     * back to the raw vectors and re-scoring via [[bruteForceTopK]] on
     * that R-row slice when ADC recall needs a final exact pass.
     */
@@ -813,20 +816,31 @@ object SimilarityFunctions {
       var n = 0.0; var j = 0
       while (j < d0) { n += cv(j) * cv(j); j += 1 }; n
     })
+    // only the RAW query vectors cross the driver (|queries| × dim — the
+    // same "queries are the small side" contract bruteForceTopK's
+    // broadcast assumes); the m×codes-per-query ADC LUTs are built
+    // EXECUTOR-side, once per executor per broadcast (ExecutorMemo), so
+    // a large offline query batch neither serializes LUT construction
+    // through the driver nor ships codes/dim× more bytes than the
+    // vectors themselves.
     val qRows = queries
       .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
       .filter(col(qVecCol).isNotNull && size(col(qVecCol)) === dim)
       .as[(Long, Array[Double])].collect()
-    val luts = qRows.map { case (qid, qv) =>
-      val (dotLut, nq2) = adcLut(qv, books, m, codes, d0)
-      (qid, dotLut, nq2)
-    }
-    val bc = spark.sparkContext.broadcast((luts, normLut))
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val bcB = spark.sparkContext.broadcast((books, normLut))
+    val lutKey = bcQ.id
     val scored = encoded
       .select(col(idCol).cast("long"), col(codesCol).cast("array<int>"))
       .as[(Long, Array[Int])]
       .mapPartitions { it =>
-        val (qs, norms) = bc.value
+        val (bks, norms) = bcB.value
+        val qs = graft.internal.ExecutorMemo.getOrBuild(lutKey) {
+          bcQ.value.map { case (qid, qv) =>
+            val (dotLut, nq2) = adcLut(qv, bks, m, codes, d0)
+            (qid, dotLut, nq2)
+          }
+        }
         it.flatMap { case (id, cs) =>
           qs.iterator.flatMap { case (qid, dotLut, nq2) =>
             if (qid == id) Iterator.empty
@@ -962,12 +976,15 @@ object SimilarityFunctions {
     * row costs m table reads — compose with [[pqTopKRerank]]'s exact
     * tail when the final head must be exact.
     *
-    * Scale shape: centroids, codebooks, and the per-query LUTs
+    * Scale shape: centroids, codebooks, and the RAW query vectors
     * broadcast (all driver-bounded by the same contracts as their
-    * parent operators); the scan is ONE mapPartitions over the
-    * `(cell, codes)` index — the cell filter is a broadcast hash-set
-    * probe per row, raw vectors are never read — and the top-k rides
-    * the shared bounded-heap path. Nothing corpus-sized shuffles.
+    * parent operators); cell probing and the per-query ADC LUTs are
+    * built executor-side, once per executor
+    * ([[graft.internal.ExecutorMemo]]), never serialized through the
+    * driver. The scan is ONE mapPartitions over the `(cell, codes)`
+    * index — the cell filter is a broadcast hash-set probe per row,
+    * raw vectors are never read — and the top-k rides the shared
+    * bounded-heap path. Nothing corpus-sized shuffles.
     */
   def ivfPqTopK(index: DataFrame, queries: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, dim: Int, m: Int, codes: Int, k: Int, nProbe: Int,
@@ -983,34 +1000,42 @@ object SimilarityFunctions {
     val d0 = dim / m
     val cents = collectCentroids(centroids, cIdCol, cVecCol)
     val books = collectPqCodebooks(codebooks, m, codes)
+    // only the RAW query vectors cross the driver; cell probing AND the
+    // per-query ADC LUTs are built EXECUTOR-side, once per executor per
+    // broadcast (ExecutorMemo) — pqTopK's contract, extended to the
+    // probe assignment (|queries| × |centroids| cosines, which on the
+    // driver would serialize a large offline batch's probe phase).
     val qRows = queries
       .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
       .filter(col(qVecCol).isNotNull && size(col(qVecCol)) === dim)
       .as[(Long, Array[Double])].collect()
-    // cell -> queries probing it, each with its ADC LUT
-    val byCell: Map[Long, Array[(Long, Array[Array[Double]], Double)]] = qRows
-      .flatMap { case (qid, qv) =>
-        val probed = cents.map { case (cid, cv) =>
-          val s = cosineLocal(qv, cv)
-          (if (s.isNaN) Double.MaxValue else -s, cid)
-        }.sorted.take(nProbe).map(_._2)
-        val (dotLut, nq2) = adcLut(qv, books, m, codes, d0)
-        probed.map(cell => (cell, (qid, dotLut, nq2)))
-      }
-      .groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2) }
     // per-code squared norms, summed per subspace at score time (the
     // same external-replay-friendly grouping pqTopK uses)
     val normLut: Array[Array[Double]] = books.map(_.map { cv =>
       var n = 0.0; var j = 0
       while (j < cv.length) { n += cv(j) * cv(j); j += 1 }; n
     })
-    val bc = spark.sparkContext.broadcast((byCell, normLut))
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val bcMeta = spark.sparkContext.broadcast((cents, books, normLut))
+    val lutKey = bcQ.id
     val scored = index
       .select(col(idCol).cast("long"), col(cellCol).cast("long"),
         col(codesCol).cast("array<int>"))
       .as[(Long, Long, Array[Int])]
       .mapPartitions { it =>
-        val (cells, norms) = bc.value
+        val (cs0, bks, norms) = bcMeta.value
+        // cell -> queries probing it, each with its ADC LUT
+        val cells: Map[Long, Array[(Long, Array[Array[Double]], Double)]] =
+          graft.internal.ExecutorMemo.getOrBuild(lutKey) {
+            bcQ.value.flatMap { case (qid, qv) =>
+              val probed = cs0.map { case (cid, cv) =>
+                val s = cosineLocal(qv, cv)
+                (if (s.isNaN) Double.MaxValue else -s, cid)
+              }.sorted.take(nProbe).map(_._2)
+              val (dotLut, nq2) = adcLut(qv, bks, m, codes, d0)
+              probed.map(cell => (cell, (qid, dotLut, nq2)))
+            }.groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2) }
+          }
         it.flatMap { case (id, cell, cs) =>
           cells.getOrElse(cell, Array.empty[(Long, Array[Array[Double]], Double)])
             .iterator.flatMap { case (qid, dotLut, nq2) =>

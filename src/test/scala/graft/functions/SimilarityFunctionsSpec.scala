@@ -432,6 +432,69 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(narrow.filter(col("query_id") === col("vec_id")).isEmpty)
   }
 
+  test("pqTopK/ivfPqTopK: executor-side LUTs hold at a full-corpus query batch") {
+    // EVERY corpus vector as a query (500 at sf0.001) — the offline
+    // re-embedding / all-pairs-eval regime the driver-side LUT path
+    // would have serialized. Only raw vectors cross the driver now;
+    // LUTs build per executor (ExecutorMemo), so this is the spec that
+    // pins the large-batch behavior.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val cb = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("code"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(explode(sequence(lit(0), lit(7))).as("subspace"), col("code"), col("v"))
+      .select(col("subspace"), col("code"),
+        slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+    val enc = SimilarityFunctions.pqEncode(emb, cb, 64, 8, 4)
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val adc = SimilarityFunctions.pqTopK(enc, q, cb, 64, 8, 4, k = 3)
+    // contract parity at batch scale: k rows per query, every query
+    // covered, no self-matches
+    assert(adc.count() === n * 3)
+    assert(adc.select("query_id").distinct().count() === n)
+    assert(adc.filter(col("query_id") === col("vec_id")).isEmpty)
+    // determinism: a second invocation (new broadcast, fresh memo key)
+    // reproduces the identical result set
+    val again = SimilarityFunctions.pqTopK(enc, q, cb, 64, 8, 4, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(adc.as[(Long, Long, Double, Int)].collect().toSet === again)
+    // the IVF-PQ composition at the same batch scale
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("centroid_vec"))
+    val idx = SimilarityFunctions.ivfPqIndex(emb, cents, cb, 64, 8, 4)
+    val ivf = SimilarityFunctions.ivfPqTopK(idx, q, cents, cb, 64, 8, 4,
+      k = 3, nProbe = 4)
+    // full probe at full batch = the unpruned ADC scan, row for row
+    assert(ivf.as[(Long, Long, Double, Int)].collect().toSet ===
+      adc.as[(Long, Long, Double, Int)].collect().toSet)
+  }
+
+  test("ExecutorMemo: builds once per key, LRU-bounded, distinct keys isolated") {
+    import graft.internal.ExecutorMemo
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = 900000L + scala.util.Random.nextInt(100000)
+    def build(): java.lang.Integer = { builds.incrementAndGet(); Integer.valueOf(42) }
+    // concurrent first access: exactly one build, everyone sees it
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 16).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Integer] {
+          def call(): Integer = ExecutorMemo.getOrBuild(key)(build())
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 42))
+      assert(builds.get() === 1, "concurrent getOrBuild must build exactly once")
+    } finally pool.shutdown()
+    // distinct keys build independently; the cache stays LRU-bounded
+    (1L to 20L).foreach { i =>
+      ExecutorMemo.getOrBuild(key + 10000L + i)(Integer.valueOf(i.toInt))
+    }
+    assert(ExecutorMemo.size <= 8, s"memo must stay bounded, got ${ExecutorMemo.size}")
+  }
+
   test("knnLabelVote: majority wins, ties to lower label, unlabeled neighbors don't vote") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.95, 0.05)),
