@@ -43,6 +43,26 @@ final case class CorpusConfig(
     // bits/item at the default 3% fpp). None = gate off.
     fpBloomItems: Option[Long] = None,
     fpBloomFpp: Double = 0.03,
+    // PROBE auto-arm thresholds for the Bloom gate. The gate replaces
+    // the exact tier's batch-anti-join-index with a sketch probe + two
+    // broadcast joins; that trade only wins when the plain anti-join
+    // would actually SHUFFLE the corpus fingerprint table — i.e. when
+    // the fp table is too big to broadcast AND the batch is small
+    // against the corpus (few hits → tiny broadcast sets). Measured at
+    // sf0.1 (PLANS.md r11 crossover note): with any locally-testable
+    // corpus the fp table broadcasts and the gate LOSES at every ratio
+    // (+10% at 0.05:1, +42% at 17:1) — so the probe arms only past
+    // BOTH floors below. corpus_total is a marker sum (no scan); the
+    // batch row count is one count of the incoming frame. Armed
+    // batches ALWAYS write their per-batch filters (cheap, and the
+    // merged sketch's no-false-negative rule needs every batch
+    // covered) — these thresholds gate only the probe. Ratio 0.0 =
+    // probe whenever `fpBloomItems` is set (the pre-r11 behavior).
+    fpBloomMinRatio: Double = 4.0,
+    // ~2M 16-byte fingerprints ≈ 32 MB of keys — decisively past the
+    // 10 MB autoBroadcastJoinThreshold where the plain anti-join stops
+    // being a broadcast join and starts shuffling the corpus
+    fpBloomMinCorpusRows: Long = 2000000L,
     // decontamination knobs (active when a `holdout` frame is passed to
     // [[CorpusPipeline.clean]]/append/ingest): a survivor sharing more
     // than `maxSharedGrams` distinct word `decontamNgram`-grams with
@@ -546,6 +566,23 @@ object CorpusPipeline {
   // regardless of which writer's batch lands first.
   // ------------------------------------------------------------------
 
+  /** The Bloom-probe auto-arm rule of [[ingest]], factored for direct
+    * spec coverage: probe only when the gate is configured AND the
+    * committed corpus clears both floors — at least
+    * `cfg.fpBloomMinCorpusRows` rows (else the fingerprint table
+    * broadcasts and the plain anti-join is already shuffle-free) and
+    * at least `cfg.fpBloomMinRatio` nightly batches big (else the hit
+    * set the gate must broadcast stops being small). Ratio ≤ 0 =
+    * probe whenever configured, ignoring both floors (the explicit
+    * override, and the pre-r11 behavior).
+    */
+  private[corpus] def bloomProbeArmed(cfg: CorpusConfig, corpusRows: Long,
+      batchRows: Long): Boolean =
+    cfg.fpBloomItems.isDefined &&
+      (cfg.fpBloomMinRatio <= 0.0 ||
+        (corpusRows >= cfg.fpBloomMinCorpusRows &&
+          corpusRows.toDouble >= cfg.fpBloomMinRatio * batchRows.toDouble))
+
   private def stateFs(spark: SparkSession, stateDir: String)
       : org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(stateDir)
@@ -806,9 +843,16 @@ object CorpusPipeline {
         semanticIndex = semantic.flatMap(_ => readSemanticIndex(spark, stateDir)),
         batchChunks = batchChunks, chunkIdCol = chunkIdCol, vecCol = vecCol,
         semantic = semantic,
-        // the gate arms only when the cfg asks AND every committed
-        // batch stored a filter (readFpBloom's no-false-negative rule)
-        fpBloom = cfg.fpBloomItems.flatMap(_ => readFpBloom(spark, stateDir)),
+        // the PROBE arms only when the cfg asks, every committed batch
+        // stored a filter (readFpBloom's no-false-negative rule), AND
+        // the corpus:batch ratio clears cfg.fpBloomMinRatio — below the
+        // crossover the plain anti-join is cheaper (filters still get
+        // WRITTEN below, so the sketch stays complete for the night the
+        // ratio clears)
+        fpBloom =
+          if (bloomProbeArmed(cfg, corpusTotal(spark, stateDir), docs.count()))
+            readFpBloom(spark, stateDir)
+          else None,
         holdout = holdout)
     val (survivors, releaseSurvivors) =
       graft.internal.Checkpoints.localCheckpointTracked(cleaned)

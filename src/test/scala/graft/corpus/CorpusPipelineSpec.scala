@@ -358,8 +358,10 @@ class CorpusPipelineSpec extends AnyFunSuite {
   test("ingest: bloom-armed nights converge; mixed state disarms the gate safely") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
+    // ratio 0: probe whenever armed — this spec exercises the PROBE
+    // path itself; the auto-arm ratio has its own spec below
     val cfg = CorpusConfig(minTokens = 15, minQuality = 50.0,
-      fpBloomItems = Some(100000L))
+      fpBloomItems = Some(100000L), fpBloomMinRatio = 0.0)
     val state = Files.createTempDirectory("ingest-bloom").toFile.getAbsolutePath
     val n1 = CorpusPipeline.ingest(spark, state, docs.filter(col("doc_id") < 25),
       cfg = cfg)
@@ -399,6 +401,51 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(CorpusPipeline.readCorpus(spark, mixed)
       .filter(col("doc_id") === 900601L).isEmpty,
       "dedup must hold even with the gate disarmed")
+  }
+
+  test("bloom probe auto-arms by corpus:batch ratio; young-corpus nights stay correct") {
+    // the decision rule itself: BOTH floors must clear
+    val armed = CorpusConfig(fpBloomItems = Some(1000L), fpBloomMinRatio = 4.0,
+      fpBloomMinCorpusRows = 300L)
+    assert(!CorpusPipeline.bloomProbeArmed(armed, corpusRows = 100, batchRows = 50),
+      "a 2:1 corpus must NOT probe at ratio 4")
+    assert(CorpusPipeline.bloomProbeArmed(armed, corpusRows = 400, batchRows = 50),
+      "an 8:1 corpus past the rows floor must probe at ratio 4")
+    assert(CorpusPipeline.bloomProbeArmed(armed, corpusRows = 300, batchRows = 75),
+      "both thresholds exactly met arm — >= comparisons")
+    assert(!CorpusPipeline.bloomProbeArmed(armed, corpusRows = 200, batchRows = 10),
+      "a 20:1 corpus BELOW the rows floor must not probe — its " +
+        "fingerprint table broadcasts, the plain anti-join is free")
+    assert(CorpusPipeline.bloomProbeArmed(
+      armed.copy(fpBloomMinRatio = 0.0), corpusRows = 0, batchRows = 50),
+      "ratio 0 probes whenever the gate is configured, ignoring both floors")
+    assert(!CorpusPipeline.bloomProbeArmed(
+      armed.copy(fpBloomItems = None), corpusRows = 1000, batchRows = 1),
+      "no configured gate, no probe, whatever the ratio")
+    // integration: identical corpus content whichever side of the
+    // crossover the nights land on, and filters are WRITTEN even on
+    // un-probed nights so the sketch stays complete for later arming
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val always = CorpusConfig(minTokens = 15, minQuality = 50.0,
+      fpBloomItems = Some(100000L), fpBloomMinRatio = 0.0)
+    val never = always.copy(fpBloomMinRatio = Double.MaxValue)
+    val stA = Files.createTempDirectory("bloom-ratio-a").toFile.getAbsolutePath
+    val stB = Files.createTempDirectory("bloom-ratio-b").toFile.getAbsolutePath
+    for (st <- Seq(stA, stB); cfg = if (st == stA) always else never) {
+      CorpusPipeline.ingest(spark, st, docs.filter(col("doc_id") < 25), cfg = cfg)
+      val recrawl = CorpusPipeline.readCorpus(spark, st).orderBy("doc_id").limit(1)
+        .select(lit(900700L).as("doc_id"), col("text"))
+      CorpusPipeline.ingest(spark, st,
+        docs.filter(col("doc_id") >= 25).unionByName(recrawl), cfg = cfg)
+    }
+    val a = CorpusPipeline.readCorpus(spark, stA).select("doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    val b = CorpusPipeline.readCorpus(spark, stB).select("doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(a === b, "probe arming must never change the corpus content")
+    assert(CorpusPipeline.readFpBloom(spark, stB).isDefined,
+      "un-probed armed nights must still stage their filters")
   }
 
   test("appendBatchIndexed plan: NO aggregation consumes the stored corpus shingles") {
