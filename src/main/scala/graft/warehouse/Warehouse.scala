@@ -302,13 +302,77 @@ final class Warehouse(spark: SparkSession, root: String) {
   /** K-10: whole-table replace (reference `to_sql(if_exists='replace')`,
     * `src/pipeline.py:93-97`).
     */
-  def replace(table: String, df: DataFrame): Unit = {
+  def replace(table: String, df: DataFrame): Unit =
+    stagedRewrite(table, df, Seq.empty)
+
+  /** Staged whole-table rewrite: write to a `__stage` sibling, then
+    * delete + rename — readers never observe a half-written table, and
+    * a crash mid-write leaves the original untouched (the orphan stage
+    * dir is overwritten by the next attempt). The swap itself is the
+    * one non-atomic window (delete then rename), inherent to plain
+    * parquet under this warehouse's single-writer contract; a
+    * transaction log (Delta/Iceberg) is the multi-writer upgrade.
+    */
+  private def stagedRewrite(table: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
     val tmp = path(table) + "__stage"
-    df.write.mode("overwrite").parquet(tmp)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(path(table)), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path(table)))
+  }
+
+  /** Table maintenance: rewrite `table` z-order-clustered on `dims` —
+    * the Delta/Iceberg `OPTIMIZE ... ZORDER BY` move, over this
+    * warehouse's plain-parquet layout via [[graft.ops.ZOrderOps]].
+    *
+    * A date-sorted table prunes scans only on date: every file's
+    * min/max on any OTHER column spans the whole domain. After this
+    * rewrite each file carries a tight bounding box in EVERY `dims`
+    * dimension, so parquet min/max statistics prune single-dimension
+    * predicates on any of them (WarehouseSpec proves the bounding-box
+    * contraction and row-for-row content equality).
+    *
+    * `dims` are COLUMN EXPRESSIONS already bucketed into
+    * `[0, 2^bits)` — pass e.g. `datediff(col("date"), lit(epoch))`
+    * for a date, `pmod(xxhash64(col("ticker")), lit(256))` for a
+    * string key ([[graft.ops.ZOrderOps.zValue]] clamps, but a
+    * thoughtless raw cast collapses every out-of-range value onto the
+    * clamp boundary and destroys the dimension's selectivity).
+    *
+    * For a hive-partitioned table (`partitionCols`), rows
+    * range-partition on (partition columns, z) — so each hive
+    * directory's files hold contiguous z-ranges (per-partition
+    * OPTIMIZE semantics) and the directory layout is preserved
+    * exactly ([[requireLayout]] guards the call like every
+    * partitioned write here).
+    *
+    * Scale shape: ONE pass — the z-value is a codegen'd row-local
+    * projection, the range exchange is the standard sampled
+    * repartition, the sort is within partitions only (no global
+    * sort), and the staged swap never rewrites more than it read.
+    * Run it like compaction: periodically, not per append.
+    */
+  def optimizeZOrder(table: String, dims: Seq[org.apache.spark.sql.Column],
+      bits: Int = 8, partitions: Int = 0,
+      partitionCols: Seq[String] = Seq.empty): Unit = {
+    requireLayout(table, partitionCols)
+    val df =
+      if (partitionCols.isEmpty) read(table) else readPartitionsAsString(table)
+    val nParts =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val z = graft.ops.ColNames.fresh(df.columns.toSet, "_zorder")
+    val keys = partitionCols.map(col) :+ col(z)
+    val clustered = df
+      .withColumn(z, graft.ops.ZOrderOps.zValue(dims, bits))
+      .repartitionByRange(nParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop(z)
+    stagedRewrite(table, clustered, partitionCols)
   }
 
   /** A-8: warehouse stats — row count + date span per table (reference

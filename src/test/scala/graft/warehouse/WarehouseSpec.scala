@@ -193,6 +193,69 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizeZOrder: tight file bounding boxes on the SECOND dimension; content identical") {
+    import org.apache.spark.sql.functions.{col, lit, min, max, pmod}
+    val wh = freshWarehouse()
+    // the "date-sorted" starting layout: d1 is the write-order column
+    // (files partition cleanly on it), d2 is an unrelated bounded key —
+    // every file's [min,max] on d2 spans essentially the whole domain,
+    // so a d2 predicate can prune NOTHING
+    val n = 1 << 16
+    val df = spark.range(n).select(
+      (col("id") / lit(256)).cast("long").as("d1"),
+      pmod(col("id") * lit(2654435761L), lit(256)).as("d2"),
+      col("id").as("payload"))
+    wh.replace("zt",
+      df.repartitionByRange(16, col("d1")).sortWithinPartitions("d1"))
+    def boxes(dim: String): Seq[(Long, Long)] =
+      wh.read("zt").inputFiles.toSeq.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val before = boxes("d2")
+    assert(before.size >= 8, s"need a multi-file table, got ${before.size}")
+    assert(before.forall { case (lo, hi) => lo <= 42 && 42 <= hi },
+      "date-sorted layout: a d2 point predicate must overlap EVERY file " +
+        "(nothing prunable — the condition this rewrite exists to fix)")
+    val rowsBefore = wh.read("zt").select("d1", "d2", "payload")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    wh.optimizeZOrder("zt", Seq(col("d1"), col("d2")), bits = 8,
+      partitions = 16)
+    // row-for-row content equality — layout is the ONLY thing that moved
+    val rowsAfter = wh.read("zt").select("d1", "d2", "payload")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(rowsAfter === rowsBefore)
+    // z-ordered layout: the same point predicate overlaps a MINORITY of
+    // files — these [min,max] boxes are exactly what parquet min/max
+    // pruning consumes, so this is the pruning win, measured
+    val after = boxes("d2")
+    assert(after.size >= 8)
+    val hits = after.count { case (lo, hi) => lo <= 42 && 42 <= hi }
+    assert(hits * 2 <= after.size,
+      s"z-order must shrink d2 bounding boxes: $hits of ${after.size} " +
+        "files still overlap d2=42")
+  }
+
+  test("optimizeZOrder preserves a hive-partitioned layout; appends keep working") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val wh = freshWarehouse()
+    wh.dedupAppend("pz", batch, Seq("ticker", "date"), Seq("ticker"))
+    wh.optimizeZOrder("pz",
+      Seq(pmod(xxhash64(col("date")), lit(256)),
+        pmod(xxhash64(col("close").cast("string")), lit(256))),
+      bits = 8, partitions = 2, partitionCols = Seq("ticker"))
+    val rows = wh.read("pz").select("ticker", "date", "close")
+      .as[(String, String, Double)].collect().toSet
+    assert(rows === batch.as[(String, String, Double)].collect().toSet)
+    assert(new java.io.File(wh.read("pz").inputFiles.head)
+      .getParentFile.getName.startsWith("ticker="),
+      "hive layout must survive the rewrite")
+    // the layout guard still recognizes the table: appends continue
+    val more = Seq(("C", "2024-01-03", 30.0)).toDF("ticker", "date", "close")
+    assert(wh.dedupAppend("pz", more, Seq("ticker", "date"), Seq("ticker")) === 1L)
+  }
+
   test("partitioned dedupAppend prunes the anti-join scan to touched partitions") {
     val wh = freshWarehouse()
     wh.dedupAppend("pmarket", batch, Seq("ticker", "date"), Seq("ticker"))
