@@ -175,7 +175,8 @@ object DedupFunctions {
     * (kept everywhere): deduping "" or "---" across a corpus would
     * shred formatting. Matching keys on the trimmed line; the kept
     * output preserves the original untrimmed line. Documents whose
-    * every line is removed come back with empty text (never dropped).
+    * every line is removed come back with empty text (never dropped);
+    * NULL text passes through as null.
     *
     * Scale shape: one explode to (id, pos, line) rows; the keeper per
     * distinct line value is ONE `min(struct(id, pos))` hash
@@ -219,9 +220,11 @@ object DedupFunctions {
       array_join(transform(
         array_sort(collect_list(struct(col(pos), col(line)))),
         x => x.getField(line)), "\n").as(newText))
-    docs.drop(textCol)
-      .join(rebuilt, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col(newText), lit("")))
+    // null text stays null (visible-null rule): only a NON-null document
+    // whose every line was dropped collapses to the empty string.
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, when(col(textCol).isNull, col(textCol))
+        .otherwise(coalesce(col(newText), lit(""))))
       .drop(newText)
       .select(docs.columns.map(col).toIndexedSeq: _*) // original column order
   }

@@ -254,9 +254,13 @@ object RelevanceFunctions {
       d.select(col(idCol), lit(i).as("_list"),
         (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double"))).as("_contrib"))
     }.reduce(_ unionByName _)
+    // max, not first: if an id appears more than once within one
+    // ranked list (a producer-contract breach, but a silent one), the
+    // BEST rank's contribution wins deterministically — first() would
+    // pick whichever row the scan happened to visit.
     val wide = tagged.groupBy(col(idCol))
       .pivot("_list", lists.indices.map(Integer.valueOf))
-      .agg(first(col("_contrib")))
+      .agg(max(col("_contrib")))
     val fused = lists.indices.map(i => coalesce(col(s"`$i`"), lit(0.0)))
       .reduce(_ + _) // left fold: summation order is part of the contract
     val w = org.apache.spark.sql.expressions.Window

@@ -48,7 +48,8 @@ object TextFunctions {
     * collect of its OWN surviving lines (bounded by document length).
     * No joins, no cross-row state — the cheapest possible line gate.
     * Documents whose every line is dropped come back with empty text
-    * (never dropped — the caller's gates decide their fate).
+    * (never dropped — the caller's gates decide their fate); NULL text
+    * passes through as null.
     */
   def filterLines(docs: DataFrame, idCol: String, textCol: String,
       keepLine: Column => Column): DataFrame = {
@@ -63,9 +64,11 @@ object TextFunctions {
       array_join(transform(
         array_sort(collect_list(struct(col(pos), col(line)))),
         x => x.getField(line)), "\n").as(newText))
-    docs.drop(textCol)
-      .join(rebuilt, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col(newText), lit("")))
+    // null text stays null (visible-null rule): only a NON-null document
+    // whose every line was dropped collapses to the empty string.
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, when(col(textCol).isNull, col(textCol))
+        .otherwise(coalesce(col(newText), lit(""))))
       .drop(newText)
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }

@@ -3069,7 +3069,7 @@ object Queries {
              |r AS (
              |  SELECT doc_id, source,
              |         row_number() OVER (PARTITION BY source
-             |           ORDER BY ekey DESC, doc_id) AS rn
+             |           ORDER BY ekey DESC, CAST(doc_id AS VARCHAR)) AS rn
              |  FROM ek)
              |SELECT doc_id, source FROM r WHERE rn <= 20
              |ORDER BY source, doc_id""".stripMargin)),

@@ -45,7 +45,12 @@ object EventStreams {
     * TimestampType under the UTC session.
     */
   def readEvents(spark: SparkSession, dir: String, streaming: Boolean): DataFrame = {
-    val observed = spark.read.parquet(s"$dir/events.parquet").schema
+    // The probe is best-effort: a streaming source may be declared
+    // before the first file lands (empty/missing dir), in which case
+    // fall back to the nanos-long rawSchema — the generator shape the
+    // fixed-schema path always assumed.
+    val observed = scala.util.Try(spark.read.parquet(s"$dir/events.parquet").schema)
+      .getOrElse(rawSchema)
     val nanosAsLong = observed("ts").dataType == LongType
     val schema = if (nanosAsLong) rawSchema
       else StructType(rawSchema.map(f =>

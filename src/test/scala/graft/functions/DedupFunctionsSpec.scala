@@ -369,7 +369,8 @@ class DedupFunctionsSpec extends AnyFunSuite {
       (1L, s"alpha unique content line one\n$banner\n--", "a"),
       (2L, s"$banner\nbeta unique content line two\n--", "b"),
       (3L, s"--\n  $banner  \ngamma unique content line three", "c"),
-      (4L, banner, "d")) // every line a dup → empty text, doc kept
+      (4L, banner, "d"), // every line a dup → empty text, doc kept
+      (5L, null.asInstanceOf[String], "e")) // null text → stays null
       .toDF("doc_id", "text", "source")
     val out = DedupFunctions.removeDuplicateLines(docs, "doc_id", "text",
       minChars = 10)
@@ -382,7 +383,8 @@ class DedupFunctionsSpec extends AnyFunSuite {
     assert(m(2L) === "beta unique content line two\n--")
     assert(m(3L) === "--\ngamma unique content line three")
     assert(m(4L) === "", "fully-deduped doc comes back with empty text, not dropped")
-    assert(out.count() === 4)
+    assert(m(5L) === null, "null text propagates, never rewritten to \"\"")
+    assert(out.count() === 5)
     // partitioning-proof: keeper choice depends on values, not layout
     val b = DedupFunctions.removeDuplicateLines(docs.repartition(7), "doc_id", "text", 10)
       .select("doc_id", "text").as[(Long, String)].collect().toMap

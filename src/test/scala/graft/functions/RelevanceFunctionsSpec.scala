@@ -199,5 +199,13 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(tied.map(_._3) === List(1, 2))
     // topK truncates
     assert(RelevanceFunctions.rrfFuse(Seq(kw, vec), "id", "rank", topK = 2).count() === 2)
+    // duplicate id WITHIN one list (producer-contract breach): the best
+    // rank's contribution wins, deterministically — not scan order
+    val dup = Seq((7L, 4), (7L, 1), (8L, 2)).toDF("id", "rank")
+    val fused = RelevanceFunctions.rrfFuse(Seq(dup), "id", "rank", topK = 2)
+      .as[(Long, Double, Int)].collect().toList
+    assert(fused === List((7L, r6(c(1)), 1), (8L, r6(c(2)), 2)))
+    assert(fused === RelevanceFunctions.rrfFuse(Seq(dup.repartition(5)),
+      "id", "rank", topK = 2).as[(Long, Double, Int)].collect().toList)
   }
 }

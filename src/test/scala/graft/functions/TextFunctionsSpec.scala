@@ -49,7 +49,8 @@ class TextFunctionsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "Home\nRead the full story here.\nSubscribe\nIt really works!\nOk no", "a"),
       (2L, "Nav\nMenu", "b"), // every line dies -> empty text, doc kept
-      (3L, "He said \u201cstop now please.\u201d", "c")) // curly close-quote terminal
+      (3L, "He said \u201cstop now please.\u201d", "c"), // curly close-quote terminal
+      (4L, null.asInstanceOf[String], "d")) // null text \u2192 stays null
       .toDF("doc_id", "text", "source")
     val out = TextFunctions.filterLines(docs, "doc_id", "text",
         l => TextFunctions.c4KeepLine(l))
@@ -59,6 +60,7 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(m(1L) === "Read the full story here.\nIt really works!")
     assert(m(2L) === "", "fully-gated doc comes back empty, not dropped")
     assert(m(3L) === "He said \u201cstop now please.\u201d")
+    assert(m(4L) === null, "null text propagates, never rewritten to \"\"")
     // minWords binds: a 2-word terminal line dies at the default 3
     val short = Seq((9L, "Too short.")).toDF("doc_id", "text")
     assert(TextFunctions.filterLines(short, "doc_id", "text",

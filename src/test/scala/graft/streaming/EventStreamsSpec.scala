@@ -75,6 +75,16 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("readEvents: a stream declares against an empty dir (probe falls back)") {
+    // deploy-before-data: the streaming source must be declarable before
+    // the first file lands — the schema probe falls back to rawSchema
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty_events").toString
+    val ds = EventStreams.readEvents(spark, empty, streaming = true)
+    assert(ds.isStreaming)
+    assert(ds.schema("ts").dataType.typeName === "timestamp")
+    assert(runStream(EventStreams.hourlyCounts(ds), "complete").count() === 0)
+  }
+
   test("dedupedEvents drops re-delivered event ids within the watermark") {
     val events = EventStreams.readEvents(spark, dir, streaming = true)
     val doubled = events.union(events) // simulate at-least-once redelivery
