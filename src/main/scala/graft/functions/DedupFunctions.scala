@@ -229,6 +229,105 @@ object DedupFunctions {
       .select(docs.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
+  /** Exact duplicated-SPAN removal (Lee et al., ACL 2022
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): any run of `k` consecutive whitespace tokens that
+    * occurs at more than one (doc, position) keeps only its first
+    * occurrence — lowest (id, position) — and every other occurrence's
+    * k tokens are cut out of their document in place. Catches the
+    * copy-paste duplication LINE granularity misses (quotes, templated
+    * paragraphs re-wrapped across line breaks) and within-document
+    * repetition (the same occurrence rule applies intra-doc). Lee et
+    * al. use suffix arrays over the byte stream; the Spark-native
+    * shape is k-gram occurrence tables — same duplicated-span
+    * semantics at token granularity, expressible as joins/aggregations
+    * instead of a monolithic global index build.
+    *
+    * Contract: tokens are `\s+` splits of the trimmed text, so output
+    * text comes back WHITESPACE-NORMALIZED (surviving tokens joined by
+    * single spaces — at span granularity original inter-token
+    * whitespace is not meaningful). Documents with fewer than `k`
+    * tokens have no spans and pass through (normalized); a document
+    * whose every token is cut comes back with empty text (never
+    * dropped); NULL text passes through as null. Overlapping
+    * duplicated spans merge naturally (token-index union). `hash`
+    * fingerprints the k-gram string for the shuffle key — 16-byte keys
+    * move, never token arrays ([[md5Hash60]] for external replay; a
+    * colliding pair would conflate two distinct grams, the standard
+    * fingerprint-dedup trade).
+    *
+    * Scale shape: one explode to O(tokens) gram rows; duplicated grams
+    * and their keepers come from ONE hash aggregation per gram key —
+    * `count` plus [[KthSmallest]](struct(id, pos), 1), the bounded-heap
+    * TypedImperativeAggregate, so map-side partials collapse a
+    * million-copy boilerplate gram to one candidate per task before the
+    * shuffle and the whole thing plans as ObjectHashAggregate (never a
+    * per-partition SortAggregate). The join back to occurrences carries
+    * one build row per DUPLICATED gram; cut-token indexes explode only
+    * from marked occurrences (≤ k rows each). Reassembly collects each
+    * document's own surviving tokens — bounded by document length,
+    * never a corpus-wide sort.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 10,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    val used = docs.columns.toSet
+    val pos = graft.ops.ColNames.fresh(used, "_rds_pos")
+    val tok = graft.ops.ColNames.fresh(used, "_rds_tok")
+    val key = graft.ops.ColNames.fresh(used, "_rds_key")
+    val cnt = graft.ops.ColNames.fresh(used, "_rds_cnt")
+    val keeper = graft.ops.ColNames.fresh(used, "_rds_keeper")
+    val cut = graft.ops.ColNames.fresh(used, "_rds_cut")
+    val newText = graft.ops.ColNames.fresh(used, "_rds_text")
+    val toks = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq(pos, tok)))
+    // gram occurrences: (id, startPos, hash of the k-token string).
+    // Built from the token ARRAY bound once per row (not the exploded
+    // rows — a self-join to reassemble grams would shuffle tokens).
+    val grams = docs.select(col(idCol),
+      TextFunctions.bound(split(trim(col(textCol)), "\\s+")) { tk =>
+        val n = size(tk) - (k - 1)
+        when(n <= 0, array().cast("array<struct<p:int,h:bigint>>"))
+          .otherwise(transform(sequence(lit(0), n - 1),
+            i => struct(i.cast("int").as("p"),
+              hash(concat_ws(" ", slice(tk, i + 1, lit(k)))).as("h"))))
+      }.as("_g"))
+      .select(col(idCol), explode(col("_g")).as("_g"))
+      .select(col(idCol), col("_g.p").as(pos), col("_g.h").as(key))
+    // one aggregation per gram key: occurrence count + first occurrence
+    val dup = grams.groupBy(col(key)).agg(
+        count(lit(1)).as(cnt),
+        KthSmallest(struct(col(idCol), col(pos)), 1).as(keeper))
+      .filter(col(cnt) > 1)
+      .select(col(key), col(keeper))
+    // non-keeper occurrences of duplicated grams → cut token indexes.
+    // The cut-side id gets its OWN column name: toks and cuts share the
+    // docs lineage, so joining on `col(idCol) === col(idCol)` would
+    // resolve both sides to one attribute (a trivially-true predicate).
+    val cutId = graft.ops.ColNames.fresh(used, "_rds_cut_id")
+    val cuts = grams.join(dup, Seq(key))
+      .filter(!(col(keeper).getField(idCol) === col(idCol) &&
+        col(keeper).getField(pos) === col(pos)))
+      .select(col(idCol).as(cutId),
+        explode(sequence(col(pos), col(pos) + (k - 1))).as(cut))
+      .distinct()
+    val kept = toks.join(cuts,
+      col(idCol) === col(cutId) && col(pos) === col(cut), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col(pos), col(tok)))),
+        x => x.getField(tok)), " ").as(newText))
+    // null text stays null (visible-null rule); a doc losing every
+    // token collapses to "" — and an all-whitespace doc normalizes to
+    // "" via its single empty token, same as trim-join semantics.
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, when(col(textCol).isNull, col(textCol))
+        .otherwise(coalesce(col(newText), lit(""))))
+      .drop(newText)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Build a Bloom filter over a (fingerprint) column — the stored
     * membership sketch that lets incremental ingest prove most batch
     * rows ABSENT from the corpus without touching the fingerprint

@@ -2983,6 +2983,68 @@ object Queries {
              |SELECT id_a, id_b, dist FROM v WHERE dist <= 2
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("d18_substring_dedup",
+      // exact duplicated-SPAN removal ([[DedupFunctions
+      // .removeDuplicateSpans]], Lee et al. ACL 2022's ExactSubstr at
+      // token granularity): the synthetic docs are distinct, so the
+      // query plants a shared 12-token quote on doc_id%4 — with k=8
+      // every 8-gram inside the quote is duplicated across ~125 docs,
+      // only the lowest doc_id keeps its copy, and the cut-index union
+      // removes the whole quote from everyone else while grams
+      // straddling into each doc's own text stay unique and survive.
+      // md5 hash form → DuckDB replays the identical gram table,
+      // keeper rule, and token-union cut end-to-end.
+      (s, dir) => {
+        val quote =
+          "the quick brown fox jumps over the lazy dog every single morning"
+        val planted = docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(col("text"), lit(" " + quote)))
+            .otherwise(col("text")).as("text"))
+        D.removeDuplicateSpans(planted, "doc_id", "text", k = 8,
+            hash = D.md5Hash60)
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0
+             |      THEN text || ' the quick brown fox jumps over the lazy dog every single morning'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |tk AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+             |  FROM planted),
+             |toks AS (
+             |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+             |  FROM tk),
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    CAST(('0x' || substring(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+             |  FROM tk, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
+             |  WHERE len(t) >= 8),
+             |keep AS (
+             |  SELECT h, doc_id AS kid, pos AS kpos FROM (
+             |    SELECT h, doc_id, pos,
+             |           count(*) OVER (PARTITION BY h) AS c,
+             |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+             |    FROM grams) WHERE rn = 1 AND c > 1),
+             |cuts AS (
+             |  SELECT DISTINCT g.doc_id, g.pos + o.o AS cut
+             |  FROM grams g
+             |  JOIN keep ON g.h = keep.h
+             |    AND NOT (g.doc_id = keep.kid AND g.pos = keep.kpos),
+             |  LATERAL unnest(generate_series(0, 7)) AS o(o)),
+             |kept AS (
+             |  SELECT t.doc_id, t.pos, t.tok
+             |  FROM toks t LEFT JOIN cuts c
+             |    ON t.doc_id = c.doc_id AND t.pos = c.cut
+             |  WHERE c.doc_id IS NULL),
+             |rebuilt AS (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT p.doc_id, coalesce(r.text, '') AS text
+             |FROM planted p LEFT JOIN rebuilt r USING (doc_id)
+             |ORDER BY p.doc_id""".stripMargin)),
+
     QueryDef("d17_split_leakage",
       // cross-split leakage audit ([[DedupFunctions.crossSplitLeakage]]):
       // near-dup pairs straddling train/valid/test make eval scores

@@ -363,6 +363,41 @@ class DedupFunctionsSpec extends AnyFunSuite {
       maxDist = 2, q = 3, maxDf = 0L).isEmpty)
   }
 
+  test("removeDuplicateSpans: duplicated k-token runs cut everywhere but first") {
+    val docs = Seq(
+      (1L, "a b c d e", "x"),             // owns the first occurrences
+      (2L, "x y a b c d z", "y"),         // overlapping dup grams merge: idx 2..5 cut
+      (3L, "p q r s p q r s", "z"),       // within-doc repetition: second copy cut
+      (4L, "too short", "s"),             // < k tokens → no spans, passthrough
+      (5L, "  w1   w2  w3 ", "n"),        // whitespace-normalization contract
+      (6L, null.asInstanceOf[String], "0")) // null text → stays null
+      .toDF("doc_id", "text", "source")
+    val out = DedupFunctions.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "source"))
+    val m = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(m(1L) === "a b c d e", "keeper doc untouched")
+    assert(m(2L) === "x y z", "union of overlapping dup spans (a b c)+(b c d) cut")
+    assert(m(3L) === "p q r s", "intra-doc repeated span keeps only first copy")
+    assert(m(4L) === "too short")
+    assert(m(5L) === "w1 w2 w3", "tokens rejoin single-spaced")
+    assert(m(6L) === null, "null text propagates")
+    assert(out.count() === 6)
+    // a doc that IS entirely a duplicated span collapses to "", not dropped
+    val all = Seq((1L, "c1 c2 c3"), (2L, "c1 c2 c3")).toDF("doc_id", "text")
+    val got = DedupFunctions.removeDuplicateSpans(all, "doc_id", "text", k = 3)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "c1 c2 c3", 2L -> ""))
+    // partitioning-proof + pluggable hash (the md5 replay contract)
+    val b = DedupFunctions.removeDuplicateSpans(docs.repartition(7), "doc_id", "text",
+      k = 3, hash = DedupFunctions.md5Hash60).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(b === m)
+    // plan pin: the count+keeper aggregation must stay object-hash
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"gram agg degraded to SortAggregate:\n$plan")
+  }
+
   test("removeDuplicateLines: first occurrence survives, short lines exempt") {
     val banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
     val docs = Seq(
