@@ -409,6 +409,81 @@ object SimilarityFunctions {
     if (d == 0.0) Double.NaN else dot / d
   }
 
+  /** SemDeDup candidate pairs (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv
+    * 2303.09540): semantic near-duplicates — paraphrases, re-renders,
+    * boilerplate variants that share no exact n-grams — found by
+    * clustering embeddings and comparing pairwise ONLY within each
+    * cluster. The clustering is what makes semantic dedup tractable:
+    * all-pairs cosine is O(n²) over the corpus, cluster-bounded pairs
+    * are Σ|cluster|² — with k centroids sized so clusters stay ~n/k,
+    * the quadratic term drops by k×. Returns `(id_a, id_b, cosine)`
+    * pairs at `cosine >= threshold` (6dp-rounded, `id_a < id_b`), which
+    * compose with [[DedupFunctions.dropNearDuplicates]] (greedy min-id
+    * survivor) or [[DedupFunctions.connectedComponents]] exactly like
+    * every other pair generator here.
+    *
+    * Centroids come in as a (centroid_id, centroid_vec) frame —
+    * [[trainCentroids]] output, or any deterministic row sample when
+    * cross-engine replay matters (the s3 convention). Assignment is
+    * argmax cosine with ties and NaN keeping the LOWER centroid id
+    * (the [[ivfTopK]] rule).
+    *
+    * Scale shape: centroids broadcast (bounded by broadcast memory,
+    * never plan size); assignment is one mapPartitions over the corpus
+    * — no shuffle of vectors to cluster. The within-cluster self-join
+    * shuffles on cluster_id; a pathological hot cluster (half the
+    * corpus in one semantic blob) routes through [[graft.ops.SkewOps
+    * .selfPairJoin]]'s salted two-sided split when
+    * `hotClusterThreshold` is armed. Candidate verification joins
+    * vectors back by id — only pair-touched vectors move. The assigned
+    * frame is tracked-persisted so the corpus is scanned ONCE, not
+    * once per downstream use.
+    */
+  def semanticDedupPairs(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec",
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      hotClusterThreshold: Long = Long.MaxValue, salts: Int = 16): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in [-1, 1] (got $threshold)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    requireIntegralId(corpus, idCol)
+    val centArr = collectCentroids(centroids, cIdCol, cVecCol)
+    require(centArr.nonEmpty, "semanticDedupPairs needs at least one centroid")
+    val bc = spark.sparkContext.broadcast(centArr)
+    val assigned = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          // strict > over id-sorted centroids: ties and NaN keep the
+          // lowest centroid id (the ivfTopK assignment rule)
+          var best = 0L; var bestSim = Double.NegativeInfinity; var i = 0
+          while (i < cs.length) {
+            val sim = cosineLocal(v, cs(i)._2)
+            if (sim > bestSim) { bestSim = sim; best = cs(i)._1 }
+            i += 1
+          }
+          (best, id, v)
+        }
+      }.toDF("cluster_id", "id", "v")
+    if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(assigned, storage)
+    val cands = graft.ops.SkewOps.selfPairJoin(
+      assigned.select(col("cluster_id"), col("id")), Seq("cluster_id"), "id",
+      hotClusterThreshold, salts)
+    val vecs = assigned.select(col("id"), col("v"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Train IVF centroids with Spark MLlib k-means (the "k-means output"
     * the [[ivfTopK]] contract names): distributed Lloyd iterations over
     * the corpus, only the k centers ever come to the driver. Returns the

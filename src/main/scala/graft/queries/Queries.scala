@@ -3045,6 +3045,44 @@ object Queries {
              |FROM planted p LEFT JOIN rebuilt r USING (doc_id)
              |ORDER BY p.doc_id""".stripMargin)),
 
+    QueryDef("d19_semantic_dedup",
+      // SemDeDup pairs ([[SimilarityFunctions.semanticDedupPairs]],
+      // Abbas et al. 2023): cluster-bounded semantic near-dup pairs
+      // over the planted embedding corpus — 8 deterministic centroids
+      // (the s3 row-sample convention), argmax-cosine assignment with
+      // lower-centroid ties, pairwise cosine ONLY within a cluster.
+      // Every planted twin (cosine ≈ 0.92-0.95) co-clusters with its
+      // original and surfaces; the oracle replays assignment, the
+      // within-cluster join, and the 6dp-rounded threshold.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").cast("array<double>").as("centroid_vec"))
+        S.semanticDedupPairs(plantedEmbeddings(s, dir), centroids,
+            threshold = 0.9, idCol = "id", vecCol = "v")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |corpus AS (
+             |  SELECT id, v FROM base
+             |  UNION ALL
+             |  SELECT id + 100000 AS id, list_transform(v, x -> x + 0.05) AS v FROM base),
+             |c AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 8),
+             |assign AS (
+             |  SELECT id, v, cid FROM (
+             |    SELECT e.id, e.v, c.cid,
+             |           row_number() OVER (PARTITION BY e.id
+             |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+             |    FROM corpus e, c) WHERE rn = 1)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+             |FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef("d17_split_leakage",
       // cross-split leakage audit ([[DedupFunctions.crossSplitLeakage]]):
       // near-dup pairs straddling train/valid/test make eval scores

@@ -628,4 +628,42 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     }
     graft.Caches.releaseAll()
   }
+
+  test("semanticDedupPairs: pairs only within clusters, ties to lower centroid") {
+    val cents = Seq((0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0)))
+      .toDF("centroid_id", "centroid_vec")
+    val docs = Seq(
+      (1L, vec(1.0, 0.01)),  // cluster 0
+      (2L, vec(1.0, 0.011)), // cluster 0, near-dup of 1
+      (3L, vec(0.01, 1.0)),  // cluster 1
+      (4L, vec(0.02, 1.0)),  // cluster 1, near-dup of 3
+      (5L, vec(1.0, 1.0)))   // equidistant → tie keeps centroid 0
+      .toDF("vec_id", "embedding")
+    val pairs = SimilarityFunctions.semanticDedupPairs(docs, cents, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toList.sortBy(p => (p._1, p._2))
+    // near-dup pairs found inside each cluster; NO cross-cluster pair
+    // even though (1,3) both exist — the cluster bound is the
+    // approximation SemDeDup trades for tractability. Doc 5 pairs with
+    // nothing (cosine to 1/2 ≈ 0.71 < 0.9).
+    assert(pairs.map(p => (p._1, p._2)) === List((1L, 2L), (3L, 4L)))
+    assert(pairs.forall(_._3 > 0.99))
+    // composes with the library's greedy drop: higher-id twins die
+    val kept = DedupFunctions.dropNearDuplicates(docs,
+      SimilarityFunctions.semanticDedupPairs(docs, cents, threshold = 0.9),
+      "vec_id").select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 5L))
+    // the tie row really did land in cluster 0: lower its threshold and
+    // it may only ever pair with cluster-0 members
+    val loose = SimilarityFunctions.semanticDedupPairs(docs, cents, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(loose.contains((1L, 5L, loose.find(p => p._1 == 1L && p._2 == 5L).get._3)))
+    assert(!loose.exists(p => (p._1, p._2) == (3L, 5L)),
+      "tie assignment keeps the LOWER centroid id; 5 never pairs into cluster 1")
+    // salted hot-cluster path emits the identical pair set
+    val salted = SimilarityFunctions.semanticDedupPairs(docs, cents,
+      threshold = 0.9, hotClusterThreshold = 1L, salts = 4)
+      .as[(Long, Long, Double)].collect().toList.sortBy(p => (p._1, p._2))
+    assert(salted === pairs)
+    graft.Caches.releaseAll()
+  }
 }
