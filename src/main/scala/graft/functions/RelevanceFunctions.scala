@@ -185,6 +185,50 @@ object RelevanceFunctions {
         coalesce(col("_lp"), lit(logProbFloor)).as("log_prob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §3.3):
+    * score every document under the corpus LM, then split the corpus
+    * into `head` / `middle` / `tail` at the score tertiles — the
+    * published recipe keeps head+middle and drops (or down-weights)
+    * tail. CCNet scores with a Wikipedia-trained KenLM; the in-sandbox
+    * stand-in is the self-trained [[bigramLogProb]] (`order = 2`,
+    * default — scrambled-order gibberish collapses) or
+    * [[unigramLogProb]] (`order = 1`).
+    *
+    * Returns (id, log_ppl, ppl_bucket): `log_ppl` = −(mean token ln P)
+    * = ln(perplexity), 6dp-rounded — the monotone ln of CCNet's
+    * perplexity, bucketed identically (tertiles are order statistics)
+    * while staying engine-replayable: exp would stretch ulp noise past
+    * the 6dp guard at perplexity scale (e²⁰'s ulp ≈ 30), ln-space
+    * keeps it well inside. Lower = more natural text; `head` is the
+    * best third. Empty/sub-order docs take `logProbFloor` (→ highest
+    * log_ppl → tail, where a filter wants them).
+    *
+    * Scale shape: the LM pass is [[bigramLogProb]]'s (one pinned
+    * explode, two map-side-partial count aggs, broadcast-or-shuffled
+    * vocab joins); the two tertile cuts reduce to ONE broadcast row
+    * ([[SamplingFunctions.quantileBucket]] — never a global sort) and
+    * bucket assignment is a row-local comparison count against
+    * 6dp-rounded cuts (both sides rounded, so cross-engine percentile
+    * interpolation ulps cannot flip an assignment).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      order: Int = 2, logProbFloor: Double = -20.0,
+      broadcastVocab: Boolean = true, minCount: Long = 1L,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(order == 1 || order == 2, s"order must be 1 or 2 (got $order)")
+    val lp =
+      if (order == 2) bigramLogProb(df, idCol, textCol, logProbFloor,
+        broadcastVocab, minCount, storage)
+      else unigramLogProb(df, idCol, textCol, logProbFloor,
+        broadcastVocab, minCount, storage)
+    val scored = lp.select(col(idCol), round(-col("log_prob"), 6).as("log_ppl"))
+    SamplingFunctions.quantileBucket(scored, idCol, "log_ppl", nBuckets = 3)
+      .select(col(idCol), col("log_ppl"),
+        when(col("bucket") === 0, "head")
+          .when(col("bucket") === 1, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Per-document keyword extraction: the top `k` terms of each
     * document by TF-IDF (tf · ln(N/df), the plain variant — df ≥ 1 by
     * construction, corpus-universal terms score 0). The standard

@@ -1646,6 +1646,42 @@ object Queries {
              |  len_ok AND quality_ok AND rep_ok AND lang_ok AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t14_perplexity_buckets",
+      // CCNet perplexity bucketing ([[RelevanceFunctions
+      // .perplexityBuckets]], Wenzek et al. 2020): every doc scored
+      // under the corpus's own bigram LM (the r3 machinery), split at
+      // the ln-perplexity tertiles into head/middle/tail — the
+      // published keep-head-and-middle filter. Oracle = r3's CTEs +
+      // negate/round + quantile_cont cuts + the comparison-count CASE;
+      // both sides compare 6dp-rounded values against 6dp-rounded cuts
+      // so percentile-interpolation ulps can't flip a label.
+      (s, dir) => R.perplexityBuckets(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+             |  FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+             |  WHERE len(w) >= 2),
+             |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+             |sc AS (
+             |  SELECT b.doc_id,
+             |         avg(ln(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS lp
+             |  FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+             |  GROUP BY 1),
+             |scored AS (
+             |  SELECT d.doc_id, round(-coalesce(sc.lp, -20.0), 6) AS log_ppl
+             |  FROM documents d LEFT JOIN sc USING (doc_id)),
+             |cuts AS (
+             |  SELECT quantile_cont(log_ppl, [1.0/3, 2.0/3]) AS cs FROM scored)
+             |SELECT doc_id, log_ppl,
+             |  CASE len(list_filter(cs, c -> log_ppl > round(c, 6)))
+             |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+             |  END AS ppl_bucket
+             |FROM scored, cuts ORDER BY doc_id""".stripMargin)),
+
     QueryDef("t13_c4_line_gate",
       // the C4 line gate (Raffel et al. JMLR 2020 §2.2) through the
       // scan-local [[TextFunctions.filterLines]] rewrite: keep only

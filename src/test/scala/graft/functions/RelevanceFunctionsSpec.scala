@@ -177,6 +177,51 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
       .count() === 7) // 2 + 3 + 2 distinct (doc, term) pairs
   }
 
+  test("perplexityBuckets: ln-perplexity + tertile labels compose the r3 LM") {
+    // LM discrimination itself is bigramLogProb's spec/oracle (r3);
+    // this pins the CCNet composition on top: log_ppl = round(−lp, 6),
+    // labels = tertile comparison counts, floor docs land in tail.
+    // Docs share the "the cat" prefix so scrambles score strictly
+    // worse than the common phrase (the prefix has competing
+    // continuations); doc 10 is sub-order → floor.
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "the cat sat on a rug"), (5L, "the cat sat on a mat"),
+      (6L, "the cat sat on a rug"),
+      (7L, "mat the cat rug on sat"), (8L, "rug the cat mat sat on"),
+      (9L, "sat the cat on mat rug"),
+      (10L, "lone")).toDF("doc_id", "text")
+    val out = RelevanceFunctions.perplexityBuckets(docs, "doc_id", "text")
+    assert(out.columns.toSeq === Seq("doc_id", "log_ppl", "ppl_bucket"))
+    val m = out.as[(Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m.size === 10)
+    // the composition contract: log_ppl IS round(−log_prob, 6)
+    val lp = RelevanceFunctions.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    for ((id, (v, _)) <- m)
+      assert(v === BigDecimal(-lp(id)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, s"doc $id")
+    // labels replay quantileBucket over the same column
+    val buckets = SamplingFunctions.quantileBucket(
+        out.select(col("doc_id"), col("log_ppl")), "doc_id", "log_ppl", 3)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> r._3).toMap
+    val label = Map(0 -> "head", 1 -> "middle", 2 -> "tail")
+    for ((id, (_, b)) <- m) assert(b === label(buckets(id)), s"doc $id")
+    // semantics on the planted corpus: common phrase beats scrambles,
+    // floor doc takes −(−20) = 20 and the worst bucket
+    assert(m(1L)._1 < m(7L)._1)
+    assert(m(10L)._1 === 20.0 && m(10L)._2 === "tail",
+      "sub-order doc floors into tail, where a filter wants it")
+    assert(m.values.map(_._2).toSet === Set("head", "middle", "tail"))
+    // partitioning-proof
+    val b = RelevanceFunctions.perplexityBuckets(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(b === m)
+    graft.Caches.releaseAll()
+  }
+
   test("rrfFuse: both-list items dominate, absent lists contribute zero, ties to lower id") {
     val kw = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
     val vec = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
