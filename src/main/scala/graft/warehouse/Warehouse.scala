@@ -375,6 +375,58 @@ final class Warehouse(spark: SparkSession, root: String) {
     stagedRewrite(table, clustered, partitionCols)
   }
 
+  /** Write `df` as a BUCKETED catalog table at this warehouse's path:
+    * rows hash-distribute into `nBuckets` files per write by
+    * `bucketCols`, and the bucket spec is recorded in the session
+    * catalog — which is what lets Catalyst plan joins and
+    * aggregations on the bucket columns WITHOUT an Exchange on the
+    * bucketed side(s). Hive partitioning (the layout everywhere else
+    * in this warehouse) prunes SCANS; bucketing co-locates JOINS —
+    * the two compose, but this entry point covers the join layout.
+    *
+    * The 100 TB case: two fact tables joined nightly on the same key
+    * (prices ⋈ cross-validation on (ticker, date), corpus ⋈ stored
+    * fingerprint index on doc key) each pay a full shuffle per run
+    * under plain layout — the dominant cost of the join at scale.
+    * Bucketed identically on the join key (SAME columns, SAME
+    * `nBuckets`), both sides stream bucket-for-bucket with zero
+    * exchange, every run, forever; `sortCols` additionally
+    * pre-sorts each bucket file so sort-merge joins skip their sort
+    * when files-per-bucket is 1. A point predicate on the leading
+    * bucket column also prunes to ONE bucket file
+    * (`SelectedBucketsCount` in the scan — the WarehouseSpec pin).
+    *
+    * Bucket metadata lives in the session CATALOG (`saveAsTable` —
+    * a path read would see plain parquet and lose the layout), so
+    * `catalogName` must be unique per logical table; read back via
+    * [[readBucketed]]. `mode` "overwrite" replaces, "append" adds
+    * files (Spark enforces the existing bucket spec on append).
+    * Choose `nBuckets` for the STEADY-STATE table size (≈ target
+    * file count at final scale — buckets are fixed at creation;
+    * re-bucket growth through a staged rewrite like [[replace]]).
+    */
+  def writeBucketed(catalogName: String, df: DataFrame,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Seq.empty,
+      mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be overwrite|append (got $mode)")
+    val w = df.write.mode(mode).format("parquet")
+      .option("path", path(catalogName))
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(catalogName)
+  }
+
+  /** Read a [[writeBucketed]] table THROUGH the catalog — the only
+    * read that carries the bucket spec into planning. (`read(table)`
+    * on the same path returns the rows but plans as plain parquet:
+    * every join shuffles again.)
+    */
+  def readBucketed(catalogName: String): DataFrame = spark.table(catalogName)
+
   /** A-8: warehouse stats — row count + date span per table (reference
     * `get_database_stats`, `src/database.py:314-327`).
     */

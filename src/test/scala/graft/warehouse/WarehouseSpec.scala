@@ -273,4 +273,50 @@ class WarehouseSpec extends AnyFunSuite {
     val plan = all.filter($"ticker" === "A").queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(ticker"), plan)
   }
+
+  test("writeBucketed: co-located join plans with ZERO exchange; bucket pruning on point reads") {
+    val wh = freshWarehouse()
+    val left = (0L until 200L).map(i => (i, s"t$i", i * 1.5)).toDF("id", "name", "v")
+    val right = (0L until 200L by 2L).map(i => (i, i * 10.0)).toDF("id", "w")
+    spark.sql("DROP TABLE IF EXISTS bkt_left"); spark.sql("DROP TABLE IF EXISTS bkt_right")
+    wh.writeBucketed("bkt_left", left, Seq("id"), nBuckets = 8, sortCols = Seq("id"))
+    wh.writeBucketed("bkt_right", right, Seq("id"), nBuckets = 8, sortCols = Seq("id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = wh.readBucketed("bkt_left")
+        .join(wh.readBucketed("bkt_right"), Seq("id"))
+      val rows = joined.collect()
+      assert(rows.length === 100)
+      // the point of the layout: NO exchange anywhere in the join plan —
+      // both sides stream bucket-for-bucket
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // row-parity with the plain-layout join
+      val plain = left.join(right, Seq("id")).collect()
+      assert(rows.map(_.toString).sorted.toSeq === plain.map(_.toString).sorted.toSeq)
+      // a point predicate on the bucket column prunes to ONE bucket file.
+      // (The auto-bucketed-scan heuristic turns bucketed scans off when
+      // no operator needs the distribution — flip it for the pin, since
+      // a bare point read is exactly that case.)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val point = wh.readBucketed("bkt_left").filter($"id" === 42L)
+      assert(point.collect().map(_.getLong(0)).toSeq === Seq(42L))
+      val pplan = point.queryExecution.executedPlan.toString
+      assert(pplan.contains("SelectedBucketsCount: 1 out of 8"), pplan)
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      // append respects the existing bucket spec and stays exchange-free
+      wh.writeBucketed("bkt_right", Seq((1L, 999.0)).toDF("id", "w"),
+        Seq("id"), nBuckets = 8, sortCols = Seq("id"), mode = "append")
+      val joined2 = wh.readBucketed("bkt_left")
+        .join(wh.readBucketed("bkt_right"), Seq("id"))
+      assert(joined2.count() === 101)
+      assert(!joined2.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
 }
