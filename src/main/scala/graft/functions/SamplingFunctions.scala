@@ -284,6 +284,110 @@ object SamplingFunctions {
     * comparison count — null > cut ⇒ null ⇒ counted 0 — used to do).
     * Callers wanting them binned must impute before calling.
     */
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): how much more
+    * likely is each document under a TARGET distribution (the curated
+    * corpus you wish you had more of) than under the RAW distribution
+    * (the crawl you actually have). Features are hashed token unigrams
+    * + bigrams (the paper's hashed n-gram parameterization); both
+    * distributions are bag-of-buckets models with Laplace smoothing
+    * `alpha`, and a doc's log-ratio is the SUM over its feature
+    * occurrences of ln p_target(b) − ln p_raw(b) (longer on-target
+    * docs score higher — the paper's likelihood-ratio semantics).
+    * Returns (idCol, log_ratio) with log_ratio 6dp-rounded; docs with
+    * no features (empty text) score 0. Null text scores 0 too (no
+    * features — visible in the log_ratio, the row is never dropped).
+    *
+    * Scale shape: one explode per corpus into hashed-bucket rows; each
+    * model is ONE map-side-partial count aggregation collapsed to ≤
+    * `buckets` rows, broadcast back (fixed size by construction —
+    * `buckets` bounds the model, not the corpus; `broadcastModels =
+    * false` routes crawl-cardinality bucket counts through shuffled
+    * equi-joins); scoring is a row-local lookup + one per-doc sum.
+    * The TARGET corpus is typically tiny (a benchmark/curated set) —
+    * its explode is noise next to the raw scan.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String,
+      buckets: Int = 1 << 16, alpha: Double = 1.0,
+      hash: Column => Column = xxhash64(_),
+      broadcastModels: Boolean = true): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    require(alpha > 0.0, s"alpha must be > 0 (got $alpha)")
+    def features(d: DataFrame, cols: Column*): DataFrame =
+      d.select(cols :+ explode(TextFunctions.bound(
+          split(lower(trim(col(textCol))), "\\s+")) { toks =>
+        TextFunctions.bound(filter(toks, t => length(t) > 0)) { tk =>
+          TextFunctions.bound(size(tk)) { n =>
+            val unis = tk
+            val bis = when(n < 2, array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(1), n - 1), i =>
+                concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+            concat(unis, bis)
+          }
+        }
+      }).as("_feat"): _*)
+        .select(cols :+ hashBucket(col("_feat"), buckets, hash).as("_b"): _*)
+    def model(d: DataFrame): DataFrame =
+      features(d).groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+    def maybeBroadcast(d: DataFrame) = if (broadcastModels) broadcast(d) else d
+    val rawModel = model(raw)
+    val targetModel = model(target)
+    val rawTotal = rawModel.agg(sum(col("_n")).as("_rt"))
+    val targetTotal = targetModel.agg(sum(col("_n")).as("_tt"))
+    // ln((c + α) / (N + α·buckets)) per side; unseen buckets take the
+    // smoothed floor, so the ratio is finite everywhere
+    val scored = features(raw, col(idCol))
+      .join(maybeBroadcast(targetModel.withColumnRenamed("_n", "_nt")), Seq("_b"), "left")
+      .join(maybeBroadcast(rawModel.withColumnRenamed("_n", "_nr")), Seq("_b"), "left")
+      .crossJoin(broadcast(targetTotal)).crossJoin(broadcast(rawTotal))
+      .groupBy(col(idCol))
+      .agg(sum(
+        log((coalesce(col("_nt"), lit(0L)).cast("double") + alpha) /
+          (col("_tt").cast("double") + alpha * buckets)) -
+          log((coalesce(col("_nr"), lit(0L)).cast("double") + alpha) /
+            (col("_rt").cast("double") + alpha * buckets))).as("_lr"))
+    raw.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), round(coalesce(col("_lr"), lit(0.0)), 6).as("log_ratio"))
+  }
+
+  /** DSIR selection: importance-RESAMPLE `k` documents from the raw
+    * corpus toward the target distribution — the paper's Gumbel-top-k
+    * draw (select the k largest log_ratio + gᵢ, gᵢ standard Gumbel
+    * noise), with the Gumbel made DETERMINISTIC the library way: uᵢ
+    * from the pluggable stable hash of the id, gᵢ = −ln(−ln uᵢ). A
+    * pure function of (corpus content, id) — reproducible across
+    * runs, partitionings, and engines, like every sampler here.
+    *
+    * Selection is the global-top-k bounded-heap cut ([[capPerGroup]]
+    * over one group — KthSmallest map-side partials, never a global
+    * sort or driver-side merge of more than the cut row). Scores tie-
+    * break by id through the struct order. Returns the selected rows
+    * of `raw` with their `log_ratio` and `score` columns appended.
+    */
+  def dsirSample(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      buckets: Int = 1 << 16, alpha: Double = 1.0,
+      gumbelBuckets: Int = 1000000,
+      hash: Column => Column = xxhash64(_),
+      broadcastModels: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val weights = importanceWeights(raw, target, idCol, textCol,
+      buckets, alpha, hash, broadcastModels)
+    val u = (hashBucket(col(idCol).cast("string"), gumbelBuckets, hash)
+      .cast("double") + 0.5) / gumbelBuckets.toDouble
+    val taken = raw.columns.toSet + "log_ratio" + "score"
+    val es = graft.ops.ColNames.fresh(taken, "_dsir_key")
+    val grp = graft.ops.ColNames.fresh(taken + es, "_dsir_g")
+    val keyed = raw.join(weights, Seq(idCol))
+      .withColumn("score",
+        round(col("log_ratio") - log(-log(u)), 6).as("score"))
+      .withColumn(es, struct(negate(col("score")), col(idCol)))
+      .withColumn(grp, lit(1))
+    capPerGroup(keyed, grp, es, k).drop(es, grp)
+  }
+
   def quantileBucket(df: DataFrame, idCol: String, valueCol: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")

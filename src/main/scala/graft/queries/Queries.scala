@@ -3119,6 +3119,62 @@ object Queries {
              |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("d20_dsir_sample",
+      // DSIR importance resampling ([[SamplingFunctions.dsirSample]],
+      // Xie et al. NeurIPS 2023): hashed unigram+bigram bag models for
+      // a target subset (doc_id%7 — the "curated corpus" stand-in) and
+      // the raw corpus, per-doc log likelihood-ratio, deterministic
+      // Gumbel-top-k selection (noise from the md5 hash of the id).
+      // The oracle replays features, both smoothed models, the summed
+      // ratio, the hashed Gumbel, and the top-100 cut end-to-end.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Sam.dsirSample(d.select(col("doc_id"), col("text")),
+            d.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+            k = 100, hash = D.md5Hash60)
+          .select(col("doc_id"), col("log_ratio"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH rtoks AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      t -> len(t) > 0) AS tk
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, f FROM rtoks, UNNEST(list_concat(tk,
+             |    CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+             |         ELSE list_transform(generate_series(1, len(tk) - 1),
+             |                i -> tk[i] || ' ' || tk[i+1]) END)) AS u(f)),
+             |fb AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 65536 AS b
+             |  FROM feats),
+             |tm AS (SELECT b, count(*) AS nt FROM fb WHERE doc_id % 7 = 0 GROUP BY 1),
+             |rm AS (SELECT b, count(*) AS nr FROM fb GROUP BY 1),
+             |tt AS (SELECT sum(nt) AS ttot FROM tm),
+             |rt AS (SELECT sum(nr) AS rtot FROM rm),
+             |sc AS (
+             |  SELECT r.doc_id,
+             |    sum(ln((coalesce(tm.nt, 0) + 1.0) / (ttot + 65536.0))
+             |      - ln((coalesce(rm.nr, 0) + 1.0) / (rtot + 65536.0))) AS lr
+             |  FROM fb r LEFT JOIN tm ON r.b = tm.b LEFT JOIN rm ON r.b = rm.b, tt, rt
+             |  GROUP BY 1),
+             |w AS (
+             |  SELECT d.doc_id, round(coalesce(sc.lr, 0.0), 6) AS log_ratio
+             |  FROM documents d LEFT JOIN sc USING (doc_id)),
+             |g AS (
+             |  SELECT doc_id, log_ratio,
+             |    round(log_ratio - ln(-ln(
+             |      (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |         % 1000000 + 0.5) / 1000000.0)), 6) AS score
+             |  FROM w),
+             |sel AS (
+             |  SELECT doc_id, log_ratio, score,
+             |         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+             |  FROM g)
+             |SELECT doc_id, log_ratio, score FROM sel WHERE rn <= 100
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("d17_split_leakage",
       // cross-split leakage audit ([[DedupFunctions.crossSplitLeakage]]):
       // near-dup pairs straddling train/valid/test make eval scores

@@ -380,4 +380,56 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     assert(math.abs(kept(None) - 200L) < 80, s"null group kept ${kept(None)}")
     assert(math.abs(kept(Some("A")) - 200L) < 80)
   }
+
+  test("importanceWeights: target-like docs score above off-target; empty scores 0") {
+    val target = Seq((100L, "market prices rose sharply market analysts said"),
+      (101L, "stock market trading prices fell analysts warned"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "market prices rose analysts said prices rose"), // on-target
+      (2L, "stock market trading analysts warned trading"), // on-target
+      (3L, "zebra quokka wombat axolotl quokka zebra"),     // off-target
+      (4L, "axolotl wombat zebra quokka wombat axolotl"),   // off-target
+      (5L, ""),                                             // no features
+      (6L, null.asInstanceOf[String]))                      // no features
+      .toDF("doc_id", "text")
+    val w = SamplingFunctions.importanceWeights(raw, target, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(w.size === 6)
+    assert(w(1L) > w(3L) && w(2L) > w(4L),
+      s"target-vocabulary docs must outscore alien-vocabulary docs: $w")
+    assert(w(5L) === 0.0 && w(6L) === 0.0, "featureless docs score 0, stay visible")
+    // partitioning + engine-portable hash path
+    val wm = SamplingFunctions.importanceWeights(raw.repartition(5), target,
+      "doc_id", "text", hash = DedupFunctions.md5Hash60)
+      .as[(Long, Double)].collect().toMap
+    assert(wm.keySet === w.keySet)
+    assert(wm(1L) > wm(3L))
+  }
+
+  test("dsirSample: deterministic Gumbel-top-k selection by hashed noise") {
+    val target = Seq((100L, "market prices rose sharply market analysts said"))
+      .toDF("doc_id", "text")
+    val raw = (1L to 20L).map { i =>
+      val text = if (i <= 5) "market prices rose analysts said market prices rose analysts"
+      else "zebra quokka wombat axolotl zebra quokka wombat axolotl zebra"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val got = SamplingFunctions.dsirSample(raw, target, "doc_id", "text", k = 4)
+    assert(got.columns.toSeq === Seq("doc_id", "text", "log_ratio", "score"))
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(ids.size === 4)
+    // the draw replays: top-4 of the full scored frame by (score, id)
+    val all = SamplingFunctions.dsirSample(raw, target, "doc_id", "text", k = 20)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    val expect = all.sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toSet
+    assert(ids === expect)
+    // partitioning-proof
+    val again = SamplingFunctions.dsirSample(raw.repartition(7), target,
+      "doc_id", "text", k = 4).select("doc_id").as[Long].collect().toSet
+    assert(again === ids)
+    // no Window node: selection is the bounded-heap cut
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"dsirSample must not plan a Window:\n$plan")
+  }
 }
