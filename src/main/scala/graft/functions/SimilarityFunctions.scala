@@ -484,6 +484,63 @@ object SimilarityFunctions {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Cross-side SemDeDup pairs — [[semanticDedupPairs]]'s incremental /
+    * decontamination shape, mirroring [[DedupFunctions
+    * .minhashLshPairsAgainst]]: both sides assign to the SAME broadcast
+    * centroids, and pairs form only ACROSS sides within a shared
+    * cluster — the existing×existing self-join never runs. Two uses:
+    * SEMANTIC DECONTAMINATION (existing = the eval/holdout set,
+    * incoming = the corpus or a batch: any incoming doc pairing with a
+    * holdout doc is a paraphrase-level leak the n-gram
+    * decontamination gate cannot see), and the nightly semantic ingest
+    * gate (existing = the corpus's stored (cluster_id, id, vector)
+    * index, maintained at append time and never re-pooled; incoming =
+    * the batch).
+    *
+    * Returns (id_a from existing, id_b from incoming, cosine ≥
+    * threshold, 6dp). Both sides' assignment is one mapPartitions
+    * (no vector shuffle); the cross join carries cluster_id — at
+    * realistic scales the incoming side is batch-sized and its
+    * assigned frame broadcasts into the join.
+    */
+  def semanticDedupPairsAgainst(existing: DataFrame, incoming: DataFrame,
+      centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec",
+      broadcastIncoming: Boolean = true): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in [-1, 1] (got $threshold)")
+    val spark = existing.sparkSession
+    val centArr = collectCentroids(centroids, cIdCol, cVecCol)
+    require(centArr.nonEmpty, "semanticDedupPairsAgainst needs at least one centroid")
+    val bc = spark.sparkContext.broadcast(centArr)
+    def assign(d: DataFrame): DataFrame = {
+      import spark.implicits._
+      requireIntegralId(d, idCol)
+      d.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, v) =>
+            var best = 0L; var bestSim = Double.NegativeInfinity; var i = 0
+            while (i < cs.length) {
+              val sim = cosineLocal(v, cs(i)._2)
+              if (sim > bestSim) { bestSim = sim; best = cs(i)._1 }
+              i += 1
+            }
+            (best, id, v)
+          }
+        }.toDF("cluster_id", "id", "v")
+    }
+    val ex = assign(existing)
+    val in0 = assign(incoming)
+    val in = if (broadcastIncoming) broadcast(in0) else in0
+    ex.as("x").join(in.as("y"), col("x.cluster_id") === col("y.cluster_id"))
+      .withColumn("cosine", round(cosine(col("x.v"), col("y.v")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cosine"))
+  }
+
   /** Train IVF centroids with Spark MLlib k-means (the "k-means output"
     * the [[ivfTopK]] contract names): distributed Lloyd iterations over
     * the corpus, only the k centers ever come to the driver. Returns the
@@ -968,6 +1025,20 @@ object SimilarityFunctions {
     val cand = pqTopK(encoded, queries, codebooks, dim, m, codes, rerank,
         idCol, codesCol, qIdCol, qVecCol)
       .select(col(qIdCol).cast("long"), col(idCol).cast("long"))
+    exactRerank(corpus, queries, cand, dim, k, idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** Shared exact re-rank tail: join the (query, candidate-id) pairs
+    * back to RAW vectors — candidates only, broadcast-sized (≤ rerank ×
+    * |queries| rows by construction) — exact-cosine score, bounded-heap
+    * top-k. The only stage of a PQ/IVF-PQ serve path that reads raw
+    * vectors at all.
+    */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame,
+      cand: DataFrame, dim: Int, k: Int,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val slice = corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
@@ -1131,6 +1202,33 @@ object SimilarityFunctions {
     topKPerQuery(scored, k)
       .select(col("_q").as(qIdCol), col("_id").as(idCol),
         col("_c").as("cosine"), col("rank"))
+  }
+
+  /** IVF-PQ search with the exact re-rank tail — the full serving
+    * composition (Jégou et al., TPAMI 2011 §V: coarse quantizer +
+    * ADC + re-ranking): probe `nProbe` cells, ADC-score only their
+    * index rows ([[ivfPqTopK]]), widen to `rerank` candidates, then
+    * re-score exactly from raw vectors and keep the true top `k`
+    * ([[pqTopKRerank]]'s tail). The ADC head bounds how much corpus is
+    * touched (nProbe/nCells, m table reads per row, raw vectors never
+    * read); the exact tail bounds the approximation error (only the
+    * final head pays a raw-vector read, candidates-only and
+    * broadcast-sized). Same determinism contract as every search here:
+    * 6dp-rounded cosines, ties to lower id, engine-replayable.
+    */
+  def ivfPqTopKRerank(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame,
+      dim: Int, m: Int, codes: Int, k: Int, rerank: Int, nProbe: Int,
+      idCol: String = "vec_id", cellCol: String = "cell",
+      codesCol: String = "codes", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must be >= k=$k")
+    val cand = ivfPqTopK(index, queries, centroids, codebooks,
+        dim, m, codes, rerank, nProbe,
+        idCol, cellCol, codesCol, qIdCol, qVecCol, cIdCol, cVecCol)
+      .select(col(qIdCol).cast("long"), col(idCol).cast("long"))
+    exactRerank(corpus, queries, cand, dim, k, idCol, vecCol, qIdCol, qVecCol)
   }
 
   /** KNN majority-vote label assignment — auto-labeling / label

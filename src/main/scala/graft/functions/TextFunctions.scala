@@ -154,6 +154,102 @@ object TextFunctions {
     when(top.getField("hits") <= 0, lit("und")).otherwise(top.getField("lang"))
   }
 
+  /** The eight stop words of Gopher's "stop word presence" rule (Rae et
+    * al. 2021, arXiv 2112.11446, A1.1 MassiveWeb filters).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality gates (Rae et al. 2021, A1.1 — the MassiveWeb rule
+    * set, reused by MassiveText/RefinedWeb-style pipelines): per
+    * document, every rule's measured signal PLUS its verdict, and the
+    * conjunction `passes` — observability-first like the t11 gate
+    * report, so a corpus run can show which rule kills what before
+    * anything is dropped. Rules (defaults = the paper's):
+    *
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [minMeanWordLen, maxMeanWordLen]
+    *  - symbol-to-word ratio (#, …, ...) ≤ maxSymbolWordRatio
+    *  - ≤ maxBulletStartFrac of lines start with a bullet mark
+    *  - ≤ maxEllipsisEndFrac of lines end with an ellipsis
+    *  - ≥ minAlphaWordFrac of words contain an (ascii) alphabetic char
+    *    (the paper's English-centric rule — relax for multilingual)
+    *  - ≥ minStopwordHits DISTINCT [[GopherStopwords]] present
+    *
+    * Every signal is a scan-local pure expression over one bound token
+    * split and one bound line split — no joins, no shuffle, whole-stage
+    * codegen; ratios come back 6dp-rounded and verdicts compare the
+    * ROUNDED values, so an external engine replays gate-for-gate
+    * (the t15 oracle). Empty/null text: zero words fails the word-count
+    * floor → `passes` false, ratios 0 (visible, never dropped here —
+    * composition decides).
+    */
+  def gopherGates(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletStartFrac: Double = 0.9, maxEllipsisEndFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8, minStopwordHits: Int = 2): DataFrame = {
+    val text = col(textCol)
+    // null text normalizes to the empty document (zero words, one empty
+    // line) so every signal stays non-null and `passes` is plain false
+    val out = bound(coalesce(filter(split(lower(trim(text)), "\\s+"),
+        t => length(t) > 0), array().cast("array<string>"))) { tk =>
+      bound(size(tk).cast("long")) { n =>
+        bound(coalesce(split(text, "\n", -1), array(lit("")))) { lines =>
+          bound(size(lines).cast("double")) { nl =>
+            val meanLen = when(n === 0, lit(0.0))
+              .otherwise(aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+                .cast("double") / n.cast("double"))
+            val symbols = coalesce(regexp_count(text, lit("#")), lit(0)) +
+              coalesce(regexp_count(text, lit("\\.\\.\\.")), lit(0)) +
+              coalesce(regexp_count(text, lit("…")), lit(0))
+            val symbolRatio = when(n === 0, lit(0.0))
+              .otherwise(symbols.cast("double") / n.cast("double"))
+            val bulletFrac =
+              size(filter(lines, l => l.rlike("^\\s*[-*•‣▪]")))
+                .cast("double") / nl
+            val ellipsisFrac =
+              size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+                .cast("double") / nl
+            val alphaFrac = when(n === 0, lit(0.0))
+              .otherwise(size(filter(tk, t => t.rlike("[a-z]")))
+                .cast("double") / n.cast("double"))
+            val stopHits = size(filter(typedLit(GopherStopwords),
+              w => array_contains(tk, w)))
+            struct(
+              n.as("n_words"),
+              round(meanLen, 6).as("mean_word_len"),
+              round(symbolRatio, 6).as("symbol_ratio"),
+              round(bulletFrac, 6).as("bullet_frac"),
+              round(ellipsisFrac, 6).as("ellipsis_frac"),
+              round(alphaFrac, 6).as("alpha_frac"),
+              stopHits.cast("long").as("stop_hits"))
+          }
+        }
+      }
+    }
+    val g = col("_gg")
+    def ok(c: Column) = coalesce(c, lit(false))
+    docs.select(col(idCol), out.as("_gg"))
+      .select(col(idCol),
+        g.getField("n_words").as("n_words"),
+        g.getField("mean_word_len").as("mean_word_len"),
+        g.getField("symbol_ratio").as("symbol_ratio"),
+        g.getField("bullet_frac").as("bullet_frac"),
+        g.getField("ellipsis_frac").as("ellipsis_frac"),
+        g.getField("alpha_frac").as("alpha_frac"),
+        g.getField("stop_hits").as("stop_hits"))
+      .withColumn("passes", ok(
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolWordRatio &&
+          col("bullet_frac") <= maxBulletStartFrac &&
+          col("ellipsis_frac") <= maxEllipsisEndFrac &&
+          col("alpha_frac") >= minAlphaWordFrac &&
+          col("stop_hits") >= minStopwordHits))
+  }
+
   /** Duplicate word-n-gram fraction — the Gopher/C4-style repetition
     * signal (a document whose text is mostly the same phrases over and
     * over is boilerplate or spam): 1 − distinct-n-grams / n-grams, in

@@ -54,6 +54,73 @@ object Multimodal {
     if (meta.durationMs <= 0 || everyMs <= 0) Seq.empty
     else (0L until meta.durationMs by everyMs).map(t => t * 1024L)
 
+  /** ??? REAL-CODEC BOUNDARY ??? — resize/thumbnail stand-in: a real
+    * impl decodes, scales the long edge to `maxDim`, re-encodes. The
+    * stub keeps a deterministic byte subsample whose length shrinks
+    * with the area ratio (so size accounting downstream behaves like a
+    * real thumbnail pass) and scales the meta dimensions exactly as a
+    * real resizer would. Already-small media pass through unchanged.
+    */
+  def thumbnailStub(bytes: Array[Byte], meta: MediaMeta, maxDim: Int): (Array[Byte], MediaMeta) = {
+    require(maxDim >= 1, s"maxDim must be >= 1 (got $maxDim)")
+    val long = math.max(meta.width, meta.height)
+    if (long <= maxDim || long <= 0) (bytes, meta)
+    else {
+      val scale = maxDim.toDouble / long
+      val w = math.max(1, math.round(meta.width * scale).toInt)
+      val h = math.max(1, math.round(meta.height * scale).toInt)
+      val keep = math.max(1,
+        math.round(bytes.length * (scale * scale)).toInt)
+      val step = math.max(1, bytes.length / keep)
+      val out = Array.range(0, bytes.length, step).map(bytes(_))
+      (out, meta.copy(width = w, height = h))
+    }
+  }
+
+  /** Thumbnail stage over a `Dataset[MediaAsset]`: batched
+    * mapPartitions like [[extractFeatures]] (one codec invocation per
+    * batch in a real impl), media bytes REPLACED in place — the
+    * training-data shape where originals live in the lake and the
+    * pipeline materializes a bounded-size derivative. Narrow: no
+    * shuffle, peak memory bounded by `batchSize` assets.
+    */
+  def withThumbnails(assets: Dataset[MediaAsset], maxDim: Int,
+      batchSize: Int = 64): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val (b, m) = thumbnailStub(a.media, a.meta, maxDim)
+          MediaAsset(a.asset_id, b, m)
+        }
+      }
+    }
+  }
+
+  /** Frame-sampling stage: one row per sampled frame —
+    * (asset_id, frame_idx, ts_ms, byte_offset) — via
+    * [[frameOffsetsStub]] (a real demuxer swaps in behind the same
+    * seek-offset contract). Still images (no duration) produce no
+    * rows, visibly. The explode is narrow (each asset's frames derive
+    * from its own row); downstream per-frame decode joins frames back
+    * to media by asset_id only for the frames actually kept — at 100 TB
+    * sample-then-decode touches everyMs/duration of the bytes a
+    * decode-then-sample would.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long,
+      batchSize: Int = 64): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          frameOffsetsStub(a.meta, everyMs).iterator.zipWithIndex.map {
+            case (off, i) => (a.asset_id, i, i * everyMs, off)
+          }
+        }
+      }
+    }.toDF("asset_id", "frame_idx", "ts_ms", "byte_offset")
+  }
+
   /** 64-bit content fingerprint of the raw bytes (exact-dup key for
     * media, like TextFunctions.fingerprint for text) — xxhash64 on the
     * binary column, codegen'd, no UDF.

@@ -1682,6 +1682,53 @@ object Queries {
              |  END AS ppl_bucket
              |FROM scored, cuts ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t15_gopher_gates",
+      // Gopher quality gates ([[TextFunctions.gopherGates]], Rae et al.
+      // 2021 A1.1): every MassiveWeb rule's measured signal + verdict
+      // per document, `passes` the conjunction — the observability-
+      // first shape (see which rule kills what BEFORE dropping). All
+      // scan-local expressions; the oracle replays each signal 6dp-
+      // rounded and the verdicts compare the rounded values.
+      (s, dir) => T.gopherGates(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+             |      t -> len(t) > 0) AS w,
+             |    string_split(coalesce(text, ''), chr(10)) AS ls
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(w) AS BIGINT) AS n_words,
+             |    round(CASE WHEN len(w) = 0 THEN 0.0
+             |      ELSE CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w)
+             |      END, 6) AS mean_word_len,
+             |    round(CASE WHEN len(w) = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '#'))
+             |             + len(regexp_extract_all(text, '\.\.\.'))
+             |             + len(regexp_extract_all(text, '…')) AS DOUBLE) / len(w)
+             |      END, 6) AS symbol_ratio,
+             |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•‣▪]'))) AS DOUBLE)
+             |      / len(ls), 6) AS bullet_frac,
+             |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+             |      / len(ls), 6) AS ellipsis_frac,
+             |    round(CASE WHEN len(w) = 0 THEN 0.0
+             |      ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(w)
+             |      END, 6) AS alpha_frac,
+             |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             |      s -> list_contains(w, s))) AS BIGINT) AS stop_hits
+             |  FROM tk)
+             |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+             |  ellipsis_frac, alpha_frac, stop_hits,
+             |  (n_words BETWEEN 50 AND 100000
+             |   AND mean_word_len BETWEEN 3.0 AND 10.0
+             |   AND symbol_ratio <= 0.1
+             |   AND bullet_frac <= 0.9
+             |   AND ellipsis_frac <= 0.3
+             |   AND alpha_frac >= 0.8
+             |   AND stop_hits >= 2) AS passes
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     QueryDef("t13_c4_line_gate",
       // the C4 line gate (Raffel et al. JMLR 2020 §2.2) through the
       // scan-local [[TextFunctions.filterLines]] rewrite: keep only
@@ -2668,6 +2715,93 @@ object Queries {
              |SELECT query_id, vec_id, cosine, "rank" FROM ranked
              |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
+    QueryDef("s12_ivfpq_rerank",
+      // the FULL serving composition ([[SimilarityFunctions
+      // .ivfPqTopKRerank]], Jégou et al. TPAMI 2011 §V): probe 2 of 4
+      // cells, ADC-score their index rows, widen to 10 candidates,
+      // re-score the head EXACTLY from raw vectors, keep the true
+      // top 5. Only candidate rows ever read a raw vector. Oracle =
+      // s11's CTEs with the rank-10 cut plus the exact-cosine tail.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("code"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(explode(sequence(lit(0), lit(7))).as("subspace"),
+            col("code"), col("v"))
+          .select(col("subspace"), col("code"),
+            slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").cast("array<double>").as("centroid_vec"))
+        val idx = S.ivfPqIndex(emb, cents, cb, dim = 64, m = 8, codes = 4)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.ivfPqTopKRerank(idx, emb, q, cents, cb, dim = 64, m = 8,
+            codes = 4, k = 5, rerank = 10, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cb AS (
+             |  SELECT s.subspace, CAST(c.vec_id AS INTEGER) AS code,
+             |         list_slice(c.v, s.subspace * 8 + 1, s.subspace * 8 + 8) AS centroid_vec
+             |  FROM e c, generate_series(0, 7) AS s(subspace)
+             |  WHERE c.vec_id < 4),
+             |enc AS (
+             |  SELECT vec_id, subspace, centroid_vec FROM (
+             |    SELECT e.vec_id, cb.subspace, cb.centroid_vec,
+             |           row_number() OVER (PARTITION BY e.vec_id, cb.subspace
+             |             ORDER BY list_distance(
+             |               list_slice(e.v, cb.subspace * 8 + 1, cb.subspace * 8 + 8),
+             |               cb.centroid_vec), cb.code) AS rn
+             |    FROM e, cb) WHERE rn = 1),
+             |recon AS (
+             |  SELECT vec_id, flatten(list(centroid_vec ORDER BY subspace)) AS rv
+             |  FROM enc GROUP BY vec_id),
+             |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+             |cell AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |           row_number() OVER (PARTITION BY e.vec_id
+             |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+             |    FROM e, cents c) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+             |probe AS (
+             |  SELECT query_id, cid FROM (
+             |    SELECT q.query_id, c.cid,
+             |           row_number() OVER (PARTITION BY q.query_id
+             |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+             |    FROM q, cents c) WHERE rn <= 2),
+             |scored AS (
+             |  SELECT q.query_id, r.vec_id,
+             |         round(list_cosine_similarity(r.rv, q.qv), 6) AS cosine
+             |  FROM recon r
+             |  JOIN cell ON cell.vec_id = r.vec_id
+             |  JOIN probe p ON p.cid = cell.cid
+             |  JOIN q ON q.query_id = p.query_id
+             |  WHERE r.vec_id <> q.query_id),
+             |cand AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           row_number() OVER (PARTITION BY query_id
+             |             ORDER BY cosine DESC, vec_id) AS rn
+             |    FROM scored) WHERE rn <= 10),
+             |ex AS (
+             |  SELECT c.query_id, c.vec_id,
+             |         round(list_cosine_similarity(ev.v, q.qv), 6) AS cosine
+             |  FROM cand c
+             |  JOIN e ev ON ev.vec_id = c.vec_id
+             |  JOIN q ON q.query_id = c.query_id
+             |  WHERE round(list_cosine_similarity(ev.v, q.qv), 6) IS NOT NULL),
+             |rr AS (
+             |  SELECT query_id, vec_id, cosine,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |           ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+             |  FROM ex)
+             |SELECT query_id, vec_id, cosine, "rank" FROM rr
+             |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+
     QueryDef("s2_lsh_pairs",
       // the embeddings table has NO true near-duplicates (max pairwise
       // cosine < 0.7), so the query plants them: union the corpus with a
@@ -3174,6 +3308,56 @@ object Queries {
              |  FROM g)
              |SELECT doc_id, log_ratio, score FROM sel WHERE rn <= 100
              |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("c9_semantic_decontamination",
+      // paraphrase-level decontamination ([[SimilarityFunctions
+      // .semanticDedupPairsAgainst]] + greedy drop): the n-gram
+      // decontamination gate (c1/c7) misses an eval item REWORDED into
+      // the corpus; embeddings don't. Holdout = base vectors with
+      // vec_id%10 (the "benchmark"), corpus = the planted twin corpus
+      // — every corpus doc semantically matching a holdout doc (its
+      // verbatim copy at cosine 1.0 AND its planted twin at ≈0.93)
+      // drops; pairs form cross-side only, within shared clusters.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = plantedEmbeddings(s, dir)
+        val holdout = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").cast("array<double>").as("centroid_vec"))
+        val pairs = S.semanticDedupPairsAgainst(holdout, corpus, centroids,
+          threshold = 0.9, idCol = "id", vecCol = "v")
+        D.dropNearDuplicates(corpus, pairs, "id").select("id").orderBy("id")
+      },
+      Some("""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |corpus AS (
+             |  SELECT id, v FROM base
+             |  UNION ALL
+             |  SELECT id + 100000 AS id, list_transform(v, x -> x + 0.05) AS v FROM base),
+             |hold AS (SELECT id, v FROM base WHERE id % 10 = 0),
+             |c AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 8),
+             |ac AS (
+             |  SELECT id, v, cid FROM (
+             |    SELECT e.id, e.v, c.cid,
+             |           row_number() OVER (PARTITION BY e.id
+             |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+             |    FROM corpus e, c) WHERE rn = 1),
+             |ah AS (
+             |  SELECT id, v, cid FROM (
+             |    SELECT h.id, h.v, c.cid,
+             |           row_number() OVER (PARTITION BY h.id
+             |             ORDER BY list_cosine_similarity(h.v, c.cv) DESC, c.cid) AS rn
+             |    FROM hold h, c) WHERE rn = 1),
+             |p AS (
+             |  SELECT h.id AS id_a, e.id AS id_b
+             |  FROM ah h JOIN ac e ON h.cid = e.cid
+             |  WHERE round(list_cosine_similarity(h.v, e.v), 6) >= 0.9)
+             |SELECT id FROM corpus WHERE id NOT IN (SELECT id_b FROM p)
+             |ORDER BY id""".stripMargin)),
 
     QueryDef("d17_split_leakage",
       // cross-split leakage audit ([[DedupFunctions.crossSplitLeakage]]):

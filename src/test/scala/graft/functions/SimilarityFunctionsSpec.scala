@@ -391,6 +391,49 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       s"rerank recall regressed: $rerHits < $adcHits")
   }
 
+  test("ivfPqTopKRerank: exact head over probed-cell ADC candidates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cb = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("code"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(explode(sequence(lit(0), lit(7))).as("subspace"), col("code"), col("v"))
+      .select(col("subspace"), col("code"),
+        slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("centroid_vec"))
+    val idx = SimilarityFunctions.ivfPqIndex(emb, cents, cb, 64, 8, 4)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val rer = SimilarityFunctions.ivfPqTopKRerank(idx, emb, q, cents, cb,
+      dim = 64, m = 8, codes = 4, k = 5, rerank = 20, nProbe = 2)
+    // contract parity: ≤ k rows/query, ranks from 1, no self-matches
+    assert(rer.filter(col("query_id") === col("vec_id")).isEmpty)
+    assert(rer.groupBy("query_id").count().filter(col("count") > 5).isEmpty)
+    // survivors ⊆ the query's own probed-cell ADC candidate list
+    val cand = SimilarityFunctions.ivfPqTopK(idx, q, cents, cb, 64, 8, 4,
+      k = 20, nProbe = 2).select("query_id", "vec_id")
+    assert(rer.select("query_id", "vec_id").exceptAll(cand).isEmpty)
+    // scores are the EXACT cosines wherever the exact scan surfaces
+    // the same pair
+    val exact = SimilarityFunctions.bruteForceTopK(emb, q, 10)
+    val joined = rer.select(col("query_id"), col("vec_id"), col("cosine").as("rc"))
+      .join(exact.select(col("query_id"), col("vec_id"), col("cosine").as("ec")),
+        Seq("query_id", "vec_id"))
+    assert(joined.filter(col("rc") =!= col("ec")).isEmpty)
+    // rescoring a widened candidate set exactly dominates the plain
+    // probed ADC head at the same k
+    val adc = SimilarityFunctions.ivfPqTopK(idx, q, cents, cb, 64, 8, 4,
+      k = 5, nProbe = 2)
+    val ex = exact.filter(col("rank") <= 5).select("query_id", "vec_id")
+    val adcHits = ex.join(adc.select("query_id", "vec_id"),
+      Seq("query_id", "vec_id")).count()
+    val rerHits = ex.join(rer.select("query_id", "vec_id"),
+      Seq("query_id", "vec_id")).count()
+    assert(rerHits >= adcHits, s"rerank recall regressed: $rerHits < $adcHits")
+  }
+
   test("ivfPqIndex/ivfPqTopK: index composes assignment+encoding; full probe equals pure ADC") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
@@ -665,5 +708,34 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toList.sortBy(p => (p._1, p._2))
     assert(salted === pairs)
     graft.Caches.releaseAll()
+  }
+
+  test("semanticDedupPairsAgainst: cross-side pairs only — no existing×existing join") {
+    val cents = Seq((0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0)))
+      .toDF("centroid_id", "centroid_vec")
+    // existing holds TWO mutual near-dups (1,11) — they must NOT pair
+    val existing = Seq(
+      (1L, vec(1.0, 0.01)), (11L, vec(1.0, 0.012)), (3L, vec(0.01, 1.0)))
+      .toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (2L, vec(1.0, 0.011)),  // near-dup of existing 1 and 11
+      (4L, vec(0.02, 1.0)),   // near-dup of existing 3
+      (5L, vec(-1.0, 0.0)))   // cluster 0 (ties/argmax), but anti-parallel
+      .toDF("vec_id", "embedding")
+    for (bc <- Seq(true, false)) {
+      val pairs = SimilarityFunctions.semanticDedupPairsAgainst(
+          existing, incoming, cents, threshold = 0.9, broadcastIncoming = bc)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L), (11L, 2L), (3L, 4L)),
+        s"broadcastIncoming=$bc: $pairs")
+      assert(pairs.forall(_._3 > 0.99))
+    }
+    // decontamination composition: incoming docs pairing with the
+    // "holdout" (existing) side drop; the clean one survives
+    val kept = DedupFunctions.dropNearDuplicates(incoming,
+      SimilarityFunctions.semanticDedupPairsAgainst(existing, incoming,
+        cents, threshold = 0.9),
+      "vec_id").select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(5L))
   }
 }

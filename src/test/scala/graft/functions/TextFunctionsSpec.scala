@@ -69,6 +69,44 @@ class TextFunctionsSpec extends AnyFunSuite {
       l => TextFunctions.c4KeepLine(l, minWords = 2)).head().getString(1) === "Too short.")
   }
 
+  test("gopherGates: each rule measured and enforced; empty/null fail visibly") {
+    val good = (("the results of that study have been consistent with " * 6) +
+      "every claim and within tolerance").trim // 66 clean words, stopwords present
+    val docs = Seq(
+      (1L, good),
+      (2L, "short words only here"),                     // word-count floor
+      (3L, ("ab " * 60).trim),                           // mean word length floor
+      (4L, good + (" ###" * 30)),                        // symbol ratio
+      (5L, (1 to 10).map(i => s"- bullet $i").mkString("\n")), // bullets (and count)
+      (6L, good.split(" ").map(w => s"$w...").mkString("\n")), // ellipsis lines
+      (7L, ("12345 " * 60).trim),                        // alpha fraction
+      (8L, ("alpha beta gamma delta " * 15).trim),       // no Gopher stopwords
+      (9L, ""), (10L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.gopherGates(docs, "doc_id", "text")
+    assert(out.columns.toSeq === Seq("doc_id", "n_words", "mean_word_len",
+      "symbol_ratio", "bullet_frac", "ellipsis_frac", "alpha_frac",
+      "stop_hits", "passes"))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === 10)
+    assert(rows(1L).getAs[Boolean]("passes"), s"clean doc must pass: ${rows(1L)}")
+    for (id <- 2L to 10L)
+      assert(!rows(id).getAs[Boolean]("passes"), s"doc $id must fail: ${rows(id)}")
+    // the signals localize the failure
+    assert(rows(2L).getAs[Long]("n_words") === 4L)
+    assert(rows(3L).getAs[Double]("mean_word_len") === 2.0)
+    assert(rows(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(rows(5L).getAs[Double]("bullet_frac") === 1.0)
+    assert(rows(6L).getAs[Double]("ellipsis_frac") === 1.0)
+    assert(rows(7L).getAs[Double]("alpha_frac") === 0.0)
+    assert(rows(8L).getAs[Long]("stop_hits") === 0L)
+    assert(rows(9L).getAs[Long]("n_words") === 0L)
+    assert(rows(10L).getAs[Long]("n_words") === 0L, "null text = empty document")
+    // scan-local: no exchange, no join in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("tokenCount: whitespace tokens; empty and blank → 0") {
     assert(one[Long](TextFunctions.tokenCount(col("text")), "a b  c") === 3L)
     assert(one[Long](TextFunctions.tokenCount(col("text")), "") === 0L)

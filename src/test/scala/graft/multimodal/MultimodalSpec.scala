@@ -54,4 +54,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frameOffsetsStub(MediaMeta("video/mp4", 1, 1, 10000L), 2500L).length === 4)
     assert(frameOffsetsStub(MediaMeta("image/jpeg", 1, 1, 0L), 2500L).isEmpty)
   }
+
+  test("withThumbnails: long edge capped, meta scaled, small media untouched") {
+    val out = withThumbnails(assets, maxDim = 320).collect()
+      .map(a => a.asset_id -> a).toMap
+    // 640x480 → 320x240; byte payload shrinks ~area ratio (stub contract)
+    assert(out(1L).meta.width === 320 && out(1L).meta.height === 240)
+    assert(out(1L).media.length < "fake-jpeg-aaaa".getBytes.length)
+    // 1920x1080 → 320x180
+    assert(out(4L).meta.width === 320 && out(4L).meta.height === 180)
+    // identical inputs resize identically (deterministic stub)
+    assert(out(1L).media.toSeq === out(3L).media.toSeq)
+    // already-small media pass through byte-identical
+    val small = Seq(MediaAsset(9L, "tiny".getBytes,
+      MediaMeta("image/jpeg", 100, 50, 0L))).toDS()
+    val s = withThumbnails(small, maxDim = 320).head()
+    assert(s.media.toSeq === "tiny".getBytes.toSeq && s.meta.width === 100)
+    // narrow stage: no shuffle
+    val plan = withThumbnails(assets, 320).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sampleFrames: one row per sampled frame, stills contribute none") {
+    val frames = sampleFrames(assets, everyMs = 2500L)
+    assert(frames.columns.toSeq === Seq("asset_id", "frame_idx", "ts_ms", "byte_offset"))
+    val rows = frames.as[(Long, Int, Long, Long)].collect().sorted
+    assert(rows.forall(_._1 === 4L), "only the video asset has frames")
+    assert(rows.map(_._2).toSeq === Seq(0, 1, 2, 3))
+    assert(rows.map(_._3).toSeq === Seq(0L, 2500L, 5000L, 7500L))
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
