@@ -250,6 +250,160 @@ object TextFunctions {
           col("stop_hits") >= minStopwordHits))
   }
 
+  /** Gopher repetition gates (Rae et al. 2021, arXiv 2112.11446, A1.1
+    * "repetition removal") — the other half of [[gopherGates]]'s rule
+    * set. Per document, every repetition signal PLUS the conjunction
+    * `passes`, thresholds defaulting to the paper's:
+    *
+    *  - `dup_line_frac` ≤ 0.30 — duplicate line OCCURRENCES (beyond each
+    *    line's first) over total lines
+    *  - `dup_line_char_frac` ≤ 0.20 — characters in those duplicate
+    *    occurrences over total line characters
+    *  - `top{n}_char_frac` ≤ 0.20/0.18/0.16 for n = 2/3/4 — characters
+    *    claimed by the single most frequent word n-gram (count ×
+    *    space-free gram length, so overlapping claims multiply; capped
+    *    at 1.0), over total word characters; 0 when nothing repeats
+    *  - `dup{n}_char_frac` ≤ 0.15…0.10 for n = 5…10 — characters COVERED
+    *    by word n-grams occurring ≥ 2 times, each token position counted
+    *    ONCE (overlaps collapse), over total word characters
+    *
+    * Words = non-empty whitespace tokens of `lower(trim(text))` (the
+    * [[gopherGates]] definition); lines split on `\n` with empties kept;
+    * null text = the empty document. Fracs are 6dp-rounded and `passes`
+    * compares the ROUNDED values, so an external engine replays
+    * gate-for-gate (the t16 oracle).
+    *
+    * Shape at scale: every aggregation and join here keys on a SUPERSET
+    * of the doc id, so the docs are hash-partitioned by id ONCE up
+    * front and every downstream exchange vanishes —
+    * `HashPartitioning(id)` satisfies each stage's clustered
+    * distribution ((id,line) counts, (id,n,gram) counts, the
+    * duplicated-gram join-back, the overlap-collapsing distinct, the
+    * token-length join, the final assembly joins). One shuffle of raw
+    * text total; the ~9m-per-doc gram rows (ONE explode covers every n)
+    * never cross the wire. The top branch is a min-of-struct agg (ties
+    * to the lexicographically smallest gram); dup coverage explodes
+    * each duplicated occurrence's n token offsets and collapses overlap
+    * with a partition-local distinct. No windows, no driver state.
+    */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
+      maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.20,
+      topNGramMax: Seq[(Int, Double)] = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+      dupNGramMax: Seq[(Int, Double)] = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
+        8 -> 0.12, 9 -> 0.11, 10 -> 0.10)): DataFrame = {
+    val topNs = topNGramMax.map(_._1)
+    val dupNs = dupNGramMax.map(_._1)
+    val allNs = (topNs ++ dupNs).distinct.sorted
+    require(allNs.forall(_ >= 1), s"n-gram orders must be >= 1 (got $allNs)")
+    require(topNs.distinct.size == topNs.size && dupNs.distinct.size == dupNs.size,
+      "duplicate n-gram orders in the threshold lists")
+    val id = col(idCol)
+    def toks(c: Column): Column =
+      filter(split(lower(trim(coalesce(c, lit("")))), "\\s+"), t => length(t) > 0)
+
+    // ONE shuffle total: docs hash-partitioned by id. Deliberately NOT
+    // cached — an InMemoryRelation over an adaptive plan reports
+    // Unknown partitioning, which would force every consumer to
+    // re-shuffle; as a plain plan node every branch below embeds the
+    // SAME exchange subtree and AQE's ReuseExchange collapses them into
+    // one shuffle write with N reads, each branch keeping
+    // HashPartitioning(id) so no later stage exchanges at all
+    // (plan-spec-pinned in TextFunctionsSpec).
+    val d0 = docs.select(id, col(textCol).as("_text")).repartition(id)
+
+    // duplicate lines: one explode, counts per (doc, line), roll up
+    val lineFr = d0
+      .select(id, explode(split(coalesce(col("_text"), lit("")), "\n", -1)).as("_line"))
+      .groupBy(id, col("_line")).agg(count(lit(1)).as("_c"))
+      .groupBy(id).agg(
+        sum(col("_c")).as("_nl"),
+        sum(col("_c") * length(col("_line"))).as("_lc"),
+        sum(col("_c") - 1).as("_dl"),
+        sum((col("_c") - 1) * length(col("_line"))).as("_dlc"))
+
+    // per-doc word-character totals (the gram-frac denominator)
+    val tokTotals = d0.select(id,
+        bound(toks(col("_text"))) { tk =>
+          aggregate(tk, lit(0L), (a, t) => a + length(t))
+        }.as("_tc"))
+
+    // ONE explode for every n: (doc, n, pos, gram). Narrow off the
+    // shared exchange; its two consumers (counts, the dup join-back)
+    // recompute a cheap projection instead of materializing gram strings.
+    val grams = d0.select(id,
+        explode(bound(toks(col("_text"))) { tk =>
+          bound(size(tk)) { m =>
+            flatten(transform(typedLit(allNs), nn =>
+              when(m - (nn - lit(1)) < 1,
+                array().cast("array<struct<_n:int,_pos:int,_gram:string>>"))
+                .otherwise(transform(sequence(lit(1), m - (nn - lit(1))), i =>
+                  struct(nn.as("_n"), i.as("_pos"),
+                    concat_ws(" ", slice(tk, i, nn)).as("_gram"))))))
+          }
+        }).as("_g"))
+      .select(id, col("_g._n").as("_n"), col("_g._pos").as("_pos"),
+        col("_g._gram").as("_gram"))
+    val counts = grams.groupBy(id, col("_n"), col("_gram"))
+      .agg(count(lit(1)).as("_c"))
+
+    // top branch: most-claiming gram per (doc, n); cov = count × space-
+    // free length; min(struct(-cov, gram)) = max cov, ties to smallest
+    val topCov = counts
+      .filter(col("_n").isin(topNs: _*) && col("_c") >= 2)
+      .select(id, col("_n"),
+        (col("_c") * (length(col("_gram")) - (col("_n") - 1)).cast("long")).as("_cov"),
+        col("_gram"))
+      .groupBy(id, col("_n"))
+      .agg(min(struct((-col("_cov")).as("_neg"), col("_gram").as("_g"),
+        col("_cov").as("_cov"))).as("_best"))
+      .select(id, col("_n"), col("_best._cov").as("_cov"))
+
+    // dup-coverage branch: occurrences of DUPLICATED grams only, token
+    // offsets exploded, overlap collapsed by hash distinct, then summed
+    // against per-position token lengths
+    val dupKeys = counts
+      .filter(col("_n").isin(dupNs: _*) && col("_c") >= 2)
+      .select(id, col("_n"), col("_gram"))
+    val tokLens = d0.select(id, posexplode(toks(col("_text"))).as(Seq("_i0", "_tok")))
+      .select(id, (col("_i0") + 1).as("_ti"), length(col("_tok")).cast("long").as("_tl"))
+    val dupCov = grams.join(dupKeys, Seq(idCol, "_n", "_gram"))
+      .select(id, col("_n"),
+        explode(sequence(col("_pos"), col("_pos") + col("_n") - 1)).as("_ti"))
+      .distinct()
+      .join(tokLens, Seq(idCol, "_ti"))
+      .groupBy(id, col("_n")).agg(sum(col("_tl")).as("_cov"))
+
+    def pivot(d: DataFrame, ns: Seq[Int], prefix: String): DataFrame = {
+      val aggs = ns.map(n =>
+        max(when(col("_n") === n, col("_cov"))).as(s"_${prefix}${n}"))
+      d.groupBy(id).agg(aggs.head, aggs.tail: _*)
+    }
+
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0,
+        least(lit(1.0), coalesce(num.cast("double"), lit(0.0)) / den.cast("double")))
+        .otherwise(lit(0.0)), 6)
+
+    val joined = d0.select(id)
+      .join(lineFr, Seq(idCol), "left")
+      .join(tokTotals, Seq(idCol), "left")
+      .join(pivot(topCov, topNs, "top"), Seq(idCol), "left")
+      .join(pivot(dupCov, dupNs, "dup"), Seq(idCol), "left")
+    val sigCols =
+      Seq(frac(col("_dl"), col("_nl")).as("dup_line_frac"),
+        frac(col("_dlc"), col("_lc")).as("dup_line_char_frac")) ++
+      topNs.map(n => frac(col(s"_top$n"), col("_tc")).as(s"top${n}_char_frac")) ++
+      dupNs.map(n => frac(col(s"_dup$n"), col("_tc")).as(s"dup${n}_char_frac"))
+    val out = joined.select(id +: sigCols: _*)
+    val passes = (
+      Seq(col("dup_line_frac") <= maxDupLineFrac,
+        col("dup_line_char_frac") <= maxDupLineCharFrac) ++
+      topNGramMax.map { case (n, t) => col(s"top${n}_char_frac") <= t } ++
+      dupNGramMax.map { case (n, t) => col(s"dup${n}_char_frac") <= t })
+      .reduce(_ && _)
+    out.withColumn("passes", coalesce(passes, lit(false)))
+  }
+
   /** Duplicate word-n-gram fraction — the Gopher/C4-style repetition
     * signal (a document whose text is mostly the same phrases over and
     * over is boilerplate or spam): 1 − distinct-n-grams / n-grams, in

@@ -1729,6 +1729,93 @@ object Queries {
              |   AND stop_hits >= 2) AS passes
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("t16_gopher_repetition",
+      // Gopher repetition gates ([[TextFunctions.gopherRepetition]],
+      // Rae et al. 2021 A1.1 "repetition removal"): duplicate-line
+      // fractions, top-{2,3,4}-gram char claims, duplicate-{5..10}-gram
+      // char coverage (overlap counted once), paper thresholds. One
+      // gram explode for all n; the oracle replays every signal
+      // 6dp-rounded and the verdict compares the rounded values.
+      (s, dir) => T.gopherRepetition(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+             |tk AS (
+             |  SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      t -> len(t) > 0) AS w,
+             |    string_split(text, chr(10)) AS ls
+             |  FROM d),
+             |tot AS (
+             |  SELECT doc_id,
+             |    coalesce(list_sum(list_transform(w, t -> len(t))), 0) AS tc
+             |  FROM tk),
+             |lcnt AS (
+             |  SELECT doc_id, line, count(*) AS c, len(line) AS ll
+             |  FROM (SELECT doc_id, unnest(ls) AS line FROM tk)
+             |  GROUP BY doc_id, line),
+             |lf AS (
+             |  SELECT doc_id, sum(c) AS nl, sum(c*ll) AS lchars,
+             |         sum(c-1) AS dl, sum((c-1)*ll) AS dlc
+             |  FROM lcnt GROUP BY 1),
+             |g AS (
+             |  SELECT doc_id, n, pos,
+             |         array_to_string(list_slice(w, pos, pos+n-1), ' ') AS gram
+             |  FROM (
+             |    SELECT tk.doc_id, tk.w, ns.n,
+             |           unnest(generate_series(1, len(tk.w) - ns.n + 1)) AS pos
+             |    FROM tk, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) ns(n))),
+             |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+             |top AS (
+             |  SELECT doc_id, n, cov FROM (
+             |    SELECT doc_id, n, c*(len(gram)-(n-1)) AS cov,
+             |           row_number() OVER (PARTITION BY doc_id, n
+             |             ORDER BY c*(len(gram)-(n-1)) DESC, gram) AS rn
+             |    FROM c WHERE c >= 2 AND n <= 4) WHERE rn = 1),
+             |dk AS (SELECT doc_id, n, gram FROM c WHERE c >= 2 AND n >= 5),
+             |cp AS (
+             |  SELECT DISTINCT doc_id, n, pos + off AS ti FROM (
+             |    SELECT g.doc_id, g.n, g.pos,
+             |           unnest(generate_series(0, g.n - 1)) AS off
+             |    FROM g JOIN dk USING (doc_id, n, gram))),
+             |tl AS (
+             |  SELECT doc_id, i AS ti, len(w[i]) AS tl FROM (
+             |    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM tk)),
+             |dc AS (
+             |  SELECT doc_id, n, sum(tl) AS cov
+             |  FROM cp JOIN tl USING (doc_id, ti) GROUP BY 1, 2),
+             |m AS (
+             |  SELECT d.doc_id,
+             |    round(CASE WHEN lf.nl > 0 THEN least(1.0, CAST(lf.dl AS DOUBLE)/lf.nl) ELSE 0.0 END, 6) AS dup_line_frac,
+             |    round(CASE WHEN lf.lchars > 0 THEN least(1.0, CAST(lf.dlc AS DOUBLE)/lf.lchars) ELSE 0.0 END, 6) AS dup_line_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(t2.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS top2_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(t3.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS top3_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(t4.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS top4_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c5.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup5_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c6.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup6_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c7.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup7_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c8.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup8_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c9.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup9_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c10.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup10_char_frac
+             |  FROM d
+             |  JOIN lf USING (doc_id) JOIN tot USING (doc_id)
+             |  LEFT JOIN top t2 ON t2.doc_id = d.doc_id AND t2.n = 2
+             |  LEFT JOIN top t3 ON t3.doc_id = d.doc_id AND t3.n = 3
+             |  LEFT JOIN top t4 ON t4.doc_id = d.doc_id AND t4.n = 4
+             |  LEFT JOIN dc c5 ON c5.doc_id = d.doc_id AND c5.n = 5
+             |  LEFT JOIN dc c6 ON c6.doc_id = d.doc_id AND c6.n = 6
+             |  LEFT JOIN dc c7 ON c7.doc_id = d.doc_id AND c7.n = 7
+             |  LEFT JOIN dc c8 ON c8.doc_id = d.doc_id AND c8.n = 8
+             |  LEFT JOIN dc c9 ON c9.doc_id = d.doc_id AND c9.n = 9
+             |  LEFT JOIN dc c10 ON c10.doc_id = d.doc_id AND c10.n = 10)
+             |SELECT m.*,
+             |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+             |   AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+             |   AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15
+             |   AND dup6_char_frac <= 0.14 AND dup7_char_frac <= 0.13
+             |   AND dup8_char_frac <= 0.12 AND dup9_char_frac <= 0.11
+             |   AND dup10_char_frac <= 0.10) AS passes
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     QueryDef("t13_c4_line_gate",
       // the C4 line gate (Raffel et al. JMLR 2020 §2.2) through the
       // scan-local [[TextFunctions.filterLines]] rewrite: keep only

@@ -107,6 +107,58 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("gopherRepetition: each signal measured exactly; overlap counted once") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "hello world\nhello world\nunique line"),       // duplicate line
+      (3L, ("spam ham " * 12).trim),                       // top-2-gram spam
+      (4L, "a b c d e a b c d e"),                         // one dup 5-gram
+      (5L, ""), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.gopherRepetition(docs, "doc_id", "text")
+    assert(out.columns.toSeq === Seq("doc_id", "dup_line_frac",
+      "dup_line_char_frac", "top2_char_frac", "top3_char_frac",
+      "top4_char_frac", "dup5_char_frac", "dup6_char_frac", "dup7_char_frac",
+      "dup8_char_frac", "dup9_char_frac", "dup10_char_frac", "passes"))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    def d(id: Long, c: String) = rows(id).getAs[Double](c)
+    // 1: ten distinct words, no repetition anywhere
+    assert((1 to 5).forall(_ => true))
+    assert(out.columns.filter(_.endsWith("_frac")).forall(c => d(1L, c) === 0.0))
+    assert(rows(1L).getAs[Boolean]("passes"))
+    // 2: one duplicate line occurrence out of three lines, 11 of 33 chars
+    assert(d(2L, "dup_line_frac") === 0.333333)
+    assert(d(2L, "dup_line_char_frac") === 0.333333)
+    assert(!rows(2L).getAs[Boolean]("passes"))
+    // 3: "spam ham" ×12 claims 12×7 = 84 of 84 word chars (capped at 1)
+    assert(d(3L, "top2_char_frac") === 1.0)
+    assert(d(3L, "dup5_char_frac") === 1.0, "every 5-gram repeats")
+    assert(!rows(3L).getAs[Boolean]("passes"))
+    // 4: dup 5-gram "a b c d e" covers all 10 positions ONCE each;
+    //    6..10-grams occur once → 0; top-2 "a b" claims 2×2 of 10 chars
+    //    (space-free gram length)
+    assert(d(4L, "dup5_char_frac") === 1.0)
+    assert((6 to 10).forall(n => d(4L, s"dup${n}_char_frac") === 0.0))
+    assert(d(4L, "top2_char_frac") === 0.4)
+    assert(!rows(4L).getAs[Boolean]("passes"))
+    // empty/null: all-zero signals; the repetition gate alone passes them
+    // (the word-count floor in gopherGates is what kills empty docs)
+    for (id <- Seq(5L, 6L)) {
+      assert(out.columns.filter(_.endsWith("_frac")).forall(c => d(id, c) === 0.0))
+      assert(rows(id).getAs[Boolean]("passes"))
+    }
+    // plan pin: the ONLY shuffle is the user repartition-by-id (reused
+    // across branches); every agg/join/distinct downstream inherits
+    // HashPartitioning(id) — no optimizer-inserted shuffle anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ENSURE_REQUIREMENTS"),
+      s"optimizer-inserted exchange leaked into the plan:\n$plan")
+    assert(plan.contains("REPARTITION_BY_COL"))
+    graft.Caches.releaseAll()
+  }
+
   test("tokenCount: whitespace tokens; empty and blank → 0") {
     assert(one[Long](TextFunctions.tokenCount(col("text")), "a b  c") === 3L)
     assert(one[Long](TextFunctions.tokenCount(col("text")), "") === 0L)
