@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions => D, RelevanceFunctions => R, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T}
+import graft.functions.{DedupFunctions => D, RelevanceFunctions => R, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T, UrlFunctions => U}
 import graft.ops.{AsOfJoinOps, CrossValidationOps, FeatureOps, MacroOps, RangeJoinOps, SkewOps, ValidationOps}
 
 /** One driver-verifiable query. `oracle` is the DuckDB-equivalent ANSI
@@ -319,6 +319,76 @@ object Queries {
     * chunk vectors (doc 7's, epsilon-shifted) aim at. No apostrophes —
     * it embeds in a SQL string literal verbatim.
     */
+  /** Planted URL per document for the url* queries — documents has no
+    * url column, so one derives deterministically from (doc_id, source),
+    * cycling four shapes that exercise every normalizeUrl contract step:
+    * shouting scheme/host + www + default port + tracking params +
+    * fragment + trailing slash (0), default http port (1), query-only
+    * with a tracker (2), and a bare non-URL string (3). The SQL twin
+    * builds the identical strings.
+    */
+  private def plantedUrls(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://WWW."), col("source"), lit(".Example.CO.UK:443/Docs/"),
+          col("doc_id"), lit("/?utm_source=feed&page="), col("doc_id") % 7,
+          lit("#top")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://"), col("source"), lit(".example.com:80/A/"),
+            col("doc_id")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://cdn."), col("source"), lit(".org?gclid=x&id="),
+            col("doc_id")))
+        .otherwise(concat(col("source"), lit(".com/bare/"), col("doc_id")))
+        .as("url"))
+
+  /** SQL CTE prefix shared by the url* oracles: plants the same URLs
+    * and replays [[graft.functions.UrlFunctions.normalizeUrl]] /
+    * [[graft.functions.UrlFunctions.registrableDomain]] step for step
+    * (same regexes — the Java∩RE2 subset runs unchanged under RE2).
+    */
+  private val urlOracleCtes: String =
+    """WITH u AS (
+      |  SELECT doc_id, CASE doc_id % 4
+      |    WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.CO.UK:443/Docs/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR) || '#top'
+      |    WHEN 1 THEN 'http://' || source || '.example.com:80/A/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN 'https://cdn.' || source || '.org?gclid=x&id=' || CAST(doc_id AS VARCHAR)
+      |    ELSE source || '.com/bare/' || CAST(doc_id AS VARCHAR) END AS url
+      |  FROM documents),
+      |p1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS t FROM u),
+      |p2 AS (
+      |  SELECT doc_id, t,
+      |    lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS af
+      |  FROM p1),
+      |p3 AS (
+      |  SELECT doc_id, t, scheme, af,
+      |    CASE scheme WHEN 'http' THEN regexp_replace(h0, ':80$', '')
+      |                WHEN 'https' THEN regexp_replace(h0, ':443$', '')
+      |                ELSE h0 END AS host
+      |  FROM (SELECT *, regexp_replace(lower(regexp_extract(af, '^([^/?]+)', 1)), '^www\.', '') AS h0 FROM p2)),
+      |p4 AS (
+      |  SELECT doc_id, t, scheme, host,
+      |    regexp_replace(regexp_extract(af, '^[^/?]*([^?]*)', 1), '/+$', '') AS path,
+      |    coalesce(array_to_string(list_filter(string_split(regexp_extract(af, '\?(.*)$', 1), '&'),
+      |      p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|igshid|ref|ref_src|mc_cid|mc_eid)=')), '&'), '') AS q
+      |  FROM p3),
+      |n AS (
+      |  SELECT doc_id,
+      |    CASE WHEN scheme = '' THEN t
+      |         ELSE scheme || '://' || host || path ||
+      |              CASE WHEN q = '' THEN '' ELSE '?' || q END END AS url_norm,
+      |    CASE WHEN scheme = '' THEN '' ELSE host END AS host
+      |  FROM p4),
+      |dom AS (
+      |  SELECT doc_id, url_norm, host,
+      |    CASE WHEN nl >= 3 AND list_contains(['co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp','com.au','net.au','org.au','com.br','com.cn','com.mx','com.tr','com.ar','co.in','co.za','co.kr','com.sg','com.hk'], l2) THEN l3
+      |         WHEN nl >= 2 THEN l2 ELSE host END AS domain
+      |  FROM (SELECT doc_id, url_norm, host, len(ls) AS nl,
+      |          array_to_string(list_slice(ls, greatest(len(ls)-1, 1), len(ls)), '.') AS l2,
+      |          array_to_string(list_slice(ls, greatest(len(ls)-2, 1), len(ls)), '.') AS l3
+      |        FROM (SELECT doc_id, url_norm, host, string_split(host, '.') AS ls FROM n)))""".stripMargin
+
   private val c6PlantText: String =
     "the quiet harbor keeps a long record of tides and the old keeper " +
       "writes each level in a worn ledger while gulls circle over the " +
@@ -1815,6 +1885,41 @@ object Queries {
              |   AND dup8_char_frac <= 0.12 AND dup9_char_frac <= 0.11
              |   AND dup10_char_frac <= 0.10) AS passes
              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("url1_normalize",
+      // URL canonicalization ([[UrlFunctions.normalizeUrl]] / [[urlHost]]
+      // / [[registrableDomain]]) over deterministically planted URLs
+      // (documents has no url column — see [[plantedUrls]]): every
+      // contract step exercised across four URL shapes, oracle replays
+      // the identical Java∩RE2 regex chain under DuckDB's RE2.
+      (s, dir) => plantedUrls(s, dir).select(col("doc_id"),
+          U.normalizeUrl(col("url")).as("url_norm"),
+          U.urlHost(col("url")).as("host"),
+          U.registrableDomain(U.urlHost(col("url"))).as("domain"))
+        .orderBy("doc_id"),
+      Some(urlOracleCtes +
+        "\nSELECT doc_id, url_norm, host, domain FROM dom ORDER BY doc_id")),
+
+    QueryDef("url2_domain_cap",
+      // host-level corpus shaping composed ([[UrlFunctions
+      // .domainBlocklistFilter]] → [[UrlFunctions.capPerDomain]]): gate
+      // out a blocklisted registrable domain, then keep at most 10 docs
+      // per domain (smallest doc_id first — KthSmallest bounded-heap
+      // cuts, no window). The planted shapes make skewed domains
+      // (example.co.uk / example.com collect a quarter of the corpus
+      // each) and per-source cdn domains; oracle = the same CTEs + a
+      // row_number replay of the cap.
+      (s, dir) => U.capPerDomain(
+          U.domainBlocklistFilter(plantedUrls(s, dir), "url", Seq("src3.org")),
+          "url", "doc_id", cap = 10)
+        .select("doc_id").orderBy("doc_id"),
+      Some(urlOracleCtes +
+        """
+          |SELECT doc_id FROM (
+          |  SELECT doc_id,
+          |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+          |  FROM dom WHERE domain <> 'src3.org')
+          |WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
 
     QueryDef("t13_c4_line_gate",
       // the C4 line gate (Raffel et al. JMLR 2020 §2.2) through the
