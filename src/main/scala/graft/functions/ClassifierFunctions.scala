@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Quality-classifier scoring for corpus curation — the
+  * fastText-shaped gate LLM pipelines run between the rule filters and
+  * dedup (RefinedWeb trains "looks like Wikipedia/books" classifiers;
+  * LLaMA's pipeline scores pages with a linear model over hashed
+  * text features and keeps the high scorers). Re-expressed
+  * Spark-first over the DSIR feature map
+  * ([[SamplingFunctions.hashedNgramFeatures]]: hashed token unigrams +
+  * bigrams), two ways to get the weights:
+  *
+  *  - [[naiveBayesWeights]] — closed-form log-odds weights from a
+  *    labeled set: one counting pass, no iteration, every number an
+  *    exact expression an external engine can replay (the cls1 oracle
+  *    proves scoring end-to-end including the weights).
+  *  - [[trainLogisticHashed]] — batch gradient descent on logistic
+  *    loss: iterative but DETERMINISTIC (zero init, fixed step, no
+  *    sampling), for when NB calibration isn't enough. Spec-bound
+  *    (loss monotonicity, separation, run-to-run equality) — an
+  *    iterative trainer has no closed SQL form.
+  *
+  * Both produce the same artifact — a (bucket, weight) frame + bias —
+  * consumed by the one scorer, [[scoreLinear]].
+  */
+object ClassifierFunctions {
+
+  /** Multinomial-Naive-Bayes log-odds weights from labeled docs:
+    * `w_b = ln p(b|pos) − ln p(b|neg)` with Laplace smoothing `alpha`
+    * over `buckets` outcomes, `bias = ln(N_pos/N_neg)` (feature-
+    * occurrence totals, the multinomial prior). [[scoreLinear]]'s
+    * mean-of-weights + bias through a sigmoid is then exactly NB's
+    * posterior with per-doc length normalization — the fastText
+    * linear-bag geometry.
+    *
+    * One feature explode, one ≤-`buckets`-row count aggregation per
+    * class collapsed map-side — model size is fixed by construction
+    * regardless of corpus size. Returns (weights(bucket, weight),
+    * bias); weights rows exist only for buckets seen in the labeled
+    * set — unseen buckets take weight 0 at scoring time, which is the
+    * smoothed prior ratio up to the shared constant absorbed into
+    * comparisons.
+    */
+  def naiveBayesWeights(labeled: DataFrame, textCol: String, labelCol: String,
+      buckets: Int = 1 << 16, alpha: Double = 1.0,
+      hash: Column => Column = xxhash64(_)): (DataFrame, Double) = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    require(alpha > 0.0, s"alpha must be > 0 (got $alpha)")
+    val feats = SamplingFunctions.hashedNgramFeatures(
+      labeled, textCol, buckets, hash, Seq(col(labelCol).cast("boolean").as("_y")))
+    val counts = feats.groupBy(col("_b"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
+    val totals = counts.agg(sum(col("_np")), sum(col("_nn"))).head()
+    val (tp, tn) = (totals.getLong(0), totals.getLong(1))
+    require(tp > 0 && tn > 0,
+      s"need labeled feature mass on both sides (pos=$tp, neg=$tn)")
+    val weights = counts.select(col("_b").as("bucket"),
+      (log((col("_np").cast("double") + alpha) / (tp.toDouble + alpha * buckets)) -
+        log((col("_nn").cast("double") + alpha) / (tn.toDouble + alpha * buckets)))
+        .as("weight"))
+    (weights, math.log(tp.toDouble / tn.toDouble))
+  }
+
+  /** Score docs with a linear model over hashed n-gram features:
+    * `score = sigmoid(mean_b∈doc(w_b) + bias)` — the mean (not sum)
+    * makes scores length-invariant, fastText's averaged-bag geometry.
+    * Returns (idCol, score) for EVERY input doc, 6dp-rounded;
+    * featureless docs (empty/null text) score `sigmoid(bias)` — the
+    * prior, visibly, never dropped.
+    *
+    * Scale shape: scan-local feature explode → broadcast-joined
+    * weights (≤ `buckets` rows by construction; `broadcastWeights =
+    * false` for the shuffled escape) → one per-doc average. No
+    * windows, no driver state.
+    */
+  def scoreLinear(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, bias: Double,
+      buckets: Int = 1 << 16,
+      hash: Column => Column = xxhash64(_),
+      broadcastWeights: Boolean = true): DataFrame = {
+    val w0 = weights.select(col("bucket").as("_b"), col("weight").as("_w"))
+    val w = if (broadcastWeights) broadcast(w0) else w0
+    val scored = SamplingFunctions.hashedNgramFeatures(
+        docs, textCol, buckets, hash, Seq(col(idCol)))
+      .join(w, Seq("_b"), "left")
+      .groupBy(col(idCol))
+      .agg(avg(coalesce(col("_w"), lit(0.0))).as("_m"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-(coalesce(col("_m"), lit(0.0)) + bias))), 6)
+          .as("score"))
+  }
+
+  /** Batch gradient descent for logistic regression over the hashed
+    * feature map — deterministic end to end: weights init to zero,
+    * full-batch gradients (no sampling, no row order dependence — the
+    * per-bucket gradient is a commutative sum), fixed learning rate.
+    * Two passes per iteration over a PINNED feature frame (the raw
+    * text tokenizes once, not `iters` times): forward = broadcast-join
+    * current weights, per-doc mean → sigmoid; backward = residual
+    * joined back per occurrence, per-bucket sum. The gradient collect
+    * is bounded by `buckets` (≤ 65,536 rows at the default — the
+    * centroid-collect budget convention), NOT by corpus size; weights
+    * live in one dense driver array between iterations and ride out as
+    * a broadcast-joinable frame.
+    *
+    * Returns (weights(bucket, weight), bias) — [[scoreLinear]]'s input
+    * shape. Iterative ⇒ no closed SQL form ⇒ spec-bound, not oracled
+    * (ClassifierFunctionsSpec pins loss monotonicity, planted-class
+    * separation, and bit-identical re-runs).
+    */
+  def trainLogisticHashed(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 1 << 16, iters: Int = 20,
+      lr: Double = 1.0, hash: Column => Column = xxhash64(_),
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): (DataFrame, Double) = {
+    require(buckets >= 2 && buckets <= (1 << 22),
+      s"buckets bounds the driver gradient state; got $buckets")
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val (feats, release) = graft.Caches.pin(
+      SamplingFunctions.hashedNgramFeatures(labeled, textCol, buckets, hash,
+          Seq(col(idCol).as("_id"), col(labelCol).cast("boolean").as("_y")))
+        .groupBy(col("_id"), col("_y"), col("_b"))
+        .agg(count(lit(1)).cast("double").as("_c")),
+      storage)
+    try {
+      val docTotals = feats.groupBy(col("_id"))
+        .agg(sum(col("_c")).as("_tot"))
+      val nDocs = feats.select(col("_id")).distinct().count().toDouble
+      require(nDocs > 0, "no labeled docs with features")
+      val w = new Array[Double](buckets)
+      var bias = 0.0
+      for (_ <- 0 until iters) {
+        val wDf = broadcast(w.toSeq.zipWithIndex
+          .collect { case (v, b) if v != 0.0 => (b.toLong, v) }
+          .toDF("_b", "_w"))
+        val resid = feats
+          .join(wDf, Seq("_b"), "left")
+          .groupBy(col("_id"), col("_y"))
+          .agg((sum(coalesce(col("_w"), lit(0.0)) * col("_c"))).as("_dot"))
+          .join(docTotals, Seq("_id"))
+          .select(col("_id"),
+            (lit(1.0) / (lit(1.0) + exp(-(col("_dot") / col("_tot") + bias))) -
+              when(col("_y"), 1.0).otherwise(0.0)).as("_r"))
+        val grads = feats.join(resid, Seq("_id"))
+          .join(docTotals, Seq("_id"))
+          .groupBy(col("_b"))
+          .agg(sum(col("_r") * col("_c") / col("_tot")).as("_g"))
+          .as[(Long, Double)].collect()
+        val biasGrad = resid.agg(sum(col("_r"))).head().getDouble(0) / nDocs
+        grads.foreach { case (b, g) => w(b.toInt) -= lr * g / nDocs }
+        bias -= lr * biasGrad
+      }
+      val weights = w.toSeq.zipWithIndex
+        .collect { case (v, b) if v != 0.0 => (b.toLong, v) }
+        .toDF("bucket", "weight")
+      (weights, bias)
+    } finally release()
+  }
+}

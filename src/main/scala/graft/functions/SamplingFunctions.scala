@@ -307,6 +307,36 @@ object SamplingFunctions {
     * The TARGET corpus is typically tiny (a benchmark/curated set) —
     * its explode is noise next to the raw scan.
     */
+  /** The hashed unigram+bigram feature explode shared by
+    * [[importanceWeights]] (DSIR) and the classifier surfaces
+    * ([[ClassifierFunctions]]): one output row per feature OCCURRENCE
+    * — `keep` columns plus `_b`, the feature's hash bucket in
+    * [0, buckets). The fastText/DSIR feature parameterization: token
+    * unigrams plus adjacent-pair bigrams of the lowercased
+    * whitespace split. Scan-local (explode off the projection, no
+    * shuffle); empty/null text yields no rows — callers re-attach
+    * featureless docs themselves.
+    */
+  def hashedNgramFeatures(d: DataFrame, textCol: String, buckets: Int,
+      hash: Column => Column = xxhash64(_), keep: Seq[Column] = Nil): DataFrame = {
+    val exploded = d.select(keep :+ explode(TextFunctions.bound(
+        split(lower(trim(col(textCol))), "\\s+")) { toks =>
+      TextFunctions.bound(filter(toks, t => length(t) > 0)) { tk =>
+        TextFunctions.bound(size(tk)) { n =>
+          val unis = tk
+          val bis = when(n < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), n - 1), i =>
+              concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+          concat(unis, bis)
+        }
+      }
+    }).as("_feat"): _*)
+    // kept columns by OUTPUT name — `keep` may carry aliases/casts that
+    // only exist after the select above
+    val kept = exploded.columns.dropRight(1).map(col).toSeq
+    exploded.select(kept :+ hashBucket(col("_feat"), buckets, hash).as("_b"): _*)
+  }
+
   def importanceWeights(raw: DataFrame, target: DataFrame,
       idCol: String, textCol: String,
       buckets: Int = 1 << 16, alpha: Double = 1.0,
@@ -315,19 +345,7 @@ object SamplingFunctions {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
     require(alpha > 0.0, s"alpha must be > 0 (got $alpha)")
     def features(d: DataFrame, cols: Column*): DataFrame =
-      d.select(cols :+ explode(TextFunctions.bound(
-          split(lower(trim(col(textCol))), "\\s+")) { toks =>
-        TextFunctions.bound(filter(toks, t => length(t) > 0)) { tk =>
-          TextFunctions.bound(size(tk)) { n =>
-            val unis = tk
-            val bis = when(n < 2, array().cast("array<string>"))
-              .otherwise(transform(sequence(lit(1), n - 1), i =>
-                concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-            concat(unis, bis)
-          }
-        }
-      }).as("_feat"): _*)
-        .select(cols :+ hashBucket(col("_feat"), buckets, hash).as("_b"): _*)
+      hashedNgramFeatures(d, textCol, buckets, hash, cols)
     def model(d: DataFrame): DataFrame =
       features(d).groupBy(col("_b")).agg(count(lit(1)).as("_n"))
     def maybeBroadcast(d: DataFrame) = if (broadcastModels) broadcast(d) else d

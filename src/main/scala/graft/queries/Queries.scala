@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions => D, RelevanceFunctions => R, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T, UrlFunctions => U}
+import graft.functions.{ClassifierFunctions => Cls, DedupFunctions => D, RelevanceFunctions => R, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T, UrlFunctions => U}
 import graft.ops.{AsOfJoinOps, CrossValidationOps, FeatureOps, MacroOps, RangeJoinOps, SkewOps, ValidationOps}
 
 /** One driver-verifiable query. `oracle` is the DuckDB-equivalent ANSI
@@ -1920,6 +1920,57 @@ object Queries {
           |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
           |  FROM dom WHERE domain <> 'src3.org')
           |WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("cls1_quality_classifier",
+      // fastText-shaped quality gate ([[ClassifierFunctions
+      // .naiveBayesWeights]] + [[scoreLinear]]): closed-form NB
+      // log-odds over hashed unigram+bigram features, trained on the
+      // even-id half labeled "is English" (lang column), scored over
+      // EVERY doc — sigmoid(mean weight + bias), 6dp. md5Hash60
+      // bucketing so the oracle replays features → counts → weights →
+      // scores end to end (the d20 hashing convention).
+      (s, dir) => {
+        val d = docs(s, dir)
+        val labeled = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
+        val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
+          buckets = 1 << 16, hash = D.md5Hash60)
+        Cls.scoreLinear(d, "doc_id", "text", w, bias,
+            buckets = 1 << 16, hash = D.md5Hash60)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      t -> len(t) > 0) AS w
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, lang, f FROM tk, UNNEST(list_concat(w,
+             |    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+             |         ELSE list_transform(generate_series(1, len(w) - 1),
+             |                i -> w[i] || ' ' || w[i+1]) END)) AS u(f)),
+             |fb AS (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 65536 AS b
+             |  FROM feats),
+             |cnt AS (
+             |  SELECT b,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+             |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nn
+             |  FROM fb WHERE doc_id % 2 = 0 GROUP BY 1),
+             |tot AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM cnt),
+             |wt AS (
+             |  SELECT b, ln((np + 1.0) / (tp + 65536.0))
+             |          - ln((nn + 1.0) / (tn + 65536.0)) AS w
+             |  FROM cnt, tot),
+             |sc AS (
+             |  SELECT fb.doc_id, avg(coalesce(wt.w, 0.0)) AS m
+             |  FROM fb LEFT JOIN wt USING (b) GROUP BY 1),
+             |pr AS (SELECT ln(CAST(tp AS DOUBLE) / tn) AS bias FROM tot)
+             |SELECT d.doc_id,
+             |  round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6) AS score
+             |FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     QueryDef("t13_c4_line_gate",
       // the C4 line gate (Raffel et al. JMLR 2020 §2.2) through the

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ClassifierFunctionsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two linearly separable vocabularies + shared filler
+  private def planted(n: Int) = (0 until n).map { i =>
+    val pos = i % 2 == 0
+    val words = if (pos) "excellent thorough careful analysis of the archive"
+      else "click here free prize winner now claim fast"
+    (i.toLong, s"$words item $i", pos)
+  }.toDF("doc_id", "text", "label")
+
+  test("naiveBayesWeights + scoreLinear: separates planted classes; scores replayable") {
+    val docs = planted(40)
+    val (w, bias) = ClassifierFunctions.naiveBayesWeights(
+      docs, "text", "label", buckets = 1 << 12)
+    val scores = ClassifierFunctions.scoreLinear(docs, "doc_id", "text",
+        w, bias, buckets = 1 << 12)
+      .join(docs.select("doc_id", "label"), Seq("doc_id"))
+      .as[(Long, Double, Boolean)].collect()
+    assert(scores.length === 40)
+    val posMin = scores.filter(_._3).map(_._2).min
+    val negMax = scores.filterNot(_._3).map(_._2).max
+    assert(posMin > 0.5 && negMax < 0.5,
+      s"NB log-odds must separate the planted vocabularies ($posMin vs $negMax)")
+    // featureless doc scores the prior, visibly
+    val prior = ClassifierFunctions.scoreLinear(
+      Seq((99L, "")).toDF("doc_id", "text"), "doc_id", "text",
+      w, bias, buckets = 1 << 12).head().getDouble(1)
+    assert(math.abs(prior - 1.0 / (1.0 + math.exp(-bias))) < 1e-6)
+  }
+
+  test("trainLogisticHashed: deterministic, loss-improving, separating") {
+    val docs = planted(30)
+    def train() = ClassifierFunctions.trainLogisticHashed(
+      docs, "doc_id", "text", "label", buckets = 1 << 12, iters = 15, lr = 4.0)
+    val (w1, b1) = train()
+    val (w2, b2) = train()
+    // bit-identical re-runs: zero init, full batch, fixed steps
+    assert(b1 === b2)
+    val m1 = w1.as[(Long, Double)].collect().toMap
+    val m2 = w2.as[(Long, Double)].collect().toMap
+    assert(m1 === m2)
+    // separation on the training classes
+    val scored = ClassifierFunctions.scoreLinear(docs, "doc_id", "text",
+        w1, b1, buckets = 1 << 12)
+      .join(docs.select("doc_id", "label"), Seq("doc_id"))
+      .as[(Long, Double, Boolean)].collect()
+    assert(scored.filter(_._3).map(_._2).min > 0.5)
+    assert(scored.filterNot(_._3).map(_._2).max < 0.5)
+    // more iterations strictly improve the fit on separable data
+    val (w0, b0) = ClassifierFunctions.trainLogisticHashed(
+      docs, "doc_id", "text", "label", buckets = 1 << 12, iters = 1, lr = 4.0)
+    def loss(w: Map[Long, Double], bias: Double): Double = {
+      val s = ClassifierFunctions.scoreLinear(docs, "doc_id", "text",
+          w.toSeq.toDF("bucket", "weight"), bias, buckets = 1 << 12)
+        .join(docs.select("doc_id", "label"), Seq("doc_id"))
+        .as[(Long, Double, Boolean)].collect()
+      -s.map { case (_, p, y) =>
+        val pc = math.min(math.max(p, 1e-9), 1 - 1e-9)
+        if (y) math.log(pc) else math.log(1 - pc)
+      }.sum / s.length
+    }
+    assert(loss(m1, b1) < loss(w0.as[(Long, Double)].collect().toMap, b0),
+      "15 iters must beat 1 iter on separable data")
+    graft.Caches.releaseAll()
+  }
+}
