@@ -523,4 +523,37 @@ object SamplingFunctions {
             s => s.getField("_t")),
           sep).as("packed_text"))
   }
+
+  /** Epoch-weighted source blending — the Dolma/Megatron-style mixture
+    * step: each row is emitted `epochs` times into the training blend,
+    * where `epochs` is a per-row expression (typically a source→weight
+    * when-chain or literal map). Non-integer epochs split
+    * deterministically: every row gets `⌊epochs⌋` copies, and the rows
+    * whose id hash-bucket falls below the fractional part get one more
+    * — so a 2.25-epoch source repeats twice corpus-wide plus a fixed
+    * quarter a third time, and a 0.5-epoch source keeps a fixed half.
+    * Upsampling by REPETITION (not sampling with replacement) is the
+    * blend semantics LLM data recipes publish: coverage stays complete
+    * per whole epoch and the mix is reproducible run to run.
+    *
+    * Output: input columns + `copy` (1-based). Purely scan-local —
+    * an explode emitting ≤ ⌈epochs⌉ rows per input row, no shuffle,
+    * no state; epochs may vary row by row. The hash key is
+    * `idCol` CAST TO STRING (md5/xxhash of the digits), so an external
+    * engine replays the fractional cut exactly (the d21 oracle).
+    */
+  def epochBlend(df: DataFrame, idCol: String, epochs: Column,
+      buckets: Int = 1 << 20,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    val copies = TextFunctions.bound(epochs.cast("double")) { e =>
+      TextFunctions.bound(floor(e).cast("long") +
+          when(hashBucket(col(idCol).cast("string"), buckets, hash)
+            .cast("double") < (e - floor(e)) * buckets, 1L).otherwise(0L)) { n =>
+        when(n <= 0, array().cast("array<bigint>"))
+          .otherwise(sequence(lit(1L), n))
+      }
+    }
+    df.withColumn("copy", explode(copies))
+  }
 }

@@ -1972,6 +1972,39 @@ object Queries {
              |FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("d21_epoch_blend",
+      // epoch-weighted mixture ([[SamplingFunctions.epochBlend]], the
+      // Dolma/Megatron data-recipe step): high-value sources repeat
+      // 2 full epochs + a hash-fixed quarter a third time, mid sources
+      // exactly once, the tail keeps a fixed half. Scan-local explode,
+      // md5 bucketing on the stringified id so the oracle replays the
+      // fractional cut exactly.
+      (s, dir) => Sam.epochBlend(docs(s, dir).select(col("doc_id"), col("source")),
+          "doc_id",
+          when(col("source").isin("src0", "src1", "src2"), 2.25)
+            .when(col("source").isin("src3", "src4"), 1.0)
+            .otherwise(0.5),
+          hash = D.md5Hash60)
+        .orderBy("doc_id", "copy"),
+      Some("""WITH e AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN source IN ('src0','src1','src2') THEN 2.25
+             |         WHEN source IN ('src3','src4') THEN 1.0
+             |         ELSE 0.5 END AS eps,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      % 1048576 AS b
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source,
+             |    CAST(floor(eps) AS BIGINT) +
+             |      CASE WHEN CAST(b AS DOUBLE) < (eps - floor(eps)) * 1048576
+             |           THEN 1 ELSE 0 END AS n
+             |  FROM e)
+             |SELECT doc_id, source, copy FROM (
+             |  SELECT doc_id, source, unnest(generate_series(1, n)) AS copy
+             |  FROM c WHERE n > 0)
+             |ORDER BY doc_id, copy""".stripMargin)),
+
     QueryDef("t13_c4_line_gate",
       // the C4 line gate (Raffel et al. JMLR 2020 §2.2) through the
       // scan-local [[TextFunctions.filterLines]] rewrite: keep only

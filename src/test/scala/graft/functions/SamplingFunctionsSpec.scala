@@ -432,4 +432,36 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"dsirSample must not plan a Window:\n$plan")
   }
+
+  test("epochBlend: whole epochs repeat everyone, fractions cut by hash, scan-local") {
+    val df = (1L to 1000L).toDF("id")
+      .withColumn("grp", col("id") % 4)
+    val eps = when(col("grp") === 0, 2.25).when(col("grp") === 1, 1.0)
+      .when(col("grp") === 2, 0.5).otherwise(0.0)
+    val out = SamplingFunctions.epochBlend(df, "id", eps)
+    val byId = out.groupBy("grp", "id").agg(count(lit(1)).as("n"),
+        max("copy").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // grp 0 (2.25): every id 2 or 3 copies, copy numbering dense from 1
+    val g0 = byId.filter(_._1._1 == 0L).values
+    assert(g0.forall { case (n, mx) => (n == 2L || n == 3L) && mx == n })
+    val thirds = g0.count(_._1 == 3L).toDouble / g0.size
+    assert(thirds > 0.15 && thirds < 0.35, s"~25% third copies, got $thirds")
+    // grp 1 (1.0): exactly one copy each
+    assert(byId.filter(_._1._1 == 1L).values.forall(_ == (1L, 1L)))
+    // grp 2 (0.5): surviving ids appear once; roughly half survive
+    val g2 = byId.filter(_._1._1 == 2L).values
+    assert(g2.forall(_ == (1L, 1L)))
+    assert(g2.size > 90 && g2.size < 160, s"~half of 250 survive, got ${g2.size}")
+    // grp 3 (0.0): nothing
+    assert(!byId.keySet.exists(_._1 == 3L))
+    // deterministic: the same call twice is row-identical
+    val a = out.collect().map(_.toString).sorted.toSeq
+    val b = SamplingFunctions.epochBlend(df, "id", eps).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a === b)
+    // scan-local: no shuffle anywhere
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
