@@ -4399,6 +4399,73 @@ object Queries {
              |       md5(payload) AS media_md5
              |FROM k WHERE asset_id = keep ORDER BY asset_id""".stripMargin)),
 
+    QueryDef("mm2_thumbnails",
+      // the thumbnail stage with a REAL oracle ([[Multimodal
+      // .withThumbnails]]): synthetic ASCII media (text#lang bytes — the
+      // mm1 trick, chars ≡ bytes so DuckDB can index them) with planted
+      // dimensions from doc_id. The stub's contract is deterministic
+      // arithmetic — long edge to 512, meta scaled via floor(x+0.5)
+      // (Scala Math.round), byte payload strided down by the area
+      // ratio — so the oracle replays resize math AND the exact
+      // surviving bytes (md5 compare). Already-small media pass
+      // through byte-identical.
+      (s, dir) => {
+        import s.implicits._
+        val assets = docs(s, dir).select(col("doc_id").as("asset_id"),
+            concat(col("text"), lit("#"), col("lang")).cast("binary").as("media"),
+            struct(lit("image/png").as("mime"),
+              (lit(400) + (col("doc_id") % 5).cast("int") * 200).as("width"),
+              (lit(300) + (col("doc_id") % 3).cast("int") * 300).as("height"),
+              lit(0L).as("durationMs")).as("meta"))
+          .as[graft.multimodal.Multimodal.MediaAsset]
+        graft.multimodal.Multimodal.withThumbnails(assets, maxDim = 512)
+          .toDF()
+          .select(col("asset_id"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            length(col("media")).cast("long").as("n_bytes"),
+            md5(col("media")).as("media_md5"))
+          .orderBy("asset_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS asset_id, text || '#' || lang AS payload,
+             |         CAST(400 + (doc_id % 5) * 200 AS INTEGER) AS w,
+             |         CAST(300 + (doc_id % 3) * 300 AS INTEGER) AS h,
+             |         length(text || '#' || lang) AS len
+             |  FROM documents),
+             |s AS (
+             |  SELECT asset_id, payload, w, h, len, greatest(w, h) AS lng,
+             |         512.0 / greatest(w, h) AS sc
+             |  FROM a),
+             |small AS (
+             |  SELECT asset_id, w AS width, h AS height,
+             |         CAST(len AS BIGINT) AS n_bytes, md5(payload) AS media_md5
+             |  FROM s WHERE lng <= 512),
+             |big AS (
+             |  SELECT asset_id, payload, len,
+             |    greatest(1, CAST(floor(w * sc + 0.5) AS INTEGER)) AS width,
+             |    greatest(1, CAST(floor(h * sc + 0.5) AS INTEGER)) AS height,
+             |    greatest(1, CAST(floor(len * (sc * sc) + 0.5) AS BIGINT)) AS keep
+             |  FROM s WHERE lng > 512),
+             |bs AS (
+             |  SELECT asset_id, payload, width, height, len,
+             |         greatest(1, len // keep) AS step
+             |  FROM big),
+             |sub AS (
+             |  SELECT asset_id, width, height,
+             |         string_agg(substring(payload, p, 1), '' ORDER BY p) AS thumb
+             |  FROM (SELECT asset_id, payload, width, height,
+             |               unnest(generate_series(1, len, step)) AS p
+             |        FROM bs)
+             |  GROUP BY 1, 2, 3)
+             |SELECT asset_id, CAST(width AS INTEGER) AS width,
+             |       CAST(height AS INTEGER) AS height,
+             |       CAST(length(thumb) AS BIGINT) AS n_bytes, md5(thumb) AS media_md5
+             |FROM sub
+             |UNION ALL
+             |SELECT asset_id, CAST(width AS INTEGER), CAST(height AS INTEGER),
+             |       n_bytes, media_md5 FROM small
+             |ORDER BY asset_id""".stripMargin)),
+
     QueryDef("pack1_sequence_packing",
       // deterministic sequence packing: documents into 512-token training
       // packs across 8 shards; the full per-doc assignment is the result
