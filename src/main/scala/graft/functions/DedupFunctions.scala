@@ -981,4 +981,59 @@ object DedupFunctions {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** ASYMMETRIC containment detection — the near-dup class Jaccard and
+    * MinHash structurally miss: a short document quoted or wrapped
+    * inside a much longer one has tiny symmetric overlap
+    * (|A∩B|/|A∪B| → 0 as B grows) but containment |A∩B|/|A| → 1.
+    * Classic uses: excerpt/quotation detection, boilerplate-wrapped
+    * article dedup, eval items embedded inside long crawl pages.
+    *
+    * Measured over [[TextFunctions.winnowedFingerprints]] sets (MOSS,
+    * Schleimer et al. 2003 §4 — winnowing's guarantee is exactly
+    * containment-shaped: any shared substring of length ≥ k+window−1
+    * contributes a shared fingerprint). Emits
+    * `(contained_id, container_id, containment)` for ordered pairs
+    * with `|fp(a) ∩ fp(b)| / |fp(a)| ≥ threshold`, 6dp — each
+    * direction judged by its own denominator, so the excerpt flags
+    * against the article and not vice versa.
+    *
+    * Scale shape: fingerprints explode to one row per (doc, fp) —
+    * already per-doc distinct by construction — pinned once for the
+    * three consumers; candidate pairs come from an equi-join ON THE
+    * FINGERPRINT VALUE (bucketed, never all-pairs), with fingerprints
+    * shared by more than `maxDocFreq` docs dropped first (the q-gram
+    * df-cap convention: a boilerplate fingerprint in f docs would fan
+    * out f² pairs; the cap bounds it, documented recall trade).
+    * Shared counts and sizes are hash aggs with map-side partials.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 8, window: Int = 4,
+      maxDocFreq: Int = 1000,
+      hash: Column => Column = xxhash64(_),
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2 (got $maxDocFreq)")
+    val fp = graft.Caches.trackedPersist(
+      df.select(col(idCol).as("_cid"),
+        explode(TextFunctions.winnowedFingerprints(col(textCol), k, window, hash))
+          .as("_fp")),
+      storage)
+    val sizes = fp.groupBy(col("_cid")).agg(count(lit(1)).as("_n"))
+    val hot = fp.groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq).select(col("_fp"))
+    val kept = fp.join(broadcast(hot), Seq("_fp"), "left_anti")
+    val shared = kept.as("a")
+      .join(kept.as("b"),
+        col("a._fp") === col("b._fp") && col("a._cid") =!= col("b._cid"))
+      .groupBy(col("a._cid").as("contained_id"), col("b._cid").as("container_id"))
+      .agg(count(lit(1)).as("_shared"))
+    shared
+      .join(sizes.select(col("_cid").as("contained_id"), col("_n")), Seq("contained_id"))
+      .withColumn("containment",
+        round(col("_shared").cast("double") / col("_n").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+  }
 }

@@ -2005,6 +2005,62 @@ object Queries {
              |  FROM c WHERE n > 0)
              |ORDER BY doc_id, copy""".stripMargin)),
 
+    QueryDef("d22_containment",
+      // asymmetric containment ([[DedupFunctions.containmentPairs]]):
+      // the corpus has no planted quotes, so the query plants them —
+      // every %25th doc contributes an excerpt (chars 50..209 verbatim)
+      // under a shifted id. Each excerpt must flag against its source
+      // (containment ≥ 0.7 of ITS fingerprints) while the source never
+      // flags against the excerpt — the asymmetry Jaccard misses.
+      // md5-hash winnowing (the t4 oracle convention) so the oracle
+      // replays fingerprints → df-cap → pair join → ratio end to end.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val planted = d.select(col("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 200000L).as("doc_id"),
+              substring(col("text"), 50, 160).as("text")))
+        D.containmentPairs(planted, "doc_id", "text", threshold = 0.7,
+            hash = c => md5(c.cast("binary")))
+          .orderBy("contained_id", "container_id")
+      },
+      Some("""WITH alld AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, substring(text, 50, 160)
+             |  FROM documents WHERE doc_id % 25 = 0),
+             |norm AS (
+             |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+             |  FROM alld),
+             |h AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(t) - 7 <= 0 THEN [md5(t)]
+             |         ELSE list_transform(generate_series(1, length(t) - 7),
+             |                i -> md5(substring(t, CAST(i AS INTEGER), 8))) END AS hs
+             |  FROM norm),
+             |w AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(hs) - 3 <= 0 THEN [list_aggregate(hs, 'min')]
+             |         ELSE list_transform(generate_series(1, len(hs) - 3),
+             |                i -> list_aggregate(hs[i:i+3], 'min')) END AS mins
+             |  FROM h),
+             |fp AS (
+             |  SELECT doc_id, f
+             |  FROM (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM w)),
+             |hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1000),
+             |kept AS (SELECT * FROM fp WHERE f NOT IN (SELECT f FROM hot)),
+             |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+             |sh AS (
+             |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             |         count(*) AS s
+             |  FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT contained_id, container_id,
+             |       round(CAST(s AS DOUBLE) / sz.n, 6) AS containment
+             |FROM sh JOIN sz ON sz.doc_id = sh.contained_id
+             |WHERE round(CAST(s AS DOUBLE) / sz.n, 6) >= 0.7
+             |ORDER BY contained_id, container_id""".stripMargin)),
+
     QueryDef("t13_c4_line_gate",
       // the C4 line gate (Raffel et al. JMLR 2020 §2.2) through the
       // scan-local [[TextFunctions.filterLines]] rewrite: keep only
@@ -4465,6 +4521,33 @@ object Queries {
              |SELECT asset_id, CAST(width AS INTEGER), CAST(height AS INTEGER),
              |       n_bytes, media_md5 FROM small
              |ORDER BY asset_id""".stripMargin)),
+
+    QueryDef("mm3_frame_sample",
+      // frame sampling under oracle ([[Multimodal.sampleFrames]]):
+      // planted durations (doc_id%7 × 4s — the %7==0 assets are stills
+      // and must contribute NO rows), everyMs=2500. The stub's seek
+      // contract is arithmetic — frame i at ts i·2500 ms, byte offset
+      // ts·1024 — so the oracle replays the whole explode.
+      (s, dir) => {
+        import s.implicits._
+        val assets = docs(s, dir).select(col("doc_id").as("asset_id"),
+            lit("v").cast("binary").as("media"),
+            struct(lit("video/mp4").as("mime"), lit(1).as("width"),
+              lit(1).as("height"),
+              ((col("doc_id") % 7) * 4000L).as("durationMs")).as("meta"))
+          .as[graft.multimodal.Multimodal.MediaAsset]
+        graft.multimodal.Multimodal.sampleFrames(assets, everyMs = 2500L)
+          .orderBy("asset_id", "frame_idx")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS asset_id, (doc_id % 7) * 4000 AS dur
+             |  FROM documents)
+             |SELECT asset_id, CAST(i AS INTEGER) AS frame_idx,
+             |       i * 2500 AS ts_ms, i * 2500 * 1024 AS byte_offset
+             |FROM (SELECT asset_id,
+             |        unnest(generate_series(0, CAST(ceil(dur / 2500.0) AS BIGINT) - 1)) AS i
+             |      FROM a WHERE dur > 0)
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
 
     QueryDef("pack1_sequence_packing",
       // deterministic sequence packing: documents into 512-token training

@@ -431,4 +431,34 @@ class DedupFunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"),
       s"keeper agg degraded to SortAggregate:\n$plan")
   }
+
+  test("containmentPairs: excerpt flags against its source, not vice versa") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val article = ("the committee reviewed every submission in order and " +
+      "recorded a detailed verdict for each entry before the final " +
+      "session closed with a unanimous vote on the remaining items " +
+      "and a schedule for the next review cycle was agreed") // long doc
+    val excerpt = article.substring(60, 170)                 // verbatim quote
+    val other = "completely unrelated text about harbor tides and gulls " +
+      "circling the gray water while the keeper writes in a worn ledger"
+    val docs = Seq((1L, article), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = DedupFunctions.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    // the excerpt is contained in the article...
+    val hit = pairs.filter(p => p._1 == 2L && p._2 == 1L)
+    assert(hit.length === 1 && hit.head._3 >= 0.7, pairs.mkString(", "))
+    // ...but the article is NOT contained in the excerpt (asymmetry),
+    // and the unrelated doc pairs with nothing
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // df-cap: a fingerprint shared by every doc is dropped, pairs gone
+    val boiler = Seq((1L, "same same same"), (2L, "same same same"),
+      (3L, "same same same")).toDF("doc_id", "text")
+    assert(DedupFunctions.containmentPairs(boiler, "doc_id", "text",
+      threshold = 0.5, maxDocFreq = 2).isEmpty)
+    graft.Caches.releaseAll()
+  }
 }
