@@ -541,6 +541,9 @@ object SamplingFunctions {
     * no state; epochs may vary row by row. The hash key is
     * `idCol` CAST TO STRING (md5/xxhash of the digits), so an external
     * engine replays the fractional cut exactly (the d21 oracle).
+    * A NULL id hashes to a NULL bucket, which never takes the
+    * fractional copy — such rows still get their ⌊epochs⌋ whole-epoch
+    * copies, visibly.
     */
   def epochBlend(df: DataFrame, idCol: String, epochs: Column,
       buckets: Int = 1 << 20,

@@ -269,9 +269,11 @@ object TextFunctions {
     *
     * Words = non-empty whitespace tokens of `lower(trim(text))` (the
     * [[gopherGates]] definition); lines split on `\n` with empties kept;
-    * null text = the empty document. Fracs are 6dp-rounded and `passes`
-    * compares the ROUNDED values, so an external engine replays
-    * gate-for-gate (the t16 oracle).
+    * null text = the empty document. An empty document has all-zero
+    * signals and PASSES this gate — nothing repeats in nothing; the
+    * word-count floor in [[gopherGates]] is what rejects empties.
+    * Fracs are 6dp-rounded and `passes` compares the ROUNDED values,
+    * so an external engine replays gate-for-gate (the t16 oracle).
     *
     * Shape at scale: every aggregation and join here keys on a SUPERSET
     * of the doc id, so the docs are hash-partitioned by id ONCE up
@@ -402,6 +404,26 @@ object TextFunctions {
       dupNGramMax.map { case (n, t) => col(s"dup${n}_char_frac") <= t })
       .reduce(_ && _)
     out.withColumn("passes", coalesce(passes, lit(false)))
+  }
+
+  /** The complete Gopher document filter — [[gopherGates]] (quality
+    * rules) AND [[gopherRepetition]] (repetition rules) applied as an
+    * actual gate: returns the input rows (all columns) whose documents
+    * pass BOTH families at the paper defaults. The report forms above
+    * stay the observability surface; this is the composition a corpus
+    * pipeline drops in front of dedup. Two semi-joins on the id (each
+    * side reduced to passing ids first — broadcastable at typical
+    * survivor rates); the c10 oracle replays both rule families and
+    * the conjunction.
+    */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, minStopwordHits: Int = 2): DataFrame = {
+    val q = gopherGates(docs, idCol, textCol,
+        minWords = minWords, minStopwordHits = minStopwordHits)
+      .filter(col("passes")).select(col(idCol))
+    val r = gopherRepetition(docs, idCol, textCol)
+      .filter(col("passes")).select(col(idCol))
+    docs.join(q, Seq(idCol), "left_semi").join(r, Seq(idCol), "left_semi")
   }
 
   /** Duplicate word-n-gram fraction — the Gopher/C4-style repetition

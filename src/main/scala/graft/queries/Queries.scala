@@ -2005,6 +2005,122 @@ object Queries {
              |  FROM c WHERE n > 0)
              |ORDER BY doc_id, copy""".stripMargin)),
 
+    QueryDef("c10_gopher_clean",
+      // the COMPLETE Gopher filter as an actual gate ([[TextFunctions
+      // .gopherFilter]]): quality rules AND repetition rules, survivors
+      // only. Thresholds calibrated to this corpus where the paper's
+      // assume web English (minWords 40, ≥1 stopword — the synthetic
+      // vocabulary holds only one of Gopher's eight stop words);
+      // everything else at paper defaults. Oracle = the t15 + t16
+      // rule chains composed under one conjunction.
+      (s, dir) => T.gopherFilter(docs(s, dir), "doc_id", "text",
+          minWords = 40L, minStopwordHits = 1)
+        .select("doc_id").orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+             |tkq AS (
+             |  SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      t -> len(t) > 0) AS w,
+             |    string_split(text, chr(10)) AS ls
+             |  FROM d),
+             |mq AS (
+             |  SELECT doc_id,
+             |    CAST(len(w) AS BIGINT) AS n_words,
+             |    round(CASE WHEN len(w) = 0 THEN 0.0
+             |      ELSE CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w)
+             |      END, 6) AS mean_word_len,
+             |    round(CASE WHEN len(w) = 0 THEN 0.0
+             |      ELSE CAST(len(regexp_extract_all(text, '#'))
+             |             + len(regexp_extract_all(text, '\.\.\.'))
+             |             + len(regexp_extract_all(text, '…')) AS DOUBLE) / len(w)
+             |      END, 6) AS symbol_ratio,
+             |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•‣▪]'))) AS DOUBLE)
+             |      / len(ls), 6) AS bullet_frac,
+             |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+             |      / len(ls), 6) AS ellipsis_frac,
+             |    round(CASE WHEN len(w) = 0 THEN 0.0
+             |      ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(w)
+             |      END, 6) AS alpha_frac,
+             |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             |      s -> list_contains(w, s))) AS BIGINT) AS stop_hits
+             |  FROM tkq),
+             |tot AS (
+             |  SELECT doc_id,
+             |    coalesce(list_sum(list_transform(w, t -> len(t))), 0) AS tc
+             |  FROM tkq),
+             |lcnt AS (
+             |  SELECT doc_id, line, count(*) AS c, len(line) AS ll
+             |  FROM (SELECT doc_id, unnest(ls) AS line FROM tkq)
+             |  GROUP BY doc_id, line),
+             |lf AS (
+             |  SELECT doc_id, sum(c) AS nl, sum(c*ll) AS lchars,
+             |         sum(c-1) AS dl, sum((c-1)*ll) AS dlc
+             |  FROM lcnt GROUP BY 1),
+             |g AS (
+             |  SELECT doc_id, n, pos,
+             |         array_to_string(list_slice(w, pos, pos+n-1), ' ') AS gram
+             |  FROM (
+             |    SELECT tkq.doc_id, tkq.w, ns.n,
+             |           unnest(generate_series(1, len(tkq.w) - ns.n + 1)) AS pos
+             |    FROM tkq, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) ns(n))),
+             |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+             |top AS (
+             |  SELECT doc_id, n, cov FROM (
+             |    SELECT doc_id, n, c*(len(gram)-(n-1)) AS cov,
+             |           row_number() OVER (PARTITION BY doc_id, n
+             |             ORDER BY c*(len(gram)-(n-1)) DESC, gram) AS rn
+             |    FROM c WHERE c >= 2 AND n <= 4) WHERE rn = 1),
+             |dk AS (SELECT doc_id, n, gram FROM c WHERE c >= 2 AND n >= 5),
+             |cp AS (
+             |  SELECT DISTINCT doc_id, n, pos + off AS ti FROM (
+             |    SELECT g.doc_id, g.n, g.pos,
+             |           unnest(generate_series(0, g.n - 1)) AS off
+             |    FROM g JOIN dk USING (doc_id, n, gram))),
+             |tl AS (
+             |  SELECT doc_id, i AS ti, len(w[i]) AS tl FROM (
+             |    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM tkq)),
+             |dc AS (
+             |  SELECT doc_id, n, sum(tl) AS cov
+             |  FROM cp JOIN tl USING (doc_id, ti) GROUP BY 1, 2),
+             |mr AS (
+             |  SELECT d.doc_id,
+             |    round(CASE WHEN lf.nl > 0 THEN least(1.0, CAST(lf.dl AS DOUBLE)/lf.nl) ELSE 0.0 END, 6) AS dup_line_frac,
+             |    round(CASE WHEN lf.lchars > 0 THEN least(1.0, CAST(lf.dlc AS DOUBLE)/lf.lchars) ELSE 0.0 END, 6) AS dup_line_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(t2.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS top2_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(t3.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS top3_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(t4.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS top4_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c5.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup5_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c6.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup6_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c7.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup7_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c8.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup8_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c9.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup9_char_frac,
+             |    round(CASE WHEN tot.tc > 0 THEN least(1.0, CAST(coalesce(c10.cov, 0) AS DOUBLE)/tot.tc) ELSE 0.0 END, 6) AS dup10_char_frac
+             |  FROM d
+             |  JOIN lf USING (doc_id) JOIN tot USING (doc_id)
+             |  LEFT JOIN top t2 ON t2.doc_id = d.doc_id AND t2.n = 2
+             |  LEFT JOIN top t3 ON t3.doc_id = d.doc_id AND t3.n = 3
+             |  LEFT JOIN top t4 ON t4.doc_id = d.doc_id AND t4.n = 4
+             |  LEFT JOIN dc c5 ON c5.doc_id = d.doc_id AND c5.n = 5
+             |  LEFT JOIN dc c6 ON c6.doc_id = d.doc_id AND c6.n = 6
+             |  LEFT JOIN dc c7 ON c7.doc_id = d.doc_id AND c7.n = 7
+             |  LEFT JOIN dc c8 ON c8.doc_id = d.doc_id AND c8.n = 8
+             |  LEFT JOIN dc c9 ON c9.doc_id = d.doc_id AND c9.n = 9
+             |  LEFT JOIN dc c10 ON c10.doc_id = d.doc_id AND c10.n = 10)
+             |SELECT d.doc_id FROM d
+             |JOIN mq USING (doc_id) JOIN mr USING (doc_id)
+             |WHERE mq.n_words BETWEEN 40 AND 100000
+             |  AND mq.mean_word_len BETWEEN 3.0 AND 10.0
+             |  AND mq.symbol_ratio <= 0.1 AND mq.bullet_frac <= 0.9
+             |  AND mq.ellipsis_frac <= 0.3 AND mq.alpha_frac >= 0.8
+             |  AND mq.stop_hits >= 1
+             |  AND mr.dup_line_frac <= 0.30 AND mr.dup_line_char_frac <= 0.20
+             |  AND mr.top2_char_frac <= 0.20 AND mr.top3_char_frac <= 0.18
+             |  AND mr.top4_char_frac <= 0.16 AND mr.dup5_char_frac <= 0.15
+             |  AND mr.dup6_char_frac <= 0.14 AND mr.dup7_char_frac <= 0.13
+             |  AND mr.dup8_char_frac <= 0.12 AND mr.dup9_char_frac <= 0.11
+             |  AND mr.dup10_char_frac <= 0.10
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("d22_containment",
       // asymmetric containment ([[DedupFunctions.containmentPairs]]):
       // the corpus has no planted quotes, so the query plants them —
