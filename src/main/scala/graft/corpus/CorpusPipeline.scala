@@ -849,8 +849,14 @@ object CorpusPipeline {
         // crossover the plain anti-join is cheaper (filters still get
         // WRITTEN below, so the sketch stays complete for the night the
         // ratio clears)
+        // the batch count() job only runs when the ratio test can use
+        // it — with the gate unconfigured (or the ratio floor disabled)
+        // Scala's strict argument evaluation would otherwise scan the
+        // whole uncached batch just to discard the number
         fpBloom =
-          if (bloomProbeArmed(cfg, corpusTotal(spark, stateDir), docs.count()))
+          if (cfg.fpBloomItems.isDefined &&
+              (cfg.fpBloomMinRatio <= 0.0 ||
+                bloomProbeArmed(cfg, corpusTotal(spark, stateDir), docs.count())))
             readFpBloom(spark, stateDir)
           else None,
         holdout = holdout)

@@ -54,7 +54,11 @@ object ClassifierFunctions {
     val counts = feats.groupBy(col("_b"))
       .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
         sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
-    val totals = counts.agg(sum(col("_np")), sum(col("_nn"))).head()
+    // sums are NULL (not 0) over an empty counts frame — read them
+    // nullable so the require below reports the real problem instead
+    // of an NPE masking it
+    val totals = counts.agg(
+      coalesce(sum(col("_np")), lit(0L)), coalesce(sum(col("_nn")), lit(0L))).head()
     val (tp, tn) = (totals.getLong(0), totals.getLong(1))
     require(tp > 0 && tn > 0,
       s"need labeled feature mass on both sides (pos=$tp, neg=$tn)")
@@ -140,6 +144,10 @@ object ClassifierFunctions {
         val wDf = broadcast(w.toSeq.zipWithIndex
           .collect { case (v, b) if v != 0.0 => (b.toLong, v) }
           .toDF("_b", "_w"))
+        // the forward pass is persisted for the iteration: both the
+        // per-bucket gradient and the bias gradient consume it, and an
+        // unpinned residual frame would re-run the whole broadcast-join
+        // forward computation for the second aggregate
         val resid = feats
           .join(wDf, Seq("_b"), "left")
           .groupBy(col("_id"), col("_y"))
@@ -148,14 +156,17 @@ object ClassifierFunctions {
           .select(col("_id"),
             (lit(1.0) / (lit(1.0) + exp(-(col("_dot") / col("_tot") + bias))) -
               when(col("_y"), 1.0).otherwise(0.0)).as("_r"))
-        val grads = feats.join(resid, Seq("_id"))
-          .join(docTotals, Seq("_id"))
-          .groupBy(col("_b"))
-          .agg(sum(col("_r") * col("_c") / col("_tot")).as("_g"))
-          .as[(Long, Double)].collect()
-        val biasGrad = resid.agg(sum(col("_r"))).head().getDouble(0) / nDocs
-        grads.foreach { case (b, g) => w(b.toInt) -= lr * g / nDocs }
-        bias -= lr * biasGrad
+          .persist(storage)
+        try {
+          val grads = feats.join(resid, Seq("_id"))
+            .join(docTotals, Seq("_id"))
+            .groupBy(col("_b"))
+            .agg(sum(col("_r") * col("_c") / col("_tot")).as("_g"))
+            .as[(Long, Double)].collect()
+          val biasGrad = resid.agg(sum(col("_r"))).head().getDouble(0) / nDocs
+          grads.foreach { case (b, g) => w(b.toInt) -= lr * g / nDocs }
+          bias -= lr * biasGrad
+        } finally resid.unpersist(false)
       }
       val weights = w.toSeq.zipWithIndex
         .collect { case (v, b) if v != 0.0 => (b.toLong, v) }

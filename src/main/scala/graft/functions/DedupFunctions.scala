@@ -996,7 +996,10 @@ object DedupFunctions {
     * `(contained_id, container_id, containment)` for ordered pairs
     * with `|fp(a) ∩ fp(b)| / |fp(a)| ≥ threshold`, 6dp — each
     * direction judged by its own denominator, so the excerpt flags
-    * against the article and not vice versa.
+    * against the article and not vice versa. Both numerator and
+    * denominator are taken over the POST-df-cap fingerprint sets: a
+    * doc made partly of capped boilerplate is judged on its
+    * distinctive fingerprints, not diluted by the dropped ones.
     *
     * Scale shape: fingerprints explode to one row per (doc, fp) —
     * already per-doc distinct by construction — pinned once for the
@@ -1020,10 +1023,14 @@ object DedupFunctions {
         explode(TextFunctions.winnowedFingerprints(col(textCol), k, window, hash))
           .as("_fp")),
       storage)
-    val sizes = fp.groupBy(col("_cid")).agg(count(lit(1)).as("_n"))
     val hot = fp.groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select(col("_fp"))
     val kept = fp.join(broadcast(hot), Seq("_fp"), "left_anti")
+    // denominator counts POST-cap fingerprints — the same universe the
+    // shared counts come from (and the one the d22 oracle replays); a
+    // pre-cap denominator would silently depress containment for docs
+    // made partly of capped boilerplate
+    val sizes = kept.groupBy(col("_cid")).agg(count(lit(1)).as("_n"))
     val shared = kept.as("a")
       .join(kept.as("b"),
         col("a._fp") === col("b._fp") && col("a._cid") =!= col("b._cid"))

@@ -462,7 +462,10 @@ object SimilarityFunctions {
         it.map { case (id, v) =>
           // strict > over id-sorted centroids: ties and NaN keep the
           // lowest centroid id (the ivfTopK assignment rule)
-          var best = 0L; var bestSim = Double.NegativeInfinity; var i = 0
+          // init to the LOWEST centroid id (cs is id-sorted): an all-NaN
+            // cosine row (zero vector) stays there instead of inventing a
+            // phantom cluster 0 no centroid owns
+            var best = cs(0)._1; var bestSim = Double.NegativeInfinity; var i = 0
           while (i < cs.length) {
             val sim = cosineLocal(v, cs(i)._2)
             if (sim > bestSim) { bestSim = sim; best = cs(i)._1 }
@@ -522,7 +525,10 @@ object SimilarityFunctions {
         .mapPartitions { it =>
           val cs = bc.value
           it.map { case (id, v) =>
-            var best = 0L; var bestSim = Double.NegativeInfinity; var i = 0
+            // init to the LOWEST centroid id (cs is id-sorted): an all-NaN
+            // cosine row (zero vector) stays there instead of inventing a
+            // phantom cluster 0 no centroid owns
+            var best = cs(0)._1; var bestSim = Double.NegativeInfinity; var i = 0
             while (i < cs.length) {
               val sim = cosineLocal(v, cs(i)._2)
               if (sim > bestSim) { bestSim = sim; best = cs(i)._1 }
@@ -961,7 +967,7 @@ object SimilarityFunctions {
       .as[(Long, Array[Double])].collect()
     val bcQ = spark.sparkContext.broadcast(qRows)
     val bcB = spark.sparkContext.broadcast((books, normLut))
-    val lutKey = bcQ.id
+    val lutKey = s"${spark.sparkContext.applicationId}:${bcQ.id}"
     val scored = encoded
       .select(col(idCol).cast("long"), col(codesCol).cast("array<int>"))
       .as[(Long, Array[Int])]
@@ -1163,7 +1169,7 @@ object SimilarityFunctions {
     })
     val bcQ = spark.sparkContext.broadcast(qRows)
     val bcMeta = spark.sparkContext.broadcast((cents, books, normLut))
-    val lutKey = bcQ.id
+    val lutKey = s"${spark.sparkContext.applicationId}:${bcQ.id}"
     val scored = index
       .select(col(idCol).cast("long"), col(cellCol).cast("long"),
         col(codesCol).cast("array<int>"))

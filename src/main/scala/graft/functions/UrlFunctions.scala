@@ -124,13 +124,18 @@ object UrlFunctions {
   /** Drop every row whose URL's registrable domain is on the blocklist.
     * The list rides as a literal array into codegen (blocklists are
     * config-sized); for a DataFrame-shaped list join
-    * `broadcast(blocked)` with `left_anti` instead.
+    * `broadcast(blocked)` with `left_anti` instead. Rows with a NULL
+    * URL are KEPT — they have no domain to match, and a blocklist must
+    * never silently erase the no-URL slice of a corpus (the visible-
+    * null convention; drop them explicitly upstream if unwanted).
     */
   def domainBlocklistFilter(df: DataFrame, urlCol: String,
       blockedDomains: Seq[String]): DataFrame = {
     require(blockedDomains.nonEmpty, "empty blocklist — nothing to filter")
-    df.filter(!array_contains(typedLit(blockedDomains.map(_.toLowerCase)),
-      registrableDomain(urlHost(col(urlCol)))))
+    df.filter(coalesce(
+      !array_contains(typedLit(blockedDomains.map(_.toLowerCase)),
+        registrableDomain(urlHost(col(urlCol)))),
+      lit(true)))
   }
 
   /** Keep at most `cap` documents per registrable domain, smallest

@@ -45,12 +45,22 @@ object EventStreams {
     * TimestampType under the UTC session.
     */
   def readEvents(spark: SparkSession, dir: String, streaming: Boolean): DataFrame = {
-    // The probe is best-effort: a streaming source may be declared
-    // before the first file lands (empty/missing dir), in which case
-    // fall back to the nanos-long rawSchema — the generator shape the
-    // fixed-schema path always assumed.
-    val observed = scala.util.Try(spark.read.parquet(s"$dir/events.parquet").schema)
-      .getOrElse(rawSchema)
+    // The probe is best-effort ONLY for declare-before-data: a
+    // streaming source may be declared before the first file lands
+    // (missing path / nothing to infer from), in which case fall back
+    // to the nanos-long rawSchema — the generator shape the
+    // fixed-schema path always assumed. Any OTHER probe failure
+    // (corrupt footer, filesystem error) propagates: silently guessing
+    // nanos for a µs file would read timestamps off by 1000×.
+    val observed =
+      try spark.read.parquet(s"$dir/events.parquet").schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+              (e.getCondition.startsWith("PATH_NOT_FOUND") ||
+                e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          rawSchema
+      }
     val nanosAsLong = observed("ts").dataType == LongType
     val schema = if (nanosAsLong) rawSchema
       else StructType(rawSchema.map(f =>

@@ -518,7 +518,7 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
   test("ExecutorMemo: builds once per key, LRU-bounded, distinct keys isolated") {
     import graft.internal.ExecutorMemo
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)
-    val key = 900000L + scala.util.Random.nextInt(100000)
+    val key = s"spec:${900000L + scala.util.Random.nextInt(100000)}"
     def build(): java.lang.Integer = { builds.incrementAndGet(); Integer.valueOf(42) }
     // concurrent first access: exactly one build, everyone sees it
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -531,9 +531,26 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       assert(futures.map(_.get()).forall(_ == 42))
       assert(builds.get() === 1, "concurrent getOrBuild must build exactly once")
     } finally pool.shutdown()
+    // a slow build on one key must NOT block another key's build
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val slowStarted = new java.util.concurrent.CountDownLatch(1)
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      pool2.submit(new Runnable { def run(): Unit =
+        ExecutorMemo.getOrBuild(s"$key-slow") {
+          slowStarted.countDown(); gate.await(); Integer.valueOf(1)
+        }: Unit })
+      slowStarted.await()
+      val fast = pool2.submit(new java.util.concurrent.Callable[Integer] {
+        def call(): Integer = ExecutorMemo.getOrBuild(s"$key-fast")(Integer.valueOf(2))
+      })
+      assert(fast.get(5, java.util.concurrent.TimeUnit.SECONDS) == 2,
+        "unrelated key blocked behind a slow build")
+      gate.countDown()
+    } finally { gate.countDown(); pool2.shutdown() }
     // distinct keys build independently; the cache stays LRU-bounded
     (1L to 20L).foreach { i =>
-      ExecutorMemo.getOrBuild(key + 10000L + i)(Integer.valueOf(i.toInt))
+      ExecutorMemo.getOrBuild(s"$key-$i")(Integer.valueOf(i.toInt))
     }
     assert(ExecutorMemo.size <= 8, s"memo must stay bounded, got ${ExecutorMemo.size}")
   }
