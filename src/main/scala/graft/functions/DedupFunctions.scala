@@ -1008,7 +1008,12 @@ object DedupFunctions {
     * shared by more than `maxDocFreq` docs dropped first (the q-gram
     * df-cap convention: a boilerplate fingerprint in f docs would fan
     * out f² pairs; the cap bounds it, documented recall trade).
-    * Shared counts and sizes are hash aggs with map-side partials.
+    * CALIBRATE `maxDocFreq` to the corpus — ~1% of docs is a sound
+    * start; Σ df² over surviving fingerprints IS the join row count,
+    * and repetitive corpora blow it up fast (measured 149M → 1.6M pair
+    * rows at 5k docs moving the cap 1000 → 50 on a tiny-vocabulary
+    * corpus). Shared counts and sizes are hash aggs with map-side
+    * partials.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 8, window: Int = 4,

@@ -2130,6 +2130,11 @@ object Queries {
       // flags against the excerpt — the asymmetry Jaccard misses.
       // md5-hash winnowing (the t4 oracle convention) so the oracle
       // replays fingerprints → df-cap → pair join → ratio end to end.
+      // maxDocFreq = 50 ≈ 1% of the corpus: this synthetic vocabulary
+      // is tiny, so 8-char windows repeat across hundreds of docs —
+      // at the 1000 default the pair join fans out 149M rows at sf0.1
+      // (measured) vs 1.6M at 50; planted-pair containment is
+      // unaffected (excerpt fps ⊂ source fps under any cap).
       (s, dir) => {
         val d = docs(s, dir)
         val planted = d.select(col("doc_id"), col("text"))
@@ -2137,7 +2142,7 @@ object Queries {
             .select((col("doc_id") + 200000L).as("doc_id"),
               substring(col("text"), 50, 160).as("text")))
         D.containmentPairs(planted, "doc_id", "text", threshold = 0.7,
-            hash = c => md5(c.cast("binary")))
+            maxDocFreq = 50, hash = c => md5(c.cast("binary")))
           .orderBy("contained_id", "container_id")
       },
       Some("""WITH alld AS (
@@ -2163,7 +2168,7 @@ object Queries {
              |fp AS (
              |  SELECT doc_id, f
              |  FROM (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM w)),
-             |hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1000),
+             |hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 50),
              |kept AS (SELECT * FROM fp WHERE f NOT IN (SELECT f FROM hot)),
              |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
              |sh AS (
