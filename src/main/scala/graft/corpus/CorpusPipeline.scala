@@ -82,7 +82,44 @@ final case class CorpusConfig(
     // at a time: within-batch boilerplate dies, but a banner line the
     // corpus already holds keeps its per-batch first occurrence — the
     // same per-shipment scope every batch-level text stage has here.
-    lineDedupMinChars: Option[Int] = None)
+    lineDedupMinChars: Option[Int] = None,
+    // arms the COMPLETE Gopher filter ([[graft.functions.TextFunctions
+    // .gopherFilter]]: quality rules ∧ repetition rules) as an extra
+    // stage after the base gates — the rule families the base
+    // token/quality/bigram gates don't cover (word-count band, mean
+    // word length, symbol/bullet/ellipsis line shapes, stopword
+    // presence, duplicate-line and n-gram char coverage). None = off;
+    // the c3..c8 oracles keep their pinned shapes.
+    gopherFilter: Option[GopherConfig] = None,
+    // arms a trained quality-classifier gate ([[graft.functions
+    // .ClassifierFunctions.scoreLinear]]) after the rule gates — the
+    // fastText-shaped "looks like reference text" screen. Weights come
+    // from [[graft.functions.ClassifierFunctions.naiveBayesWeights]]
+    // or [[graft.functions.ClassifierFunctions.trainLogisticHashed]].
+    // None = off.
+    classifierGate: Option[ClassifierGateConfig] = None)
+
+/** Corpus-calibration knobs for the Gopher stage of
+  * [[CorpusPipeline.clean]] — the two rules whose paper defaults
+  * assume web English (see the c10 registry query for the calibration
+  * story); everything else runs at the published thresholds.
+  */
+final case class GopherConfig(
+    minWords: Long = 50L,
+    minStopwordHits: Int = 2)
+
+/** Classifier-gate knobs for [[CorpusPipeline.clean]]: docs scoring
+  * under `minScore` (sigmoid posterior, [0,1]) drop. `weights`/`bias`
+  * are the artifact either trainer produces; `buckets`/`hash` must
+  * match the ones the weights were trained with — a mismatched hash
+  * silently scores garbage, which is why they ride together here.
+  */
+final case class ClassifierGateConfig(
+    weights: DataFrame,
+    bias: Double,
+    minScore: Double,
+    buckets: Int = 1 << 16,
+    hash: Column => Column = xxhash64(_))
 
 /** Embedding-tier (semantic) dedup knobs for [[CorpusPipeline.clean]].
   * `dim` is the embedding dimensionality (needed to generate the LSH
@@ -213,10 +250,27 @@ object CorpusPipeline {
         TextFunctions.qualityScore(t) >= cfg.minQuality &&
         TextFunctions.duplicateNgramFraction(t, 2) <= cfg.maxDupBigramFrac &&
         langOk)
+    // optional rule tiers between the base gates and the scrub: the
+    // full Gopher filter, then the trained classifier screen — both
+    // BEFORE PII redaction (judged on original text) and before any
+    // fingerprint is taken
+    val gophered = cfg.gopherFilter match {
+      case Some(g) => TextFunctions.gopherFilter(gated, idCol, textCol,
+        minWords = g.minWords, minStopwordHits = g.minStopwordHits)
+      case None => gated
+    }
+    val screened = cfg.classifierGate match {
+      case Some(cg) =>
+        val keep = graft.functions.ClassifierFunctions.scoreLinear(
+            gophered, idCol, textCol, cg.weights, cg.bias, cg.buckets, cg.hash)
+          .filter(col("score") >= cg.minScore).select(col(idCol))
+        gophered.join(keep, Seq(idCol), "left_semi")
+      case None => gophered
+    }
     val scrubbed =
       if (cfg.redactPii)
-        gated.withColumn(textCol, TextFunctions.redactPii(t))
-      else gated
+        screened.withColumn(textCol, TextFunctions.redactPii(t))
+      else screened
     // exact dedup BEFORE near-dup: it is cheaper (16-byte fingerprints)
     // and shrinks the LSH candidate space
     val exact = DedupFunctions.dedupExact(

@@ -45,6 +45,53 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(fps === out.count())
   }
 
+  test("clean + gopherFilter + classifierGate: the optional tiers fire between gates and scrub") {
+    import graft.functions.ClassifierFunctions
+    // 52 distinct-ish words, single line, no repeated phrases — passes
+    // BOTH Gopher families (the repeated-sentence fixture other tests
+    // use would rightly die on dup-5-gram coverage here)
+    val good = "the committee of reviewers examined that archive and " +
+      "noted seventeen distinct findings which have emerged with careful " +
+      "annotation during the second survey while independent auditors " +
+      "confirmed every tabulated entry against original ledgers and " +
+      "prepared a concise summary for the board that described methods " +
+      "results caveats and recommended next actions in plain language"
+    val docs = Seq(
+      (1L, good),                                       // passes everything
+      (2L, good.split(" ").take(30).mkString(" ")),     // 30 words: passes base minTokens, fails Gopher minWords=40
+      (3L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5).trim))
+      .toDF("doc_id", "text")                           // no Gopher stopword → fails stop rule
+    // base gates alone keep all three
+    val base = CorpusPipeline.clean(docs, "doc_id", "text",
+      CorpusConfig(minTokens = 10, minQuality = 0.0, maxDupBigramFrac = 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(base === Set(1L, 2L, 3L))
+    // the Gopher tier drops 2 (word floor) and 3 (stopwords)
+    val cfgG = CorpusConfig(minTokens = 10, minQuality = 0.0, maxDupBigramFrac = 1.0,
+      gopherFilter = Some(GopherConfig(minWords = 40L, minStopwordHits = 1)))
+    assert(CorpusPipeline.clean(docs, "doc_id", "text", cfgG)
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
+    // the classifier tier drops what scores low against trained weights
+    // class feature mass balanced so the NB prior (bias = ln tp/tn)
+    // stays near zero and the gate decision rides on the weights
+    val labeled = Seq(
+      (10L, good, true), (11L, good + " again and again", true),
+      (12L, ("click here free prize winner now claim fast money " * 6).trim, false),
+      (13L, ("free fast prize click claim winner here now money today " * 5).trim, false))
+      .toDF("doc_id", "text", "label")
+    val (w, b) = ClassifierFunctions.naiveBayesWeights(labeled, "text", "label",
+      buckets = 1 << 12)
+    val spam = Seq((1L, good),
+      (2L, ("click here free prize winner now claim fast money " * 4).trim))
+      .toDF("doc_id", "text")
+    val cfgC = CorpusConfig(minTokens = 5, minQuality = 0.0, maxDupBigramFrac = 1.0,
+      classifierGate = Some(ClassifierGateConfig(w, b, minScore = 0.5,
+        buckets = 1 << 12)))
+    assert(CorpusPipeline.clean(spam, "doc_id", "text", cfgC)
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
+    graft.Caches.releaseAll()
+  }
+
   test("clean + lineDedupMinChars: re-crawls differing only in banner placement collapse") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
