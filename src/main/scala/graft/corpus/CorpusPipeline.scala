@@ -1045,12 +1045,40 @@ object CorpusPipeline {
     }
     val semantic = flagArg("--semantic").map(d =>
       SemanticConfig(dim = if (d.isEmpty) 64 else d.toInt))
+    // --gopher [minWords[,minStopwordHits]] arms the full Gopher filter
+    val gopher = flagArg("--gopher").map { v =>
+      val parts = v.split(",").filter(_.nonEmpty)
+      GopherConfig(
+        minWords = parts.headOption.map(_.toLong).getOrElse(50L),
+        minStopwordHits = parts.lift(1).map(_.toInt).getOrElse(2))
+    }
     val spark = SparkSession.builder()
       .appName("graft-corpus").master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --classifier [lang[:minScore]] trains is-<lang> NB log-odds on the
+    // even-id half of the input's lang labels and gates at minScore —
+    // the self-contained CLI form of the classifier screen (a real
+    // deployment passes a persisted weights artifact via the API).
+    // minScore is CORPUS-CALIBRATED, not universal: NB's sigmoid
+    // centers at the class prior (bias = ln tp/tn), so a minority
+    // positive class puts the whole score range below 0.5 — read the
+    // score distribution (the cls1 registry query) before picking the
+    // cut, exactly as with any production quality classifier.
+    val classifier = flagArg("--classifier").map { v =>
+      val parts = if (v.isEmpty) Array("en") else v.split(":")
+      val lang = parts(0)
+      val minScore = parts.lift(1).map(_.toDouble).getOrElse(0.5)
+      val labeled = spark.read.parquet(s"$inDir/documents.parquet")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), (col("lang") === lang).as("label"))
+      val (w, b) = graft.functions.ClassifierFunctions.naiveBayesWeights(
+        labeled, "text", "label")
+      ClassifierGateConfig(w, b, minScore)
+    }
+    val cfg = CorpusConfig(gopherFilter = gopher, classifierGate = classifier)
     flagArg("--ingest") match {
       case Some(n) =>
         val nights = if (n.isEmpty) 3 else n.toInt
@@ -1061,16 +1089,16 @@ object CorpusPipeline {
             .select(expr(s"vec_id div ${sc.chunksPerDoc}").as("doc_id"), col("embedding")))
         def night(i: Int): DataFrame = docs.filter(pmod(col("doc_id"), lit(nights)) === i)
         (0 until nights).foreach { i =>
-          val c = ingest(spark, outDir, night(i), cfg = CorpusConfig(),
+          val c = ingest(spark, outDir, night(i), cfg = cfg,
             batchChunks = chunks, semantic = semantic)
           println(s"night $i: ingested=${c("ingested")} corpus_total=${c("corpus_total")}")
         }
-        val replay = ingest(spark, outDir, night(nights - 1), cfg = CorpusConfig(),
+        val replay = ingest(spark, outDir, night(nights - 1), cfg = cfg,
           batchChunks = chunks, semantic = semantic)
         println(s"replay of night ${nights - 1}: ingested=${replay("ingested")} " +
           s"corpus_total=${replay("corpus_total")} (INSERT-OR-IGNORE no-op)")
       case None =>
-        val counts = run(spark, inDir, outDir, semantic = semantic)
+        val counts = run(spark, inDir, outDir, cfg = cfg, semantic = semantic)
         println("corpus shards written: " + counts.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString(", "))
     }
