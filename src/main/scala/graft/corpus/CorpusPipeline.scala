@@ -97,7 +97,22 @@ final case class CorpusConfig(
     // from [[graft.functions.ClassifierFunctions.naiveBayesWeights]]
     // or [[graft.functions.ClassifierFunctions.trainLogisticHashed]].
     // None = off.
-    classifierGate: Option[ClassifierGateConfig] = None)
+    classifierGate: Option[ClassifierGateConfig] = None,
+    // arms the CONTAINMENT tier of the incremental appends: batch docs
+    // whose winnow-fingerprint containment against the corpus's STORED
+    // winnow rows reaches the threshold drop — the excerpt/quote class
+    // symmetric MinHash structurally misses. Armed batches store their
+    // own winnow rows at accept time (history is never re-winnowed).
+    // Winnow geometry is the t4 convention (k=8, window=4). None = off;
+    // existing index layouts and oracles keep their pinned shapes.
+    containmentThreshold: Option[Double] = None,
+    // the [[graft.functions.DedupFunctions.containmentPairsAgainst]]
+    // df-cap — CALIBRATE to ~1% of corpus docs (Σ df² is the pair-join
+    // row count; see the d22 sizing note)
+    containmentMaxDocFreq: Int = 1000,
+    // winnow hash: production xxhash64; the engine-shared md5 form
+    // swaps in for external replay (the minhashHash pattern)
+    winnowHash: Column => Column = xxhash64(_))
 
 /** Corpus-calibration knobs for the Gopher stage of
   * [[CorpusPipeline.clean]] — the two rules whose paper defaults
@@ -390,7 +405,12 @@ object CorpusPipeline {
     * accepted batch's [[buildTextIndex]] rows after its commit.
     */
   final case class TextIndex(fingerprints: DataFrame, shingles: DataFrame,
-      bands: DataFrame)
+      bands: DataFrame,
+      // `(id, wfp)` winnow-fingerprint rows, present only for
+      // containment-armed state (cfg.containmentThreshold) — the
+      // corpus side of [[graft.functions.DedupFunctions
+      // .containmentPairsAgainst]]'s nightly excerpt gate
+      winnow: Option[DataFrame] = None)
 
   /** Derive the [[TextIndex]] of an (already-cleaned) corpus or of an
     * accepted batch: two scan-local projections plus ONE signature
@@ -410,7 +430,11 @@ object CorpusPipeline {
         TextFunctions.fingerprint(col(textCol)).as("fp")),
       shingles = sh,
       bands = DedupFunctions.bandedSignatures(sh, cfg.numHashes, cfg.bands,
-        cfg.minhashHash, cfg.minhashBucketHash))
+        cfg.minhashHash, cfg.minhashBucketHash),
+      winnow = cfg.containmentThreshold.map(_ =>
+        docs.select(col(idCol).as("id"),
+          explode(TextFunctions.winnowedFingerprints(col(textCol),
+            hash = cfg.winnowHash)).as("wfp"))))
   }
 
   /** The corpus-side EMBEDDING dedup state — the semantic twin of
@@ -553,7 +577,22 @@ object CorpusPipeline {
       numHashes = cfg.numHashes, bands = cfg.bands,
       threshold = cfg.nearDupThreshold,
       hash = cfg.minhashHash, bucketHash = cfg.minhashBucketHash)
-    val textSafe0 = DedupFunctions.dropNearDuplicates(afterExact, textPairs, idCol)
+    val textSafe00 = DedupFunctions.dropNearDuplicates(afterExact, textPairs, idCol)
+    // 3b. containment-vs-corpus (when armed AND the corpus has stored
+    // winnow state): batch docs that are excerpts/quotes of corpus docs
+    // drop — the asymmetric class the symmetric LSH tier above misses.
+    // The corpus side joins its STORED winnow rows; only the batch
+    // winnows tonight. Mixed arming (no stored winnow yet) degrades
+    // gracefully, like the semantic arm.
+    val textSafe0 = (index.winnow, cfg.containmentThreshold) match {
+      case (Some(wIdx), Some(th)) =>
+        val contained = DedupFunctions.containmentPairsAgainst(
+            wIdx, textSafe00, idCol, textCol, threshold = th,
+            maxDocFreq = cfg.containmentMaxDocFreq, hash = cfg.winnowHash)
+          .select(col("contained_id").as(idCol)).distinct()
+        textSafe00.join(broadcast(contained), Seq(idCol), "left_anti")
+      case _ => textSafe00
+    }
     // 4. semantic-vs-corpus: the batch side REUSES the stage-1 pooled
     // vectors (semi-join restriction of the pinned frame — no second
     // pooling); the corpus contributes its STORED pooled vectors and
@@ -586,6 +625,7 @@ object CorpusPipeline {
   //                               instead of a nightly corpus scan
   //   corpus/batch_<token>/       the batch's surviving documents
   //   index_fp|index_sh|index_bd/batch_<token>/   TextIndex tables
+  //   index_wf/batch_<token>/                     winnow rows (containment-armed)
   //   index_vec|index_vbd/batch_<token>/          SemanticIndex tables
   //                               (present only for semantic-armed
   //                               batches)
@@ -703,7 +743,11 @@ object CorpusPipeline {
       require(dirs.nonEmpty, s"no committed $name batches under $stateDir")
       spark.read.parquet(dirs: _*)
     }
-    TextIndex(tbl("index_fp"), tbl("index_sh"), tbl("index_bd"))
+    // winnow rows exist only for containment-armed state — optional by
+    // construction, like the SemanticIndex tables
+    val wf = committedDirs(spark, stateDir, "index_wf")
+    TextIndex(tbl("index_fp"), tbl("index_sh"), tbl("index_bd"),
+      winnow = if (wf.isEmpty) None else Some(spark.read.parquet(wf: _*)))
   }
 
   /** The committed [[SemanticIndex]], or None when no committed batch
@@ -807,6 +851,8 @@ object CorpusPipeline {
     idx.fingerprints.write.mode("overwrite").parquet(s"$targetDir/index_fp/batch_$token")
     idx.shingles.write.mode("overwrite").parquet(s"$targetDir/index_sh/batch_$token")
     idx.bands.write.mode("overwrite").parquet(s"$targetDir/index_bd/batch_$token")
+    idx.winnow.foreach(_.write.mode("overwrite")
+      .parquet(s"$targetDir/index_wf/batch_$token"))
     readSemanticIndex(spark, stateDir).foreach { sIdx =>
       sIdx.vectors.write.mode("overwrite").parquet(s"$targetDir/index_vec/batch_$token")
       sIdx.bands.write.mode("overwrite").parquet(s"$targetDir/index_vbd/batch_$token")
@@ -925,6 +971,8 @@ object CorpusPipeline {
       idx.fingerprints.write.mode("overwrite").parquet(s"$stateDir/index_fp/batch_$token")
       idx.shingles.write.mode("overwrite").parquet(s"$stateDir/index_sh/batch_$token")
       idx.bands.write.mode("overwrite").parquet(s"$stateDir/index_bd/batch_$token")
+      idx.winnow.foreach(_.write.mode("overwrite")
+        .parquet(s"$stateDir/index_wf/batch_$token"))
       // bloom-armed batches stage their fingerprint sketch with the
       // other index tables (one aggregation over the checkpointed
       // survivors; geometry fixed by the cfg so all batches merge)

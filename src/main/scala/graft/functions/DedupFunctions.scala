@@ -1048,4 +1048,54 @@ object DedupFunctions {
       .filter(col("containment") >= threshold)
       .select(col("contained_id"), col("container_id"), col("containment"))
   }
+
+  /** [[containmentPairs]]'s incremental shape — the nightly "is this
+    * batch doc an excerpt of something the corpus already holds" gate,
+    * mirroring `minhashLshPairsAgainstIndexed`: the corpus side
+    * contributes its STORED winnow-fingerprint rows (`(id, wfp)`,
+    * maintained at accept time — history is never re-winnowed), the
+    * batch winnows locally, and pairs form only batch-CONTAINED-IN-
+    * corpus (one direction by design: the drop decision is about the
+    * incoming doc; a corpus doc quoted inside a bigger incoming doc is
+    * NOT a reason to reject the incoming doc).
+    *
+    * Returns `(contained_id from incoming, container_id from existing,
+    * containment)` with containment = shared post-cap fingerprints over
+    * the incoming doc's post-cap fingerprint count, ≥ `threshold`, 6dp.
+    * The df-cap is computed on the EXISTING side (that is where
+    * boilerplate mass accumulates; one single-column aggregation over
+    * the stored table — precompute and store the hot set if even that
+    * scan matters) and the hot fingerprints leave BOTH sides, keeping
+    * the numerator/denominator universe consistent. The pair join keys
+    * on the fingerprint value — bucketed, never all-pairs; the batch
+    * side is night-sized and broadcasts.
+    */
+  def containmentPairsAgainst(existingWinnow: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      k: Int = 8, window: Int = 4, maxDocFreq: Int = 1000,
+      hash: Column => Column = xxhash64(_),
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2 (got $maxDocFreq)")
+    val existing = existingWinnow.select(col("id").as("_xid"), col("wfp").as("_fp"))
+    val batchFp = graft.Caches.trackedPersist(
+      incoming.select(col(idCol).as("_bid"),
+        explode(TextFunctions.winnowedFingerprints(col(textCol), k, window, hash))
+          .as("_fp")),
+      storage)
+    val hot = existing.groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq).select(col("_fp"))
+    val keptBatch = batchFp.join(broadcast(hot), Seq("_fp"), "left_anti")
+    val sizes = keptBatch.groupBy(col("_bid")).agg(count(lit(1)).as("_n"))
+    existing.join(broadcast(hot), Seq("_fp"), "left_anti")
+      .join(keptBatch, Seq("_fp"))
+      .groupBy(col("_bid").as("contained_id"), col("_xid").as("container_id"))
+      .agg(count(lit(1)).as("_shared"))
+      .join(sizes.select(col("_bid").as("contained_id"), col("_n")), Seq("contained_id"))
+      .withColumn("containment",
+        round(col("_shared").cast("double") / col("_n").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+  }
 }

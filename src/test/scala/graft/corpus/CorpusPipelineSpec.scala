@@ -738,6 +738,51 @@ class CorpusPipelineSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("ingest containment tier: a night-2 excerpt of a night-1 doc drops; stored winnow state, never re-winnowed") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = CorpusConfig(minTokens = 5, minQuality = 0.0,
+      maxDupBigramFrac = 1.0, containmentThreshold = Some(0.7),
+      containmentMaxDocFreq = 20)
+    val state = Files.createTempDirectory("contain-state").toFile.getAbsolutePath
+    val n1 = CorpusPipeline.ingest(spark, state,
+      docs.filter(col("doc_id") < 25), cfg = cfg)
+    assert(n1("ingested") > 0L)
+    // the committed index carries winnow rows for every corpus doc
+    val idx = CorpusPipeline.readTextIndex(spark, state)
+    assert(idx.winnow.isDefined)
+    assert(idx.winnow.get.select("id").distinct().count() === n1("corpus_total"))
+    // night 2: a verbatim excerpt of an ingested doc + a fresh doc.
+    // The excerpt is too short a Jaccard overlap for the LSH tier but
+    // containment-flags against its source through the STORED rows.
+    val srcText = CorpusPipeline.readCorpus(spark, state)
+      .orderBy(org.apache.spark.sql.functions.length(col("text")).desc)
+      .select("text").head().getString(0)
+    val fresh = "the committee of reviewers examined that archive and noted " +
+      "seventeen distinct findings which have emerged with careful annotation"
+    val batch2 = Seq(
+      (900500L, srcText.substring(20, math.min(srcText.length, 150))),
+      (900501L, fresh)).toDF("doc_id", "text")
+    val n2 = CorpusPipeline.ingest(spark, state, batch2, cfg = cfg)
+    val corpus = CorpusPipeline.readCorpus(spark, state)
+    assert(corpus.filter(col("doc_id") === 900500L).isEmpty,
+      "the excerpt must containment-drop against its stored source")
+    assert(corpus.filter(col("doc_id") === 900501L).count() === 1L,
+      "the fresh doc must survive")
+    assert(n2("ingested") === 1L)
+    // an unarmed config on the same batches keeps the excerpt: the
+    // drop above was the containment tier, not some other stage
+    val state2 = Files.createTempDirectory("contain-off").toFile.getAbsolutePath
+    val cfgOff = cfg.copy(containmentThreshold = None)
+    CorpusPipeline.ingest(spark, state2, docs.filter(col("doc_id") < 25), cfg = cfgOff)
+    CorpusPipeline.ingest(spark, state2, batch2, cfg = cfgOff)
+    assert(CorpusPipeline.readCorpus(spark, state2)
+      .filter(col("doc_id") === 900500L).count() === 1L,
+      "without the tier the excerpt sails through every symmetric stage")
+    assert(CorpusPipeline.readTextIndex(spark, state2).winnow.isEmpty)
+    graft.Caches.releaseAll()
+  }
+
   test("ingest: seeds state, extends it, and re-ingesting a batch is a no-op") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
