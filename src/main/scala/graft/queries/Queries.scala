@@ -262,7 +262,18 @@ object Queries {
          |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30),
          |existing AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
          |""".stripMargin +
-      corpusTextCtesFrom("batch0") +
+      corpusTextCtesFrom("batch0") + c5CrossSideCtes +
+      """
+        |SELECT a.doc_id, md5(a.text) AS text_md5
+        |FROM afterexact a WHERE a.doc_id NOT IN (SELECT id_b FROM doomed2)
+        |ORDER BY doc_id""".stripMargin
+
+  /** c5's cross-side tail, shared with c11: batch-internal survivors →
+    * exact-vs-existing fingerprint anti-join → cross-side banded LSH
+    * with true-Jaccard verification (`afterexact` minus `doomed2` =
+    * the text-safe batch).
+    */
+  private lazy val c5CrossSideCtes: String =
       """,
         |bsurv AS (
         |  SELECT e.doc_id, e.text FROM exact e
@@ -307,9 +318,73 @@ object Queries {
         |  JOIN sh y ON y.doc_id = c.id_b
         |  WHERE CAST(len(a.shingles) + len(y.shingles)
         |         - len(list_distinct(list_concat(a.shingles, y.shingles))) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.shingles, y.shingles))) >= 0.7)
-        |SELECT a.doc_id, md5(a.text) AS text_md5
-        |FROM afterexact a WHERE a.doc_id NOT IN (SELECT id_b FROM doomed2)
+        |      / len(list_distinct(list_concat(a.shingles, y.shingles))) >= 0.7)""".stripMargin
+
+  /** c11: c5's append with the CONTAINMENT tier armed — the batch
+    * carries verbatim EXCERPTS of existing docs (chars 40..179, ≈47% of
+    * a doc: far below the 0.7-Jaccard LSH bar, so the symmetric tier
+    * passes them) that must drop against the existing side's winnow
+    * rows. Winnow replay = the t4/d22 md5 convention; the df-cap hot
+    * set is provably empty at 250 existing docs and the 1000 default,
+    * but the CTEs keep it for faithfulness.
+    */
+  private lazy val c11OracleSql: String =
+    "WITH batch0 AS (\n" +
+      """|  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, substring(text, 40, 140) AS text
+         |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 250),
+         |existing AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |""".stripMargin +
+      corpusTextCtesFrom("batch0") + c5CrossSideCtes +
+      """,
+        |textsafe AS (
+        |  SELECT a.doc_id, a.text FROM afterexact a
+        |  WHERE a.doc_id NOT IN (SELECT id_b FROM doomed2)),
+        |xnorm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM existing),
+        |xh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) - 7 <= 0 THEN [md5(t)]
+        |         ELSE list_transform(generate_series(1, length(t) - 7),
+        |                i -> md5(substring(t, CAST(i AS INTEGER), 8))) END AS hs
+        |  FROM xnorm),
+        |xw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) - 3 <= 0 THEN [list_aggregate(hs, 'min')]
+        |         ELSE list_transform(generate_series(1, len(hs) - 3),
+        |                i -> list_aggregate(hs[i:i+3], 'min')) END AS mins
+        |  FROM xh),
+        |xfp AS (
+        |  SELECT doc_id, f
+        |  FROM (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM xw)),
+        |hot AS (SELECT f FROM xfp GROUP BY f HAVING count(*) > 1000),
+        |bnorm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM textsafe),
+        |bh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) - 7 <= 0 THEN [md5(t)]
+        |         ELSE list_transform(generate_series(1, length(t) - 7),
+        |                i -> md5(substring(t, CAST(i AS INTEGER), 8))) END AS hs
+        |  FROM bnorm),
+        |bw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) - 3 <= 0 THEN [list_aggregate(hs, 'min')]
+        |         ELSE list_transform(generate_series(1, len(hs) - 3),
+        |                i -> list_aggregate(hs[i:i+3], 'min')) END AS mins
+        |  FROM bh),
+        |bfp AS (
+        |  SELECT doc_id, f
+        |  FROM (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM bw)),
+        |kb AS (SELECT * FROM bfp WHERE f NOT IN (SELECT f FROM hot)),
+        |kx AS (SELECT * FROM xfp WHERE f NOT IN (SELECT f FROM hot)),
+        |bsz AS (SELECT doc_id, count(*) AS n FROM kb GROUP BY 1),
+        |cpair AS (
+        |  SELECT b.doc_id AS bid, x.doc_id AS xid, count(*) AS s
+        |  FROM kx x JOIN kb b ON x.f = b.f GROUP BY 1, 2),
+        |contained AS (
+        |  SELECT DISTINCT bid FROM cpair JOIN bsz ON bsz.doc_id = cpair.bid
+        |  WHERE round(CAST(s AS DOUBLE) / bsz.n, 6) >= 0.7)
+        |SELECT t.doc_id, md5(t.text) AS text_md5 FROM textsafe t
+        |WHERE t.doc_id NOT IN (SELECT bid FROM contained)
         |ORDER BY doc_id""".stripMargin
 
   /** The c6 planted batch document: fresh prose that sails through every
@@ -4435,6 +4510,38 @@ object Queries {
           .orderBy("doc_id")
       },
       Some(c5OracleSql)),
+
+    QueryDef("c11_containment_append_md5",
+      // c5's incremental append with the CONTAINMENT tier armed
+      // ([[graft.corpus.CorpusPipeline.appendBatch]] +
+      // [[DedupFunctions.containmentPairsAgainst]]): the batch carries
+      // verbatim excerpts of existing docs (≈47% of a doc — under the
+      // 0.7-Jaccard LSH bar, so only the containment tier can catch
+      // them) alongside genuinely fresh docs. The md5 winnow twin of
+      // the production xxhash64 path; the oracle replays clean →
+      // exact → cross-LSH → stored-winnow containment end to end.
+      (s, dir) => {
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7,
+          minhashHash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+          minhashBucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))),
+          containmentThreshold = Some(0.7),
+          winnowHash = c => md5(c.cast("binary")))
+        val d = docs(s, dir)
+        val existing = d.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") % 25 === 0 && col("doc_id") < 250)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              substring(col("text"), 40, 140).as("text")))
+        graft.corpus.CorpusPipeline.appendBatch(
+            existing, batch, "doc_id", "text", cfg)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(c11OracleSql)),
 
     QueryDef("c5c_append_bloom",
       // c5's append through the BLOOM-GATED exact tier: the corpus
