@@ -1,0 +1,185 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenizer, trained and applied distributed
+  * (Sennrich et al. ACL 2016, public — the tokenizer-training step every
+  * LLM corpus pipeline runs before token accounting).
+  *
+  * Semantics (pinned identically in the Spark kernel and the DuckDB
+  * oracle, see `Queries` bpe1/bpe2):
+  *  - initial tokens = Unicode code points of the raw text;
+  *  - one merge step for pair (L, R) rewrites the token sequence
+  *    leftmost-first, non-overlapping: a scan replaces each adjacent
+  *    (L, R) with the concatenation LR and continues AFTER the merged
+  *    token (so "aaaa" under (a,a) becomes [aa, aa], and the merged
+  *    token never re-merges within its own pass);
+  *  - training iteration i encodes with merges 1..i-1, counts ALL
+  *    adjacent pairs (overlapping — the classic BPE count), and takes
+  *    the (freq DESC, lt ASC, rt ASC) argmax as merge i.
+  *
+  * Scale (100 TB corpus):
+  *  - encode is [[BpeEncode]], a scan-local native expression — the
+  *    merge loop runs in compiled Scala via one static call per row, so
+  *    the projection stays inside whole-stage codegen; no shuffle, no
+  *    HOF lambda frames (a k-merge HOF fold would be k interpreted
+  *    passes with k temporary arrays per row).
+  *  - each training iteration is ONE corpus scan into a (lt, rt) count
+  *    aggregate with map-side partials (hot pairs collapse before the
+  *    exchange) and a TakeOrdered(1) argmax — never a global sort. The
+  *    loop is inherently sequential (merge i+1's counts depend on merge
+  *    i), which is why production trainers sample: `sampleHashMod`
+  *    trains on the deterministic doc_id-hash slice (the corpus-scale
+  *    convention — pair statistics converge long before the full corpus
+  *    is seen).
+  */
+object BpeFunctions {
+
+  /** Token delimiter for the string rendering of an encoding (also the
+    * oracle's representation): `SEP tok SEP SEP tok SEP ... SEP`. A
+    * control char (U+001F unit separator) that must not occur in the
+    * corpus — [[encodedString]] would be ambiguous otherwise.
+    */
+  val Sep = "\u001F"
+
+  /** `(id, tokens)` after applying `merges` in rank order. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), BpeEncode(col(textCol), merges).as("tokens"))
+
+  /** The delimited string form of an encoding (empty array → empty
+    * string), for fingerprinting an encoding cross-engine.
+    */
+  def encodedString(tokens: Column): Column =
+    when(size(tokens) === 0, lit(""))
+      .otherwise(concat(lit(Sep), array_join(tokens, Sep + Sep), lit(Sep)))
+
+  /** Learned merge table `(rank, lt, rt, freq)`, rank 1..numMerges (or
+    * fewer if the corpus runs out of adjacent pairs).
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            sampleHashMod: Option[Int] = None): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = sampleHashMod.fold(docs) { m =>
+      docs.filter(pmod(xxhash64(col(textCol)), lit(m.toLong)) === 0L)
+    }
+
+    val merges = ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val toks = BpeEncode(col(textCol), merges.toSeq.map(m => (m._1, m._2)))
+      val top = base.select(toks.as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS lt, t[i] AS rt))")).as("p"))
+        .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("lt"), asc("rt"))
+        .limit(1) // TakeOrderedAndProject — the argmax never sorts globally
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        merges += ((r.getString(0), r.getString(1), r.getLong(2)))
+      }
+    }
+    merges.toSeq.zipWithIndex
+      .map { case ((l, r, f), i) => (i + 1, l, r, f) }
+      .toDF("rank", "lt", "rt", "freq")
+  }
+}
+
+/** `BpeEncode(text, merges)`: split to code-point tokens, then apply the
+  * merge list in rank order (see [[BpeFunctions]] for the pinned
+  * semantics). Null text → null. The merge list is a plan-time constant
+  * (it sizes nothing, but training owns its derivation).
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode needs a string column, got ${child.dataType}")
+
+  // merges as a flat UTF8String array [L1, R1, LR1, L2, R2, LR2, ...]
+  // (concatenations precomputed once at plan time, not per row)
+  @transient private lazy val flat: Array[UTF8String] = BpeEncode.flatten(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncode.compute(input.asInstanceOf[UTF8String], flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one static call per row; the merge loop is compiled Scala, so the
+    // surrounding projection stays inside whole-stage codegen
+    val ref = ctx.addReferenceObj("bpeMerges", flat, "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeEncode$$.MODULE$$.compute($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+
+  /** Expose as a Column (classic-API expression bridge). */
+  def apply(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(BpeEncode(Bridge.expression(text), merges))
+  }
+
+  private[functions] def flatten(merges: Seq[(String, String)]): Array[UTF8String] =
+    merges.iterator.flatMap { case (l, r) =>
+      Iterator(UTF8String.fromString(l), UTF8String.fromString(r),
+        UTF8String.fromString(l + r))
+    }.toArray
+
+  def compute(s: UTF8String, flat: Array[UTF8String]): ArrayData = {
+    // code-point split (multibyte-safe: one UTF-8 sequence per token)
+    val numBytes = s.numBytes
+    var tokens = new ArrayBuffer[UTF8String](math.min(numBytes, 64))
+    var b = 0
+    while (b < numBytes) {
+      val w = UTF8String.numBytesForFirstByte(s.getByte(b))
+      val arr = new Array[Byte](w)
+      var i = 0
+      while (i < w) { arr(i) = s.getByte(b + i); i += 1 }
+      tokens += UTF8String.fromBytes(arr)
+      b += w
+    }
+    // merge passes: leftmost-first, non-overlapping
+    var m = 0
+    while (m < flat.length) {
+      val l = flat(m); val r = flat(m + 1); val lr = flat(m + 2)
+      val out = new ArrayBuffer[UTF8String](tokens.length)
+      var i = 0
+      val n = tokens.length
+      while (i < n) {
+        if (i + 1 < n && tokens(i).equals(l) && tokens(i + 1).equals(r)) {
+          out += lr; i += 2
+        } else {
+          out += tokens(i); i += 1
+        }
+      }
+      tokens = out
+      m += 3
+    }
+    new GenericArrayData(tokens.toArray[Any])
+  }
+}

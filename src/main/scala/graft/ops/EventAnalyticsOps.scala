@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch funnel / cohort analytics over the event log — the product-
+  * analytics queries a training-data org runs against its ingestion
+  * telemetry (the reference has no event analytics at all; this extends
+  * the e-family of `streaming/EventStreams.scala`).
+  *
+  * Scale notes (100 TB event log):
+  *  - `funnel` is `steps.length` aggregations chained by equi-joins, all
+  *    keyed on `user_id` — after the first shuffle every later groupBy
+  *    and join satisfies its distribution from the same hash
+  *    partitioning, and each per-user min() has map-side partial
+  *    aggregation, so hot users collapse before the exchange. No
+  *    windows, no per-user sort.
+  *  - `cohortRetention` is two hash aggregations and one broadcast-sized
+  *    join output: the per-user first-activity frame is user-cardinality
+  *    (not event-cardinality) and the (cohort, offset) matrix is
+  *    weeks² — tiny. The distinct on (user, cohort, offset) has map-side
+  *    partials, so a user's million events collapse inside the scan
+  *    partition.
+  */
+object EventAnalyticsOps {
+
+  /** Ordered conversion funnel: step i counts users whose FIRST step-i
+    * event is strictly after their first qualifying step-(i-1) event.
+    *
+    * Returns one row per step: (step_idx, step, users, conv_rate) where
+    * conv_rate = users / users-at-previous-step rounded to 6 dp (1.0 for
+    * the first step), a single-division floating value (cross-engine
+    * bit-stable under the 6 dp rule).
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // first qualifying timestamp per user for each step, chained:
+    // reached(i) = min ts of step-i events with ts > reached(i-1).
+    // Each frame is persisted so the count action and the next step's
+    // join read it once instead of recomputing the whole prefix chain.
+    var reached: DataFrame = events
+      .filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("step_ts"))
+      .persist()
+    val counts = Seq.newBuilder[(Int, String, Long)]
+    counts += ((1, steps.head, reached.count()))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val prev = reached
+      reached = events
+        .filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")
+        .filter(col("ts") > col("prev_ts"))
+        .groupBy("user_id").agg(min("ts").as("step_ts"))
+        .persist()
+      counts += ((i + 1, step, reached.count()))
+      prev.unpersist(blocking = false)
+    }
+    reached.unpersist(blocking = false)
+
+    val rows = counts.result()
+    val withRate = rows.zip(0L +: rows.map(_._3)).map {
+      case ((idx, step, users), prev) =>
+        val rate =
+          if (idx == 1) 1.0
+          else if (prev == 0L) 0.0
+          else BigDecimal(users.toDouble / prev)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (idx, step, users, rate)
+    }
+    withRate.toDF("step_idx", "step", "users", "conv_rate")
+  }
+
+  /** Weekly cohort retention: cohort = Monday-truncated week of the
+    * user's first event; a (cohort, offset) cell counts distinct users
+    * of that cohort active in cohort_week + offset weeks.
+    *
+    * Returns (cohort_week, week_offset, active_users, retention_rate)
+    * with retention_rate = active / cohort-size rounded to 6 dp.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstSeen = events
+      .groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"), date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+
+    val sizes = firstSeen.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("active_week"))
+      .join(firstSeen, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("int").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+
+    active.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        round(col("active_users").cast("double") / col("cohort_size"), 6).as("retention_rate"))
+  }
+}

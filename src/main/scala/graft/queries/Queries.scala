@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ClassifierFunctions => Cls, DedupFunctions => D, RelevanceFunctions => R, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T, UrlFunctions => U}
-import graft.ops.{AsOfJoinOps, CrossValidationOps, FeatureOps, MacroOps, RangeJoinOps, SkewOps, ValidationOps}
+import graft.ops.{AsOfJoinOps, CrossValidationOps, EventAnalyticsOps, FeatureOps, MacroOps, RangeJoinOps, SkewOps, ValidationOps}
 
 /** One driver-verifiable query. `oracle` is the DuckDB-equivalent ANSI
   * SQL over the same parquet tables; None for ops whose hash seeds
@@ -60,6 +60,45 @@ object Queries {
       |)""".stripMargin
 
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+
+  /** Generated oracle for the BPE queries (bpe1/bpe2) — k chained CTE
+    * blocks replaying [[graft.functions.BpeFunctions]]'s pinned
+    * semantics on a delimited-string rendering: each token wrapped in
+    * U+001F separators, so one literal `replace('␟L␟␟R␟' → '␟LR␟')` is
+    * exactly one leftmost-first non-overlapping merge pass (plain
+    * string replace continues after the inserted text — the merged
+    * token never re-merges within its pass, same as the Spark kernel's
+    * scan). Pair counts index the split list (overlapping — the classic
+    * BPE count), and each iteration's argmax feeds the next replace via
+    * scalar subqueries, so the oracle derives the merges itself rather
+    * than trusting Spark's.
+    */
+  private def bpeOracle(k: Int, finalSelect: String): String = {
+    val S = graft.functions.BpeFunctions.Sep
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""enc0 AS MATERIALIZED (
+               |  SELECT doc_id,
+               |         regexp_replace(text, '(?s)(.)', '$S\\1$S', 'g') AS enc
+               |  FROM documents)""".stripMargin
+    for (i <- 1 to k) {
+      val p = i - 1
+      ctes += s"""p$i AS MATERIALIZED (
+                 |  SELECT lt, rt, count(*) AS freq FROM (
+                 |    SELECT unnest(lst[1:len(lst) - 1]) AS lt,
+                 |           unnest(lst[2:len(lst)]) AS rt
+                 |    FROM (SELECT string_split(trim(enc, '$S'), '$S$S') AS lst
+                 |          FROM enc$p WHERE enc <> ''))
+                 |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""b$i AS MATERIALIZED (SELECT lt, rt, freq FROM p$i
+                 |        ORDER BY freq DESC, lt, rt LIMIT 1)""".stripMargin
+      ctes += s"""enc$i AS MATERIALIZED (
+                 |  SELECT doc_id, replace(enc,
+                 |           (SELECT '$S' || lt || '$S$S' || rt || '$S' FROM b$i),
+                 |           (SELECT '$S' || lt || rt || '$S' FROM b$i)) AS enc
+                 |  FROM enc$p)""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") + "\n" + finalSelect
+  }
 
   /** `events.parquet`'s `ts` physical type varies by generator version:
     * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
@@ -4217,6 +4256,108 @@ object Queries {
              | AND c.user_id = p.user_id
              | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
              |ORDER BY 1, 2, 3""".stripMargin)),
+
+    QueryDef("e9_funnel",
+      // ordered conversion funnel: step i counts users whose first
+      // step-i event is strictly after their first qualifying
+      // step-(i-1) event. steps.length chained per-user min()
+      // aggregations, all hash-partitioned on user_id — no windows.
+      (s, dir) => EventAnalyticsOps
+        .funnel(events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("step_idx"),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t
+             |  GROUP BY e.user_id),
+             |s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+             |  GROUP BY e.user_id),
+             |c AS (
+             |  SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM s1
+             |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+             |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+             |SELECT step_idx, step, users,
+             |       round(CAST(CASE WHEN step_idx = 1 THEN 1.0
+             |                       ELSE users / lag(users) OVER (ORDER BY step_idx)
+             |                  END AS DOUBLE), 6) AS conv_rate
+             |FROM c ORDER BY step_idx""".stripMargin)),
+
+    QueryDef("e10_cohort_retention",
+      // weekly cohort retention matrix: cohort = Monday-truncated week
+      // of the user's first event; cell (cohort, offset) = distinct
+      // users of that cohort active offset weeks later. Two hash aggs,
+      // user-cardinality intermediate, weeks²-sized output.
+      (s, dir) => EventAnalyticsOps.cohortRetention(events(s, dir))
+        .orderBy("cohort_week", "week_offset"),
+      Some("""WITH f AS (
+             |  SELECT user_id,
+             |         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+             |  FROM events GROUP BY user_id),
+             |sz AS (SELECT cohort_week, count(*) AS cohort_size
+             |       FROM f GROUP BY cohort_week),
+             |act AS (
+             |  SELECT DISTINCT f.cohort_week,
+             |    CAST(date_diff('day', f.cohort_week,
+             |           CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INTEGER)
+             |      AS week_offset,
+             |    e.user_id
+             |  FROM events e JOIN f ON e.user_id = f.user_id),
+             |a AS (SELECT cohort_week, week_offset, count(*) AS active_users
+             |      FROM act GROUP BY 1, 2)
+             |SELECT a.cohort_week, a.week_offset, a.active_users,
+             |       round(CAST(a.active_users AS DOUBLE) / sz.cohort_size, 6)
+             |         AS retention_rate
+             |FROM a JOIN sz USING (cohort_week)
+             |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    QueryDef("bpe1_train_merges",
+      // distributed BPE tokenizer training: 8 merge rounds, each one
+      // corpus scan into a map-side-partial pair-count aggregate and a
+      // TakeOrdered(1) argmax. The oracle re-derives every merge itself
+      // (chained replace CTEs over the delimited-string rendering), so
+      // rank, pair AND count are all cross-checked.
+      (s, dir) => graft.functions.BpeFunctions
+        .train(docs(s, dir), "text", numMerges = 8)
+        .orderBy("rank"),
+      Some(bpeOracle(8,
+        "SELECT * FROM (\n" +
+          (1 to 8).map(i => s"""SELECT $i AS "rank", lt, rt, freq FROM b$i""")
+            .mkString("\nUNION ALL\n") +
+          "\n) ORDER BY \"rank\""))),
+
+    QueryDef("bpe2_encode",
+      // the learned tokenizer applied corpus-wide: token counts plus an
+      // md5 fingerprint of the full delimited encoding per document —
+      // a value-level check that every token boundary agrees with the
+      // oracle's replay. Encode is the scan-local native BpeEncode
+      // expression (merge loop in compiled Scala, projection stays in
+      // whole-stage codegen).
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merges = graft.functions.BpeFunctions
+          .train(d, "text", numMerges = 8)
+          .orderBy("rank").collect() // 8 rows — bounded by construction
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.functions.BpeFunctions.encode(d, "doc_id", "text", merges)
+          .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+            md5(graft.functions.BpeFunctions.encodedString(col("tokens")))
+              .as("enc_md5"))
+          .orderBy("doc_id")
+      },
+      Some(bpeOracle(8,
+        s"""SELECT doc_id,
+           |       CAST(CASE WHEN enc = '' THEN 0
+           |                 ELSE len(string_split(trim(enc, '${graft.functions.BpeFunctions.Sep}'),
+           |                          '${graft.functions.BpeFunctions.Sep}${graft.functions.BpeFunctions.Sep}'))
+           |            END AS INTEGER) AS n_tokens,
+           |       md5(enc) AS enc_md5
+           |FROM enc8 ORDER BY doc_id""".stripMargin))),
 
     QueryDef("r2_unigram_lm",
       // CCNet-style LM quality filter, honest sandbox version: mean

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventAnalyticsOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "event_type", "t")
+      .withColumn("ts", to_timestamp(col("t")))
+      .drop("t")
+
+  test("funnel: steps must happen in order, firsts chained strictly") {
+    // u1 completes view->click->purchase in order.
+    // u2 purchases BEFORE clicking: reaches click, not purchase.
+    // u3 clicks before viewing, clicks again after: reaches click via the
+    //    second click (first qualifying = first click AFTER first view).
+    // u4 only views.
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      (2L, "view", "2024-01-01 09:00:00"),
+      (2L, "purchase", "2024-01-01 09:30:00"),
+      (2L, "click", "2024-01-01 10:00:00"),
+      (3L, "click", "2024-01-01 08:00:00"),
+      (3L, "view", "2024-01-01 08:30:00"),
+      (3L, "click", "2024-01-01 09:00:00"),
+      (4L, "view", "2024-01-01 07:00:00"))
+    val out = EventAnalyticsOps.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array(
+      (1, "view", 4L, 1.0),
+      (2, "click", 3L, 0.75),
+      (3, "purchase", 1L, 0.333333)))
+  }
+
+  test("funnel: simultaneous timestamps do not advance (strict >)") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:00"))
+    val out = EventAnalyticsOps.funnel(events, Seq("view", "click"))
+      .orderBy("step_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 0L))
+  }
+
+  test("cohortRetention: offsets measured from the cohort Monday") {
+    // 2024-01-01 is a Monday. u1 first seen wk0, active wk0 and wk2
+    // (twice in wk2 — distinct collapses); u2 first seen wk1, active wk1.
+    val events = ev(
+      (1L, "view", "2024-01-03 10:00:00"),
+      (1L, "click", "2024-01-16 10:00:00"),
+      (1L, "view", "2024-01-17 10:00:00"),
+      (2L, "view", "2024-01-10 10:00:00"))
+    val out = EventAnalyticsOps.cohortRetention(events)
+      .orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array(
+      ("2024-01-01", 0, 1L, 1.0),
+      ("2024-01-01", 2, 1L, 1.0),
+      ("2024-01-08", 0, 1L, 1.0)))
+  }
+
+  test("funnel leaves no persisted blocks behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val events = ev((1L, "view", "2024-01-01 10:00:00"))
+    EventAnalyticsOps.funnel(events, Seq("view", "click")).collect()
+    // unpersist(blocking=false) is async; give the executor a beat
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty
+           && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+  }
+}
