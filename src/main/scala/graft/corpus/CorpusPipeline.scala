@@ -161,7 +161,12 @@ final case class SemanticConfig(
     maxIter: Int = 25,
     hotBucketThreshold: Long = 4096L,
     salts: Int = 16,
-    chunksPerDoc: Int = 10)
+    chunksPerDoc: Int = 10,
+    // semantic-decontamination threshold (the `holdoutChunks` tier):
+    // max pooled-cosine against any holdout doc at/above this drops the
+    // row. Deliberately separate from `minCosine` — paraphrased eval
+    // leakage sits below verbatim-dup similarity.
+    deconMinCosine: Double = 0.85)
 
 /** The end-to-end training-corpus pipeline, composed entirely from the
   * oracle-verified operators: quality/repetition/language gates → PII
@@ -239,15 +244,28 @@ object CorpusPipeline {
     * widest projection in the pipeline, so it should see the fewest
     * rows, and the holdout gram set broadcasts, so the placement costs
     * nothing corpus-shaped either way.
+    *
+    * When `holdoutChunks` is ALSO given (chunk embeddings of the
+    * holdout suite, same `(chunkIdCol, vecCol)` shape), the semantic
+    * tier additionally drops every survivor whose POOLED vector
+    * reaches `semantic.deconMinCosine` cosine against any pooled
+    * holdout document ([[graft.functions.SimilarityFunctions
+    * .semanticDecontaminate]]) — the embedding complement of the
+    * n-gram gate, catching paraphrased eval leakage that shares no
+    * exact grams. Both sides pool through the same 6dp/quantize path,
+    * and one pooled frame serves the dedup tier AND this gate.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       cfg: CorpusConfig = CorpusConfig(),
       chunkEmbeddings: Option[DataFrame] = None,
       chunkIdCol: String = "doc_id", vecCol: String = "embedding",
       semantic: Option[SemanticConfig] = None,
-      holdout: Option[DataFrame] = None): DataFrame = {
+      holdout: Option[DataFrame] = None,
+      holdoutChunks: Option[DataFrame] = None): DataFrame = {
     require(chunkEmbeddings.isEmpty == semantic.isEmpty,
       "semantic dedup needs BOTH the chunk-embedding frame and a SemanticConfig")
+    require(holdoutChunks.isEmpty || semantic.nonEmpty,
+      "semantic decontamination (holdoutChunks) needs the semantic tier armed")
     // stage 0 (optional): cross-document duplicate-line removal —
     // boilerplate dies line-by-line BEFORE quality is judged or
     // fingerprints are taken (cfg.lineDedupMinChars)
@@ -325,7 +343,30 @@ object CorpusPipeline {
         // operator-internal pin)
         val pinned = graft.Caches.trackedPersist(
           textDeduped, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        semanticDedup(pinned, idCol, chunks, chunkIdCol, vecCol, semCfg)
+        holdoutChunks match {
+          case Some(hc) =>
+            // semantic-decon tier: ONE pooling pass serves both the
+            // dedup tier and the holdout-cosine gate (the pool-once
+            // rule); the holdout pools through the SAME path so both
+            // sides carry the identical 6dp/quantized vector shape.
+            val pooled = graft.Caches.trackedPersist(
+              pooledVectors(pinned.select(col(idCol).as(chunkIdCol)),
+                chunks, chunkIdCol, vecCol, semCfg),
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val afterSem = semanticDedupPooled(pinned, idCol, pooled, semCfg)
+            val holdVecs = pooledVectors(
+              hc.select(col(chunkIdCol)).distinct(), hc,
+              chunkIdCol, vecCol, semCfg)
+            val dropIds = SimilarityFunctions
+              .semanticDecontaminate(pooled, holdVecs.select(col("vec")),
+                tau = semCfg.deconMinCosine,
+                vecCol = "vec", holdoutVecCol = "vec")
+              .filter(col("contaminated"))
+              .select(col("id").as(idCol))
+            afterSem.join(dropIds, Seq(idCol), "left_anti")
+          case _ =>
+            semanticDedup(pinned, idCol, chunks, chunkIdCol, vecCol, semCfg)
+        }
       case _ => textDeduped
     }
   }

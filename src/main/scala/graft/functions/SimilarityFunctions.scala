@@ -1278,4 +1278,36 @@ object SimilarityFunctions {
       .select(col(qIdCol), col("_win").getField(labelCol).as(labelCol),
         col("_win.votes").as("votes"))
   }
+
+  /** Embedding-level decontamination: flag every corpus vector whose
+    * cosine against ANY holdout (benchmark/eval) vector reaches `tau` —
+    * the semantic complement of the n-gram holdout gate
+    * (`DedupFunctions.contaminationReport`), catching paraphrased eval
+    * leakage that shares no exact grams.
+    *
+    * Returns the corpus columns plus `max_holdout_cos` (each pair
+    * cosine rounded to 6 dp BEFORE the max, so the flag is insensitive
+    * to accumulation-order noise — the bruteForceTopK convention) and
+    * `contaminated`. An empty holdout yields null max / false flag.
+    *
+    * Scale shape: the holdout set is an eval suite — bounded by
+    * construction (the centroid-collect budget convention; a 100-
+    * benchmark holdout is ~10⁴ vectors). It aggregates to ONE array
+    * row and broadcasts; the per-row max is a scan-local fold calling
+    * the codegen'd [[VecCosine]] kernel per holdout vector. The corpus
+    * is scanned exactly once — no shuffle, no corpus-sized join state,
+    * and the filter composes with partition pruning upstream.
+    */
+  def semanticDecontaminate(corpus: DataFrame, holdout: DataFrame, tau: Double,
+      vecCol: String = "embedding", holdoutVecCol: String = "embedding"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1] (got $tau)")
+    val holdRow = holdout.agg(collect_list(col(holdoutVecCol)).as("_hold"))
+    corpus.crossJoin(broadcast(holdRow))
+      .withColumn("max_holdout_cos",
+        aggregate(col("_hold"), lit(null).cast("double"),
+          (acc, h) => greatest(acc, round(cosine(col(vecCol), h), 6))))
+      .drop("_hold")
+      .withColumn("contaminated",
+        coalesce(col("max_holdout_cos") >= tau, lit(false)))
+  }
 }

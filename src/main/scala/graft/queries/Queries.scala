@@ -4359,6 +4359,36 @@ object Queries {
            |       md5(enc) AS enc_md5
            |FROM enc8 ORDER BY doc_id""".stripMargin))),
 
+    QueryDef("sd1_semantic_decontaminate",
+      // embedding-level holdout decontamination: the eval slice
+      // (vec_id % 25 == 0) aggregates to ONE broadcast array row; the
+      // corpus scan computes its max holdout cosine as a scan-local
+      // fold over the codegen'd VecCosine kernel — no shuffle, corpus
+      // read exactly once.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val hold = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+          .select(col("embedding"))
+        S.semanticDecontaminate(
+            emb.filter(pmod(col("vec_id"), lit(25)) =!= 0), hold, tau = 0.35)
+          .select(col("vec_id"), col("max_holdout_cos"), col("contaminated"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS hv
+             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |c AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id % 25 <> 0),
+             |m AS (
+             |  SELECT c.vec_id,
+             |         max(round(list_cosine_similarity(c.v, h.hv), 6))
+             |           AS max_holdout_cos
+             |  FROM c, h GROUP BY c.vec_id)
+             |SELECT vec_id, max_holdout_cos,
+             |       max_holdout_cos >= 0.35 AS contaminated
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
     QueryDef("r2_unigram_lm",
       // CCNet-style LM quality filter, honest sandbox version: mean
       // ln P(token) under the corpus's own unigram model. Vocabulary

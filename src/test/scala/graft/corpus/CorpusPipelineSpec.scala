@@ -220,6 +220,60 @@ class CorpusPipelineSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("clean + holdoutChunks: pooled-cosine matches against the eval suite drop") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val realChunks = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(expr("vec_id div 10").as("doc_id"), col("embedding"))
+    // holdout "benchmark" doc 800000: its chunks are doc 7's, barely
+    // perturbed — doc 7 is semantically an eval document and must drop
+    // when (and only when) the decon tier is armed
+    val holdoutChunks = realChunks.filter(col("doc_id") === 7L)
+      .select(lit(800000L).as("doc_id"),
+        transform(col("embedding"), x => x + lit(0.002)).as("embedding"))
+    val cfg = CorpusConfig(minTokens = 15, minQuality = 0.0)
+    val semCfg = SemanticConfig(dim = 64, minCosine = 0.9, deconMinCosine = 0.85)
+    val off = CorpusPipeline.clean(docs, "doc_id", "text", cfg,
+      chunkEmbeddings = Some(realChunks), semantic = Some(semCfg))
+    val offIds = off.select("doc_id").as[Long].collect().toSet
+    assert(offIds.contains(7L), "un-armed: the future-contaminated doc survives")
+    val on = CorpusPipeline.clean(docs, "doc_id", "text", cfg,
+      chunkEmbeddings = Some(realChunks), semantic = Some(semCfg),
+      holdoutChunks = Some(holdoutChunks))
+    val onIds = on.select("doc_id").as[Long].collect().toSet
+    assert(onIds.subsetOf(offIds), "the decon tier only ever drops")
+    assert(!onIds.contains(7L), "armed: the holdout look-alike drops")
+    // ORACLE: the dropped set is exactly the survivors whose pooled
+    // (6dp, quantized) vector clears deconMinCosine against the pooled
+    // holdout — brute force over the same vector shapes
+    val S = graft.functions.SimilarityFunctions
+    def pool(ids: org.apache.spark.sql.DataFrame, ch: org.apache.spark.sql.DataFrame) = {
+      val p = S.assembleVec(
+        S.meanPoolFlat(ch.join(ids, Seq("doc_id"), "left_semi"),
+          "doc_id", "embedding")
+          .withColumn("mean_v", round(col("mean_v"), 6)), "doc_id")
+      p.select(col("doc_id"),
+        S.quantizeInt8(col("vec")).getField("q").as("vec"))
+    }
+    val corpusVecs = pool(off.select("doc_id"), realChunks)
+    val holdVecs = pool(holdoutChunks.select("doc_id").distinct(), holdoutChunks)
+    val expectedDrops = corpusVecs.as("x").crossJoin(holdVecs.as("y"))
+      .filter(round(S.cosineHof(col("x.vec"), col("y.vec")), 6)
+        >= semCfg.deconMinCosine)
+      .select(col("x.doc_id")).as[Long].collect().toSet
+    assert(offIds -- onIds === expectedDrops)
+    assert(expectedDrops === Set(7L), s"fixture sanity: got $expectedDrops")
+    graft.Caches.releaseAll()
+  }
+
+  test("clean rejects holdoutChunks without the semantic tier") {
+    val docs = spark.sql("SELECT * FROM VALUES (1L, 'x') AS t(doc_id, text)")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.clean(docs, "doc_id", "text", CorpusConfig(),
+        holdoutChunks = Some(docs))
+    }
+  }
+
   test("clean rejects a chunk frame without a config (and vice versa)") {
     val docs = spark.sql("SELECT * FROM VALUES (1L, 'x') AS t(doc_id, text)")
     intercept[IllegalArgumentException] {

@@ -755,4 +755,43 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       "vec_id").select("vec_id").as[Long].collect().toSet
     assert(kept === Set(5L))
   }
+
+  test("semanticDecontaminate: flags at tau, max over the whole holdout") {
+    val hold = Seq((100L, vec(1.0, 0.0)), (101L, vec(0.0, -1.0)))
+      .toDF("hid", "embedding").select(col("embedding"))
+    val out = SimilarityFunctions.semanticDecontaminate(corpus, hold, tau = 0.95)
+      .select("vec_id", "max_holdout_cos", "contaminated")
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    // vec 0 == holdout 100 exactly; vec 1 cos .9939 vs 100; vec 2 is
+    // orthogonal to 100 and opposite 101 (max 0); vec 3 opposite 100 (max 0)
+    assert(out.map(t => (t._1, t._3)).toSeq ===
+      Seq((0L, true), (1L, true), (2L, false), (3L, false)))
+    assert(out(0)._2 === 1.0)
+    assert(out(2)._2 === 0.0 && out(3)._2 === 0.0)
+  }
+
+  test("semanticDecontaminate: empty holdout flags nothing, null max") {
+    val hold = Seq.empty[(Long, Array[Double])].toDF("hid", "embedding")
+      .select(col("embedding"))
+    val out = SimilarityFunctions.semanticDecontaminate(corpus, hold, tau = 0.5)
+      .orderBy("vec_id").collect()
+    assert(out.length === 4)
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("max_holdout_cos"))))
+    assert(out.forall(r => !r.getBoolean(r.fieldIndex("contaminated"))))
+  }
+
+  test("semanticDecontaminate max agrees with per-pair brute force") {
+    val hold = Seq((100L, vec(0.6, 0.8)), (101L, vec(-0.8, 0.6)))
+      .toDF("qid", "embedding")
+    val out = SimilarityFunctions
+      .semanticDecontaminate(corpus, hold.select(col("embedding")), tau = 0.5)
+      .select("vec_id", "max_holdout_cos").as[(Long, Double)].collect().toMap
+    val brute = corpus.crossJoin(hold.select(col("embedding").as("hv")))
+      .select(col("vec_id"),
+        round(SimilarityFunctions.cosine(col("embedding"), col("hv")), 6).as("c"))
+      .groupBy("vec_id").agg(max("c").as("m"))
+      .as[(Long, Double)].collect().toMap
+    assert(out === brute)
+  }
 }
