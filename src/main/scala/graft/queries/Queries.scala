@@ -4359,6 +4359,51 @@ object Queries {
            |       md5(enc) AS enc_md5
            |FROM enc8 ORDER BY doc_id""".stripMargin))),
 
+    QueryDef("mix1_token_accounting",
+      // training-mixture accounting: docs and LEARNED-tokenizer token
+      // totals per (source, lang), with each cell's share of the global
+      // token budget — the report a mixture-weighting pass consumes.
+      // The per-group frame is aggregated once and pinned; the global
+      // total is a broadcast single-row cross join, never a window.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merges = graft.functions.BpeFunctions
+          .train(d, "text", numMerges = 8)
+          .orderBy("rank").collect() // 8 rows — bounded by construction
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val enc = graft.functions.BpeFunctions
+          .encode(d, "doc_id", "text", merges)
+          .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+        val perCell = graft.Caches.trackedPersist(
+          enc.join(d.select("doc_id", "source", "lang"), "doc_id")
+            .groupBy("source", "lang")
+            .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = perCell.agg(sum("tokens").as("_tot"))
+        perCell.crossJoin(broadcast(tot))
+          .select(col("source"), col("lang"), col("docs"), col("tokens"),
+            round(col("tokens").cast("double") / col("_tot") * 100, 6)
+              .as("token_share_pct"))
+          .orderBy("source", "lang")
+      },
+      // the final segment rides the generated WITH-list: it starts with
+      // ", tok AS (" so the extra CTEs chain onto the bpe blocks
+      Some(bpeOracle(8,
+        s""", tok AS (
+           |  SELECT doc_id,
+           |       CAST(CASE WHEN enc = '' THEN 0
+           |                 ELSE len(string_split(trim(enc, '${graft.functions.BpeFunctions.Sep}'),
+           |                          '${graft.functions.BpeFunctions.Sep}${graft.functions.BpeFunctions.Sep}'))
+           |            END AS INTEGER) AS n FROM enc8),
+           |g AS (
+           |  SELECT d.source, d.lang, count(*) AS docs,
+           |         CAST(sum(n) AS BIGINT) AS tokens
+           |  FROM tok JOIN documents d USING (doc_id) GROUP BY 1, 2),
+           |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot FROM g)
+           |SELECT source, lang, docs, tokens,
+           |       round(CAST(tokens AS DOUBLE) / tot * 100, 6) AS token_share_pct
+           |FROM g, t ORDER BY source, lang""".stripMargin))),
+
     QueryDef("sd1_semantic_decontaminate",
       // embedding-level holdout decontamination: the eval slice
       // (vec_id % 25 == 0) aggregates to ONE broadcast array row; the
