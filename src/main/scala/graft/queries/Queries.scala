@@ -4316,6 +4316,33 @@ object Queries {
              |FROM a JOIN sz USING (cohort_week)
              |ORDER BY cohort_week, week_offset""".stripMargin)),
 
+    QueryDef("e11_funnel_steps",
+      // the stateful (flatMapGroupsWithState) funnel run in batch mode:
+      // row-level (user, step, time) advances under the same
+      // strictly-after semantics as e9 — the oracle states each step's
+      // qualifying first event directly, so the state machine is
+      // verified row-by-row, not just in aggregate.
+      (s, dir) => graft.streaming.EventStreams
+        .funnelSteps(events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("user_id", "step_idx"),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t
+             |  GROUP BY e.user_id),
+             |s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+             |  GROUP BY e.user_id)
+             |SELECT user_id, 1 AS step_idx, 'view' AS step, t AS step_ts FROM s1
+             |UNION ALL SELECT user_id, 2, 'click', t FROM s2
+             |UNION ALL SELECT user_id, 3, 'purchase', t FROM s3
+             |ORDER BY user_id, step_idx""".stripMargin)),
+
     QueryDef("bpe1_train_merges",
       // distributed BPE tokenizer training: 8 merge rounds, each one
       // corpus scan into a map-side-partial pair-count aggregate and a

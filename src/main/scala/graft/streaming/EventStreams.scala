@@ -159,6 +159,53 @@ object EventStreams {
       .toDF("user_id", "n_events", "running_total")
   }
 
+  /** Stateful funnel progression: one row per (user, step advance),
+    * where step i advances only on the first step-i event STRICTLY
+    * after the event that advanced step i-1 — the state-machine twin
+    * of `EventAnalyticsOps.funnel` (same semantics, verified row-level
+    * by the e11 oracle; the batch op answers "how many", this one
+    * answers "who and when" and runs incrementally).
+    *
+    * State per user is two numbers (current step, its event time) —
+    * O(active users), batching-independent for event-time-ordered
+    * arrival. Within a micro-batch rows sort by event time (bounded by
+    * events-per-user-per-batch, the [[userRunningTotals]] convention);
+    * equal-timestamp events cannot advance past the step that set the
+    * state time (strict >), so tie processing order cannot change the
+    * outcome. Across micro-batches the state machine consumes arrival
+    * order: an event older than the state's time is ignored (funnels
+    * only move forward) — deliver event-time-ordered batches (or accept
+    * the approximation) exactly as with any cross-batch stateful fold.
+    */
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stepArr = steps.toArray
+    def update(userId: Long, rows: Iterator[(Long, Long, String)],
+        state: GroupState[(Int, Long)]): Iterator[(Long, Int, String, Long)] = {
+      var (step, ts) = state.getOption.getOrElse((0, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Long)]
+      rows.toSeq.sortBy(_._2).foreach { case (_, t, typ) =>
+        if (step < stepArr.length && typ == stepArr(step) &&
+            (step == 0 || t > ts)) {
+          step += 1; ts = t
+          out += ((userId, step, typ, t))
+        }
+      }
+      state.update((step, ts))
+      out.iterator
+    }
+    events.select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "step_idx", "step", "_us")
+      .withColumn("step_ts", timestamp_micros(col("_us"))).drop("_us")
+  }
+
   /** Windowed heavy hitters: the native space-saving sketch
     * ([[graft.functions.TopKFreq]]) per tumbling window — the streaming
     * boilerplate/abuse-detection shape. A TypedImperativeAggregate's

@@ -216,4 +216,48 @@ class EventStreamsSpec extends AnyFunSuite {
     val n = EventStreams.readEvents(spark, dir, streaming = false).count()
     assert(total === 4 * n)
   }
+
+  test("funnelSteps batch mode matches the declarative funnel's counts") {
+    import org.apache.spark.sql.functions._
+    val ev = EventStreams.readEvents(spark, dir, streaming = false)
+    val steps = Seq("view", "click", "purchase")
+    val stateful = EventStreams.funnelSteps(ev, steps)
+      .groupBy("step_idx").agg(count(lit(1)).as("users"))
+      .orderBy("step_idx").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val declarative = graft.ops.EventAnalyticsOps.funnel(ev, steps)
+      .orderBy("step_idx").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(stateful.toSeq === declarative.toSeq)
+    assert(stateful.nonEmpty && stateful.head._2 > 0)
+  }
+
+  test("funnelSteps: state advances ACROSS micro-batches, strictly after") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = in.toDF().toDF("user_id", "ts", "event_type")
+    val name = s"fs_${System.nanoTime()}"
+    val q = EventStreams.funnelSteps(events, Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: user 7 views; a click at the SAME instant must not
+      // advance (strict >); user 8's click without a view is ignored
+      in.addData((7L, ts("10:00"), "view"), (7L, ts("10:00"), "click"),
+        (8L, ts("10:00"), "click"))
+      q.processAllAvailable()
+      val b1 = spark.table(name)
+        .select("user_id", "step_idx").as[(Long, Int)].collect().toSet
+      assert(b1 === Set((7L, 1)))
+      // batch 2: the click NOW advances (later ts, state crossed the
+      // batch boundary); purchase in the same batch chains off it
+      in.addData((7L, ts("10:05"), "click"), (7L, ts("10:10"), "purchase"))
+      q.processAllAvailable()
+      val b2 = spark.table(name)
+        .select("user_id", "step_idx", "step").as[(Long, Int, String)]
+        .collect().toSet
+      assert(b2 === Set((7L, 1, "view"), (7L, 2, "click"), (7L, 3, "purchase")))
+    } finally q.stop()
+  }
 }
