@@ -85,20 +85,27 @@ object EventAnalyticsOps {
       .groupBy("user_id").agg(min("ts").as("first_ts"))
       .select(col("user_id"), date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
 
-    val sizes = firstSeen.groupBy("cohort_week")
-      .agg(count(lit(1)).as("cohort_size"))
+    // the weeks²-sized matrix feeds both the output and the cohort
+    // sizes — pin it so the user-sized upstream runs once
+    val active = graft.Caches.trackedPersist(
+      events
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("active_week"))
+        .join(firstSeen, "user_id")
+        .select(col("cohort_week"),
+          (datediff(col("active_week"), col("cohort_week")) / 7).cast("int").as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("active_users")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val active = events
-      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("active_week"))
-      .join(firstSeen, "user_id")
-      .select(col("cohort_week"),
-        (datediff(col("active_week"), col("cohort_week")) / 7).cast("int").as("week_offset"),
-        col("user_id"))
-      .distinct()
-      .groupBy("cohort_week", "week_offset")
-      .agg(count(lit(1)).as("active_users"))
+    // cohort size = the matrix's own offset-0 cell (every member's
+    // first event is inside its cohort week), so sizing needs NO second
+    // pass over events/firstSeen — the broadcast side is weeks-sized
+    val sizes = active.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("active_users").as("cohort_size"))
 
-    active.join(sizes, "cohort_week")
+    active.join(broadcast(sizes), "cohort_week")
       .select(col("cohort_week"), col("week_offset"), col("active_users"),
         round(col("active_users").cast("double") / col("cohort_size"), 6).as("retention_rate"))
   }
