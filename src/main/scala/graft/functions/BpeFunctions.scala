@@ -64,9 +64,17 @@ object BpeFunctions {
 
   /** Learned merge table `(rank, lt, rt, freq)`, rank 1..numMerges (or
     * fewer if the corpus runs out of adjacent pairs).
+    *
+    * `persistEncodings = true` (the default) carries the encoded token
+    * arrays across iterations — each round applies ONLY the newest
+    * merge ([[BpeMergeApply]]) to the pinned previous encoding, so
+    * training costs O(k) corpus passes. `false` re-encodes from raw
+    * text each round (O(k²) merge scans, but zero cache footprint) —
+    * both paths produce the identical merge table (spec-pinned).
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            sampleHashMod: Option[Int] = None): DataFrame = {
+            sampleHashMod: Option[Int] = None,
+            persistEncodings: Boolean = true): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -74,12 +82,8 @@ object BpeFunctions {
       docs.filter(pmod(xxhash64(col(textCol)), lit(m.toLong)) === 0L)
     }
 
-    val merges = ArrayBuffer.empty[(String, String, Long)]
-    var exhausted = false
-    while (merges.length < numMerges && !exhausted) {
-      val toks = BpeEncode(col(textCol), merges.toSeq.map(m => (m._1, m._2)))
-      val top = base.select(toks.as("t"))
-        .where(size(col("t")) >= 2)
+    def topPair(enc: DataFrame): Option[(String, String, Long)] =
+      enc.where(size(col("t")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS lt, t[i] AS rt))")).as("p"))
         .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
@@ -87,10 +91,43 @@ object BpeFunctions {
         .orderBy(desc("freq"), asc("lt"), asc("rt"))
         .limit(1) // TakeOrderedAndProject — the argmax never sorts globally
         .collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val r = top(0)
-        merges += ((r.getString(0), r.getString(1), r.getLong(2)))
+        .headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    val merges = ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    if (persistEncodings) {
+      // O(k) passes: the current encoding is pinned; each round's
+      // argmax action materializes it, then the superseded frame is
+      // released. The lineage of frame i is one projection over pinned
+      // frame i-1, so recompute-on-eviction is one merge pass deep.
+      var cur = base.select(BpeEncode(col(textCol), Nil).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var prev: Option[DataFrame] = None
+      try {
+        while (merges.length < numMerges && !exhausted) {
+          topPair(cur) match {
+            case None => exhausted = true
+            case Some(m) =>
+              merges += m
+              prev.foreach(_.unpersist(blocking = false))
+              prev = Some(cur)
+              if (merges.length < numMerges) {
+                cur = cur.select(BpeMergeApply(col("t"), m._1, m._2).as("t"))
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              }
+          }
+        }
+      } finally {
+        prev.foreach(_.unpersist(blocking = false))
+        cur.unpersist(blocking = false)
+      }
+    } else {
+      while (merges.length < numMerges && !exhausted) {
+        val toks = BpeEncode(col(textCol), merges.toSeq.map(m => (m._1, m._2)))
+        topPair(base.select(toks.as("t"))) match {
+          case None => exhausted = true
+          case Some(m) => merges += m
+        }
       }
     }
     merges.toSeq.zipWithIndex
@@ -136,12 +173,74 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** One merge pass over an ALREADY-TOKENIZED array (the incremental
+  * training step): same leftmost-first non-overlapping scan as a
+  * [[BpeEncode]] pass, applied to `array<string>` input.
+  */
+case class BpeMergeApply(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge_apply needs array<string>, got $other")
+    }
+
+  @transient private lazy val pair: Array[UTF8String] =
+    BpeEncode.flatten(Seq((left, right)))
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncode.mergeArray(input.asInstanceOf[ArrayData], pair)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpePair", pair, "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeEncode$$.MODULE$$.mergeArray($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeApply =
+    copy(child = newChild)
+}
+
+object BpeMergeApply {
+  /** Expose as a Column (classic-API expression bridge). */
+  def apply(tokens: Column, left: String, right: String): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(BpeMergeApply(Bridge.expression(tokens), left, right))
+  }
+}
+
 object BpeEncode {
 
   /** Expose as a Column (classic-API expression bridge). */
   def apply(text: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(BpeEncode(Bridge.expression(text), merges))
+  }
+
+  /** One leftmost-first non-overlapping merge pass over tokenized
+    * input (`pair` = [L, R, LR]) — the [[BpeMergeApply]] kernel.
+    */
+  def mergeArray(arr: ArrayData, pair: Array[UTF8String]): ArrayData = {
+    val n = arr.numElements()
+    val l = pair(0); val r = pair(1); val lr = pair(2)
+    val out = new ArrayBuffer[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (i + 1 < n && t.equals(l) && arr.getUTF8String(i + 1).equals(r)) {
+        out += lr; i += 2
+      } else {
+        out += t; i += 1
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
   }
 
   private[functions] def flatten(merges: Seq[(String, String)]): Array[UTF8String] =

@@ -119,4 +119,53 @@ object SkewOps {
       pairs(cold, keyCols).unionByName(hotPairs)
     }
   }
+
+  /** Diagnose before defending: the one-row skew profile of a join/agg
+    * key — row and key cardinalities, the per-key count distribution
+    * (max, mean, exact interpolated p50/p99 — the a10 cross-engine
+    * convention), and the hottest key with its share of all rows. Read
+    * `max_cnt` against a shuffle-partition row budget to decide between
+    * nothing / AQE skew-split / [[saltedJoin]].
+    *
+    * Scale shape: pass 1 is the (key → count) hash aggregate with
+    * map-side partials (the shuffle carries one partial per key per
+    * partition); pass 2 reduces the key-cardinality count frame to ONE
+    * row (exact percentile buffers per-key counts — fine at key
+    * cardinality; swap `approx_percentile` in when even the key set is
+    * huge). The hottest key rides the same single-row aggregate via
+    * `max_by`, not a sort.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("_cnt"))
+      .agg(
+        sum("_cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max("_cnt").as("max_cnt"),
+        round(avg("_cnt"), 6).as("avg_cnt"),
+        round(expr("percentile(_cnt, 0.5D)"), 6).as("p50_cnt"),
+        round(expr("percentile(_cnt, 0.99D)"), 6).as("p99_cnt"),
+        max_by(col("_k").cast("string"), struct(col("_cnt"), col("_k").cast("string")))
+          .as("top_key"),
+        max("_cnt").as("top_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("avg_cnt"),
+        col("p50_cnt"), col("p99_cnt"), col("top_key"),
+        round(col("top_cnt").cast("double") / col("n_rows") * 100, 6)
+          .as("top_share_pct"))
+
+  /** The heaviest `k` keys with counts and row share — the companion
+    * detail view to [[keySkewProfile]] (deterministic: count desc, key
+    * asc). TakeOrdered over the key-count frame — never a global sort;
+    * the total rides a broadcast single-row cross join.
+    */
+  def topKeys(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    require(k > 0, s"topKeys needs k > 0 (got $k)")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = df.select(count(lit(1)).as("_tot"))
+    counts.orderBy(desc("cnt"), asc("key")).limit(k)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("_tot") * 100, 6).as("share_pct"))
+  }
 }

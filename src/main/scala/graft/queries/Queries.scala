@@ -4316,6 +4316,39 @@ object Queries {
              |FROM a JOIN sz USING (cohort_week)
              |ORDER BY cohort_week, week_offset""".stripMargin)),
 
+    QueryDef("skew1_key_profile",
+      // the diagnose-before-defending companion to SkewOps' salted
+      // joins: per-key count distribution reduced to ONE row in two
+      // chained aggregations (map-side partials; max_by for the hot
+      // key — no sort anywhere).
+      (s, dir) => SkewOps.keySkewProfile(t(s, dir, "lineitem"), "l_suppkey"),
+      Some("""WITH c AS (SELECT l_suppkey AS k, count(*) AS cnt
+             |          FROM lineitem GROUP BY 1)
+             |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             |       count(*) AS n_keys,
+             |       max(cnt) AS max_cnt,
+             |       round(avg(cnt), 6) AS avg_cnt,
+             |       round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+             |       round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+             |       (SELECT CAST(k AS VARCHAR) FROM c
+             |        ORDER BY cnt DESC, CAST(k AS VARCHAR) DESC LIMIT 1) AS top_key,
+             |       round(CAST(max(cnt) AS DOUBLE) / sum(cnt) * 100, 6)
+             |         AS top_share_pct
+             |FROM c""".stripMargin)),
+
+    QueryDef("skew2_top_keys",
+      // heaviest keys with row share: TakeOrdered over the key-count
+      // frame + a broadcast single-row total — never a global sort.
+      (s, dir) => SkewOps.topKeys(events(s, dir), "user_id", k = 5)
+        .orderBy(desc("cnt"), asc("key")),
+      Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+             |                 count(*) AS cnt
+             |          FROM events GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM events)
+             |SELECT key, cnt,
+             |       round(CAST(cnt AS DOUBLE) / tot * 100, 6) AS share_pct
+             |FROM c, t ORDER BY cnt DESC, key LIMIT 5""".stripMargin)),
+
     QueryDef("e11_funnel_steps",
       // the stateful (flatMapGroupsWithState) funnel run in batch mode:
       // row-level (user, step, time) advances under the same

@@ -95,6 +95,36 @@ class BpeFunctionsSpec extends AnyFunSuite {
     assert(out.count() === 0)
   }
 
+  test("train: persisted-encoding fast path equals from-scratch re-encoding") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fast = BpeFunctions.train(docsDf, "text", numMerges = 6,
+        persistEncodings = true)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val scratch = BpeFunctions.train(docsDf, "text", numMerges = 6,
+        persistEncodings = false)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(fast === scratch)
+    assert(fast.length === 6)
+  }
+
+  test("train fast path leaves no persisted blocks behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docsDf = Seq((1L, "ababab"), (2L, "bcbcbc")).toDF("doc_id", "text")
+    BpeFunctions.train(docsDf, "text", numMerges = 3).collect()
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty
+           && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+  }
+
+  test("BpeMergeApply: one pass over tokenized arrays, boundary-safe") {
+    val out = Seq(Seq("a", "b", "a", "b", "b")).toDF("t")
+      .select(BpeMergeApply(col("t"), "a", "b").as("m"))
+      .collect()(0).getSeq[String](0)
+    assert(out === Seq("ab", "ab", "b"))
+  }
+
   test("encodedString round-trips token boundaries unambiguously") {
     val out = Seq("aab", "").toDF("text")
       .select(BpeFunctions.encodedString(

@@ -103,4 +103,26 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(armed === plain)
     graft.Caches.releaseAll()
   }
+
+  test("keySkewProfile: exact one-row stats on the planted hot key") {
+    val r = SkewOps.keySkewProfile(skewed, "k").head()
+    assert(r.getAs[Long]("n_rows") === 1000L)
+    assert(r.getAs[Long]("n_keys") === 101L)
+    assert(r.getAs[Long]("max_cnt") === 900L)
+    // 101 keys: HOT=900, the rest 1 each -> mean 1000/101
+    assert(math.abs(r.getAs[Double]("avg_cnt") - 9.90099) < 1e-5)
+    assert(r.getAs[Double]("p50_cnt") === 1.0)
+    assert(r.getAs[String]("top_key") === "HOT")
+    assert(r.getAs[Double]("top_share_pct") === 90.0)
+  }
+
+  test("topKeys: deterministic (count desc, key asc) incl. boundary ties") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("c") ++ Seq.fill(3)("b") ++
+      Seq.fill(3)("d") ++ Seq("e")).toDF("k")
+    val out = SkewOps.topKeys(df, "k", k = 3)
+      .orderBy(desc("cnt"), asc("key"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // b/c/d all tie at 3; the k=3 cut keeps the lexicographically first two
+    assert(out.toSeq === Seq(("a", 5L, 33.333333), ("b", 3L, 20.0), ("c", 3L, 20.0)))
+  }
 }
