@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.IntegerType
   *   - `nfc_normalize(s)` — [[NfcNormalize]] Unicode canonical
   *     composition (byte equality = visual equality before byte-keyed
   *     dedup)
+  *   - `bpe_encode(text, merges)` / `bpe_merge_apply(tokens, l, r)` —
+  *     the [[BpeEncode]]/[[BpeMergeApply]] tokenizer kernels; the merge
+  *     table rides as a string literal (pairs `U+001E`-separated,
+  *     left/right `U+001F`-separated), a plan-time constant like the
+  *     sketch sizes
   *
   * Two wiring paths, same builders:
   *
@@ -89,7 +94,49 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         requireArity("nfc_normalize", args, 1)
         NfcNormalize(args(0))
+      }),
+    // bpe_encode(text, merges): merges is a STRING LITERAL of ranked
+    // pairs — left and right joined by U+001F, pairs by U+001E (both
+    // control chars, absent from any sane token). '' = no merges
+    // (plain code-point split).
+    (FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (args: Seq[Expression]) => {
+        requireArity("bpe_encode", args, 2)
+        BpeEncode(args(0),
+          parseMerges("bpe_encode", stringLiteral("bpe_encode", "merges", args(1))))
+      }),
+    (FunctionIdentifier("bpe_merge_apply"),
+      new ExpressionInfo(classOf[BpeMergeApply].getName, "bpe_merge_apply"),
+      (args: Seq[Expression]) => {
+        requireArity("bpe_merge_apply", args, 3)
+        BpeMergeApply(args(0),
+          stringLiteral("bpe_merge_apply", "left", args(1)),
+          stringLiteral("bpe_merge_apply", "right", args(2)))
       }))
+
+  /** Plan-time string constant (same contract as [[intLiteral]]). */
+  private def stringLiteral(name: String, arg: String, e: Expression): String = e match {
+    case other if other.foldable &&
+        other.dataType == org.apache.spark.sql.types.StringType =>
+      other.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case _ => throw new IllegalArgumentException(
+          s"$name: $arg folded to null; need a STRING LITERAL")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$name: $arg must be a STRING LITERAL (got ${other.sql})")
+  }
+
+  private def parseMerges(name: String, s: String): Seq[(String, String)] =
+    if (s.isEmpty) Nil
+    else s.split("\u001E", -1).toSeq.map { p =>
+      p.split("\u001F", -1) match {
+        case Array(l, r) => (l, r)
+        case parts => throw new IllegalArgumentException(
+          s"$name: each merge must be left<U+001F>right (got ${parts.length} parts)")
+      }
+    }
 
   /** Register into an already-built session (idempotent: re-registration
     * overwrites with identical builders).

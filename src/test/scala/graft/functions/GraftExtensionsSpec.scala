@@ -66,7 +66,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ext = new GraftExtensions()
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
     assert(GraftFunctions.all.map(_._1.funcName).sorted ===
-      Seq("nfc_normalize", "topk_freq", "vec_cosine", "vec_dot",
-        "winnow_fingerprints"))
+      Seq("bpe_encode", "bpe_merge_apply", "nfc_normalize", "topk_freq",
+        "vec_cosine", "vec_dot", "winnow_fingerprints"))
+  }
+
+  test("bpe_encode / bpe_merge_apply are SQL-callable; merges via literal") {
+    // merges "a+b then ab+c" in the U+001E / U+001F wire form
+    val merges = "a\u001Fb\u001Eab\u001Fc"
+    val toks = spark.sql(s"SELECT bpe_encode('abcabd', '$merges') AS t")
+      .head().getSeq[String](0)
+    assert(toks === Seq("abc", "ab", "d"))
+    // '' = no merges -> plain code-point split
+    assert(spark.sql("SELECT bpe_encode('ab', '') AS t")
+      .head().getSeq[String](0) === Seq("a", "b"))
+    val merged = spark.sql(
+      "SELECT bpe_merge_apply(array('a', 'b', 'b'), 'a', 'b') AS t")
+      .head().getSeq[String](0)
+    assert(merged === Seq("ab", "b"))
+    // parity with the Column API
+    val viaColumn = Seq("abcabd").toDF("s")
+      .select(BpeEncode(col("s"), Seq(("a", "b"), ("ab", "c"))).as("t"))
+      .head().getSeq[String](0)
+    assert(toks === viaColumn)
+  }
+
+  test("bpe_encode rejects a non-literal merge table") {
+    Seq(("ab", "x")).toDF("s", "m").createOrReplaceTempView("bpe_nl")
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_encode(s, m) FROM bpe_nl").collect()
+    }
+    assert(e.getMessage.contains("STRING LITERAL"), e.getMessage)
   }
 }
