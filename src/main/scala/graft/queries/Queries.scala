@@ -4464,6 +4464,89 @@ object Queries {
            |       round(CAST(tokens AS DOUBLE) / tot * 100, 6) AS token_share_pct
            |FROM g, t ORDER BY source, lang""".stripMargin))),
 
+    QueryDef("eval1_langid_confusion",
+      // classifier evaluation as a first-class op: the n-gram langid
+      // heuristic scored against the gold labels — full confusion
+      // matrix with per-gold recall. The matrix is langs²-sized and
+      // pinned; per-gold totals derive from the matrix itself (no
+      // second corpus pass) and broadcast into the recall join.
+      (s, dir) => {
+        val cells = graft.Caches.trackedPersist(
+          docs(s, dir)
+            .select(col("lang").as("gold"),
+              T.languageId(col("text")).as("pred"))
+            .groupBy("gold", "pred").agg(count(lit(1)).as("n")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val totals = cells.groupBy("gold").agg(sum("n").as("tot"))
+        cells.join(broadcast(totals), "gold")
+          .select(col("gold"), col("pred"), col("n"),
+            round(col("n").cast("double") / col("tot"), 6).as("recall"))
+          .orderBy("gold", "pred")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))) AS h_de,
+             |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS h_en,
+             |  len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','por','para','que','con'], x))) AS h_es,
+             |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','pour','dans','que','des'], x))) AS h_fr
+             |FROM t),
+             |p AS (SELECT doc_id,
+             |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+             |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             |       WHEN h_es >= h_fr THEN 'es'
+             |       ELSE 'fr' END AS pred
+             |FROM h),
+             |c AS (SELECT d.lang AS gold, p.pred, count(*) AS n
+             |      FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2),
+             |tt AS (SELECT gold, CAST(sum(n) AS BIGINT) AS tot
+             |       FROM c GROUP BY 1)
+             |SELECT c.gold, c.pred, c.n,
+             |       round(CAST(c.n AS DOUBLE) / tt.tot, 6) AS recall
+             |FROM c JOIN tt USING (gold) ORDER BY gold, pred""".stripMargin)),
+
+    QueryDef("card1_corpus_card",
+      // the one-row corpus "data card": volumes, language/source
+      // diversity, token/char means, exact-dup rate (1 − distinct
+      // normalized fingerprints ÷ docs), English share — ONE fused
+      // aggregation pass over the corpus (the distincts expand
+      // map-side; nothing user- or doc-sized leaves the executors).
+      (s, dir) => docs(s, dir)
+        .select(col("lang"), col("source"), col("n_chars"),
+          T.tokenCount(col("text")).as("toks"),
+          T.fingerprint(col("text")).as("fp"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum("toks").as("total_tokens"),
+          round(avg("toks"), 6).as("avg_tokens"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          round(lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)), 6)
+            .as("dup_rate"),
+          round(sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double")
+            / count(lit(1)) * 100, 6).as("pct_english")),
+      Some("""WITH d AS (
+             |  SELECT lang, source, n_chars,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+             |    md5(regexp_replace(regexp_replace(lower(text),
+             |        '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+             |  FROM documents)
+             |SELECT count(*) AS n_docs,
+             |       count(DISTINCT lang) AS n_langs,
+             |       count(DISTINCT source) AS n_sources,
+             |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+             |       round(avg(toks), 6) AS avg_tokens,
+             |       round(avg(n_chars), 6) AS avg_chars,
+             |       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+             |         AS dup_rate,
+             |       round(CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0)
+             |               AS DOUBLE) / count(*) * 100, 6) AS pct_english
+             |FROM d""".stripMargin)),
+
     QueryDef("sd1_semantic_decontaminate",
       // embedding-level holdout decontamination: the eval slice
       // (vec_id % 25 == 0) aggregates to ONE broadcast array row; the
