@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge frames (Page & Brin 1999;
+  * Pregel-shaped like [[graft.functions.DedupFunctions
+  * .connectedComponents]]'s star rounds). The co-interaction graphs a
+  * data pipeline derives — co-purchased parts, near-duplicate document
+  * clusters, user-session transitions — all arrive as edge tables, and
+  * rank/centrality over them is the standard importance signal for
+  * sampling weights and crawl prioritization.
+  */
+object GraphOps {
+
+  /** PageRank over DIRECTED edges, `iterations` synchronous rounds of
+    *
+    *   r'(v) = (1 − d)/n + d · Σ_{(u,v) ∈ E} r(u)/outdeg(u)
+    *
+    * with every rank rounded to `roundTo` dp at the END of each round —
+    * the cross-engine replay contract (the only floating noise is the
+    * contribution sum's addition order, ~1e-15 relative, quantized away
+    * at 6 dp; an unrounded production run just passes `roundTo = -1`).
+    * Nodes with no in-links hold (1 − d)/n; dangling mass (nodes with
+    * no OUT-links) is dropped, not redistributed — ranks then sum to
+    * slightly under 1, the common simplification (documented so the
+    * oracle states the same recurrence).
+    *
+    * Returns `(node, rank)`, node-cardinality.
+    *
+    * Scale shape: duplicate edges collapse via one distinct; the
+    * (src, dst, outdeg) frame is derived once, pinned, and re-joined
+    * each round — per round exactly ONE equi-join of edges against the
+    * node-sized rank frame plus one map-side-partial sum by dst (never
+    * a window, never a driver collect). Round i's rank frame is pinned
+    * and the superseded round released once its successor materializes
+    * (the BPE-train loop convention); lineage stays one-projection deep
+    * so eviction recompute is a single round.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, damping: Double = 0.85,
+      roundTo: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0, 1) (got $damping)")
+
+    def rnd(c: org.apache.spark.sql.Column) =
+      if (roundTo >= 0) round(c, roundTo) else c
+
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val withDeg = e.join(deg, "src")
+        .select(col("src"), col("dst"), col("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = nodes.count().toDouble
+        val base = (1.0 - damping) / n
+        // the FINAL rank frame outlives this call — it rides the
+        // session-wide tracked-pin registry (Caches.releaseAll) like
+        // every operator-internal pin; superseded rounds are released
+        // manually as soon as their successor materializes
+        var ranks = graft.Caches.trackedPersist(
+          nodes.select(col("node"), rnd(lit(1.0 / n)).as("rank")),
+          StorageLevel.MEMORY_AND_DISK)
+        var prev: Option[DataFrame] = None
+        var i = 0
+        while (i < iterations) {
+          val contribs = withDeg
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("rank") / col("deg")).as("_s"))
+          val next = graft.Caches.trackedPersist(
+            nodes
+              .join(contribs, Seq("node"), "left")
+              .select(col("node"),
+                rnd(lit(base) + lit(damping) * coalesce(col("_s"), lit(0.0))).as("rank")),
+            StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before releasing the round it read
+          prev.foreach(_.unpersist(blocking = false))
+          prev = Some(ranks)
+          ranks = next
+          i += 1
+        }
+        prev.foreach(_.unpersist(blocking = false))
+        ranks.orderBy("node")
+      } finally {
+        withDeg.unpersist(blocking = false)
+        nodes.unpersist(blocking = false)
+      }
+    } finally e.unpersist(blocking = false)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ClassifierFunctions => Cls, DedupFunctions => D, RelevanceFunctions => R, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T, UrlFunctions => U}
-import graft.ops.{AsOfJoinOps, CrossValidationOps, EventAnalyticsOps, FeatureOps, MacroOps, RangeJoinOps, SkewOps, ValidationOps}
+import graft.ops.{AsOfJoinOps, CrossValidationOps, EventAnalyticsOps, FeatureOps, GraphOps, MacroOps, RangeJoinOps, SkewOps, ValidationOps}
 
 /** One driver-verifiable query. `oracle` is the DuckDB-equivalent ANSI
   * SQL over the same parquet tables; None for ops whose hash seeds
@@ -98,6 +98,45 @@ object Queries {
                  |  FROM enc$p)""".stripMargin
     }
     "WITH " + ctes.result().mkString(",\n") + "\n" + finalSelect
+  }
+
+  /** Generated oracle for `g1_pagerank` — the co-purchase graph
+    * (distinct directed part pairs sharing an order) and `iters`
+    * unrolled synchronous PageRank rounds, each rank rounded to 6 dp
+    * (the cross-engine replay contract — see [[graft.ops.GraphOps
+    * .pageRank]]). Damping arithmetic is forced through
+    * `CAST(0.85 AS DOUBLE)`: DuckDB would otherwise fold `1 - 0.85` in
+    * exact DECIMAL, landing on a different double than the JVM's
+    * `1.0 - 0.85`. CTEs are MATERIALIZED — each round references its
+    * predecessor twice, which inlining would re-evaluate exponentially
+    * (the bpeOracle lesson).
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """pairs AS MATERIALIZED (
+              |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              |  FROM lineitem a JOIN lineitem b
+              |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""".stripMargin
+    ctes += """deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM pairs GROUP BY 1)""".stripMargin
+    ctes += """nodes AS MATERIALIZED (
+              |  SELECT src AS node FROM pairs UNION SELECT dst FROM pairs)""".stripMargin
+    ctes += """nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)""".stripMargin
+    ctes += """r0 AS MATERIALIZED (
+              |  SELECT node, round(1.0 / nn.n, 6) AS r FROM nodes, nn)""".stripMargin
+    for (i <- 1 to iters) {
+      val p = i - 1
+      ctes += s"""c$i AS MATERIALIZED (
+                 |  SELECT p.dst AS node, sum(r$p.r / deg.deg) AS s
+                 |  FROM pairs p JOIN deg USING (src) JOIN r$p ON p.src = r$p.node
+                 |  GROUP BY 1)""".stripMargin
+      ctes += s"""r$i AS MATERIALIZED (
+                 |  SELECT nodes.node,
+                 |         round((1 - CAST(0.85 AS DOUBLE)) / nn.n
+                 |               + CAST(0.85 AS DOUBLE) * COALESCE(c$i.s, 0), 6) AS r
+                 |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") +
+      s"\nSELECT node, r AS rank FROM r$iters ORDER BY node"
   }
 
   /** `events.parquet`'s `ts` physical type varies by generator version:
@@ -4463,6 +4502,22 @@ object Queries {
            |SELECT source, lang, docs, tokens,
            |       round(CAST(tokens AS DOUBLE) / tot * 100, 6) AS token_share_pct
            |FROM g, t ORDER BY source, lang""".stripMargin))),
+
+    QueryDef("g1_pagerank",
+      // PageRank over the co-purchase part graph: 5 synchronous rounds,
+      // per round ONE edges⋈ranks equi-join + one map-side-partial sum
+      // by dst (Pregel-shaped, like the connected-components rounds).
+      // The oracle unrolls the identical recurrence in DuckDB, so every
+      // node's rank after every round is value-checked.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.pageRank(pairs, "src", "dst", iterations = 5)
+      },
+      Some(pageRankOracle(5))),
 
     QueryDef("eval1_langid_confusion",
       // classifier evaluation as a first-class op: the n-gram langid

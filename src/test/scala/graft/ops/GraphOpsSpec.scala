@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("two-node cycle is the fixed point: both nodes hold 0.5") {
+    for (it <- Seq(1, 3)) {
+      val r = ranks(Seq((1L, 2L), (2L, 1L)), it)
+      assert(r === Map(1L -> 0.5, 2L -> 0.5))
+    }
+  }
+
+  // the op rounds EVERY round's ranks to 6 dp (the replay contract) —
+  // expectations must round the same way
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("star: sinks get base + d·(mass in), sources hold the base") {
+    // a -> b, c -> b; n = 3, base = 0.05; after round 1:
+    // b = 0.05 + 0.85·(1/3 + 1/3); a and c keep 0.05 (no in-links).
+    // round 2: b's inflow uses a=c=0.05.
+    val r1 = ranks(Seq((1L, 2L), (3L, 2L)), 1)
+    val third = r6(1.0 / 3)
+    assert(r1(1L) === 0.05 && r1(3L) === 0.05)
+    assert(r1(2L) === r6(0.05 + 0.85 * (third + third)))
+    val r2 = ranks(Seq((1L, 2L), (3L, 2L)), 2)
+    assert(r2(2L) === r6(0.05 + 0.85 * (0.05 + 0.05)))
+  }
+
+  test("out-degree divides the pushed mass; duplicates/self-loops drop") {
+    // a -> b and a -> c (deg 2): each gets half of a's rank; the
+    // duplicate edge and the self-loop must not double or self-feed
+    val r = ranks(Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 2L)), 1)
+    val expected = r6(0.05 + 0.85 * (r6(1.0 / 3) / 2))
+    assert(r(2L) === expected)
+    assert(r(2L) === r(3L))
+  }
+
+  test("null endpoints are dropped, not phantom nodes") {
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(9L)), (Some(9L), None))
+      .toDF("s", "d")
+    val out = GraphOps.pageRank(edges, "s", "d", iterations = 1)
+      .select("node").as[Long].collect().toSet
+    assert(out === Set(1L, 2L))
+    graft.Caches.releaseAll()
+  }
+
+  test("round-scoped pins release; only the final frame stays (tracked)") {
+    graft.Caches.releaseAll()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 4)
+    graft.Caches.releaseAll()
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty
+           && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+  }
+}
