@@ -73,6 +73,33 @@ object EventAnalyticsOps {
     withRate.toDF("step_idx", "step", "users", "conv_rate")
   }
 
+  /** DAU / trailing-7-day WAU stickiness per day — the engagement ratio
+    * dashboards track. Daily actives are one distinct + count; the
+    * trailing window is the day grid (calendar-sized, broadcast)
+    * range-joined against the (day, user) distinct frame — no
+    * count-distinct-over-range window, which Spark cannot do without
+    * buffering the frame per row anyway.
+    *
+    * Returns (day, dau, wau, stickiness = dau/wau rounded 6 dp), one
+    * row per day with ≥1 event.
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val dayUsers = graft.Caches.trackedPersist(
+      events.select(col("ts").cast("date").as("day"), col("user_id")).distinct(),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dau = dayUsers.groupBy("day").agg(count(lit(1)).as("dau"))
+    val days = dayUsers.select("day").distinct()
+    val wau = broadcast(days.select(col("day").as("d")))
+      .join(dayUsers,
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .select(col("d").as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
   /** Weekly cohort retention: cohort = Monday-truncated week of the
     * user's first event; a (cohort, offset) cell counts distinct users
     * of that cohort active in cohort_week + offset weeks.

@@ -4503,6 +4503,26 @@ object Queries {
            |       round(CAST(tokens AS DOUBLE) / tot * 100, 6) AS token_share_pct
            |FROM g, t ORDER BY source, lang""".stripMargin))),
 
+    QueryDef("e12_stickiness",
+      // DAU / trailing-7-day WAU per day: the day grid broadcasts into
+      // a range join against the pinned (day, user) distinct frame —
+      // no per-row count-distinct window.
+      (s, dir) => EventAnalyticsOps.stickiness(events(s, dir))
+        .orderBy("day"),
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+             |days AS (SELECT DISTINCT day AS d FROM du),
+             |wau AS (
+             |  SELECT d AS day, count(DISTINCT user_id) AS wau
+             |  FROM days JOIN du
+             |    ON du.day BETWEEN d - INTERVAL 6 DAY AND d
+             |  GROUP BY d)
+             |SELECT day, dau, wau,
+             |       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+             |FROM dau JOIN wau USING (day)
+             |ORDER BY day""".stripMargin)),
+
     QueryDef("g1_pagerank",
       // PageRank over the co-purchase part graph: 5 synchronous rounds,
       // per round ONE edges⋈ranks equi-join + one map-side-partial sum

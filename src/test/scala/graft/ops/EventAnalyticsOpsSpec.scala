@@ -67,6 +67,23 @@ class EventAnalyticsOpsSpec extends AnyFunSuite {
       ("2024-01-08", 0, 1L, 1.0)))
   }
 
+  test("stickiness: trailing-7-day WAU window, inclusive of today") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (3L, "view", "2024-01-02 10:00:00"),
+      (1L, "view", "2024-01-05 10:00:00"),
+      (2L, "view", "2024-01-05 11:00:00"),
+      (1L, "view", "2024-01-05 12:00:00")) // same user same day -> 1 DAU
+    val out = EventAnalyticsOps.stickiness(events)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array(
+      ("2024-01-01", 1L, 1L, 1.0),
+      ("2024-01-02", 1L, 2L, 0.5),
+      ("2024-01-05", 2L, 3L, 0.666667)))
+    graft.Caches.releaseAll()
+  }
+
   test("funnel leaves no persisted blocks behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val events = ev((1L, "view", "2024-01-01 10:00:00"))
