@@ -98,4 +98,60 @@ object GraphOps {
       }
     } finally e.unpersist(blocking = false)
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * UNDIRECTED closure of `edges`: every node starts as its own
+    * label; each round every node adopts the most frequent label among
+    * its neighbors, ties broken by the SMALLEST label — which makes
+    * fixed-round synchronous LPA fully deterministic and (being
+    * all-integer) exactly replayable cross-engine, no rounding
+    * contract needed. Communities are finer than
+    * [[graft.functions.DedupFunctions.connectedComponents]]'s
+    * components — the dense-blob structure inside one component.
+    *
+    * Returns `(node, community)` after `iterations` rounds.
+    *
+    * Scale shape: per round ONE equi-join of the symmetrized edge
+    * frame (derived once, pinned) against the node-sized label frame,
+    * one (node, label) count with map-side partials, and a `min_by`
+    * argmax — never a window. Round frames pin/release like
+    * [[pageRank]]'s.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+    val d = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val sym = d.unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // every node appears as a dst in the symmetrized frame, so the
+      // per-round inner join covers the full node set
+      var labels = graft.Caches.trackedPersist(
+        sym.select(col("dst").as("node")).distinct()
+          .select(col("node"), col("node").as("community")),
+        StorageLevel.MEMORY_AND_DISK)
+      var prev: Option[DataFrame] = None
+      var i = 0
+      while (i < iterations) {
+        val next = graft.Caches.trackedPersist(
+          sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"), col("community"))
+            .agg(count(lit(1)).as("_c"))
+            .groupBy("node")
+            .agg(min_by(col("community"),
+              struct(negate(col("_c")), col("community"))).as("community")),
+          StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        prev.foreach(_.unpersist(blocking = false))
+        prev = Some(labels)
+        labels = next
+        i += 1
+      }
+      prev.foreach(_.unpersist(blocking = false))
+      labels.orderBy("node")
+    } finally sym.unpersist(blocking = false)
+  }
 }

@@ -139,6 +139,38 @@ object Queries {
       s"\nSELECT node, r AS rank FROM r$iters ORDER BY node"
   }
 
+  /** Generated oracle for `g2_label_propagation` — the same co-purchase
+    * graph as [[pageRankOracle]], symmetrized, with `iters` unrolled
+    * synchronous LPA rounds (neighbor-mode labels, min-label
+    * tie-break). All-integer: exact cross-engine replay, no rounding
+    * contract. MATERIALIZED for the same inlining reason.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """pairs AS MATERIALIZED (
+              |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              |  FROM lineitem a JOIN lineitem b
+              |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""".stripMargin
+    ctes += """sym AS MATERIALIZED (
+              |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs)""".stripMargin
+    ctes += """l0 AS MATERIALIZED (
+              |  SELECT DISTINCT dst AS node, dst AS community FROM sym)""".stripMargin
+    for (i <- 1 to iters) {
+      val p = i - 1
+      ctes += s"""m$i AS MATERIALIZED (
+                 |  SELECT s.dst AS node, l.community, count(*) AS c
+                 |  FROM sym s JOIN l$p l ON s.src = l.node GROUP BY 1, 2)""".stripMargin
+      ctes += s"""l$i AS MATERIALIZED (
+                 |  SELECT node, community FROM (
+                 |    SELECT node, community,
+                 |           row_number() OVER (PARTITION BY node
+                 |             ORDER BY c DESC, community) AS rn
+                 |    FROM m$i) WHERE rn = 1)""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") +
+      s"\nSELECT node, community FROM l$iters ORDER BY node"
+  }
+
   /** `events.parquet`'s `ts` physical type varies by generator version:
     * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
     * nanos as long via `spark.sql.legacy.parquet.nanosAsLong=true` and
@@ -4538,6 +4570,21 @@ object Queries {
         GraphOps.pageRank(pairs, "src", "dst", iterations = 5)
       },
       Some(pageRankOracle(5))),
+
+    QueryDef("g2_label_propagation",
+      // synchronous LPA communities over the (symmetrized) co-purchase
+      // graph: per round one edges⋈labels join, one (node, label)
+      // count, one min_by argmax — all-integer, so the unrolled oracle
+      // replays exactly with no rounding contract.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.labelPropagation(pairs, "src", "dst", iterations = 4)
+      },
+      Some(lpaOracle(4))),
 
     QueryDef("eval1_langid_confusion",
       // classifier evaluation as a first-class op: the n-gram langid

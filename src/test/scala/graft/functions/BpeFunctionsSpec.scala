@@ -125,6 +125,19 @@ class BpeFunctionsSpec extends AnyFunSuite {
     assert(out === Seq("ab", "ab", "b"))
   }
 
+  test("encode projection stays inside whole-stage codegen") {
+    // a file-backed frame — a local relation would be constant-folded
+    // into a LocalTableScan with no codegen stage to inspect
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(BpeEncode(col("text"), Seq(("a", "b"))).as("t"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the '*(n)' marker = WholeStageCodegen stage; the static-call
+    // expression must not force the projection out of codegen
+    assert(plan.contains("*(1)"),
+      s"BpeEncode broke whole-stage codegen:\n$plan")
+  }
+
   test("encodedString round-trips token boundaries unambiguously") {
     val out = Seq("aab", "").toDF("text")
       .select(BpeFunctions.encodedString(

@@ -781,6 +781,21 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(out.forall(r => !r.getBoolean(r.fieldIndex("contaminated"))))
   }
 
+  test("semanticDecontaminate plan: corpus stays scan-local, zero hash exchanges") {
+    val hold = Seq((100L, vec(1.0, 0.0))).toDF("hid", "embedding")
+      .select(col("embedding"))
+    val out = SimilarityFunctions.semanticDecontaminate(corpus, hold, tau = 0.5)
+    out.collect() // finalize the adaptive plan before inspecting it
+    val plan = out.queryExecution.executedPlan.toString
+    // the only exchanges allowed: the holdout's single-row aggregate
+    // (Exchange SinglePartition) and its broadcast — the corpus path
+    // must never hash-shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus-side shuffle leaked into the decontamination plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast cross join shape:\n$plan")
+  }
+
   test("semanticDecontaminate max agrees with per-pair brute force") {
     val hold = Seq((100L, vec(0.6, 0.8)), (101L, vec(-0.8, 0.6)))
       .toDF("qid", "embedding")

@@ -55,6 +55,29 @@ class GraphOpsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphOps.labelPropagation(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: neighbor mode with min-label ties, by hand") {
+    // triangle 1-2-3 plus pendant 4-1 (undirected closure of these)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
+    // round 1: 1 sees {2,3,4} all once -> 2; 2,3,4 all see label 1 win
+    assert(lpa(e, 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // round 2 (sync, from round 1's labels): 1 -> mode{1,1,1} = 1;
+    // 2 -> {2,1} tie -> 1; 3 -> {2,1} tie -> 1; 4 -> {2} = 2
+    assert(lpa(e, 2) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("labelPropagation: disjoint cliques settle on their min label") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val out = lpa(e, 3)
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    graft.Caches.releaseAll()
+  }
+
   test("round-scoped pins release; only the final frame stays (tracked)") {
     graft.Caches.releaseAll()
     val before = spark.sparkContext.getPersistentRDDs.keySet
