@@ -148,4 +148,47 @@ object PropertySpec extends Properties("graft") {
         .as[(Long, String)].head()
       row._1 == 0L && row._2 == s
     }
+
+  private val bpeTextGen: Gen[String] =
+    Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+  private val bpeMergesGen: Gen[List[(String, String)]] =
+    Gen.choose(0, 4).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.oneOf("a", "b", "c", "ab", "bc"),
+        Gen.oneOf("a", "b", "c", "ab"))))
+
+  property("bpe encode is lossless: concatenating tokens recovers the text") =
+    Prop.forAllNoShrink(bpeTextGen, bpeMergesGen) { (text, merges) =>
+      val toks = Seq(text).toDF("text")
+        .select(graft.functions.BpeEncode(col("text"), merges).as("t"))
+        .head().getSeq[String](0)
+      toks.mkString == text && toks.forall(_.nonEmpty)
+    }
+
+  property("funnel step counts never increase down the funnel") =
+    Prop.forAllNoShrink(Gen.listOfN(30,
+      Gen.zip(Gen.choose(1L, 5L), Gen.oneOf("view", "click", "purchase"),
+        Gen.choose(0L, 100000L)))) { evs =>
+      val df = evs.toDF("user_id", "event_type", "us")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val users = graft.ops.EventAnalyticsOps
+        .funnel(df, Seq("view", "click", "purchase"))
+        .orderBy("step_idx").select("users").as[Long].collect()
+      users.sliding(2).forall(p => p.length < 2 || p(0) >= p(1))
+    }
+
+  property("pageRank: ranks positive, total mass never exceeds 1") =
+    Prop.forAllNoShrink(Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1L, 6L), Gen.choose(1L, 6L))))) { edges =>
+      val valid = edges.exists(e => e._1 != e._2)
+      !valid || {
+        val r = graft.ops.GraphOps
+          .pageRank(edges.toDF("s", "d"), "s", "d", iterations = 2)
+          .select("rank").as[Double].collect()
+        graft.Caches.releaseAll()
+        // each node's rank rounds (HALF_UP) to 6 dp per round, so the
+        // exact ≤1 mass bound relaxes by up to 5e-7 per node
+        r.forall(_ > 0.0) && r.sum <= 1.0 + r.length * 5e-7 + 1e-9
+      }
+    }
 }
