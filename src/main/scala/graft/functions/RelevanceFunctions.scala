@@ -313,4 +313,50 @@ object RelevanceFunctions {
       .orderBy(col("rrf").desc, col(idCol)).limit(topK)
       .withColumn("rank", row_number().over(w))
   }
+
+  /** Pointwise mutual information of token pairs co-occurring within a
+    * document (Church & Hanks 1990): PMI(a,b) = ln(N·n_ab / (n_a·n_b))
+    * over DOCUMENT frequencies — the standard collocation / taxonomy
+    * signal for corpus exploration and phrase mining. Tokenization is
+    * the corpus-wide lowercase-whitespace standard.
+    *
+    * Determinism contract: every frequency is an exact long; the one
+    * float is `ln` of their exact-double ratio (inputs ≪ 2^53), rounded
+    * to 6 dp — the a14-PSI contract.
+    *
+    * Scale shape: the (doc, token) projection collapses through one
+    * distinct; document frequencies are one hash agg, and the df GATE
+    * (`minDf ≤ df ≤ maxDf`) cuts both the hub tokens (stopwords — every
+    * pair with "the" co-occurs, Σ df² explodes exactly like d22's
+    * winnow hubs) and the hapax tail BEFORE the per-doc pair self-join,
+    * so pair work is bounded by maxDf²·vocab, not doc-length². The df
+    * frame is key-sized and broadcasts; `minPairs` prunes the output.
+    */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 5L, maxDf: Long = 1000000L,
+      minPairs: Long = 5L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1 (got $minDf)")
+    require(maxDf >= minDf, s"maxDf must be >= minDf (got $maxDf)")
+    val docTok = graft.Caches.trackedPersist(
+      df.select(col(idCol).as("_doc"),
+          explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+        .filter(col("_tok") =!= "")
+        .distinct(),
+      StorageLevel.MEMORY_AND_DISK)
+    val n = df.select(col(idCol)).distinct().count()
+    val dfreq = docTok.groupBy("_tok").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf && col("_df") <= maxDf)
+    val kept = docTok.join(broadcast(dfreq), "_tok")
+    val a = kept.select(col("_doc"), col("_tok").as("tok_a"), col("_df").as("n_a"))
+    val b = kept.select(col("_doc"), col("_tok").as("tok_b"), col("_df").as("n_b"))
+    a.join(b, Seq("_doc")).filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+      .select(col("tok_a"), col("tok_b"), col("n_a"), col("n_b"), col("n_ab"),
+        round(log((lit(n.toDouble) * col("n_ab")) /
+          (col("n_a") * col("n_b"))), 6).as("pmi"))
+      .orderBy("tok_a", "tok_b")
+  }
 }

@@ -266,6 +266,25 @@ object SamplingFunctions {
       .when(b.isNotNull, lit("test"))
   }
 
+  /** Time-ordered split with an EMBARGO buffer (the backtest-correct
+    * split for anything autocorrelated — de Prado's purged/embargoed
+    * walk-forward): rows strictly before `cutoff` train; rows inside
+    * `[cutoff, cutoff + embargo)` are QUARANTINED (neither side may see
+    * them — adjacent-in-time rows leak labels through autocorrelation);
+    * the rest test. A hash split ([[splitColumn]]) is the right tool for
+    * exchangeable documents; for time series it leaks the future into
+    * training, which this column exists to prevent.
+    *
+    * Pure per-row date arithmetic — a scan-local projection, no shuffle;
+    * null times get a null split (never silently train).
+    */
+  def temporalSplit(time: Column, cutoff: Column, embargoDays: Int): Column = {
+    require(embargoDays >= 0, s"embargoDays must be >= 0 (got $embargoDays)")
+    when(time < cutoff, lit("train"))
+      .when(time < date_add(cutoff, embargoDays), lit("embargo"))
+      .when(time.isNotNull, lit("test"))
+  }
+
   /** Quantile-bucket assignment (curriculum/difficulty binning): each
     * row gets the bucket its `valueCol` falls in among `nBuckets`
     * equal-mass bins. The scale-correct shape: a global `ntile()` window

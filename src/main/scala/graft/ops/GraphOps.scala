@@ -154,4 +154,81 @@ object GraphOps {
       labels.orderBy("node")
     } finally sym.unpersist(blocking = false)
   }
+
+  /** Per-node triangle counts and local clustering coefficient over the
+    * UNDIRECTED closure of `edges` (Schank & Wagner 2005 forward /
+    * degree-ordered enumeration). Triangle density is the standard
+    * cohesion signal on co-interaction graphs — spam link farms are
+    * triangle-dense, crawl frontiers triangle-sparse — and the local
+    * coefficient 2·T(v) / (deg(v)·(deg(v)−1)) (rounded to 6 dp, the
+    * cross-engine contract; the ratio itself is exact-integer until the
+    * one division) feeds sampling weights next to [[pageRank]].
+    *
+    * Returns `(node, deg, triangles, clustering)`, node-cardinality,
+    * ordered by node.
+    *
+    * Scale shape: edges canonicalize (u<v) through one distinct; every
+    * edge is then ORIENTED toward its higher-(deg, id) endpoint, which
+    * caps oriented out-degree at O(√m) — so the wedge self-join
+    * (out-neighbor pairs per center) is O(m^1.5) worst-case instead of
+    * the Σ deg² hub blow-up of naive enumeration, and each triangle is
+    * produced exactly once (its lowest-rank vertex is the only node
+    * with out-degree 2 in the oriented triangle). One wedge⋈edge
+    * equi-join closes the count; per-node attribution is one explode +
+    * hash agg. No windows, no driver collect.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // (deg, id) rank-orient each edge; carry the dst endpoint's rank
+        // so the wedge join can order out-neighbor pairs without a
+        // second degree lookup
+        val uFirst = col("_du") < col("_dv") ||
+          (col("_du") === col("_dv") && col("u") < col("v"))
+        val oriented = e
+          .join(deg.select(col("node").as("u"), col("deg").as("_du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("_dv")), "v")
+          .select(
+            when(uFirst, col("u")).otherwise(col("v")).as("src"),
+            when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+            when(uFirst, struct(col("_dv").as("d"), col("v").as("n")))
+              .otherwise(struct(col("_du").as("d"), col("u").as("n"))).as("_rdst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val o1 = oriented.select(col("src").as("c"), col("dst").as("x"), col("_rdst").as("_rx"))
+          val o2 = oriented.select(col("src").as("c"), col("dst").as("y"), col("_rdst").as("_ry"))
+          val wedges = o1.join(o2, Seq("c")).filter(col("_rx") < col("_ry"))
+          val tris = wedges
+            .join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+            .select(col("c"), col("x"), col("y"))
+          val perNode = tris
+            .select(explode(array(col("c"), col("x"), col("y"))).as("node"))
+            .groupBy("node").agg(count(lit(1)).as("triangles"))
+          // pin + materialize the node-cardinality result while the
+          // edge/wedge lineage is still live, then drop the internals;
+          // the pin rides the session-wide registry (Caches.releaseAll)
+          val out = graft.Caches.trackedPersist(
+            deg.join(perNode, Seq("node"), "left")
+              .select(col("node"), col("deg"),
+                coalesce(col("triangles"), lit(0L)).as("triangles"),
+                when(col("deg") >= 2,
+                  round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+                    (col("deg") * (col("deg") - lit(1.0))), 6))
+                  .otherwise(lit(0.0)).as("clustering")),
+            StorageLevel.MEMORY_AND_DISK)
+          out.count()
+          out.orderBy("node")
+        } finally oriented.unpersist(blocking = false)
+      } finally deg.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD type 2) history compression: collapse
+  * a per-entity, per-period state series into validity intervals — one
+  * row per RUN of consecutive periods with the same state, carrying
+  * `valid_from` / `valid_to` / run length. The classic dimension-build
+  * move in a warehouse (Kimball's type-2 dimension), and equally the
+  * "compress the label history" step before training on slowly-moving
+  * features.
+  *
+  * Algorithm: gaps-and-islands — a 1-lag change flag, a running sum of
+  * flags as the island id, then one aggregation per (entity, island).
+  * All-integer/date arithmetic: exactly replayable cross-engine.
+  *
+  * Scale shape: both windows partition by the ENTITY (parallel across
+  * entities, never a global window); the final agg is one hash
+  * aggregation keyed (entity, island). History for one entity must fit
+  * a partition's window buffer — the same contract as every W-family
+  * feature window (thousands of periods per entity: trivially true).
+  */
+object HistoryOps {
+
+  /** Compress `df` into SCD2 validity intervals.
+    *
+    * @param entityCol partition key (e.g. ticker)
+    * @param orderCol  period column, ascending (e.g. date)
+    * @param stateCol  the tracked state expression's column name
+    * @return (entity, state, valid_from, valid_to, n_periods), one row
+    *         per state run, ordered by (entity, valid_from)
+    */
+  def scd2Compress(df: DataFrame, entityCol: String, orderCol: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(orderCol)
+    // change flag vs the previous period; null-safe so a NULL state is
+    // its own run rather than merging into its neighbor
+    val changed = when(
+      lag(col(stateCol), 1).over(w) <=> col(stateCol), 0L).otherwise(1L)
+    df.withColumn("_chg", changed)
+      .withColumn("_grp",
+        sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(entityCol), col("_grp"))
+      .agg(
+        // the state is constant within a run by construction
+        min(col(stateCol)).as(stateCol),
+        min(col(orderCol)).as("valid_from"),
+        max(col(orderCol)).as("valid_to"),
+        count(lit(1)).as("n_periods"))
+      .drop("_grp")
+      .orderBy(entityCol, "valid_from")
+  }
+}

@@ -109,4 +109,45 @@ object ValidationOps {
       .groupBy(col(entity))
       .agg(count(lit(1)).as("missing_bdays"))
   }
+
+  /** Robust per-entity outlier profile: median / MAD (median absolute
+    * deviation) of `valueCol`, plus the count of values beyond
+    * `k × MAD` of the median. The breakdown-resistant twin of the
+    * pooled z-score ([[zscoreOutliers]]): one fat-finger print can move
+    * a mean/stddev arbitrarily, but not a median/MAD — the standard
+    * robust gate for price-series and feature-distribution QA.
+    *
+    * Determinism contract: `percentile` is Spark's EXACT linear
+    * interpolation (`lo + (hi − lo)·frac`), the same recurrence DuckDB's
+    * `quantile_cont` evaluates, so medians agree bit-for-bit on shared
+    * input doubles; the outlier comparison runs on those unrounded
+    * values (both engines compute the identical IEEE chain) and only
+    * the REPORTED median/MAD round to 6 dp.
+    *
+    * Scale shape: three passes by construction (median → deviations →
+    * MAD + count), each an entity-keyed hash aggregation with the
+    * entity-sized frames re-joined — exact medians are not mergeable,
+    * so a one-pass variant must switch to the approx-percentile sketch
+    * ([[graft.functions.SketchFunctions]]); this op is the exact tier.
+    */
+  def madOutliers(df: DataFrame, entityCol: String, valueCol: String,
+      k: Double = 5.0): DataFrame = {
+    val med = df.groupBy(col(entityCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val dev = graft.Caches.trackedPersist(
+      df.join(med, entityCol)
+        .withColumn("_adev", abs(col(valueCol) - col("_med"))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mad = dev.groupBy(col(entityCol))
+      .agg(expr("percentile(_adev, 0.5)").as("_mad"))
+    dev.join(mad, entityCol)
+      .groupBy(col(entityCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("_med")), 6).as("median"), // constant per entity
+        round(min(col("_mad")), 6).as("mad"),
+        sum(when(col("_adev") > lit(k) * col("_mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(entityCol)
+  }
 }

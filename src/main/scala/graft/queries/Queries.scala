@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ClassifierFunctions => Cls, DedupFunctions => D, RelevanceFunctions => R, SamplingFunctions => Sam, SimilarityFunctions => S, TextFunctions => T, UrlFunctions => U}
-import graft.ops.{AsOfJoinOps, CrossValidationOps, EventAnalyticsOps, FeatureOps, GraphOps, MacroOps, RangeJoinOps, SkewOps, ValidationOps}
+import graft.ops.{AsOfJoinOps, CrossValidationOps, EventAnalyticsOps, FeatureOps, GraphOps, HistoryOps, MacroOps, RangeJoinOps, SkewOps, ValidationOps}
 
 /** One driver-verifiable query. `oracle` is the DuckDB-equivalent ANSI
   * SQL over the same parquet tables; None for ops whose hash seeds
@@ -1672,6 +1672,232 @@ object Queries {
           |  CAST(SUM(ca) AS BIGINT) AS n_early,
           |  CAST(SUM(cb) AS BIGINT) AS n_late
           |FROM tt GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("a16_rollup",
+      // hierarchical grouping-sets revenue: (region, nation) + region
+      // subtotals + grand total in ONE pass — rollup expands to grouping
+      // sets inside the same hash aggregation (map-side partials across
+      // all levels), not three scans. Dimensions broadcast (region 5 /
+      // nation 25 / supplier 100 rows — the canonical star-join shape).
+      // NULL group keys mark subtotal rows; both engines order them
+      // first explicitly.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_suppkey"), revenueDec.as("_rev"))
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val reg = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_items"), money2(sum(col("_rev"))).as("revenue"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_items,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+             |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
+    QueryDef("a17_pivot",
+      // long→wide pivot: daily event matrix with one (count, decimal
+      // value-sum) column pair per event type. The pivot VALUES are
+      // pinned literals — Spark otherwise runs a distinct-scan job just
+      // to discover them, and a pinned list keeps the output schema
+      // stable when a day is missing a type (cells of an absent group
+      // are NULL, which the oracle mirrors with NULLIF/FILTER). One
+      // hash aggregation keyed by day — the pivot is column routing
+      // inside the agg, not a join.
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("val"))
+          .orderBy("day")
+      },
+      Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val cols = types.map { ty =>
+          s"""  NULLIF(count(*) FILTER (WHERE event_type = '$ty'), 0) AS ${ty}_n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = '$ty')
+             |       AS DOUBLE) AS ${ty}_val""".stripMargin
+        }.mkString(",\n")
+        s"""SELECT CAST(ts AS DATE) AS day,
+           |$cols
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    QueryDef("a18_trend",
+      // per-entity OLS trend line (slope / intercept / R²) of close on
+      // a day index — the drift detector next to a14's PSI. Spark's
+      // regr_* aggregates are single-pass co-moment accumulators with
+      // map-side partials (never a window, never a collect); co-moment
+      // merge order costs ulps, so the 6dp round is the cross-engine
+      // contract (the a12-corr precedent).
+      (s, dir) => prices(t(s, dir, "lineitem"))
+        .withColumn("x",
+          datediff(col("date"), lit("1995-01-01").cast("date")).cast("double"))
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n_days"),
+          round(expr("regr_slope(close, x)"), 6).as("slope"),
+          round(expr("regr_intercept(close, x)"), 6).as("intercept"),
+          round(expr("regr_r2(close, x)"), 6).as("r2"))
+        .orderBy("ticker"),
+      Some(pricesSql +
+        """SELECT ticker, count(*) AS n_days,
+          |  round(regr_slope(close, CAST("date" - DATE '1995-01-01' AS DOUBLE)), 6) AS slope,
+          |  round(regr_intercept(close, CAST("date" - DATE '1995-01-01' AS DOUBLE)), 6) AS intercept,
+          |  round(regr_r2(close, CAST("date" - DATE '1995-01-01' AS DOUBLE)), 6) AS r2
+          |FROM prices GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("w19_mad_outliers",
+      // robust median/MAD outlier profile per ticker — the
+      // breakdown-resistant twin of w7's pooled z-score. Exact
+      // percentile both sides (identical lo + (hi−lo)·frac
+      // interpolation); the outlier comparison runs on UNROUNDED
+      // bit-identical doubles, only the reported stats round.
+      (s, dir) => ValidationOps.madOutliers(
+        prices(t(s, dir, "lineitem")), "ticker", "close", k = 5.0),
+      Some(pricesSql +
+        """, med AS (SELECT ticker, quantile_cont(close, 0.5) AS med
+          |          FROM prices GROUP BY 1),
+          |dev AS (SELECT p.ticker, abs(p.close - m.med) AS adev, m.med
+          |        FROM prices p JOIN med m USING (ticker)),
+          |mad AS (SELECT ticker, quantile_cont(adev, 0.5) AS mad
+          |        FROM dev GROUP BY 1)
+          |SELECT d.ticker, count(*) AS n, round(min(d.med), 6) AS median,
+          |  round(min(m.mad), 6) AS mad,
+          |  count(*) FILTER (WHERE d.adev > 5.0 * m.mad) AS n_outliers
+          |FROM dev d JOIN mad m USING (ticker)
+          |GROUP BY d.ticker ORDER BY d.ticker""".stripMargin)),
+
+    QueryDef("scd1_scd2",
+      // SCD type-2 history compression: each ticker's price-band series
+      // collapses into validity intervals (gaps-and-islands — 1-lag
+      // change flag, running-sum island id, one agg). All-integer/date:
+      // exact cross-engine replay, no rounding contract.
+      (s, dir) => HistoryOps.scd2Compress(
+        prices(t(s, dir, "lineitem"))
+          .withColumn("band", floor(col("close") / lit(1000.0)).cast("int")),
+        "ticker", "date", "band"),
+      Some(pricesSql +
+        """, b AS (SELECT ticker, "date",
+          |          CAST(FLOOR(close / 1000.0) AS INTEGER) AS band FROM prices),
+          |f AS (SELECT ticker, "date", band,
+          |  CASE WHEN lag(band) OVER (PARTITION BY ticker ORDER BY "date")
+          |            IS NOT DISTINCT FROM band THEN 0 ELSE 1 END AS chg
+          |  FROM b),
+          |g AS (SELECT ticker, "date", band,
+          |  SUM(chg) OVER (PARTITION BY ticker ORDER BY "date"
+          |                 ROWS UNBOUNDED PRECEDING) AS grp FROM f)
+          |SELECT ticker, min(band) AS band, min("date") AS valid_from,
+          |  max("date") AS valid_to, count(*) AS n_periods
+          |FROM g GROUP BY ticker, grp ORDER BY ticker, valid_from""".stripMargin)),
+
+    QueryDef("d23_temporal_split",
+      // walk-forward split with an embargo buffer (purged backtest
+      // split): orders before the cutoff train, a 30-day quarantine
+      // absorbs autocorrelation leakage, the rest test — plus the
+      // leakage audit: how many of each split's customers also appear
+      // in train (entity overlap is expected for a temporal split;
+      // the audit MEASURES it instead of pretending a hash split's
+      // disjointness). One scan-local projection + two key-sized aggs.
+      (s, dir) => {
+        val cutoff = lit("1999-01-01").cast("date")
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          Sam.temporalSplit(to_date(col("o_orderdate")), cutoff, 30).as("split"))
+        val train = o.filter(col("split") === "train")
+          .select("o_custkey").distinct()
+        val perSplit = o.groupBy("split").agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct("o_custkey").as("n_customers"))
+        val overlap = o.select("split", "o_custkey").distinct()
+          .join(train, Seq("o_custkey"), "left_semi")
+          .groupBy("split").agg(count(lit(1)).as("n_train_overlap"))
+        perSplit.join(overlap, Seq("split"), "left")
+          .select(col("split"), col("n_orders"), col("n_customers"),
+            coalesce(col("n_train_overlap"), lit(0L)).as("n_train_overlap"))
+          .orderBy("split")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |  CASE WHEN CAST(o_orderdate AS DATE) < DATE '1999-01-01' THEN 'train'
+             |       WHEN CAST(o_orderdate AS DATE) < DATE '1999-01-31' THEN 'embargo'
+             |       WHEN o_orderdate IS NOT NULL THEN 'test' END AS split
+             |  FROM orders),
+             |tr AS (SELECT DISTINCT o_custkey FROM o WHERE split = 'train'),
+             |ps AS (SELECT split, count(*) AS n_orders,
+             |         count(DISTINCT o_custkey) AS n_customers FROM o GROUP BY 1),
+             |ov AS (SELECT d.split, count(*) AS n_train_overlap
+             |       FROM (SELECT DISTINCT split, o_custkey FROM o) d
+             |       JOIN tr USING (o_custkey) GROUP BY 1)
+             |SELECT p.split, p.n_orders, p.n_customers,
+             |  COALESCE(v.n_train_overlap, 0) AS n_train_overlap
+             |FROM ps p LEFT JOIN ov v USING (split) ORDER BY p.split""".stripMargin)),
+
+    QueryDef("ivm1_incremental_agg",
+      // incremental view maintenance: the monthly revenue summary is
+      // maintained as MERGEABLE partial states — history partials (one
+      // scan, the night they landed) + tonight's delta partials fold
+      // with a key-sized merge; the oracle RECOMPUTES from scratch, so
+      // a hash match proves merge(partials(A), partials(B)) ≡
+      // partials(A ∪ B) — exact because the sum state is DECIMAL and
+      // the rest are order-free monoids.
+      (s, dir) => {
+        import graft.warehouse.IncrementalAgg
+        val li = t(s, dir, "lineitem").select(
+          col("l_suppkey").as("ticker"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+          revenueDec.as("_rev"), col("l_shipdate"))
+        val cut = lit("1998-01-01").cast("timestamp")
+        val keys = Seq("ticker", "month")
+        val hist = IncrementalAgg.partials(
+          li.filter(col("l_shipdate") < cut), keys, col("_rev"))
+        val delta = IncrementalAgg.partials(
+          li.filter(col("l_shipdate") >= cut), keys, col("_rev"))
+        IncrementalAgg.merge(keys, hist, delta)
+          .select(col("ticker"), col("month"), col("n"),
+            money2(col("sum")).as("revenue"),
+            money2(col("min")).as("min_rev"),
+            money2(col("max")).as("max_rev"))
+          .orderBy("ticker", "month")
+      },
+      Some("""SELECT l_suppkey AS ticker, strftime(l_shipdate, '%Y-%m') AS month,
+             |  count(*) AS n,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+             |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+             |  CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(12,4))
+             |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS min_rev,
+             |  CAST(ROUND(MAX(CAST(l_extendedprice AS DECIMAL(12,4))
+             |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS max_rev
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("t17_pmi",
+      // within-document token-pair PMI (collocation mining) with the
+      // df gate ahead of the pair join — exact longs everywhere, one
+      // ln rounded to 6dp (the a14 contract).
+      (s, dir) => R.pmiPairs(docs(s, dir), "doc_id", "text",
+        minDf = 5L, minPairs = 5L),
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT doc_id AS d,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |  FROM documents),
+             |dt2 AS (SELECT d, tok FROM dt WHERE tok <> ''),
+             |fr AS (SELECT tok, count(*) AS df FROM dt2 GROUP BY 1),
+             |k AS (SELECT d, tok, df FROM dt2 JOIN fr USING (tok)
+             |      WHERE df >= 5 AND df <= 1000000)
+             |SELECT a.tok AS tok_a, b.tok AS tok_b,
+             |  min(a.df) AS n_a, min(b.df) AS n_b, count(*) AS n_ab,
+             |  round(ln(CAST((SELECT count(DISTINCT doc_id) FROM documents) AS DOUBLE)
+             |           * count(*) / (min(a.df) * min(b.df))), 6) AS pmi
+             |FROM k a JOIN k b ON a.d = b.d AND a.tok < b.tok
+             |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef("u1_union",
       (s, dir) => {
@@ -4585,6 +4811,43 @@ object Queries {
         GraphOps.labelPropagation(pairs, "src", "dst", iterations = 4)
       },
       Some(lpaOracle(4))),
+
+    QueryDef("g3_triangles",
+      // per-node triangle counts + local clustering coefficient over the
+      // first-two-years co-purchase graph (the shipdate cut bounds the
+      // edge set; the operator itself is unbounded). Spark enumerates
+      // degree-ORDERED (each triangle found once at its lowest-rank
+      // vertex, wedge work O(m^1.5)); the oracle enumerates the naive
+      // a<b<c form — orientation-invariant counts, so they must agree.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.triangleCounts(pairs, "src", "dst")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+             |            WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |tri AS MATERIALIZED (
+             |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+             |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |pern AS (SELECT node, count(*) AS triangles FROM (
+             |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri) GROUP BY 1),
+             |deg AS (SELECT node, count(*) AS deg FROM (
+             |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1)
+             |SELECT d.node, d.deg, COALESCE(p.triangles, 0) AS triangles,
+             |  CASE WHEN d.deg >= 2
+             |       THEN round(2.0 * COALESCE(p.triangles, 0) / (d.deg * (d.deg - 1.0)), 6)
+             |       ELSE 0.0 END AS clustering
+             |FROM deg d LEFT JOIN pern p USING (node) ORDER BY node""".stripMargin)),
 
     QueryDef("eval1_langid_confusion",
       // classifier evaluation as a first-class op: the n-gram langid

@@ -244,8 +244,46 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(tied.map(_._3) === List(1, 2))
     // topK truncates
     assert(RelevanceFunctions.rrfFuse(Seq(kw, vec), "id", "rank", topK = 2).count() === 2)
+  }
+
+  test("pmiPairs: hand-checked PMI; df gate cuts hubs and hapax") {
+    // 4 docs; "the" in all 4 (hub), "rare" in 1 (hapax); a,b co-occur in
+    // 2 of their 3/3 docs: PMI = ln(4·2/(3·3)) = ln(8/9).
+    val docs = Seq(
+      (1L, "the a b rare"),
+      (2L, "the a b"),
+      (3L, "the a c"),
+      (4L, "the b c")).toDF("doc_id", "text")
+    val out = RelevanceFunctions.pmiPairs(docs, "doc_id", "text",
+        minDf = 2L, maxDf = 3L, minPairs = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    def pmi(nab: Long, na: Long, nb: Long): Double =
+      BigDecimal(math.log(4.0 * nab / (na * nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // surviving tokens: a(3), b(3), c(2); pairs with >=2 co-docs: only (a,b)
+    assert(out === List(("a", "b", 3L, 3L, 2L, pmi(2, 3, 3))))
+    // dropping the gates exposes c's pairs but never "the" or "rare"
+    val all = RelevanceFunctions.pmiPairs(docs, "doc_id", "text",
+        minDf = 2L, maxDf = 3L, minPairs = 1L)
+      .select("tok_a", "tok_b").as[(String, String)].collect().toSet
+    assert(all === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    graft.Caches.releaseAll()
+  }
+
+  test("pmiPairs: repeated token in one doc counts once (doc frequency)") {
+    val docs = Seq((1L, "x x x y"), (2L, "x y y")).toDF("doc_id", "text")
+    val out = RelevanceFunctions.pmiPairs(docs, "doc_id", "text",
+        minDf = 1L, minPairs = 1L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    // n=2, x df 2, y df 2, co-occur 2: PMI = ln(2·2/4) = 0
+    assert(out === List(("x", "y", 2L, 2L, 2L, 0.0)))
+    graft.Caches.releaseAll()
+  }
+
+  test("rrfFuse: duplicate id within one list resolves deterministically") {
     // duplicate id WITHIN one list (producer-contract breach): the best
     // rank's contribution wins, deterministically — not scan order
+    val c = (r: Int) => 1.0 / (60 + r)
     val dup = Seq((7L, 4), (7L, 1), (8L, 2)).toDF("id", "rank")
     val fused = RelevanceFunctions.rrfFuse(Seq(dup), "id", "rank", topK = 2)
       .as[(Long, Double, Int)].collect().toList

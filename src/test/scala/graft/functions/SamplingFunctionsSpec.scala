@@ -10,6 +10,32 @@ class SamplingFunctionsSpec extends AnyFunSuite {
 
   private val ids = (1L to 2000L).toDF("id")
 
+  test("temporalSplit: strict cutoff, half-open embargo, null stays null") {
+    val rows = Seq("2024-01-09", "2024-01-10", "2024-01-19", "2024-01-20",
+      "2024-03-01", null)
+    val out = rows.toDF("d")
+      .select(col("d"), SamplingFunctions.temporalSplit(
+        col("d").cast("date"), lit("2024-01-10").cast("date"), 10).as("split"))
+      .as[(String, String)].collect().toMap
+    assert(out("2024-01-09") === "train")   // strictly before cutoff
+    assert(out("2024-01-10") === "embargo") // cutoff itself quarantines
+    assert(out("2024-01-19") === "embargo") // last embargo day
+    assert(out("2024-01-20") === "test")    // cutoff + embargo is test
+    assert(out("2024-03-01") === "test")
+    assert(out(null) === null)              // never silently train
+  }
+
+  test("temporalSplit: embargo 0 degenerates to a plain cutoff split") {
+    val out = Seq("2024-01-09", "2024-01-10").toDF("d")
+      .select(col("d"), SamplingFunctions.temporalSplit(
+        col("d").cast("date"), lit("2024-01-10").cast("date"), 0).as("split"))
+      .as[(String, String)].collect().toMap
+    assert(out === Map("2024-01-09" -> "train", "2024-01-10" -> "test"))
+    intercept[IllegalArgumentException] {
+      SamplingFunctions.temporalSplit(col("d"), lit("2024-01-10"), -1)
+    }
+  }
+
   test("sampleByHash is invariant under repartitioning (df.sample is not)") {
     val a = SamplingFunctions.sampleByHash(ids, "id", 1, 10)
       .as[Long].collect().toSet

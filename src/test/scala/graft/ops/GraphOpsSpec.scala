@@ -78,6 +78,51 @@ class GraphOpsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    GraphOps.triangleCounts(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (n, deg, t, c) => n -> ((deg, t, c)) }.toMap
+
+  test("triangleCounts: K3 — every node in one triangle, clustering 1.0") {
+    val out = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(out === Map(1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0))))
+    graft.Caches.releaseAll()
+  }
+
+  test("triangleCounts: K4 — each node in C(3,2)=3 triangles, clustering 1.0") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val e = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val out = tris(e)
+    assert(out.values.toSet === Set((3L, 3L, 1.0)))
+    graft.Caches.releaseAll()
+  }
+
+  test("triangleCounts: path has zero triangles; deg-1 clustering is 0") {
+    val out = tris(Seq((1L, 2L), (2L, 3L)))
+    assert(out === Map(1L -> ((1L, 0L, 0.0)), 2L -> ((2L, 0L, 0.0)),
+      3L -> ((1L, 0L, 0.0))))
+    graft.Caches.releaseAll()
+  }
+
+  test("triangleCounts: duplicate/reversed edges and self-loops collapse") {
+    // the same K3 written with noise: reversed copies, dups, a self-loop
+    val out = tris(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (1L, 1L)))
+    assert(out === Map(1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0))))
+    graft.Caches.releaseAll()
+  }
+
+  test("triangleCounts: bowtie — the hinge sits in 2 triangles, coeff 1/3") {
+    // two triangles sharing node 3: deg(3)=4, T(3)=2 → 2·2/(4·3) = 1/3
+    val out = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 3L)))
+    assert(out(3L) === ((4L, 2L, 0.333333)))
+    assert(out(1L) === ((2L, 1L, 1.0)) && out(5L) === ((2L, 1L, 1.0)))
+    graft.Caches.releaseAll()
+  }
+
   test("round-scoped pins release; only the final frame stays (tracked)") {
     graft.Caches.releaseAll()
     val before = spark.sparkContext.getPersistentRDDs.keySet

@@ -71,4 +71,18 @@ class ValidationOpsSpec extends AnyFunSuite {
       .map { case (r, i) => (s"T$i", r) }.toDF("ticker", "ret")
     assert(ValidationOps.extremeMoveCount(df, "ret", 6.0) === 1L)
   }
+
+  test("madOutliers: hand-checked median/MAD; spike counted, mean-robust") {
+    // A: values 1..9 plus one fat-finger 1000. median of the 10 values is
+    // 5.5; |dev| = {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} → MAD 2.5.
+    // k=5 → cut 12.5: only the 1000 is outside. A pooled z-score with the
+    // same data yields stddev ≈ 314 — the spike would hide itself.
+    val a = (1 to 9).map(v => ("A", v.toDouble)) :+ ("A", 1000.0)
+    val b = Seq(("B", 2.0), ("B", 2.0), ("B", 2.0)) // MAD 0: nothing beats 0*k
+    val out = ValidationOps.madOutliers((a ++ b).toDF("ticker", "close"),
+        "ticker", "close", k = 5.0)
+      .as[(String, Long, Double, Double, Long)].collect().toList
+    assert(out === List(("A", 10L, 5.5, 2.5, 1L), ("B", 3L, 2.0, 0.0, 0L)))
+    graft.Caches.releaseAll()
+  }
 }
