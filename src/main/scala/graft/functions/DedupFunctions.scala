@@ -134,6 +134,66 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Graded record-linkage pairs by Jaro-Winkler similarity — the
+    * scored companion to [[editDistancePairs]] for name/title matching
+    * where the linkage literature wants a 0..1 front-weighted score
+    * (Winkler 1990), not a hard edit budget: "Jon Smith" vs "John
+    * Smith" should OUTRANK "Jon Smith" vs "Ron Smith" even though both
+    * are one edit. Returns `(id_a, id_b, jw)` for every pair scoring
+    * ≥ `threshold` that shares at least one character q-gram, `jw`
+    * rounded to 6 dp for output (the filter runs on the unrounded
+    * value — [[JaroWinkler]] is arithmetic-pinned to the cross-engine
+    * standard, so both sides of an oracle compute identical doubles).
+    *
+    * Blocking: the same q-gram equi-join + `maxDf` hub cap as
+    * [[editDistancePairs]] (shared grams are a RECALL HEURISTIC here —
+    * JW has no gram-count lemma; pairs with no common q-gram are
+    * missed by design), plus a PROVABLE length-ratio prefilter: with
+    * m ≤ min(|a|,|b|) and the boost capped at ℓ=4,
+    * jw ≤ 0.6·(2 + min/max)/3 + 0.4, so jw ≥ θ forces
+    * min/max ≥ 5θ − 4 — at θ = 0.9 a 2:1 length mismatch can never
+    * reach the threshold and is cut before the candidate `distinct`.
+    *
+    * Scale shape: identical to [[editDistancePairs]] — the gram
+    * explode carries (id, len) only; candidate pairs collapse through
+    * one hash agg before the strings are fetched; the JW verify is a
+    * codegen'd row-local kernel on candidate pairs only.
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, q: Int = 3, maxDf: Long = 1000L,
+      broadcastOverCap: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    require(q >= 1, s"q must be >= 1 (got $q)")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .filter(col("txt").isNotNull)
+      .withColumn("len", length(col("txt")))
+    val grams0 = base.select(col("id"), col("len"),
+      explode(charGrams(col("txt"), q)).as("g"))
+    val overCap0 = grams0.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("g"))
+    val overCap = if (broadcastOverCap) broadcast(overCap0) else overCap0
+    val grams = grams0.join(overCap, Seq("g"), "left_anti")
+    val a = grams.select(col("id").as("id_a"), col("len").as("len_a"), col("g"))
+    val b = grams.select(col("id").as("id_b"), col("len").as("len_b"), col("g"))
+    val minRatio = 5.0 * threshold - 4.0
+    val cand = a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        (if (minRatio > 0.0)
+          least(col("len_a"), col("len_b")).cast("double") /
+            greatest(col("len_a"), col("len_b")) >= minRatio
+        else lit(true)))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("txt").as("_ta")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("txt").as("_tb")), Seq("id_b"))
+      .withColumn("_jw", JaroWinkler(col("_ta"), col("_tb")))
+      .filter(col("_jw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("_jw"), 6).as("jw"))
+  }
+
   /** Cross-split leakage report — the eval-hygiene check a training
     * pipeline runs AFTER splitting: every near-duplicate pair whose two
     * members landed in DIFFERENT splits (a test document with a

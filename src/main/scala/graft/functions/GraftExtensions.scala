@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.IntegerType
   *   - `nfc_normalize(s)` — [[NfcNormalize]] Unicode canonical
   *     composition (byte equality = visual equality before byte-keyed
   *     dedup)
+  *   - `jaro_winkler(a, b)` — [[JaroWinkler]] graded record-linkage
+  *     similarity (arithmetic-pinned to the cross-engine standard)
   *   - `bpe_encode(text, merges)` / `bpe_merge_apply(tokens, l, r)` —
   *     the [[BpeEncode]]/[[BpeMergeApply]] tokenizer kernels; the merge
   *     table rides as a string literal (pairs `U+001E`-separated,
@@ -94,6 +96,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         requireArity("nfc_normalize", args, 1)
         NfcNormalize(args(0))
+      }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        requireArity("jaro_winkler", args, 2)
+        JaroWinkler(args(0), args(1))
       }),
     // bpe_encode(text, merges): merges is a STRING LITERAL of ranked
     // pairs — left and right joined by U+001F, pairs by U+001E (both

@@ -1841,6 +1841,74 @@ object Queries {
              |  COALESCE(v.n_train_overlap, 0) AS n_train_overlap
              |FROM ps p LEFT JOIN ov v USING (split) ORDER BY p.split""".stripMargin)),
 
+    QueryDef("d24_jaro_linkage",
+      // graded record-linkage pairs ([[DedupFunctions.jaroWinklerPairs]],
+      // native codegen'd [[graft.functions.JaroWinkler]] — SQL
+      // `jaro_winkler`): the d15 planted titles rescored with the
+      // front-weighted 0..1 comparator instead of a hard edit budget —
+      // typo'd twins AND numbered series neighbors all clear θ=0.9,
+      // ranked by how much of the front of the string agrees. Blocking
+      // replays d15's q-gram + df-cap shape plus the PROVABLE
+      // length-ratio cut (min/max ≥ 5θ−4 = 0.5). The kernel is
+      // arithmetic-pinned to DuckDB's jaro_winkler_similarity
+      // (bytes, window max/2−1, int-halved transpositions, boost only
+      // past 0.7, prefix cap 4) — fuzz-verified bit-equal over 20k
+      // random pairs — so the ≥θ filter and the 6dp-rounded score
+      // hash-match with no tolerance.
+      (s, dir) => {
+        val titles = docs(s, dir).filter(col("doc_id") < 60)
+          .select(col("doc_id"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("stochastic gradient descent overview "),
+                expr("doc_id div 4")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("stochastic gradient descent overviev "),
+                expr("doc_id div 4")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("complete treatise on offshore sailing "),
+                expr("doc_id div 4")))
+            .otherwise(
+              concat(lit("cmplete treatise on offshore sailng "),
+                expr("doc_id div 4")))
+            .as("title"))
+        D.jaroWinklerPairs(titles, "doc_id", "title",
+            threshold = 0.9, q = 3, maxDf = 50L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH titles AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0
+             |           THEN 'stochastic gradient descent overview ' || CAST(doc_id // 4 AS VARCHAR)
+             |         WHEN doc_id % 4 = 1
+             |           THEN 'stochastic gradient descent overviev ' || CAST(doc_id // 4 AS VARCHAR)
+             |         WHEN doc_id % 4 = 2
+             |           THEN 'complete treatise on offshore sailing ' || CAST(doc_id // 4 AS VARCHAR)
+             |         ELSE 'cmplete treatise on offshore sailng ' || CAST(doc_id // 4 AS VARCHAR)
+             |    END AS title
+             |  FROM documents WHERE doc_id < 60),
+             |g0 AS (
+             |  SELECT doc_id, length(title) AS len, unnest(
+             |    CASE WHEN length(title) <= 3 THEN [title]
+             |         ELSE list_distinct(list_transform(
+             |           generate_series(1, length(title) - 2),
+             |           i -> substr(title, i, 3))) END) AS g
+             |  FROM titles),
+             |oc AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+             |gf AS (SELECT g0.* FROM g0 LEFT JOIN oc USING (g) WHERE oc.g IS NULL),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM gf a JOIN gf b ON a.g = b.g
+             |  WHERE a.doc_id < b.doc_id
+             |    AND least(a.len, b.len) * 1.0 / greatest(a.len, b.len) >= 0.5),
+             |v AS (
+             |  SELECT c.id_a, c.id_b,
+             |         jaro_winkler_similarity(ta.title, tb.title) AS sim
+             |  FROM cand c
+             |  JOIN titles ta ON ta.doc_id = c.id_a
+             |  JOIN titles tb ON tb.doc_id = c.id_b)
+             |SELECT id_a, id_b, round(sim, 6) AS jw FROM v WHERE sim >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef("ivm1_incremental_agg",
       // incremental view maintenance: the monthly revenue summary is
       // maintained as MERGEABLE partial states — history partials (one

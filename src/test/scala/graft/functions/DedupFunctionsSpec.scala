@@ -363,6 +363,65 @@ class DedupFunctionsSpec extends AnyFunSuite {
       maxDist = 2, q = 3, maxDf = 0L).isEmpty)
   }
 
+  test("jaro_winkler: kernel matches the cross-engine standard cases") {
+    import graft.functions.{JaroWinkler => JW}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String): Double = JW.similarity(u(a), u(b))
+    // the canonical literature pairs (same values DuckDB returns)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw("JELLYFISH", "SMELLYFISH") - 0.8962962962962964) < 1e-15)
+    // boost gate: jaro 0.7333 > 0.7 but zero prefix -> unboosted
+    assert(math.abs(jw("CRATE", "TRACE") - 0.7333333333333334) < 1e-15)
+    // prefix cap 4: common prefix 6 boosts as 4
+    assert(math.abs(jw("abcdefghij", "abcdefzzzz") - 0.8400000000000001) < 1e-15)
+    // below the 0.7 gate the prefix must NOT boost
+    assert(jw("abcdefgh", "abzzzzzz") === 0.5)
+    // empty-side and zero-match conventions
+    assert(jw("", "abc") === 0.0 && jw("", "") === 0.0)
+    assert(jw("abc", "xyz") === 0.0)
+    // window 0 on 2-char strings: transposed pair finds no match
+    assert(jw("ab", "ba") === 0.0)
+    assert(jw("a", "a") === 1.0 && jw("aaaa", "aaaa") === 1.0)
+    // BYTES, not code points: 'café' is 5 bytes vs 4 (the DuckDB form)
+    assert(math.abs(jw("café", "cafe") - 0.8483333333333334) < 1e-15)
+  }
+
+  test("jaroWinklerPairs: blocked linkage scores planted variants") {
+    val titles = Seq(
+      (1L, "annual financial report 2024"),
+      (2L, "annual financial reprt 2024"),   // high JW twin of 1
+      (3L, "annual financial report 2025"),  // tail digit: even higher JW
+      (4L, "guide to alpine wildflowers"),   // unrelated family
+      (5L, "guide to alpine wildflower"),
+      (6L, "zzzz")).toDF("id", "title")      // shares no gram with anyone
+    val got = DedupFunctions.jaroWinklerPairs(titles, "id", "title",
+        threshold = 0.9, q = 3, maxDf = 100L)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    // every score respects the threshold and the 6dp rounding
+    assert(got.values.forall(v => v >= 0.9 && v <= 1.0))
+    assert(got.values.forall(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble == v))
+    // grading: one-char variants score distinctly, both near 1 —
+    // the deletion keeps 27/27 matches (0.992857) vs the tail
+    // substitution's 27/28 (0.985714)
+    assert(got((1L, 2L)) === 0.992857 && got((1L, 3L)) === 0.985714)
+  }
+
+  test("jaroWinklerPairs: length-ratio prefilter is sound (no lost pair)") {
+    // min/max >= 5*0.9-4 = 0.5 can never cut a qualifying pair: a pair
+    // at ratio < 0.5 has jw <= 0.6*(2+r)/3+0.4 < 0.9. Verify the filter
+    // drops a 2:1 candidate the gram join WOULD have produced, and that
+    // its true JW is indeed under the threshold.
+    val t = Seq((1L, "abcdefgh"), (2L, "abcdefghabcdefghx")).toDF("id", "title")
+    assert(DedupFunctions.jaroWinklerPairs(t, "id", "title",
+      threshold = 0.9, q = 3, maxDf = 100L).isEmpty)
+    import graft.functions.{JaroWinkler => JW}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(JW.similarity(u("abcdefgh"), u("abcdefghabcdefghx")) < 0.9)
+  }
+
   test("removeDuplicateSpans: duplicated k-token runs cut everywhere but first") {
     val docs = Seq(
       (1L, "a b c d e", "x"),             // owns the first occurrences

@@ -66,8 +66,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ext = new GraftExtensions()
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
     assert(GraftFunctions.all.map(_._1.funcName).sorted ===
-      Seq("bpe_encode", "bpe_merge_apply", "nfc_normalize", "topk_freq",
-        "vec_cosine", "vec_dot", "winnow_fingerprints"))
+      Seq("bpe_encode", "bpe_merge_apply", "jaro_winkler", "nfc_normalize",
+        "topk_freq", "vec_cosine", "vec_dot", "winnow_fingerprints"))
+  }
+
+  test("jaro_winkler is SQL-callable and runs the native kernel") {
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS s").head().getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111111111) < 1e-15)
+    // null-strict both sides
+    assert(spark.sql(
+      "SELECT jaro_winkler(CAST(NULL AS STRING), 'x') AS s").head().isNullAt(0))
   }
 
   test("bpe_encode / bpe_merge_apply are SQL-callable; merges via literal") {
