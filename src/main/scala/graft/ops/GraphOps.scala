@@ -231,4 +231,87 @@ object GraphOps {
       } finally deg.unpersist(blocking = false)
     } finally e.unpersist(blocking = false)
   }
+
+  /** HITS hubs & authorities (Kleinberg JACM 1999) over a DIRECTED
+    * edge set — the rank pair PageRank can't express: a node is a good
+    * HUB if it points at good authorities and a good AUTHORITY if good
+    * hubs point at it (catalog curators vs canonical pages; bulk buyers
+    * vs staple parts on a purchase graph). `iterations` synchronous
+    * rounds of the standard mutual recursion, authorities updated from
+    * the PREVIOUS hubs and hubs from the NEW authorities, each side
+    * L2-normalized per round.
+    *
+    * Determinism contract (the [[pageRank]] replay form): raw
+    * contribution sums round to `roundTo` dp, then the normalized
+    * scores round again — every round's state is a well-defined 6dp
+    * frame an oracle unrolls exactly. IEEE sqrt is correctly rounded,
+    * so the norm is engine-independent given identical inputs.
+    *
+    * Scale shape: per round TWO edges⋈scores equi-joins, each feeding
+    * one map-side-partial hash aggregation, plus a scalar norm frame
+    * that rides a broadcast cross join (never a driver collect). Edges
+    * dedup once up front; no windows, no all-pairs work. Returns
+    * `(node, hub, authority)` for every node, ordered by node; a node
+    * with no out-edges has hub 0, no in-edges authority 0.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4, roundTo: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+
+    def rnd(c: org.apache.spark.sql.Column) =
+      if (roundTo >= 0) round(c, roundTo) else c
+
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // normalize a rounded raw-score frame: scalar L2 norm via a
+        // broadcast cross join, re-round, absent nodes -> 0.0
+        def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+          val nrm = raw.agg(sqrt(sum(col("_raw") * col("_raw"))).as("_nrm"))
+          nodes.join(raw, Seq("node"), "left")
+            .crossJoin(broadcast(nrm))
+            .select(col("node"),
+              rnd(coalesce(col("_raw"), lit(0.0)) / col("_nrm")).as(scoreCol))
+        }
+        // Unlike pageRank (each round references the previous ONCE,
+        // linear plan growth), `normalized` references its raw frame
+        // TWICE (norm aggregate + join), so the ANALYZED logical plan
+        // would nest 4^rounds — cache substitution only shallows the
+        // physical plan, and plan-string rendering alone OOMs by round
+        // 3. Eager local checkpoints truncate the logical plan to a
+        // LogicalRDD each step (the standard iterative-graph move);
+        // the checkpointed frames are node-cardinality, executor-held,
+        // freed by the ContextCleaner when the call's refs drop. On a
+        // cluster where executor loss matters mid-call, swap for
+        // reliable `checkpoint()` against the checkpoint dir.
+        var hubs = nodes.select(col("node"), lit(1.0).as("hub"))
+          .localCheckpoint(true)
+        var auths: DataFrame = null
+        var i = 0
+        while (i < iterations) {
+          val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(rnd(sum(col("hub"))).as("_raw"))
+            .localCheckpoint(true)
+          auths = normalized(aRaw, "authority").localCheckpoint(true)
+          val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(rnd(sum(col("authority"))).as("_raw"))
+            .localCheckpoint(true)
+          hubs = normalized(hRaw, "hub").localCheckpoint(true)
+          i += 1
+        }
+        hubs.join(auths, "node").select("node", "hub", "authority")
+          .orderBy("node")
+      } finally nodes.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
 }

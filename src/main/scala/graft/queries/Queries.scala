@@ -111,6 +111,52 @@ object Queries {
     * predecessor twice, which inlining would re-evaluate exponentially
     * (the bpeOracle lesson).
     */
+  /** Generated oracle for `g4_hits` — the directed supplier→part
+    * supply graph (suppliers offset by 1e6 into a shared id space),
+    * with `iters` unrolled HITS rounds replaying [[GraphOps.hits]]'s
+    * contract exactly: raw sums rounded to 6dp, L2-normalized, rounded
+    * again; authorities from the previous hubs, hubs from the NEW
+    * authorities. MATERIALIZED so DuckDB doesn't inline a round's CTE
+    * into both of its consumers.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """e AS MATERIALIZED (
+              |  SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+              |  FROM lineitem)""".stripMargin
+    ctes += """nodes AS MATERIALIZED (
+              |  SELECT src AS node FROM e UNION SELECT dst FROM e)""".stripMargin
+    ctes += """h0 AS MATERIALIZED (
+              |  SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)""".stripMargin
+    for (i <- 1 to iters) {
+      val p = i - 1
+      ctes += s"""ar$i AS MATERIALIZED (
+                 |  SELECT e.dst AS node, round(sum(h$p.hub), 6) AS raw
+                 |  FROM e JOIN h$p ON e.src = h$p.node GROUP BY 1)""".stripMargin
+      ctes += s"""an$i AS MATERIALIZED (
+                 |  SELECT sqrt(sum(raw * raw)) AS nrm FROM ar$i)""".stripMargin
+      ctes += s"""a$i AS MATERIALIZED (
+                 |  SELECT nodes.node,
+                 |         round(COALESCE(ar$i.raw, 0) / an$i.nrm, 6) AS authority
+                 |  FROM nodes CROSS JOIN an$i
+                 |  LEFT JOIN ar$i ON nodes.node = ar$i.node)""".stripMargin
+      ctes += s"""hr$i AS MATERIALIZED (
+                 |  SELECT e.src AS node, round(sum(a$i.authority), 6) AS raw
+                 |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY 1)""".stripMargin
+      ctes += s"""hn$i AS MATERIALIZED (
+                 |  SELECT sqrt(sum(raw * raw)) AS nrm FROM hr$i)""".stripMargin
+      ctes += s"""h$i AS MATERIALIZED (
+                 |  SELECT nodes.node,
+                 |         round(COALESCE(hr$i.raw, 0) / hn$i.nrm, 6) AS hub
+                 |  FROM nodes CROSS JOIN hn$i
+                 |  LEFT JOIN hr$i ON nodes.node = hr$i.node)""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") +
+      s"""\nSELECT h$iters.node, h$iters.hub, a$iters.authority
+         |FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node
+         |ORDER BY 1""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val ctes = Seq.newBuilder[String]
     ctes += """pairs AS MATERIALIZED (
@@ -924,6 +970,55 @@ object Queries {
           |FROM prices p LEFT JOIN flags f ON p.ticker = f.ticker AND p."date" = f."date"
           |ORDER BY p.ticker, p."date"""".stripMargin)),
 
+    QueryDef("j7_full_recon",
+      // symmetric source reconciliation: FULL OUTER join of two feeds
+      // on (ticker, date), every row classified present-in-both
+      // (match/mismatch on the exact-decimal close) or one-sided, then
+      // a per-ticker roll-up. The j1 family compares where both sides
+      // exist; this is the completeness audit — which (key, day) cells
+      // each feed is MISSING. One shuffle on the join key; the roll-up
+      // reuses the same hashed distribution (no second exchange on
+      // ticker beyond the agg). Presence = side's close IS NOT NULL
+      // (non-null by construction when the row exists).
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem")).filter(col("ticker") % 7 === 0)
+          .select(col("ticker"), col("date"), col("close").as("p_close"))
+        val g = grossSubset(s, dir)
+          .select(col("ticker"), col("date"), col("close").as("s_close"))
+        p.join(g, Seq("ticker", "date"), "full_outer")
+          .select(col("ticker"),
+            when(col("p_close").isNotNull && col("s_close").isNotNull,
+              when(col("p_close") === col("s_close"), "match")
+                .otherwise("mismatch"))
+            .when(col("p_close").isNotNull, lit("primary_only"))
+            .otherwise(lit("secondary_only")).as("status"))
+          .groupBy("ticker")
+          .agg(count(lit(1)).as("n_days"),
+            sum(when(col("status") === "match", 1L).otherwise(0L)).as("n_match"),
+            sum(when(col("status") === "mismatch", 1L).otherwise(0L)).as("n_mismatch"),
+            sum(when(col("status") === "primary_only", 1L).otherwise(0L)).as("n_primary_only"),
+            sum(when(col("status") === "secondary_only", 1L).otherwise(0L)).as("n_secondary_only"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + grossSql +
+        """, p AS (SELECT ticker, "date", close AS p_close FROM prices
+          |        WHERE ticker % 7 = 0),
+          |j AS (
+          |  SELECT COALESCE(p.ticker, g.ticker) AS ticker,
+          |    CASE WHEN p.p_close IS NOT NULL AND g.close IS NOT NULL
+          |           THEN (CASE WHEN p.p_close = g.close
+          |                      THEN 'match' ELSE 'mismatch' END)
+          |         WHEN p.p_close IS NOT NULL THEN 'primary_only'
+          |         ELSE 'secondary_only' END AS status
+          |  FROM p FULL OUTER JOIN gross g
+          |    ON p.ticker = g.ticker AND p."date" = g."date")
+          |SELECT ticker, count(*) AS n_days,
+          |  CAST(SUM(CASE WHEN status = 'match' THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+          |  CAST(SUM(CASE WHEN status = 'mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+          |  CAST(SUM(CASE WHEN status = 'primary_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_primary_only,
+          |  CAST(SUM(CASE WHEN status = 'secondary_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_secondary_only
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("j3_dedup_antijoin",
       (s, dir) => {
         val p = prices(t(s, dir, "lineitem"))
@@ -1703,6 +1798,41 @@ object Queries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY ROLLUP (r_name, n_name)
              |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
+    QueryDef("a19_cube",
+      // full CUBE over (region, nation) with an explicit grouping_id —
+      // a16's rollup gives the hierarchy; CUBE adds the nation-level
+      // slice ACROSS regions (gid=2), and the gid column is the
+      // machine-readable subtotal marker (NULL-in-data vs NULL-as-
+      // subtotal stay distinguishable). Same single hash aggregation
+      // expanding to all four grouping sets with map-side partials;
+      // Spark and DuckDB agree on the bit order (first column = MSB).
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_suppkey"), revenueDec.as("_rev"))
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val reg = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .cube(col("r_name"), col("n_name"))
+          .agg(grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n_items"), money2(sum(col("_rev"))).as("revenue"))
+          .orderBy(col("gid"), col("r_name").asc_nulls_first,
+            col("n_name").asc_nulls_first)
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(GROUPING_ID(r_name, n_name) AS INTEGER) AS gid,
+             |  count(*) AS n_items,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+             |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY CUBE (r_name, n_name)
+             |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
 
     QueryDef("a17_pivot",
       // long→wide pivot: daily event matrix with one (count, decimal
@@ -4916,6 +5046,22 @@ object Queries {
              |       THEN round(2.0 * COALESCE(p.triangles, 0) / (d.deg * (d.deg - 1.0)), 6)
              |       ELSE 0.0 END AS clustering
              |FROM deg d LEFT JOIN pern p USING (node) ORDER BY node""".stripMargin)),
+
+    QueryDef("g4_hits",
+      // HITS over the directed supplier→part supply graph (suppliers
+      // offset into a shared id space): hub score ranks suppliers by
+      // how much they stock authoritative parts, authority ranks parts
+      // by how many strong suppliers stock them — the mutual-recursion
+      // pair PageRank's single score can't express. 4 synchronous
+      // rounds, every node's 6dp hub AND authority value-checked by
+      // the unrolled oracle.
+      (s, dir) => {
+        val e = t(s, dir, "lineitem")
+          .select((col("l_suppkey") + 1000000L).as("src"),
+            col("l_partkey").as("dst"))
+        GraphOps.hits(e, "src", "dst", iterations = 4)
+      },
+      Some(hitsOracle(4))),
 
     QueryDef("eval1_langid_confusion",
       // classifier evaluation as a first-class op: the n-gram langid

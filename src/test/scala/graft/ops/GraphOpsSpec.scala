@@ -78,6 +78,52 @@ class GraphOpsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  private def hitsMap(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Double, Double)] =
+    GraphOps.hits(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .as[(Long, Double, Double)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+
+  test("hits: two hubs, one shared authority — hand-checked round") {
+    // 1 -> 3, 2 -> 3: a(3) = 2/2 = 1 (only authority), h(1) = h(2) =
+    // 1/sqrt(2) at every round; node 3 has no out-edges -> hub 0,
+    // nodes 1,2 no in-edges -> authority 0.
+    val r = hitsMap(Seq((1L, 3L), (2L, 3L)), 1)
+    val inv = r6(1.0 / math.sqrt(2))
+    assert(r === Map(1L -> ((inv, 0.0)), 2L -> ((inv, 0.0)),
+      3L -> ((0.0, 1.0))))
+    assert(hitsMap(Seq((1L, 3L), (2L, 3L)), 3) === r, "fixed point")
+    graft.Caches.releaseAll()
+  }
+
+  test("hits: star hub dominates; authority splits over in-degree") {
+    // 1 -> {2,3}, 4 -> 2: after round 1, raw a = (h1+h4, h1) = (2,1),
+    // norm sqrt(5); raw h = (a2+a3, a2) with the NEW a.
+    val r = hitsMap(Seq((1L, 2L), (1L, 3L), (4L, 2L)), 1)
+    val a2 = r6(2.0 / math.sqrt(5))
+    val a3 = r6(1.0 / math.sqrt(5))
+    val hrRaw1 = BigDecimal(a2 + a3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nrm = math.sqrt(hrRaw1 * hrRaw1 + a2 * a2)
+    assert(r(2L) === ((0.0, a2)) && r(3L) === ((0.0, a3)))
+    assert(r(1L) === ((r6(hrRaw1 / nrm), 0.0)))
+    assert(r(4L) === ((r6(a2 / nrm), 0.0)))
+    assert(r(1L)._1 > r(4L)._1, "the two-authority hub outranks")
+    graft.Caches.releaseAll()
+  }
+
+  test("hits: duplicate edges and self-loops drop; nulls no phantom nodes") {
+    val dirty = Seq((Some(1L), Some(3L)), (Some(1L), Some(3L)),
+      (Some(2L), Some(3L)), (Some(3L), Some(3L)), (None, Some(9L)))
+      .toDF("s", "d")
+    val out = GraphOps.hits(dirty, "s", "d", iterations = 1)
+      .as[(Long, Double, Double)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+    val inv = r6(1.0 / math.sqrt(2))
+    assert(out === Map(1L -> ((inv, 0.0)), 2L -> ((inv, 0.0)),
+      3L -> ((0.0, 1.0))))
+    graft.Caches.releaseAll()
+  }
+
   private def tris(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
     GraphOps.triangleCounts(edges.toDF("s", "d"), "s", "d")
       .as[(Long, Long, Long, Double)].collect()
