@@ -232,6 +232,60 @@ object GraphOps {
     } finally e.unpersist(blocking = false)
   }
 
+  /** k-core peel (Seidman 1983; Batagelj–Zaveršnik's iterative-removal
+    * form): repeatedly delete nodes of degree < k from the UNDIRECTED
+    * closure of `edges` until only the k-core remains — the standard
+    * density filter for community cores, spam-farm isolation, and
+    * "well-connected enough to trust" sampling weights next to
+    * [[pageRank]]/[[triangleCounts]].
+    *
+    * Synchronous contract: exactly `rounds` peel rounds, each removing
+    * EVERY node whose degree in the current edge set is < k, then
+    * restricting edges to survivors. A fixed round count makes the
+    * result exactly replayable by an unrolled oracle; peeling is
+    * monotone, so once a round removes nothing the state is the true
+    * k-core and further rounds are no-ops — size `rounds` to the
+    * graph's peel depth (callers can verify convergence by comparing
+    * `rounds` and `rounds + 1`). Returns `(node, deg)` for every node
+    * of the surviving edge set with its degree there, ordered by node;
+    * isolated-by-peeling nodes are gone.
+    *
+    * Scale shape: per round one degree hash-agg + two semi-joins
+    * restricting the edge set — all equi-joins on node ids, no
+    * windows, no collect. Each round's edge set references the
+    * previous one THREE times (degree count + both endpoint
+    * restrictions), so rounds are eagerly local-checkpointed to keep
+    * the logical plan linear (the [[hits]] lesson); frames shrink
+    * monotonically.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val deg = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+        .localCheckpoint(true)
+      e = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      i += 1
+    }
+    e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
   /** HITS hubs & authorities (Kleinberg JACM 1999) over a DIRECTED
     * edge set — the rank pair PageRank can't express: a node is a good
     * HUB if it points at good authorities and a good AUTHORITY if good

@@ -111,6 +111,39 @@ object Queries {
     * predecessor twice, which inlining would re-evaluate exponentially
     * (the bpeOracle lesson).
     */
+  /** Generated oracle for `g5_kcore` — the g3 co-purchase edge set
+    * (canonical u<v, first two years), `rounds` unrolled synchronous
+    * peel rounds of [[GraphOps.kCore]]'s contract: drop every node
+    * with degree < k, restrict edges to survivors, repeat. All-integer
+    * — exact replay, no rounding contract.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """e0 AS MATERIALIZED (
+              |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              |  FROM lineitem a JOIN lineitem b
+              |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              |  WHERE a.l_shipdate < TIMESTAMP '1997-01-01'
+              |    AND b.l_shipdate < TIMESTAMP '1997-01-01')""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      ctes += s"""d$i AS MATERIALIZED (
+                 |  SELECT node, count(*) AS deg FROM (
+                 |    SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p)
+                 |  GROUP BY 1)""".stripMargin
+      ctes += s"""s$i AS MATERIALIZED (
+                 |  SELECT node FROM d$i WHERE deg >= $k)""".stripMargin
+      ctes += s"""e$i AS MATERIALIZED (
+                 |  SELECT e.u, e.v FROM e$p e
+                 |  JOIN s$i a ON e.u = a.node
+                 |  JOIN s$i b ON e.v = b.node)""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") +
+      s"""\nSELECT node, count(*) AS deg FROM (
+         |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Generated oracle for `g4_hits` — the directed supplier→part
     * supply graph (suppliers offset by 1e6 into a shared id space),
     * with `iters` unrolled HITS rounds replaying [[GraphOps.hits]]'s
@@ -1887,6 +1920,39 @@ object Queries {
           |  round(regr_r2(close, CAST("date" - DATE '1995-01-01' AS DOUBLE)), 6) AS r2
           |FROM prices GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    QueryDef("w21_seasonality",
+      // trend-seasonality decomposition: per-ticker OLS detrend (the
+      // a18 fit, UNROUNDED) then the weekday profile of the residuals —
+      // mean residual per (ticker, weekday 0=Mon). The fit frame is
+      // ticker-cardinality and broadcasts back onto the scan; one
+      // further hash agg on (ticker, weekday). Engine co-moment ulps
+      // (~1e-14 in slope, ~1e-12 in a residual mean) sit far under the
+      // 6dp output rounding — the a12/a18 contract.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+          .withColumn("x",
+            datediff(col("date"), lit("1995-01-01").cast("date")).cast("double"))
+        val fit = p.groupBy("ticker").agg(
+          expr("regr_slope(close, x)").as("_m"),
+          expr("regr_intercept(close, x)").as("_b"))
+        p.join(broadcast(fit), "ticker")
+          .withColumn("_r", col("close") - (col("_b") + col("_m") * col("x")))
+          .groupBy(col("ticker"), weekday(col("date")).cast("int").as("wd"))
+          .agg(count(lit(1)).as("n_days"),
+            round(avg(col("_r")), 6).as("mean_resid"))
+          .orderBy("ticker", "wd")
+      },
+      Some(pricesSql +
+        """, px AS (SELECT ticker, "date", close,
+          |    CAST("date" - DATE '1995-01-01' AS DOUBLE) AS x FROM prices),
+          |fit AS (SELECT ticker, regr_slope(close, x) AS m,
+          |          regr_intercept(close, x) AS b FROM px GROUP BY 1)
+          |SELECT p.ticker, CAST(isodow(p."date") - 1 AS INTEGER) AS wd,
+          |  count(*) AS n_days,
+          |  round(avg(p.close - (f.b + f.m * p.x)), 6) AS mean_resid
+          |FROM px p JOIN fit f USING (ticker)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("w19_mad_outliers",
       // robust median/MAD outlier profile per ticker — the
       // breakdown-resistant twin of w7's pooled z-score. Exact
@@ -2038,6 +2104,84 @@ object Queries {
              |  JOIN titles tb ON tb.doc_id = c.id_b)
              |SELECT id_a, id_b, round(sim, 6) AS jw FROM v WHERE sim >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("er1_entity_resolution",
+      // end-to-end entity resolution composed from the session's parts:
+      // block+score (d24's jaroWinklerPairs) → transitive closure
+      // (connectedComponents — A~B, B~C merge even when (A,C) never
+      // scored) → one canonical entity id per cluster (the component's
+      // min member; unmatched records stay their own entity). The
+      // per-entity roll-up counts merged records — the dedup-rate
+      // report a mastering pipeline ships. Oracle replays pairs
+      // verbatim then closes them with a recursive CTE.
+      (s, dir) => {
+        val titles = docs(s, dir).filter(col("doc_id") < 60)
+          .select(col("doc_id"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("stochastic gradient descent overview "),
+                expr("doc_id div 4")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("stochastic gradient descent overviev "),
+                expr("doc_id div 4")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("complete treatise on offshore sailing "),
+                expr("doc_id div 4")))
+            .otherwise(
+              concat(lit("cmplete treatise on offshore sailng "),
+                expr("doc_id div 4")))
+            .as("title"))
+        val pairs = D.jaroWinklerPairs(titles, "doc_id", "title",
+          threshold = 0.9, q = 3, maxDf = 50L)
+        val cc = D.connectedComponents(pairs)
+        titles.join(cc, titles("doc_id") === cc("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("entity_id"))
+          .groupBy("entity_id")
+          .agg(count(lit(1)).as("n_records"), max(col("doc_id")).as("max_doc"))
+          .orderBy("entity_id")
+      },
+      Some("""WITH RECURSIVE titles AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0
+             |           THEN 'stochastic gradient descent overview ' || CAST(doc_id // 4 AS VARCHAR)
+             |         WHEN doc_id % 4 = 1
+             |           THEN 'stochastic gradient descent overviev ' || CAST(doc_id // 4 AS VARCHAR)
+             |         WHEN doc_id % 4 = 2
+             |           THEN 'complete treatise on offshore sailing ' || CAST(doc_id // 4 AS VARCHAR)
+             |         ELSE 'cmplete treatise on offshore sailng ' || CAST(doc_id // 4 AS VARCHAR)
+             |    END AS title
+             |  FROM documents WHERE doc_id < 60),
+             |g0 AS (
+             |  SELECT doc_id, length(title) AS len, unnest(
+             |    CASE WHEN length(title) <= 3 THEN [title]
+             |         ELSE list_distinct(list_transform(
+             |           generate_series(1, length(title) - 2),
+             |           i -> substr(title, i, 3))) END) AS g
+             |  FROM titles),
+             |oc AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+             |gf AS (SELECT g0.* FROM g0 LEFT JOIN oc USING (g) WHERE oc.g IS NULL),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM gf a JOIN gf b ON a.g = b.g
+             |  WHERE a.doc_id < b.doc_id
+             |    AND least(a.len, b.len) * 1.0 / greatest(a.len, b.len) >= 0.5),
+             |pairs AS (
+             |  SELECT c.id_a, c.id_b FROM cand c
+             |  JOIN titles ta ON ta.doc_id = c.id_a
+             |  JOIN titles tb ON tb.doc_id = c.id_b
+             |  WHERE jaro_winkler_similarity(ta.title, tb.title) >= 0.9),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+             |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+             |SELECT COALESCE(cc.component, t.doc_id) AS entity_id,
+             |  count(*) AS n_records, max(t.doc_id) AS max_doc
+             |FROM titles t LEFT JOIN cc ON t.doc_id = cc.id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef("ivm1_incremental_agg",
       // incremental view maintenance: the monthly revenue summary is
@@ -5046,6 +5190,23 @@ object Queries {
              |       THEN round(2.0 * COALESCE(p.triangles, 0) / (d.deg * (d.deg - 1.0)), 6)
              |       ELSE 0.0 END AS clustering
              |FROM deg d LEFT JOIN pern p USING (node) ORDER BY node""".stripMargin)),
+
+    QueryDef("g5_kcore",
+      // 6-core of the first-two-years co-purchase graph: 6 synchronous
+      // peel rounds (the graph's measured peel depth at this scale is
+      // 5, so round 6 is the convergence witness — the state IS the
+      // true 6-core here). All-integer: the unrolled oracle replays
+      // every round exactly.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.kCore(pairs, "src", "dst", k = 6, rounds = 6)
+      },
+      Some(kCoreOracle(6, 6))),
 
     QueryDef("g4_hits",
       // HITS over the directed supplier→part supply graph (suppliers

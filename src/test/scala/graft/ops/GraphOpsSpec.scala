@@ -78,6 +78,32 @@ class GraphOpsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+    GraphOps.kCore(edges.toDF("s", "d"), "s", "d", k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore: pendant chain peels away round by round; K4 survives") {
+    // K4 on {1,2,3,4} plus a tail 4-5-6: round 1 drops 6 (deg 1),
+    // round 2 drops 5 (its deg fell to 1), K4 is the 2-core.
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val k4 = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val e = k4 ++ Seq((4L, 5L), (5L, 6L))
+    assert(core(e, k = 2, rounds = 1).keySet === Set(1L, 2L, 3L, 4L, 5L))
+    val converged = core(e, k = 2, rounds = 2)
+    assert(converged === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // convergence witness: one more round changes nothing
+    assert(core(e, k = 2, rounds = 3) === converged)
+    // k above the max degree empties the graph
+    assert(core(e, k = 4, rounds = 2).isEmpty)
+  }
+
+  test("kCore: cascade — a clique member hanging on by the tail") {
+    // triangle {1,2,3} + path 3-4: k=2 round 1 removes 4; the triangle
+    // holds (each deg 2). Duplicates/reversed edges collapse first.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
+    assert(core(e, k = 2, rounds = 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   private def hitsMap(edges: Seq[(Long, Long)], iters: Int)
       : Map[Long, (Double, Double)] =
     GraphOps.hits(edges.toDF("s", "d"), "s", "d", iterations = iters)
