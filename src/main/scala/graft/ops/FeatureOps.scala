@@ -121,6 +121,67 @@ object FeatureOps {
         col(value).isNull.as("was_missing"))
   }
 
+  /** Business-day gap repair by LINEAR INTERPOLATION — the estimation
+    * twin of [[gapFillBusinessDays]]'s forward fill: a missing day gets
+    * prev + (next − prev) · Δt/ΔT between its nearest observed
+    * neighbors (pandas `interpolate(method='time')`), which a forward
+    * fill systematically biases toward the stale side. Leading gaps
+    * take the next value, trailing gaps the previous; observed rows
+    * pass through EXACTLY (never recomputed). Interpolated values are
+    * the RAW IEEE result `pv + (nv − pv)·(Δt/ΔT)` — day deltas are
+    * exact ints, the inputs are shared doubles, and IEEE arithmetic is
+    * exactly specified, so the unrounded frame replays bit-for-bit in
+    * any engine evaluating the same expression. (Do NOT round: a
+    * decimal round re-introduces engine-specific boundary behavior —
+    * a value landing on an exact .xxxxxx5 flips between engines.)
+    *
+    * Scale: same shape as the forward fill — calendar is days ×
+    * entities, one entity-hash join; BOTH neighbor lookups are O(n)
+    * running frames (unbounded-preceding accumulation), the forward
+    * one over a DESCENDING sort of the same partitioning — one
+    * exchange, two sorts. (The naive `first over (current..unbounded
+    * following)` frame rescans the tail per row — O(n²) per entity,
+    * measured 5× the forward fill's cost at sf0.1.)
+    */
+  def interpolateBusinessDays(df: DataFrame, entity: String, time: String,
+      value: String,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    if (storage != org.apache.spark.storage.StorageLevel.NONE)
+      graft.Caches.trackedPersist(df, storage)
+    val spans = df.groupBy(col(entity))
+      .agg(min(col(time)).as("_d0"), max(col(time)).as("_d1"))
+    val calendar = spans
+      .withColumn("_day", explode(sequence(col("_d0"), col("_d1"))))
+      .filter(weekday(col("_day")) < 5)
+      .select(col(entity), col("_day").as(time))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entity)).orderBy(col(time))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // next-neighbor = running last over the REVERSED order: O(n)
+    // accumulation instead of an O(n²) unbounded-following rescan
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entity)).orderBy(col(time).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    calendar.join(df.select(col(entity), col(time), col(value)),
+        Seq(entity, time), "full")
+      .withColumn("_pv", last(col(value), ignoreNulls = true).over(wB))
+      .withColumn("_pt",
+        last(when(col(value).isNotNull, col(time)), ignoreNulls = true).over(wB))
+      .withColumn("_nv", last(col(value), ignoreNulls = true).over(wF))
+      .withColumn("_nt",
+        last(when(col(value).isNotNull, col(time)), ignoreNulls = true).over(wF))
+      .select(col(entity), col(time),
+        when(col(value).isNotNull, col(value))
+          .when(col("_pv").isNull, col("_nv"))
+          .when(col("_nv").isNull, col("_pv"))
+          .otherwise(col("_pv") + (col("_nv") - col("_pv")) *
+            (datediff(col(time), col("_pt")).cast("double") /
+             datediff(col("_nt"), col("_pt")).cast("double")))
+          .as(s"${value}_interp"),
+        col(value).isNull.as("was_missing"))
+  }
+
   def keepLast(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame =
     keepLast(df, keys, Seq(seqCol))
 

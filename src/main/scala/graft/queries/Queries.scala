@@ -1563,6 +1563,134 @@ object Queries {
           |  CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS volume
           |FROM prices GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("w22_interpolate",
+      // gap repair by linear interpolation ([[FeatureOps
+      // .interpolateBusinessDays]]) — w9's forward fill estimates a
+      // missing Tuesday as Monday's value; this one draws the line to
+      // the next observation (pandas interpolate(method='time')). Day
+      // deltas are exact ints and both engines run the identical IEEE
+      // expression UNROUNDED — bit-exact by IEEE determinism (a 6dp
+      // round re-introduced engine-specific boundary flips; measured:
+      // exactly one row in 193k sat on a .5 boundary).
+      (s, dir) => FeatureOps.interpolateBusinessDays(
+          prices(t(s, dir, "lineitem")).select("ticker", "date", "close"),
+          "ticker", "date", "close")
+        .orderBy("ticker", "date"),
+      Some(pricesSql +
+        """, spans AS (SELECT ticker, min("date") AS d0, max("date") AS d1 FROM prices GROUP BY 1),
+          |cal AS (
+          |  SELECT ticker,
+          |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS "date"
+          |  FROM spans),
+          |bd AS (SELECT ticker, "date" FROM cal WHERE isodow("date") <= 5),
+          |j AS (
+          |  SELECT COALESCE(b.ticker, p.ticker) AS ticker,
+          |         COALESCE(b."date", p."date") AS "date", p.close
+          |  FROM bd b FULL JOIN prices p
+          |    ON b.ticker = p.ticker AND b."date" = p."date"),
+          |nb AS (
+          |  SELECT ticker, "date", close,
+          |    last_value(close IGNORE NULLS) OVER wb AS pv,
+          |    last_value(CASE WHEN close IS NOT NULL THEN "date" END IGNORE NULLS)
+          |      OVER wb AS pt,
+          |    first_value(close IGNORE NULLS) OVER wf AS nv,
+          |    first_value(CASE WHEN close IS NOT NULL THEN "date" END IGNORE NULLS)
+          |      OVER wf AS nt
+          |  FROM j
+          |  WINDOW wb AS (PARTITION BY ticker ORDER BY "date"
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |         wf AS (PARTITION BY ticker ORDER BY "date"
+          |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          |SELECT ticker, "date",
+          |  CASE WHEN close IS NOT NULL THEN close
+          |       WHEN pv IS NULL THEN nv
+          |       WHEN nv IS NULL THEN pv
+          |       ELSE pv + (nv - pv) *
+          |              (CAST("date" - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+          |  END AS close_interp,
+          |  close IS NULL AS was_missing
+          |FROM nb ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("a20_fk_violations",
+      // referential-integrity audit over the catalog's declared FKs —
+      // one row per relationship with checked/orphan counts. Each
+      // relationship is ONE fact scan with a broadcast left join
+      // against the (distinct, key-only) dimension and a fused count/
+      // sum aggregation; the five single-row results union. Zero
+      // orphans is the passing grade — the audit exists to PROVE it
+      // nightly, not assume it.
+      (s, dir) => {
+        def audit(rel: String, fact: DataFrame, key: String,
+            dim: DataFrame, dimKey: String): DataFrame =
+          fact.select(col(key))
+            .join(broadcast(dim.select(col(dimKey).as(key)).distinct()
+              .withColumn("_hit", lit(1))), Seq(key), "left")
+            .agg(count(lit(1)).as("n_checked"),
+              sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(rel).as("relationship"), col("n_checked"), col("n_orphans"))
+        audit("customer.nationkey->nation", t(s, dir, "customer"), "c_nationkey",
+            t(s, dir, "nation"), "n_nationkey")
+          .unionByName(audit("lineitem.partkey->part", t(s, dir, "lineitem"),
+            "l_partkey", t(s, dir, "part"), "p_partkey"))
+          .unionByName(audit("lineitem.suppkey->supplier", t(s, dir, "lineitem"),
+            "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+          .unionByName(audit("nation.regionkey->region", t(s, dir, "nation"),
+            "n_regionkey", t(s, dir, "region"), "r_regionkey"))
+          .unionByName(audit("orders.custkey->customer", t(s, dir, "orders"),
+            "o_custkey", t(s, dir, "customer"), "c_custkey"))
+          .orderBy("relationship")
+      },
+      Some("""SELECT 'customer.nationkey->nation' AS relationship,
+             |  count(*) AS n_checked,
+             |  CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+             |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |UNION ALL
+             |SELECT 'lineitem.partkey->part', count(*),
+             |  CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+             |UNION ALL
+             |SELECT 'lineitem.suppkey->supplier', count(*),
+             |  CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |UNION ALL
+             |SELECT 'nation.regionkey->region', count(*),
+             |  CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+             |UNION ALL
+             |SELECT 'orders.custkey->customer', count(*),
+             |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             |ORDER BY 1""".stripMargin)),
+
+    QueryDef("a21_unpivot",
+      // long-form melt of the weekly OHLC frame (the a17 pivot's
+      // inverse): Spark's native unpivot — a scan-local generator
+      // expression, 4 output rows per input row, no shuffle beyond
+      // the OHLC aggregation it reads. The oracle melts with UNPIVOT.
+      (s, dir) => prices(t(s, dir, "lineitem"))
+        .groupBy(col("ticker"),
+          date_trunc("week", col("date")).cast("date").as("week"))
+        .agg(
+          min_by(col("close"), col("date")).as("open"),
+          max(col("close")).as("high"),
+          min(col("close")).as("low"),
+          max_by(col("close"), col("date")).as("close"))
+        .unpivot(Array(col("ticker"), col("week")),
+          Array(col("open"), col("high"), col("low"), col("close")),
+          "field", "value")
+        .orderBy("ticker", "week", "field"),
+      Some(pricesSql +
+        """, ohlc AS (
+          |  SELECT ticker, date_trunc('week', "date") AS week,
+          |    arg_min(close, "date") AS open,
+          |    max(close) AS high, min(close) AS low,
+          |    arg_max(close, "date") AS close
+          |  FROM prices GROUP BY 1, 2)
+          |SELECT ticker, week, field, value
+          |FROM (UNPIVOT ohlc ON open, high, low, close
+          |      INTO NAME field VALUE value)
+          |ORDER BY ticker, week, field""".stripMargin)),
+
     QueryDef("w17_macd",
       // MACD through the truncated-EWMA machinery ([[FeatureOps
       // .withEwma]] composed three times): macd = ewma12 − ewma26 of

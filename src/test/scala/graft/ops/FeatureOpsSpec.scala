@@ -93,6 +93,49 @@ class FeatureOpsSpec extends AnyFunSuite {
       ("2024-01-09", 30.0, false)))
   }
 
+  test("interpolateBusinessDays draws the line between neighbors") {
+    // Mon 10, Thu 40 with Tue/Wed missing: Tue = 10 + 30·(1/3) = 20,
+    // Wed = 10 + 30·(2/3) = 30. Observed rows pass through untouched.
+    val df = Seq(
+      ("A", "2024-01-01", 10.0), ("A", "2024-01-04", 40.0))
+      .toDF("ticker", "d", "close")
+      .select(col("ticker"), to_date(col("d")).as("date"), col("close"))
+    val out = FeatureOps.interpolateBusinessDays(df, "ticker", "date", "close")
+      .orderBy("date")
+      .select(col("date").cast("string"), col("close_interp"), col("was_missing"))
+      .as[(String, Double, Boolean)].collect()
+    assert(out === Array(
+      ("2024-01-01", 10.0, false),
+      ("2024-01-02", 20.0, true),
+      ("2024-01-03", 30.0, true),
+      ("2024-01-04", 40.0, false)))
+    graft.Caches.releaseAll()
+  }
+
+  test("interpolateBusinessDays: weekend-aware deltas and edge gaps") {
+    // Fri 10, next Tue 40: Mon sits 3 calendar days past Friday of a
+    // 4-day span -> 10 + 30·(3/4) = 32.5 (time interpolation, not
+    // row-position). A trailing business-day gap takes the previous
+    // value (no next neighbor); entities interpolate independently.
+    val df = Seq(
+      ("A", "2024-01-05", Some(10.0)), ("A", "2024-01-09", Some(40.0)),
+      ("B", "2024-01-04", Some(7.0)), ("B", "2024-01-05", Option.empty[Double]))
+      .toDF("ticker", "d", "close")
+      .select(col("ticker"), to_date(col("d")).as("date"), col("close"))
+    val out = FeatureOps.interpolateBusinessDays(df, "ticker", "date", "close")
+      .orderBy("ticker", "date")
+      .select(col("ticker"), col("date").cast("string"),
+        col("close_interp"), col("was_missing"))
+      .as[(String, String, Double, Boolean)].collect()
+    assert(out === Array(
+      ("A", "2024-01-05", 10.0, false),
+      ("A", "2024-01-08", 32.5, true), // Monday: 3/4 of the way in TIME
+      ("A", "2024-01-09", 40.0, false),
+      ("B", "2024-01-04", 7.0, false),
+      ("B", "2024-01-05", 7.0, true))) // trailing gap: previous value
+    graft.Caches.releaseAll()
+  }
+
   test("gapFillBusinessDays keeps weekend observations and fills from them") {
     // Fri observed, Sat observed (weekend session), Mon missing, Tue
     // observed: the Saturday row must survive with its own value and be
