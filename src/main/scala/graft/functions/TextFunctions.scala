@@ -582,4 +582,49 @@ object TextFunctions {
       .select(col(idCol), col("_c.chunk_id").as("chunk_id"),
         col("_c.chunk_text").as("chunk_text"), col("_c.n_tokens").as("n_tokens"))
   }
+
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * word n-grams that appear in no other document — the complement of
+    * the corpus-overlap signal. Boilerplate-heavy pages (nav chrome,
+    * licence footers, templated listings) trend toward 0; genuinely new
+    * prose toward 1. The aggregate ranking companion to the PAIRWISE
+    * dedup family: containment/Jaccard say *who* a document overlaps,
+    * novelty says *how much of it* is its own — the upweight-the-novel
+    * / downweight-the-templated curation signal.
+    *
+    * Returns `(id, n_grams, n_novel, novelty)` for every input row;
+    * `novelty` = n_novel / n_grams rounded to 6 dp (a ratio of ints
+    * with denominator ≪ 2·10⁶ can never land on a .xxxxxx5 decimal
+    * boundary, so the round is engine-independent), null when the
+    * document has no grams (empty text).
+    *
+    * Scale shape: one explode to distinct (doc, gram) pairs (shingles
+    * are distinct per doc by construction), gram document-frequency in
+    * one map-side-partial hash agg, one equi-join back on the gram, and
+    * a per-doc aggregation. The df frame is VOCABULARY-sized, not
+    * corpus-sized; nothing is all-pairs. df == 1 means "only this doc"
+    * because the pairs are per-doc distinct.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val grams = graft.Caches.trackedPersist(
+      df.select(col(idCol).as("_id"),
+          explode(graft.functions.DedupFunctions.wordShingles(col(textCol), n))
+            .as("_g"))
+        .filter(col("_g") =!= ""),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gdf = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
+    val perDoc = grams.join(gdf, "_g")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol)).join(perDoc, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams").isNotNull,
+          round(col("n_novel").cast("double") / col("n_grams"), 6))
+          .as("novelty"))
+  }
 }

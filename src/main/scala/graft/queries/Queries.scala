@@ -2369,6 +2369,37 @@ object Queries {
              |FROM k a JOIN k b ON a.d = b.d AND a.tok < b.tok
              |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("t18_novelty",
+      // per-document 3-gram novelty ([[TextFunctions.ngramNovelty]]):
+      // the fraction of each doc's distinct shingles appearing nowhere
+      // else — the upweight-the-novel curation signal next to the
+      // pairwise dedup family. All-integer until one small-denominator
+      // division (boundary-free at 6dp by construction).
+      (s, dir) => T.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |dg AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+             |dg2 AS (SELECT doc_id, g FROM dg WHERE g <> ''),
+             |fr AS (SELECT g, count(*) AS df FROM dg2 GROUP BY 1),
+             |pd AS (
+             |  SELECT doc_id, count(*) AS n_grams,
+             |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+             |  FROM dg2 JOIN fr USING (g) GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(pd.n_grams, 0) AS n_grams,
+             |  COALESCE(pd.n_novel, 0) AS n_novel,
+             |  CASE WHEN pd.n_grams IS NOT NULL
+             |       THEN round(CAST(pd.n_novel AS DOUBLE) / pd.n_grams, 6) END AS novelty
+             |FROM documents d LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("u1_union",
       (s, dir) => {
         val o = t(s, dir, "orders")

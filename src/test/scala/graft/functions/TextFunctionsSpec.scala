@@ -344,6 +344,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramNovelty: shared shingles zero out, unique ones count") {
+    // doc 1 and 2 share the run "a b c d" (shingles 'a b c'/'b c d');
+    // each also has one private tail shingle. doc 3 is fully novel;
+    // doc 4 is short (single whole-string shingle, unique); doc 5 empty.
+    val docs = Seq(
+      (1L, "a b c d x"), // shingles: abc bcd cdx -> 1 novel of 3
+      (2L, "a b c d y"), // shingles: abc bcd cdy -> 1 novel of 3
+      (3L, "p q r s"),   // pqr qrs -> 2 of 2
+      (4L, "hi there"),  // single shingle "hi there" -> 1 of 1
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextFunctions.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toList
+    assert(out === List(
+      (1L, 3L, 1L, Some(0.333333)),
+      (2L, 3L, 1L, Some(0.333333)),
+      (3L, 2L, 2L, Some(1.0)),
+      (4L, 1L, 1L, Some(1.0)),
+      (5L, 0L, 0L, None))) // no grams: null novelty, never divide-by-0
+    graft.Caches.releaseAll()
+  }
+
+  test("ngramNovelty: within-doc repetition counts once (distinct shingles)") {
+    val docs = Seq(
+      (1L, "x y z x y z x y z"), // repeated run: each distinct shingle once
+      (2L, "totally different words here")).toDF("doc_id", "text")
+    val out = TextFunctions.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toList
+    // doc1 shingles: xyz yzx zxy (distinct) — all unique to doc1
+    assert(out.head === ((1L, 3L, 3L, Some(1.0))))
+    assert(out(1) === ((2L, 2L, 2L, Some(1.0))))
+    graft.Caches.releaseAll()
+  }
+
   test("native winnowing rejects non-string input and bad params") {
     intercept[IllegalArgumentException] {
       WinnowFingerprints(col("x"), 0, 4)
