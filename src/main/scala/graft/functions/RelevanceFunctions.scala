@@ -332,6 +332,53 @@ object RelevanceFunctions {
     * so pair work is bounded by maxDf²·vocab, not doc-length². The df
     * frame is key-sized and broadcasts; `minPairs` prunes the output.
     */
+  /** Sparse TF-IDF cosine similarity pairs — the classic IR document
+    * similarity (Salton's vector space model): weight w = tf·ln(N/df)
+    * per (doc, token), cosine = Σ w_a·w_b / (‖a‖·‖b‖) summed over
+    * SHARED tokens only, pairs kept past `minSim`. The weighted
+    * companion to the set-based [[graft.functions.DedupFunctions]]
+    * Jaccard: near-identical wording ranks above mere vocabulary
+    * overlap.
+    *
+    * Scale shape: the token equi-join IS the blocking — the pair-stage
+    * row count is Σ_token df², so the `maxDf` cap (drop tokens above
+    * it from weights AND norms, both sides consistently) is the d22
+    * hub defense; sized right it bounds pair work at maxDf·Σ df. The
+    * df/idf frame is vocabulary-sized. Determinism: engine ulps (libm
+    * ln, float-sum order in dot/norm) sit ~1e-14 relative, absorbed by
+    * the 6 dp output round; the `minSim` filter runs on the unrounded
+    * value (the a12 co-moment convention).
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      minSim: Double = 0.3, maxDf: Long = 1000L): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0,
+      s"minSim must be in [0, 1] (got $minSim)")
+    val toks = graft.Caches.trackedPersist(
+      df.select(col(idCol).as("_id"),
+          explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+        .filter(col("_tok") =!= ""),
+      StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy("_id", "_tok").agg(count(lit(1)).as("_tf"))
+    val n = toks.select("_id").distinct().count()
+    val dfreq = tf.groupBy("_tok").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+    val w = graft.Caches.trackedPersist(
+      tf.join(broadcast(dfreq), "_tok")
+        .select(col("_id"), col("_tok"),
+          (col("_tf") * log(lit(n.toDouble) / col("_df"))).as("_w")),
+      StorageLevel.MEMORY_AND_DISK)
+    val norms = w.groupBy("_id").agg(sqrt(sum(col("_w") * col("_w"))).as("_nrm"))
+    val a = w.select(col("_id").as("id_a"), col("_tok"), col("_w").as("_wa"))
+    val b = w.select(col("_id").as("id_b"), col("_tok"), col("_w").as("_wb"))
+    a.join(b, Seq("_tok")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("_wa") * col("_wb")).as("_dot"))
+      .join(norms.select(col("_id").as("id_a"), col("_nrm").as("_na")), Seq("id_a"))
+      .join(norms.select(col("_id").as("id_b"), col("_nrm").as("_nb")), Seq("id_b"))
+      .withColumn("_sim", col("_dot") / (col("_na") * col("_nb")))
+      .filter(col("_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("_sim"), 6).as("sim"))
+  }
+
   def pmiPairs(df: DataFrame, idCol: String, textCol: String,
       minDf: Long = 5L, maxDf: Long = 1000000L,
       minPairs: Long = 5L): DataFrame = {

@@ -2369,6 +2369,40 @@ object Queries {
              |FROM k a JOIN k b ON a.d = b.d AND a.tok < b.tok
              |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("d25_tfidf_cosine",
+      // sparse TF-IDF cosine pairs ([[RelevanceFunctions
+      // .tfidfCosinePairs]]) over a bounded slice — the synthetic
+      // corpus' tiny vocabulary makes every token a hub (Σ df² ~ N²),
+      // so the query bounds the input the way d15/d24 do; on real text
+      // the maxDf cap is the blocking. 6dp round absorbs libm-ln and
+      // sum-order ulps (the a12 convention).
+      (s, dir) => R.tfidfCosinePairs(
+          docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text",
+          minSim = 0.5, maxDf = 1000L)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id AS id,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |  FROM documents WHERE doc_id < 300),
+             |tk2 AS (SELECT id, tok FROM tk WHERE tok <> ''),
+             |tf AS (SELECT id, tok, count(*) AS tf FROM tk2 GROUP BY 1, 2),
+             |nn AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM tk2),
+             |fr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
+             |       HAVING count(*) <= 1000),
+             |w AS (
+             |  SELECT tf.id, tf.tok, tf.tf * ln(nn.n / fr.df) AS w
+             |  FROM tf JOIN fr USING (tok) CROSS JOIN nn),
+             |nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+             |dt AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+             |  FROM w a JOIN w b ON a.tok = b.tok AND a.id < b.id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  round(dot / (x.nrm * y.nrm), 6) AS sim
+             |FROM dt JOIN nrm x ON dt.id_a = x.id JOIN nrm y ON dt.id_b = y.id
+             |WHERE dot / (x.nrm * y.nrm) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef("t18_novelty",
       // per-document 3-gram novelty ([[TextFunctions.ngramNovelty]]):
       // the fraction of each doc's distinct shingles appearing nowhere

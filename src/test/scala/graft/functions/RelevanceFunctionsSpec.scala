@@ -246,6 +246,36 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(RelevanceFunctions.rrfFuse(Seq(kw, vec), "id", "rank", topK = 2).count() === 2)
   }
 
+  test("tfidfCosinePairs: hand-checked cosine; cap drops hubs both sides") {
+    // 4 docs. "common" appears in all 4 -> idf ln(1) = 0 (weightless,
+    // harmless). Docs 1,2 share "alpha beta"; doc 3 shares only
+    // "alpha" with them; doc 4 is disjoint apart from "common".
+    val docs = Seq(
+      (1L, "common alpha beta"),
+      (2L, "common alpha beta"),
+      (3L, "common alpha gamma"),
+      (4L, "common delta epsilon")).toDF("doc_id", "text")
+    val out = RelevanceFunctions.tfidfCosinePairs(docs, "doc_id", "text",
+        minSim = 0.05, maxDf = 100L)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // identical docs: cosine exactly 1
+    assert(out((1L, 2L)) === 1.0)
+    // 1-3: shared "alpha" (idf ln(4/3)), private "beta"/"gamma"
+    // (ln(4/2), ln 4): sim = a²/(sqrt(a²+b²)·sqrt(a²+g²))
+    val a2 = math.pow(math.log(4.0 / 3), 2)
+    val b2 = math.pow(math.log(2.0), 2)
+    val g2 = math.pow(math.log(4.0), 2)
+    val exp13 = BigDecimal(a2 / (math.sqrt(a2 + b2) * math.sqrt(a2 + g2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 3L)) === exp13 && out((2L, 3L)) === exp13)
+    // doc 4 shares only the zero-weight hub: dot 0 -> below minSim
+    assert(!out.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+    // capping at maxDf=1 drops every shared token -> no pairs at all
+    assert(RelevanceFunctions.tfidfCosinePairs(docs, "doc_id", "text",
+      minSim = 0.05, maxDf = 1L).isEmpty)
+    graft.Caches.releaseAll()
+  }
+
   test("pmiPairs: hand-checked PMI; df gate cuts hubs and hapax") {
     // 4 docs; "the" in all 4 (hub), "rare" in 1 (hapax); a,b co-occur in
     // 2 of their 3/3 docs: PMI = ln(4·2/(3·3)) = ln(8/9).
