@@ -343,6 +343,41 @@ object Queries {
     * WITH RECURSIVE replays the same transitive clustering the
     * distributed clustering computes.
     */
+  /** The cls1 NB classifier oracle's CTE chain (features -> hashed
+    * buckets -> per-bucket counts -> log-odds weights -> per-doc mean
+    * + bias), shared verbatim by `cls1` (scores) and `eval2` (AUC of
+    * those scores). No leading WITH.
+    */
+  private lazy val nbScoreCtes: String =
+    raw"""tk AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS w
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang, f FROM tk, UNNEST(list_concat(w,
+      |    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(generate_series(1, len(w) - 1),
+      |                i -> w[i] || ' ' || w[i+1]) END)) AS u(f)),
+      |fb AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 65536 AS b
+      |  FROM feats),
+      |cnt AS (
+      |  SELECT b,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+      |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nn
+      |  FROM fb WHERE doc_id % 2 = 0 GROUP BY 1),
+      |tot AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM cnt),
+      |wt AS (
+      |  SELECT b, ln((np + 1.0) / (tp + 65536.0))
+      |          - ln((nn + 1.0) / (tn + 65536.0)) AS w
+      |  FROM cnt, tot),
+      |sc AS (
+      |  SELECT fb.doc_id, avg(coalesce(wt.w, 0.0)) AS m
+      |  FROM fb LEFT JOIN wt USING (b) GROUP BY 1),
+      |pr AS (SELECT ln(CAST(tp AS DOUBLE) / tn) AS bias FROM tot)""".stripMargin
+
   private lazy val d7OracleSql: String =
     s2OracleCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """,
@@ -2885,38 +2920,12 @@ object Queries {
             buckets = 1 << 16, hash = D.md5Hash60)
           .orderBy("doc_id")
       },
-      Some("""WITH tk AS (
-             |  SELECT doc_id, lang,
-             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-             |      t -> len(t) > 0) AS w
-             |  FROM documents),
-             |feats AS (
-             |  SELECT doc_id, lang, f FROM tk, UNNEST(list_concat(w,
-             |    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
-             |         ELSE list_transform(generate_series(1, len(w) - 1),
-             |                i -> w[i] || ' ' || w[i+1]) END)) AS u(f)),
-             |fb AS (
-             |  SELECT doc_id, lang,
-             |    CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 65536 AS b
-             |  FROM feats),
-             |cnt AS (
-             |  SELECT b,
-             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
-             |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nn
-             |  FROM fb WHERE doc_id % 2 = 0 GROUP BY 1),
-             |tot AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM cnt),
-             |wt AS (
-             |  SELECT b, ln((np + 1.0) / (tp + 65536.0))
-             |          - ln((nn + 1.0) / (tn + 65536.0)) AS w
-             |  FROM cnt, tot),
-             |sc AS (
-             |  SELECT fb.doc_id, avg(coalesce(wt.w, 0.0)) AS m
-             |  FROM fb LEFT JOIN wt USING (b) GROUP BY 1),
-             |pr AS (SELECT ln(CAST(tp AS DOUBLE) / tn) AS bias FROM tot)
-             |SELECT d.doc_id,
-             |  round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6) AS score
-             |FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)),
+      Some("WITH " + nbScoreCtes +
+        """
+          |SELECT d.doc_id,
+          |  round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6) AS score
+          |FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
 
     QueryDef("d21_epoch_blend",
       // epoch-weighted mixture ([[SamplingFunctions.epochBlend]], the
@@ -5416,6 +5425,59 @@ object Queries {
         GraphOps.hits(e, "src", "dst", iterations = 4)
       },
       Some(hitsOracle(4))),
+
+    QueryDef("eval2_auc",
+      // threshold-free classifier evaluation: ROC-AUC of the cls1 NB
+      // scores against the gold is-English labels, via the rank
+      // statistic AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N) with AVERAGE
+      // ranks on ties (the Mann-Whitney U normalization — exact, not
+      // trapezoid-approximated). Ranks come from a global row_number
+      // over the 6dp-ROUNDED scores (doc-cardinality rows — bounded,
+      // the rrfFuse convention) then a per-score avg, which is
+      // tie-order invariant, so both engines derive identical ranks.
+      // AUC is a rational with denominator 2PN ≪ 2·10⁶ — the 6dp
+      // round is boundary-free.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val labeled = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
+        val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val scored = Cls.scoreLinear(d, "doc_id", "text", w, bias,
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val lab = d.select(col("doc_id"), (col("lang") === "en").cast("long").as("_y"))
+        val wOrd = org.apache.spark.sql.expressions.Window.orderBy("score")
+        val wTie = org.apache.spark.sql.expressions.Window.partitionBy("score")
+        scored.join(lab, "doc_id")
+          .withColumn("_rn", row_number().over(wOrd))
+          .withColumn("_r", avg(col("_rn")).over(wTie))
+          .agg(sum(col("_y")).as("_p"),
+            sum(lit(1L) - col("_y")).as("_n"),
+            sum(when(col("_y") === 1, col("_r"))).as("_s"))
+          .select(col("_p").as("n_pos"), col("_n").as("n_neg"),
+            round((col("_s") - (col("_p") * (col("_p") + 1)).cast("double") / 2.0) /
+              (col("_p") * col("_n")).cast("double"), 6).as("auc"))
+      },
+      Some("WITH " + nbScoreCtes +
+        """,
+          |scored AS (
+          |  SELECT d.doc_id,
+          |    round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6) AS score,
+          |    (d.lang = 'en') AS y
+          |  FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)),
+          |rk AS (
+          |  SELECT score, y, row_number() OVER (ORDER BY score) AS rn
+          |  FROM scored),
+          |ar AS (SELECT y, avg(rn) OVER (PARTITION BY score) AS r FROM rk),
+          |agg AS (
+          |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+          |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n,
+          |         sum(CASE WHEN y THEN r END) AS s
+          |  FROM ar)
+          |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+          |  round((s - CAST(p * (p + 1) AS DOUBLE) / 2.0)
+          |        / CAST(p * n AS DOUBLE), 6) AS auc
+          |FROM agg""".stripMargin)),
 
     QueryDef("eval1_langid_confusion",
       // classifier evaluation as a first-class op: the n-gram langid
