@@ -2116,6 +2116,66 @@ object Queries {
           |FROM px p JOIN fit f USING (ticker)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("w23_rolling_corr",
+      // 20-day rolling correlation of each ticker against the market
+      // index (sum of all closes per day) — the time-varying-beta
+      // signal next to a12's full-sample matrix. Determinism by EXACT
+      // ARITHMETIC: all five co-moment sums (Σx Σy Σxy Σx² Σy²)
+      // accumulate as DECIMAL inside the window (2dp closes cast back
+      // to exact decimals; products sized to stay within 38 digits),
+      // so both engines hold identical integers before the one double
+      // formula + 6dp round. Full-frame guard (n=20) like w5; zero
+      // variance → null.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+          .select(col("ticker"), col("date"),
+            col("close").cast("decimal(12,2)").as("x"))
+        val idx = p.groupBy("date")
+          .agg(sum(col("x")).cast("decimal(18,2)").as("y"))
+        val w20 = org.apache.spark.sql.expressions.Window
+          .partitionBy("ticker").orderBy("date").rowsBetween(-19, 0)
+        p.join(idx, "date")
+          .select(col("ticker"), col("date"),
+            count(lit(1)).over(w20).as("_n"),
+            sum(col("x")).over(w20).cast("double").as("_sx"),
+            sum(col("y")).over(w20).cast("double").as("_sy"),
+            sum(col("x") * col("y")).over(w20).cast("double").as("_sxy"),
+            sum(col("x") * col("x")).over(w20).cast("double").as("_sxx"),
+            sum(col("y") * col("y")).over(w20).cast("double").as("_syy"))
+          .select(col("ticker"), col("date"),
+            when(col("_n") === 20 &&
+                (lit(20.0) * col("_sxx") - col("_sx") * col("_sx")) > 0 &&
+                (lit(20.0) * col("_syy") - col("_sy") * col("_sy")) > 0,
+              round((lit(20.0) * col("_sxy") - col("_sx") * col("_sy")) /
+                sqrt((lit(20.0) * col("_sxx") - col("_sx") * col("_sx")) *
+                     (lit(20.0) * col("_syy") - col("_sy") * col("_sy"))), 6))
+              .as("corr20"))
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """, px AS (SELECT ticker, "date", CAST(close AS DECIMAL(12,2)) AS x
+          |         FROM prices),
+          |idx AS (SELECT "date", CAST(SUM(x) AS DECIMAL(18,2)) AS y
+          |        FROM px GROUP BY 1),
+          |co AS (
+          |  SELECT px.ticker, px."date",
+          |    count(*) OVER w AS n,
+          |    CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+          |    CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+          |    CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+          |    CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+          |    CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+          |  FROM px JOIN idx USING ("date")
+          |  WINDOW w AS (PARTITION BY ticker ORDER BY "date"
+          |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          |SELECT ticker, "date",
+          |  CASE WHEN n = 20 AND (20.0 * sxx - sx * sx) > 0
+          |            AND (20.0 * syy - sy * sy) > 0
+          |       THEN round((20.0 * sxy - sx * sy) /
+          |              sqrt((20.0 * sxx - sx * sx) * (20.0 * syy - sy * sy)), 6)
+          |  END AS corr20
+          |FROM co ORDER BY ticker, "date"""".stripMargin)),
+
     QueryDef("w19_mad_outliers",
       // robust median/MAD outlier profile per ticker — the
       // breakdown-resistant twin of w7's pooled z-score. Exact
@@ -5478,6 +5538,43 @@ object Queries {
           |  round((s - CAST(p * (p + 1) AS DOUBLE) / 2.0)
           |        / CAST(p * n AS DOUBLE), 6) AS auc
           |FROM agg""".stripMargin)),
+
+    QueryDef("eval3_calibration",
+      // reliability diagram: cls1's scores bucketed into score deciles,
+      // each reporting n, mean predicted probability, and observed
+      // positive rate — "when the model says 0.8, is it right 80% of
+      // the time?" (the eval the threshold-free AUC can't answer). One
+      // hash agg on 10 buckets; frac_pos is a small-denominator
+      // rational (boundary-free round), mean_score's float-sum ulps
+      // sit far under 6dp (the a4 convention).
+      (s, dir) => {
+        val d = docs(s, dir)
+        val labeled = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
+        val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val scored = Cls.scoreLinear(d, "doc_id", "text", w, bias,
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val lab = d.select(col("doc_id"), (col("lang") === "en").cast("long").as("_y"))
+        scored.join(lab, "doc_id")
+          .groupBy(least(floor(col("score") * 10), lit(9)).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("score")), 6).as("mean_score"),
+            round(sum(col("_y")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+          .orderBy("bucket")
+      },
+      Some("WITH " + nbScoreCtes +
+        """,
+          |scored AS (
+          |  SELECT d.doc_id,
+          |    round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6) AS score,
+          |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          |  FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id))
+          |SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bucket,
+          |  count(*) AS n,
+          |  round(avg(score), 6) AS mean_score,
+          |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+          |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef("eval1_langid_confusion",
       // classifier evaluation as a first-class op: the n-gram langid
