@@ -5158,6 +5158,22 @@ object Queries {
              | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    QueryDef("e13_outer_attribution",
+      // e7's LEFT OUTER twin run in batch mode: every purchase appears,
+      // matched clicks attach, no-click purchases carry a null click_ts
+      // — the row the streaming operator emits only after the watermark
+      // certifies no match can still arrive (spec-pinned in
+      // EventStreamsSpec). The oracle is the plain left interval join.
+      (s, dir) => graft.streaming.EventStreams
+        .attributionOuter(events(s, dir))
+        .orderBy("user_id", "purchase_id", "click_ts"),
+      Some("""SELECT p.user_id, p.event_id AS purchase_id, c.ts AS click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON c.user_id = p.user_id
+             | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     QueryDef("e9_funnel",
       // ordered conversion funnel: step i counts users whose first
       // step-i event is strictly after their first qualifying

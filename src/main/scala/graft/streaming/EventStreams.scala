@@ -255,6 +255,39 @@ object EventStreams {
       .select(col("user_id"), col("purchase_id"), col("click_ts"))
   }
 
+  /** LEFT OUTER stream-stream attribution — [[clickAttribution]] with
+    * the unmatched side kept: every purchase emits; clicks inside its
+    * following `window` attach; a purchase with NO click emits exactly
+    * once with a null `click_ts` AFTER the watermark passes its window
+    * (streaming outer joins can only certify "no match" once the other
+    * side's watermark proves no more matching rows can arrive — which
+    * is why the watermark + time-range condition pair is MANDATORY
+    * here, not just a state-cleanup optimization). In batch mode it
+    * degenerates to the plain left interval join.
+    *
+    * Scale note: the time-range join keys the shuffle on the user
+    * equi-condition with the range as a post-filter; for the BATCH
+    * path at 100 TB prefer [[graft.ops.RangeJoinOps.intervalJoin]]'s
+    * bucket decomposition (the e6 shape) — this operator exists for
+    * the STREAMING semantics the bucketed form can't express.
+    */
+  def attributionOuter(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") &&
+        col("click_ts") < col("purchase_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_ts"))
+  }
+
   /** Per-user session windows with an inactivity gap — built-in
     * `session_window` keeps state O(open sessions) and closes sessions at
     * the watermark.

@@ -192,6 +192,62 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributionOuter: no-click purchase emits its null row only after " +
+      "the watermark certifies no match can arrive") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = in.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val name = s"oattr_${System.nanoTime()}"
+    val q = EventStreams.attributionOuter(events)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // u1's purchase has NO click; u2's has one in-window click
+      in.addData((1L, 100L, "purchase", ts("10:00")),
+        (2L, 200L, "purchase", ts("10:00")), (2L, 500L, "click", ts("10:30")))
+      q.processAllAvailable()
+      val early = spark.table(name)
+        .as[(Long, Long, Option[java.sql.Timestamp])].collect().toSeq
+      // the inner match emits; u1's null row must NOT — a 10:59 click
+      // could still arrive
+      assert(early === Seq((2L, 200L, Some(ts("10:30")))))
+      // advance BOTH sides' event time past u1's window end + delay:
+      // watermark -> 14:00 - 2h = 12:00 > 11:00
+      in.addData((99L, 300L, "purchase", ts("14:00")),
+        (99L, 501L, "click", ts("14:01")))
+      q.processAllAvailable()
+      in.addData((98L, 302L, "purchase", ts("16:30")),
+        (98L, 502L, "click", ts("16:31"))) // second advance flushes state
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .as[(Long, Long, Option[java.sql.Timestamp])].collect().toSeq
+      assert(rows.contains((1L, 100L, None)),
+        "the certified-unmatched purchase must emit exactly one null row")
+      assert(rows.count(_._2 == 100L) === 1)
+    } finally q.stop()
+  }
+
+  test("attributionOuter batch mode equals the plain left interval join") {
+    val out = EventStreams.attributionOuter(
+        EventStreams.readEvents(spark, dir, streaming = false))
+      .orderBy("user_id", "purchase_id", "click_ts").collect()
+    val inner = EventStreams.clickAttribution(
+        EventStreams.readEvents(spark, dir, streaming = false)).collect()
+    // every inner pair present, plus one null row per matchless purchase
+    assert(out.length >= inner.length)
+    val nPurchases = EventStreams.readEvents(spark, dir, streaming = false)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    val matched = out.filter(!_.isNullAt(2)).length
+    val nulls = out.filter(_.isNullAt(2)).length
+    assert(matched === inner.length)
+    // purchases with >=1 click appear once per click; the rest once with null
+    val matchedPurchases = inner.map(r => (r.getLong(0), r.getLong(1))).distinct.length
+    assert(nulls === nPurchases - matchedPurchases)
+  }
+
   test("userRunningTotals batch mode: deterministic checkpoints in seq order") {
     import spark.implicits._
     // distinct values so a wrong fold order would change the checkpoint sum
