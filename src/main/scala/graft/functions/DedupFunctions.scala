@@ -468,6 +468,83 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered exact set-similarity self-join (the All-Pairs /
+    * PPJoin family: Chaudhuri et al., ICDE 2006; Bayardo et al., WWW
+    * 2007; Xiao et al., WWW 2008) — the COMPLETE answer to "all pairs
+    * with n-gram Jaccard ≥ t", with neither [[jaccardPairs]]'s lossy
+    * df-cap nor its every-occurrence candidate join. Each shingle gets a
+    * global canonical order (document frequency ASC, shingle ASC —
+    * rarest first); each document emits only its PREFIX — the first
+    * |d| − ⌈t·|d|⌉ + 1 shingles in that order — into the candidate
+    * join. Prefix-filter lemma: J(A,B) ≥ t forces overlap
+    * o ≥ ⌈t·max(|A|,|B|)⌉, so the first shared shingle in canonical
+    * order must sit inside BOTH prefixes (each suffix holds only
+    * ⌈t·|d|⌉ − 1 < o shingles) — the prefix join loses nothing.
+    * Candidates then pass the length filter min ≥ t·max (J ≤ min/max)
+    * and verify EXACT Jaccard on the full shingle arrays; prefixes only
+    * prune, never decide.
+    *
+    * Scale shape — this inverts the skew profile of the naive shingle
+    * join: boilerplate shingles have the HIGHEST df, so the canonical
+    * order puts them LAST and they almost never enter a prefix. The
+    * candidate join therefore runs over rare shingles with tiny per-key
+    * row piles — no df-cap (which silently drops true pairs) and no
+    * salting needed. Shuffles: one df-count aggregation (map-side
+    * partials), one shingle-keyed rank join (shuffled — broadcasting
+    * crawl-scale vocab would pin it on the driver, the r5 rule), the
+    * prefix self-join, and two id-keyed verify joins on candidates
+    * only. The per-document sort-and-slice is array-local and
+    * document-bounded (the d15/r5 convention). Both engines' IEEE
+    * t·|d| product is nudged by −1e-9 before ⌈⌉ so a binary-fraction
+    * overshoot (0.8·5 = 4.000000000000000222) can only make the prefix
+    * LONGER than the lemma needs — completeness-safe and cross-engine
+    * identical.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    // pinned: the shingle frame feeds the df-count branch, the prefix
+    // build AND both verify sides — unpinned, the corpus re-tokenizes
+    // once per consumer
+    val sh0 = df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")).cast("long"))
+    val sh = if (storage != StorageLevel.NONE)
+      graft.Caches.trackedPersist(sh0, storage) else sh0
+    val e = sh.select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val dfc = e.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+    val ranked = e.join(dfc, Seq("sh"))
+    // canonical order materializes per document as one array sort over
+    // (df, shingle) structs; the prefix is a slice — no window, no
+    // per-document shuffle beyond the groupBy
+    val pre = ranked.groupBy(col("id"), col("n_sh"))
+      .agg(array_sort(collect_list(struct(col("_df").as("d"), col("sh").as("s"))))
+        .as("_sorted"))
+      .withColumn("_p",
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh").cast("double") - lit(1e-9))
+          + lit(1L)).cast("int"))
+      .select(col("id"), col("n_sh"),
+        explode(transform(slice(col("_sorted"), lit(1), col("_p")),
+          x => x.getField("s"))).as("sh"))
+    val a = pre.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("sh"))
+    val b = pre.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("sh"))
+    val cand = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double") - lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = sh.select(col("id").as("id_a"), col("shingles").as("_sa"), col("n_sh").as("n_a"))
+    val vb = sh.select(col("id").as("id_b"), col("shingles").as("_sb"), col("n_sh").as("n_b"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("_shared", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("jaccard", col("_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("_shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Test-set decontamination: per training document, the number of
     * distinct word n-grams it shares with ANY held-out/benchmark
     * document (reference has no equivalent; this is the standard

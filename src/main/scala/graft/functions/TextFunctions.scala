@@ -449,6 +449,45 @@ object TextFunctions {
     }
   }
 
+  /** Sentence count: runs of terminal punctuation `[.!?]+`; text with
+    * words but no terminal punctuation counts as ONE sentence (the
+    * Flesch convention — a ratio denominator must not vanish on
+    * headline-style text). Null text → null (visible-null rule), empty
+    * text → 0. The `[.!?]+` / `\S+` patterns sit in the Java∩RE2 regex
+    * common subset, so external engines replay the counts exactly.
+    */
+  def sentenceCount(text: Column): Column =
+    when(text.isNull, lit(null).cast("long")).otherwise(
+      greatest(
+        coalesce(regexp_count(text, lit("[.!?]+")), lit(0)).cast("long"),
+        when(tokenCount(text) > 0, lit(1L)).otherwise(lit(0L))))
+
+  /** Syllable-count heuristic: vowel groups `[aeiouy]+` over the
+    * lowercased text — the standard deterministic stand-in (true
+    * syllabification needs a dictionary; vowel runs are within ~10% on
+    * English and, crucially, reproducible in any regex engine). Null
+    * text → null.
+    */
+  def syllableCount(text: Column): Column =
+    when(text.isNull, lit(null).cast("long")).otherwise(
+      coalesce(regexp_count(lower(text), lit("[aeiouy]+")), lit(0)).cast("long"))
+
+  /** Flesch reading-ease score: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with [[tokenCount]] words,
+    * [[sentenceCount]] sentences and [[syllableCount]] vowel-group
+    * syllables. Wordless text → null (no denominator). Unrounded — the
+    * per-row IEEE chain is bit-reproducible from the three exact integer
+    * counts; callers round for display. Pure codegen expressions: a
+    * corpus-wide readability pass is projection-only at 100 TB.
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val y = syllableCount(text).cast("double")
+    when(text.isNull || w === 0.0, lit(null).cast("double"))
+      .otherwise(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w))
+  }
+
   /** PII patterns shared by [[redactPii]]/[[piiCount]] — written in the
     * regex COMMON SUBSET of Java (Spark) and RE2 (the usual external
     * engines), so an external auditor can replay the redaction

@@ -6484,7 +6484,257 @@ object Queries {
              |         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS "rank"
              |  FROM fused)
              |SELECT doc_id, rrf, "rank" FROM ranked
-             |WHERE "rank" <= 10 ORDER BY "rank"""".stripMargin))
+             |WHERE "rank" <= 10 ORDER BY "rank"""".stripMargin)),
+
+    QueryDef("w24_atr",
+      // Average True Range (ATR-14, SMA variant) over the intraday-bar
+      // OHLC adaptation ([[Q.ohlcBars]]): TR = max(high − low,
+      // |high − prev_close|, |low − prev_close|), null until a full
+      // 14-TR frame (pandas min_periods parity, the w11/w15 guard).
+      // Inputs are bit-exact 2dp doubles, per-row TR one IEEE max chain
+      // (identical cross-engine); the rolling mean is multi-term float
+      // → 6dp round. lag/count/avg all ride the per-ticker window —
+      // one exchange, one sort.
+      (s, dir) => {
+        val w14 = wTicker.rowsBetween(-13, 0)
+        Q.ohlcBars(t(s, dir, "lineitem"))
+          .withColumn("_pc", lag("close", 1).over(wTicker))
+          .withColumn("_tr", when(col("_pc").isNull, lit(null)).otherwise(
+            greatest(col("high") - col("low"),
+              abs(col("high") - col("_pc")),
+              abs(col("low") - col("_pc")))))
+          .withColumn("_n", count(col("_tr")).over(w14))
+          .select(col("ticker"), col("date"),
+            round(when(col("_n") < 14, lit(null))
+              .otherwise(avg(col("_tr")).over(w14)), 6).as("atr14"))
+          .orderBy("ticker", "date")
+      },
+      Some(Q.ohlcSql +
+        """, tr AS (
+          |  SELECT ticker, "date",
+          |    CASE WHEN lag(close) OVER wt IS NULL THEN NULL
+          |         ELSE greatest(high - low,
+          |                       abs(high - lag(close) OVER wt),
+          |                       abs(low  - lag(close) OVER wt)) END AS tr
+          |  FROM bars
+          |  WINDOW wt AS (PARTITION BY ticker ORDER BY "date")),
+          |a AS (
+          |  SELECT ticker, "date",
+          |    count(tr) OVER w AS n, avg(tr) OVER w AS atr
+          |  FROM tr
+          |  WINDOW w AS (PARTITION BY ticker ORDER BY "date"
+          |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          |SELECT ticker, "date",
+          |  round(CASE WHEN n < 14 THEN NULL ELSE atr END, 6) AS atr14
+          |FROM a ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("w25_stochastic",
+      // stochastic oscillator: %K = 100·(close − min14(low)) /
+      // (max14(high) − min14(low)) with the full-frame guard and an
+      // explicit flat-range null (x/0 is null in Spark, inf in DuckDB —
+      // the w11 portability rule); %D = 3-row mean of the ROUNDED %K
+      // (so both engines average identical doubles), null until 3 %K
+      // values exist. Both window layers share the per-ticker exchange.
+      (s, dir) => {
+        val w14 = wTicker.rowsBetween(-13, 0)
+        val w3 = wTicker.rowsBetween(-2, 0)
+        Q.ohlcBars(t(s, dir, "lineitem"))
+          .withColumn("_n", count(col("close")).over(w14))
+          .withColumn("_ll", min(col("low")).over(w14))
+          .withColumn("_hh", max(col("high")).over(w14))
+          .withColumn("pct_k", round(
+            when(col("_n") < 14, lit(null))
+              .when(col("_hh") === col("_ll"), lit(null))
+              .otherwise((col("close") - col("_ll")) /
+                (col("_hh") - col("_ll")) * 100.0), 6))
+          .withColumn("_kn", count(col("pct_k")).over(w3))
+          .select(col("ticker"), col("date"), col("pct_k"),
+            round(when(col("_kn") < 3, lit(null))
+              .otherwise(avg(col("pct_k")).over(w3)), 6).as("pct_d"))
+          .orderBy("ticker", "date")
+      },
+      Some(Q.ohlcSql +
+        """, a AS (
+          |  SELECT ticker, "date", close,
+          |    count(close) OVER w AS n,
+          |    min(low)  OVER w AS ll,
+          |    max(high) OVER w AS hh
+          |  FROM bars
+          |  WINDOW w AS (PARTITION BY ticker ORDER BY "date"
+          |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+          |k AS (
+          |  SELECT ticker, "date",
+          |    round(CASE WHEN n < 14 THEN NULL
+          |               WHEN hh = ll THEN NULL
+          |               ELSE (close - ll) / (hh - ll) * 100.0 END, 6) AS pct_k
+          |  FROM a),
+          |d AS (
+          |  SELECT ticker, "date", pct_k,
+          |    count(pct_k) OVER w3 AS kn, avg(pct_k) OVER w3 AS kd
+          |  FROM k
+          |  WINDOW w3 AS (PARTITION BY ticker ORDER BY "date"
+          |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+          |SELECT ticker, "date", pct_k,
+          |  round(CASE WHEN kn < 3 THEN NULL ELSE kd END, 6) AS pct_d
+          |FROM d ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("w26_obv",
+      // on-balance volume: cumulative sum of sign(close − prev_close) ·
+      // volume (first row contributes 0). close deltas are exact IEEE on
+      // identical 2dp doubles so the sign never flips cross-engine;
+      // volumes are integral, so the running sum accumulates in EXACT
+      // decimal and casts to double bit-identically — UNROUNDED.
+      (s, dir) => prices(t(s, dir, "lineitem"))
+        .withColumn("_pc", lag("close", 1).over(wTicker))
+        .withColumn("_step", when(col("_pc").isNull, lit(0.0))
+          .otherwise(signum(col("close") - col("_pc")) * col("volume")))
+        .select(col("ticker"), col("date"),
+          sum(col("_step").cast("decimal(28,2)"))
+            .over(wTicker.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("obv"))
+        .orderBy("ticker", "date"),
+      Some(pricesSql +
+        """, st AS (
+          |  SELECT ticker, "date",
+          |    CASE WHEN lag(close) OVER wt IS NULL THEN 0.0
+          |         ELSE sign(close - lag(close) OVER wt) * volume END AS step
+          |  FROM prices
+          |  WINDOW wt AS (PARTITION BY ticker ORDER BY "date"))
+          |SELECT ticker, "date",
+          |  CAST(SUM(CAST(step AS DECIMAL(28,2)))
+          |       OVER (PARTITION BY ticker ORDER BY "date"
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |       AS DOUBLE) AS obv
+          |FROM st ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("a22_benford",
+      // Benford first-digit audit over l_extendedprice — the classic
+      // fabricated-data / feed-corruption screen. The leading digit is
+      // taken from the EXACT decimal's string form (floor(log10) sits on
+      // libm boundaries at powers of ten; substring of a 2dp decimal
+      // does not). Benford probabilities round to 6dp before the χ²
+      // arithmetic so libm log10 ulps can't propagate; χ² contributions
+      // round to 6dp and sum in exact decimal (9 fixed terms — no
+      // float accumulation order). One scan, two single-row broadcasts.
+      (s, dir) => {
+        val byDigit = t(s, dir, "lineitem")
+          .select(substring(col("l_extendedprice").cast("decimal(12,2)")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = byDigit.agg(sum(col("n")).as("_t"))
+        val scored = byDigit.crossJoin(broadcast(tot))
+          .withColumn("p_obs",
+            round(col("n").cast("double") / col("_t").cast("double"), 6))
+          .withColumn("p_benford",
+            round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+          .withColumn("_chi", round(
+            pow(col("n").cast("double") - col("_t").cast("double") * col("p_benford"), 2)
+              / (col("_t").cast("double") * col("p_benford")), 6)
+            .cast("decimal(18,6)"))
+        val chi2 = scored.agg(sum(col("_chi")).cast("double").as("chi2"))
+        scored.crossJoin(broadcast(chi2))
+          .select(col("digit"), col("n"), col("p_obs"), col("p_benford"), col("chi2"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substring(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR),
+             |                        1, 1) AS INTEGER) AS digit
+             |  FROM lineitem),
+             |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+             |tt AS (SELECT CAST(SUM(n) AS DOUBLE) AS td FROM c),
+             |s AS (
+             |  SELECT digit, n,
+             |    round(CAST(n AS DOUBLE) / td, 6) AS p_obs,
+             |    round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS p_benford,
+             |    td
+             |  FROM c, tt),
+             |x AS (
+             |  SELECT digit, n, p_obs, p_benford,
+             |    CAST(round(pow(CAST(n AS DOUBLE) - td * p_benford, 2)
+             |               / (td * p_benford), 6) AS DECIMAL(18,6)) AS chi
+             |  FROM s)
+             |SELECT digit, n, p_obs, p_benford,
+             |  (SELECT CAST(SUM(chi) AS DOUBLE) FROM x) AS chi2
+             |FROM x ORDER BY digit""".stripMargin)),
+
+    QueryDef("t19_readability",
+      // Flesch reading ease over the documents table
+      // ([[graft.functions.TextFunctions.fleschReadingEase]]): words =
+      // \S+ runs, sentences = [.!?]+ runs (min 1 when words exist),
+      // syllables = [aeiouy]+ vowel groups — every count an exact
+      // integer in the Java∩RE2 regex subset, the score one IEEE chain
+      // → 6dp round. Projection-only: no join, no shuffle beyond the
+      // final order.
+      (s, dir) => docs(s, dir).select(
+          col("doc_id"),
+          T.tokenCount(col("text")).as("words"),
+          T.sentenceCount(col("text")).as("sentences"),
+          T.syllableCount(col("text")).as("syllables"),
+          round(T.fleschReadingEase(col("text")), 6).as("flesch"))
+        .orderBy("doc_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+             |                       CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+             |                            THEN 1 ELSE 0 END) END AS sentences,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             |    END AS syllables
+             |  FROM documents)
+             |SELECT doc_id, words, sentences, syllables,
+             |  round(CASE WHEN words = 0 THEN NULL
+             |             ELSE 206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+             |                          - 84.6 * (CAST(syllables AS DOUBLE) / words)
+             |        END, 6) AS flesch
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("d26_prefix_jaccard",
+      // PPJoin-style prefix-filtered set-similarity self-join
+      // ([[graft.functions.DedupFunctions.prefixJaccardPairs]]): the
+      // COMPLETE Jaccard-pairs answer — candidates only from each
+      // document's rarest-first shingle prefix, exact verification on
+      // the full arrays. Same contract as d3 but with the prefix filter
+      // replacing the lossy df-cap; at sf0.01 the two agree exactly.
+      (s, dir) => D.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sgl FROM sh),
+             |dfc AS (SELECT sgl, count(*) AS df FROM e GROUP BY 1),
+             |rk AS (
+             |  SELECT e.doc_id, e.n_sh, e.sgl,
+             |         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sgl) AS rn
+             |  FROM e JOIN dfc d USING (sgl)),
+             |pre AS (
+             |  SELECT doc_id, n_sh, sgl FROM rk
+             |  WHERE rn <= n_sh - ceil(0.8 * CAST(n_sh AS DOUBLE) - 1e-9) + 1),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         a.n_sh AS n_a, b.n_sh AS n_b
+             |  FROM pre a JOIN pre b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+             |  WHERE CAST(least(a.n_sh, b.n_sh) AS DOUBLE)
+             |        >= 0.8 * CAST(greatest(a.n_sh, b.n_sh) AS DOUBLE) - 1e-9),
+             |ver AS (
+             |  SELECT c.id_a, c.id_b, c.n_a, c.n_b, count(*) AS shared
+             |  FROM cand c
+             |  JOIN e ea ON ea.doc_id = c.id_a
+             |  JOIN e eb ON eb.doc_id = c.id_b AND eb.sgl = ea.sgl
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT id_a, id_b,
+             |  round(CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+             |FROM ver
+             |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

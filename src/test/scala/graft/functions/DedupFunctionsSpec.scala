@@ -75,6 +75,46 @@ class DedupFunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("prefixJaccardPairs equals the un-capped exact jaccardPairs") {
+    // the completeness claim, checked against the exhaustive baseline on
+    // real data: prefix filtering + length filter + exact verify must
+    // reproduce the full-join answer pair-for-pair, score-for-score
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.5, 0.8)) {
+      val full = DedupFunctions.jaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = t, maxDf = Long.MaxValue)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = DedupFunctions.prefixJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === full, s"threshold $t: prefix join diverged from exhaustive join")
+    }
+    graft.Caches.releaseAll()
+  }
+
+  test("prefixJaccardPairs: planted near-dups, exact scores, invariance") {
+    val pairs = DedupFunctions.prefixJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 === 1.0) // exact dup
+    // partitioning must not change the answer (canonical order and
+    // prefixes are pure functions of the data, not of the layout)
+    val repart = DedupFunctions.prefixJaccardPairs(corpus.repartition(7), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(repart === pairs.toSet)
+    // boilerplate inversion: with every doc identical, ALL shingles are
+    // max-df — the prefix join still finds the pairs (completeness),
+    // unlike the df-cap path which drops them
+    val boiler = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "x y z w")).toDF("doc_id", "text")
+    val b = DedupFunctions.prefixJaccardPairs(boiler, "doc_id", "text",
+      n = 2, threshold = 0.9)
+    assert(b.count() === 3L)
+    graft.Caches.releaseAll()
+  }
+
   test("minhashLshPairs surfaces the planted near-dup and exact dup") {
     val pairs = DedupFunctions.minhashLshPairs(corpus, "doc_id", "text",
       n = 3, numHashes = 32, bands = 16, threshold = 0.5)

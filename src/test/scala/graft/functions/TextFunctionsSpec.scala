@@ -388,4 +388,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("string"), e.getMessage)
   }
+
+  test("readability: counts and Flesch on hand-computed text") {
+    val rows = Seq(
+      ("The cat sat. The dog ran!", 0),        // 6 words, 2 sentences, 6 vowel groups
+      ("no terminal punctuation here", 1),     // 4 words, 1 sentence (min-1 rule)
+      ("", 2),                                 // empty: 0 words, 0 sentences, null flesch
+      ("   ", 3),                              // blank: same as empty
+      (null.asInstanceOf[String], 4))          // null text: all null
+      .toDF("text", "i")
+    val got = rows.select(col("i"),
+        TextFunctions.tokenCount(col("text")).as("w"),
+        TextFunctions.sentenceCount(col("text")).as("s"),
+        TextFunctions.syllableCount(col("text")).as("y"),
+        TextFunctions.fleschReadingEase(col("text")).as("f"))
+      .orderBy("i")
+      .collect()
+    // row 0: words=6 sentences=2 syllables: e,a,a,e,o,a → 6
+    assert(got(0).getLong(1) === 6L && got(0).getLong(2) === 2L && got(0).getLong(3) === 6L)
+    val f0 = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)
+    assert(math.abs(got(0).getDouble(4) - f0) < 1e-12)
+    // row 1: min-1 sentence; syllables: o,e,i,a,u,ua,io,e,e → count vowel runs
+    assert(got(1).getLong(2) === 1L)
+    // rows 2/3: zero words → null score, zero sentences
+    for (i <- Seq(2, 3)) {
+      assert(got(i).getLong(1) === 0L && got(i).getLong(2) === 0L)
+      assert(got(i).isNullAt(4))
+    }
+    // row 4: null text propagates null everywhere (visible-null rule)
+    for (j <- 1 to 4) assert(got(4).isNullAt(j))
+  }
+
+  test("readability: vowel-group syllables match a manual scan") {
+    // "beautiful" → eau,i,u = 3 groups; "rhythm" → y = 1; "xyz" → y = 1
+    val y = Seq("beautiful rhythm xyz").toDF("text")
+      .select(TextFunctions.syllableCount(col("text"))).as[Long].head()
+    assert(y === 5L)
+  }
 }
