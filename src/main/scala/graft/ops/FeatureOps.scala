@@ -235,4 +235,67 @@ object FeatureOps {
           / ((lit(1.0) - pow(lit(oneMinus), size(col(h)))) / lit(alpha)), 6))
       .drop(rn, h)
   }
+
+  /** Holt's linear-trend (double) exponential smoothing, one row per
+    * entity with the final level/trend state and the `horizon`-step
+    * forecast level + horizon·trend (Holt 1957; the standard
+    * short-range per-series forecast a monitoring pipeline runs over
+    * every metric):
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * initialized l_1 = x_1, then l_2 = x_2, b_2 = x_2 − x_1 (recursion
+    * from t = 3; a 1-row series forecasts itself with zero trend).
+    *
+    * Determinism contract: a float recursion AMPLIFIES ulp noise (every
+    * step feeds the next), so unlike the windowed features the state
+    * here is EXACT DECIMAL — inputs cast to 2dp decimal, α/β decimal
+    * literals, and both state components rounded to 8 dp (HALF_UP —
+    * both engines round decimals away from zero) at every step. An
+    * external engine replaying the same recurrence reproduces every
+    * intermediate state bit-for-bit, recursion depth notwithstanding.
+    *
+    * Scale shape: ONE hash aggregation collects each entity's ordered
+    * (time, value) series — per-entity state, array-local fold,
+    * nothing history-length lands in shuffle state beyond the series
+    * itself, and a time series is calendar-bounded per entity (the
+    * d15/r5 array-local convention). No window, no driver collect.
+    */
+  def holtForecast(df: DataFrame, entity: String, time: String, value: String,
+      alpha: java.math.BigDecimal = new java.math.BigDecimal("0.5"),
+      beta: java.math.BigDecimal = new java.math.BigDecimal("0.3"),
+      horizon: Int = 5): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1 (got $horizon)")
+    val one = java.math.BigDecimal.ONE
+    require(alpha.signum > 0 && alpha.compareTo(one) < 0, s"alpha must be in (0,1) (got $alpha)")
+    require(beta.signum > 0 && beta.compareTo(one) < 0, s"beta must be in (0,1) (got $beta)")
+    val dec = "decimal(20,8)"
+    val a = lit(alpha); val ia = lit(one.subtract(alpha))
+    val bC = lit(beta); val ib = lit(one.subtract(beta))
+    val series = df.groupBy(col(entity))
+      .agg(array_sort(collect_list(struct(col(time).as("t"),
+        col(value).cast("decimal(12,2)").as("x")))).as("_xs"))
+    val init = struct(lit(0L).as("i"),
+      lit(null).cast(dec).as("l"), lit(null).cast(dec).as("b"))
+    series
+      .withColumn("_st", aggregate(col("_xs"), init, (acc, e) => {
+        val i = acc.getField("i")
+        val l = acc.getField("l")
+        val bb = acc.getField("b")
+        val x = e.getField("x").cast(dec)
+        val newL = when(i === 0, x).when(i === 1, x)
+          .otherwise(round(a * x + ia * (l + bb), 8).cast(dec))
+        val newB = when(i === 0, lit(java.math.BigDecimal.ZERO).cast(dec))
+          .when(i === 1, round(x - l, 8).cast(dec))
+          .otherwise(round(bC * (newL - l) + ib * bb, 8).cast(dec))
+        struct((i + lit(1L)).as("i"), newL.as("l"), newB.as("b"))
+      }))
+      .select(col(entity),
+        col("_st.i").as("n"),
+        col("_st.l").cast("double").as("level"),
+        col("_st.b").cast("double").as("trend"),
+        (col("_st.l") + lit(horizon) * col("_st.b")).cast("double")
+          .as(s"forecast_$horizon"))
+  }
 }

@@ -99,6 +99,86 @@ object GraphOps {
     } finally e.unpersist(blocking = false)
   }
 
+  /** PERSONALIZED PageRank (Haveliwala, WWW 2002): [[pageRank]]'s
+    * recurrence with the teleport mass concentrated on a seed set S
+    * instead of spread uniformly —
+    *
+    *   r'(v) = (1 − d)·p(v) + d · Σ_{(u,v) ∈ E} r(u)/outdeg(u),
+    *   p(v) = 1/|S| for v ∈ S, else 0;  r₀ = p
+    *
+    * the relevance-to-S score that turns a co-interaction graph into a
+    * recommender ("parts bought with THESE parts") or a crawl
+    * frontier prioritizer ("pages near these trusted domains").
+    * Same rounding contract, same per-round single
+    * equi-join + map-side-partial sum shape, same pin/release loop as
+    * [[pageRank]] — only the base term differs. Seeds are a literal,
+    * query-side set (bounded by construction; a frame-sized
+    * personalization vector would join instead of `isin`).
+    *
+    * Returns `(node, rank)`, node-cardinality; nodes unreachable from
+    * S hold rank 0 — sorting by rank IS the recommendation order.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iterations: Int = 5, damping: Double = 0.85,
+      roundTo: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0, 1) (got $damping)")
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed node")
+
+    def rnd(c: org.apache.spark.sql.Column) =
+      if (roundTo >= 0) round(c, roundTo) else c
+
+    val pSeed = 1.0 / seeds.size
+    def pv(node: org.apache.spark.sql.Column) =
+      when(node.isin(seeds: _*), lit(pSeed)).otherwise(lit(0.0))
+
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val withDeg = e.join(deg, "src")
+        .select(col("src"), col("dst"), col("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        var ranks = graft.Caches.trackedPersist(
+          nodes.select(col("node"), rnd(pv(col("node"))).as("rank")),
+          StorageLevel.MEMORY_AND_DISK)
+        var prev: Option[DataFrame] = None
+        var i = 0
+        while (i < iterations) {
+          val contribs = withDeg
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("rank") / col("deg")).as("_s"))
+          val next = graft.Caches.trackedPersist(
+            nodes
+              .join(contribs, Seq("node"), "left")
+              .select(col("node"),
+                rnd(lit(1.0 - damping) * pv(col("node")) +
+                  lit(damping) * coalesce(col("_s"), lit(0.0))).as("rank")),
+            StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          prev.foreach(_.unpersist(blocking = false))
+          prev = Some(ranks)
+          ranks = next
+          i += 1
+        }
+        prev.foreach(_.unpersist(blocking = false))
+        ranks.orderBy("node")
+      } finally {
+        withDeg.unpersist(blocking = false)
+        nodes.unpersist(blocking = false)
+      }
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over the
     * UNDIRECTED closure of `edges`: every node starts as its own
     * label; each round every node adopts the most frequent label among

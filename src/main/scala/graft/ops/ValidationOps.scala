@@ -150,4 +150,71 @@ object ValidationOps {
           .as("n_outliers"))
       .orderBy(entityCol)
   }
+
+  /** Two-sided CUSUM drift detection per entity (Page 1954, the
+    * sequential change-point test a nightly feed monitor runs over
+    * every series): with per-entity mean μ and sample stddev σ of the
+    * 6dp-rounded values, slack k = round(kSigma·σ, 6) and decision
+    * threshold h = round(hSigma·σ, 6),
+    *
+    *   s⁺_t = max(0, s⁺_{t−1} + (x_t − μ − k))
+    *   s⁻_t = max(0, s⁻_{t−1} + (μ − x_t − k))
+    *
+    * alarm at any t where s⁺_t > h or s⁻_t > h. Returns one row per
+    * entity: n, mu, sigma, max_sp, max_sn, n_alarms.
+    *
+    * Determinism contract: μ/σ are multi-term float aggregates → 6 dp
+    * round (the a4/a13 convention); everything AFTER that — the whole
+    * recursion — runs in EXACT decimal (values cast to 6dp decimal,
+    * state decimal(20,8), max against a decimal zero), so the
+    * accumulated sums and the alarm comparisons replay bit-for-bit in
+    * any engine regardless of recursion depth. The [[graft.ops
+    * .FeatureOps.holtForecast]] exact-state rule: float recursions
+    * amplify ulps, decimal recursions don't have any.
+    *
+    * Scale shape: one entity-keyed stats aggregation broadcast back
+    * (entity-cardinality), one hash aggregation collecting each
+    * entity's calendar-bounded ordered series, one array-local fold.
+    */
+  def cusumDrift(df: DataFrame, entityCol: String, timeCol: String,
+      valueCol: String, kSigma: Double = 0.5, hSigma: Double = 4.0): DataFrame = {
+    require(kSigma >= 0.0, s"kSigma must be >= 0 (got $kSigma)")
+    require(hSigma > 0.0, s"hSigma must be > 0 (got $hSigma)")
+    val dec = "decimal(20,8)"
+    val x6 = round(col(valueCol), 6)
+    val stats = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(x6), 6).as("mu"),
+        round(coalesce(stddev_samp(x6), lit(0.0)), 6).as("sigma"))
+      .withColumn("_k", round(lit(kSigma) * col("sigma"), 6))
+      .withColumn("_h", round(lit(hSigma) * col("sigma"), 6))
+    val series = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(array_sort(collect_list(struct(col(timeCol).as("t"),
+        x6.cast("decimal(12,6)").as("x")))).as("_xs"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val init = struct(zero.as("sp"), zero.as("sn"),
+      zero.as("maxp"), zero.as("maxn"), lit(0L).as("alarms"))
+    series.join(broadcast(stats), entityCol)
+      .withColumn("_st", aggregate(col("_xs"), init, (acc, e) => {
+        val mu = col("mu").cast("decimal(12,6)")
+        val k = col("_k").cast("decimal(12,6)")
+        val h = col("_h").cast("decimal(12,6)")
+        val x = e.getField("x")
+        val sp = greatest(zero, (acc.getField("sp") + (x - mu - k)).cast(dec))
+        val sn = greatest(zero, (acc.getField("sn") + (mu - x - k)).cast(dec))
+        struct(sp.as("sp"), sn.as("sn"),
+          greatest(acc.getField("maxp"), sp).as("maxp"),
+          greatest(acc.getField("maxn"), sn).as("maxn"),
+          (acc.getField("alarms") +
+            when(sp > h || sn > h, lit(1L)).otherwise(lit(0L))).as("alarms"))
+      }))
+      .select(col(entityCol), col("n"), col("mu"), col("sigma"),
+        col("_st.maxp").cast("double").as("max_sp"),
+        col("_st.maxn").cast("double").as("max_sn"),
+        col("_st.alarms").as("n_alarms"))
+      .orderBy(entityCol)
+  }
 }

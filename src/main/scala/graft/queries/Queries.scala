@@ -218,6 +218,41 @@ object Queries {
       s"\nSELECT node, r AS rank FROM r$iters ORDER BY node"
   }
 
+  /** Generated oracle for `g6_personalized_pagerank` — [[pageRankOracle]]
+    * with the teleport mass on the literal seed set: p(v) = 1/|S| on
+    * seeds, 0 elsewhere, r₀ = round(p, 6). `CAST(1.0 AS DOUBLE)/|S|`
+    * (NOT the bare decimal literal — DuckDB would divide in decimal)
+    * reproduces Spark's IEEE seed mass exactly.
+    */
+  private def pprOracle(iters: Int, seeds: Seq[Long]): String = {
+    val inList = seeds.mkString(", ")
+    val pv = s"CASE WHEN %s IN ($inList) THEN CAST(1.0 AS DOUBLE) / ${seeds.size} ELSE CAST(0 AS DOUBLE) END"
+    val ctes = Seq.newBuilder[String]
+    ctes += """pairs AS MATERIALIZED (
+              |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              |  FROM lineitem a JOIN lineitem b
+              |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""".stripMargin
+    ctes += """deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM pairs GROUP BY 1)""".stripMargin
+    ctes += """nodes AS MATERIALIZED (
+              |  SELECT src AS node FROM pairs UNION SELECT dst FROM pairs)""".stripMargin
+    ctes += s"""r0 AS MATERIALIZED (
+               |  SELECT node, round(${pv.format("node")}, 6) AS r FROM nodes)""".stripMargin
+    for (i <- 1 to iters) {
+      val p = i - 1
+      ctes += s"""c$i AS MATERIALIZED (
+                 |  SELECT p.dst AS node, sum(r$p.r / deg.deg) AS s
+                 |  FROM pairs p JOIN deg USING (src) JOIN r$p ON p.src = r$p.node
+                 |  GROUP BY 1)""".stripMargin
+      ctes += s"""r$i AS MATERIALIZED (
+                 |  SELECT nodes.node,
+                 |         round((1 - CAST(0.85 AS DOUBLE)) * ${pv.format("nodes.node")}
+                 |               + CAST(0.85 AS DOUBLE) * COALESCE(c$i.s, 0), 6) AS r
+                 |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") +
+      s"\nSELECT node, r AS rank FROM r$iters ORDER BY node"
+  }
+
   /** Generated oracle for `g2_label_propagation` — the same co-purchase
     * graph as [[pageRankOracle]], symmetrized, with `iters` unrolled
     * synchronous LPA rounds (neighbor-mode labels, min-label
@@ -6734,7 +6769,120 @@ object Queries {
              |  round(CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
              |FROM ver
              |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.8
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("w27_holt",
+      // Holt double exponential smoothing per ticker ([[graft.ops
+      // .FeatureOps.holtForecast]]): level/trend recursion in EXACT
+      // decimal, 8dp HALF_UP per step — a float recursion amplifies
+      // ulps, a decimal one has none, so the oracle's recursive CTE
+      // replays every intermediate state bit-for-bit. One hash agg +
+      // array-local fold; no window.
+      (s, dir) => FeatureOps.holtForecast(prices(t(s, dir, "lineitem")),
+          "ticker", "date", "close")
+        .orderBy("ticker"),
+      Some(pricesSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, r2 AS (
+          |  SELECT ticker, CAST(CAST(close AS DECIMAL(12,2)) AS DECIMAL(20,8)) AS x,
+          |         row_number() OVER (PARTITION BY ticker ORDER BY "date") AS rn
+          |  FROM prices),
+          |st AS (
+          |  SELECT ticker, 1 AS rn, x AS l, CAST(0 AS DECIMAL(20,8)) AS b
+          |  FROM r2 WHERE rn = 1
+          |  UNION ALL
+          |  SELECT r2.ticker, r2.rn,
+          |    CASE WHEN r2.rn = 2 THEN r2.x
+          |         ELSE CAST(round(0.5 * r2.x + 0.5 * (st.l + st.b), 8) AS DECIMAL(20,8)) END,
+          |    CASE WHEN r2.rn = 2 THEN CAST(round(r2.x - st.l, 8) AS DECIMAL(20,8))
+          |         ELSE CAST(round(
+          |                0.3 * (CAST(round(0.5 * r2.x + 0.5 * (st.l + st.b), 8) AS DECIMAL(20,8))
+          |                       - st.l)
+          |                + 0.7 * st.b, 8) AS DECIMAL(20,8)) END
+          |  FROM st JOIN r2 ON r2.ticker = st.ticker AND r2.rn = st.rn + 1),
+          |fin AS (
+          |  SELECT s.ticker, s.rn, s.l, s.b,
+          |         row_number() OVER (PARTITION BY s.ticker ORDER BY s.rn DESC) AS rk
+          |  FROM st s)
+          |SELECT ticker, CAST(rn AS BIGINT) AS n,
+          |       CAST(l AS DOUBLE) AS level, CAST(b AS DOUBLE) AS trend,
+          |       CAST(l + 5 * b AS DOUBLE) AS forecast_5
+          |FROM fin WHERE rk = 1 ORDER BY ticker""".stripMargin)),
+
+    QueryDef("w28_cusum",
+      // two-sided CUSUM drift monitor over daily returns ([[graft.ops
+      // .ValidationOps.cusumDrift]]): μ/σ are 6dp-rounded float
+      // aggregates (the a4/a13 convention); the whole recursion after
+      // that is EXACT decimal, so max-state and alarm counts replay
+      // exactly in the oracle's recursive CTE.
+      (s, dir) => ValidationOps.cusumDrift(
+          pricesWithRet(s, dir).select(col("ticker"), col("date"), col("ret")),
+          "ticker", "date", "ret"),
+      Some((pricesSql + retSql).replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, x AS (
+          |  SELECT ticker, round(ret, 6) AS x6,
+          |         row_number() OVER (PARTITION BY ticker ORDER BY "date") AS rn
+          |  FROM r WHERE ret IS NOT NULL),
+          |stats AS (
+          |  SELECT ticker, count(*) AS n, round(avg(x6), 6) AS mu,
+          |         round(coalesce(stddev_samp(x6), 0.0), 6) AS sigma
+          |  FROM x GROUP BY 1),
+          |par AS (
+          |  SELECT ticker, CAST(mu AS DECIMAL(12,6)) AS mud,
+          |         CAST(round(0.5 * sigma, 6) AS DECIMAL(12,6)) AS k,
+          |         CAST(round(4.0 * sigma, 6) AS DECIMAL(12,6)) AS h
+          |  FROM stats),
+          |cu AS (
+          |  SELECT ticker, 0 AS rn,
+          |         CAST(0 AS DECIMAL(20,8)) AS sp, CAST(0 AS DECIMAL(20,8)) AS sn,
+          |         CAST(0 AS DECIMAL(20,8)) AS maxp, CAST(0 AS DECIMAL(20,8)) AS maxn,
+          |         CAST(0 AS BIGINT) AS alarms
+          |  FROM stats
+          |  UNION ALL
+          |  SELECT cu.ticker, x.rn,
+          |    greatest(CAST(0 AS DECIMAL(20,8)),
+          |             CAST(cu.sp + (CAST(x.x6 AS DECIMAL(12,6)) - p.mud - p.k) AS DECIMAL(20,8))),
+          |    greatest(CAST(0 AS DECIMAL(20,8)),
+          |             CAST(cu.sn + (p.mud - CAST(x.x6 AS DECIMAL(12,6)) - p.k) AS DECIMAL(20,8))),
+          |    greatest(cu.maxp,
+          |             greatest(CAST(0 AS DECIMAL(20,8)),
+          |               CAST(cu.sp + (CAST(x.x6 AS DECIMAL(12,6)) - p.mud - p.k) AS DECIMAL(20,8)))),
+          |    greatest(cu.maxn,
+          |             greatest(CAST(0 AS DECIMAL(20,8)),
+          |               CAST(cu.sn + (p.mud - CAST(x.x6 AS DECIMAL(12,6)) - p.k) AS DECIMAL(20,8)))),
+          |    cu.alarms + CASE WHEN
+          |        greatest(CAST(0 AS DECIMAL(20,8)),
+          |          CAST(cu.sp + (CAST(x.x6 AS DECIMAL(12,6)) - p.mud - p.k) AS DECIMAL(20,8))) > p.h
+          |        OR greatest(CAST(0 AS DECIMAL(20,8)),
+          |          CAST(cu.sn + (p.mud - CAST(x.x6 AS DECIMAL(12,6)) - p.k) AS DECIMAL(20,8))) > p.h
+          |      THEN 1 ELSE 0 END
+          |  FROM cu
+          |  JOIN x ON x.ticker = cu.ticker AND x.rn = cu.rn + 1
+          |  JOIN par p ON p.ticker = cu.ticker),
+          |fin AS (
+          |  SELECT cu.*, row_number() OVER (PARTITION BY ticker ORDER BY rn DESC) AS rk
+          |  FROM cu)
+          |SELECT f.ticker, s.n, s.mu, s.sigma,
+          |       CAST(f.maxp AS DOUBLE) AS max_sp, CAST(f.maxn AS DOUBLE) AS max_sn,
+          |       f.alarms AS n_alarms
+          |FROM fin f JOIN stats s USING (ticker)
+          |WHERE f.rk = 1 ORDER BY f.ticker""".stripMargin)),
+
+    QueryDef("g6_personalized_pagerank",
+      // personalized PageRank from seed parts {1,2,3} over the
+      // co-purchase graph ([[graft.ops.GraphOps.personalizedPageRank]]):
+      // teleport mass on the seeds only — "parts bought with THESE
+      // parts". Same unrolled round-by-round oracle as g1; ranks decay
+      // to 0 off the seeds' reachable set.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.personalizedPageRank(pairs, "src", "dst",
+          seeds = Seq(1L, 2L, 3L), iterations = 5)
+      },
+      Some(pprOracle(5, Seq(1L, 2L, 3L))))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

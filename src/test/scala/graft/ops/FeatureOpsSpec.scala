@@ -198,4 +198,39 @@ class FeatureOpsSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(m("B") === Set(100.0))
   }
+
+  test("holtForecast: hand-run recursion, exact decimal state") {
+    // series 10, 12, 11, 15 with α=0.5, β=0.3:
+    //   t1: l=10, b=0
+    //   t2: l=12, b=12−10=2
+    //   t3: l=0.5·11 + 0.5·(12+2)=12.5;   b=0.3·(12.5−12)+0.7·2=1.55
+    //   t4: l=0.5·15 + 0.5·(12.5+1.55)=14.525
+    //       b=0.3·(14.525−12.5)+0.7·1.55=1.6925
+    // forecast_5 = 14.525 + 5·1.6925 = 22.9875 — every value exact in
+    // decimal, so the equality below is EXACT, not approximate
+    val df = Seq(
+      ("A", "2024-01-01", 10.0), ("A", "2024-01-02", 12.0),
+      ("A", "2024-01-03", 11.0), ("A", "2024-01-04", 15.0),
+      ("B", "2024-01-01", 42.0)) // 1-row series: zero trend, self-forecast
+      .toDF("ticker", "date", "close")
+      .withColumn("date", to_date(col("date")))
+    val out = FeatureOps.holtForecast(df, "ticker", "date", "close")
+      .orderBy("ticker")
+      .as[(String, Long, Double, Double, Double)].collect().toList
+    assert(out === List(
+      ("A", 4L, 14.525, 1.6925, 22.9875),
+      ("B", 1L, 42.0, 0.0, 42.0)))
+  }
+
+  test("holtForecast: partitioning-invariant and order-independent input") {
+    val base = (1 to 30).map(i => ("T", f"2024-01-$i%02d", 100.0 + (i % 7)))
+    val df = spark.createDataFrame(scala.util.Random.shuffle(base))
+      .toDF("ticker", "date", "close")
+      .withColumn("date", to_date(col("date")))
+    val a = FeatureOps.holtForecast(df, "ticker", "date", "close")
+      .as[(String, Long, Double, Double, Double)].head()
+    val b = FeatureOps.holtForecast(df.repartition(13), "ticker", "date", "close")
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(a === b) // the fold sorts by time inside the group — layout-free
+  }
 }

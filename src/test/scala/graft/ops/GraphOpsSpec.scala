@@ -195,6 +195,43 @@ class GraphOpsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("personalizedPageRank: teleport mass stays on the seed side") {
+    // 1 -> 2 -> 3, and an off-seed island 4 <-> 5. Seeds = {1}:
+    // r0 = (1, 0, 0, 0, 0); the island can only ever receive pushed
+    // mass from itself — with zero initial mass it stays at 0 forever.
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 4L)).toDF("s", "d")
+    val r = GraphOps.personalizedPageRank(edges, "s", "d",
+        seeds = Seq(1L), iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(r(4L) === 0.0 && r(5L) === 0.0)
+    // the seed holds exactly its teleport share (nothing links to 1)
+    assert(r(1L) === r6(0.15 * 1.0))
+    // hand-run round 1: r(2) = 0.85·r(1)/1 = 0.85·0.15... with r0(1)=1:
+    // round1: r(2) = 0.85·1 = 0.85, r(1) = 0.15, r(3) = 0.85·r0(2) = 0
+    // round2: r(2) = 0.85·0.15, r(3) = 0.85·0.85
+    val r2Round2 = r6(0.85 * 0.15)
+    val r3Round2 = r6(0.85 * 0.85)
+    // round3: r(2) = 0.85·0.15 (fixed), r(3) = 0.85·r2Round2
+    // round4: r(3) = 0.85·r2Round2 (fixed point of the chain)
+    assert(r(2L) === r2Round2)
+    assert(r(3L) === r6(0.85 * r2Round2), s"got ${r(3L)}, expected chain value")
+    assert(r3Round2 > r(3L)) // transient round-2 spike decays
+    graft.Caches.releaseAll()
+  }
+
+  test("personalizedPageRank: uniform seeds over ALL nodes ≈ pageRank") {
+    // with S = every node, p(v) = 1/n — the recurrence degenerates to
+    // standard PageRank; the two operators must agree rank-for-rank
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val pr = GraphOps.pageRank(edges, "s", "d", iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    val ppr = GraphOps.personalizedPageRank(edges, "s", "d",
+        seeds = Seq(1L, 2L, 3L), iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(ppr === pr)
+    graft.Caches.releaseAll()
+  }
+
   test("round-scoped pins release; only the final frame stays (tracked)") {
     graft.Caches.releaseAll()
     val before = spark.sparkContext.getPersistentRDDs.keySet

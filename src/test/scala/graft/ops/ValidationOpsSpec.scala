@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.{col, to_date}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -84,5 +85,43 @@ class ValidationOpsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Long)].collect().toList
     assert(out === List(("A", 10L, 5.5, 2.5, 1L), ("B", 3L, 2.0, 0.0, 0L)))
     graft.Caches.releaseAll()
+  }
+
+  test("cusumDrift: hand-run two-sided recursion, alarms at h = 1σ") {
+    // A: four zeros then a spike of 10 — mu=2, σ=√20≈4.472136;
+    //    k=2.236068, h=4.472136. s⁺ fires only on the spike row:
+    //    s⁺₅ = 10 − 2 − 2.236068 = 5.763932 > h → exactly one alarm.
+    // B: five zeros then five ones (a level shift) — mu=0.5,
+    //    σ=0.527046, k=0.263523, h=0.527046. s⁻ ramps 0.236477/row
+    //    (alarming rows 3-5), drains after the shift; s⁺ ramps on the
+    //    ones (alarming rows 8-10) → 6 alarms, both maxima 1.182385.
+    val rows =
+      (1 to 5).map(i => ("A", f"2024-01-$i%02d", if (i == 5) 10.0 else 0.0)) ++
+      (1 to 10).map(i => ("B", f"2024-01-$i%02d", if (i <= 5) 0.0 else 1.0))
+    val df = spark.createDataFrame(rows).toDF("ticker", "date", "x")
+      .withColumn("date", to_date(col("date")))
+    val out = ValidationOps.cusumDrift(df, "ticker", "date", "x",
+        kSigma = 0.5, hSigma = 1.0)
+      .as[(String, Long, Double, Double, Double, Double, Long)]
+      .collect().toList
+    assert(out === List(
+      ("A", 5L, 2.0, 4.472136, 5.763932, 0.0, 1L),
+      ("B", 10L, 0.5, 0.527046, 1.182385, 1.182385, 6L)))
+    // partitioning invariance: the fold sorts inside the group
+    val out2 = ValidationOps.cusumDrift(df.repartition(7), "ticker", "date", "x",
+        kSigma = 0.5, hSigma = 1.0)
+      .as[(String, Long, Double, Double, Double, Double, Long)]
+      .collect().toList
+    assert(out2 === out)
+  }
+
+  test("cusumDrift: constant series (σ=0) never alarms; nulls drop") {
+    val df = Seq(("C", "2024-01-01", Some(5.0)), ("C", "2024-01-02", Some(5.0)),
+        ("C", "2024-01-03", None), ("C", "2024-01-04", Some(5.0)))
+      .toDF("ticker", "date", "x")
+      .withColumn("date", to_date(col("date")))
+    val out = ValidationOps.cusumDrift(df, "ticker", "date", "x")
+      .as[(String, Long, Double, Double, Double, Double, Long)].head()
+    assert(out === (("C", 3L, 5.0, 0.0, 0.0, 0.0, 0L)))
   }
 }
