@@ -406,4 +406,54 @@ object RelevanceFunctions {
           (col("n_a") * col("n_b"))), 6).as("pmi"))
       .orderBy("tok_a", "tok_b")
   }
+
+  /** Zipf rank-frequency fit over the corpus vocabulary: the top-`topK`
+    * tokens with their ranks, plus the OLS line through
+    * (ln rank, ln freq) — slope ≈ −1 is the Zipf signature of natural
+    * text; a corpus whose slope drifts toward 0 (flat head) or −∞
+    * (boilerplate-dominated head) fails the smell test. The standard
+    * one-glance corpus health statistic next to [[unigramLm]].
+    *
+    * Determinism contract: per-point lns round to 6 dp (ln is the one
+    * libm call engines may disagree on by an ulp — the cls1/a14
+    * convention), the OLS sums then accumulate in EXACT decimal
+    * (order-free), and the closed-form slope/intercept is one IEEE
+    * chain on those exact sums → 6 dp round.
+    *
+    * Scale shape: one token count with map-side partials; top-K is
+    * TakeOrdered (never a global sort); the rank window runs over K
+    * rows AFTER the limit (the rrfFuse bounded-window exemption); the
+    * fit sums reduce K rows to one broadcast row.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2 (got $topK)")
+    val counts = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(topK)
+    val pts = top
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))))
+      .withColumn("ln_rank", round(log(col("rank").cast("double")), 6))
+      .withColumn("ln_freq", round(log(col("n").cast("double")), 6))
+    val sums = pts.agg(
+      count(lit(1)).cast("double").as("_k"),
+      sum(col("ln_rank").cast("decimal(20,6)")).cast("double").as("_sx"),
+      sum(col("ln_freq").cast("decimal(20,6)")).cast("double").as("_sy"),
+      sum((col("ln_rank") * col("ln_freq")).cast("decimal(24,12)"))
+        .cast("double").as("_sxy"),
+      sum((col("ln_rank") * col("ln_rank")).cast("decimal(24,12)"))
+        .cast("double").as("_sxx"))
+      .withColumn("_slope",
+        (col("_k") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_k") * col("_sxx") - col("_sx") * col("_sx")))
+      .withColumn("_icept", (col("_sy") - col("_slope") * col("_sx")) / col("_k"))
+    pts.crossJoin(broadcast(sums))
+      .select(col("rank"), col("token"), col("n"), col("ln_rank"), col("ln_freq"),
+        round(col("_slope"), 6).as("slope"),
+        round(col("_icept"), 6).as("intercept"))
+      .orderBy("rank")
+  }
 }

@@ -298,4 +298,51 @@ object FeatureOps {
         (col("_st.l") + lit(horizon) * col("_st.b")).cast("double")
           .as(s"forecast_$horizon"))
   }
+
+  /** Theil–Sen robust trend per entity (Theil 1950; Sen, JASA 1968):
+    * slope = MEDIAN of all pairwise slopes (y_j − y_i)/(x_j − x_i)
+    * over time-ordered pairs, intercept = median residual at that
+    * slope — the trend line a single bad feed row cannot drag (up to
+    * ~29% contamination), where a18's OLS moves with every outlier.
+    * x is the day index from `epoch`; same-x pairs are excluded
+    * (duplicate timestamps would divide by zero and carry no slope
+    * information). Entities need ≥ 2 distinct x values to appear.
+    *
+    * Determinism: each pairwise slope is ONE IEEE division on exact
+    * inputs (bit-identical cross-engine); the median is Spark's exact
+    * linear interpolation — the same `lo + (hi−lo)·frac` recurrence
+    * DuckDB's `quantile_cont` evaluates (the w19 contract) — and only
+    * the reported slope/intercept round to 6 dp.
+    *
+    * Scale note: the pair join is O(n²) PER ENTITY — right for
+    * calendar-bounded series (a year of dailies = 66k pairs); for
+    * longer series cut the window upstream (the g3 date-cut
+    * convention) or sample pairs (the randomized Theil–Sen variant).
+    * The exact per-group median buffers group pair lists (the
+    * madOutliers exact-tier caveat); everything else is equi-join +
+    * hash agg with entity-sized frames broadcast back.
+    */
+  def theilSenTrend(df: DataFrame, entity: String, time: String, value: String,
+      epoch: String = "1992-01-01"): DataFrame = {
+    val p = df.filter(col(value).isNotNull)
+      .select(col(entity).as("_e"),
+        datediff(col(time), lit(epoch).cast("date")).cast("long").as("_x"),
+        col(value).cast("double").as("_y"))
+    val a = p.select(col("_e"), col("_x").as("_xi"), col("_y").as("_yi"))
+    val b = p.select(col("_e"), col("_x").as("_xj"), col("_y").as("_yj"))
+    val slopes = a.join(b, Seq("_e")).filter(col("_xi") < col("_xj"))
+      .withColumn("_m",
+        (col("_yj") - col("_yi")) / (col("_xj") - col("_xi")).cast("double"))
+    val fit = slopes.groupBy(col("_e"))
+      .agg(count(lit(1)).as("n_pairs"), expr("percentile(_m, 0.5D)").as("_slope"))
+    p.join(broadcast(fit), Seq("_e"))
+      .withColumn("_r", col("_y") - col("_slope") * col("_x").cast("double"))
+      .groupBy(col("_e"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_pairs")).as("n_pairs"),        // constant per entity
+        round(min(col("_slope")), 6).as("slope"), // constant per entity
+        round(expr("percentile(_r, 0.5D)"), 6).as("intercept"))
+      .withColumnRenamed("_e", entity)
+      .orderBy(entity)
+  }
 }

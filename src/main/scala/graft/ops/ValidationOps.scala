@@ -217,4 +217,59 @@ object ValidationOps {
         col("_st.alarms").as("n_alarms"))
       .orderBy(entityCol)
   }
+
+  /** Mann–Kendall trend test per entity (Mann 1945; Kendall 1975) —
+    * the NON-parametric "is this series trending" significance test
+    * that pairs with [[graft.ops.FeatureOps.theilSenTrend]]'s slope
+    * (monotone-invariant, outlier-robust, no normality assumption):
+    *
+    *   S = Σ_{i<j} sign(y_j − y_i)   (time-ordered pairs)
+    *   Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18
+    *   z = (S∓1)/√Var(S)  (continuity-corrected; 0 when S = 0)
+    *
+    * with the standard ±1.96 two-sided 5% call on the ROUNDED z.
+    * S and the tie correction are exact integers; Var(S) one exact
+    * integer difference over 18.0 and z one IEEE chain (√ is
+    * correctly rounded by IEEE in both engines, unlike log) → only z
+    * rounds, to 6 dp. Entities need ≥ 2 rows to appear.
+    *
+    * Scale note: O(n²) pairs per entity like [[graft.ops.FeatureOps
+    * .theilSenTrend]] — bound the window upstream for long series.
+    * The pair aggregation reduces to ONE long per entity with
+    * map-side partials; ties reduce on (entity, value) first.
+    */
+  def mannKendall(df: DataFrame, entityCol: String, timeCol: String,
+      valueCol: String): DataFrame = {
+    val p = df.filter(col(valueCol).isNotNull)
+      .select(col(entityCol).as("_e"), col(timeCol).as("_t"),
+        col(valueCol).cast("double").as("_y"))
+    val a = p.select(col("_e"), col("_t").as("_ti"), col("_y").as("_yi"))
+    val b = p.select(col("_e"), col("_t").as("_tj"), col("_y").as("_yj"))
+    val s = a.join(b, Seq("_e")).filter(col("_ti") < col("_tj"))
+      .groupBy(col("_e"))
+      .agg(sum(signum(col("_yj") - col("_yi")).cast("long")).as("s_stat"))
+    val nn = p.groupBy(col("_e")).agg(count(lit(1)).as("n"))
+    val ties = p.groupBy(col("_e"), col("_y")).agg(count(lit(1)).as("_tc"))
+      .filter(col("_tc") > 1)
+      .groupBy(col("_e"))
+      .agg(sum(col("_tc") * (col("_tc") - 1) * (lit(2L) * col("_tc") + 5)).as("_tcorr"))
+    nn.join(s, Seq("_e")).join(ties, Seq("_e"), "left")
+      .na.fill(0L, Seq("_tcorr"))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("_tcorr"))
+          .cast("double") / lit(18.0))
+      .withColumn("z", round(
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+        .when(col("s_stat") < 0,
+          (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+        .otherwise(lit(0.0)), 6))
+      .withColumn("trend",
+        when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("no trend")))
+      .select(col("_e").as(entityCol), col("n"), col("s_stat"),
+        col("var_s"), col("z"), col("trend"))
+      .orderBy(entityCol)
+  }
 }

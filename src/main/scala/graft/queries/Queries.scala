@@ -6882,7 +6882,119 @@ object Queries {
         GraphOps.personalizedPageRank(pairs, "src", "dst",
           seeds = Seq(1L, 2L, 3L), iterations = 5)
       },
-      Some(pprOracle(5, Seq(1L, 2L, 3L))))
+      Some(pprOracle(5, Seq(1L, 2L, 3L)))),
+
+    QueryDef("w29_theil_sen",
+      // Theil-Sen robust trend per ticker over 1995H1 ([[graft.ops
+      // .FeatureOps.theilSenTrend]]): median of pairwise slopes +
+      // median residual intercept. The date cut bounds the O(n²) pair
+      // set (the g3 convention); each slope is one IEEE division,
+      // medians are the exact-interpolation percentile both engines
+      // evaluate identically (w19 contract), outputs round 6dp.
+      (s, dir) => FeatureOps.theilSenTrend(
+          prices(t(s, dir, "lineitem"))
+            .filter(col("date").between("1995-01-01", "1995-06-30")),
+          "ticker", "date", "close"),
+      Some(pricesSql +
+        """, px AS (
+          |  SELECT ticker, CAST("date" - DATE '1992-01-01' AS BIGINT) AS x, close AS y
+          |  FROM prices
+          |  WHERE "date" BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'),
+          |sl AS (
+          |  SELECT a.ticker, (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS m
+          |  FROM px a JOIN px b ON a.ticker = b.ticker AND a.x < b.x),
+          |fit AS (
+          |  SELECT ticker, count(*) AS n_pairs, quantile_cont(m, 0.5) AS slope
+          |  FROM sl GROUP BY 1),
+          |res AS (
+          |  SELECT p.ticker, f.n_pairs, f.slope,
+          |         p.y - f.slope * CAST(p.x AS DOUBLE) AS r
+          |  FROM px p JOIN fit f USING (ticker))
+          |SELECT ticker, count(*) AS n, min(n_pairs) AS n_pairs,
+          |  round(min(slope), 6) AS slope,
+          |  round(quantile_cont(r, 0.5), 6) AS intercept
+          |FROM res GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("w30_mann_kendall",
+      // Mann-Kendall trend significance per ticker over the same 1995H1
+      // cut ([[graft.ops.ValidationOps.mannKendall]]): S and the tie
+      // correction are exact integers, Var(S) an exact difference over
+      // 18.0, z one IEEE chain (sqrt is correctly rounded — unlike ln)
+      // rounded 6dp, and the ±1.96 call reads the ROUNDED z.
+      (s, dir) => ValidationOps.mannKendall(
+          prices(t(s, dir, "lineitem"))
+            .filter(col("date").between("1995-01-01", "1995-06-30")),
+          "ticker", "date", "close"),
+      Some(pricesSql +
+        """, px AS (
+          |  SELECT ticker, "date" AS t, close AS y
+          |  FROM prices
+          |  WHERE "date" BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'),
+          |s AS (
+          |  SELECT a.ticker,
+          |         CAST(SUM(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s_stat
+          |  FROM px a JOIN px b ON a.ticker = b.ticker AND a.t < b.t
+          |  GROUP BY 1),
+          |nn AS (SELECT ticker, count(*) AS n FROM px GROUP BY 1),
+          |tg AS (
+          |  SELECT ticker, CAST(SUM(t3) AS BIGINT) AS tcorr FROM (
+          |    SELECT ticker, y,
+          |           count(*) * (count(*) - 1) * (2 * count(*) + 5) AS t3
+          |    FROM px GROUP BY 1, 2 HAVING count(*) > 1)
+          |  GROUP BY 1),
+          |v AS (
+          |  SELECT nn.ticker, nn.n, s.s_stat,
+          |         CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+          |              - COALESCE(tg.tcorr, 0) AS DOUBLE) / 18.0 AS var_s
+          |  FROM nn JOIN s USING (ticker) LEFT JOIN tg USING (ticker)),
+          |zz AS (
+          |  SELECT ticker, n, s_stat, var_s,
+          |    round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+          |               WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+          |               ELSE 0.0 END, 6) AS z
+          |  FROM v)
+          |SELECT ticker, n, s_stat, var_s, z,
+          |  CASE WHEN z > 1.96 THEN 'increasing'
+          |       WHEN z < -1.96 THEN 'decreasing'
+          |       ELSE 'no trend' END AS trend
+          |FROM zz ORDER BY ticker""".stripMargin)),
+
+    QueryDef("t20_zipf",
+      // Zipf rank-frequency fit over the documents vocabulary
+      // ([[graft.functions.RelevanceFunctions.zipfFit]]): top-100
+      // tokens + the OLS line through (ln rank, ln freq). Per-point
+      // lns round 6dp (the cls1/a14 libm convention), fit sums
+      // accumulate in exact decimal, slope/intercept round 6dp.
+      (s, dir) => R.zipfFit(docs(s, dir), "text", topK = 100),
+      Some("""WITH tok AS (
+             |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+             |  FROM documents WHERE text IS NOT NULL),
+             |tok2 AS (SELECT token FROM tok WHERE length(token) > 0),
+             |c AS (SELECT token, count(*) AS n FROM tok2 GROUP BY 1),
+             |top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100),
+             |rk AS (
+             |  SELECT token, n,
+             |         CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS "rank"
+             |  FROM top),
+             |pts AS (
+             |  SELECT token, n, "rank",
+             |         round(ln(CAST("rank" AS DOUBLE)), 6) AS ln_rank,
+             |         round(ln(CAST(n AS DOUBLE)), 6) AS ln_freq
+             |  FROM rk),
+             |sums AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS k,
+             |    CAST(SUM(CAST(ln_rank AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(ln_freq AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(ln_rank * ln_freq AS DECIMAL(24,12))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(ln_rank * ln_rank AS DECIMAL(24,12))) AS DOUBLE) AS sxx
+             |  FROM pts),
+             |fit AS (
+             |  SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope,
+             |         (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k AS icept
+             |  FROM sums)
+             |SELECT "rank", token, n, ln_rank, ln_freq,
+             |  round(slope, 6) AS slope, round(icept, 6) AS intercept
+             |FROM pts, fit ORDER BY "rank"""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -321,4 +321,34 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(fused === RelevanceFunctions.rrfFuse(Seq(dup.repartition(5)),
       "id", "rank", topK = 2).as[(Long, Double, Int)].collect().toList)
   }
+
+  test("zipfFit: hand corpus — ranks, counts, and the closed-form OLS line") {
+    def r6d(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // counts: a=4, b=2, c=1 → ranks 1,2,3 (ties impossible here)
+    val docs = Seq("a a a b", "a b c").toDF("text")
+    val out = RelevanceFunctions.zipfFit(docs, "text", topK = 10)
+      .as[(Int, String, Long, Double, Double, Double, Double)].collect().toList
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      List((1, "a", 4L), (2, "b", 2L), (3, "c", 1L)))
+    // replay the op's own contract: 6dp-rounded lns, exact sums, one
+    // IEEE chain
+    val pts = List((1, 4L), (2, 2L), (3, 1L)).map { case (r, n) =>
+      (r6d(math.log(r.toDouble)), r6d(math.log(n.toDouble))) }
+    assert(out.map(r => (r._4, r._5)) === pts)
+    val k = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => BigDecimal(p._1 * p._2).setScale(12,
+      BigDecimal.RoundingMode.HALF_UP).toDouble).sum
+    val sxx = pts.map(p => BigDecimal(p._1 * p._1).setScale(12,
+      BigDecimal.RoundingMode.HALF_UP).toDouble).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val icept = (sy - slope * sx) / k
+    val got = out.head
+    assert(math.abs(got._6 - r6d(slope)) < 2e-6, s"slope ${got._6} vs $slope")
+    assert(math.abs(got._7 - r6d(icept)) < 2e-6)
+    assert(got._6 < 0.0) // frequency falls with rank
+    // slope/intercept constant across rows
+    assert(out.map(_._6).distinct.size === 1 && out.map(_._7).distinct.size === 1)
+  }
 }

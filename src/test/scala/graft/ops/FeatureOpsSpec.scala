@@ -233,4 +233,29 @@ class FeatureOpsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Double)].head()
     assert(a === b) // the fold sorts by time inside the group — layout-free
   }
+
+  test("theilSenTrend: exact line recovered; one outlier cannot drag it") {
+    // clean: y = 2x + 5 on days 1..9 → every pairwise slope is exactly
+    // 2, median residual exactly 5
+    val clean = (1 to 9).map(i => ("A", f"2024-01-$i%02d", 2.0 * i + 5.0))
+    // dirty: same line but day 5 spiked to 1000 — OLS slope would fly;
+    // the pairwise-slope MEDIAN stays at 2 (only 8 of 36 pairs touch
+    // the outlier)
+    val dirty = (1 to 9).map(i =>
+      ("B", f"2024-01-$i%02d", if (i == 5) 1000.0 else 2.0 * i + 5.0))
+    val df = spark.createDataFrame(clean ++ dirty).toDF("ticker", "date", "close")
+      .withColumn("date", to_date(col("date")))
+    // epoch at the series start so the intercept is the line's own
+    // constant: x = i-1, y = 2(x+1)+5 = 2x + 7
+    val out = FeatureOps.theilSenTrend(df, "ticker", "date", "close",
+        epoch = "2024-01-01")
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    assert(out.head === (("A", 9L, 36L, 2.0, 7.0)))
+    val b = out(1)
+    assert(b._1 === "B" && b._4 === 2.0, s"outlier dragged the slope: $b")
+    // a 1-row entity has no pairs and must not appear
+    val one = Seq(("C", "2024-01-01", 1.0)).toDF("ticker", "date", "close")
+      .withColumn("date", to_date(col("date")))
+    assert(FeatureOps.theilSenTrend(one, "ticker", "date", "close").count() === 0L)
+  }
 }

@@ -115,6 +115,25 @@ class ValidationOpsSpec extends AnyFunSuite {
     assert(out2 === out)
   }
 
+  test("mannKendall: monotone series hit ±S_max; all-ties zero out") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows =
+      (1 to 10).map(i => ("A", f"2024-01-$i%02d", i.toDouble)) ++      // strictly up
+      (1 to 10).map(i => ("B", f"2024-01-$i%02d", -i.toDouble)) ++     // strictly down
+      (1 to 5).map(i => ("C", f"2024-01-$i%02d", 7.0))                 // constant
+    val df = spark.createDataFrame(rows).toDF("ticker", "date", "x")
+      .withColumn("date", to_date(col("date")))
+    val out = ValidationOps.mannKendall(df, "ticker", "date", "x")
+      .as[(String, Long, Long, Double, Double, String)].collect().toList
+    // A: S = C(10,2) = 45, no ties: Var = 10·9·25/18 = 125
+    val varA = 125.0
+    assert(out(0) === (("A", 10L, 45L, varA, r6(44.0 / math.sqrt(varA)), "increasing")))
+    assert(out(1) === (("B", 10L, -45L, varA, r6(-44.0 / math.sqrt(varA)), "decreasing")))
+    // C: every pair tied → S = 0; the tie term cancels Var to 0; z = 0
+    assert(out(2) === (("C", 5L, 0L, 0.0, 0.0, "no trend")))
+  }
+
   test("cusumDrift: constant series (σ=0) never alarms; nulls drop") {
     val df = Seq(("C", "2024-01-01", Some(5.0)), ("C", "2024-01-02", Some(5.0)),
         ("C", "2024-01-03", None), ("C", "2024-01-04", Some(5.0)))
