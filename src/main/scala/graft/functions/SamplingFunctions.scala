@@ -578,4 +578,46 @@ object SamplingFunctions {
     }
     df.withColumn("copy", explode(copies))
   }
+
+  /** Deterministic contrastive negative sampling (the DPR / SimCLR
+    * data-prep step): for every anchor row, `k` negatives drawn from a
+    * bounded candidate POOL, restricted to a DIFFERENT `groupCol`
+    * value (a same-source "negative" is too often a near-positive) and
+    * never the anchor itself. Both draws are pure hash functions of
+    * the ids — the pool is the `poolSize` smallest `hash(salt#p#id)`
+    * keys, each anchor's negatives its `k` smallest
+    * `hash(salt#anchor#neg)` keys — so the sample is reproducible
+    * across runs, partitionings, and engines, and re-running a feature
+    * build regenerates byte-identical training pairs.
+    *
+    * Returns (anchor_id, neg_id, skey), `skey` the selection key
+    * (kept so downstream audits can re-verify the draw).
+    *
+    * Scale shape: the pool is TakeOrdered-bounded and BROADCAST, so
+    * the candidate join is one narrow nested-loop pass over the corpus
+    * against `poolSize` rows — O(n·poolSize) with NO shuffle of the
+    * corpus; selection rides [[capPerGroup]]'s bounded KthSmallest
+    * heap (map-side partials), never a per-anchor window. An unpooled
+    * all-pairs variant would be O(n²) — the pool IS the scale design,
+    * and statistically the draw stays uniform over the pool.
+    */
+  def negativeSample(df: DataFrame, idCol: String, groupCol: String,
+      k: Int, poolSize: Int = 1000, salt: String = "neg",
+      hash: Column => Column = DedupFunctions.md5Hash60): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(poolSize > k, s"poolSize must exceed k (got $poolSize <= $k)")
+    val pool = df
+      .select(col(idCol).cast("long").as("neg_id"), col(groupCol).as("_gb"))
+      .withColumn("_pk", hash(concat_ws("#", lit(salt), lit("p"), col("neg_id"))))
+      .orderBy("_pk", "neg_id").limit(poolSize) // TakeOrdered, not a sort
+      .drop("_pk")
+    df.select(col(idCol).cast("long").as("anchor_id"), col(groupCol).as("_ga"))
+      .crossJoin(broadcast(pool))
+      .filter(!(col("_ga") <=> col("_gb")) && col("anchor_id") =!= col("neg_id"))
+      .withColumn("skey",
+        hash(concat_ws("#", lit(salt), col("anchor_id"), col("neg_id"))))
+      .withColumn("_ord", struct(col("skey"), col("neg_id")))
+      .transform(capPerGroup(_, "anchor_id", "_ord", k))
+      .select(col("anchor_id"), col("neg_id"), col("skey"))
+  }
 }

@@ -136,4 +136,35 @@ object EventAnalyticsOps {
       .select(col("cohort_week"), col("week_offset"), col("active_users"),
         round(col("active_users").cast("double") / col("cohort_size"), 6).as("retention_rate"))
   }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * for each consecutive event pair (ordered by `(ts, event_id)` —
+    * the total tiebreak that makes same-timestamp streams
+    * deterministic), count `from_type → to_type` and the row-normalized
+    * transition probability — the "what do users do next" matrix that
+    * drives next-action prediction features and funnel design.
+    *
+    * Returns (from_type, to_type, n, p), p = n / Σ_to n rounded 6 dp
+    * (one exact-integer division — cross-engine bit-stable).
+    *
+    * Scale shape: the `lead` window is USER-partitioned (a user's
+    * events are bounded; the e-family convention), then everything
+    * reduces to a types²-sized matrix via two hash aggregations with
+    * map-side partials; the per-from totals frame is types-sized and
+    * broadcasts back. No global sort, no collect.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("_next", lead(col("event_type"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_tot").cast("double"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
 }

@@ -345,4 +345,78 @@ object FeatureOps {
       .withColumnRenamed("_e", entity)
       .orderBy(entity)
   }
+
+  /** 1-D local-level Kalman filter per entity (Kalman 1960; the
+    * steady-state denoiser behind every "smoothed metric" dashboard
+    * line), final state per entity:
+    *
+    *   p̂ = p + q;  g = p̂/(p̂ + r);  x ← x + g·(z − x);  p ← (1−g)·p̂
+    *
+    * initialized x = z₁, p = 1. Returns (entity, n, level, p_var,
+    * gain) — `level` the filtered level after the last observation,
+    * `gain` the last Kalman gain (its convergence toward the
+    * steady-state value is the filter's health check).
+    *
+    * Determinism contract (the [[holtForecast]] rule, plus division):
+    * the state recursion is EXACT decimal except the gain's division,
+    * which no decimal can close. ROUNDING the double quotient would be
+    * engine-divergent at .5 boundaries (the w22 measurement: double
+    * `round` is decimal-string-based in the JVM, scaling-based in C
+    * engines), so the gain is TRUNCATED instead:
+    * `floor(q·10⁸)/10⁸` is a pure IEEE chain — multiply, floor,
+    * divide, all bit-identical everywhere — and the result sits within
+    * ~10⁻¹⁷ of a true 8 dp decimal, so the decimal cast recovers it
+    * exactly with no boundary to sit on. Every engine replaying the
+    * recipe lands on identical states at any depth.
+    *
+    * Scale shape: one hash aggregation collects each entity's
+    * calendar-bounded ordered series; the fold is array-local.
+    */
+  def kalmanLevel(df: DataFrame, entity: String, time: String, value: String,
+      q: java.math.BigDecimal = new java.math.BigDecimal("0.01"),
+      r: java.math.BigDecimal = new java.math.BigDecimal("1.0")): DataFrame = {
+    require(q.signum >= 0, s"q must be >= 0 (got $q)")
+    require(r.signum > 0, s"r must be > 0 (got $r)")
+    require(q.add(r).compareTo(new java.math.BigDecimal(90)) < 0,
+      s"q + r must stay < 90 — the decimal(10,8) state bound (p converges below r + q)")
+    // gain and variance are bounded (g < 1, p ≤ p₀ + q), so they live
+    // in decimal(10,8) — tight types keep every product inside decimal
+    // precision 38 in ANY engine (a (20,8)×(21,8) product overflows
+    // DuckDB's width-38 ceiling and trips Spark's precision-loss scale
+    // truncation; bounded operands never get near it)
+    val dec = "decimal(20,8)"
+    val decG = "decimal(10,8)"
+    val one = lit(java.math.BigDecimal.ONE)
+    val qC = lit(q).cast(decG)
+    val rC = lit(r).cast(decG)
+    val series = df.filter(col(value).isNotNull)
+      .groupBy(col(entity))
+      .agg(array_sort(collect_list(struct(col(time).as("t"),
+        col(value).cast("decimal(12,2)").as("z")))).as("_zs"))
+    val init = struct(lit(0L).as("i"), lit(null).cast(dec).as("x"),
+      lit(null).cast(decG).as("p"), lit(null).cast(decG).as("g"))
+    series
+      .withColumn("_st", aggregate(col("_zs"), init, (acc, e) => {
+        val i = acc.getField("i")
+        val x = acc.getField("x")
+        val p = acc.getField("p")
+        val z = e.getField("z").cast(dec)
+        val pPred = (p + qC).cast(decG)
+        val gain = (floor(pPred.cast("double") / (pPred + rC).cast("double")
+          * lit(1e8)) / lit(1e8)).cast(decG)
+        val newX = when(i === 0, z)
+          .otherwise((x + round(gain * (z - x).cast("decimal(16,8)"), 8)
+            .cast(dec)).cast(dec))
+        val newP = when(i === 0, one.cast(decG))
+          .otherwise(round((one.cast(decG) - gain).cast(decG) * pPred, 8).cast(decG))
+        val newG = when(i === 0, lit(null).cast(decG)).otherwise(gain)
+        struct((i + lit(1L)).as("i"), newX.as("x"), newP.as("p"), newG.as("g"))
+      }))
+      .select(col(entity),
+        col("_st.i").as("n"),
+        col("_st.x").cast("double").as("level"),
+        col("_st.p").cast("double").as("p_var"),
+        col("_st.g").cast("double").as("gain"))
+      .orderBy(entity)
+  }
 }

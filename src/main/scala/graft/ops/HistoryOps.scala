@@ -52,4 +52,30 @@ object HistoryOps {
       .drop("_grp")
       .orderBy(entityCol, "valid_from")
   }
+
+  /** Point-in-time snapshot over an SCD2 history: each entity's state
+    * AS OF `asOf` — the run with the latest `valid_from` ≤ asOf (SCD2
+    * current-until-superseded semantics: a run stays in force past its
+    * last observed period until the next run begins, so the upper
+    * bound is the successor's start, not `valid_to`). Entities whose
+    * history starts after `asOf` are absent — they did not exist yet.
+    *
+    * The time-travel read every warehouse backfill / repro job needs:
+    * "rebuild the feature table exactly as the model saw it on date T"
+    * against the [[scd2Compress]] output instead of a full raw-history
+    * replay.
+    *
+    * Scale shape: ONE hash aggregation — `max_by` over the eligible
+    * runs (map-side partials; never a window, never a sort); history
+    * tables are runs-sized, far smaller than the raw periods.
+    */
+  def asOfSnapshot(history: DataFrame, entityCol: String,
+      validFromCol: String, asOf: Column): DataFrame = {
+    val rest = history.columns.filter(_ != entityCol).toIndexedSeq
+    history.filter(col(validFromCol) <= asOf)
+      .groupBy(col(entityCol))
+      .agg(max_by(struct(rest.map(col): _*), col(validFromCol)).as("_r"))
+      .select(col(entityCol) +: rest.map(c => col(s"_r.$c").as(c)): _*)
+      .orderBy(entityCol)
+  }
 }

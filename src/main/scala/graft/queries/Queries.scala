@@ -6994,7 +6994,128 @@ object Queries {
              |  FROM sums)
              |SELECT "rank", token, n, ln_rank, ln_freq,
              |  round(slope, 6) AS slope, round(icept, 6) AS intercept
-             |FROM pts, fit ORDER BY "rank"""".stripMargin))
+             |FROM pts, fit ORDER BY "rank"""".stripMargin)),
+
+    QueryDef("e15_transition_matrix",
+      // first-order Markov transitions over per-user event streams
+      // ([[graft.ops.EventAnalyticsOps.transitionMatrix]]): USER-
+      // partitioned lead window (bounded per user), two hash aggs to a
+      // types²-sized matrix, broadcast row totals. (ts, event_id)
+      // total tiebreak makes same-timestamp streams deterministic.
+      (s, dir) => EventAnalyticsOps.transitionMatrix(events(s, dir)),
+      Some("""WITH p AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |                                ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (
+             |  SELECT from_type, to_type, count(*) AS n
+             |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n,
+             |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+             |FROM c JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("a23_asof_snapshot",
+      // point-in-time read over the scd1 history ([[graft.ops
+      // .HistoryOps.asOfSnapshot]]): each ticker's price band AS OF
+      // 1995-06-30 — the run with the latest valid_from ≤ T (SCD2
+      // current-until-superseded). One max_by hash agg, no window.
+      (s, dir) => HistoryOps.asOfSnapshot(
+        HistoryOps.scd2Compress(
+          prices(t(s, dir, "lineitem"))
+            .withColumn("band", floor(col("close") / lit(1000.0)).cast("int")),
+          "ticker", "date", "band"),
+        "ticker", "valid_from", lit("1995-06-30").cast("date")),
+      Some(pricesSql +
+        """, b AS (SELECT ticker, "date",
+          |          CAST(FLOOR(close / 1000.0) AS INTEGER) AS band FROM prices),
+          |f AS (SELECT ticker, "date", band,
+          |  CASE WHEN lag(band) OVER (PARTITION BY ticker ORDER BY "date")
+          |            IS NOT DISTINCT FROM band THEN 0 ELSE 1 END AS chg
+          |  FROM b),
+          |g AS (SELECT ticker, "date", band,
+          |  SUM(chg) OVER (PARTITION BY ticker ORDER BY "date"
+          |                 ROWS UNBOUNDED PRECEDING) AS grp FROM f),
+          |h AS (SELECT ticker, min(band) AS band, min("date") AS valid_from,
+          |        max("date") AS valid_to, count(*) AS n_periods
+          |      FROM g GROUP BY ticker, grp),
+          |el AS (SELECT * FROM h WHERE valid_from <= DATE '1995-06-30'),
+          |m AS (SELECT ticker, max(valid_from) AS mv FROM el GROUP BY 1)
+          |SELECT el.ticker, el.band, el.valid_from, el.valid_to, el.n_periods
+          |FROM el JOIN m ON el.ticker = m.ticker AND el.valid_from = m.mv
+          |ORDER BY el.ticker""".stripMargin)),
+
+    QueryDef("w31_kalman",
+      // 1-D local-level Kalman filter per ticker ([[graft.ops
+      // .FeatureOps.kalmanLevel]], q=0.01, r=1): exact-decimal state;
+      // the gain's division is the one irrational step, closed by IEEE
+      // floor-truncation at 8dp (round would be engine-divergent at .5
+      // boundaries — the w22 measurement). The recursive CTE replays
+      // every state bit-for-bit.
+      (s, dir) => FeatureOps.kalmanLevel(prices(t(s, dir, "lineitem")),
+        "ticker", "date", "close"),
+      Some(pricesSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, r2 AS (
+          |  SELECT ticker, CAST(CAST(close AS DECIMAL(12,2)) AS DECIMAL(20,8)) AS z,
+          |         row_number() OVER (PARTITION BY ticker ORDER BY "date") AS rn
+          |  FROM prices),
+          |st AS (
+          |  SELECT ticker, 1 AS rn, z AS x,
+          |         CAST(1 AS DECIMAL(10,8)) AS p, CAST(NULL AS DECIMAL(10,8)) AS g
+          |  FROM r2 WHERE rn = 1
+          |  UNION ALL
+          |  SELECT ticker, rn,
+          |    CAST(x0 + CAST(round(CAST(g0 AS DECIMAL(20,8))
+          |                          * CAST(z0 - x0 AS DECIMAL(16,8)), 8)
+          |              AS DECIMAL(20,8)) AS DECIMAL(20,8)) AS x,
+          |    CAST(round(CAST(CAST(1 AS DECIMAL(10,8)) - g0 AS DECIMAL(10,8)) * pp0, 8)
+          |         AS DECIMAL(10,8)) AS p,
+          |    g0 AS g
+          |  FROM (
+          |    SELECT r2.ticker, r2.rn, r2.z AS z0, st.x AS x0,
+          |           CAST(st.p + 0.01 AS DECIMAL(10,8)) AS pp0,
+          |           CAST(floor(CAST(st.p + 0.01 AS DOUBLE)
+          |                      / CAST(st.p + 0.01 + 1.0 AS DOUBLE)
+          |                      * 100000000.0) / 100000000.0 AS DECIMAL(10,8)) AS g0
+          |    FROM st JOIN r2 ON r2.ticker = st.ticker AND r2.rn = st.rn + 1)),
+          |fin AS (
+          |  SELECT s.ticker, s.rn, s.x, s.p, s.g,
+          |         row_number() OVER (PARTITION BY s.ticker ORDER BY s.rn DESC) AS rk
+          |  FROM st s)
+          |SELECT ticker, CAST(rn AS BIGINT) AS n,
+          |       CAST(x AS DOUBLE) AS level, CAST(p AS DOUBLE) AS p_var,
+          |       CAST(g AS DOUBLE) AS gain
+          |FROM fin WHERE rk = 1 ORDER BY ticker""".stripMargin)),
+
+    QueryDef("d27_negative_sampling",
+      // deterministic contrastive negatives ([[graft.functions
+      // .SamplingFunctions.negativeSample]]): per document, 5 negatives
+      // from a 200-doc broadcast pool, different source only, both
+      // draws pure md5 functions of the ids (the m1b replay pattern).
+      (s, dir) => Sam.negativeSample(docs(s, dir), "doc_id", "source",
+          k = 5, poolSize = 200)
+        .orderBy("anchor_id", "skey", "neg_id"),
+      Some("""WITH d AS (SELECT doc_id, source FROM documents),
+             |pool AS (
+             |  SELECT doc_id AS neg_id, source AS gb,
+             |         CAST(('0x' || substring(md5('neg' || '#' || 'p' || '#'
+             |                || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS pk
+             |  FROM d ORDER BY pk, neg_id LIMIT 200),
+             |cand AS (
+             |  SELECT a.doc_id AS anchor_id, p.neg_id,
+             |         CAST(('0x' || substring(md5('neg' || '#'
+             |                || CAST(a.doc_id AS VARCHAR) || '#'
+             |                || CAST(p.neg_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+             |  FROM d a JOIN pool p
+             |    ON a.source IS DISTINCT FROM p.gb AND a.doc_id <> p.neg_id),
+             |rk AS (
+             |  SELECT anchor_id, neg_id, skey,
+             |         row_number() OVER (PARTITION BY anchor_id
+             |                            ORDER BY skey, neg_id) AS rn
+             |  FROM cand)
+             |SELECT anchor_id, neg_id, skey FROM rk WHERE rn <= 5
+             |ORDER BY anchor_id, skey, neg_id""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -490,4 +490,30 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     // scan-local: no shuffle anywhere
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("negativeSample: k per anchor, never self or same-group, reproducible") {
+    val docs = (1L to 40L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = SamplingFunctions.negativeSample(docs, "doc_id", "source",
+        k = 4, poolSize = 10)
+      .as[(Long, Long, Long)].collect().toList
+    val byAnchor = out.groupBy(_._1)
+    // every anchor gets AT MOST k (pool may hold fewer cross-group rows)
+    assert(byAnchor.values.forall(_.size <= 4))
+    assert(byAnchor.size === 40) // here the pool serves every anchor
+    val src = docs.as[(Long, String)].collect().toMap
+    for ((a, n, _) <- out) {
+      assert(a !== n, "self as negative")
+      assert(src(a) !== src(n), s"same-source negative: $a -> $n")
+    }
+    // the draw is a pure function of ids: partitioning cannot change it
+    val again = SamplingFunctions.negativeSample(docs.repartition(11),
+        "doc_id", "source", k = 4, poolSize = 10)
+      .as[(Long, Long, Long)].collect().toList
+    assert(again.toSet === out.toSet)
+    // negatives come only from the hash-selected pool (bounded set):
+    // at most poolSize distinct neg ids across ALL anchors
+    assert(out.map(_._2).distinct.size <= 10)
+    graft.Caches.releaseAll()
+  }
 }

@@ -94,4 +94,30 @@ class EventAnalyticsOpsSpec extends AnyFunSuite {
            && System.nanoTime() < deadline) Thread.sleep(50)
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
   }
+
+  test("transitionMatrix: per-user chains, tie-broken by event_id") {
+    // user 1: view -> click -> buy; user 2: view -> view (two events at
+    // the SAME timestamp — event_id order decides: 21 view, then 22 view)
+    // transitions: view->click 1, click->buy 1, view->view 1
+    val ev = Seq(
+      (11L, "2024-01-01 10:00:00", 1L, "view"),
+      (12L, "2024-01-01 10:05:00", 1L, "click"),
+      (13L, "2024-01-01 10:06:00", 1L, "buy"),
+      (21L, "2024-01-01 09:00:00", 2L, "view"),
+      (22L, "2024-01-01 09:00:00", 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = EventAnalyticsOps.transitionMatrix(ev)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(out === List(
+      ("click", "buy", 1L, 1.0),
+      ("view", "click", 1L, 0.5),
+      ("view", "view", 1L, 0.5)))
+    // a single-event user contributes no transitions
+    val one = ev.union(Seq((31L, "2024-01-01 11:00:00", 3L, "solo"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp")))
+    assert(!EventAnalyticsOps.transitionMatrix(one)
+      .select("from_type").as[String].collect().contains("solo"))
+  }
 }

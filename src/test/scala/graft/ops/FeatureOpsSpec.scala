@@ -258,4 +258,37 @@ class FeatureOpsSpec extends AnyFunSuite {
       .withColumn("date", to_date(col("date")))
     assert(FeatureOps.theilSenTrend(one, "ticker", "date", "close").count() === 0L)
   }
+
+  test("kalmanLevel: hand-run step with the truncated gain") {
+    // z = [10, 12], q = 0.01, r = 1:
+    //   t1: x=10, p=1, g=null
+    //   t2: p̂=1.01; g = floor(1.01/2.01·1e8)/1e8 = 0.50248756
+    //       x = 10 + round(g·2, 8)           = 11.00497512
+    //       p = round((1−g)·1.01, 8)         = 0.50248756
+    val df = Seq(("A", "2024-01-01", 10.0), ("A", "2024-01-02", 12.0))
+      .toDF("ticker", "date", "close")
+      .withColumn("date", to_date(col("date")))
+    val out = FeatureOps.kalmanLevel(df, "ticker", "date", "close")
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(out === (("A", 2L, 11.00497512, 0.50248756, 0.50248756)))
+  }
+
+  test("kalmanLevel: smooths toward the data; partitioning-invariant") {
+    // constant series: the level IS the constant, any gain
+    val flat = (1 to 20).map(i => ("F", f"2024-01-$i%02d", 55.0))
+    val noisy = (1 to 20).map(i =>
+      ("N", f"2024-01-$i%02d", if (i % 2 == 0) 60.0 else 50.0))
+    val df = spark.createDataFrame(flat ++ noisy).toDF("ticker", "date", "close")
+      .withColumn("date", to_date(col("date")))
+    val out = FeatureOps.kalmanLevel(df, "ticker", "date", "close")
+      .as[(String, Long, Double, Double, Double)].collect().toList
+    assert(out.head._3 === 55.0) // flat series: exact
+    val n = out(1)
+    assert(n._3 > 50.0 && n._3 < 60.0, s"level should sit between the rails: $n")
+    // steady-state gain for q=.01, r=1: g* = (q + sqrt(q² + 4qr)) / ... ≈ 0.0951
+    assert(n._5 > 0.05 && n._5 < 0.2, s"gain should approach steady state: $n")
+    val repart = FeatureOps.kalmanLevel(df.repartition(9), "ticker", "date", "close")
+      .as[(String, Long, Double, Double, Double)].collect().toList
+    assert(repart === out)
+  }
 }

@@ -65,4 +65,35 @@ class HistoryOpsSpec extends AnyFunSuite {
       ("A", Some(2), "2024-01-03", "2024-01-03", 1L),
       ("B", Some(2), "2024-01-01", "2024-01-01", 1L)))
   }
+
+  test("asOfSnapshot: latest run at or before T; unborn entities absent") {
+    val hist = Seq(
+      ("A", 1, "2024-01-01", "2024-01-05", 5L),
+      ("A", 2, "2024-01-06", "2024-01-08", 3L),
+      ("A", 3, "2024-01-09", "2024-01-10", 2L),
+      ("B", 9, "2024-02-01", "2024-02-02", 2L))
+      .toDF("ticker", "band", "valid_from", "valid_to", "n_periods")
+      .withColumn("valid_from", to_date(col("valid_from")))
+      .withColumn("valid_to", to_date(col("valid_to")))
+    def at(d: String) = HistoryOps.asOfSnapshot(hist, "ticker", "valid_from",
+        lit(d).cast("date"))
+      .select(col("ticker"), col("band"))
+      .as[(String, Int)].collect().toList
+    // mid-run: the containing run
+    assert(at("2024-01-07") === List(("A", 2)))
+    // BETWEEN runs is still the previous run (current-until-superseded):
+    // a query date past run 2's valid_to but before run 3 starts...
+    // (no such gap here; T on run 3's first day picks run 3)
+    assert(at("2024-01-09") === List(("A", 3)))
+    // past the last run: state persists (and B is born by Feb)
+    assert(at("2024-03-01") === List(("A", 3), ("B", 9)))
+    // before B exists, only A reports; before anything, nothing
+    assert(at("2024-01-20") === List(("A", 3)))
+    assert(at("2023-12-31") === Nil)
+    // column order and names pass through the snapshot intact
+    val snap = HistoryOps.asOfSnapshot(hist, "ticker", "valid_from",
+      lit("2024-03-01").cast("date"))
+    assert(snap.columns.toSeq ===
+      Seq("ticker", "band", "valid_from", "valid_to", "n_periods"))
+  }
 }
