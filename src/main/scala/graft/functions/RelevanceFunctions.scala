@@ -407,6 +407,101 @@ object RelevanceFunctions {
       .orderBy("tok_a", "tok_b")
   }
 
+  /** Retrieval-quality metrics per query term — NDCG@k, MRR, recall@k
+    * (Järvelin & Kekäläinen TOIS 2002 for the graded-gain DCG) — the
+    * eval harness for the [[bm25]]/[[rrfFuse]] stack, with graded
+    * relevance = per-document term occurrences capped at `relCap`
+    * (a self-labeling convention that makes the metric fully
+    * deterministic and engine-replayable; swap in human labels by
+    * joining a judgment table upstream).
+    *
+    *   DCG@k  = Σ_{pos ≤ k} (2^rel − 1)/log₂(pos + 1)   (retrieved order)
+    *   NDCG@k = DCG@k / IDCG@k  (ideal order; 0 when nothing relevant)
+    *   MRR    = 1/first-relevant-pos (0 when no relevant doc in top-k)
+    *   recall = relevant-retrieved / relevant-total
+    *
+    * Determinism contract: per-term BM25 scores round to 6 dp before
+    * ranking (ties broken by doc id); each DCG term rounds to 6 dp
+    * (log₂ is libm — the cls1/a14 rule) and accumulates in EXACT
+    * decimal; every closing ratio rounds to 6 dp.
+    *
+    * Scale shape: ONE pinned corpus scan serves every term (per-term
+    * tf/score computed in a single projection and exploded); top-k and
+    * ideal-k ride [[SamplingFunctions.capPerGroup]]'s bounded heap, the
+    * position windows run over ≤ k rows per term AFTER the cap (the
+    * rrfFuse exemption), and all metric frames are terms-sized.
+    */
+  def rankingMetrics(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 10, relCap: Int = 4,
+      k1: Double = 1.2, b: Double = 0.75,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(terms.nonEmpty, "rankingMetrics needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(relCap >= 1, s"relCap must be >= 1 (got $relCap)")
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val base0 = df.select(col(idCol).as("_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("long"))
+    val base = if (storage != StorageLevel.NONE)
+      graft.Caches.trackedPersist(base0, storage) else base0
+    val statCols =
+      count(lit(1)).as("_n") +: sum(col("_dl")).as("_sumdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("_toks"), t), 1L).otherwise(0L)).as(s"_df_$i")
+        }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val n = col("_n").cast("double")
+    val avgdl = col("_sumdl").cast("double") / n
+    val entries = array(terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("_toks"), x => x === lit(t))).cast("long")
+      val tfD = tf.cast("double")
+      val dfT = col(s"_df_$i").cast("double")
+      val idf = log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val score = idf * (tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / avgdl))
+      struct(lit(t).as("term"), tf.as("tf"), round(score, 6).as("score"))
+    }: _*)
+    val long0 = base.crossJoin(broadcast(stats))
+      .select(col("_id"), explode(entries).as("_e"))
+      .select(col("_id"), col("_e.term").as("term"),
+        col("_e.tf").as("tf"), col("_e.score").as("score"))
+      .withColumn("rel", least(col("tf"), lit(relCap.toLong)))
+    val long = if (storage != StorageLevel.NONE)
+      graft.Caches.trackedPersist(long0, storage) else long0
+    def dcgTerm: Column = round(
+      (pow(lit(2.0), col("rel")) - 1) / log2(col("pos") + 1), 6)
+      .cast("decimal(18,6)")
+    val topk = SamplingFunctions.capPerGroup(
+        long.withColumn("_ord", struct((-col("score")).as("s"), col("_id").as("i"))),
+        "term", "_ord", k)
+      .withColumn("pos",
+        row_number().over(wTerm.orderBy(col("score").desc, col("_id"))))
+    val ret = topk.groupBy("term").agg(
+      sum(dcgTerm).as("_dcg"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("_retr"),
+      min(when(col("rel") > 0, col("pos"))).as("_minpos"))
+    val ideal = SamplingFunctions.capPerGroup(
+        long.filter(col("rel") > 0)
+          .withColumn("_ord", struct((-col("rel")).as("r"), col("_id").as("i"))),
+        "term", "_ord", k)
+      .withColumn("pos",
+        row_number().over(wTerm.orderBy(col("rel").desc, col("_id"))))
+      .groupBy("term").agg(sum(dcgTerm).as("_idcg"))
+    val totals = long.groupBy("term")
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+    totals.join(ret, Seq("term"), "left").join(ideal, Seq("term"), "left")
+      .select(col("term"), col("n_rel"),
+        when(col("_idcg").isNull || col("_idcg") === 0, lit(0.0))
+          .otherwise(round(col("_dcg").cast("double") /
+            col("_idcg").cast("double"), 6)).as("ndcg"),
+        coalesce(round(lit(1.0) / col("_minpos"), 6), lit(0.0)).as("mrr"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(round(col("_retr").cast("double") /
+            col("n_rel").cast("double"), 6)).as("recall"))
+      .orderBy("term")
+  }
+
   /** Zipf rank-frequency fit over the corpus vocabulary: the top-`topK`
     * tokens with their ranks, plus the OLS line through
     * (ln rank, ln freq) — slope ≈ −1 is the Zipf signature of natural

@@ -449,6 +449,31 @@ object TextFunctions {
     }
   }
 
+  /** Keyword-in-context concordance (the corpus-exploration view every
+    * annotation/debugging workflow wants): one row per OCCURRENCE of
+    * `term` (whitespace-token, lowercased match) with the `window`
+    * tokens on each side joined back to strings. Scan-local: token
+    * split bound once, positions found by a filtered index sequence,
+    * context by array slices — no join, no shuffle, no UDF; at 100 TB
+    * this is a projection that pushes through the scan.
+    */
+  def concordance(df: DataFrame, idCol: String, textCol: String,
+      term: String, window: Int = 3): DataFrame = {
+    require(term.nonEmpty, "concordance needs a non-empty term")
+    require(window >= 0, s"window must be >= 0 (got $window)")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    df.select(col(idCol), toks.as("_toks"))
+      .withColumn("pos", explode(filter(
+        sequence(lit(1), size(col("_toks"))),
+        i => element_at(col("_toks"), i) === lit(term))))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("_toks"),
+          greatest(col("pos") - window, lit(1)),
+          least(lit(window), col("pos") - 1))).as("before"),
+        concat_ws(" ", slice(col("_toks"), col("pos") + 1, lit(window)))
+          .as("after"))
+  }
+
   /** Sentence count: runs of terminal punctuation `[.!?]+`; text with
     * words but no terminal punctuation counts as ONE sentence (the
     * Flesch convention — a ratio denominator must not vanish on

@@ -312,6 +312,67 @@ object GraphOps {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Neighbor-set Jaccard similarity per UNDIRECTED edge (the classic
+    * link-prediction / social-similarity feature, Liben-Nowell &
+    * Kleinberg CIKM 2003): for each edge {u, v},
+    *
+    *   jaccard = |N(u) ∩ N(v)| / (deg(u) + deg(v) − |N(u) ∩ N(v)|)
+    *
+    * where the common-neighbor count is exactly the edge's triangle
+    * count. High values mark redundant/clustered ties (and, on a
+    * co-purchase graph, substitutable items); the denominator is the
+    * standard N(u)∪N(v) (u and v themselves are each other's
+    * neighbors, so the score of a triangle-free edge is 0, not
+    * undefined). All-integer until one closing division → 6 dp.
+    *
+    * Returns (u, v, cn, deg_u, deg_v, jaccard), u < v, ordered.
+    *
+    * Scale shape: common neighbors enumerate through the SYMMETRIZED
+    * adjacency joined pairwise on the shared endpoint and semi-joined
+    * back to the edge list — per-edge wedge work like
+    * [[triangleCounts]], all equi-joins and hash aggs, no windows.
+    */
+  def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        // common neighbors of (u,v): w adjacent to both — wedge join on
+        // w, keyed back to the edge (u,v) by a semi join against e
+        val n1 = sym.select(col("b").as("w"), col("a").as("u"))
+        val n2 = sym.select(col("b").as("w"), col("a").as("v"))
+        val common = n1.join(n2, Seq("w"))
+          .filter(col("u") < col("v"))
+          .join(e, Seq("u", "v"), "left_semi")
+          .groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("cn"))
+        // pin + materialize the edge-cardinality result while the wedge
+        // lineage is still cached, then drop the internals (the
+        // triangleCounts convention)
+        val out = graft.Caches.trackedPersist(
+          e.join(common, Seq("u", "v"), "left")
+            .na.fill(0L, Seq("cn"))
+            .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), "u")
+            .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), "v")
+            .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+              round(col("cn").cast("double") /
+                (col("deg_u") + col("deg_v") - col("cn")).cast("double"), 6)
+                .as("jaccard")),
+          StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out.orderBy("u", "v")
+      } finally sym.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+
   /** k-core peel (Seidman 1983; Batagelj–Zaveršnik's iterative-removal
     * form): repeatedly delete nodes of degree < k from the UNDIRECTED
     * closure of `edges` until only the k-core remains — the standard

@@ -168,4 +168,44 @@ object SkewOps {
       .select(col("key"), col("cnt"),
         round(col("cnt").cast("double") / col("_tot") * 100, 6).as("share_pct"))
   }
+
+  /** Gini concentration index per entity over a non-negative value
+    * column — the single-number answer to "how concentrated is this
+    * distribution" that [[keySkewProfile]]'s percentile ladder spreads
+    * over many: 0 = perfectly even, → 1 = one row holds everything.
+    * The skew DIAL for partition planning (a high-Gini key column
+    * needs salting before it needs more executors) and the standard
+    * inequality audit over volumes/revenues.
+    *
+    *   G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx),  x₍₁₎ ≤ … ≤ x₍ₙ₎
+    *
+    * Determinism: values are cast to exact decimal, the rank weights
+    * are integers (ties broken by rank — the formula is tie-invariant:
+    * equal x across adjacent ranks contribute the same regardless of
+    * order), both sums accumulate EXACTLY, and the single closing
+    * division rounds to 6 dp. Zero-total entities report null.
+    *
+    * Scale shape: one entity-partitioned rank window (the w-family
+    * exchange) + one hash aggregation; nothing global.
+    */
+  def giniIndex(df: DataFrame, entityCol: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entityCol).orderBy(col(valueCol).asc, monotonically_increasing_id())
+    // monotonically_increasing_id only pads the ORDER for determinism of
+    // the rank assignment; the Gini sum is provably identical under any
+    // tie order, so the nondeterministic id never reaches the result
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_x", col(valueCol).cast("decimal(18,2)"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("_sx"),
+        sum(col("_x") * col("_i")).as("_six"))
+      .select(col(entityCol), col("n"),
+        col("_sx").cast("double").as("total"),
+        round(when(col("_sx") === 0, lit(null))
+          .otherwise((lit(2) * col("_six") - (col("n") + 1) * col("_sx")).cast("double")
+            / (col("n") * col("_sx")).cast("double")), 6).as("gini"))
+      .orderBy(entityCol)
+  }
 }

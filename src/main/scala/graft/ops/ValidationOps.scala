@@ -272,4 +272,49 @@ object ValidationOps {
         col("var_s"), col("z"), col("trend"))
       .orderBy(entityCol)
   }
+
+  /** Exact equi-width histogram over an integral column: `buckets` bins
+    * covering [lo, hi], bucket index `((x − lo)·buckets) div (hi − lo
+    * + 1)` — ALL-INTEGER arithmetic, so bin membership is exact and
+    * identical in every engine (a float `width_bucket` puts boundary
+    * values wherever that engine's multiply rounds; the audit column
+    * profile this op exists for cannot tolerate that). Out-of-range
+    * rows land in the clamped edge bins with `clipped` marked, so the
+    * histogram always accounts for every non-null row. Returns one row
+    * per OCCUPIED bucket: (bucket, lo_edge, hi_edge, n, clipped-count
+    * aware), plus each bin's exact integer edges.
+    *
+    * Scale shape: one scan-local projection + one hash aggregation on
+    * a `buckets`-cardinality key. The profiling pass for 100 TB: run
+    * it per column, per partition-date, diff against yesterday.
+    */
+  def histogramInt(df: DataFrame, valueCol: String,
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
+    require(hi >= lo, s"need hi >= lo (got [$lo, $hi])")
+    val span = hi - lo + 1
+    val x = col(valueCol).cast("long")
+    // clamp BEFORE bucketing so the integer division never sees a
+    // negative operand (truncate-vs-floor semantics differ across
+    // engines below zero); `div` is INTEGER division (the Column `/`
+    // operator is double — exactly the boundary hazard this op avoids)
+    val b = expr(
+      s"((least(greatest(CAST($valueCol AS BIGINT), ${lo}L), ${hi}L) - ${lo}L)" +
+        s" * ${buckets}L) div ${span}L")
+    df.filter(col(valueCol).isNotNull)
+      .select(b.as("bucket"),
+        (x < lo || x > hi).as("_clip"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_clip"), 1L).otherwise(0L)).as("n_clipped"))
+      // exact integer inverse of the bucket map: bin b covers
+      // lo + ceil(b·span/nb) .. lo + ceil((b+1)·span/nb) − 1
+      .withColumn("lo_edge",
+        expr(s"${lo}L + (bucket * ${span}L + ${buckets - 1}L) div ${buckets}L"))
+      .withColumn("hi_edge",
+        expr(s"${lo}L + ((bucket + 1) * ${span}L + ${buckets - 1}L) div ${buckets}L - 1"))
+      .select(col("bucket"), col("lo_edge"), col("hi_edge"),
+        col("n"), col("n_clipped"))
+      .orderBy("bucket")
+  }
 }

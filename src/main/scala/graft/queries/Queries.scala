@@ -253,6 +253,66 @@ object Queries {
       s"\nSELECT node, r AS rank FROM r$iters ORDER BY node"
   }
 
+  /** Generated oracle for `eval4_ranking_metrics` — per-term BM25
+    * scoring (the r1 CTE shapes, one term per branch), top-k/ideal-k
+    * rankings, and the NDCG/MRR/recall closing ratios, replaying
+    * [[graft.functions.RelevanceFunctions.rankingMetrics]]'s exact
+    * rounding pipeline (6dp scores before ranking, 6dp DCG terms
+    * summed in exact decimal, 6dp ratios).
+    */
+  private def ndcgOracle(terms: Seq[String], k: Int, relCap: Int): String = {
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"    CAST(sum(CASE WHEN list_contains(w, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(",\n")
+    val per = terms.zipWithIndex.map { case (t, i) =>
+      s"""sc$i AS (
+         |  SELECT doc_id, CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf,
+         |    round(ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
+         |          * (CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) * 2.2)
+         |          / (CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE)
+         |             + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))), 6) AS score
+         |  FROM d, st),
+         |top$i AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, least(tf, $relCap) AS rel, score,
+         |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS pos
+         |    FROM sc$i) WHERE pos <= $k),
+         |ideal$i AS (
+         |  SELECT * FROM (
+         |    SELECT least(tf, $relCap) AS rel,
+         |           CAST(row_number() OVER (ORDER BY least(tf, $relCap) DESC, doc_id)
+         |                AS INTEGER) AS pos
+         |    FROM sc$i WHERE tf > 0) WHERE pos <= $k),
+         |agg$i AS (
+         |  SELECT '$t' AS term,
+         |    (SELECT count(*) FROM sc$i WHERE tf > 0) AS n_rel,
+         |    (SELECT CAST(SUM(CAST(round((pow(CAST(2 AS DOUBLE), rel) - 1)
+         |                                / log2(pos + 1), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |     FROM top$i) AS dcg,
+         |    (SELECT CAST(SUM(CAST(round((pow(CAST(2 AS DOUBLE), rel) - 1)
+         |                                / log2(pos + 1), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |     FROM ideal$i) AS idcg,
+         |    (SELECT count(*) FROM top$i WHERE rel > 0) AS retr,
+         |    (SELECT min(pos) FROM top$i WHERE rel > 0) AS minpos)""".stripMargin
+    }.mkString(",\n")
+    val unions = terms.indices.map(i => s"SELECT * FROM agg$i").mkString(" UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w,
+       |         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+       |$dfCols
+       |  FROM d),
+       |$per
+       |SELECT term, CAST(n_rel AS BIGINT) AS n_rel,
+       |  CASE WHEN idcg IS NULL OR idcg = 0 THEN 0.0 ELSE round(dcg / idcg, 6) END AS ndcg,
+       |  COALESCE(round(CAST(1.0 AS DOUBLE) / minpos, 6), 0.0) AS mrr,
+       |  CASE WHEN n_rel = 0 THEN 0.0
+       |       ELSE round(CAST(retr AS DOUBLE) / CAST(n_rel AS DOUBLE), 6) END AS recall
+       |FROM ($unions) ORDER BY term""".stripMargin
+  }
+
   /** Generated oracle for `g2_label_propagation` — the same co-purchase
     * graph as [[pageRankOracle]], symmetrized, with `iters` unrolled
     * synchronous LPA rounds (neighbor-mode labels, min-label
@@ -7115,7 +7175,112 @@ object Queries {
              |                            ORDER BY skey, neg_id) AS rn
              |  FROM cand)
              |SELECT anchor_id, neg_id, skey FROM rk WHERE rn <= 5
-             |ORDER BY anchor_id, skey, neg_id""".stripMargin))
+             |ORDER BY anchor_id, skey, neg_id""".stripMargin)),
+
+    QueryDef("a24_gini",
+      // Gini concentration of daily volume per ticker ([[graft.ops
+      // .SkewOps.giniIndex]]): exact-decimal rank-weighted sums (the
+      // formula is tie-order-invariant, so the oracle's arbitrary tie
+      // order cannot diverge), one closing division → 6dp.
+      (s, dir) => SkewOps.giniIndex(prices(t(s, dir, "lineitem")),
+        "ticker", "volume"),
+      Some(pricesSql +
+        """, rk AS (
+          |  SELECT ticker, CAST(volume AS DECIMAL(18,2)) AS x,
+          |         row_number() OVER (PARTITION BY ticker ORDER BY volume) AS i
+          |  FROM prices)
+          |SELECT ticker, count(*) AS n,
+          |  CAST(SUM(x) AS DOUBLE) AS total,
+          |  round(CASE WHEN SUM(x) = 0 THEN NULL
+          |             ELSE CAST(2 * SUM(x * i) - (count(*) + 1) * SUM(x) AS DOUBLE)
+          |                  / CAST(count(*) * SUM(x) AS DOUBLE) END, 6) AS gini
+          |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("a25_histogram",
+      // exact equi-width histogram of l_quantity over [1, 50] in 7 bins
+      // ([[graft.ops.ValidationOps.histogramInt]]): all-integer bucket
+      // map and edge inversion — no float boundary anywhere. 7 bins
+      // over 50 values exercises the non-divisible ceil-edge math.
+      (s, dir) => ValidationOps.histogramInt(
+        t(s, dir, "lineitem").select(col("l_quantity").as("q")),
+        "q", lo = 1L, hi = 50L, buckets = 7),
+      Some("""WITH b AS (
+             |  SELECT ((least(greatest(CAST(q AS BIGINT), 1), 50) - 1) * 7) // 50 AS bucket,
+             |         (CAST(q AS BIGINT) < 1 OR CAST(q AS BIGINT) > 50) AS clip
+             |  FROM (SELECT l_quantity AS q FROM lineitem) WHERE q IS NOT NULL)
+             |SELECT bucket,
+             |  1 + (bucket * 50 + 6) // 7 AS lo_edge,
+             |  1 + ((bucket + 1) * 50 + 6) // 7 - 1 AS hi_edge,
+             |  count(*) AS n,
+             |  CAST(SUM(CASE WHEN clip THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("g7_neighbor_jaccard",
+      // neighbor-set Jaccard per co-purchase edge ([[graft.ops
+      // .GraphOps.neighborJaccard]], first-two-years cut like g3):
+      // common neighbors = per-edge triangle count, denominator the
+      // standard N(u)∪N(v). All-integer until one division → 6dp.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.neighborJaccard(pairs, "src", "dst")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+             |            WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |sym AS MATERIALIZED (
+             |  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY 1),
+             |cn AS (
+             |  SELECT n1.a AS u, n2.a AS v, count(*) AS cn
+             |  FROM sym n1 JOIN sym n2 ON n1.b = n2.b AND n1.a < n2.a
+             |  WHERE EXISTS (SELECT 1 FROM e WHERE e.u = n1.a AND e.v = n2.a)
+             |  GROUP BY 1, 2)
+             |SELECT e.u, e.v, COALESCE(cn.cn, 0) AS cn,
+             |  du.deg AS deg_u, dv.deg AS deg_v,
+             |  round(CAST(COALESCE(cn.cn, 0) AS DOUBLE)
+             |        / CAST(du.deg + dv.deg - COALESCE(cn.cn, 0) AS DOUBLE), 6) AS jaccard
+             |FROM e LEFT JOIN cn ON e.u = cn.u AND e.v = cn.v
+             |JOIN deg du ON du.node = e.u
+             |JOIN deg dv ON dv.node = e.v
+             |ORDER BY e.u, e.v""".stripMargin)),
+
+    QueryDef("t21_concordance",
+      // keyword-in-context for 'spark' over the documents table
+      // ([[graft.functions.TextFunctions.concordance]]): one row per
+      // occurrence with ±3 tokens of context — scan-local, no shuffle.
+      (s, dir) => T.concordance(docs(s, dir), "doc_id", "text",
+          term = "spark", window = 3)
+        .orderBy("doc_id", "pos"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+             |  FROM documents WHERE text IS NOT NULL),
+             |occ AS (
+             |  SELECT doc_id, w,
+             |         CAST(unnest(list_filter(generate_series(1, len(w)),
+             |                                 i -> w[i] = 'spark')) AS INTEGER) AS pos
+             |  FROM tk)
+             |SELECT doc_id, pos,
+             |  COALESCE(array_to_string(w[greatest(pos - 3, 1):pos - 1], ' '), '') AS before,
+             |  COALESCE(array_to_string(w[pos + 1:least(pos + 3, len(w))], ' '), '') AS after
+             |FROM occ ORDER BY doc_id, pos""".stripMargin)),
+
+    QueryDef("eval4_ranking_metrics",
+      // NDCG@10 / MRR / recall@10 per query term over the BM25 stack
+      // ([[graft.functions.RelevanceFunctions.rankingMetrics]], graded
+      // self-relevance = capped term occurrences): one pinned corpus
+      // scan for all terms; bounded-heap top-k; 6dp-rounded DCG terms
+      // summed in exact decimal.
+      (s, dir) => R.rankingMetrics(docs(s, dir), "doc_id", "text",
+        Seq("filter", "stream", "customer"), k = 10),
+      Some(ndcgOracle(Seq("filter", "stream", "customer"), k = 10, relCap = 4)))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

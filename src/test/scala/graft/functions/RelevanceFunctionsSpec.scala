@@ -351,4 +351,39 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     // slope/intercept constant across rows
     assert(out.map(_._6).distinct.size === 1 && out.map(_._7).distinct.size === 1)
   }
+
+  test("rankingMetrics: perfect ranking = all ones; absent term = zeros") {
+    // bm25 and graded relevance agree here: the short high-tf doc
+    // outranks the longer low-tf doc, the no-hit doc scores 0
+    val docs = Seq(
+      (1L, "x x x x"), (2L, "x x z"), (3L, "z z w"))
+      .toDF("doc_id", "text")
+    val out = RelevanceFunctions.rankingMetrics(docs, "doc_id", "text",
+        Seq("q", "x"), k = 2)
+      .as[(String, Long, Double, Double, Double)].collect().toList
+    assert(out.head === (("q", 0L, 0.0, 0.0, 0.0))) // term absent anywhere
+    assert(out(1) === (("x", 2L, 1.0, 1.0, 1.0)))   // retrieved == ideal
+    graft.Caches.releaseAll()
+  }
+
+  test("rankingMetrics: a bm25-vs-relevance inversion drops NDCG below 1") {
+    def r6d(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d1: high grade (tf 2) but LONG → bm25 length-normalizes it below
+    // d2 (tf 1, tiny). Retrieved order (d2, d1); ideal (d1, d2).
+    val filler = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"x x $filler"), (2L, "x w"))
+      .toDF("doc_id", "text")
+    val out = RelevanceFunctions.rankingMetrics(docs, "doc_id", "text",
+        Seq("x"), k = 2)
+      .as[(String, Long, Double, Double, Double)].head()
+    // dcg = r6((2¹−1)/log2(2)) + r6((2²−1)/log2(3)); idcg = r6(3) + r6(1/log2(3))
+    val dcg = r6d(1.0 / 1.0) + r6d(3.0 / (math.log(3) / math.log(2)))
+    val idcg = 3.0 + r6d(1.0 / (math.log(3) / math.log(2)))
+    assert(out._2 === 2L)
+    assert(out._3 === r6d(dcg / idcg) && out._3 < 1.0, s"ndcg ${out._3}")
+    assert(out._4 === 1.0) // first retrieved doc IS relevant
+    assert(out._5 === 1.0) // both relevant docs retrieved within k
+    graft.Caches.releaseAll()
+  }
 }

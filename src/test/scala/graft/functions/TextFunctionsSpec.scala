@@ -425,4 +425,24 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.syllableCount(col("text"))).as[Long].head()
     assert(y === 5L)
   }
+
+  test("concordance: every occurrence, clipped windows, case-folded") {
+    val docs = Seq(
+      (1L, "Spark runs fast but spark also scales"),
+      (2L, "spark"),              // bare term: both contexts empty
+      (3L, "no match here"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.concordance(docs, "doc_id", "text", "spark", window = 2)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, String, String)].collect().toList
+    assert(out === List(
+      (1L, 1, "", "runs fast"),          // leading occurrence: empty before
+      (1L, 5, "fast but", "also scales"),
+      (2L, 1, "", "")))                  // 1-token doc: both empty
+    // scan-local: no shuffle in the plan
+    val plan = TextFunctions.concordance(docs, "doc_id", "text", "spark")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

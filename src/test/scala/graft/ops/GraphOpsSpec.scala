@@ -232,6 +232,24 @@ class GraphOpsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("neighborJaccard: triangle, path, and duplicate collapse by hand") {
+    // K3: every edge has one common neighbor, degs 2/2 → 1/(2+2−1) = 1/3
+    val k3 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val j3 = GraphOps.neighborJaccard(k3, "s", "d")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(j3.map(r => (r._1, r._2, r._3, r._6)) ===
+      List((1L, 2L, 1L, 0.333333), (1L, 3L, 1L, 0.333333), (2L, 3L, 1L, 0.333333)))
+    // path a−b−c: no edge shares a neighbor → all zeros, exact degrees
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val jp = GraphOps.neighborJaccard(path, "s", "d")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(jp === List((1L, 2L, 0L, 1L, 2L, 0.0), (2L, 3L, 0L, 2L, 1L, 0.0)))
+    // duplicate + reversed edges collapse to one undirected edge
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L)).toDF("s", "d")
+    assert(GraphOps.neighborJaccard(dup, "s", "d").count() === 1L)
+    graft.Caches.releaseAll()
+  }
+
   test("round-scoped pins release; only the final frame stays (tracked)") {
     graft.Caches.releaseAll()
     val before = spark.sparkContext.getPersistentRDDs.keySet

@@ -125,4 +125,22 @@ class SkewOpsSpec extends AnyFunSuite {
     // b/c/d all tie at 3; the k=3 cut keeps the lexicographically first two
     assert(out.toSeq === Seq(("a", 5L, 33.333333), ("b", 3L, 20.0), ("c", 3L, 20.0)))
   }
+
+  test("giniIndex: even = 0, one-holds-all = (n-1)/n, zero total = null") {
+    val df = Seq(
+      ("even", 5.0), ("even", 5.0), ("even", 5.0), ("even", 5.0),
+      ("conc", 0.0), ("conc", 0.0), ("conc", 0.0), ("conc", 10.0),
+      ("zero", 0.0), ("zero", 0.0))
+      .toDF("k", "x")
+    val out = SkewOps.giniIndex(df, "k", "x")
+      .as[(String, Long, Double, Option[Double])].collect().toList
+    assert(out === List(
+      ("conc", 4L, 10.0, Some(0.75)), // (n−1)/n with n=4
+      ("even", 4L, 20.0, Some(0.0)),
+      ("zero", 2L, 0.0, None)))
+    // partitioning invariance (ties reordered by layout cannot move G)
+    val re = SkewOps.giniIndex(df.repartition(7), "k", "x")
+      .as[(String, Long, Double, Option[Double])].collect().toList
+    assert(re === out)
+  }
 }

@@ -115,6 +115,27 @@ class ValidationOpsSpec extends AnyFunSuite {
     assert(out2 === out)
   }
 
+  test("histogramInt: exact integer bins, ceil edges, clip accounting") {
+    // 1..50 once each into 7 bins: widths follow the ceil-edge math
+    // (bin 0 = 1..8, bin 1 = 9..15, ..., bin 6 = 43..50)
+    val df = (1L to 50L).toDF("q")
+    val out = ValidationOps.histogramInt(df, "q", lo = 1L, hi = 50L, buckets = 7)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out.map(r => (r._1, r._2, r._3)) === List(
+      (0L, 1L, 8L), (1L, 9L, 15L), (2L, 16L, 22L), (3L, 23L, 29L),
+      (4L, 30L, 36L), (5L, 37L, 43L), (6L, 44L, 50L)))
+    // bin populations = widths; edges partition [1,50] with no gap
+    assert(out.map(r => r._3 - r._2 + 1) === out.map(_._4))
+    assert(out.map(_._4).sum === 50L)
+    assert(out.forall(_._5 === 0L))
+    // out-of-range rows clamp into the edge bins and are counted
+    val clipped = ValidationOps.histogramInt(
+      (Seq(-5L, 0L, 99L) ++ (1L to 50L)).toDF("q"), "q", 1L, 50L, 7)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(clipped.head._4 === 10L && clipped.head._5 === 2L)  // bin 0: 8 + 2 clipped
+    assert(clipped.last._4 === 8L && clipped.last._5 === 1L)   // bin 6: 7 + 1 clipped
+  }
+
   test("mannKendall: monotone series hit ±S_max; all-ties zero out") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
