@@ -101,6 +101,37 @@ object SimilarityFunctions {
         col("_c").as("cosine"), col("rank"))
   }
 
+  /** Cosine RANGE search (radius query): every corpus vector with
+    * cosine ≥ `threshold` to each query — the serving mode top-k can't
+    * express: "ALL sufficiently-similar", the shape of dedup-candidate
+    * probes around a document, recall-complete retrieval audits, and
+    * policy lookups ("anything within 0.9 of a known-bad embedding").
+    * Complements [[bruteForceTopK]] (fixed k, unknown radius) with
+    * fixed radius, unknown k.
+    *
+    * Scale shape: queries BROADCAST; the corpus pays one narrow scan
+    * through the codegen'd [[VecCosine]] kernel with a scan-local
+    * filter — NO shuffle anywhere (results stay where the corpus rows
+    * live). Cosines round to 6 dp (the s1 contract) BEFORE the
+    * threshold compare, so the cut is boundary-stable cross-engine.
+    * For selective thresholds at 100 TB, route through the IVF index
+    * first ([[ivfTopK]]'s probed-cell scan) and range-filter the
+    * probed cells — this operator is the exact tier.
+    */
+  def cosineRangeSearch(corpus: DataFrame, queries: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1, 1] (got $threshold)")
+    requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("_cos", round(cosine(col(vecCol), col(qVecCol)), 6))
+      .filter(col(idCol) =!= col(qIdCol)) // exclude self-match on shared ids
+      .filter(col("_cos").isNotNull && col("_cos") >= threshold)
+      .select(col(qIdCol).cast("long").as(qIdCol),
+        col(idCol).cast("long").as(idCol), col("_cos").as("cosine"))
+  }
+
   /** The bounded-heap top-k path encodes ids as longs; fail fast with a
     * clear message instead of an ANSI cast error mid-job when a caller
     * brings string/UUID ids (those need a surrogate id column first).

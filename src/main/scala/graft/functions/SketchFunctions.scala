@@ -20,6 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object SketchFunctions {
 
+  /** The MERGEABLE PRE-AGGREGATION pattern: build per-(keys) DataSketches
+    * HLL sketches ONCE; answer every COARSER distinct-count rollup
+    * forever by unioning stored sketches ([[hllRollup]]) — the 100 TB
+    * replacement for re-scanning raw events per reporting window
+    * ("daily uniques, weekly uniques, 28-day actives" each cost a full
+    * scan exactly once under this table). `lgK` fixes the sketch
+    * geometry: unions of same-lgK sketches are LOSSLESS, so rolling up
+    * daily sketches yields the IDENTICAL estimate a direct sketch over
+    * the whole span would (the merge ≡ direct property the spec pins);
+    * relative standard error ≈ 1.04/√2^lgK (~1.6 % at the default 12),
+    * and at small cardinalities the sketch runs in its exact sparse
+    * mode. One hash aggregation with map-side sketch merging; each
+    * sketch is a few KB regardless of data size.
+    */
+  def hllSketchTable(df: DataFrame, keys: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    require(keys.nonEmpty, "hllSketchTable needs at least one key column")
+    df.groupBy(keys.map(col): _*).agg(
+      hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"),
+      count(col(valueCol)).as("n_rows"))
+  }
+
+  /** Roll a [[hllSketchTable]] up to coarser keys: union the stored
+    * sketches (strict same-lgK merge — a silent cross-geometry union
+    * would quietly degrade accuracy) and estimate. Returns the rolled
+    * keys + (approx_distinct, n_rows). The raw data is never touched —
+    * this is the query side of the pre-aggregation contract.
+    */
+  def hllRollup(sketches: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "hllRollup needs at least one key column")
+    sketches.groupBy(keys.map(col): _*).agg(
+      hll_sketch_estimate(hll_union_agg(col("hll"), lit(false)))
+        .as("approx_distinct"),
+      sum(col("n_rows")).as("n_rows"))
+  }
+
   /** Approximate frequencies of `probes` keys in `df`'s `keyCol` via a
     * count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005;
     * Spark's built-in mergeable implementation). One pass over the

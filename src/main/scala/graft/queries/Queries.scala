@@ -7280,7 +7280,75 @@ object Queries {
       // summed in exact decimal.
       (s, dir) => R.rankingMetrics(docs(s, dir), "doc_id", "text",
         Seq("filter", "stream", "customer"), k = 10),
-      Some(ndcgOracle(Seq("filter", "stream", "customer"), k = 10, relCap = 4)))
+      Some(ndcgOracle(Seq("filter", "stream", "customer"), k = 10, relCap = 4))),
+
+    QueryDef("w32_acf",
+      // return autocorrelation at lags 1..5 per ticker — the
+      // market-efficiency / seasonality diagnostic next to w23's
+      // rolling cross-correlation. corr is the engine co-moment
+      // aggregate (the a12 merge-order-under-6dp contract); all five
+      // lag columns share ONE per-ticker window exchange; the
+      // wide→long unpivot is a scan-local stack.
+      (s, dir) => {
+        val base = pricesWithRet(s, dir)
+        val withLags = (1 to 5).foldLeft(base)((d, l) =>
+          d.withColumn(s"_l$l", lag(col("ret"), l).over(wTicker)))
+        withLags.groupBy("ticker")
+          .agg(round(corr(col("ret"), col("_l1")), 6).as("acf1"),
+            round(corr(col("ret"), col("_l2")), 6).as("acf2"),
+            round(corr(col("ret"), col("_l3")), 6).as("acf3"),
+            round(corr(col("ret"), col("_l4")), 6).as("acf4"),
+            round(corr(col("ret"), col("_l5")), 6).as("acf5"))
+          .selectExpr("ticker",
+            "stack(5, 1, acf1, 2, acf2, 3, acf3, 4, acf4, 5, acf5) AS (lag, acf)")
+          .orderBy("ticker", "lag")
+      },
+      Some(pricesSql + retSql +
+        """, l AS (
+          |  SELECT ticker, ret,
+          |    lag(ret, 1) OVER w AS l1, lag(ret, 2) OVER w AS l2,
+          |    lag(ret, 3) OVER w AS l3, lag(ret, 4) OVER w AS l4,
+          |    lag(ret, 5) OVER w AS l5
+          |  FROM r
+          |  WINDOW w AS (PARTITION BY ticker ORDER BY "date")),
+          |a AS (
+          |  SELECT ticker,
+          |    round(corr(ret, l1), 6) AS a1, round(corr(ret, l2), 6) AS a2,
+          |    round(corr(ret, l3), 6) AS a3, round(corr(ret, l4), 6) AS a4,
+          |    round(corr(ret, l5), 6) AS a5
+          |  FROM l GROUP BY 1)
+          |SELECT ticker, "lag", acf FROM (
+          |  SELECT ticker, 1 AS "lag", a1 AS acf FROM a
+          |  UNION ALL SELECT ticker, 2, a2 FROM a
+          |  UNION ALL SELECT ticker, 3, a3 FROM a
+          |  UNION ALL SELECT ticker, 4, a4 FROM a
+          |  UNION ALL SELECT ticker, 5, a5 FROM a)
+          |ORDER BY ticker, "lag"""".stripMargin)),
+
+    QueryDef("s13_range_search",
+      // cosine RANGE search ([[graft.functions.SimilarityFunctions
+      // .cosineRangeSearch]]): every corpus vector within radius of
+      // each query — fixed radius, unknown k (the dedup-probe /
+      // policy-lookup serving mode). Queries broadcast; one narrow
+      // corpus scan through the codegen'd VecCosine kernel, no
+      // shuffle; 6dp cosines before the cut (the s1 contract).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.cosineRangeSearch(emb, q, threshold = 0.2)
+          .orderBy("query_id", "vec_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding AS query_vec
+             |  FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                      CAST(q.query_vec AS DOUBLE[])), 6) AS cosine
+             |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, vec_id, cosine FROM scored
+             |WHERE cosine >= 0.2 ORDER BY query_id, vec_id""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

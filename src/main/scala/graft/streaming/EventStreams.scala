@@ -302,4 +302,86 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom-state sessionization with EVENT-TIME TIMEOUT — the
+    * `flatMapGroupsWithState` twin of [[userSessions]], kept for the
+    * semantics the built-in `session_window` aggregation can't express
+    * (arbitrary per-session derived state; here the session's event
+    * count plus exact first/last event times as the demonstrator).
+    * This is also the one stateful primitive the e-family's
+    * funnel/running-total states don't exercise:
+    * `GroupStateTimeout.EventTimeTimeout` — state expiry CERTIFIED by
+    * the watermark, not by the arrival of more data.
+    *
+    * A session closes two ways: a same-user event arrives past the
+    * `gapMinutes` inactivity gap (emitted in that micro-batch), or the
+    * watermark passes `last_event + gap` with no successor — the
+    * TIMEOUT path emits the open session exactly once and removes the
+    * state. State per user is one (start, end, n) triple — O(1), and
+    * the timeout guarantees it cannot outlive the watermark horizon,
+    * so total state is bounded by gap-active users.
+    *
+    * Late rows (≤ watermark behind) that still belong to the open
+    * session fold into it (count grows; bounds widen only forward —
+    * an EARLIER late ts inside the open session keeps the recorded
+    * start, the documented approximation). In BATCH mode timeouts
+    * never fire: closed sessions emit, each user's final open session
+    * does not — batch callers want [[userSessions]]; this operator
+    * exists for the streaming semantics.
+    */
+  def sessionStatsTimeout(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1 (got $gapMinutes)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60_000_000L
+    val gapMs = gapMinutes * 60_000L
+    def update(userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+      if (state.hasTimedOut) {
+        val (st, en, n) = state.get
+        state.remove()
+        Iterator((userId, st, en, n))
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var cur = state.getOption
+        rows.toSeq.sortBy(_._2).foreach { case (_, t, _) =>
+          cur match {
+            case None => cur = Some((t, t, 1L))
+            case Some((st, en, n)) =>
+              if (t - en > gapUs) { out += ((userId, st, en, n)); cur = Some((t, t, 1L)) }
+              else cur = Some((st, math.max(en, t), n + 1))
+          }
+        }
+        cur.foreach { c =>
+          state.update(c)
+          // the timeout timestamp must sit at/after the current
+          // watermark (Spark rejects the past); a late burst whose
+          // session already expired emits on the very next trigger.
+          // In BATCH mode there is no watermark to read and timeouts
+          // never fire — skip the registration entirely.
+          scala.util.Try(state.getCurrentWatermarkMs()).toOption.foreach { wm =>
+            state.setTimeoutTimestamp(math.max(c._2 / 1000L + gapMs, wm + 1L))
+          }
+        }
+        out.iterator
+      }
+    }
+    events
+      .withWatermark("ts", watermark)
+      // the watermarked ts column must SURVIVE into the stateful
+      // operator's child plan — projecting it away severs the
+      // event-time watermark EventTimeTimeout depends on
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF("user_id", "_s", "_e", "n_events")
+      .select(col("user_id"),
+        timestamp_micros(col("_s")).as("session_start"),
+        timestamp_micros(col("_e")).as("session_end"),
+        col("n_events"))
+  }
 }

@@ -809,4 +809,26 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(out === brute)
   }
+
+  test("cosineRangeSearch: exactly the pairs at/above the radius; shuffle-free") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = SimilarityFunctions.cosineRangeSearch(emb, q, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: the same 6dp cosines filtered in scala
+    val all = emb.crossJoin(broadcast(q))
+      .select(col("query_id").cast("long"),
+        col("vec_id").cast("long"),
+        round(SimilarityFunctions.cosine(col("embedding"), col("query_vec")), 6))
+      .as[(Long, Long, Double)].collect()
+    val expect = all.filter(p => p._1 != p._2 && p._3 >= 0.1).toSet
+    assert(got === expect && got.nonEmpty)
+    // the radius cut is inclusive and every score is >= the threshold
+    assert(got.forall(_._3 >= 0.1))
+    // no shuffle: queries broadcast, result stays with the corpus scan
+    val plan = SimilarityFunctions.cosineRangeSearch(emb, q, 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }

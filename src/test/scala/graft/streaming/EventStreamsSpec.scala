@@ -316,4 +316,58 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(b2 === Set((7L, 1, "view"), (7L, 2, "click"), (7L, 3, "purchase")))
     } finally q.stop()
   }
+
+  test("sessionStatsTimeout: gap closes in-batch; watermark timeout closes the tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+    val name = s"sst_${System.nanoTime()}"
+    val q = EventStreams.sessionStatsTimeout(events, gapMinutes = 30,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: user 7 has two sessions IN one batch (09:00/09:10,
+      // then 11:00) — the first closes immediately on the gap
+      in.addData((7L, ts("09:00")), (7L, ts("09:10")), (7L, ts("11:00")))
+      q.processAllAvailable()
+      val b1 = spark.table(name)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(b1 === Set((7L, ts("09:00"), ts("09:10"), 2L)))
+      // batch 2: another user far in the future advances the watermark
+      // (15:00 − 1h = 14:00 ≫ 11:00 + 30min) …
+      in.addData((8L, ts("15:00")))
+      q.processAllAvailable()
+      // … and a further trigger fires the EVENT-TIME TIMEOUT for the
+      // open 11:00 session — emitted exactly once, state removed
+      in.addData((8L, ts("15:05")))
+      q.processAllAvailable()
+      val all = spark.table(name)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toList
+      assert(all.count(r => r._1 == 7L && r._2 == ts("11:00")) === 1,
+        s"open session must emit exactly once on timeout: $all")
+      assert(all.toSet.contains((7L, ts("11:00"), ts("11:00"), 1L)))
+      // user 8's own session is still open (watermark has not passed it)
+      assert(!all.exists(_._1 == 8L))
+    } finally q.stop()
+  }
+
+  test("sessionStatsTimeout batch mode: closed sessions only (documented)") {
+    import spark.implicits._
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val ev = Seq((7L, ts("09:00")), (7L, ts("09:05")), (7L, ts("12:00")))
+      .toDF("user_id", "ts")
+    val out = EventStreams.sessionStatsTimeout(ev, gapMinutes = 30)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toList
+    // the 09:00 session closed by the 12:00 event emits; the final open
+    // session does not (timeouts never fire in batch) — batch callers
+    // use userSessions
+    assert(out === List((7L, ts("09:00"), ts("09:05"), 2L)))
+  }
 }
