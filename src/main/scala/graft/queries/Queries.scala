@@ -7348,7 +7348,168 @@ object Queries {
              |                                      CAST(q.query_vec AS DOUBLE[])), 6) AS cosine
              |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
              |SELECT query_id, vec_id, cosine FROM scored
-             |WHERE cosine >= 0.2 ORDER BY query_id, vec_id""".stripMargin))
+             |WHERE cosine >= 0.2 ORDER BY query_id, vec_id""".stripMargin)),
+
+    QueryDef("j8_temporal_join",
+      // SCD2 point-in-time join: each lineitem fact (by SETTLEMENT
+      // date, ship + 30 days — deliberately a different clock than the
+      // shipdate-built history)
+      // picks the band run in force at ITS time via the as-of backward
+      // join against the compressed history ([[graft.ops.AsOfJoinOps]]
+      // over [[graft.ops.HistoryOps.scd2Compress]]) — the canonical
+      // "join facts to the dimension as it WAS" move; a23 is the
+      // single-T snapshot, this is per-row T. Facts before a ticker's
+      // first run keep a null band (left semantics).
+      (s, dir) => {
+        val hist = HistoryOps.scd2Compress(
+          prices(t(s, dir, "lineitem"))
+            .withColumn("band", floor(col("close") / lit(1000.0)).cast("int")),
+          "ticker", "date", "band")
+        val fact = t(s, dir, "lineitem")
+          .filter(col("l_linenumber") === 1)
+          .select(col("l_suppkey").as("ticker"),
+            date_add(to_date(col("l_shipdate")), 30).as("cdate"),
+            col("l_orderkey"))
+        AsOfJoinOps.asOfJoinBackward(fact, hist.select("ticker", "valid_from", "band"),
+            Seq("ticker"), "cdate", "valid_from", Seq("band"))
+          .orderBy("ticker", "cdate", "l_orderkey")
+      },
+      Some(pricesSql +
+        """, b AS (SELECT ticker, "date",
+          |          CAST(FLOOR(close / 1000.0) AS INTEGER) AS band FROM prices),
+          |f2 AS (SELECT ticker, "date", band,
+          |  CASE WHEN lag(band) OVER (PARTITION BY ticker ORDER BY "date")
+          |            IS NOT DISTINCT FROM band THEN 0 ELSE 1 END AS chg
+          |  FROM b),
+          |g AS (SELECT ticker, "date", band,
+          |  SUM(chg) OVER (PARTITION BY ticker ORDER BY "date"
+          |                 ROWS UNBOUNDED PRECEDING) AS grp FROM f2),
+          |h AS (SELECT ticker, min(band) AS band, min("date") AS valid_from
+          |      FROM g GROUP BY ticker, grp),
+          |fact AS (
+          |  SELECT l_suppkey AS ticker,
+          |         CAST(l_shipdate AS DATE) + INTERVAL 30 DAY AS cdate, l_orderkey
+          |  FROM lineitem WHERE l_linenumber = 1),
+          |sel AS (
+          |  SELECT f.ticker, f.cdate, f.l_orderkey, h.band,
+          |         row_number() OVER (PARTITION BY f.ticker, f.cdate, f.l_orderkey
+          |                            ORDER BY h.valid_from DESC) AS rn
+          |  FROM fact f LEFT JOIN h
+          |    ON h.ticker = f.ticker AND h.valid_from <= f.cdate)
+          |SELECT ticker, cdate, l_orderkey, band FROM sel WHERE rn = 1
+          |ORDER BY ticker, cdate, l_orderkey""".stripMargin)),
+
+    QueryDef("j9_star_join",
+      // TPC-H Q5-shaped star join: 1996 revenue by ASIA nation over
+      // customer⋈orders⋈lineitem⋈supplier⋈nation⋈region with the
+      // local-supplier condition. The region→nation dimension chain
+      // BROADCASTS (catalog-sized); the fact side shuffles only on its
+      // join keys; revenue aggregates in exact decimal (the Q rule).
+      // The registry's multi-way join-planning exhibit.
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" &&
+            to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+            to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+          .groupBy(col("n_name"))
+          .agg(money2(sum(revenueDec)).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+             |                  * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+             |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+             |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    QueryDef("a26_coverage",
+      // completeness over time: per (ticker, observed month), rows
+      // present vs business days in the month — the data-freshness
+      // audit behind w8's day-level anti-join, rolled to the grain a
+      // dashboard reads. The calendar is a scan-local sequence
+      // (bounded by month length); counts exact, one division → 6dp.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+          .select(col("ticker"), trunc(col("date"), "month").as("month"))
+        p.groupBy("ticker", "month")
+          .agg(count(lit(1)).as("n_obs"))
+          .withColumn("n_bdays",
+            size(filter(sequence(col("month"), last_day(col("month"))),
+              d => weekday(d) < 5)).cast("long"))
+          .withColumn("coverage",
+            round(col("n_obs").cast("double") / col("n_bdays").cast("double"), 6))
+          .orderBy("ticker", "month")
+      },
+      Some(pricesSql +
+        """, m AS (
+          |  SELECT ticker, CAST(date_trunc('month', "date") AS DATE) AS month,
+          |         count(*) AS n_obs
+          |  FROM prices GROUP BY 1, 2),
+          |bd AS (
+          |  SELECT month,
+          |         CAST(len(list_filter(
+          |           generate_series(month, last_day(month), INTERVAL 1 DAY),
+          |           d -> isodow(d) <= 5)) AS BIGINT) AS n_bdays
+          |  FROM (SELECT DISTINCT month FROM m))
+          |SELECT m.ticker, m.month, m.n_obs, bd.n_bdays,
+          |  round(CAST(m.n_obs AS DOUBLE) / CAST(bd.n_bdays AS DOUBLE), 6) AS coverage
+          |FROM m JOIN bd USING (month)
+          |ORDER BY m.ticker, m.month""".stripMargin)),
+
+    QueryDef("w33_drawdown_duration",
+      // drawdown SPELLS per ticker (w10 gives depth; this gives
+      // duration): a spell = a maximal run of days strictly below the
+      // running peak. Gaps-and-islands on the below-peak flag —
+      // all-integer, exact cross-engine replay, no rounding contract.
+      (s, dir) => {
+        val wCum = wTicker.rowsBetween(Window.unboundedPreceding, 0)
+        prices(t(s, dir, "lineitem"))
+          .withColumn("_peak", max(col("close")).over(wCum))
+          .withColumn("_below", col("close") < col("_peak"))
+          .withColumn("_grp",
+            sum(when(col("_below"), 0L).otherwise(1L)).over(wCum))
+          .filter(col("_below"))
+          .groupBy("ticker", "_grp")
+          .agg(count(lit(1)).as("_len"))
+          .groupBy("ticker")
+          .agg(count(lit(1)).as("n_spells"), max(col("_len")).as("max_len"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql +
+        """, pk AS (
+          |  SELECT ticker, "date", close,
+          |    max(close) OVER w AS peak,
+          |    CASE WHEN close < max(close) OVER w THEN 1 ELSE 0 END AS below
+          |  FROM prices
+          |  WINDOW w AS (PARTITION BY ticker ORDER BY "date"
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |gi AS (
+          |  SELECT ticker, "date", below,
+          |    SUM(CASE WHEN below = 1 THEN 0 ELSE 1 END)
+          |      OVER (PARTITION BY ticker ORDER BY "date"
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          |  FROM pk),
+          |sp AS (
+          |  SELECT ticker, grp, count(*) AS len
+          |  FROM gi WHERE below = 1 GROUP BY 1, 2)
+          |SELECT ticker, count(*) AS n_spells, max(len) AS max_len
+          |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

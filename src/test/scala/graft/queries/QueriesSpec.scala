@@ -107,4 +107,13 @@ class QueriesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(again === est)
   }
+
+  test("j9_star_join plans broadcast joins for the dimension chain") {
+    val plan = Queries.byName("j9_star_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // nation and region are catalog-sized: they must ride broadcast
+    // joins, never shuffle the fact side for them
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected the nation/region chain broadcast, plan:\n$plan")
+  }
 }
