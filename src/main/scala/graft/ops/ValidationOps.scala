@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality validation aggregates (SURVEY.md §2d A-1..A-5, §2e W-7/W-8;
@@ -316,5 +317,138 @@ object ValidationOps {
       .select(col("bucket"), col("lo_edge"), col("hi_edge"),
         col("n"), col("n_clipped"))
       .orderBy("bucket")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance per entity — the
+    * distribution-drift test that, unlike PSI ([[graft.ops.MacroOps]]'
+    * a14 form), needs no binning choice: D = sup_v |F_A(v) − F_B(v)|.
+    *
+    * `sampleCol` must be a boolean column (false = sample A, true =
+    * sample B). The supremum over the pooled value set is computed in
+    * ALL-INTEGER arithmetic: at each distinct value, |cumA·m − cumB·n|
+    * with n = |A|, m = |B| — the division by n·m happens once, on the
+    * exact integer maximum, so D is one IEEE division rounded 6dp and
+    * every engine agrees on WHICH value attains the sup (a per-step
+    * float ECDF could flip the argmax across engines). Ties collapse
+    * first (the ECDF is evaluated after each distinct value's full
+    * mass), which is the correct right-continuous ECDF. Entities
+    * missing either sample are dropped (D is undefined).
+    *
+    * Scale shape: one hash aggregation collapses the scan to distinct
+    * (entity, value) rows; the cumulative counts are one
+    * entity-partitioned window over those (bounded per entity — the
+    * w-family convention); totals broadcast back via an entity-keyed
+    * join. Nothing row-scale shuffles twice.
+    */
+  def ksTwoSample(df: DataFrame, entityCol: String, valueCol: String,
+      sampleCol: String): DataFrame = {
+    val p = df.filter(col(valueCol).isNotNull && col(sampleCol).isNotNull)
+      .select(col(entityCol).as("_e"), col(valueCol).as("_v"),
+        col(sampleCol).cast("boolean").as("_b"))
+    val perValue = p.groupBy(col("_e"), col("_v"))
+      .agg(sum(when(!col("_b"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("_cb"))
+    val w = Window.partitionBy("_e").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perValue
+      .withColumn("_cuma", sum(col("_ca")).over(w))
+      .withColumn("_cumb", sum(col("_cb")).over(w))
+    val nn = p.groupBy(col("_e"))
+      .agg(sum(when(!col("_b"), 1L).otherwise(0L)).as("n"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("m"))
+      .filter(col("n") > 0 && col("m") > 0)
+    cum.join(nn, Seq("_e"))
+      .groupBy(col("_e"), col("n"), col("m"))
+      .agg(max(abs(col("_cuma") * col("m") - col("_cumb") * col("n")))
+        .as("d_num"))
+      .withColumn("ks",
+        round(col("d_num").cast("double")
+          / (col("n") * col("m")).cast("double"), 6))
+      .select(col("_e").as(entityCol), col("n"), col("m"),
+        col("d_num"), col("ks"))
+      .orderBy(entityCol)
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V — the audit that tells a pipeline
+    * whether a stratification column actually varies with another
+    * (e.g. does label distribution drift across sources) before it
+    * trusts marginal-only stats.
+    *
+    * Determinism contract: observed counts and the row/column marginal
+    * products are exact longs (ra·cb < 2^53 at any realistic
+    * cardinality, so the expected value's one division is the same
+    * double everywhere); each cell's (o−e)²/e term rounds to 6dp and
+    * the cell terms SUM IN EXACT DECIMAL (the t20-Zipf fit-sum
+    * contract — a float Σ over cells would be merge-order-dependent);
+    * V = sqrt(χ²/(N·min(r−1,c−1))) reads the ROUNDED χ² (the w30
+    * rounded-z convention) so the classification never straddles an
+    * engine boundary.
+    *
+    * Scale shape: one hash aggregation to an r·c-sized contingency
+    * table; marginals are two more aggs OVER THAT TABLE (not the
+    * scan); everything after the first agg is r·c rows. One full-data
+    * pass total.
+    */
+  def chiSquareIndependence(df: DataFrame, colA: String, colB: String)
+      : DataFrame = {
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("_a"), col(colB).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val tot = cells.agg(sum(col("_o")).as("_n"),
+      countDistinct(col("_a")).as("_r"), countDistinct(col("_b")).as("_c"))
+    // the FULL r·c grid, not just observed combinations: a
+    // zero-observed cell still contributes its expected count to chi2
+    // (perfect association would otherwise score 0 terms off-diagonal)
+    val term = ra.crossJoin(cb)
+      .join(cells, Seq("_a", "_b"), "left")
+      .na.fill(0L, Seq("_o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_e",
+        (col("_ra") * col("_cb")).cast("double") / col("_n").cast("double"))
+      .withColumn("_term", round(
+        (col("_o").cast("double") - col("_e")) *
+          (col("_o").cast("double") - col("_e")) / col("_e"), 6))
+    term.groupBy(col("_n"), col("_r"), col("_c"))
+      .agg(sum(col("_term").cast("decimal(24,6)")).as("_chi2d"))
+      .withColumn("chi2", col("_chi2d").cast("double"))
+      .withColumn("dof", ((col("_r") - 1) * (col("_c") - 1)).cast("long"))
+      .withColumn("cramers_v", round(
+        sqrt(col("chi2") /
+          (col("_n") * least(col("_r") - 1, col("_c") - 1)).cast("double")), 6))
+      .select(col("_n").as("n"), col("dof"), col("chi2"), col("cramers_v"))
+  }
+
+  /** Exact lower weighted median per entity: the smallest value whose
+    * cumulative weight reaches half the total — `2·cumW ≥ totW` in
+    * EXACT integer arithmetic (weights cast to long; a float half-total
+    * comparison could flip the pick when the median sits exactly on
+    * the 50% mass boundary, which integral weights make common).
+    *
+    * Scale shape: one hash aggregation to distinct (entity, value)
+    * rows with summed weights, one entity-partitioned cumulative
+    * window over those, totals joined back on the entity key, and a
+    * min_by-style agg picks the crossing row. No global sort.
+    */
+  def weightedMedian(df: DataFrame, entityCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val p = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("long") > 0)
+      .select(col(entityCol).as("_e"), col(valueCol).as("_v"),
+        col(weightCol).cast("long").as("_w"))
+    val perValue = p.groupBy(col("_e"), col("_v"))
+      .agg(sum(col("_w")).as("_wv"))
+    val w = Window.partitionBy("_e").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perValue.withColumn("_cum", sum(col("_wv")).over(w))
+    val tot = p.groupBy(col("_e")).agg(sum(col("_w")).as("total_w"))
+    cum.join(tot, Seq("_e"))
+      .filter(col("_cum") * 2 >= col("total_w"))
+      .groupBy(col("_e"), col("total_w"))
+      .agg(min(col("_v")).as("wmedian"))
+      .select(col("_e").as(entityCol), col("total_w"), col("wmedian"))
+      .orderBy(entityCol)
   }
 }

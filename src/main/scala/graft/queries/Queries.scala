@@ -7509,7 +7509,110 @@ object Queries {
           |  SELECT ticker, grp, count(*) AS len
           |  FROM gi WHERE below = 1 GROUP BY 1, 2)
           |SELECT ticker, count(*) AS n_spells, max(len) AS max_len
-          |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("a27_ks_drift",
+      // exact two-sample Kolmogorov–Smirnov drift per ticker
+      // ([[graft.ops.ValidationOps.ksTwoSample]]): 1995 close
+      // distribution vs 1996. The sup |F_A − F_B| is found in
+      // ALL-INTEGER arithmetic (max |cumA·m − cumB·n|) so both engines
+      // agree on the attaining value; the single division rounds 6dp.
+      (s, dir) => ValidationOps.ksTwoSample(
+        prices(t(s, dir, "lineitem"))
+          .filter(year(col("date")).isin(1995, 1996))
+          .withColumn("_b", year(col("date")) === 1996),
+        "ticker", "close", "_b"),
+      Some(pricesSql +
+        """, px AS (
+          |  SELECT ticker, close AS v,
+          |         (EXTRACT(year FROM "date") = 1996) AS b
+          |  FROM prices WHERE EXTRACT(year FROM "date") IN (1995, 1996)),
+          |pv AS (
+          |  SELECT ticker, v,
+          |    CAST(count(*) FILTER (WHERE NOT b) AS BIGINT) AS ca,
+          |    CAST(count(*) FILTER (WHERE b) AS BIGINT) AS cb
+          |  FROM px GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT ticker, v,
+          |    SUM(ca) OVER (PARTITION BY ticker ORDER BY v
+          |                  ROWS UNBOUNDED PRECEDING) AS cuma,
+          |    SUM(cb) OVER (PARTITION BY ticker ORDER BY v
+          |                  ROWS UNBOUNDED PRECEDING) AS cumb
+          |  FROM pv),
+          |nn AS (
+          |  SELECT ticker,
+          |    CAST(count(*) FILTER (WHERE NOT b) AS BIGINT) AS n,
+          |    CAST(count(*) FILTER (WHERE b) AS BIGINT) AS m
+          |  FROM px GROUP BY 1 HAVING n > 0 AND m > 0)
+          |SELECT ticker, n, m,
+          |  CAST(max(abs(cuma * m - cumb * n)) AS BIGINT) AS d_num,
+          |  round(CAST(max(abs(cuma * m - cumb * n)) AS DOUBLE)
+          |        / CAST(n * m AS DOUBLE), 6) AS ks
+          |FROM cum JOIN nn USING (ticker)
+          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    QueryDef("a28_chisq_independence",
+      // chi-square independence + Cramér's V between order priority and
+      // order status ([[graft.ops.ValidationOps.chiSquareIndependence]]):
+      // exact-long contingency table and marginals, 6dp-rounded cell
+      // terms summed in exact decimal (the t20 fit-sum contract), V
+      // from the ROUNDED chi2 (the w30 rounded-z convention).
+      (s, dir) => ValidationOps.chiSquareIndependence(
+        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus"),
+      Some("""WITH cells AS (
+             |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+             |         count(*) AS o
+             |  FROM orders
+             |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+             |  GROUP BY 1, 2),
+             |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+             |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             |               CAST(count(DISTINCT a) AS BIGINT) AS r,
+             |               CAST(count(DISTINCT c2.b) AS BIGINT) AS c
+             |        FROM cells c2),
+             |grid AS (
+             |  SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(cells.o, 0) AS o
+             |  FROM ra CROSS JOIN cb
+             |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+             |term AS (
+             |  SELECT n, r, c,
+             |    round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e,
+             |          6) AS term
+             |  FROM (SELECT o, n, r, c,
+             |          CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+             |        FROM grid, tot))
+             |SELECT n, (r - 1) * (c - 1) AS dof,
+             |  CAST(SUM(CAST(term AS DECIMAL(24,6))) AS DOUBLE) AS chi2,
+             |  round(sqrt(CAST(SUM(CAST(term AS DECIMAL(24,6))) AS DOUBLE)
+             |             / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6)
+             |    AS cramers_v
+             |FROM term GROUP BY n, r, c""".stripMargin)),
+
+    QueryDef("a29_weighted_median",
+      // exact lower weighted median of close weighted by share volume
+      // per ticker ([[graft.ops.ValidationOps.weightedMedian]]): the
+      // 2·cumW ≥ totW crossing in exact integers — no float half-total.
+      (s, dir) => ValidationOps.weightedMedian(
+        prices(t(s, dir, "lineitem")), "ticker", "close", "volume"),
+      Some(pricesSql +
+        """, p2 AS (
+          |  SELECT ticker, close AS v, CAST(volume AS BIGINT) AS w
+          |  FROM prices
+          |  WHERE close IS NOT NULL AND CAST(volume AS BIGINT) > 0),
+          |pv AS (SELECT ticker, v, CAST(SUM(w) AS BIGINT) AS wv
+          |       FROM p2 GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT ticker, v,
+          |    CAST(SUM(wv) OVER (PARTITION BY ticker ORDER BY v
+          |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+          |  FROM pv),
+          |tot AS (SELECT ticker, CAST(SUM(w) AS BIGINT) AS total_w
+          |        FROM p2 GROUP BY 1)
+          |SELECT ticker, total_w, min(v) AS wmedian
+          |FROM cum JOIN tot USING (ticker)
+          |WHERE cw * 2 >= total_w
+          |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -164,4 +164,65 @@ class ValidationOpsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Double, Double, Long)].head()
     assert(out === (("C", 3L, 5.0, 0.0, 0.0, 0.0, 0L)))
   }
+
+  test("ksTwoSample: identical samples give D=0, disjoint give D=1; one-sided entities drop") {
+    val df = Seq(
+      // E1: A and B identical (with a tie inside each) → D = 0
+      ("E1", 1.0, false), ("E1", 2.0, false), ("E1", 2.0, false),
+      ("E1", 1.0, true), ("E1", 2.0, true), ("E1", 2.0, true),
+      // E2: disjoint supports → D = 1 at the gap
+      ("E2", 1.0, false), ("E2", 2.0, false),
+      ("E2", 5.0, true), ("E2", 6.0, true), ("E2", 7.0, true),
+      // E3: only sample A present → undefined, dropped
+      ("E3", 1.0, false)
+    ).toDF("e", "v", "b")
+    val out = ValidationOps.ksTwoSample(df, "e", "v", "b")
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    assert(out === List(
+      ("E1", 3L, 3L, 0L, 0.0),
+      ("E2", 2L, 3L, 6L, 1.0))) // d_num = |2·3 − 0·2| = 6; 6/(2·3) = 1
+  }
+
+  test("ksTwoSample: hand-checked mid-distribution sup with ties") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: sup at v=2 → |2·4 − 0·4| = 8, D = 0.5
+    val df = ((1 to 4).map(v => ("E", v.toDouble, false)) ++
+      (3 to 6).map(v => ("E", v.toDouble, true))).toDF("e", "v", "b")
+    val out = ValidationOps.ksTwoSample(df, "e", "v", "b")
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(out === (("E", 4L, 4L, 8L, 0.5)))
+  }
+
+  test("chiSquareIndependence: independent 2x2 gives chi2=0; dof and V check") {
+    // perfectly proportional table → expected == observed everywhere
+    val rows = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2")) ++
+      Seq.fill(30)(("a2", "b1")) ++ Seq.fill(60)(("a2", "b2"))
+    val out = ValidationOps.chiSquareIndependence(
+        rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double)].head()
+    assert(out === ((120L, 1L, 0.0, 0.0)))
+  }
+
+  test("chiSquareIndependence: deterministic association (diagonal) maxes Cramér's V") {
+    val rows = Seq.fill(7)(("x", "p")) ++ Seq.fill(5)(("y", "q"))
+    val out = ValidationOps.chiSquareIndependence(
+        rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double)].head()
+    assert(out._1 === 12L && out._2 === 1L)
+    assert(out._3 === 12.0) // chi2 = N for a perfect 2x2 association
+    assert(out._4 === 1.0)  // V = sqrt(N/(N·1)) = 1
+  }
+
+  test("weightedMedian: exact boundary crossing picks the LOWER median") {
+    val df = Seq(
+      // total 10; cum at v=1 is 5 → 2·5 ≥ 10 picks v=1 (lower median)
+      ("T1", 1.0, 5L), ("T1", 2.0, 3L), ("T1", 3.0, 2L),
+      // heavy tail value wins outright
+      ("T2", 1.0, 1L), ("T2", 9.0, 99L),
+      // zero/null weights drop
+      ("T3", 1.0, 0L), ("T3", 2.0, 4L)
+    ).toDF("e", "v", "w")
+    val out = ValidationOps.weightedMedian(df, "e", "v", "w")
+      .as[(String, Long, Double)].collect().toList
+    assert(out === List(("T1", 10L, 1.0), ("T2", 100L, 9.0), ("T3", 4L, 2.0)))
+  }
 }
