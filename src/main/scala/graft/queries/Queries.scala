@@ -7612,7 +7612,131 @@ object Queries {
           |SELECT ticker, total_w, min(v) AS wmedian
           |FROM cum JOIN tot USING (ticker)
           |WHERE cw * 2 >= total_w
-          |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    QueryDef("mix2_domain_kl",
+      // KL / Jensen-Shannon divergence between the train and valid
+      // splits' SOURCE distributions — the mixture-drift audit a
+      // sampling pass runs before trusting a carved split (a skewed
+      // carve silently changes the training mixture). Splits are the
+      // d5 md5 hash carve; fractions are Laplace-smoothed (+1 over the
+      // observed source set, the a14 convention); each per-source term
+      // rounds 6dp and the terms SUM IN EXACT DECIMAL (the t20 fit-sum
+      // contract). One data-sized agg to a |sources|-sized table;
+      // totals broadcast back.
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          Sam.splitColumn(col("doc_id").cast("string"), pctTrain = 80,
+            pctValid = 10, hash = D.md5Hash60).as("split"))
+          .filter(col("split").isin("train", "valid"))
+        val counts = d.groupBy("source")
+          .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("split") === "valid", 1L).otherwise(0L)).as("cb"))
+        val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"),
+          count(lit(1)).as("k"))
+        val terms = counts.crossJoin(broadcast(tot))
+          .withColumn("p", (col("ca") + 1).cast("double")
+            / (col("na") + col("k")).cast("double"))
+          .withColumn("q", (col("cb") + 1).cast("double")
+            / (col("nb") + col("k")).cast("double"))
+          .withColumn("m", (col("p") + col("q")) / 2)
+          .withColumn("t_pq",
+            round(col("p") * log(col("p") / col("q")), 6).cast("decimal(24,6)"))
+          .withColumn("t_qp",
+            round(col("q") * log(col("q") / col("p")), 6).cast("decimal(24,6)"))
+          .withColumn("t_js",
+            round((col("p") * log(col("p") / col("m"))
+              + col("q") * log(col("q") / col("m"))) / 2, 6)
+              .cast("decimal(24,6)"))
+        terms.groupBy(col("na").as("n_train"), col("nb").as("n_valid"),
+            col("k").as("n_sources"))
+          .agg(sum("t_pq").cast("double").as("kl_train_valid"),
+            sum("t_qp").cast("double").as("kl_valid_train"),
+            sum("t_js").cast("double").as("js"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, source,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+             |  FROM documents),
+             |d AS (
+             |  SELECT source,
+             |    CASE WHEN bucket < 80 THEN 'train'
+             |         WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+             |  FROM sp),
+             |c AS (
+             |  SELECT source,
+             |    CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS ca,
+             |    CAST(count(*) FILTER (WHERE split = 'valid') AS BIGINT) AS cb
+             |  FROM d WHERE split IN ('train', 'valid') GROUP BY 1),
+             |tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             |              CAST(SUM(cb) AS BIGINT) AS nb,
+             |              count(*) AS k FROM c),
+             |pq AS (
+             |  SELECT CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE) AS p,
+             |         CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE) AS q,
+             |         na, nb, k
+             |  FROM c, tt),
+             |t2 AS (
+             |  SELECT na, nb, k,
+             |    CAST(round(p * ln(p / q), 6) AS DECIMAL(24,6)) AS t_pq,
+             |    CAST(round(q * ln(q / p), 6) AS DECIMAL(24,6)) AS t_qp,
+             |    CAST(round((p * ln(p / ((p + q) / 2))
+             |                + q * ln(q / ((p + q) / 2))) / 2, 6)
+             |         AS DECIMAL(24,6)) AS t_js
+             |  FROM pq)
+             |SELECT na AS n_train, nb AS n_valid, k AS n_sources,
+             |  CAST(SUM(t_pq) AS DOUBLE) AS kl_train_valid,
+             |  CAST(SUM(t_qp) AS DOUBLE) AS kl_valid_train,
+             |  CAST(SUM(t_js) AS DOUBLE) AS js
+             |FROM t2 GROUP BY 1, 2, 3""".stripMargin)),
+
+    QueryDef("e16_conversion_latency",
+      // first-view → first-subsequent-purchase latency distribution by
+      // weekday of the first view: the product-analytics companion to
+      // the e9/e11 funnels (they count conversions; this measures HOW
+      // LONG). Latencies are exact integer SECONDS (a µs difference
+      // `div` 10⁶ — µs magnitudes would push the 6dp round past
+      // double's exact-multiply range and the engines would disagree
+      // in the 11th significant digit); p50/p90 are the
+      // exact-interpolation percentile (w19 contract); the mean
+      // divides an exact long sum once. Per-user mins are one hash agg
+      // each; the join shuffles purchases once on user_id.
+      (s, dir) => {
+        val e = events(s, dir)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("tv"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("tp"))
+        val conv = v.join(p, Seq("user_id"))
+          .filter(col("tp") >= col("tv"))
+          .groupBy(col("user_id"), col("tv")).agg(min(col("tp")).as("tp"))
+          .withColumn("lat_s",
+            expr("(unix_micros(tp) - unix_micros(tv)) div 1000000L"))
+        conv.groupBy(weekday(col("tv")).as("dow"))
+          .agg(count(lit(1)).as("n_converted"),
+            round(expr("percentile(lat_s, 0.5D)"), 6).as("p50_s"),
+            round(expr("percentile(lat_s, 0.9D)"), 6).as("p90_s"),
+            round(sum("lat_s").cast("double") / count(lit(1)).cast("double"), 6)
+              .as("mean_s"))
+          .orderBy("dow")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS tv FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, v.tv, min(e.ts) AS tp
+             |  FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts >= v.tv
+             |  GROUP BY 1, 2),
+             |l AS (
+             |  SELECT CAST(isodow(tv) - 1 AS INTEGER) AS dow,
+             |         date_diff('microsecond', tv, tp) // 1000000 AS lat_s
+             |  FROM c)
+             |SELECT dow, count(*) AS n_converted,
+             |  round(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+             |  round(quantile_cont(lat_s, 0.9), 6) AS p90_s,
+             |  round(CAST(SUM(lat_s) AS DOUBLE) / count(*), 6) AS mean_s
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
