@@ -419,4 +419,72 @@ object FeatureOps {
         col("_st.g").cast("double").as("gain"))
       .orderBy(entity)
   }
+
+  /** Spearman rank correlation of two columns per entity — the robust
+    * (monotone-invariant, outlier-resistant) companion to the a12
+    * Pearson family: Pearson over AVERAGE ranks.
+    *
+    * Determinism contract: average rank = (rank_min + rank_max)/2 with
+    * rank_min = SQL `rank()` and rank_max = `count(*)` over the
+    * RANGE-framed window (all ties included) — exact integers, and
+    * their half-sum is exactly representable (….0 or ….5), so the rank
+    * vectors are bit-identical in every engine; the one float step is
+    * `corr`, rounded 6dp (the a12 co-moment convention).
+    *
+    * Scale shape: both rank windows and both RANGE count windows
+    * partition by the SAME entity key — ONE exchange, two in-partition
+    * sorts; then one hash aggregation. No cross-entity data movement.
+    */
+  def spearmanCorr(df: DataFrame, entityCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val p = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    def avgRank(c: String): Column = {
+      val w = Window.partitionBy(entityCol).orderBy(c)
+      val wr = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      (rank().over(w) + count(lit(1)).over(wr)).cast("double") / 2
+    }
+    p.withColumn("_rx", avgRank(xCol))
+      .withColumn("_ry", avgRank(yCol))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("_rx"), col("_ry")), 6).as("spearman"))
+      .orderBy(entityCol)
+  }
+
+  /** Lead–lag cross-correlation between entity pairs: corr of entity
+    * A's value at t with entity B's value k OBSERVATIONS earlier
+    * (negative k = later), for every |k| ≤ maxLag — the classic
+    * price-discovery / signal-alignment scan ("does B lead A?").
+    *
+    * Scale shape: the shifted columns stack as ONE lag window per k on
+    * a single entity-partitioned exchange; the (2·maxLag+1)-way
+    * unpivot is scan-local; the date equi-join then moves each side
+    * once and the co-moments reduce to pairs × lags rows. The pair
+    * universe should be pre-filtered (the a12 T² caveat) — this is a
+    * small-universe diagnostic, not an all-pairs market scan.
+    */
+  def leadLagCorr(df: DataFrame, entityCol: String, timeCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
+    val ks = -maxLag to maxLag
+    val w = Window.partitionBy(entityCol).orderBy(timeCol)
+    val r = df.filter(col(valueCol).isNotNull)
+      .select(col(entityCol), col(timeCol), col(valueCol))
+    def cn(k: Int): String = if (k < 0) s"_lm${-k}" else s"_lp$k"
+    val lagged = ks.foldLeft(r)((d, k) =>
+      d.withColumn(cn(k), lag(col(valueCol), k).over(w)))
+    val stackExpr =
+      s"stack(${ks.size}, " + ks.map(k => s"$k, ${cn(k)}").mkString(", ") +
+        ") as (k, _vb)"
+    val b = lagged.select(col(entityCol).as("_tb"), col(timeCol),
+      expr(stackExpr)).filter(col("_vb").isNotNull)
+    val a = r.toDF("_ta", timeCol, "_va")
+    a.join(b, Seq(timeCol)).filter(col("_ta") < col("_tb"))
+      .groupBy(col("_ta"), col("_tb"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("_va"), col("_vb")), 6).as("xcorr"))
+      .select(col("_ta").as("ta"), col("_tb").as("tb"), col("k"),
+        col("n"), col("xcorr"))
+      .orderBy("ta", "tb", "k")
+  }
 }

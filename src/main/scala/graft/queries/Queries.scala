@@ -7736,7 +7736,60 @@ object Queries {
              |  round(quantile_cont(lat_s, 0.5), 6) AS p50_s,
              |  round(quantile_cont(lat_s, 0.9), 6) AS p90_s,
              |  round(CAST(SUM(lat_s) AS DOUBLE) / count(*), 6) AS mean_s
-             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("w34_spearman",
+      // Spearman rank correlation of close vs volume per ticker
+      // ([[graft.ops.FeatureOps.spearmanCorr]]): average ranks built
+      // from exact integers ((rank_min + rank_max)/2 — the RANGE-framed
+      // count gives rank_max), so the rank vectors are bit-identical
+      // cross-engine; corr rounds 6dp (a12 convention). All four
+      // windows share the ticker exchange.
+      (s, dir) => FeatureOps.spearmanCorr(
+        prices(t(s, dir, "lineitem")), "ticker", "close", "volume"),
+      Some(pricesSql +
+        """, rk AS (
+          |  SELECT ticker,
+          |    (rank() OVER wc + count(*) OVER wcr) / 2.0 AS rx,
+          |    (rank() OVER wv + count(*) OVER wvr) / 2.0 AS ry
+          |  FROM prices
+          |  WINDOW
+          |    wc AS (PARTITION BY ticker ORDER BY close),
+          |    wcr AS (PARTITION BY ticker ORDER BY close
+          |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |    wv AS (PARTITION BY ticker ORDER BY volume),
+          |    wvr AS (PARTITION BY ticker ORDER BY volume
+          |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT ticker, count(*) AS n, round(corr(rx, ry), 6) AS spearman
+          |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("w35_lead_lag",
+      // lead–lag cross-correlation of daily returns for the first five
+      // tickers at |k| ≤ 3 observations ([[graft.ops.FeatureOps
+      // .leadLagCorr]]): one lag window per k on a single ticker
+      // exchange, scan-local 7-way stack, date equi-join, co-moments
+      // reduce to pairs × lags rows; corr rounds 6dp (a12 convention).
+      (s, dir) => FeatureOps.leadLagCorr(
+        pricesWithRet(s, dir).filter(col("ticker") < 5 && col("ret").isNotNull)
+          .select(col("ticker"), col("date"), col("ret")),
+        "ticker", "date", "ret", maxLag = 3),
+      Some {
+        val arms = (-3 to 3).map(k =>
+          s"""SELECT ticker AS tb, "date", $k AS k,
+             |  lag(ret, $k) OVER (PARTITION BY ticker ORDER BY "date") AS vb
+             |FROM rr""".stripMargin).mkString("\nUNION ALL\n")
+        pricesSql + retSql +
+          s""", rr AS (
+             |  SELECT ticker, "date", ret FROM r
+             |  WHERE ret IS NOT NULL AND ticker < 5),
+             |un AS (
+             |$arms)
+             |SELECT a.ticker AS ta, un.tb, un.k, count(*) AS n,
+             |  round(corr(a.ret, un.vb), 6) AS xcorr
+             |FROM rr a JOIN un ON a."date" = un."date" AND a.ticker < un.tb
+             |WHERE un.vb IS NOT NULL
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      })
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -291,4 +291,40 @@ class FeatureOpsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Double)].collect().toList
     assert(repart === out)
   }
+
+  test("spearmanCorr: monotone transform gives 1, reversal -1, ties average") {
+    val rows = Seq(
+      // M: y = x³ (monotone, nonlinear — Pearson < 1, Spearman = 1)
+      ("M", 1.0, 1.0), ("M", 2.0, 8.0), ("M", 3.0, 27.0), ("M", 4.0, 64.0),
+      // R: strictly reversed
+      ("R", 1.0, 4.0), ("R", 2.0, 3.0), ("R", 3.0, 2.0), ("R", 4.0, 1.0),
+      // T: x ties average — ranks (1.5, 1.5, 3) vs (1, 2, 3) → ρ ≈ 0.866025
+      ("T", 1.0, 1.0), ("T", 1.0, 2.0), ("T", 2.0, 3.0)
+    ).toDF("e", "x", "y")
+    val out = FeatureOps.spearmanCorr(rows, "e", "x", "y")
+      .as[(String, Long, Double)].collect().toList
+    assert(out === List(("M", 4L, 1.0), ("R", 4L, -1.0), ("T", 3L, 0.866025)))
+  }
+
+  test("spearmanCorr is partitioning-invariant") {
+    val rows = (1 to 40).map(i => ("E", i.toDouble, ((i * 7) % 11).toDouble))
+    val df = rows.toDF("e", "x", "y")
+    val a = FeatureOps.spearmanCorr(df, "e", "x", "y").collect().toList
+    val b = FeatureOps.spearmanCorr(df.repartition(13), "e", "x", "y")
+      .collect().toList
+    assert(a === b)
+  }
+
+  test("leadLagCorr: a shifted copy correlates perfectly at exactly its lag") {
+    // B(t) = A(t−2): A at t correlates 1.0 with B lagged −2 (B's future)
+    val base = (1 to 30).map(i => (i, math.sin(i * 0.7) * 10))
+    val a = base.map { case (i, v) => ("A", i, v) }
+    val b = base.map { case (i, v) => ("B", i + 2, v) }
+    val df = (a ++ b).toDF("e", "t", "v")
+    val out = FeatureOps.leadLagCorr(df, "e", "t", "v", maxLag = 3)
+      .as[(String, String, Int, Long, Double)].collect().toList
+    val perfect = out.filter(_._5 == 1.0).map(_._3)
+    assert(perfect === List(-2)) // only k = −2 aligns the series exactly
+    assert(out.map(_._3).sorted === (-3 to 3).toList)
+  }
 }
