@@ -7789,7 +7789,43 @@ object Queries {
              |FROM rr a JOIN un ON a."date" = un."date" AND a.ticker < un.tb
              |WHERE un.vb IS NOT NULL
              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
-      })
+      }),
+
+    QueryDef("ivm2_incremental_join",
+      // incremental JOIN-view maintenance ([[graft.warehouse
+      // .IncrementalJoin]]): the orders⋈customer view is maintained as
+      // V_old ∪ (ΔR⋈S_old) ∪ (R_old⋈ΔS) ∪ (ΔR⋈ΔS) — orders split at a
+      // date cut, customers at an even/odd "signup wave" — and the
+      // oracle RECOMPUTES the full join from scratch, so a hash match
+      // proves the Griffin–Libkin insert-only delta algebra end to
+      // end. Every delta term broadcasts its delta side; V_old and the
+      // history tables are never re-shuffled. Revenue sums in exact
+      // decimal (money2).
+      (s, dir) => {
+        import graft.warehouse.IncrementalJoin
+        val cut = lit("1998-01-01").cast("timestamp")
+        val o = t(s, dir, "orders").select(
+          col("o_custkey").as("custkey"), col("o_orderdate"),
+          col("o_totalprice").cast("decimal(12,2)").as("_price"))
+        val rOld = o.filter(col("o_orderdate") < cut)
+        val rDelta = o.filter(col("o_orderdate") >= cut)
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").as("custkey"), col("c_nationkey"))
+        val sOld = c.filter(col("custkey") % 2 === 0)
+        val sDelta = c.filter(col("custkey") % 2 === 1)
+        val viewOld = rOld.join(sOld, Seq("custkey"))
+        IncrementalJoin.maintain(viewOld, rOld, rDelta, sOld, sDelta,
+            Seq("custkey"))
+          .groupBy(col("c_nationkey").as("nation"))
+          .agg(count(lit(1)).as("n_orders"),
+            money2(sum(col("_price"))).as("revenue"))
+          .orderBy("nation")
+      },
+      Some("""SELECT c.c_nationkey AS nation, count(*) AS n_orders,
+             |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+             |       AS DOUBLE) AS revenue
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
