@@ -551,4 +551,88 @@ object RelevanceFunctions {
         round(col("_icept"), 6).as("intercept"))
       .orderBy("rank")
   }
+
+  /** Maximal Marginal Relevance reranking (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick k of the top-R retrieval candidates so each
+    * next pick maximizes λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the
+    * standard diversification pass between "retrieve" and "serve"
+    * (dedups near-identical hits; for training-data curation, keeps a
+    * topic slice from collapsing onto one boilerplate cluster).
+    *
+    * The greedy loop is a bounded EXPRESSION-TREE fold, not a UDF and
+    * not a driver loop: candidates collapse to one ≤R-element array
+    * per query (the rrf bounded convention), and `aggregate` over
+    * `sequence(1, k)` replays the selection row-locally — each step
+    * filters the already-picked ids, scores the remainder against the
+    * selected set's vectors ([[SimilarityFunctions.cosine]], the
+    * codegen'd VecCosine, 6dp per pair), and `array_min` over
+    * (negscore, vec_id) structs picks the winner with the
+    * deterministic lower-id tiebreak. An empty selected set scores
+    * pure λ·rel (coalesce 0), which is the canonical first pick.
+    *
+    * Determinism contract: rel is the 6dp cosine from
+    * [[SimilarityFunctions.bruteForceTopK]]; the MMR score is EXACT
+    * DECIMAL — λ and its complement at scale 3, rel and the pair sims
+    * at scale 6, so λ·rel − (1−λ)·maxsim is a scale-9 decimal with NO
+    * rounding step at all (a float score rounded 6dp straddled a
+    * boundary at sf0.01: two engines' ulp-different products flipped
+    * the 6th decimal). Every argmax therefore compares identical
+    * values in every engine; λ must be representable at 3 decimals.
+    *
+    * Scale shape: one corpus-scan top-R (bounded-heap), one join to
+    * re-attach candidate vectors (candidate-sized), one hash agg to
+    * |queries| arrays, then a row-local fold — nothing after the
+    * retrieval shuffles more than queries × R rows.
+    *
+    * Returns (query_id, rank, vec_id, rel, mmr) — rank 1..k in pick
+    * order.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, topR: Int, k: Int,
+      lambda: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(topR >= k, s"topR must be >= k (got topR=$topR, k=$k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1] (got $lambda)")
+    val lamBd = java.math.BigDecimal.valueOf(lambda).setScale(3)
+    val lamRel = lit(lamBd).cast("decimal(4,3)")
+    val lamDiv = lit(java.math.BigDecimal.ONE.subtract(lamBd)).cast("decimal(4,3)")
+    val dec6 = "decimal(10,6)"
+    val cands = SimilarityFunctions.bruteForceTopK(corpus, queries, topR)
+      .join(corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("_v")), Seq("vec_id"))
+    val asState = (vecId: Column, rel: Column, v: Column, mmr: Column) =>
+      struct(vecId.as("vec_id"), rel.as("rel"), v.as("v"), mmr.as("mmr"))
+    val arr = cands.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("vec_id"),
+        col("cosine").as("rel"), col("_v").as("v")))).as("_arr"))
+    // empty array OF THE STATE TYPE, derived from the data (no
+    // hardcoded id type): transform then slice to length 0
+    val init = slice(transform(col("_arr"),
+      a => asState(a.getField("vec_id"), a.getField("rel"),
+        a.getField("v"), lit(0.0))), 1, 0)
+    val sel = aggregate(sequence(lit(1), lit(k)), init, (selAcc, _) => {
+      val remaining = filter(col("_arr"), a =>
+        !exists(selAcc, s => s.getField("vec_id") === a.getField("vec_id")))
+      val scored = transform(remaining, a => struct(
+        negate(lamRel * a.getField("rel").cast(dec6) - lamDiv * coalesce(
+          array_max(transform(selAcc, s =>
+            round(SimilarityFunctions.cosine(a.getField("v"),
+              s.getField("v")), 6).cast(dec6))),
+          lit(java.math.BigDecimal.ZERO).cast(dec6))).as("negscore"),
+        a.getField("vec_id").as("vec_id"),
+        a.getField("rel").as("rel"),
+        a.getField("v").as("v")))
+      val best = array_min(scored)
+      when(size(scored) > 0,
+        concat(selAcc, array(asState(best.getField("vec_id"),
+          best.getField("rel"), best.getField("v"),
+          negate(best.getField("negscore")).cast("double")))))
+        .otherwise(selAcc)
+    })
+    arr.select(col("query_id"), posexplode(sel))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("vec_id"), col("col.rel").as("rel"),
+        col("col.mmr").as("mmr"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -7825,7 +7825,62 @@ object Queries {
              |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
              |       AS DOUBLE) AS revenue
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("r6_mmr_rerank",
+      // MMR diversified reranking ([[graft.functions.RelevanceFunctions
+      // .mmrRerank]], λ=0.7): 4 picks from each query's top-10 cosine
+      // candidates, greedy λ·rel − (1−λ)·max-sim-to-selected in EXACT
+      // DECIMAL (λ scale 3, rel/sims scale 6 → scale-9 scores, no
+      // rounding step to straddle). The oracle unrolls the four greedy
+      // steps as chained CTEs and derives every pick itself.
+      (s, dir) => R.mmrRerank(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec")),
+        topR = 10, k = 4, lambda = 0.7),
+      Some {
+        val steps = (1 to 4).map { i =>
+          val prev = s"sel${i - 1}"
+          s"""pick$i AS MATERIALIZED (
+             |  SELECT query_id, vec_id, v, rel, mmr FROM (
+             |    SELECT c.query_id, c.vec_id, c.v, c.rel,
+             |      CAST(CAST(0.700 AS DECIMAL(4,3)) * CAST(c.rel AS DECIMAL(10,6))
+             |           - CAST(0.300 AS DECIMAL(4,3)) * coalesce(
+             |        (SELECT max(CAST(round(list_cosine_similarity(c.v, s.v), 6)
+             |                         AS DECIMAL(10,6)))
+             |         FROM $prev s WHERE s.query_id = c.query_id),
+             |        CAST(0 AS DECIMAL(10,6))) AS DOUBLE) AS mmr
+             |    FROM cand c
+             |    WHERE NOT EXISTS (SELECT 1 FROM $prev s
+             |      WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id))
+             |  QUALIFY row_number() OVER (PARTITION BY query_id
+             |                             ORDER BY mmr DESC, vec_id) = 1),
+             |sel$i AS MATERIALIZED (
+             |  SELECT * FROM sel${i - 1} UNION ALL
+             |  SELECT query_id, vec_id, v, rel, mmr, $i AS rank
+             |  FROM pick$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id < 4),
+           |cand AS MATERIALIZED (
+           |  SELECT * FROM (
+           |    SELECT q.query_id, e.vec_id,
+           |      CAST(e.embedding AS DOUBLE[]) AS v,
+           |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |                                   q.qv), 6) AS rel
+           |    FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |                             ORDER BY rel DESC, vec_id) <= 10),
+           |sel0 AS (SELECT query_id, vec_id, v, rel,
+           |           CAST(0.0 AS DOUBLE) AS mmr, 0 AS rank
+           |         FROM cand WHERE false),
+           |$steps
+           |SELECT query_id, rank, vec_id, rel, mmr FROM sel4
+           |ORDER BY query_id, rank""".stripMargin
+      })
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -386,4 +386,40 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(out._5 === 1.0) // both relevant docs retrieved within k
     graft.Caches.releaseAll()
   }
+
+  test("mmrRerank: diversification demotes the near-duplicate of the first pick") {
+    // corpus around query q = (1, 0, 0) — 10 is NOT collinear with q,
+    // so sim-to-10 ≠ rel and diversification can actually bite:
+    //   10: rel ≈ .9938 — picked first
+    //   11: rel ≈ .9848 but sim-to-10 ≈ .998 → MMR ≈ −.0066
+    //   12: rel ≈ .8412, sim-to-10 ≈ .836 (off-plane) → MMR ≈ +.0026
+    val corpus = spark.sql(
+      """SELECT * FROM VALUES
+        |  (10L, array(0.9D, 0.1D, 0.0D)),
+        |  (11L, array(0.85D, 0.15D, 0.0D)),
+        |  (12L, array(0.7D, 0.0D, 0.45D))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val q = spark.sql(
+      "SELECT 1L AS query_id, array(1.0D, 0.0D, 0.0D) AS query_vec")
+    val out = RelevanceFunctions.mmrRerank(corpus, q, topR = 3, k = 3,
+        lambda = 0.5)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toList
+    // pure-relevance order would be (10, 11, 12); MMR flips 11 and 12
+    assert(out === List((1, 10L), (2, 12L), (3, 11L)))
+  }
+
+  test("mmrRerank: lambda=1 reduces to pure relevance ranking") {
+    val corpus = spark.sql(
+      """SELECT * FROM VALUES
+        |  (10L, array(1.0D, 0.0D, 0.0D)),
+        |  (11L, array(0.999D, 0.04D, 0.0D)),
+        |  (12L, array(0.7D, 0.7D, 0.0D))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val q = spark.sql(
+      "SELECT 1L AS query_id, array(1.0D, 0.0D, 0.0D) AS query_vec")
+    val out = RelevanceFunctions.mmrRerank(corpus, q, topR = 3, k = 3,
+        lambda = 1.0)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toList
+    assert(out === List((1, 10L), (2, 11L), (3, 12L)))
+  }
 }
