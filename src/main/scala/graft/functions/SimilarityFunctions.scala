@@ -1341,4 +1341,60 @@ object SimilarityFunctions {
       .withColumn("contaminated",
         coalesce(col("max_holdout_cos") >= tau, lit(false)))
   }
+
+  /** Density-based clustering (DBSCAN, Ester et al. KDD 1996) over a
+    * precomputed ε-neighbor pair list — the embedding-space clustering
+    * that, unlike the plain near-dup components ([[DedupFunctions
+    * .connectedComponents]] on all pairs), refuses to chain through
+    * SPARSE bridge points: only CORE points (≥ `minPts` ε-neighbors)
+    * propagate connectivity; low-degree points on a cluster's rim
+    * attach as borders and isolated low-degree points drop as noise.
+    * `pairs` is an undirected unique (id_a < id_b) edge list from any
+    * ε-producer — [[lshNeighborPairs]] (banded, the scale path) or
+    * [[cosineRangeSearch]]-style exact pairs.
+    *
+    * Canonical-DBSCAN determinism note: textbook DBSCAN assigns a
+    * border point reachable from two clusters to whichever was scanned
+    * first (order-dependent); here it attaches to the MINIMUM cluster
+    * id — a fixed rule, so results are partitioning- and
+    * order-invariant, replayable by any engine.
+    *
+    * Scale shape: degrees are one hash agg over the symmetrized edges;
+    * core filtering is an edge-bounded semi-join; components run the
+    * star-contraction CC over core–core edges only (≤ pair count); the
+    * border attach is one more edge-sized join. Nothing corpus-scaled
+    * shuffles — cost is O(|pairs|), which the banded producer already
+    * bounded.
+    *
+    * Returns (id, cluster_id, role) — role ∈ core|border; noise points
+    * are absent (they belong to no cluster).
+    */
+  def densityClusters(pairs: DataFrame, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1 (got $minPts)")
+    val p = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    val e = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val core = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("_deg"))
+      .filter(col("_deg") >= minPts)
+      .select("id")
+    val coreEdges = p
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    val cc0 = DedupFunctions.connectedComponents(coreEdges)
+    // a core point with no CORE neighbor is its own singleton cluster
+    // (its ≥ minPts neighbors are all borders/noise)
+    val cc = cc0.unionByName(
+      core.join(cc0, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
+    val border = e
+      .join(cc.select(col("id").as("dst"), col("component")), Seq("dst"))
+      .select(col("src").as("id"), col("component"))
+      .join(core, Seq("id"), "left_anti")
+      .groupBy("id").agg(min(col("component")).as("component"))
+    cc.withColumn("role", lit("core"))
+      .unionByName(border.withColumn("role", lit("border")))
+      .select(col("id"), col("component").as("cluster_id"), col("role"))
+  }
 }

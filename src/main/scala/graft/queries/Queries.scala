@@ -7880,7 +7880,85 @@ object Queries {
            |$steps
            |SELECT query_id, rank, vec_id, rel, mmr FROM sel4
            |ORDER BY query_id, rank""".stripMargin
-      })
+      }),
+
+    QueryDef("d28_density_clusters",
+      // DBSCAN over the embedding ε-graph ([[graft.functions
+      // .SimilarityFunctions.densityClusters]], ε = cos ≥ 0.35,
+      // minPts = 2): banded hyperplane-LSH pairs feed degree → core →
+      // star-contraction components over CORE–CORE edges only; border
+      // points attach to the MIN neighboring cluster id (the
+      // order-invariant fixup of textbook DBSCAN's scan-order tie).
+      // The oracle replays signatures, banding, verification, degrees,
+      // the recursive closure, and the border attach end to end.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val pairs = S.lshNeighborPairs(emb, dim = 64, nBits = 16,
+          bands = 4, minCosine = 0.35)
+        S.densityClusters(pairs, minPts = 2)
+          .groupBy(col("cluster_id"))
+          .agg(sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+            sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
+            max(col("id")).as("max_id"))
+          .orderBy("cluster_id")
+      },
+      Some(
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |pl AS (SELECT $planes64x16Sql AS planes),
+           |sig AS (
+           |  SELECT id, v,
+           |    CAST(list_aggregate(list_transform(generate_series(0, 15), i ->
+           |      CASE WHEN list_dot_product(v, planes[i+1]) >= 0
+           |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END),
+           |      'sum') AS BIGINT) AS sig
+           |  FROM corpus, pl),
+           |banded AS (
+           |  SELECT id, b, (sig >> (b*4)) & 15 AS key
+           |  FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+           |cands AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+           |  WHERE x.id < y.id),
+           |verified AS MATERIALIZED (
+           |  SELECT c.id_a, c.id_b
+           |  FROM cands c JOIN sig a ON a.id = c.id_a
+           |                JOIN sig b ON b.id = c.id_b
+           |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+           |edges AS MATERIALIZED (
+           |  SELECT id_a AS src, id_b AS dst FROM verified
+           |  UNION ALL SELECT id_b, id_a FROM verified),
+           |core AS MATERIALIZED (
+           |  SELECT src AS id FROM edges GROUP BY 1 HAVING count(*) >= 2),
+           |cedges AS MATERIALIZED (
+           |  SELECT v.id_a, v.id_b FROM verified v
+           |  JOIN core a ON v.id_a = a.id JOIN core b ON v.id_b = b.id),
+           |csym AS (SELECT id_a AS src, id_b AS dst FROM cedges
+           |         UNION SELECT id_b, id_a FROM cedges),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM csym
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN csym e ON reach.r = e.src),
+           |cc0 AS MATERIALIZED (
+           |  SELECT id, min(r) AS component FROM reach GROUP BY 1),
+           |cc AS MATERIALIZED (
+           |  SELECT * FROM cc0
+           |  UNION ALL
+           |  SELECT id, id FROM core WHERE id NOT IN (SELECT id FROM cc0)),
+           |border AS (
+           |  SELECT e.src AS id, min(cc.component) AS component
+           |  FROM edges e JOIN cc ON e.dst = cc.id
+           |  WHERE e.src NOT IN (SELECT id FROM core)
+           |  GROUP BY 1)
+           |SELECT component AS cluster_id,
+           |  CAST(count(*) FILTER (WHERE role = 'core') AS BIGINT) AS n_core,
+           |  CAST(count(*) FILTER (WHERE role = 'border') AS BIGINT) AS n_border,
+           |  max(id) AS max_id
+           |FROM (SELECT id, component, 'core' AS role FROM cc
+           |      UNION ALL SELECT id, component, 'border' FROM border)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -831,4 +831,34 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("densityClusters: a sparse bridge does NOT merge two dense blobs (the anti-CC property)") {
+    // blob A = {1,2,3,4} complete, blob B = {10,11,12,13} complete
+    // (degree 3 each → core at minPts=3); bridge 5 touches 1 and 10
+    // only (degree 2 → border); isolated pair {20,21} (degree 1 → noise)
+    def complete(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (complete(Seq(1L, 2L, 3L, 4L)) ++
+      complete(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((1L, 5L), (5L, 10L), (20L, 21L))).toDF("id_a", "id_b")
+    val out = SimilarityFunctions.densityClusters(edges, minPts = 3)
+      .as[(Long, Long, String)].collect().toList.sorted
+    assert(out === List(
+      (1L, 1L, "core"), (2L, 1L, "core"), (3L, 1L, "core"), (4L, 1L, "core"),
+      (5L, 1L, "border"), // attaches to the MIN neighboring cluster id
+      (10L, 10L, "core"), (11L, 10L, "core"), (12L, 10L, "core"),
+      (13L, 10L, "core")))
+    // plain connected components WOULD have chained A–5–B into one
+    val cc = graft.functions.DedupFunctions.connectedComponents(edges)
+      .select("component").distinct().count()
+    assert(cc === 2L) // {A,5,B} merged + {20,21} — vs DBSCAN's 2 clusters + noise
+  }
+
+  test("densityClusters: an all-core clique is one cluster; minPts above max degree empties") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val one = SimilarityFunctions.densityClusters(edges, minPts = 2)
+      .as[(Long, Long, String)].collect().toList.sorted
+    assert(one === List((1L, 1L, "core"), (2L, 1L, "core"), (3L, 1L, "core")))
+    assert(SimilarityFunctions.densityClusters(edges, minPts = 5).count() === 0L)
+  }
 }
