@@ -1397,4 +1397,71 @@ object SimilarityFunctions {
       .unionByName(border.withColumn("role", lit("border")))
       .select(col("id"), col("component").as("cluster_id"), col("role"))
   }
+
+  /** Dominant principal direction of an embedding corpus by POWER
+    * ITERATION on the uncentered second-moment matrix XᵀX (the top
+    * right-singular vector of X): v ← normalize(XᵀX·v), started from
+    * e₀. The embedding-space analytics primitive under drift monitors
+    * ("did the corpus's dominant direction move this week?"), spectral
+    * diagnostics, and cheap 1-D projections for stratified sampling.
+    *
+    * The matvec never materializes XᵀX (64×64 here, but the same code
+    * is dim-agnostic): XᵀX·v = Σᵢ xᵢ·(xᵢ·v), one corpus scan per
+    * round — per row a scan-local dot (fixed-order fold over zip_with,
+    * 6dp), then per (row, dim) terms round 6dp and SUM IN EXACT
+    * DECIMAL to the dim-sized w vector (the t20 fit-sum contract; a
+    * float Σ over a corpus is merge-order-dependent, and unlike g1's
+    * per-node sums this one feeds 63 more dims, so drift compounds).
+    * Normalization happens driver-side on the collected w (dim rows —
+    * the bounded-collect convention of the IVF centroids), with the
+    * norm's square-sum folded in ASCENDING dim order so an external
+    * engine replays it term for term; each new coordinate rounds 6dp
+    * (HALF_UP).
+    *
+    * Scale shape per round: one corpus scan, map-side partial
+    * aggregation onto `dim` keys, `dim` rows to the driver, one
+    * broadcast-literal vector back out. Rounds are a fixed small
+    * constant (power iteration converges geometrically in the spectral
+    * gap); nothing corpus-sized shuffles.
+    *
+    * Returns (d, loading, sigma): the unit direction per dimension and
+    * ‖XᵀX·v‖ from the last round — the dominant eigenvalue estimate.
+    */
+  def topPrincipalComponent(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1 (got $dim)")
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val spark = df.sparkSession
+    val x = df.select(col(vecCol).cast("array<double>").as("_x"))
+      .filter(col("_x").isNotNull && size(col("_x")) === dim)
+    var v: Array[Double] = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    var sigma = 0.0
+    var r = 0
+    while (r < iters) {
+      val vLit = typedLit(v.toSeq)
+      val s = round(aggregate(zip_with(col("_x"), vLit, (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t), 6)
+      val w = x.withColumn("_s", s)
+        .select(col("_s"), posexplode(col("_x")).as(Seq("d", "xd")))
+        .select(col("d"),
+          round(col("xd") * col("_s"), 6).cast("decimal(24,6)").as("t"))
+        .groupBy("d").agg(sum(col("t")).cast("double").as("w"))
+        .orderBy("d")
+        .collect() // dim rows — bounded by construction
+      require(w.length == dim, s"matvec returned ${w.length} dims, want $dim")
+      val ws = w.map(_.getDouble(1))
+      // ascending-dim left fold — the order an external replay uses
+      val norm = math.sqrt(ws.foldLeft(0.0)((acc, t) => acc + t * t))
+      sigma = norm
+      v = ws.map(t => BigDecimal(t / norm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      r += 1
+    }
+    val rnd6 = (t: Double) =>
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    v.zipWithIndex.map { case (loading, d) => (d, loading, rnd6(sigma)) }
+      .toSeq.toDF("d", "loading", "sigma")
+      .orderBy("d")
+  }
 }

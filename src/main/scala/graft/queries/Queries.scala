@@ -7958,7 +7958,50 @@ object Queries {
            |  max(id) AS max_id
            |FROM (SELECT id, component, 'core' AS role FROM cc
            |      UNION ALL SELECT id, component, 'border' FROM border)
-           |GROUP BY 1 ORDER BY 1""".stripMargin))
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("pca1_power_iteration",
+      // dominant principal direction of the embedding corpus
+      // ([[graft.functions.SimilarityFunctions.topPrincipalComponent]],
+      // 3 power-iteration rounds on XᵀX from e₀): per-row dots are
+      // scan-local 6dp folds, the matvec accumulates 6dp terms in
+      // EXACT DECIMAL onto 64 keys, normalization replays driver-side
+      // with an ascending-dim square-sum fold. The oracle unrolls the
+      // three rounds as chained array CTEs.
+      (s, dir) => S.topPrincipalComponent(
+        t(s, dir, "embeddings"), "embedding", dim = 64, iters = 3),
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""sc$r AS MATERIALIZED (
+             |  SELECT x,
+             |    round(list_dot_product(x, (SELECT v FROM v${r - 1})), 6) AS s
+             |  FROM emb),
+             |w$r AS MATERIALIZED (
+             |  SELECT d,
+             |    CAST(SUM(CAST(round(x[d] * s, 6) AS DECIMAL(24,6)))
+             |         AS DOUBLE) AS w
+             |  FROM sc$r, generate_series(1, 64) AS g(d)
+             |  GROUP BY 1),
+             |n$r AS (
+             |  SELECT sqrt(list_aggregate(
+             |    list_transform(list(w ORDER BY d), y -> y * y), 'sum')) AS nrm
+             |  FROM w$r),
+             |v$r AS MATERIALIZED (
+             |  SELECT list(round(w / (SELECT nrm FROM n$r), 6) ORDER BY d) AS v
+             |  FROM w$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH emb AS (
+           |  SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+           |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+           |v0 AS (
+           |  SELECT list_transform(generate_series(1, 64),
+           |    i -> CAST(CASE WHEN i = 1 THEN 1 ELSE 0 END AS DOUBLE)) AS v),
+           |$rounds
+           |SELECT CAST(d - 1 AS INTEGER) AS d,
+           |  round(w / (SELECT nrm FROM n3), 6) AS loading,
+           |  round((SELECT nrm FROM n3), 6) AS sigma
+           |FROM w3 ORDER BY d""".stripMargin
+      })
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

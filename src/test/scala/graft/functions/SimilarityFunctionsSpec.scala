@@ -854,6 +854,31 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(cc === 2L) // {A,5,B} merged + {20,21} — vs DBSCAN's 2 clusters + noise
   }
 
+  test("topPrincipalComponent recovers a planted dominant axis; partitioning-invariant") {
+    // second moment along y dominates (|y| ≈ 5 vs |x| ≤ 1, z = 0):
+    // the unit direction must land on ±e_y despite starting from e_x
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0D,  5.0D, 0.0D)), (array(-0.5D,  4.8D, 0.1D)),
+        |  (array(0.7D, -5.1D, 0.0D)), (array(-1.0D, -4.9D, -0.1D)),
+        |  (array(0.2D,  5.2D, 0.05D))
+        |AS t(v)""".stripMargin)
+    val out = SimilarityFunctions.topPrincipalComponent(rows, "v", dim = 3,
+        iters = 5)
+      .as[(Int, Double, Double)].collect().toList
+    assert(out.map(_._1) === List(0, 1, 2))
+    val loadings = out.map(_._2)
+    assert(math.abs(loadings(1)) > 0.99, s"dominant axis: $loadings")
+    assert(math.abs(loadings(0)) < 0.1 && math.abs(loadings(2)) < 0.1)
+    // unit norm (within the 6dp per-coordinate rounding)
+    assert(math.abs(loadings.map(l => l * l).sum - 1.0) < 1e-4)
+    assert(out.head._3 > 0.0) // eigenvalue estimate present
+    val repart = SimilarityFunctions.topPrincipalComponent(
+        rows.repartition(7), "v", dim = 3, iters = 5)
+      .as[(Int, Double, Double)].collect().toList
+    assert(repart === out) // exact-decimal matvec: merge order is moot
+  }
+
   test("densityClusters: an all-core clique is one cluster; minPts above max degree empties") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
     val one = SimilarityFunctions.densityClusters(edges, minPts = 2)
