@@ -153,6 +153,79 @@ object EventAnalyticsOps {
     * map-side partials; the per-from totals frame is types-sized and
     * broadcasts back. No global sort, no collect.
     */
+  /** Kaplan–Meier survival curves per group over right-censored
+    * lifetimes (Kaplan & Meier, JASA 1958): input rows are
+    * (group, duration, event) with `event` true for an observed
+    * "death" (conversion, churn, failure) and false for a censored
+    * observation (still alive when the window closed). Returns the
+    * survival STEP CURVE — one row per distinct death time t:
+    * (group, t, n_at_risk, d, survival) with
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ).
+    *
+    * Tie semantics are the standard ones: subjects censored AT t are
+    * still at risk at t (deaths precede censoring on equal times), and
+    * censor-only times contribute no curve step but do shrink the risk
+    * set of later steps.
+    *
+    * Determinism contract (the w31 Kalman recursion discipline): dᵢ
+    * and nᵢ are exact longs; each factor (nᵢ−dᵢ)/nᵢ is ONE IEEE
+    * division of exact integers closed by floor-truncation at 8dp
+    * (round would be engine-divergent at .5 boundaries); the running
+    * product accumulates in decimal(20,8) with HALF_UP per step. A
+    * recursive-CTE oracle replays every step bit-for-bit.
+    *
+    * Scale shape: one hash agg collapses lifetimes to distinct
+    * (group, t) rows with death/censor counts; the risk set comes from
+    * one group-partitioned cumulative window over THOSE rows; the
+    * sequential product folds over a per-group array bounded by the
+    * distinct-death-time count (the kalman per-entity bound). Nothing
+    * subject-scale moves twice.
+    */
+  def kaplanMeier(lifetimes: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    val dec = "decimal(20,8)"
+    val decF = "decimal(10,8)"
+    val p = lifetimes
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(durationCol).cast("long").as("_t"),
+        col(eventCol).cast("boolean").as("_e"))
+    val perT = p.groupBy(col("_g"), col("_t"))
+      .agg(sum(when(col("_e"), 1L).otherwise(0L)).as("_d"),
+        sum(when(col("_e"), 0L).otherwise(1L)).as("_c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy("_t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val nTot = p.groupBy(col("_g")).agg(count(lit(1)).as("_n0"))
+    val steps = perT
+      .withColumn("_cum", sum(col("_d") + col("_c")).over(wCum))
+      .join(nTot, Seq("_g"))
+      // at risk just BEFORE t: total minus everything removed at t' < t
+      .withColumn("_n", col("_n0") - (col("_cum") - col("_d") - col("_c")))
+      .filter(col("_d") > 0) // curve steps only at death times
+      .groupBy(col("_g"))
+      .agg(array_sort(collect_list(struct(col("_t").as("t"),
+        col("_d").as("d"), col("_n").as("n")))).as("_arr"))
+    val init = struct(
+      lit(java.math.BigDecimal.ONE).cast(dec).as("s"),
+      slice(transform(col("_arr"), a => struct(a.getField("t").as("t"),
+        a.getField("d").as("d"), a.getField("n").as("n"),
+        lit(0.0).as("surv"))), 1, 0).as("out"))
+    val folded = aggregate(col("_arr"), init, (acc, a) => {
+      val f = (floor((a.getField("n") - a.getField("d")).cast("double")
+        / a.getField("n").cast("double") * lit(1e8)) / lit(1e8)).cast(decF)
+      val s2 = round(acc.getField("s") * f, 8).cast(dec)
+      struct(s2.as("s"),
+        concat(acc.getField("out"), array(struct(a.getField("t").as("t"),
+          a.getField("d").as("d"), a.getField("n").as("n"),
+          s2.cast("double").as("surv")))).as("out"))
+    })
+    steps.select(col("_g"), explode(folded.getField("out")).as("_step"))
+      .select(col("_g").as(groupCol), col("_step.t").as("t"),
+        col("_step.n").as("n_at_risk"), col("_step.d").as("d"),
+        col("_step.surv").as("survival"))
+      .orderBy(groupCol, "t")
+  }
+
   def transitionMatrix(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))

@@ -8001,7 +8001,83 @@ object Queries {
            |  round(w / (SELECT nrm FROM n3), 6) AS loading,
            |  round((SELECT nrm FROM n3), 6) AS sigma
            |FROM w3 ORDER BY d""".stripMargin
-      })
+      }),
+
+    QueryDef("e17_kaplan_meier",
+      // Kaplan–Meier conversion-survival curves by weekday of first
+      // view ([[graft.ops.EventAnalyticsOps.kaplanMeier]]): lifetimes
+      // are first-view → first-subsequent-purchase in exact integer
+      // seconds (the e16 contract), right-censored at the global max
+      // event time for users who never purchased. Factors close by
+      // IEEE floor-truncation at 8dp, the running product lives in
+      // decimal(20,8) (the w31 recursion discipline), and the oracle's
+      // recursive CTE replays every curve step bit-for-bit.
+      (s, dir) => {
+        val e = events(s, dir)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("tv"))
+        val firstP = v.join(
+            e.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts").as("_tp")), Seq("user_id"))
+          .filter(col("_tp") >= col("tv"))
+          .groupBy("user_id").agg(min(col("_tp")).as("tp"))
+        val mx = e.agg(max(col("ts")).as("_mx"))
+        val lt = v.join(firstP, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(weekday(col("tv")).as("dow"),
+            expr("(unix_micros(coalesce(tp, _mx)) - unix_micros(tv))" +
+              " div 1000000L").as("dur"),
+            col("tp").isNotNull.as("ev"))
+        EventAnalyticsOps.kaplanMeier(lt, "dow", "dur", "ev")
+      },
+      Some("""WITH RECURSIVE v AS (
+             |  SELECT user_id, min(ts) AS tv FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |fp AS (
+             |  SELECT e.user_id, min(e.ts) AS tp
+             |  FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts >= v.tv
+             |  GROUP BY 1),
+             |mx AS (SELECT max(ts) AS m FROM events),
+             |lt AS (
+             |  SELECT CAST(isodow(tv) - 1 AS INTEGER) AS g,
+             |    date_diff('microsecond', tv,
+             |              coalesce(tp, (SELECT m FROM mx))) // 1000000 AS t,
+             |    (tp IS NOT NULL) AS e
+             |  FROM v LEFT JOIN fp USING (user_id)),
+             |pt AS (
+             |  SELECT g, t,
+             |    CAST(count(*) FILTER (WHERE e) AS BIGINT) AS d,
+             |    CAST(count(*) FILTER (WHERE NOT e) AS BIGINT) AS c
+             |  FROM lt GROUP BY 1, 2),
+             |n0 AS (SELECT g, count(*) AS n0 FROM lt GROUP BY 1),
+             |st0 AS (
+             |  SELECT pt.g, pt.t, pt.d,
+             |    n0.n0 - (SUM(pt.d + pt.c) OVER (PARTITION BY pt.g
+             |      ORDER BY pt.t ROWS UNBOUNDED PRECEDING) - pt.d - pt.c) AS n
+             |  FROM pt JOIN n0 USING (g)),
+             |steps AS MATERIALIZED (
+             |  SELECT g, t, d, CAST(n AS BIGINT) AS n,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY t)
+             |         AS BIGINT) AS idx
+             |  FROM st0 WHERE d > 0),
+             |km(g, idx, t, d, n, s) AS (
+             |  SELECT g, idx, t, d, n,
+             |    CAST(round(CAST(1 AS DECIMAL(20,8)) *
+             |      CAST(floor(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)
+             |                 * 100000000.0) / 100000000.0
+             |           AS DECIMAL(10,8)), 8) AS DECIMAL(20,8))
+             |  FROM steps WHERE idx = 1
+             |  UNION ALL
+             |  SELECT st.g, st.idx, st.t, st.d, st.n,
+             |    CAST(round(km.s *
+             |      CAST(floor(CAST(st.n - st.d AS DOUBLE)
+             |                 / CAST(st.n AS DOUBLE) * 100000000.0)
+             |           / 100000000.0 AS DECIMAL(10,8)), 8) AS DECIMAL(20,8))
+             |  FROM km JOIN steps st ON st.g = km.g AND st.idx = km.idx + 1)
+             |SELECT g AS dow, t, n AS n_at_risk, d,
+             |  CAST(s AS DOUBLE) AS survival
+             |FROM km ORDER BY dow, t""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -120,4 +120,34 @@ class EventAnalyticsOpsSpec extends AnyFunSuite {
     assert(!EventAnalyticsOps.transitionMatrix(one)
       .select("from_type").as[String].collect().contains("solo"))
   }
+
+  test("kaplanMeier: hand-computed curve with ties, censoring between steps, all-censored group") {
+    val lt = Seq(
+      // A: N=6 — death@1, censor@2, two deaths@3 (tie), censor@4, death@5
+      ("A", 1L, true), ("A", 2L, false), ("A", 3L, true),
+      ("A", 3L, true), ("A", 4L, false), ("A", 5L, true),
+      // B: fully censored → contributes NO curve rows
+      ("B", 1L, false), ("B", 2L, false)
+    ).toDF("g", "dur", "ev")
+    val out = EventAnalyticsOps.kaplanMeier(lt, "g", "dur", "ev")
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    assert(out === List(
+      // S(1) = 5/6 floor-truncated at 8dp
+      ("A", 1L, 6L, 1L, 0.83333333),
+      // S(3) = 0.83333333 · 0.5 = 0.416666665 → HALF_UP → 0.41666667
+      // (risk set 4: the t=2 censor left BEFORE t=3)
+      ("A", 3L, 4L, 2L, 0.41666667),
+      // S(5): last subject dies → 0 (the t=4 censor shrank n to 1)
+      ("A", 5L, 1L, 1L, 0.0)))
+  }
+
+  test("kaplanMeier: censoring at a death time keeps the censored subject at risk") {
+    val lt = Seq(("G", 1L, true), ("G", 1L, false), ("G", 2L, true))
+      .toDF("g", "dur", "ev")
+    val out = EventAnalyticsOps.kaplanMeier(lt, "g", "dur", "ev")
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    // at t=1 ALL THREE are at risk (deaths precede censoring on ties):
+    // S(1) = 2/3 = 0.66666666 (floor-trunc); at t=2 only one remains
+    assert(out === List(("G", 1L, 3L, 1L, 0.66666666), ("G", 2L, 1L, 1L, 0.0)))
+  }
 }
