@@ -174,4 +174,67 @@ object ClassifierFunctions {
       (weights, bias)
     } finally release()
   }
+
+  /** Isotonic calibration of classifier scores (Zadrozny & Elkan, KDD
+    * 2002): fit the best MONOTONE mapping score-bin → positive rate —
+    * the standard post-hoc calibrator when the reliability diagram
+    * (eval3) shows non-monotone wobble a Platt sigmoid can't absorb.
+    *
+    * Instead of the sequential PAVA pooling loop, this uses the exact
+    * MINIMAX characterization of the isotonic solution
+    * (Robertson–Wright–Dykstra 1988, §1.2):
+    * ŷ_k = max_{i≤k} min_{j≥k} avg(y over bins i..j) — a pure
+    * relational form: prefix sums once, one K²-row interval-average
+    * table, two bounded aggregations. Every interval average is ONE
+    * IEEE division of exact longs (identical in every engine), so
+    * min/max pick identical values everywhere — no fold, no
+    * order-dependence, no rounding until the output.
+    *
+    * Scale shape: one data-sized hash aggregation to ≤ `bins` rows;
+    * everything after is K ≤ bins rows (the unpartitioned windows are
+    * bounded by construction — the rrf convention). The score scan is
+    * the entire data-touching cost.
+    *
+    * Returns (bucket, n, raw_rate, iso_rate), iso_rate non-decreasing
+    * in bucket by construction.
+    */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1 (got $bins)")
+    import org.apache.spark.sql.expressions.Window
+    val b = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(least(floor(col(scoreCol) * bins), lit(bins - 1))
+        .cast("int").as("bucket"))
+      .agg(sum(col(labelCol).cast("long")).as("_sy"),
+        count(lit(1)).as("_n"))
+    val w = Window.orderBy("bucket")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    // cumulative columns get distinct lowercase names: Spark's default
+    // case-INSENSITIVE resolver would silently overwrite "_n" with "_N"
+    val pref = b.withColumn("_r", row_number().over(w).cast("long"))
+      .withColumn("_cs", sum(col("_sy")).over(wCum))
+      .withColumn("_cn", sum(col("_n")).over(wCum))
+    val zero = scored.sparkSession.range(1)
+      .select(lit(0L).as("_r"), lit(0L).as("_cs"), lit(0L).as("_cn"))
+    val bounds = pref.select(col("_r"), col("_cs"), col("_cn"))
+      .unionByName(zero)
+    val avgs = bounds.select(col("_r").as("_r0"), col("_cs").as("_s0"),
+        col("_cn").as("_n0"))
+      .join(pref.select(col("_r").as("_j"), col("_cs").as("_sj"),
+        col("_cn").as("_nj")), col("_j") > col("_r0"))
+      .select((col("_r0") + 1).as("_i"), col("_j"),
+        ((col("_sj") - col("_s0")).cast("double")
+          / (col("_nj") - col("_n0")).cast("double")).as("_a"))
+    val inner = pref.select(col("_r").as("_k"))
+      .join(avgs, col("_i") <= col("_k") && col("_j") >= col("_k"))
+      .groupBy(col("_k"), col("_i")).agg(min(col("_a")).as("_ia"))
+    val iso = inner.groupBy(col("_k")).agg(max(col("_ia")).as("_iso"))
+    pref.join(iso, col("_r") === col("_k"))
+      .select(col("bucket"), col("_n").as("n"),
+        round(col("_sy").cast("double") / col("_n").cast("double"), 6)
+          .as("raw_rate"),
+        round(col("_iso"), 6).as("iso_rate"))
+      .orderBy("bucket")
+  }
 }

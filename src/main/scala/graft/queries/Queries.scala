@@ -8077,7 +8077,62 @@ object Queries {
              |  FROM km JOIN steps st ON st.g = km.g AND st.idx = km.idx + 1)
              |SELECT g AS dow, t, n AS n_at_risk, d,
              |  CAST(s AS DOUBLE) AS survival
-             |FROM km ORDER BY dow, t""".stripMargin))
+             |FROM km ORDER BY dow, t""".stripMargin)),
+
+    QueryDef("eval5_isotonic",
+      // isotonic calibration of the cls1 scores ([[graft.functions
+      // .ClassifierFunctions.isotonicCalibration]]): the best MONOTONE
+      // bin→rate map via the exact minimax characterization
+      // ŷ_k = max_{i≤k} min_{j≥k} avg(i..j) — purely relational (no
+      // PAVA fold), every interval average one IEEE division of exact
+      // longs, so both engines pick identical extrema. Same score
+      // deciles and labels as eval3's reliability diagram.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val labeled = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
+        val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val scored = Cls.scoreLinear(d, "doc_id", "text", w, bias,
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val lab = d.select(col("doc_id"), (col("lang") === "en").cast("long").as("_y"))
+        Cls.isotonicCalibration(scored.join(lab, "doc_id"),
+          "score", "_y", bins = 10)
+      },
+      Some("WITH " + nbScoreCtes +
+        """,
+          |scored AS (
+          |  SELECT d.doc_id,
+          |    round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6) AS score,
+          |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          |  FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)),
+          |bk AS (
+          |  SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bucket,
+          |    CAST(SUM(y) AS BIGINT) AS sy, count(*) AS n
+          |  FROM scored GROUP BY 1),
+          |pref AS (
+          |  SELECT bucket, sy, n,
+          |    CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS r,
+          |    CAST(SUM(sy) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+          |         AS BIGINT) AS s,
+          |    CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+          |         AS BIGINT) AS nn
+          |  FROM bk),
+          |bounds AS (SELECT r, s, nn FROM pref
+          |           UNION ALL SELECT 0, 0, 0),
+          |avgs AS (
+          |  SELECT b0.r + 1 AS i, pj.r AS j,
+          |    CAST(pj.s - b0.s AS DOUBLE) / CAST(pj.nn - b0.nn AS DOUBLE) AS a
+          |  FROM bounds b0 JOIN pref pj ON pj.r > b0.r),
+          |inn AS (
+          |  SELECT k.r AS k, avgs.i, min(avgs.a) AS ia
+          |  FROM pref k JOIN avgs ON avgs.i <= k.r AND avgs.j >= k.r
+          |  GROUP BY 1, 2),
+          |iso AS (SELECT k, max(ia) AS iso FROM inn GROUP BY 1)
+          |SELECT p.bucket, p.n,
+          |  round(CAST(p.sy AS DOUBLE) / p.n, 6) AS raw_rate,
+          |  round(iso.iso, 6) AS iso_rate
+          |FROM pref p JOIN iso ON iso.k = p.r ORDER BY p.bucket""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

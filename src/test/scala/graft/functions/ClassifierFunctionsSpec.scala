@@ -71,4 +71,35 @@ class ClassifierFunctionsSpec extends AnyFunSuite {
       "15 iters must beat 1 iter on separable data")
     graft.Caches.releaseAll()
   }
+
+  test("isotonicCalibration: hand-solved PAVA pooling via the minimax form") {
+    // bin rates (0.5, 0.25, 0.75): the 0.5→0.25 violation pools bins
+    // 0–1 to (2+1)/(4+4) = 0.375; bin 2 stays. iso = (.375, .375, .75)
+    def bin(s: Double, ys: Seq[Int]) = ys.map(y => (s, y.toLong))
+    val scored = (bin(0.05, Seq(1, 1, 0, 0)) ++ bin(0.15, Seq(1, 0, 0, 0)) ++
+      bin(0.25, Seq(1, 1, 1, 0))).toDF("score", "y")
+    val out = ClassifierFunctions.isotonicCalibration(scored, "score", "y",
+        bins = 10)
+      .as[(Int, Long, Double, Double)].collect().toList
+    assert(out === List(
+      (0, 4L, 0.5, 0.375), (1, 4L, 0.25, 0.375), (2, 4L, 0.75, 0.75)))
+  }
+
+  test("isotonicCalibration: already-monotone rates pass through; output always non-decreasing") {
+    def bin(s: Double, pos: Int, neg: Int) =
+      Seq.fill(pos)((s, 1L)) ++ Seq.fill(neg)((s, 0L))
+    val scored = (bin(0.1, 1, 9) ++ bin(0.5, 5, 5) ++ bin(0.9, 9, 1))
+      .toDF("score", "y")
+    val out = ClassifierFunctions.isotonicCalibration(scored, "score", "y",
+        bins = 10)
+      .as[(Int, Long, Double, Double)].collect().toList
+    assert(out.map(_._4) === List(0.1, 0.5, 0.9)) // untouched when monotone
+    // adversarial zig-zag: whatever the input, iso_rate must be sorted
+    val zig = (bin(0.05, 9, 1) ++ bin(0.15, 1, 9) ++ bin(0.25, 8, 2) ++
+      bin(0.35, 2, 8) ++ bin(0.95, 10, 0)).toDF("score", "y")
+    val iso = ClassifierFunctions.isotonicCalibration(zig, "score", "y",
+        bins = 10)
+      .as[(Int, Long, Double, Double)].collect().toList.map(_._4)
+    assert(iso === iso.sorted, s"must be non-decreasing: $iso")
+  }
 }
