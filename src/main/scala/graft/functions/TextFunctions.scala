@@ -691,4 +691,36 @@ object TextFunctions {
           round(col("n_novel").cast("double") / col("n_grams"), 6))
           .as("novelty"))
   }
+
+  /** Segmental type-token ratio (STTR): lexical diversity that, unlike
+    * the raw TTR, doesn't collapse with document length — the corpus
+    * quality signal that separates varied prose from template spam
+    * whose token COUNT gates (t1/t2) look fine. Tokens split on the
+    * corpus-wide lowercase-whitespace standard; the text divides into
+    * consecutive `window`-token segments, each scores
+    * distinct/window, and STTR is their mean — which here reduces to
+    * ONE exact division: Σ per-segment distinct counts (exact ints)
+    * over nSeg·window, rounded 6dp. Docs shorter than one window score
+    * their whole-text TTR (distinct/len). NULL/empty text → null.
+    *
+    * Scale shape: entirely scan-local — one projection, no explode, no
+    * shuffle; the per-row cost is len/window array_distinct calls over
+    * bounded slices.
+    */
+  def sttr(text: Column, window: Int = 25): Column = {
+    require(window >= 1, s"window must be >= 1 (got $window)")
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val n = size(toks)
+    val nSeg = (n / window).cast("int") // integral division of ints
+    val segDistinct = aggregate(
+      transform(sequence(lit(0), nSeg - 1),
+        i => size(array_distinct(slice(toks, i * window + 1, lit(window))))
+          .cast("long")),
+      lit(0L), (acc, c) => acc + c)
+    when(text.isNull || n === 0, lit(null).cast("double"))
+      .when(n < window,
+        round(size(array_distinct(toks)).cast("double") / n.cast("double"), 6))
+      .otherwise(round(segDistinct.cast("double")
+        / (nSeg * window).cast("double"), 6))
+  }
 }

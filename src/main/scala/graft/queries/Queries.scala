@@ -8132,7 +8132,82 @@ object Queries {
           |SELECT p.bucket, p.n,
           |  round(CAST(p.sy AS DOUBLE) / p.n, 6) AS raw_rate,
           |  round(iso.iso, 6) AS iso_rate
-          |FROM pref p JOIN iso ON iso.k = p.r ORDER BY p.bucket""".stripMargin))
+          |FROM pref p JOIN iso ON iso.k = p.r ORDER BY p.bucket""".stripMargin)),
+
+    QueryDef("t22_sttr",
+      // segmental type-token ratio ([[graft.functions.TextFunctions
+      // .sttr]], 25-token segments): lexical diversity that doesn't
+      // collapse with length — the template-spam signal token-count
+      // gates miss. Entirely scan-local (no explode, no shuffle);
+      // Σ segment distinct counts are exact ints, ONE division, 6dp.
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+          T.tokenCount(col("text")).as("n_tokens"),
+          T.sttr(col("text"), window = 25).as("sttr"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                t -> length(t) > 0) AS toks
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             |    END AS n_tokens,
+             |    toks, len(toks) AS n
+             |  FROM tk)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CASE WHEN text IS NULL OR n = 0 THEN NULL
+             |       WHEN n < 25 THEN
+             |         round(CAST(len(list_distinct(toks)) AS DOUBLE) / n, 6)
+             |       ELSE round(CAST(list_aggregate(
+             |           list_transform(generate_series(0, n // 25 - 1),
+             |             i -> len(list_distinct(toks[i*25+1 : i*25+25]))),
+             |           'sum') AS DOUBLE) / ((n // 25) * 25), 6)
+             |  END AS sttr
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("w36_cross_rank",
+      // cross-sectional momentum quintiles — the OTHER partition axis
+      // (by DATE, not ticker): each day ranks tickers by return into
+      // ntile(5) buckets (deterministic ticker tiebreak), and each
+      // bucket reports its mean NEXT-observation return — the
+      // factor-portfolio diagnostic ("do today's winners win
+      // tomorrow?"). Returns round 6dp per row and SUM IN EXACT
+      // DECIMAL per bucket (merge-order-proof), one division each.
+      // Two exchanges are inherent: one ticker-partitioned (the
+      // forward shift), one date-partitioned (the ranking).
+      (s, dir) => {
+        val withFwd = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .withColumn("fwd", lead(col("ret"), 1).over(wTicker))
+          .filter(col("fwd").isNotNull)
+        val wD = Window.partitionBy("date")
+          .orderBy(col("ret").desc, col("ticker"))
+        withFwd.withColumn("q", ntile(5).over(wD))
+          .groupBy("q")
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("ret"), 6).cast("decimal(16,6)"))
+              .cast("double") / count(lit(1)).cast("double"), 6).as("mean_ret"),
+            round(sum(round(col("fwd"), 6).cast("decimal(16,6)"))
+              .cast("double") / count(lit(1)).cast("double"), 6).as("mean_fwd"))
+          .orderBy("q")
+      },
+      Some(pricesSql + retSql +
+        """, f AS (
+          |  SELECT ticker, "date", ret,
+          |    lead(ret) OVER (PARTITION BY ticker ORDER BY "date") AS fwd
+          |  FROM r WHERE ret IS NOT NULL),
+          |qq AS (
+          |  SELECT ret, fwd,
+          |    CAST(ntile(5) OVER (PARTITION BY "date"
+          |                        ORDER BY ret DESC, ticker) AS INTEGER) AS q
+          |  FROM f WHERE fwd IS NOT NULL)
+          |SELECT q, count(*) AS n,
+          |  round(CAST(SUM(CAST(round(ret, 6) AS DECIMAL(16,6))) AS DOUBLE)
+          |        / count(*), 6) AS mean_ret,
+          |  round(CAST(SUM(CAST(round(fwd, 6) AS DECIMAL(16,6))) AS DOUBLE)
+          |        / count(*), 6) AS mean_fwd
+          |FROM qq GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

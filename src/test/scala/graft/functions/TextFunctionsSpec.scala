@@ -445,4 +445,32 @@ class TextFunctionsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("sttr: hand-computed segments, short-doc fallback, spam collapse, nulls") {
+    val rows = Seq(
+      (1L, Some("a b c d e")),        // 5 toks, w=3: one full segment → 3/3
+      (2L, Some("a a a a a a")),      // 2 segments of "a" → (1+1)/6
+      (3L, Some("x x y")),            // short (<3): whole-doc TTR 2/3
+      (4L, Some("")),                 // empty → null
+      (5L, None)                      // null → null
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextFunctions.sttr(col("text"), window = 3).as("s"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(1.0))
+    assert(out(2L) === Some(0.333333))
+    assert(out(3L) === Some(0.666667))
+    assert(out(4L) === None && out(5L) === None)
+    // the diversity signal: varied prose outscores token-count-equal spam
+    val varied = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val spam = Seq.fill(100)("buy now cheap").mkString(" ").split(" ").take(100).mkString(" ")
+    val d2 = Seq((1L, varied), (2L, spam)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.sttr(col("text"), 25).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(d2(1L) === 1.0 && d2(2L) < 0.2, d2.toString)
+    // scan-local
+    val plan = rows.select(TextFunctions.sttr(col("text"), 25))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
