@@ -421,6 +421,93 @@ object ValidationOps {
       .select(col("_n").as("n"), col("dof"), col("chi2"), col("cramers_v"))
   }
 
+  /** A declarative data-quality expectation over one table — the
+    * contract a pipeline asserts BEFORE trusting a nightly batch
+    * (the Great-Expectations/dbt-test shape, re-expressed so the whole
+    * row-local family evaluates in ONE fused scan).
+    */
+  sealed trait Expectation { def name: String; def column: String }
+  /** column must be non-null. */
+  final case class ExpectNotNull(column: String) extends Expectation {
+    val name = "not_null"
+  }
+  /** non-null values must fall in [lo, hi]. */
+  final case class ExpectInRange(column: String, lo: Double, hi: Double)
+      extends Expectation { val name = "in_range" }
+  /** non-null values must fully match the (Java) regex. */
+  final case class ExpectMatches(column: String, regex: String)
+      extends Expectation { val name = "matches" }
+  /** the column tuple must be unique; EVERY member of a duplicate
+    * group counts as a violation (the A-2 pandas keep=False convention).
+    */
+  final case class ExpectUnique(columns: Seq[String]) extends Expectation {
+    val name = "unique"; val column = columns.mkString(",")
+  }
+  /** non-null values must exist in `ref`'s `refColumn` (referential
+    * integrity; `ref` is broadcast when `broadcastRef`).
+    */
+  final case class ExpectRefIn(column: String, ref: DataFrame,
+      refColumn: String, broadcastRef: Boolean = true) extends Expectation {
+    val name = "ref_in"
+  }
+
+  /** Evaluate a suite of [[Expectation]]s and return one row per
+    * expectation: (expectation, column, n_violations, passed).
+    *
+    * Scale shape: ALL row-local expectations (not_null / in_range /
+    * matches) FUSE into a single full-scan aggregate — one pass no
+    * matter how many constraints (the reference's validate() makes one
+    * pass per check; at 100 TB that multiplier is the whole cost).
+    * Each `unique` adds one keys-sized hash aggregation; each `ref_in`
+    * one anti-join with the (usually dimension-sized) reference
+    * broadcast. Violation counts are exact longs — trivially
+    * cross-engine.
+    */
+  def expectations(df: DataFrame, specs: Seq[Expectation]): DataFrame = {
+    require(specs.nonEmpty, "expectations needs at least one spec")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowLocal = specs.collect {
+      case e: ExpectNotNull =>
+        (e, cnt(col(e.column).isNull))
+      case e: ExpectInRange =>
+        (e, cnt(col(e.column).isNotNull &&
+          !col(e.column).between(e.lo, e.hi)))
+      case e: ExpectMatches =>
+        (e, cnt(col(e.column).isNotNull &&
+          !col(e.column).rlike("^(" + e.regex + ")$")))
+    }
+    val fused: Seq[DataFrame] =
+      if (rowLocal.isEmpty) Seq.empty
+      else {
+        val aggs = rowLocal.map { case (e, c) =>
+          coalesce(c, lit(0L)).as(s"${e.name}:${e.column}")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        Seq(row.selectExpr(
+          "stack(" + rowLocal.size + ", " +
+            rowLocal.zipWithIndex.map { case ((e, _), i) =>
+              s"'${e.name}', '${e.column}', `${e.name}:${e.column}`"
+            }.mkString(", ") +
+            ") as (expectation, column, n_violations)"))
+      }
+    val heavy: Seq[DataFrame] = specs.collect {
+      case e: ExpectUnique =>
+        val n = duplicateRowCount(df, e.columns)
+        Seq((e.name, e.column, n)).toDF("expectation", "column", "n_violations")
+      case e: ExpectRefIn =>
+        val refKeys = e.ref.select(col(e.refColumn).as(e.column)).distinct()
+        val r = if (e.broadcastRef) broadcast(refKeys) else refKeys
+        val n = df.filter(col(e.column).isNotNull)
+          .join(r, Seq(e.column), "left_anti")
+          .count()
+        Seq((e.name, e.column, n)).toDF("expectation", "column", "n_violations")
+    }
+    (fused ++ heavy).reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("expectation", "column")
+  }
+
   /** Exact lower weighted median per entity: the smallest value whose
     * cumulative weight reaches half the total — `2·cumW ≥ totW` in
     * EXACT integer arithmetic (weights cast to long; a float half-total

@@ -59,24 +59,30 @@ object Q {
       |)""".stripMargin
 
   /** The OHLC adaptation: each lineitem row is an intraday "trade"
-    * (revenue of one line) ordered within the day by the exact trade
-    * key `l_orderkey*8 + l_linenumber` (linenumber ≤ 7, so the packed
-    * key is unique and fits a long). open/close = first/last trade
-    * revenue by that order, high/low = max/min trade revenue — a real
-    * intraday-bar roll-up, so low ≤ open, close ≤ high holds by
-    * construction. All prices are exact-decimal 2dp → double
-    * (bit-exact cross-engine); one hash aggregation via min_by/max_by
-    * (DuckDB arg_min/arg_max), no window, no sort — the w13 shape.
-    * Base table for the ATR / stochastic-oscillator indicators.
+    * (revenue of one line) ordered within the day by the trade key
+    * `l_orderkey*8 + l_linenumber`, TIE-BROKEN BY THE REVENUE ITSELF —
+    * the generated data contains duplicate (orderkey, linenumber)
+    * pairs (a30's unique-expectation finding), and a bare arg_min on a
+    * tied key with two distinct values is engine-nondeterministic
+    * (each engine keeps whichever row its scan/merge saw first). With
+    * the (key, revenue) struct the order is TOTAL over the values that
+    * matter, so open/close are well-defined everywhere. open/close =
+    * first/last trade revenue by that order, high/low = max/min — so
+    * low ≤ open, close ≤ high holds by construction. All prices are
+    * exact-decimal 2dp → double (bit-exact cross-engine); one hash
+    * aggregation via min_by/max_by (DuckDB arg_min/arg_max on the
+    * matching struct), no window, no sort — the w13 shape. Base table
+    * for the ATR / stochastic-oscillator indicators.
     */
   def ohlcBars(li: DataFrame): DataFrame = {
     val tradeKey = col("l_orderkey") * lit(8L) + col("l_linenumber")
+    val tradeOrd = struct(tradeKey.as("k"), revenueDec.as("r"))
     li.groupBy(col("l_suppkey").as("ticker"), to_date(col("l_shipdate")).as("date"))
       .agg(
-        money2(min_by(revenueDec, tradeKey)).as("open"),
+        money2(min(tradeOrd).getField("r")).as("open"),
         money2(max(revenueDec)).as("high"),
         money2(min(revenueDec)).as("low"),
-        money2(max_by(revenueDec, tradeKey)).as("close"),
+        money2(max(tradeOrd).getField("r")).as("close"),
         sum(col("l_quantity")).cast("double").as("volume"))
   }
 
@@ -85,16 +91,18 @@ object Q {
     """WITH bars AS (
       |  SELECT l_suppkey AS ticker,
       |         CAST(l_shipdate AS DATE) AS "date",
-      |         CAST(ROUND(arg_min(CAST(l_extendedprice AS DECIMAL(12,4))
-      |                              * (1 - CAST(l_discount AS DECIMAL(6,4))),
-      |                            l_orderkey * 8 + l_linenumber), 2) AS DOUBLE) AS open,
+      |         CAST(ROUND((MIN({'k': l_orderkey * 8 + l_linenumber,
+      |                          'r': CAST(l_extendedprice AS DECIMAL(12,4))
+      |                               * (1 - CAST(l_discount AS DECIMAL(6,4)))})).r,
+      |                    2) AS DOUBLE) AS open,
       |         CAST(ROUND(MAX(CAST(l_extendedprice AS DECIMAL(12,4))
       |                          * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS high,
       |         CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(12,4))
       |                          * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS low,
-      |         CAST(ROUND(arg_max(CAST(l_extendedprice AS DECIMAL(12,4))
-      |                              * (1 - CAST(l_discount AS DECIMAL(6,4))),
-      |                            l_orderkey * 8 + l_linenumber), 2) AS DOUBLE) AS close,
+      |         CAST(ROUND((MAX({'k': l_orderkey * 8 + l_linenumber,
+      |                          'r': CAST(l_extendedprice AS DECIMAL(12,4))
+      |                               * (1 - CAST(l_discount AS DECIMAL(6,4)))})).r,
+      |                    2) AS DOUBLE) AS close,
       |         CAST(SUM(l_quantity) AS DOUBLE) AS volume
       |  FROM lineitem GROUP BY 1, 2
       |)""".stripMargin

@@ -8207,7 +8207,58 @@ object Queries {
           |        / count(*), 6) AS mean_ret,
           |  round(CAST(SUM(CAST(round(fwd, 6) AS DECIMAL(16,6))) AS DOUBLE)
           |        / count(*), 6) AS mean_fwd
-          |FROM qq GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM qq GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("a30_expectations",
+      // declarative data-quality expectation suite ([[graft.ops
+      // .ValidationOps.expectations]]): six constraints over lineitem —
+      // the row-local ones (not_null / two in_range / matches) FUSE
+      // into one scan; unique adds one keys-sized agg; ref_in one
+      // broadcast anti-join against orders. The tight l_discount range
+      // plants real violations so pass AND fail paths are exercised.
+      (s, dir) => {
+        import graft.ops.ValidationOps._
+        expectations(t(s, dir, "lineitem"), Seq(
+          ExpectNotNull("l_returnflag"),
+          ExpectInRange("l_quantity", 1, 50),
+          ExpectInRange("l_discount", 0, 0.08),
+          ExpectMatches("l_linestatus", "[A-Z]+"),
+          ExpectUnique(Seq("l_orderkey", "l_linenumber")),
+          ExpectRefIn("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+      },
+      Some("""WITH v AS (
+             |  SELECT 'not_null' AS expectation, 'l_returnflag' AS "column",
+             |    CAST(count(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT)
+             |      AS n_violations
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'in_range', 'l_quantity',
+             |    CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+             |      AND NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'in_range', 'l_discount',
+             |    CAST(count(*) FILTER (WHERE l_discount IS NOT NULL
+             |      AND NOT (l_discount BETWEEN 0 AND 0.08)) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'matches', 'l_linestatus',
+             |    CAST(count(*) FILTER (WHERE l_linestatus IS NOT NULL
+             |      AND NOT regexp_full_match(l_linestatus, '[A-Z]+')) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'unique', 'l_orderkey,l_linenumber',
+             |    CAST(coalesce(SUM(c), 0) AS BIGINT)
+             |  FROM (SELECT count(*) AS c FROM lineitem
+             |        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+             |  UNION ALL
+             |  SELECT 'ref_in', 'l_orderkey', CAST(count(*) AS BIGINT)
+             |  FROM lineitem
+             |  WHERE l_orderkey IS NOT NULL
+             |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |SELECT expectation, "column", n_violations,
+             |  n_violations = 0 AS passed
+             |FROM v ORDER BY expectation, "column"""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

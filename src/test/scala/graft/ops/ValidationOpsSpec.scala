@@ -212,6 +212,43 @@ class ValidationOpsSpec extends AnyFunSuite {
     assert(out._4 === 1.0)  // V = sqrt(N/(N·1)) = 1
   }
 
+  test("expectations: every constraint type counts its planted violations; row-local ones fuse into one scan") {
+    import ValidationOps._
+    val df = Seq(
+      (1L, Some(10.0), Some("AB")),
+      (2L, Some(99.0), Some("zz")),   // in_range + matches violations
+      (2L, Some(20.0), None),         // unique dup (with row above) + not_null
+      (3L, None, Some("CD"))          // range ignores null
+    ).toDF("id", "v", "code")
+    val ref = Seq(1L, 2L).toDF("k") // id=3 violates ref_in
+    val out = expectations(df, Seq(
+        ExpectNotNull("code"),
+        ExpectInRange("v", 0, 50),
+        ExpectMatches("code", "[A-Z]+"),
+        ExpectUnique(Seq("id")),
+        ExpectRefIn("id", ref, "k")))
+      .as[(String, String, Long, Boolean)].collect().toList
+    assert(out === List(
+      ("in_range", "v", 1L, false),
+      ("matches", "code", 1L, false),
+      ("not_null", "code", 1L, false),
+      ("ref_in", "id", 1L, false),
+      ("unique", "id", 2L, false))) // keep=False: BOTH dup members count
+    // a clean table passes everything
+    val clean = expectations(Seq((1L, Some(1.0), Some("A"))).toDF("id", "v", "code"),
+        Seq(ExpectNotNull("code"), ExpectInRange("v", 0, 50),
+          ExpectMatches("code", "[A-Z]+"), ExpectUnique(Seq("id")),
+          ExpectRefIn("id", ref, "k")))
+      .as[(String, String, Long, Boolean)].collect().toList
+    assert(clean.forall(r => r._3 == 0L && r._4))
+    // the three row-local constraints share ONE aggregate (one scan):
+    // exactly one HashAggregate pair over the input in the fused branch
+    val fusedPlan = expectations(df, Seq(ExpectNotNull("code"),
+        ExpectInRange("v", 0, 50), ExpectMatches("code", "[A-Z]+")))
+      .queryExecution.executedPlan.toString
+    assert(!fusedPlan.contains("Union"), fusedPlan) // no per-check branches
+  }
+
   test("weightedMedian: exact boundary crossing picks the LOWER median") {
     val df = Seq(
       // total 10; cum at v=1 is 5 → 2·5 ≥ 10 picks v=1 (lower median)
