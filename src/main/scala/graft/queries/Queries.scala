@@ -8258,7 +8258,43 @@ object Queries {
              |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
              |SELECT expectation, "column", n_violations,
              |  n_violations = 0 AS passed
-             |FROM v ORDER BY expectation, "column"""".stripMargin))
+             |FROM v ORDER BY expectation, "column"""".stripMargin)),
+
+    QueryDef("e18_rate_limit",
+      // per-user token-bucket rate limiting ([[graft.streaming
+      // .EventStreams.rateLimit]], capacity 3, 1 token/s) run in batch
+      // mode: ALL-INTEGER millitoken state (refill = Δµs·rate/1000
+      // integer division, bucket starts full), so the recursive-CTE
+      // oracle replays every verdict bit-for-bit. The same function is
+      // the streaming stateful op (flatMapGroupsWithState) — spec pins
+      // stream/batch parity.
+      (s, dir) => graft.streaming.EventStreams
+        .rateLimit(events(s, dir), capacity = 3, tokensPerSec = 1)
+        .orderBy("user_id", "ts_us", "event_id"),
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    CAST(row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY ts, event_id)
+             |         AS BIGINT) AS idx
+             |  FROM events),
+             |rl(user_id, idx, event_id, us, tok, allowed) AS (
+             |  SELECT user_id, idx, event_id, us,
+             |    CAST(2000 AS BIGINT), true
+             |  FROM ev WHERE idx = 1
+             |  UNION ALL
+             |  SELECT user_id, idx, event_id, us,
+             |    CASE WHEN ref >= 1000 THEN ref - 1000 ELSE ref END,
+             |    ref >= 1000
+             |  FROM (
+             |    SELECT e.user_id, e.idx, e.event_id, e.us,
+             |      least(CAST(3000 AS BIGINT),
+             |        rl.tok + CASE WHEN e.us > rl.us
+             |                      THEN (e.us - rl.us) * 1 // 1000
+             |                      ELSE 0 END) AS ref
+             |    FROM rl JOIN ev e
+             |      ON e.user_id = rl.user_id AND e.idx = rl.idx + 1))
+             |SELECT user_id, event_id, us AS ts_us, allowed
+             |FROM rl ORDER BY user_id, ts_us, event_id""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -159,6 +159,56 @@ object EventStreams {
       .toDF("user_id", "n_events", "running_total")
   }
 
+  /** Per-user token-bucket rate limiter — the quota/throttle primitive
+    * an event-ingest tier runs in front of expensive downstream work
+    * (dedup, embedding, enrichment): each user's bucket holds
+    * `capacity` tokens, refills at `tokensPerSec` on EVENT time, and
+    * every event consumes one token or is marked denied. Emits every
+    * event with its verdict — an audit stream, not a silent drop.
+    *
+    * ALL-INTEGER state: tokens are millitokens (longs), refill is
+    * `Δµs · tokensPerSec / 1000` integer division — no float drift, so
+    * batch and oracle replay bit-for-bit. The bucket starts FULL at a
+    * user's first event. Out-of-order events (ts ≤ last seen) consume
+    * without refilling — time never runs backwards in the bucket.
+    *
+    * State per user is two longs — O(active users). Within a
+    * micro-batch rows sort by (ts, event_id) (the [[userRunningTotals]]
+    * convention); across micro-batches deliver event-time-ordered
+    * batches or accept the no-refill-on-late rule (the [[funnelSteps]]
+    * caveat). Works identically on a batch Dataset, which is how the
+    * e18 oracle pins the semantics row-for-row.
+    */
+  def rateLimit(events: DataFrame, capacity: Int, tokensPerSec: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1 (got $capacity)")
+    require(tokensPerSec >= 1, s"tokensPerSec must be >= 1 (got $tokensPerSec)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val capMilli = capacity * 1000L
+    def update(userId: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[(Long, Long)]): Iterator[(Long, Long, Long, Boolean)] = {
+      var (tok, last) = state.getOption.getOrElse((capMilli, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsUs, eid) =>
+        if (last != Long.MinValue && tsUs > last)
+          tok = math.min(capMilli, tok + (tsUs - last) * tokensPerSec / 1000L)
+        val allowed = tok >= 1000L
+        if (allowed) tok -= 1000L
+        if (last == Long.MinValue || tsUs > last) last = tsUs
+        out += ((userId, eid, tsUs, allowed))
+      }
+      state.update((tok, last))
+      out.iterator
+    }
+    events.select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("_us"), col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "event_id", "ts_us", "allowed")
+  }
+
   /** Stateful funnel progression: one row per (user, step advance),
     * where step i advances only on the first step-i event STRICTLY
     * after the event that advanced step i-1 — the state-machine twin
