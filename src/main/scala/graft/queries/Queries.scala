@@ -8294,7 +8294,57 @@ object Queries {
              |    FROM rl JOIN ev e
              |      ON e.user_id = rl.user_id AND e.idx = rl.idx + 1))
              |SELECT user_id, event_id, us AS ts_us, allowed
-             |FROM rl ORDER BY user_id, ts_us, event_id""".stripMargin))
+             |FROM rl ORDER BY user_id, ts_us, event_id""".stripMargin)),
+
+    QueryDef("c12_classifier_gated_clean",
+      // the quality-classifier tier COMPOSED into the corpus pipeline
+      // (the RefinedWeb/LLaMA shape: model gate between rule filters
+      // and dedup): cls1's NB scores gate the corpus at its own MEDIAN
+      // (exact-interpolation percentile — a fixed τ can't track the
+      // score drift across SFs), and the survivors run the full c3
+      // text chain (gates → PII scrub → exact dedup → md5-form
+      // MinHash-LSH). The oracle stitches the
+      // already-hash-matched cls1 scoring CTEs in front of the c3
+      // chain re-rooted at the gated table — every tier's SQL is the
+      // one its standalone query verified.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val labeled = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
+        val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val scored = Cls.scoreLinear(d, "doc_id", "text", w, bias,
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val med = scored.agg(expr("percentile(score, 0.5D)").as("_tau"))
+        val kept = d.join(scored, Seq("doc_id")).crossJoin(broadcast(med))
+          .filter(col("score") >= col("_tau"))
+          .select(col("doc_id"), col("text"))
+        val cfg = graft.corpus.CorpusConfig(
+          minTokens = 20, minQuality = 50.0, maxDupBigramFrac = 0.3,
+          numHashes = 16, bands = 4, nearDupThreshold = 0.7,
+          minhashHash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+          minhashBucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))))
+        graft.corpus.CorpusPipeline.clean(kept, "doc_id", "text", cfg)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + nbScoreCtes +
+        """,
+          |scored AS (
+          |  SELECT d.doc_id,
+          |    round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6) AS score
+          |  FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)),
+          |clsgated AS (
+          |  SELECT d.doc_id, d.text
+          |  FROM documents d JOIN scored USING (doc_id)
+          |  WHERE scored.score >= (SELECT quantile_cont(score, 0.5)
+          |                         FROM scored)),
+          |""".stripMargin +
+        corpusTextCtesFrom("clsgated") +
+        """
+          |SELECT e.doc_id, md5(e.text) AS text_md5
+          |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)
+          |ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
