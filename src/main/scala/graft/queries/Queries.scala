@@ -8344,7 +8344,62 @@ object Queries {
         """
           |SELECT e.doc_id, md5(e.text) AS text_md5
           |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("a31_risk_ratios",
+      // the full risk-adjusted-return panel per ticker: Sharpe (a13's
+      // form), Sortino (downside deviation: √(Σ min(ret,0)²/n), MAR=0),
+      // max drawdown (the w10 running-peak shape) and Calmar
+      // (arithmetic-annualized mean return over MDD). One window pass
+      // for the peak + one fused aggregation; every ratio is a float
+      // chain rounded 6dp with explicit zero-denominator guards
+      // (double/0 is null in Spark, inf in DuckDB — the a13 lesson).
+      (s, dir) => {
+        val wCum = wTicker.rowsBetween(Window.unboundedPreceding, 0)
+        val r = pricesWithRet(s, dir)
+          .withColumn("_peak", max(col("close")).over(wCum))
+          .withColumn("_dd", (col("_peak") - col("close")) / col("_peak"))
+          .filter(col("ret").isNotNull)
+        val dvar = sum(col("ret") * col("ret") *
+          when(col("ret") < 0, 1.0).otherwise(0.0)) / count(col("ret"))
+        r.groupBy("ticker")
+          .agg(count(col("ret")).as("n_days"),
+            round(when(stddev_samp(col("ret")) === 0.0, lit(null))
+              .otherwise(avg(col("ret")) / stddev_samp(col("ret")) *
+                lit(math.sqrt(252.0))), 6).as("sharpe"),
+            round(when(sqrt(dvar) === 0.0, lit(null))
+              .otherwise(avg(col("ret")) / sqrt(dvar) *
+                lit(math.sqrt(252.0))), 6).as("sortino"),
+            round(max(col("_dd")), 6).as("mdd"),
+            round(when(max(col("_dd")) === 0.0, lit(null))
+              .otherwise(avg(col("ret")) * lit(252.0) / max(col("_dd"))), 6)
+              .as("calmar"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, d AS (
+          |  SELECT ticker, ret,
+          |    (peak - close) / peak AS dd
+          |  FROM (SELECT ticker, close, ret,
+          |          max(close) OVER (PARTITION BY ticker ORDER BY "date"
+          |            ROWS UNBOUNDED PRECEDING) AS peak
+          |        FROM r)
+          |  WHERE ret IS NOT NULL)
+          |SELECT ticker, count(ret) AS n_days,
+          |  round(CASE WHEN stddev_samp(ret) = 0.0 THEN NULL
+          |             ELSE avg(ret) / stddev_samp(ret) * sqrt(252.0)
+          |        END, 6) AS sharpe,
+          |  round(CASE WHEN sqrt(SUM(ret * ret * CASE WHEN ret < 0 THEN 1.0
+          |                                            ELSE 0.0 END)
+          |                       / count(ret)) = 0.0 THEN NULL
+          |             ELSE avg(ret) / sqrt(SUM(ret * ret *
+          |                    CASE WHEN ret < 0 THEN 1.0 ELSE 0.0 END)
+          |                    / count(ret)) * sqrt(252.0)
+          |        END, 6) AS sortino,
+          |  round(max(dd), 6) AS mdd,
+          |  round(CASE WHEN max(dd) = 0.0 THEN NULL
+          |             ELSE avg(ret) * 252.0 / max(dd) END, 6) AS calmar
+          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
