@@ -8399,7 +8399,103 @@ object Queries {
           |  round(max(dd), 6) AS mdd,
           |  round(CASE WHEN max(dd) = 0.0 THEN NULL
           |             ELSE avg(ret) * 252.0 / max(dd) END, 6) AS calmar
-          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("d29_lsh_recall",
+      // recall audit of the MinHash-LSH dedup tier against the
+      // COMPLETE answer (s7's dedup twin): truth = the lossless
+      // prefix-filtered exact Jaccard pairs (d26's operator at 0.7),
+      // prediction = the banded m1b pipeline at the same threshold.
+      // LSH verifies TRUE Jaccard on its candidates, so pred ⊆ truth
+      // and precision is 1 by construction — the number that needs
+      // watching is RECALL (pairs whose bands never collided). All
+      // counts exact longs; one small-denominator division.
+      (s, dir) => {
+        val truth = D.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.7).select("id_a", "id_b")
+        val pred = D.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.7,
+          hash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+          bucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))))
+          .select("id_a", "id_b")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nP = pred.agg(count(lit(1)).as("n_pred"))
+        val nM = truth.join(pred, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed"))
+        nT.crossJoin(nP).crossJoin(nM)
+          .select(col("n_truth"), col("n_pred"), col("n_missed"),
+            when(col("n_truth") === 0, lit(null)).otherwise(
+              round((col("n_truth") - col("n_missed")).cast("double")
+                / col("n_truth").cast("double"), 6)).as("recall"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sgl FROM sh),
+             |dfc AS (SELECT sgl, count(*) AS df FROM e GROUP BY 1),
+             |rk AS (
+             |  SELECT e.doc_id, e.n_sh, e.sgl,
+             |         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sgl) AS rn
+             |  FROM e JOIN dfc d USING (sgl)),
+             |pre AS (
+             |  SELECT doc_id, n_sh, sgl FROM rk
+             |  WHERE rn <= n_sh - ceil(0.7 * CAST(n_sh AS DOUBLE) - 1e-9) + 1),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         a.n_sh AS n_a, b.n_sh AS n_b
+             |  FROM pre a JOIN pre b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+             |  WHERE CAST(least(a.n_sh, b.n_sh) AS DOUBLE)
+             |        >= 0.7 * CAST(greatest(a.n_sh, b.n_sh) AS DOUBLE) - 1e-9),
+             |ver AS (
+             |  SELECT c.id_a, c.id_b, c.n_a, c.n_b, count(*) AS shared
+             |  FROM cand c
+             |  JOIN e ea ON ea.doc_id = c.id_a
+             |  JOIN e eb ON eb.doc_id = c.id_b AND eb.sgl = ea.sgl
+             |  GROUP BY 1, 2, 3, 4),
+             |truth AS (
+             |  SELECT id_a, id_b FROM ver
+             |  WHERE CAST(shared AS DOUBLE)
+             |        / CAST(n_a + n_b - shared AS DOUBLE) >= 0.7),
+             |sig AS (
+             |  SELECT doc_id, shingles,
+             |    list_transform(generate_series(0, 15), i ->
+             |      list_aggregate(list_transform(shingles, s ->
+             |        CAST(('0x' || substring(md5(s || '#' || i), 1, 15)) AS BIGINT)), 'min')) AS sg
+             |  FROM sh),
+             |banded AS (
+             |  SELECT doc_id, b,
+             |    CAST(('0x' || substring(md5(array_to_string(sg[b*4+1:b*4+4], ',') || '#b#' || b), 1, 15)) AS BIGINT) AS bucket
+             |  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)),
+             |cands AS (
+             |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             |  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
+             |  WHERE x.doc_id < y.doc_id),
+             |pred AS (
+             |  SELECT c.id_a, c.id_b
+             |  FROM cands c
+             |  JOIN sh a ON a.doc_id = c.id_a
+             |  JOIN sh b ON b.doc_id = c.id_b
+             |  WHERE CAST(len(a.shingles) + len(b.shingles)
+             |         - len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+             |nm AS (
+             |  SELECT count(*) AS n_missed
+             |  FROM truth t LEFT JOIN pred p USING (id_a, id_b)
+             |  WHERE p.id_a IS NULL)
+             |SELECT (SELECT count(*) FROM truth) AS n_truth,
+             |  (SELECT count(*) FROM pred) AS n_pred,
+             |  nm.n_missed,
+             |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+             |       ELSE round(CAST((SELECT count(*) FROM truth) - nm.n_missed
+             |                       AS DOUBLE)
+             |                  / (SELECT count(*) FROM truth), 6) END AS recall
+             |FROM nm""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
