@@ -8495,7 +8495,186 @@ object Queries {
              |       ELSE round(CAST((SELECT count(*) FROM truth) - nm.n_missed
              |                       AS DOUBLE)
              |                  / (SELECT count(*) FROM truth), 6) END AS recall
-             |FROM nm""".stripMargin))
+             |FROM nm""".stripMargin)),
+
+    QueryDef("w37_rolling_beta",
+      // 20-day rolling CAPM beta + alpha of each ticker vs the market
+      // index (sum of all closes per day) — the time-varying regression
+      // pair next to w23's correlation. Determinism: RETURNS (IEEE
+      // ratios of identical doubles) round to 6dp and cast to
+      // DECIMAL(16,6), so all four co-moment sums (Σx Σy Σxy Σx²)
+      // accumulate EXACTLY inside the window (the w36 sum convention
+      // applied to the w23 frame); both engines then run one identical
+      // double formula + 6dp round. The market-return lag is a single
+      // unpartitioned window over the per-day index — bounded by the
+      // CALENDAR, not the data (one row per trading day). Full-frame
+      // guard (n=20); zero market variance → null.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+        val idx = p.groupBy("date")
+          .agg(sum(col("close").cast("decimal(12,2)")).cast("decimal(18,2)").as("_ic"))
+        val wD = Window.orderBy("date")
+        val mret = idx
+          .withColumn("x", round(col("_ic").cast("double") /
+            lag(col("_ic"), 1).over(wD).cast("double") - 1, 6)
+            .cast("decimal(16,6)"))
+          .select("date", "x")
+        val tret = p
+          .withColumn("y", round(col("close") /
+            lag(col("close"), 1).over(wTicker) - 1, 6).cast("decimal(16,6)"))
+          .select("ticker", "date", "y")
+        val w20 = Window.partitionBy("ticker").orderBy("date").rowsBetween(-19, 0)
+        tret.join(mret, "date")
+          .filter(col("x").isNotNull && col("y").isNotNull)
+          .select(col("ticker"), col("date"),
+            count(lit(1)).over(w20).as("_n"),
+            sum(col("x")).over(w20).cast("double").as("_sx"),
+            sum(col("y")).over(w20).cast("double").as("_sy"),
+            sum(col("x") * col("y")).over(w20).cast("double").as("_sxy"),
+            sum(col("x") * col("x")).over(w20).cast("double").as("_sxx"))
+          .withColumn("_den", lit(20.0) * col("_sxx") - col("_sx") * col("_sx"))
+          .select(col("ticker"), col("date"),
+            when(col("_n") === 20 && col("_den") > 0,
+              round((lit(20.0) * col("_sxy") - col("_sx") * col("_sy")) /
+                col("_den"), 6)).as("beta20"),
+            when(col("_n") === 20 && col("_den") > 0,
+              round((col("_sy") - ((lit(20.0) * col("_sxy") -
+                col("_sx") * col("_sy")) / col("_den")) * col("_sx")) /
+                lit(20.0), 6)).as("alpha20"))
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """, idx AS (
+          |  SELECT "date", CAST(SUM(CAST(close AS DECIMAL(12,2)))
+          |                      AS DECIMAL(18,2)) AS ic
+          |  FROM prices GROUP BY 1),
+          |mret AS (
+          |  SELECT "date",
+          |    CAST(round(CAST(ic AS DOUBLE) /
+          |      CAST(lag(ic) OVER (ORDER BY "date") AS DOUBLE) - 1, 6)
+          |      AS DECIMAL(16,6)) AS x
+          |  FROM idx),
+          |tret AS (
+          |  SELECT ticker, "date",
+          |    CAST(round(close / lag(close) OVER (PARTITION BY ticker
+          |                                        ORDER BY "date") - 1, 6)
+          |      AS DECIMAL(16,6)) AS y
+          |  FROM prices),
+          |co AS (
+          |  SELECT ticker, "date",
+          |    count(*) OVER w AS n,
+          |    CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+          |    CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+          |    CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+          |    CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx
+          |  FROM tret JOIN mret USING ("date")
+          |  WHERE x IS NOT NULL AND y IS NOT NULL
+          |  WINDOW w AS (PARTITION BY ticker ORDER BY "date"
+          |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          |SELECT ticker, "date",
+          |  CASE WHEN n = 20 AND (20.0 * sxx - sx * sx) > 0
+          |       THEN round((20.0 * sxy - sx * sy)
+          |                  / (20.0 * sxx - sx * sx), 6)
+          |  END AS beta20,
+          |  CASE WHEN n = 20 AND (20.0 * sxx - sx * sx) > 0
+          |       THEN round((sy - ((20.0 * sxy - sx * sy)
+          |                         / (20.0 * sxx - sx * sx)) * sx)
+          |                  / 20.0, 6)
+          |  END AS alpha20
+          |FROM co ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("w38_rolling_skew",
+      // 20-day rolling return skewness per ticker — the crash-asymmetry
+      // signal next to w23/w37 (third central moment over the same
+      // frame). The w23 exact-arithmetic discipline one power higher:
+      // closes as DECIMAL(12,2), Σx Σx² Σx³ all exact decimal window
+      // sums (x³ is (38,6) — within decimal range; x⁴ would overflow,
+      // which is why kurtosis isn't here), then ONE double formula.
+      // m2^1.5 is spelled m2·√m2 — sqrt is correctly-rounded IEEE
+      // everywhere, pow is not. Full-frame guard; zero variance → null.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+          .select(col("ticker"), col("date"),
+            col("close").cast("decimal(12,2)").as("x"))
+        val w20 = Window.partitionBy("ticker").orderBy("date").rowsBetween(-19, 0)
+        p.select(col("ticker"), col("date"),
+            count(lit(1)).over(w20).as("_n"),
+            sum(col("x")).over(w20).cast("double").as("_sx"),
+            sum(col("x") * col("x")).over(w20).cast("double").as("_sxx"),
+            sum(col("x") * col("x") * col("x")).over(w20).cast("double").as("_sxxx"))
+          .withColumn("_mu", col("_sx") / lit(20.0))
+          .withColumn("_m2", col("_sxx") / lit(20.0) - col("_mu") * col("_mu"))
+          .select(col("ticker"), col("date"),
+            when(col("_n") === 20 && col("_m2") > 0,
+              round((col("_sxxx") / lit(20.0) -
+                lit(3.0) * col("_mu") * (col("_sxx") / lit(20.0)) +
+                lit(2.0) * col("_mu") * col("_mu") * col("_mu")) /
+                (col("_m2") * sqrt(col("_m2"))), 6)).as("skew20"))
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """, px AS (SELECT ticker, "date", CAST(close AS DECIMAL(12,2)) AS x
+          |         FROM prices),
+          |co AS (
+          |  SELECT ticker, "date",
+          |    count(*) OVER w AS n,
+          |    CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+          |    CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(CAST(x * x AS DECIMAL(26,4)) * x
+          |                  AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxxx
+          |  FROM px
+          |  WINDOW w AS (PARTITION BY ticker ORDER BY "date"
+          |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+          |m AS (
+          |  SELECT ticker, "date", n, sx, sxx, sxxx,
+          |    sx / 20.0 AS mu,
+          |    sxx / 20.0 - (sx / 20.0) * (sx / 20.0) AS m2
+          |  FROM co)
+          |SELECT ticker, "date",
+          |  CASE WHEN n = 20 AND m2 > 0
+          |       THEN round((sxxx / 20.0 - 3.0 * mu * (sxx / 20.0)
+          |                   + 2.0 * mu * mu * mu)
+          |                  / (m2 * sqrt(m2)), 6)
+          |  END AS skew20
+          |FROM m ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("a32_amihud",
+      // monthly Amihud illiquidity per ticker: mean of |ret| per million
+      // of dollar volume over each calendar month — the price-impact
+      // proxy (Amihud, J. Financial Markets 2002) that turns the raw
+      // volume column into a tradability signal. Per-row values are one
+      // IEEE chain over bit-identical inputs; the per-month MEAN sums
+      // 6dp-rounded terms in exact decimal (the w36 convention — float
+      // sum order never leaks). The final mean rounds in EXACT INTEGER
+      // half-up arithmetic ((2·S·10⁶ + n) div 2n): a 6dp sum over a
+      // ~20-day month lands on x.xxxxxx5 quotients CONSTANTLY, exactly
+      // where double rounding is engine-dependent (the w22 boundary
+      // lesson — a float round(÷,6) here flipped 13 rows at sf0.01).
+      (s, dir) => {
+        val r = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .withColumn("_il", round(abs(col("ret")) /
+            (col("close") * col("volume")) * lit(1e6), 6)
+            .cast("decimal(18,6)"))
+        r.groupBy(col("ticker"), trunc(col("date"), "month").as("month"))
+          .agg(count(lit(1)).as("n_days"), sum(col("_il")).as("_s"))
+          .select(col("ticker"), col("month"), col("n_days"),
+            (expr("(2 * CAST(_s * 1000000 AS BIGINT) + n_days)" +
+              " div (2 * n_days)").cast("double") / lit(1e6)).as("amihud"))
+          .orderBy("ticker", "month")
+      },
+      Some(pricesSql + retSql +
+        """, il AS (
+          |  SELECT ticker, date_trunc('month', "date") AS month,
+          |    CAST(round(abs(ret) / (close * volume) * 1000000.0, 6)
+          |         AS DECIMAL(18,6)) AS il
+          |  FROM r WHERE ret IS NOT NULL),
+          |ag AS (
+          |  SELECT ticker, month, count(*) AS n_days, SUM(il) AS s
+          |  FROM il GROUP BY 1, 2)
+          |SELECT ticker, month, n_days,
+          |  CAST((2 * CAST(s * 1000000 AS BIGINT) + n_days)
+          |       // (2 * n_days) AS DOUBLE) / 1000000.0 AS amihud
+          |FROM ag ORDER BY 1, 2""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
