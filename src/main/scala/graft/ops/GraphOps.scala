@@ -509,4 +509,115 @@ object GraphOps {
       } finally nodes.unpersist(blocking = false)
     } finally e.unpersist(blocking = false)
   }
+
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    * of endpoint degrees over the edge set — positive when hubs link
+    * hubs (social-graph shape), negative when hubs link leaves
+    * (hub-and-spoke; most co-occurrence graphs). One scalar that says
+    * which skew defense a downstream join over this graph needs.
+    *
+    * Undirected contract: edges canonicalize (u<v, distinct, loops
+    * dropped) and every edge contributes BOTH orientations to the
+    * correlation (the standard stub-pairing form — Σx = Σy by
+    * symmetry, kept as separate terms so the formula reads as written
+    * in the paper). All five co-moment sums are exact integers; they
+    * cast to double only for the one closing formula (sums < 2^53 —
+    * the products would overflow int64, the double formula is
+    * engine-identical IEEE), rounded 6dp.
+    *
+    * Returns ONE row: (n_nodes, n_edges, assortativity).
+    *
+    * Scale shape: one distinct over canonical edges, one degree
+    * hash-agg, two broadcast-able equi-joins of the edge list against
+    * the node-degree frame, one fused scalar aggregation. No windows,
+    * no collect; nothing bigger than the edge list moves, and the
+    * degree frame is node-sized.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val dir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = dir.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val x = dir
+      .join(deg.select(col("node").as("u"), col("deg").as("_dx")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("_dy")), Seq("v"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    x.agg(count(lit(1)).as("_m2"),
+        sum(col("_dx")).as("_sx"), sum(col("_dy")).as("_sy"),
+        sum(col("_dx") * col("_dy")).as("_sxy"),
+        sum(col("_dx") * col("_dx")).as("_sxx"),
+        sum(col("_dy") * col("_dy")).as("_syy"))
+      .crossJoin(broadcast(nNodes))
+      .withColumn("_dxx", col("_m2").cast("double") * col("_sxx").cast("double") -
+        col("_sx").cast("double") * col("_sx").cast("double"))
+      .withColumn("_dyy", col("_m2").cast("double") * col("_syy").cast("double") -
+        col("_sy").cast("double") * col("_sy").cast("double"))
+      .select(col("n_nodes"), (col("_m2") / 2).cast("long").as("n_edges"),
+        // constant-degree graphs have zero variance: r is undefined →
+        // null (an unguarded ÷0 raises under ANSI)
+        when(col("_dxx") > 0 && col("_dyy") > 0,
+          round((col("_m2").cast("double") * col("_sxy").cast("double") -
+            col("_sx").cast("double") * col("_sy").cast("double")) /
+            sqrt(col("_dxx") * col("_dyy")), 6)).as("assortativity"))
+  }
+
+  /** Multi-source BFS hop distances: the minimum number of edges from
+    * any seed to each reachable node, out to `rounds` hops — the
+    * "crawl frontier depth" / "distance from trusted set" signal
+    * (TrustRank-style propagation without the rank arithmetic).
+    *
+    * Undirected, synchronous contract: exactly `rounds` frontier
+    * expansions over the canonicalized edge set (both orientations);
+    * a node's distance is fixed the first round it is reached, so the
+    * result after round r is exact for every node within r hops and
+    * absent beyond — replayable by an unrolled oracle, all-integer.
+    * Seeds not present in the edge set still report distance 0 (the
+    * caller's set is the contract; isolation is information).
+    *
+    * Returns `(node, dist)`, ordered by node.
+    *
+    * Scale shape: per round ONE equi-join of the edge list against the
+    * (shrinking) frontier plus one min-agg and one anti-join against
+    * the known set — Pregel-shaped like [[pageRank]]'s rounds, no
+    * windows, no collect. Rounds are eagerly local-checkpointed (the
+    * [[hits]] lesson: the known set feeds three consumers per round).
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      var known = seeds
+        .select(col(seedCol).cast("long").as("node"))
+        .filter(col("node").isNotNull)
+        .distinct()
+        .select(col("node"), lit(0).as("dist"))
+        .localCheckpoint(true)
+      var frontier = known
+      var i = 1
+      while (i <= rounds) {
+        val reached = dir
+          .join(frontier.select(col("node").as("u")), Seq("u"))
+          .select(col("v").as("node")).distinct()
+          .join(known, Seq("node"), "left_anti")
+          .select(col("node"), lit(i).as("dist"))
+          .localCheckpoint(true)
+        known = known.unionByName(reached).localCheckpoint(true)
+        frontier = reached
+        i += 1
+      }
+      known.orderBy("node")
+    } finally e.unpersist(blocking = false)
+  }
 }

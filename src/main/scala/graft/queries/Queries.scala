@@ -144,6 +144,38 @@ object Queries {
          |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Generated oracle for `g9_bfs_hops` — the full co-purchase graph
+    * (canonical u<v, both orientations for expansion), seeds = parts
+    * with `l_partkey % 199 = 0`, and `rounds` unrolled synchronous
+    * frontier expansions of [[GraphOps.bfsHops]]'s contract: a node's
+    * distance fixes the first round it is reached. All-integer — exact
+    * replay, no rounding contract.
+    */
+  private def bfsOracle(rounds: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """e AS MATERIALIZED (
+              |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              |  FROM lineitem a JOIN lineitem b
+              |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
+    ctes += """dirs AS MATERIALIZED (
+              |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)""".stripMargin
+    ctes += """f0 AS MATERIALIZED (
+              |  SELECT DISTINCT l_partkey AS node, 0 AS dist
+              |  FROM lineitem WHERE l_partkey % 199 = 0)""".stripMargin
+    ctes += """k0 AS MATERIALIZED (SELECT * FROM f0)""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      ctes += s"""f$i AS MATERIALIZED (
+                 |  SELECT DISTINCT d.v AS node, $i AS dist
+                 |  FROM dirs d JOIN f$p f ON d.u = f.node
+                 |  WHERE d.v NOT IN (SELECT node FROM k$p))""".stripMargin
+      ctes += s"""k$i AS MATERIALIZED (
+                 |  SELECT * FROM k$p UNION ALL SELECT * FROM f$i)""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") +
+      s"\nSELECT node, dist FROM k$rounds ORDER BY node"
+  }
+
   /** Generated oracle for `g4_hits` — the directed supplier→part
     * supply graph (suppliers offset by 1e6 into a shared id space),
     * with `iters` unrolled HITS rounds replaying [[GraphOps.hits]]'s
@@ -8674,7 +8706,73 @@ object Queries {
           |SELECT ticker, month, n_days,
           |  CAST((2 * CAST(s * 1000000 AS BIGINT) + n_days)
           |       // (2 * n_days) AS DOUBLE) / 1000000.0 AS amihud
-          |FROM ag ORDER BY 1, 2""".stripMargin))
+          |FROM ag ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("g8_assortativity",
+      // degree assortativity of the co-purchase graph ([[graft.ops
+      // .GraphOps.degreeAssortativity]]): does this graph wire hubs to
+      // hubs or hubs to leaves? — the one-scalar skew diagnostic for
+      // any operator that joins over it. Exact-integer co-moments,
+      // one IEEE closing formula, 6dp.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.degreeAssortativity(pairs, "src", "dst")
+      },
+      Some("""WITH e AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |dirs AS MATERIALIZED (
+             |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+             |deg AS MATERIALIZED (
+             |  SELECT u AS node, count(*) AS deg FROM dirs GROUP BY 1),
+             |x AS (
+             |  SELECT du.deg AS dx, dv.deg AS dy
+             |  FROM dirs JOIN deg du ON dirs.u = du.node
+             |            JOIN deg dv ON dirs.v = dv.node),
+             |ag AS (
+             |  SELECT count(*) AS m2,
+             |    SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx * dy) AS sxy,
+             |    SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+             |  FROM x),
+             |d AS (
+             |  SELECT m2, sxy, sx, sy,
+             |    CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+             |    CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy
+             |  FROM ag)
+             |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             |  CAST(m2 / 2 AS BIGINT) AS n_edges,
+             |  CASE WHEN dxx > 0 AND dyy > 0
+             |       THEN round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |                  / sqrt(dxx * dyy), 6)
+             |  END AS assortativity
+             |FROM d""".stripMargin)),
+
+    QueryDef("g9_bfs_hops",
+      // multi-source BFS hop distances from the planted seed set
+      // (every 199th part) out to 3 hops over the co-purchase graph
+      // ([[graft.ops.GraphOps.bfsHops]]) — the "distance from trusted
+      // set" propagation signal. All-integer; the unrolled oracle
+      // replays every frontier exactly.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        val seeds = t(s, dir, "lineitem")
+          .filter(col("l_partkey") % 199 === 0)
+          .select(col("l_partkey").as("seed"))
+        GraphOps.bfsHops(pairs, "src", "dst", seeds, "seed", rounds = 3)
+      },
+      Some(bfsOracle(3)))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -250,6 +250,35 @@ class GraphOpsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("degreeAssortativity: star is perfectly disassortative (-1)") {
+    // hub 1 wired to three leaves: every edge pairs deg 3 with deg 1 —
+    // Newman r = -1 exactly. Duplicate/reversed edges must not skew it.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (1L, 3L))
+      .toDF("s", "d")
+    val row = GraphOps.degreeAssortativity(star, "s", "d")
+      .as[(Long, Long, Double)].collect().head
+    assert(row === ((4L, 3L, -1.0)))
+    // a clean cycle has constant degree -> zero variance -> null r
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val r2 = GraphOps.degreeAssortativity(cyc, "s", "d")
+      .select("assortativity").collect().head
+    assert(r2.isNullAt(0))
+  }
+
+  test("bfsHops: distances fix at first reach; isolated seeds keep 0") {
+    // path 1-2-3-4-5, seed {1, 9} (9 absent from the edge set), 2 rounds:
+    // reach out to hop 2 only; node 5 is beyond the horizon
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val seeds = Seq(1L, 9L).toDF("seed")
+    val out = GraphOps.bfsHops(path, "s", "d", seeds, "seed", rounds = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 9L -> 0, 2L -> 1, 3L -> 2))
+    // undirected: expansion crosses edges in both directions
+    val rev = GraphOps.bfsHops(path, "s", "d", Seq(3L).toDF("seed"),
+      "seed", rounds = 1).as[(Long, Int)].collect().toMap
+    assert(rev === Map(3L -> 0, 2L -> 1, 4L -> 1))
+  }
+
   test("round-scoped pins release; only the final frame stays (tracked)") {
     graft.Caches.releaseAll()
     val before = spark.sparkContext.getPersistentRDDs.keySet
