@@ -8772,7 +8772,242 @@ object Queries {
           .select(col("l_partkey").as("seed"))
         GraphOps.bfsHops(pairs, "src", "dst", seeds, "seed", rounds = 3)
       },
-      Some(bfsOracle(3)))
+      Some(bfsOracle(3))),
+
+    QueryDef("eval6_pr_auc",
+      // average precision (PR-AUC) of the cls1 NB scores — the
+      // imbalance-honest companion to eval2's ROC-AUC: AP =
+      // Σ_t Δrecall·precision over DISTINCT 6dp score thresholds
+      // (tie-grouped, so the value is tie-order invariant). Every term
+      // is the rational d_pos·TP/(P·TOT) — rounded to 12dp by EXACT
+      // INTEGER half-up division (the a32 boundary lesson: count
+      // products are routinely pure 2^a·5^b, exactly where float
+      // rounding splits engines), summed as longs, final 6dp round in
+      // integer too. The threshold window is bounded by the eval set
+      // (the rrfFuse convention).
+      (s, dir) => {
+        val d = docs(s, dir)
+        val labeled = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
+        val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val scored = Cls.scoreLinear(d, "doc_id", "text", w, bias,
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val lab = d.select(col("doc_id"), (col("lang") === "en").cast("long").as("_y"))
+        val g = scored.join(lab, "doc_id")
+          .groupBy("score")
+          .agg(sum(col("_y")).as("_dp"), count(lit(1)).as("_dt"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val p = g.agg(sum(col("_dp")).as("_p"), sum(col("_dt")).as("_n"))
+        g.select(col("_dp"),
+            sum(col("_dp")).over(wCum).as("_tp"),
+            sum(col("_dt")).over(wCum).as("_tot"))
+          .filter(col("_dp") > 0)
+          .crossJoin(broadcast(p))
+          .withColumn("_t12", expr(
+            "(2 * CAST(_dp AS DECIMAL(38,0)) * CAST(_tp AS DECIMAL(38,0))" +
+            " * 1000000000000 + CAST(_p AS DECIMAL(38,0)) * CAST(_tot AS DECIMAL(38,0)))" +
+            " div (2 * CAST(_p AS DECIMAL(38,0)) * CAST(_tot AS DECIMAL(38,0)))"))
+          .agg(min(col("_p")).as("_pp"), min(col("_n")).as("_nn"),
+            sum(col("_t12")).as("_s12"))
+          .select(col("_pp").as("n_pos"), (col("_nn") - col("_pp")).as("n_neg"),
+            (expr("(2 * _s12 + 1000000) div 2000000").cast("double") /
+              lit(1e6)).as("ap"))
+      },
+      Some("WITH " + nbScoreCtes +
+        """,
+          |scored AS (
+          |  SELECT d.doc_id,
+          |    round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6) AS score,
+          |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          |  FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)),
+          |g AS (
+          |  SELECT score, CAST(SUM(y) AS BIGINT) AS dp, count(*) AS dt
+          |  FROM scored GROUP BY 1),
+          |c AS (
+          |  SELECT dp,
+          |    CAST(SUM(dp) OVER (ORDER BY score DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+          |    CAST(SUM(dt) OVER (ORDER BY score DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tot
+          |  FROM g),
+          |p AS (SELECT CAST(SUM(dp) AS BIGINT) AS p,
+          |             CAST(SUM(dt) AS BIGINT) AS n FROM g),
+          |terms AS (
+          |  SELECT (2 * CAST(c.dp AS HUGEINT) * CAST(c.tp AS HUGEINT)
+          |            * 1000000000000
+          |          + CAST(p.p AS HUGEINT) * CAST(c.tot AS HUGEINT))
+          |         // (2 * CAST(p.p AS HUGEINT) * CAST(c.tot AS HUGEINT)) AS t12
+          |  FROM c, p WHERE c.dp > 0),
+          |s AS (SELECT CAST(SUM(t12) AS BIGINT) AS s12 FROM terms)
+          |SELECT p.p AS n_pos, p.n - p.p AS n_neg,
+          |  CAST((2 * s.s12 + 1000000) // 2000000 AS DOUBLE) / 1000000.0 AS ap
+          |FROM p, s""".stripMargin)),
+
+    QueryDef("eval7_kappa",
+      // chance-corrected agreement of the langid heuristic vs the gold
+      // labels: Cohen's kappa + macro-F1 over eval1's confusion matrix
+      // (the single-scalar pair eval1's per-cell view doesn't give).
+      // The matrix is langs²-sized and pinned once; every statistic is
+      // a ratio of EXACT integer sums shipped as ONE unrounded IEEE
+      // division chain (the w22 rule: raw quotients replay bit-for-bit
+      // — rounding near count-product boundaries is what flips).
+      // Per-class F1 quantizes through exact integer micro-units
+      // before the macro mean so the sum order can't leak.
+      (s, dir) => {
+        val cells = graft.Caches.trackedPersist(
+          docs(s, dir)
+            .select(col("lang").as("gold"),
+              T.languageId(col("text")).as("pred"))
+            .groupBy("gold", "pred").agg(count(lit(1)).as("n")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rows = cells.groupBy(col("gold").as("cls")).agg(sum("n").as("_row"))
+        val cols = cells.groupBy(col("pred").as("cls")).agg(sum("n").as("_col"))
+        val diag = cells.filter(col("gold") === col("pred"))
+          .select(col("gold").as("cls"), col("n").as("_tp"))
+        val perClass = rows
+          .join(cols, Seq("cls"), "left")
+          .join(diag, Seq("cls"), "left")
+          .select(col("cls"), col("_row"),
+            coalesce(col("_col"), lit(0L)).as("_colf"),
+            coalesce(col("_tp"), lit(0L)).as("_tpf"))
+          .withColumn("_f1u", expr(
+            "(2 * (2 * _tpf) * 1000000 + (_row + _colf)) div (2 * (_row + _colf))"))
+        val peNum = rows.join(cols, Seq("cls"), "full")
+          .agg(sum(coalesce(col("_row"), lit(0L)) *
+            coalesce(col("_col"), lit(0L))).as("_pe"))
+        val base = cells.agg(sum("n").as("_n"),
+          sum(when(col("gold") === col("pred"), col("n"))).as("_diag"))
+        val macros = perClass.agg(count(lit(1)).as("_k"), sum("_f1u").as("_f1s"))
+        base.crossJoin(broadcast(peNum)).crossJoin(broadcast(macros))
+          .withColumn("_po", col("_diag").cast("double") / col("_n").cast("double"))
+          .withColumn("_pex", col("_pe").cast("double") /
+            (col("_n") * col("_n")).cast("double"))
+          .select(col("_n").as("n"), col("_k").as("n_classes"),
+            col("_po").as("accuracy"),
+            col("_pex").as("expected_accuracy"),
+            ((col("_po") - col("_pex")) / (lit(1.0) - col("_pex"))).as("kappa"),
+            (col("_f1s").cast("double") /
+              (col("_k") * lit(1000000L)).cast("double")).as("macro_f1"))
+      },
+      Some(raw"""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |h AS (SELECT doc_id, lang,
+             |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))) AS h_de,
+             |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS h_en,
+             |  len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','por','para','que','con'], x))) AS h_es,
+             |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','pour','dans','que','des'], x))) AS h_fr
+             |FROM t),
+             |pd AS (SELECT doc_id, lang AS gold,
+             |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+             |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             |       WHEN h_es >= h_fr THEN 'es'
+             |       ELSE 'fr' END AS pred
+             |FROM h),
+             |cells AS (SELECT gold, pred, count(*) AS n FROM pd GROUP BY 1, 2),
+             |rws AS (SELECT gold AS cls, CAST(SUM(n) AS BIGINT) AS r
+             |        FROM cells GROUP BY 1),
+             |cls AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS c
+             |        FROM cells GROUP BY 1),
+             |dg AS (SELECT gold AS cls, n AS tp FROM cells WHERE gold = pred),
+             |pc AS (
+             |  SELECT rws.cls, rws.r, coalesce(cls.c, 0) AS c,
+             |    coalesce(dg.tp, 0) AS tp
+             |  FROM rws LEFT JOIN cls USING (cls) LEFT JOIN dg USING (cls)),
+             |f1 AS (
+             |  SELECT cls,
+             |    (2 * (2 * tp) * 1000000 + (r + c)) // (2 * (r + c)) AS f1u
+             |  FROM pc),
+             |pe AS (
+             |  SELECT CAST(SUM(coalesce(rws.r, 0) * coalesce(cls.c, 0)) AS BIGINT)
+             |    AS pe
+             |  FROM rws FULL JOIN cls USING (cls)),
+             |base AS (
+             |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN gold = pred THEN n ELSE 0 END) AS BIGINT)
+             |      AS diag
+             |  FROM cells),
+             |mac AS (SELECT count(*) AS k, CAST(SUM(f1u) AS BIGINT) AS f1s FROM f1)
+             |SELECT base.n, mac.k AS n_classes,
+             |  CAST(base.diag AS DOUBLE) / CAST(base.n AS DOUBLE) AS accuracy,
+             |  CAST(pe.pe AS DOUBLE) / CAST(base.n * base.n AS DOUBLE)
+             |    AS expected_accuracy,
+             |  (CAST(base.diag AS DOUBLE) / CAST(base.n AS DOUBLE)
+             |   - CAST(pe.pe AS DOUBLE) / CAST(base.n * base.n AS DOUBLE))
+             |  / (1.0 - CAST(pe.pe AS DOUBLE) / CAST(base.n * base.n AS DOUBLE))
+             |    AS kappa,
+             |  CAST(mac.f1s AS DOUBLE) / CAST(mac.k * 1000000 AS DOUBLE)
+             |    AS macro_f1
+             |FROM base, pe, mac""".stripMargin)),
+
+    QueryDef("eval8_lift",
+      // decile lift & cumulative-gains table for the cls1 scores — the
+      // campaign-targeting eval ("how concentrated are the positives in
+      // the top-scored slices?"). Deciles come from ntile(10) over a
+      // TOTAL order (score desc, doc_id — both engines split remainders
+      // identically); every reported ratio is one unrounded IEEE
+      // division of exact long products (< 2^53). The global ntile is
+      // bounded by the eval set (the rrfFuse convention).
+      (s, dir) => {
+        val d = docs(s, dir)
+        val labeled = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
+        val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val scored = Cls.scoreLinear(d, "doc_id", "text", w, bias,
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val lab = d.select(col("doc_id"), (col("lang") === "en").cast("long").as("_y"))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        val deciles = scored.join(lab, "doc_id")
+          .withColumn("decile", ntile(10).over(wOrd))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"))
+        val tot = deciles.agg(sum("n").as("_nn"), sum("n_pos").as("_pp"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        deciles
+          .withColumn("_cum", sum(col("n_pos")).over(wCum))
+          .crossJoin(broadcast(tot))
+          .select(col("decile"), col("n"), col("n_pos"),
+            (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+            ((col("n_pos") * col("_nn")).cast("double") /
+              (col("n") * col("_pp")).cast("double")).as("lift"),
+            (col("_cum").cast("double") / col("_pp").cast("double")).as("cum_gain"))
+          .orderBy("decile")
+      },
+      Some("WITH " + nbScoreCtes +
+        """,
+          |scored AS (
+          |  SELECT d.doc_id,
+          |    round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6) AS score,
+          |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          |  FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)),
+          |dec AS (
+          |  SELECT CAST(ntile(10) OVER (ORDER BY score DESC, doc_id)
+          |              AS INTEGER) AS decile, y
+          |  FROM scored),
+          |g AS (
+          |  SELECT decile, count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+          |  FROM dec GROUP BY 1),
+          |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+          |              CAST(SUM(n_pos) AS BIGINT) AS pp FROM g),
+          |c AS (
+          |  SELECT decile, n, n_pos,
+          |    CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+          |         AS BIGINT) AS cum
+          |  FROM g)
+          |SELECT decile, n, n_pos,
+          |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+          |  CAST(n_pos * tt.nn AS DOUBLE) / CAST(n * tt.pp AS DOUBLE) AS lift,
+          |  CAST(cum AS DOUBLE) / CAST(tt.pp AS DOUBLE) AS cum_gain
+          |FROM c, tt ORDER BY decile""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
