@@ -9007,7 +9007,146 @@ object Queries {
           |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
           |  CAST(n_pos * tt.nn AS DOUBLE) / CAST(n * tt.pp AS DOUBLE) AS lift,
           |  CAST(cum AS DOUBLE) / CAST(tt.pp AS DOUBLE) AS cum_gain
-          |FROM c, tt ORDER BY decile""".stripMargin))
+          |FROM c, tt ORDER BY decile""".stripMargin)),
+
+    QueryDef("port1_momentum_backtest",
+      // monthly-rebalanced cross-sectional momentum long-short backtest
+      // — w36's daily diagnostic promoted to the full factor-portfolio
+      // loop: month-end closes → monthly returns → quintile formation
+      // on LAST month's return (ntile over a total order) → equal-weight
+      // NEXT-month returns for the winner (q1) and loser (q5) books →
+      // the q1−q5 spread compounded into an equity curve at 10% book
+      // exposure with the spread winsorized to ±90%/month (the
+      // position-sizing discipline that also keeps the exact state in
+      // decimal(20,8) range — revenue-proxy "returns" swing far wider
+      // than real prices). Determinism end-to-end: month closes are
+      // exact 2dp decimals, monthly returns round 6dp to micro-units,
+      // the per-book MEAN uses the a32 exact-integer half-up division
+      // (shifted +10⁷ micro so the sign never changes the truncation;
+      // a book month can lose at most 100%), and the equity curve is
+      // the e17 exact-decimal product recursion — factor (1 + ls/10)
+      // built by exact decimal MULTIPLICATION (×1e-7), never a decimal
+      // division. The global month fold is bounded by the calendar.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+        val mc = p.groupBy(col("ticker"), trunc(col("date"), "month").as("month"))
+          .agg(max(struct(col("date").as("d"), col("close").as("c")))
+            .getField("c").cast("decimal(12,2)").as("mclose"))
+        val wT = Window.partitionBy("ticker").orderBy("month")
+        val mr = mc
+          .withColumn("mret", round(col("mclose").cast("double") /
+            lag(col("mclose"), 1).over(wT).cast("double") - 1, 6)
+            .cast("decimal(10,6)"))
+          .withColumn("fwd", lead(col("mret"), 1).over(wT))
+          .filter(col("mret").isNotNull && col("fwd").isNotNull)
+        val wM = Window.partitionBy("month")
+          .orderBy(col("mret").desc, col("ticker"))
+        val books = mr.withColumn("q", ntile(5).over(wM))
+          .filter(col("q") === 1 || col("q") === 5)
+          .groupBy("month", "q")
+          .agg(count(lit(1)).as("n"),
+            sum((col("fwd") * lit(1000000)).cast("long")).as("_s6"))
+          .withColumn("_mu", expr(
+            "(2 * (_s6 + n * 10000000) + n) div (2 * n) - 10000000"))
+        val piv = books.groupBy("month")
+          .agg(max(when(col("q") === 1, col("_mu"))).as("a"),
+            max(when(col("q") === 5, col("_mu"))).as("b"),
+            max(when(col("q") === 1, col("n"))).as("na"),
+            max(when(col("q") === 5, col("n"))).as("nb"))
+          .filter(col("a").isNotNull && col("b").isNotNull)
+          .withColumn("l", least(greatest(col("a") - col("b"),
+            lit(-900000L)), lit(900000L)))
+        val arr = piv.agg(array_sort(collect_list(struct(
+          col("month").as("m"), col("a").as("a"), col("b").as("b"),
+          col("na").as("na"), col("nb").as("nb"), col("l").as("l")))).as("_xs"))
+        val dec = "decimal(20,8)"
+        val micro = lit(new java.math.BigDecimal("0.0000001")).cast("decimal(8,7)")
+        val init = struct(
+          lit(java.math.BigDecimal.ONE).cast(dec).as("eq"),
+          slice(transform(col("_xs"), a => struct(a.getField("m").as("m"),
+            a.getField("a").as("a"), a.getField("b").as("b"),
+            a.getField("na").as("na"), a.getField("nb").as("nb"),
+            a.getField("l").as("l"), lit(0.0).as("e"))), 1, 0).as("out"))
+        val folded = aggregate(col("_xs"), init, (acc, a) => {
+          val f = ((lit(10000000L) + a.getField("l")).cast("decimal(16,0)") *
+            micro).cast("decimal(16,7)")
+          val eq2 = round(acc.getField("eq") * f, 8).cast(dec)
+          struct(eq2.as("eq"),
+            concat(acc.getField("out"), array(struct(a.getField("m").as("m"),
+              a.getField("a").as("a"), a.getField("b").as("b"),
+              a.getField("na").as("na"), a.getField("nb").as("nb"),
+              a.getField("l").as("l"), eq2.cast("double").as("e")))).as("out"))
+        })
+        arr.select(explode(folded.getField("out")).as("_r"))
+          .select(col("_r.m").as("month"),
+            col("_r.na").as("n_q1"), col("_r.nb").as("n_q5"),
+            (col("_r.a").cast("double") / lit(1e6)).as("q1_ret"),
+            (col("_r.b").cast("double") / lit(1e6)).as("q5_ret"),
+            (col("_r.l").cast("double") / lit(1e6)).as("long_short"),
+            col("_r.e").as("equity"))
+          .orderBy("month")
+      },
+      Some(pricesSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, mc AS (
+          |  SELECT ticker, date_trunc('month', "date") AS month,
+          |    CAST((MAX({'d': "date", 'c': close})).c AS DECIMAL(12,2))
+          |      AS mclose
+          |  FROM prices GROUP BY 1, 2),
+          |mr0 AS (
+          |  SELECT ticker, month,
+          |    CAST(round(CAST(mclose AS DOUBLE) /
+          |      CAST(lag(mclose) OVER (PARTITION BY ticker ORDER BY month)
+          |           AS DOUBLE) - 1, 6) AS DECIMAL(10,6)) AS mret
+          |  FROM mc),
+          |mr AS (
+          |  SELECT ticker, month, mret,
+          |    lead(mret) OVER (PARTITION BY ticker ORDER BY month) AS fwd
+          |  FROM mr0),
+          |qq AS (
+          |  SELECT month, mret, fwd,
+          |    ntile(5) OVER (PARTITION BY month
+          |                   ORDER BY mret DESC, ticker) AS q
+          |  FROM mr WHERE mret IS NOT NULL AND fwd IS NOT NULL),
+          |books AS (
+          |  SELECT month, q, count(*) AS n,
+          |    CAST(SUM(CAST(fwd * 1000000 AS BIGINT)) AS BIGINT) AS s6
+          |  FROM qq WHERE q IN (1, 5) GROUP BY 1, 2),
+          |mu AS (
+          |  SELECT month, q, n,
+          |    (2 * (s6 + n * 10000000) + n) // (2 * n) - 10000000 AS mu
+          |  FROM books),
+          |piv AS (
+          |  SELECT month,
+          |    max(CASE WHEN q = 1 THEN mu END) AS a,
+          |    max(CASE WHEN q = 5 THEN mu END) AS b,
+          |    max(CASE WHEN q = 1 THEN n END) AS na,
+          |    max(CASE WHEN q = 5 THEN n END) AS nb
+          |  FROM mu GROUP BY 1),
+          |mm AS MATERIALIZED (
+          |  SELECT month, a, b, na, nb,
+          |    least(greatest(a - b, -900000), 900000) AS l,
+          |    CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS idx
+          |  FROM piv WHERE a IS NOT NULL AND b IS NOT NULL),
+          |eqr(idx, month, a, b, na, nb, l, eq) AS (
+          |  SELECT idx, month, a, b, na, nb, l,
+          |    CAST(round(CAST(1 AS DECIMAL(20,8)) *
+          |      CAST(CAST(10000000 + l AS DECIMAL(16,0))
+          |           * CAST(0.0000001 AS DECIMAL(8,7)) AS DECIMAL(16,7)), 8)
+          |      AS DECIMAL(20,8))
+          |  FROM mm WHERE idx = 1
+          |  UNION ALL
+          |  SELECT s.idx, s.month, s.a, s.b, s.na, s.nb, s.l,
+          |    CAST(round(eqr.eq *
+          |      CAST(CAST(10000000 + s.l AS DECIMAL(16,0))
+          |           * CAST(0.0000001 AS DECIMAL(8,7)) AS DECIMAL(16,7)), 8)
+          |      AS DECIMAL(20,8))
+          |  FROM eqr JOIN mm s ON s.idx = eqr.idx + 1)
+          |SELECT month, na AS n_q1, nb AS n_q5,
+          |  CAST(a AS DOUBLE) / 1000000.0 AS q1_ret,
+          |  CAST(b AS DOUBLE) / 1000000.0 AS q5_ret,
+          |  CAST(l AS DOUBLE) / 1000000.0 AS long_short,
+          |  CAST(eq AS DOUBLE) AS equity
+          |FROM eqr ORDER BY month""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
