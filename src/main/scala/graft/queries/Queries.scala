@@ -9146,7 +9146,190 @@ object Queries {
           |  CAST(b AS DOUBLE) / 1000000.0 AS q5_ret,
           |  CAST(l AS DOUBLE) / 1000000.0 AS long_short,
           |  CAST(eq AS DOUBLE) AS equity
-          |FROM eqr ORDER BY month""".stripMargin))
+          |FROM eqr ORDER BY month""".stripMargin)),
+
+    QueryDef("a33_welch_ttest",
+      // Welch's unequal-variance two-sample t-test over purchase values
+      // (hash-split A/B arms by user id parity) — the experiment-eval
+      // primitive next to a27's KS distance: group moments from EXACT
+      // decimal sums of 6dp-rounded values, then ONE unrounded IEEE
+      // chain for t and the Welch–Satterthwaite df (the w22 rule: raw
+      // quotients of identical inputs replay bit-for-bit; the p-value
+      // lookup belongs to the caller's stats library, not the engine).
+      (s, dir) => {
+        val x = events(s, dir).filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2 === 0).as("_a"),
+            col("value").cast("decimal(18,2)").as("_x"))
+        val g = x.groupBy("_a")
+          .agg(count(lit(1)).as("_n"),
+            sum(col("_x")).cast("double").as("_sx"),
+            sum(col("_x") * col("_x")).cast("double").as("_sxx"))
+          .withColumn("_m", col("_sx") / col("_n").cast("double"))
+          .withColumn("_v", (col("_sxx") - col("_sx") * col("_sx") /
+            col("_n").cast("double")) / (col("_n").cast("double") - lit(1.0)))
+        val a = g.filter(col("_a")).select(col("_n").as("n_a"),
+          col("_m").as("mean_a"), col("_v").as("_va"))
+        val b = g.filter(!col("_a")).select(col("_n").as("n_b"),
+          col("_m").as("mean_b"), col("_v").as("_vb"))
+        a.crossJoin(b)
+          .withColumn("_wa", col("_va") / col("n_a").cast("double"))
+          .withColumn("_wb", col("_vb") / col("n_b").cast("double"))
+          .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+            ((col("mean_a") - col("mean_b")) /
+              sqrt(col("_wa") + col("_wb"))).as("t_stat"),
+            (((col("_wa") + col("_wb")) * (col("_wa") + col("_wb"))) /
+              (col("_wa") * col("_wa") / (col("n_a").cast("double") - lit(1.0)) +
+               col("_wb") * col("_wb") / (col("n_b").cast("double") - lit(1.0))))
+              .as("df"))
+      },
+      Some("""WITH x AS (
+             |  SELECT (user_id % 2 = 0) AS a,
+             |    CAST(value AS DECIMAL(18,2)) AS x
+             |  FROM events WHERE event_type = 'purchase'),
+             |g AS (
+             |  SELECT a, count(*) AS n,
+             |    CAST(SUM(x) AS DOUBLE) AS sx,
+             |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+             |  FROM x GROUP BY 1),
+             |m AS (
+             |  SELECT a, n, sx / CAST(n AS DOUBLE) AS mean,
+             |    (sxx - sx * sx / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0) AS v
+             |  FROM g),
+             |w AS (
+             |  SELECT ga.n AS n_a, gb.n AS n_b,
+             |    ga.mean AS mean_a, gb.mean AS mean_b,
+             |    ga.v / CAST(ga.n AS DOUBLE) AS wa,
+             |    gb.v / CAST(gb.n AS DOUBLE) AS wb,
+             |    CAST(ga.n AS DOUBLE) AS na, CAST(gb.n AS DOUBLE) AS nb
+             |  FROM m ga, m gb WHERE ga.a AND NOT gb.a)
+             |SELECT n_a, n_b, mean_a, mean_b,
+             |  (mean_a - mean_b) / sqrt(wa + wb) AS t_stat,
+             |  ((wa + wb) * (wa + wb))
+             |  / (wa * wa / (na - 1.0) + wb * wb / (nb - 1.0)) AS df
+             |FROM w""".stripMargin)),
+
+    QueryDef("w39_streaks",
+      // longest up/down run per ticker (gaps-and-islands on the SIGN of
+      // the daily move — the scd1 island machinery pointed at momentum
+      // persistence). All-integer: sign, 1-lag change flag, running
+      // island id, one agg — exact cross-engine replay, no rounding
+      // contract. Flat days (ret = 0) break both kinds of streak.
+      (s, dir) => {
+        val r = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .withColumn("_sgn", signum(col("ret")).cast("int"))
+        val w = Window.partitionBy("ticker").orderBy("date")
+        val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+        val isl = r
+          .withColumn("_chg", when(lag(col("_sgn"), 1).over(w)
+            .isNotNull && lag(col("_sgn"), 1).over(w) === col("_sgn"), 0)
+            .otherwise(1))
+          .withColumn("_grp", sum(col("_chg")).over(wCum))
+        val runs = isl.filter(col("_sgn") =!= 0)
+          .groupBy("ticker", "_grp", "_sgn")
+          .agg(count(lit(1)).as("_len"))
+        runs.groupBy("ticker")
+          .agg(max(when(col("_sgn") === 1, col("_len"))).as("longest_up"),
+            max(when(col("_sgn") === -1, col("_len"))).as("longest_down"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, sg AS (
+          |  SELECT ticker, "date", CAST(sign(ret) AS INTEGER) AS sgn
+          |  FROM r WHERE ret IS NOT NULL),
+          |f AS (
+          |  SELECT ticker, "date", sgn,
+          |    CASE WHEN lag(sgn) OVER (PARTITION BY ticker ORDER BY "date")
+          |              = sgn THEN 0 ELSE 1 END AS chg
+          |  FROM sg),
+          |g AS (
+          |  SELECT ticker, sgn,
+          |    SUM(chg) OVER (PARTITION BY ticker ORDER BY "date"
+          |                   ROWS UNBOUNDED PRECEDING) AS grp
+          |  FROM f),
+          |runs AS (
+          |  SELECT ticker, grp, sgn, count(*) AS len
+          |  FROM g WHERE sgn <> 0 GROUP BY 1, 2, 3)
+          |SELECT ticker,
+          |  max(CASE WHEN sgn = 1 THEN len END) AS longest_up,
+          |  max(CASE WHEN sgn = -1 THEN len END) AS longest_down
+          |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("e19_path_trigrams",
+      // top-20 behavioral trigrams: the most common 3-step event-type
+      // paths across user sessions (transition-matrix e15 stretched to
+      // path mining). Two leads over the per-user time order, one
+      // count, one bounded TakeOrdered (ORDER BY n DESC + full type
+      // tiebreak → deterministic top-k, never a global sort of the
+      // path space). All-integer.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .withColumn("_e2", lead(col("event_type"), 1).over(w))
+          .withColumn("_e3", lead(col("event_type"), 2).over(w))
+          .filter(col("_e2").isNotNull && col("_e3").isNotNull)
+          .groupBy(col("event_type").as("step1"), col("_e2").as("step2"),
+            col("_e3").as("step3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+          .limit(20)
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type AS step1,
+             |    lead(event_type, 1) OVER w AS step2,
+             |    lead(event_type, 2) OVER w AS step3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT step1, step2, step3, count(*) AS n
+             |FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin)),
+
+    QueryDef("g10_two_hop_reach",
+      // exact 2-hop neighborhood size per node over the first-two-years
+      // co-purchase graph — the friend-of-a-friend reach metric (how
+      // much of the catalog is "two purchases away"). The Σ deg² wedge
+      // join is bounded by the same shipdate cut as g3 (the convention
+      // for quadratic-in-degree graph ops); reach counts DISTINCT
+      // nodes, excluding self and direct neighbors. All-integer.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        val two = pairs.as("x").join(pairs.as("y"), col("x.v") === col("y.u"))
+          .select(col("x.u").as("u"), col("y.v").as("w"))
+          .filter(col("u") =!= col("w"))
+          .distinct()
+          .join(pairs.select(col("u"), col("v").as("w")),
+            Seq("u", "w"), "left_anti")
+          .groupBy("u").agg(count(lit(1)).as("n2"))
+        pairs.groupBy("u").agg(count(lit(1)).as("deg"))
+          .join(two, Seq("u"), "left")
+          .select(col("u").as("node"), col("deg"),
+            (col("deg") + coalesce(col("n2"), lit(0L))).as("reach2"))
+          .orderBy("node")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+             |            WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+             |two AS (
+             |  SELECT x.u, count(*) AS n2 FROM (
+             |    SELECT DISTINCT x.u, y.v AS w
+             |    FROM e x JOIN e y ON x.v = y.u
+             |    WHERE x.u <> y.v) x
+             |  WHERE NOT EXISTS (SELECT 1 FROM e
+             |                    WHERE e.u = x.u AND e.v = x.w)
+             |  GROUP BY 1),
+             |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1)
+             |SELECT deg.u AS node, deg.deg,
+             |  deg.deg + coalesce(two.n2, 0) AS reach2
+             |FROM deg LEFT JOIN two USING (u) ORDER BY node""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
