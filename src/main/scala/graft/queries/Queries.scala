@@ -9329,7 +9329,178 @@ object Queries {
              |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1)
              |SELECT deg.u AS node, deg.deg,
              |  deg.deg + coalesce(two.n2, 0) AS reach2
-             |FROM deg LEFT JOIN two USING (u) ORDER BY node""".stripMargin))
+             |FROM deg LEFT JOIN two USING (u) ORDER BY node""".stripMargin)),
+
+    QueryDef("a34_association_rules",
+      // market-basket association rules over orders: every directed
+      // part pair with co-occurrence support ≥ 5 orders, with
+      // confidence n_ab/n_a and lift n_ab·N/(n_a·n_b) — the
+      // recommender-rule primitive the g-family's edge lists feed.
+      // Per-order pair fan-out is bounded by order SIZE (≤7 lines in
+      // this schema), never by part popularity; supports are exact
+      // longs and both ratios ship as single unrounded IEEE divisions
+      // of sub-2⁵³ integer products (the a33 convention).
+      (s, dir) => {
+        val op = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = op.select("ok").distinct().agg(count(lit(1)).as("_N"))
+        val partN = op.groupBy(col("pk")).agg(count(lit(1)).as("_np"))
+        val pairN = op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .groupBy(col("a.pk").as("ante"), col("b.pk").as("cons"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+        pairN
+          .join(partN.select(col("pk").as("ante"), col("_np").as("_na")), "ante")
+          .join(partN.select(col("pk").as("cons"), col("_np").as("_nb")), "cons")
+          .crossJoin(broadcast(nOrders))
+          .select(col("ante"), col("cons"), col("n_ab"),
+            col("_na").as("n_ante"), col("_nb").as("n_cons"),
+            (col("n_ab").cast("double") / col("_na").cast("double"))
+              .as("confidence"),
+            ((col("n_ab") * col("_N")).cast("double") /
+              (col("_na") * col("_nb")).cast("double")).as("lift"))
+          .orderBy("ante", "cons")
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem),
+             |nn AS (SELECT count(DISTINCT ok) AS n FROM op),
+             |pn AS (SELECT pk, count(*) AS np FROM op GROUP BY 1),
+             |pr AS (
+             |  SELECT a.pk AS ante, b.pk AS cons, count(*) AS n_ab
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT pr.ante, pr.cons, pr.n_ab,
+             |  pa.np AS n_ante, pb.np AS n_cons,
+             |  CAST(pr.n_ab AS DOUBLE) / CAST(pa.np AS DOUBLE) AS confidence,
+             |  CAST(pr.n_ab * nn.n AS DOUBLE)
+             |    / CAST(pa.np * pb.np AS DOUBLE) AS lift
+             |FROM pr JOIN pn pa ON pr.ante = pa.pk
+             |        JOIN pn pb ON pr.cons = pb.pk
+             |        CROSS JOIN nn
+             |ORDER BY ante, cons""".stripMargin)),
+
+    QueryDef("w40_garch_filter",
+      // GARCH(1,1) conditional-variance filter per ticker with pinned
+      // parameters (ω=2e-6, α=0.10, β=0.85 — the filter-given-params
+      // op; calibration belongs to a stats library): v_t = ω +
+      // α·r²_{t-1} + β·v_{t-1}, seeded at the ticker's mean squared
+      // return, inputs winsorized to ±1000% (the port1 discipline —
+      // revenue-proxy returns have wild tails; the clamp also bounds
+      // the integer state). The ENTIRE recursion runs in exact integer picounits
+      // (α,β are rationals — each term one half-up integer division,
+      // the a32 discipline), so every step replays bit-for-bit in the
+      // oracle's recursive CTE; only the final σ = √v is IEEE (sqrt is
+      // correctly rounded). Per-ticker fold, array-bounded by the
+      // entity's history (the w28 pattern).
+      (s, dir) => {
+        val r6 = round(col("ret"), 6).cast("decimal(10,6)")
+        val rc = least(greatest(r6, lit(-10).cast("decimal(10,6)")),
+          lit(10).cast("decimal(10,6)"))
+        val base = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .select(col("ticker"), col("date"),
+            (rc * rc * lit(1000000000000L)).cast("long").as("_r2p"))
+        val seed = base.groupBy("ticker")
+          .agg(count(lit(1)).as("_n"), sum(col("_r2p")).as("_s"))
+          .withColumn("_v0", expr("(2 * _s + _n) div (2 * _n)"))
+        val arr = base.groupBy("ticker")
+          .agg(array_sort(collect_list(struct(col("date").as("d"),
+            col("_r2p").as("r2")))).as("_xs"))
+        val step = "2000000L + ((2L * acc.pr2 + 10L) div 20L)" +
+          " + ((170L * acc.v + 100L) div 200L)"
+        seed.join(arr, "ticker")
+          .withColumn("_f", expr(
+            s"""aggregate(_xs,
+               |  named_struct('v', CAST(0 AS BIGINT), 'pr2', CAST(0 AS BIGINT),
+               |    'out', CAST(array() AS ARRAY<STRUCT<d: DATE, v: BIGINT>>)),
+               |  (acc, a) -> named_struct(
+               |    'v', CASE WHEN size(acc.out) = 0 THEN _v0 ELSE $step END,
+               |    'pr2', a.r2,
+               |    'out', concat(acc.out, array(named_struct('d', a.d,
+               |      'v', CASE WHEN size(acc.out) = 0 THEN _v0
+               |                ELSE $step END)))))""".stripMargin))
+          .select(col("ticker"), explode(col("_f.out")).as("_r"))
+          .select(col("ticker"), col("_r.d").as("date"),
+            (col("_r.v").cast("double") / lit(1e12)).as("var_garch"),
+            sqrt(col("_r.v").cast("double") / lit(1e12)).as("sigma"))
+          .orderBy("ticker", "date")
+      },
+      Some((pricesSql + retSql).replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, x AS (
+          |  SELECT ticker, "date",
+          |    least(greatest(CAST(round(ret, 6) AS DECIMAL(10,6)),
+          |      CAST(-10 AS DECIMAL(10,6))), CAST(10 AS DECIMAL(10,6))) AS rc,
+          |    CAST(row_number() OVER (PARTITION BY ticker ORDER BY "date")
+          |         AS BIGINT) AS rn
+          |  FROM r WHERE ret IS NOT NULL),
+          |r2 AS (
+          |  SELECT ticker, "date", rn,
+          |    CAST(rc * rc * 1000000000000 AS BIGINT) AS r2p
+          |  FROM x),
+          |sd AS (SELECT ticker, count(*) AS n, CAST(SUM(r2p) AS BIGINT) AS s
+          |       FROM r2 GROUP BY 1),
+          |v0 AS (SELECT ticker, (2 * s + n) // (2 * n) AS v0 FROM sd),
+          |g(ticker, rn, d, v, pr2) AS (
+          |  SELECT r2.ticker, r2.rn, r2."date", v0.v0, r2.r2p
+          |  FROM r2 JOIN v0 USING (ticker) WHERE rn = 1
+          |  UNION ALL
+          |  SELECT nx.ticker, nx.rn, nx."date",
+          |    2000000 + (2 * g.pr2 + 10) // 20 + (170 * g.v + 100) // 200,
+          |    nx.r2p
+          |  FROM g JOIN r2 nx ON nx.ticker = g.ticker AND nx.rn = g.rn + 1)
+          |SELECT ticker, d AS "date",
+          |  CAST(v AS DOUBLE) / 1000000000000.0 AS var_garch,
+          |  sqrt(CAST(v AS DOUBLE) / 1000000000000.0) AS sigma
+          |FROM g ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("e20_active_users",
+      // rolling engagement: DAU / trailing-7-day WAU / trailing-28-day
+      // MAU per calendar day. Each (user, active-day) row fans out to
+      // the FIXED number of window days it covers (7 and 28 — bounded
+      // explode, the scalable rolling-distinct shape; never a per-day
+      // distinct scan over the raw log), then two-level aggs dedup
+      // (day, user) before counting. All-integer.
+      (s, dir) => {
+        val act = events(s, dir)
+          .select(col("user_id").as("u"), to_date(col("ts")).as("d"))
+          .distinct()
+        val span = act.agg(min(col("d")).as("_lo"), max(col("d")).as("_hi"))
+        val dau = act.groupBy(col("d").as("day"))
+          .agg(count(lit(1)).as("dau"))
+        def rolling(win: Int, name: String) = act
+          .select(col("u"), explode(sequence(col("d"),
+            date_add(col("d"), win - 1))).as("day"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as(name))
+        dau.join(rolling(7, "wau"), Seq("day"))
+          .join(rolling(28, "mau"), Seq("day"))
+          .crossJoin(broadcast(span))
+          .filter(col("day").between(col("_lo"), col("_hi")))
+          .select(col("day"), col("dau"), col("wau"), col("mau"))
+          .orderBy("day")
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |  FROM events),
+             |span AS (SELECT min(d) AS lo, max(d) AS hi FROM act),
+             |dau AS (SELECT d AS day, count(*) AS dau FROM act GROUP BY 1),
+             |wau AS (
+             |  SELECT day, count(*) AS wau FROM (
+             |    SELECT DISTINCT u, unnest(generate_series(d, d + 6,
+             |      INTERVAL 1 DAY))::DATE AS day
+             |    FROM act) GROUP BY 1),
+             |mau AS (
+             |  SELECT day, count(*) AS mau FROM (
+             |    SELECT DISTINCT u, unnest(generate_series(d, d + 27,
+             |      INTERVAL 1 DAY))::DATE AS day
+             |    FROM act) GROUP BY 1)
+             |SELECT dau.day, dau.dau, wau.wau, mau.mau
+             |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+             |         CROSS JOIN span
+             |WHERE dau.day BETWEEN span.lo AND span.hi
+             |ORDER BY day""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
