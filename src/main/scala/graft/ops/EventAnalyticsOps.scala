@@ -240,4 +240,152 @@ object EventAnalyticsOps {
         round(col("n").cast("double") / col("_tot").cast("double"), 6).as("p"))
       .orderBy("from_type", "to_type")
   }
+
+  /** Activity-concentration profile of the event log: exact Gini
+    * coefficient of per-entity event counts plus the share of all
+    * events produced by the most-active 1% / 5% / 10% of entities —
+    * the "is one crawler/user dominating ingestion" audit, and the
+    * power-law check a source-mixing pipeline runs before trusting
+    * per-source token budgets (d8/d21 consume what this measures).
+    *
+    * Every statistic is computed from the count-of-counts HISTOGRAM,
+    * not from per-entity rows: entities with the same activity level
+    * are interchangeable in every formula (Gini is Σ rank·x over the
+    * ASCENDING sort, and a run of m equal values v occupying positions
+    * p₀..p₀+m−1 contributes v·(m·(p₀−1) + m(m+1)/2); a top-k cut can
+    * only straddle ONE run, contributing v·(overlap)). So the plan is
+    * two hash aggregations (events → per-entity counts → histogram),
+    * one tiny cumulative window over DISTINCT ACTIVITY LEVELS (bounded
+    * by the max per-entity count, not by entities), and one final
+    * fold — nothing entity-cardinality ever sorts or windows.
+    *
+    * Determinism: counts, ranks and cut sums are exact integers
+    * (decimal(38) where products can pass 2⁶³); Gini and each share
+    * are single divisions of exact-decimal casts, rounded 6 dp. Top-k
+    * is k = max(1, ⌊n·pct/100⌋) entities by (count desc) — id order
+    * never matters because equal counts contribute equally to a sum.
+    */
+  def activityConcentration(events: DataFrame, idCol: String = "user_id",
+      topPcts: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(topPcts.nonEmpty && topPcts.forall(p => p >= 1 && p <= 100),
+      s"topPcts must be percentages in [1,100] (got $topPcts)")
+    val hist = events.groupBy(col(idCol).as("_id"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("_c")).agg(count(lit(1)).as("_m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("_cum", sum(col("_m")).over(w))
+      .withColumn("_before", col("_cum") - col("_m"))
+    val tot = cum.agg(sum(col("_m")).as("_n"),
+      sum(col("_c") * col("_m")).as("_s"))
+    val rows = cum.crossJoin(broadcast(tot))
+    // Σ rank·x in decimal: m·before alone can reach entities², and
+    // c·(…) passes 2⁶³ on a crawl-scale log.
+    val rankSum = sum(col("_c").cast("decimal(38,0)") *
+      (col("_m").cast("decimal(38,0)") * col("_before") +
+        (col("_m").cast("decimal(38,0)") * (col("_m") + 1)) / 2))
+    // events NOT in the top-k: the j = n−k least-active entities;
+    // a run overlaps the cut by min(m, j − before) entries.
+    def cutSum(pct: Int) = sum(col("_c").cast("decimal(38,0)") *
+      greatest(lit(0L), least(col("_m"),
+        col("_n") - greatest(lit(1L), expr(s"_n * $pct div 100")) - col("_before"))))
+    val aggCols = Seq(
+      first(col("_n")).as("n_entities"), first(col("_s")).as("n_events"),
+      rankSum.as("_a")) ++ topPcts.map(p => cutSum(p).as(s"_cut$p"))
+    val aggs = rows.agg(aggCols.head, aggCols.tail: _*)
+    val gini = round(
+      (col("_a") * 2 -
+        (col("n_entities").cast("decimal(38,0)") + 1) * col("n_events"))
+        .cast("double") /
+      (col("n_entities").cast("decimal(38,0)") * col("n_events"))
+        .cast("double"), 6)
+    aggs.select(Seq(col("n_entities"), col("n_events"), gini.as("gini")) ++
+      topPcts.map(p => round(
+        (col("n_events").cast("decimal(38,0)") - col(s"_cut$p")).cast("double") /
+          col("n_events").cast("double"), 6).as(s"share_top$p")): _*)
+  }
+
+  /** Robust daily-volume anomaly flags per event type: a (type, day)
+    * count is anomalous when |n − median| > 3·1.4826·MAD — the
+    * median/MAD analogue of the w7 z-score gate, immune to the very
+    * outliers it hunts (one flash-crash day shifts a mean and stddev;
+    * it cannot move the median of thirty days). The monitoring query an
+    * ingestion pipeline alerts on.
+    *
+    * Exactness: counts are integers, so the median and MAD are exact
+    * half-integers — carried ×2 and ×4 as longs — and the flag
+    * compares integer cross-products (|2n−2med|·10000 vs 2.2239·4MAD
+    * ·10000, in decimal to survive crawl-scale counts): NO float
+    * enters the decision, so engines cannot disagree on a boundary
+    * day. Reported median/mad divide the exact carriers by 2/4 (exact
+    * in binary).
+    *
+    * Scale shape: one hash agg to daily counts (map-side partials
+    * collapse the log inside scan tasks); medians are per-type
+    * percentiles over day-cardinality rows; the type-sized stats frame
+    * broadcasts back. Nothing event-cardinality shuffles twice.
+    */
+  def dailyCountAnomalies(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy("event_type")
+      .agg((expr("percentile(n, 0.5D)") * 2).cast("long").as("_med2"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("_dev2", abs(col("n") * 2 - col("_med2")))
+    val mad = dev.groupBy("event_type")
+      .agg((expr("percentile(_dev2, 0.5D)") * 2).cast("long").as("_mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("_med2").cast("double") / 2).as("median_n"),
+        (col("_mad4").cast("double") / 4).as("mad"),
+        (col("_dev2").cast("decimal(38,0)") * 20000 >
+          col("_mad4").cast("decimal(38,0)") * 44478).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Per-entity inter-arrival statistics: gap count, mean/stddev of
+    * the µs gaps between consecutive events, coefficient of variation,
+    * and the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ [−1, 1]
+    * (B→−1 periodic, 0 Poisson, →1 bursty) — the signal that separates
+    * a cron-driven scraper from an organic user, feeding the e18 rate
+    * limiter's tier choice. Entities with fewer than `minGaps` gaps
+    * drop (their σ is noise).
+    *
+    * Determinism: gaps are exact µs longs (ties within a timestamp
+    * break by event_id, so the gap SEQUENCE is deterministic — and the
+    * statistics don't depend on sequence order at all); Σd is an exact
+    * long, Σd² exact decimal(38); μ, σ² = (nΣd²−(Σd)²)/(n(n−1)), σ,
+    * cv and B are then a fixed short IEEE chain over exact inputs —
+    *  bit-reproducible cross-engine (the a13 contract), rounded 6 dp
+    * where emitted as ratios; mean_us/sd_us ship unrounded (µs
+    * magnitudes would pass 2⁵³ under a 6 dp round — the e16 lesson).
+    *
+    * Scale shape: one per-entity lag window (partition = entity, the
+    * e2 sessionization shape) and one hash agg; output is entity-
+    * cardinality.
+    */
+  def interArrivalStats(events: DataFrame, minGaps: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .withColumn("_d", expr("unix_micros(ts) - unix_micros(_prev)"))
+    val agg = gaps.groupBy("user_id").agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("_d")).as("_s"),
+        sum(col("_d").cast("decimal(38,0)") * col("_d")).as("_s2"))
+      .filter(col("n_gaps") >= minGaps)
+    val mu = col("_s").cast("double") / col("n_gaps").cast("double")
+    val variance = (col("_s2") * col("n_gaps") -
+        col("_s").cast("decimal(38,0)") * col("_s")).cast("double") /
+      (col("n_gaps").cast("double") * (col("n_gaps") - 1).cast("double"))
+    agg.select(col("user_id"), col("n_gaps"),
+        mu.as("mean_us"), sqrt(variance).as("sd_us"))
+      .withColumn("cv", round(col("sd_us") / col("mean_us"), 6))
+      .withColumn("burstiness", round(
+        (col("sd_us") - col("mean_us")) / (col("sd_us") + col("mean_us")), 6))
+      .orderBy("user_id")
+  }
 }

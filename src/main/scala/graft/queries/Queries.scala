@@ -9500,7 +9500,99 @@ object Queries {
              |FROM dau JOIN wau USING (day) JOIN mau USING (day)
              |         CROSS JOIN span
              |WHERE dau.day BETWEEN span.lo AND span.hi
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    QueryDef("e21_user_concentration",
+      // activity-concentration audit ([[graft.ops.EventAnalyticsOps
+      // .activityConcentration]]): exact Gini of per-user event counts
+      // + share of events from the top 1/5/10% of users, all computed
+      // from the count-of-counts histogram so nothing user-cardinality
+      // sorts. Integers/decimal throughout; each emitted ratio is one
+      // division of exact-decimal casts.
+      (s, dir) => EventAnalyticsOps.activityConcentration(events(s, dir)),
+      Some("""WITH uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+             |h AS (SELECT c, count(*) AS m FROM uc GROUP BY 1),
+             |r AS (
+             |  SELECT c, m,
+             |    sum(m) OVER (ORDER BY c
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m AS bef
+             |  FROM h),
+             |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+             |               CAST(sum(c * m) AS BIGINT) AS s FROM r),
+             |agg AS (
+             |  SELECT
+             |    sum(CAST(c AS HUGEINT) * (CAST(m AS HUGEINT) * bef
+             |        + (CAST(m AS HUGEINT) * (m + 1)) // 2)) AS a,
+             |    sum(CAST(c AS HUGEINT) * greatest(0, least(m,
+             |        n - greatest(1, n * 1 // 100) - bef))) AS cut1,
+             |    sum(CAST(c AS HUGEINT) * greatest(0, least(m,
+             |        n - greatest(1, n * 5 // 100) - bef))) AS cut5,
+             |    sum(CAST(c AS HUGEINT) * greatest(0, least(m,
+             |        n - greatest(1, n * 10 // 100) - bef))) AS cut10
+             |  FROM r CROSS JOIN tot)
+             |SELECT tot.n AS n_entities, tot.s AS n_events,
+             |  round(CAST(2 * a - (CAST(tot.n AS HUGEINT) + 1) * tot.s AS DOUBLE)
+             |    / CAST(CAST(tot.n AS HUGEINT) * tot.s AS DOUBLE), 6) AS gini,
+             |  round(CAST(CAST(tot.s AS HUGEINT) - cut1 AS DOUBLE)
+             |    / CAST(tot.s AS DOUBLE), 6) AS share_top1,
+             |  round(CAST(CAST(tot.s AS HUGEINT) - cut5 AS DOUBLE)
+             |    / CAST(tot.s AS DOUBLE), 6) AS share_top5,
+             |  round(CAST(CAST(tot.s AS HUGEINT) - cut10 AS DOUBLE)
+             |    / CAST(tot.s AS DOUBLE), 6) AS share_top10
+             |FROM agg CROSS JOIN tot""".stripMargin)),
+
+    QueryDef("e22_volume_anomalies",
+      // robust daily-volume anomaly flags per event type
+      // ([[EventAnalyticsOps.dailyCountAnomalies]]): |n − median| >
+      // 3·1.4826·MAD decided ENTIRELY in integer cross-products (the
+      // exact median/MAD carried ×2/×4) — no float in the flag.
+      (s, dir) => EventAnalyticsOps.dailyCountAnomalies(events(s, dir)),
+      Some("""WITH d AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |med AS (SELECT event_type,
+             |          CAST(quantile_cont(n, 0.5) * 2 AS BIGINT) AS med2
+             |        FROM d GROUP BY 1),
+             |dev AS (SELECT d.event_type, d.day, d.n, med.med2,
+             |          abs(d.n * 2 - med.med2) AS dev2
+             |        FROM d JOIN med USING (event_type)),
+             |mad AS (SELECT event_type,
+             |          CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+             |        FROM dev GROUP BY 1)
+             |SELECT dev.event_type, dev.day, dev.n,
+             |  CAST(med2 AS DOUBLE) / 2 AS median_n,
+             |  CAST(mad4 AS DOUBLE) / 4 AS mad,
+             |  CAST(dev2 AS HUGEINT) * 20000
+             |    > CAST(mad4 AS HUGEINT) * 44478 AS is_anomaly
+             |FROM dev JOIN mad USING (event_type)
+             |ORDER BY event_type, day""".stripMargin)),
+
+    QueryDef("e23_burstiness",
+      // per-user inter-arrival statistics + Goh–Barabási burstiness
+      // ([[EventAnalyticsOps.interArrivalStats]]): exact integer µs
+      // gap moments (Σd long, Σd² decimal), then a fixed IEEE chain —
+      // mean/sd ship unrounded (µs magnitudes, the e16 2⁵³ lesson),
+      // cv/burstiness round 6dp.
+      (s, dir) => EventAnalyticsOps.interArrivalStats(events(s, dir)),
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    date_diff('microsecond',
+             |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             |      ts) AS d
+             |  FROM events),
+             |a AS (
+             |  SELECT user_id, count(*) AS n, CAST(sum(d) AS BIGINT) AS s,
+             |         sum(CAST(d AS HUGEINT) * d) AS s2
+             |  FROM g WHERE d IS NOT NULL GROUP BY 1 HAVING count(*) >= 5),
+             |m AS (
+             |  SELECT user_id, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_us,
+             |    sqrt(CAST(s2 * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+             |         / (CAST(n AS DOUBLE) * (n - 1))) AS sd_us
+             |  FROM a)
+             |SELECT user_id, n AS n_gaps, mean_us, sd_us,
+             |  round(sd_us / mean_us, 6) AS cv,
+             |  round((sd_us - mean_us) / (sd_us + mean_us), 6) AS burstiness
+             |FROM m ORDER BY user_id""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
