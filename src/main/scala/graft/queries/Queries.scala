@@ -9592,7 +9592,110 @@ object Queries {
              |SELECT user_id, n AS n_gaps, mean_us, sd_us,
              |  round(sd_us / mean_us, 6) AS cv,
              |  round((sd_us - mean_us) / (sd_us + mean_us), 6) AS burstiness
-             |FROM m ORDER BY user_id""".stripMargin))
+             |FROM m ORDER BY user_id""".stripMargin)),
+
+    QueryDef("a35_var_es",
+      // historical 95% Value-at-Risk and Expected Shortfall per ticker:
+      // VaR = −(k-th smallest return), k = ⌈n/20⌉ — an exact ORDER
+      // STATISTIC, no quantile interpolation — and ES = −mean of the k
+      // tail returns. Returns are 6dp exact decimals (the a32
+      // convention) so the order statistic, the tie-break (date), and
+      // the tail sum are all exact; ES's one division is the only IEEE
+      // op. The per-ticker rank window is entity-bounded (the w-family
+      // shape).
+      (s, dir) => {
+        val wt = Window.partitionBy("ticker")
+        val x = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .select(col("ticker"), col("date"),
+            round(col("ret"), 6).cast("decimal(10,6)").as("r6"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("ticker").orderBy("r6", "date")))
+          .withColumn("k", expr("(count(*) OVER (PARTITION BY ticker) + 19) div 20"))
+        x.groupBy("ticker")
+          .agg(count(lit(1)).as("n"),
+            (-max(when(col("rn") === col("k"), col("r6"))))
+              .cast("double").as("var95"),
+            (-(sum(when(col("rn") <= col("k"), col("r6"))).cast("double") /
+              max(col("k")).cast("double"))).as("es95"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, x AS (
+          |  SELECT ticker, "date", CAST(round(ret, 6) AS DECIMAL(10,6)) AS r6
+          |  FROM r WHERE ret IS NOT NULL),
+          |y AS (
+          |  SELECT ticker, r6,
+          |    row_number() OVER (PARTITION BY ticker ORDER BY r6, "date") AS rn,
+          |    (count(*) OVER (PARTITION BY ticker) + 19) // 20 AS k
+          |  FROM x)
+          |SELECT ticker, count(*) AS n,
+          |  CAST(-max(CASE WHEN rn = k THEN r6 END) AS DOUBLE) AS var95,
+          |  -(CAST(sum(CASE WHEN rn <= k THEN r6 END) AS DOUBLE)
+          |    / CAST(max(k) AS DOUBLE)) AS es95
+          |FROM y GROUP BY ticker ORDER BY ticker""".stripMargin)),
+
+    QueryDef("w41_variance_ratio",
+      // Lo–MacKinlay variance-ratio statistic per ticker at horizon
+      // q = 5: VR = Var(5-day additive return) / (5·Var(1-day)) — the
+      // random-walk diagnostic (VR < 1 mean reversion, > 1 momentum;
+      // the overlapping-window simple-return variant, no bias
+      // correction — that belongs to a stats library). Returns become
+      // exact 6dp µunit INTEGERS, so every moment (Σx, Σx², and the
+      // 5-day rolling sums' moments) is exact long/decimal arithmetic;
+      // VR is then a fixed IEEE chain over exact casts, rounded 6dp.
+      // One per-ticker sort serves both the rolling sum and the row
+      // index; everything else is one hash agg.
+      (s, dir) => {
+        val wd = Window.partitionBy("ticker").orderBy("date")
+        val x = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .select(col("ticker"), col("date"),
+            (round(col("ret"), 6).cast("decimal(10,6)") * 1000000)
+              .cast("long").as("x"))
+          .withColumn("rn", row_number().over(wd))
+          .withColumn("sq", sum(col("x")).over(wd.rowsBetween(-4, 0)))
+        val q5 = when(col("rn") >= 5, col("sq"))
+        val a = x.groupBy("ticker").agg(
+          count(lit(1)).as("n1"),
+          sum(col("x")).as("s1"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("q1"),
+          count(when(col("rn") >= 5, lit(1))).as("nq"),
+          sum(q5).as("sq1"),
+          sum(q5.cast("decimal(38,0)") * q5).as("qq"))
+        val var1 = (col("q1") * col("n1") -
+            col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
+          (col("n1").cast("double") * (col("n1") - 1).cast("double"))
+        val varq = (col("qq") * col("nq") -
+            col("sq1").cast("decimal(38,0)") * col("sq1")).cast("double") /
+          (col("nq").cast("double") * (col("nq") - 1).cast("double"))
+        a.filter(col("n1") >= 2 && col("nq") >= 2)
+          .select(col("ticker"), col("n1").as("n_ret"), col("nq").as("n_q"),
+            round(varq / (var1 * lit(5.0)), 6).as("vr"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, x AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(round(ret, 6) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS x
+          |  FROM r WHERE ret IS NOT NULL),
+          |y AS (
+          |  SELECT ticker, x,
+          |    row_number() OVER (PARTITION BY ticker ORDER BY "date") AS rn,
+          |    sum(x) OVER (PARTITION BY ticker ORDER BY "date"
+          |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sq
+          |  FROM x),
+          |a AS (
+          |  SELECT ticker, count(*) AS n1, CAST(sum(x) AS BIGINT) AS s1,
+          |    sum(CAST(x AS HUGEINT) * x) AS q1,
+          |    count(CASE WHEN rn >= 5 THEN 1 END) AS nq,
+          |    CAST(sum(CASE WHEN rn >= 5 THEN sq END) AS BIGINT) AS sq1,
+          |    sum(CASE WHEN rn >= 5 THEN CAST(sq AS HUGEINT) * sq END) AS qq
+          |  FROM y GROUP BY 1)
+          |SELECT ticker, n1 AS n_ret, nq AS n_q,
+          |  round((CAST(qq * nq - CAST(sq1 AS HUGEINT) * sq1 AS DOUBLE)
+          |         / (CAST(nq AS DOUBLE) * (nq - 1)))
+          |      / ((CAST(q1 * n1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+          |         / (CAST(n1 AS DOUBLE) * (n1 - 1))) * 5.0), 6) AS vr
+          |FROM a WHERE n1 >= 2 AND nq >= 2 ORDER BY ticker""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
