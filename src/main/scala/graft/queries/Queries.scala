@@ -9695,7 +9695,62 @@ object Queries {
           |         / (CAST(nq AS DOUBLE) * (nq - 1)))
           |      / ((CAST(q1 * n1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
           |         / (CAST(n1 AS DOUBLE) * (n1 - 1))) * 5.0), 6) AS vr
-          |FROM a WHERE n1 >= 2 AND nq >= 2 ORDER BY ticker""".stripMargin))
+          |FROM a WHERE n1 >= 2 AND nq >= 2 ORDER BY ticker""".stripMargin)),
+
+    QueryDef("cdc1_snapshot_diff",
+      // change-data capture without a changelog ([[graft.ops.HistoryOps
+      // .snapshotDiff]]): diff two builds of the monthly revenue mart —
+      // snapshot A covers shipments before 1997, snapshot B extends a
+      // year AND retroactively excludes returned lines (the classic
+      // restatement) — so the diff carries all three change kinds:
+      // months that gained lines (update), months born in 1997
+      // (insert), and all-returns months that vanish (delete). Values
+      // are exact money decimals → the update flag is a null-safe
+      // struct equality on exact values, no float in the decision.
+      (s, dir) => {
+        def mart(maxDate: String, exclReturns: Boolean) = {
+          val li = t(s, dir, "lineitem")
+            .filter(col("l_shipdate") < lit(maxDate).cast("timestamp"))
+          (if (exclReturns) li.filter(col("l_returnflag") =!= "R") else li)
+            .groupBy(col("l_suppkey").as("ticker"),
+              date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+            .agg(money2(sum(col("l_extendedprice").cast("decimal(12,4)")))
+              .as("revenue"), count(lit(1)).as("n_lines"))
+        }
+        HistoryOps.snapshotDiff(
+            mart("1997-01-01", exclReturns = false),
+            mart("1998-01-01", exclReturns = true),
+            Seq("ticker", "month"))
+          .orderBy("ticker", "month")
+      },
+      Some("""WITH o AS (
+             |  SELECT l_suppkey AS ticker, strftime(l_shipdate, '%Y-%m') AS month,
+             |         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2)
+             |           AS DOUBLE) AS revenue,
+             |         count(*) AS n_lines
+             |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+             |  GROUP BY 1, 2),
+             |n AS (
+             |  SELECT l_suppkey AS ticker, strftime(l_shipdate, '%Y-%m') AS month,
+             |         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2)
+             |           AS DOUBLE) AS revenue,
+             |         count(*) AS n_lines
+             |  FROM lineitem
+             |  WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_returnflag <> 'R'
+             |  GROUP BY 1, 2)
+             |SELECT COALESCE(o.ticker, n.ticker) AS ticker,
+             |  COALESCE(o.month, n.month) AS month,
+             |  CASE WHEN o.ticker IS NULL THEN 'insert'
+             |       WHEN n.ticker IS NULL THEN 'delete'
+             |       ELSE 'update' END AS change,
+             |  o.revenue AS old_revenue, n.revenue AS new_revenue,
+             |  o.n_lines AS old_n_lines, n.n_lines AS new_n_lines
+             |FROM o FULL OUTER JOIN n
+             |  ON o.ticker = n.ticker AND o.month = n.month
+             |WHERE o.ticker IS NULL OR n.ticker IS NULL
+             |   OR o.revenue IS DISTINCT FROM n.revenue
+             |   OR o.n_lines IS DISTINCT FROM n.n_lines
+             |ORDER BY ticker, month""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

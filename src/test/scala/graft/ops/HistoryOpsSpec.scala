@@ -96,4 +96,34 @@ class HistoryOpsSpec extends AnyFunSuite {
     assert(snap.columns.toSeq ===
       Seq("ticker", "band", "valid_from", "valid_to", "n_periods"))
   }
+
+  test("snapshotDiff: insert/delete/update tagged; unchanged keys drop; nulls null-safe") {
+    val old = Seq(
+      ("k1", Some(10), "a"), // unchanged -> dropped
+      ("k2", Some(20), "b"), // value change -> update
+      ("k3", None, "c"),     // null -> 30: update (null-safe, not missed)
+      ("k4", Some(40), "d")  // gone -> delete
+    ).toDF("k", "v", "s")
+    val nw = Seq(
+      ("k1", Some(10), "a"),
+      ("k2", Some(21), "b"),
+      ("k3", Some(30), "c"),
+      ("k5", Some(50), "e")  // born -> insert
+    ).toDF("k", "v", "s")
+    val out = HistoryOps.snapshotDiff(old, nw, Seq("k")).orderBy("k")
+    assert(out.columns.toSeq ===
+      Seq("k", "change", "old_v", "new_v", "old_s", "new_s"))
+    val rows = out
+      .as[(String, String, Option[Int], Option[Int], Option[String], Option[String])]
+      .collect().toList
+    assert(rows === List(
+      ("k2", "update", Some(20), Some(21), Some("b"), Some("b")),
+      ("k3", "update", None, Some(30), Some("c"), Some("c")),
+      ("k4", "delete", Some(40), None, Some("d"), None),
+      ("k5", "insert", None, Some(50), None, Some("e"))))
+    // schema mismatch is a loud error, not a silent column drop
+    intercept[IllegalArgumentException] {
+      HistoryOps.snapshotDiff(old, nw.drop("s"), Seq("k"))
+    }
+  }
 }
