@@ -150,4 +150,57 @@ class EventAnalyticsOpsSpec extends AnyFunSuite {
     // S(1) = 2/3 = 0.66666666 (floor-trunc); at t=2 only one remains
     assert(out === List(("G", 1L, 3L, 1L, 0.66666666), ("G", 2L, 1L, 1L, 0.0)))
   }
+
+  test("activityConcentration: hand-solved Gini and top-share cuts from the histogram") {
+    // per-user counts 1, 1, 2, 6 — ascending ranks give
+    // A = 1+2+6+24 = 33, S = 10, n = 4 → Gini = (66 − 50)/40 = 0.4;
+    // top-25% (k=1) share = 6/10, top-50% (k=2) share = 8/10. The
+    // duplicate count 1 exercises the histogram-run arithmetic.
+    val events = (Seq.fill(1)(1L) ++ Seq.fill(1)(2L) ++ Seq.fill(2)(3L) ++
+      Seq.fill(6)(4L)).toDF("user_id")
+    val out = EventAnalyticsOps
+      .activityConcentration(events, topPcts = Seq(25, 50))
+      .as[(Long, Long, Double, Double, Double)].collect().toList
+    assert(out === List((4L, 10L, 0.4, 0.6, 0.8)))
+    // a top-percent below one entity still takes at least the single
+    // most active entity (k = max(1, ⌊n·pct/100⌋))
+    val one = EventAnalyticsOps
+      .activityConcentration(events, topPcts = Seq(1))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(one._4 === 0.6)
+  }
+
+  test("dailyCountAnomalies: MAD gate flags the spike; zero MAD flags any deviation") {
+    def day(d: Int) = f"2024-01-$d%02d 12:00:00"
+    val rows = // type a: counts 10,10,10,10,100 (MAD 0); b: 8,10,12,14,16 (MAD 2)
+      (1 to 5).flatMap(d => Seq.fill(if (d == 5) 100 else 10)((1L, "a", day(d)))) ++
+      (1 to 5).flatMap(d => Seq.fill(6 + 2 * d)((1L, "b", day(d))))
+    val out = EventAnalyticsOps.dailyCountAnomalies(ev(rows: _*))
+      .selectExpr("event_type", "CAST(day AS STRING)", "n", "median_n", "mad",
+        "is_anomaly")
+      .as[(String, String, Long, Double, Double, Boolean)].collect().toList
+    val anomalies = out.filter(_._6).map(r => (r._1, r._2))
+    assert(anomalies === List(("a", "2024-01-05"))) // |100−10| beats MAD=0; b never fires
+    val b = out.filter(_._1 == "b")
+    assert(b.forall(r => r._4 === 12.0 && r._5 === 2.0))
+  }
+
+  test("interArrivalStats: exact gap moments; periodic → B=−1; minGaps drops short users") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(ms: Long) = new java.sql.Timestamp(base + ms)
+    // u1: 6 events 1 s apart (gaps 5×1e6 µs): sd=0, cv=0, B=−1
+    // u2: gaps 1,2,3,4,5 s; u3: only 3 events → dropped
+    val u1 = (0 to 5).map(i => (1L, i.toLong, at(i * 1000L)))
+    val u2 = Seq(0L, 1000L, 3000L, 6000L, 10000L, 15000L).zipWithIndex
+      .map { case (ms, i) => (2L, 10L + i, at(ms)) }
+    val u3 = (0 to 2).map(i => (3L, 20L + i, at(i * 1000L)))
+    val events = (u1 ++ u2 ++ u3).toDF("user_id", "event_id", "ts")
+    val out = EventAnalyticsOps.interArrivalStats(events)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toList
+    val sd2 = math.sqrt(2.5e12)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === List(
+      (1L, 5L, 1e6, 0.0, 0.0, -1.0),
+      (2L, 5L, 3e6, sd2, r6(sd2 / 3e6), r6((sd2 - 3e6) / (sd2 + 3e6)))))
+  }
 }
