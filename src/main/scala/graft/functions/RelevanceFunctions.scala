@@ -552,6 +552,58 @@ object RelevanceFunctions {
       .orderBy("rank")
   }
 
+  /** Heaps'-law vocabulary-growth fit (V ≈ K·Nᵝ): cumulative distinct
+    * vocabulary V against cumulative token count N in `idCol` order,
+    * one point per document, with the OLS line through (ln N, ln V) —
+    * β (the growth exponent, ~0.4–0.6 for natural text) and ln K. The
+    * corpus-health companion to [[zipfFit]]: synthetic/templated text
+    * shows β collapsing toward 0 (vocabulary saturates), OCR noise
+    * pushes it toward 1 (every page mints new "words").
+    *
+    * Token first-sightings are ONE hash aggregation (min doc per
+    * token — never a running distinct over the raw stream); both
+    * cumulative series are a window over DOCUMENT-cardinality rows
+    * ordered by id — like [[zipfFit]]'s global rank this is the one
+    * non-parallel step, acceptable for the diagnostic's intended
+    * corpus-sample scale and bounded by docs, never by tokens.
+    * Per-point lns round 6dp (the a14 libm convention), fit sums
+    * accumulate in exact decimal, β / ln K round 6dp.
+    */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val perDoc = toks.groupBy("_id").agg(count(lit(1)).as("n_tok"))
+    val firstOcc = toks.groupBy("token").agg(min(col("_id")).as("_fd"))
+      .groupBy(col("_fd").as("_id")).agg(count(lit(1)).as("_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pts = perDoc.join(firstOcc, Seq("_id"), "left")
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .withColumn("cum_vocab", sum(coalesce(col("_new"), lit(0L))).over(w))
+      .withColumn("ln_n", round(log(col("cum_tokens").cast("double")), 6))
+      .withColumn("ln_v", round(log(col("cum_vocab").cast("double")), 6))
+    val sums = pts.agg(
+      count(lit(1)).cast("double").as("_k"),
+      sum(col("ln_n").cast("decimal(20,6)")).cast("double").as("_sx"),
+      sum(col("ln_v").cast("decimal(20,6)")).cast("double").as("_sy"),
+      sum((col("ln_n") * col("ln_v")).cast("decimal(24,12)"))
+        .cast("double").as("_sxy"),
+      sum((col("ln_n") * col("ln_n")).cast("decimal(24,12)"))
+        .cast("double").as("_sxx"))
+      .withColumn("_slope",
+        (col("_k") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_k") * col("_sxx") - col("_sx") * col("_sx")))
+      .withColumn("_icept", (col("_sy") - col("_slope") * col("_sx")) / col("_k"))
+    pts.crossJoin(broadcast(sums))
+      .select(col("_id").as(idCol), col("cum_tokens"), col("cum_vocab"),
+        col("ln_n"), col("ln_v"),
+        round(col("_slope"), 6).as("beta"),
+        round(col("_icept"), 6).as("ln_k"))
+      .orderBy(idCol)
+  }
+
   /** Maximal Marginal Relevance reranking (Carbonell & Goldstein, SIGIR
     * 1998): greedily pick k of the top-R retrieval candidates so each
     * next pick maximizes λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the

@@ -9750,7 +9750,165 @@ object Queries {
              |WHERE o.ticker IS NULL OR n.ticker IS NULL
              |   OR o.revenue IS DISTINCT FROM n.revenue
              |   OR o.n_lines IS DISTINCT FROM n.n_lines
-             |ORDER BY ticker, month""".stripMargin))
+             |ORDER BY ticker, month""".stripMargin)),
+
+    QueryDef("t23_heaps_law",
+      // Heaps'-law vocabulary growth ([[graft.functions
+      // .RelevanceFunctions.heapsFit]]): cumulative vocab vs cumulative
+      // tokens in doc order + the (ln N, ln V) OLS fit — the corpus-
+      // health twin of t20's Zipf fit, sharing its determinism contract
+      // (6dp per-point lns, exact-decimal fit sums, 6dp β/ln K).
+      (s, dir) => R.heapsFit(docs(s, dir), "doc_id", "text"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+             |  FROM documents WHERE text IS NOT NULL),
+             |tk2 AS (SELECT doc_id, token FROM tk WHERE length(token) > 0),
+             |pd AS (SELECT doc_id, count(*) AS n_tok FROM tk2 GROUP BY 1),
+             |fo AS (SELECT min(doc_id) AS doc_id FROM tk2 GROUP BY token),
+             |nw AS (SELECT doc_id, count(*) AS nnew FROM fo GROUP BY 1),
+             |pts0 AS (
+             |  SELECT pd.doc_id, pd.n_tok, COALESCE(nw.nnew, 0) AS nnew
+             |  FROM pd LEFT JOIN nw USING (doc_id)),
+             |pts AS (
+             |  SELECT doc_id,
+             |    CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tokens,
+             |    CAST(sum(nnew) OVER w AS BIGINT) AS cum_vocab
+             |  FROM pts0
+             |  WINDOW w AS (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |p2 AS (
+             |  SELECT doc_id, cum_tokens, cum_vocab,
+             |    round(ln(CAST(cum_tokens AS DOUBLE)), 6) AS ln_n,
+             |    round(ln(CAST(cum_vocab AS DOUBLE)), 6) AS ln_v
+             |  FROM pts),
+             |sums AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS k,
+             |    CAST(SUM(CAST(ln_n AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(ln_v AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(ln_n * ln_v AS DECIMAL(24,12))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(ln_n * ln_n AS DECIMAL(24,12))) AS DOUBLE) AS sxx
+             |  FROM p2),
+             |fit AS (
+             |  SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope,
+             |         (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+             |           AS icept
+             |  FROM sums)
+             |SELECT doc_id, cum_tokens, cum_vocab, ln_n, ln_v,
+             |  round(slope, 6) AS beta, round(icept, 6) AS ln_k
+             |FROM p2, fit ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("ab1_proportion_ztest",
+      // two-proportion z-test on a hash-split A/B assignment: variant =
+      // user_id parity, success = the user ever makes a HIGH-VALUE
+      // purchase (value > 195 — "ever purchases" is degenerate here:
+      // every user converts, pooled SE = 0). The experimentation
+      // primitive next to a33's Welch t (means) and a28's chi-square
+      // (independence). Counts are exact longs; p̂s, the pooled SE and
+      // z are a FIXED IEEE chain over exact casts (the a13 contract),
+      // rounded 6dp; a degenerate 0%/100% pool yields NULL z in both
+      // engines rather than an ANSI divide-by-zero.
+      (s, dir) => {
+        val conv = events(s, dir).groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 195, 1L).otherwise(0L)).as("c"))
+          .withColumn("v", col("user_id") % 2)
+        val a = conv.groupBy("v")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("x"))
+        val wide = a.filter(col("v") === 0)
+          .select(col("n").as("n_a"), col("x").as("conv_a"))
+          .crossJoin(a.filter(col("v") === 1)
+            .select(col("n").as("n_b"), col("x").as("conv_b")))
+        val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+        val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+        val pp = (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")
+        val se = sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double")))
+        val tot = col("conv_a") + col("conv_b")
+        wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+          when(tot > 0 && tot < col("n_a") + col("n_b"),
+            round((pa - pb) / se, 6)).as("z"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, user_id % 2 AS v,
+             |    max(CASE WHEN event_type = 'purchase' AND value > 195
+             |        THEN 1 ELSE 0 END) AS cv
+             |  FROM events GROUP BY 1),
+             |a AS (SELECT v, count(*) AS n, CAST(sum(cv) AS BIGINT) AS x
+             |      FROM c GROUP BY 1),
+             |w AS (
+             |  SELECT a0.n AS n_a, a0.x AS conv_a, a1.n AS n_b, a1.x AS conv_b
+             |  FROM (SELECT n, x FROM a WHERE v = 0) a0,
+             |       (SELECT n, x FROM a WHERE v = 1) a1)
+             |SELECT n_a, conv_a, n_b, conv_b,
+             |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+             |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+             |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+             |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |       - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+             |  END AS z
+             |FROM w""".stripMargin)),
+
+    QueryDef("e24_cohort_ltv",
+      // cumulative revenue ("LTV") curve per weekly signup cohort: the
+      // revenue companion to e10's retention matrix. Purchase values
+      // become exact 6dp decimals, so per-cell revenue and the running
+      // cumulative are exact; LTV-per-user is one division. Cohort
+      // assignment is one user-level hash agg; the cumulative window
+      // runs over the weeks²-sized (cohort, offset) matrix, never over
+      // events.
+      (s, dir) => {
+        val e = events(s, dir)
+        val cohort = e.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+        val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+        val cells = e.filter(col("event_type") === "purchase")
+          .join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(to_date(col("ts")), col("cohort_week")) / 7)
+              .cast("long").as("week_offset"))
+          .agg(sum(round(col("value"), 6).cast("decimal(18,6)")).as("_rev"))
+        val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        cells.withColumn("_cum", sum(col("_rev")).over(w))
+          .join(broadcast(sizes), Seq("cohort_week"))
+          .select(col("cohort_week"), col("week_offset"),
+            col("_rev").cast("double").as("revenue"),
+            col("_cum").cast("double").as("cum_revenue"),
+            round(col("_cum").cast("double") /
+              col("cohort_users").cast("double"), 6).as("ltv_per_user"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH co AS (
+             |  SELECT user_id,
+             |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+             |  FROM events GROUP BY 1),
+             |sz AS (SELECT cohort_week, count(*) AS cohort_users FROM co GROUP BY 1),
+             |cells AS (
+             |  SELECT co.cohort_week,
+             |    date_diff('day', co.cohort_week, CAST(e.ts AS DATE)) // 7
+             |      AS week_offset,
+             |    SUM(CAST(round(e.value, 6) AS DECIMAL(18,6))) AS rev
+             |  FROM events e JOIN co USING (user_id)
+             |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT cohort_week, week_offset, rev,
+             |    sum(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrev
+             |  FROM cells)
+             |SELECT c.cohort_week, c.week_offset,
+             |  CAST(c.rev AS DOUBLE) AS revenue,
+             |  CAST(c.cumrev AS DOUBLE) AS cum_revenue,
+             |  round(CAST(c.cumrev AS DOUBLE) / CAST(sz.cohort_users AS DOUBLE), 6)
+             |    AS ltv_per_user
+             |FROM cum c JOIN sz USING (cohort_week)
+             |ORDER BY cohort_week, week_offset""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
