@@ -487,4 +487,92 @@ object FeatureOps {
         col("n"), col("xcorr"))
       .orderBy("ta", "tb", "k")
   }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    * Mandelbrot & Wallis 1969): chop each entity's µunit-integer value
+    * series into full non-overlapping blocks of each size in `sizes`,
+    * compute the block's rescaled range R/S = (max−min of cumulative
+    * mean-deviations) / population σ, average per size, and fit
+    * ln(mean R/S) against ln(size) — the slope is H (≈0.5 random walk,
+    * >0.5 persistent/trending, <0.5 mean-reverting). The long-memory
+    * diagnostic next to w32's ACF and w41's variance ratio.
+    *
+    * Exactness: with integer inputs x and block sum B over size S, the
+    * scaled cumulative deviation S·cum_k = S·prefix_k − k·B is an
+    * EXACT long, so the range numerator, the σ² numerator
+    * (S·Σx² − B²) and the degenerate-block gate (= 0 → drop, a
+    * constant block has no scale) involve no floats; each block's R/S
+    * is then a fixed IEEE chain rounded 6dp, per-size means are
+    * exact-decimal sums with one division, and the 2-to-3-point OLS
+    * runs on 6dp lns in exact decimal (the zipfFit contract).
+    *
+    * Scale shape: one per-entity sort serves row numbering and, after
+    * the size fan-out (×|sizes| rows), the two block-bounded windows
+    * (prefix and block-total); everything after is hash aggregation on
+    * (entity, size, block) → (entity, size) → entity. No global
+    * windows, no entity serialization beyond its own series (the
+    * W-family contract).
+    *
+    * `valueCol` must be an integral column (pre-scale floats to µunits
+    * upstream — the w41 move). Returns one row per (entity, size) with
+    * the per-size points AND the entity's fitted `hurst` repeated (the
+    * t20 points+fit shape); entities with fewer than 2 distinct sized
+    * points drop (no line through one point).
+    */
+  def hurstRS(df: DataFrame, entityCol: String, timeCol: String,
+      valueCol: String, sizes: Seq[Int] = Seq(32, 64, 128)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 2), s"sizes must be >= 2 (got $sizes)")
+    require(sizes.distinct == sizes, s"sizes must be distinct (got $sizes)")
+    val w = Window.partitionBy(entityCol).orderBy(timeCol)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(entityCol), col(timeCol), col(valueCol).as("_x"))
+      .withColumn("_rn", row_number().over(w))
+    val fanned = sizes.map(s => rows.withColumn("size", lit(s)))
+      .reduce(_ unionByName _)
+      .withColumn("_blk", expr("(_rn - 1) div size"))
+      .withColumn("_k", expr("(_rn - 1) % size + 1"))
+    val wb = Window.partitionBy(col(entityCol), col("size"), col("_blk"))
+    val scored = fanned
+      .withColumn("_pre", sum(col("_x")).over(wb.orderBy("_k")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_bsum", sum(col("_x")).over(wb))
+      .withColumn("_cum", col("size") * col("_pre") - col("_k") * col("_bsum"))
+    val blocks = scored.groupBy(col(entityCol), col("size"), col("_blk"))
+      .agg(count(lit(1)).as("_n"),
+        (max(col("_cum")) - min(col("_cum"))).as("_rng"),
+        (sum(col("_x").cast("decimal(38,0)") * col("_x")) * col("size").cast("decimal(38,0)")
+          - max(col("_bsum")).cast("decimal(38,0)") * max(col("_bsum"))).as("_varnum"))
+      .filter(col("_n") === col("size") && col("_varnum") > 0)
+    // rs = ((max−min cum)/S) / sqrt(varnum/S²) — written exactly in this
+    // op order so both engines replay the same IEEE chain
+    val rs = round(
+      (col("_rng").cast("double") / col("size").cast("double")) /
+        sqrt(col("_varnum").cast("double") /
+          (col("size").cast("double") * col("size").cast("double"))), 6)
+    val perSize = blocks.select(col(entityCol), col("size"), rs.as("_rs"))
+      .groupBy(col(entityCol), col("size"))
+      .agg(count(lit(1)).as("n_blocks"),
+        (sum(col("_rs").cast("decimal(20,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_rs"))
+      .withColumn("ln_s", round(log(col("size").cast("double")), 6))
+      .withColumn("ln_rs", round(log(col("mean_rs")), 6))
+    val fit = perSize.groupBy(col(entityCol))
+      .agg(count(lit(1)).cast("double").as("_k"),
+        sum(col("ln_s").cast("decimal(20,6)")).cast("double").as("_sx"),
+        sum(col("ln_rs").cast("decimal(20,6)")).cast("double").as("_sy"),
+        sum((col("ln_s") * col("ln_rs")).cast("decimal(24,12)"))
+          .cast("double").as("_sxy"),
+        sum((col("ln_s") * col("ln_s")).cast("decimal(24,12)"))
+          .cast("double").as("_sxx"))
+      .filter(col("_k") >= 2)
+      .withColumn("hurst", round(
+        (col("_k") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_k") * col("_sxx") - col("_sx") * col("_sx")), 6))
+      .select(col(entityCol), col("hurst"))
+    perSize.join(fit, Seq(entityCol))
+      .select(col(entityCol), col("size"), col("n_blocks"),
+        round(col("mean_rs"), 6).as("mean_rs"), col("ln_s"), col("ln_rs"),
+        col("hurst"))
+      .orderBy(entityCol, "size")
+  }
 }

@@ -9908,7 +9908,130 @@ object Queries {
              |  round(CAST(c.cumrev AS DOUBLE) / CAST(sz.cohort_users AS DOUBLE), 6)
              |    AS ltv_per_user
              |FROM cum c JOIN sz USING (cohort_week)
-             |ORDER BY cohort_week, week_offset""".stripMargin))
+             |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    QueryDef("w42_hurst",
+      // Hurst exponent by R/S analysis ([[graft.ops.FeatureOps
+      // .hurstRS]]) over µunit-integer daily returns at block sizes
+      // 32/64/128: per-block rescaled ranges from EXACT integer
+      // cumulative deviations (S·cum_k = S·prefix−k·B), 6dp per-block
+      // R/S, exact-decimal per-size means, zipf-style decimal OLS →
+      // H per ticker. The long-memory companion to w32/w41.
+      (s, dir) => FeatureOps.hurstRS(
+        pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .select(col("ticker"), col("date"),
+            (round(col("ret"), 6).cast("decimal(10,6)") * 1000000)
+              .cast("long").as("x")),
+        "ticker", "date", "x"),
+      Some(pricesSql + retSql +
+        """, x AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(round(ret, 6) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS x,
+          |    row_number() OVER (PARTITION BY ticker ORDER BY "date") AS rn
+          |  FROM r WHERE ret IS NOT NULL),
+          |f AS (
+          |  SELECT ticker, x, rn, s.size,
+          |    (rn - 1) // s.size AS blk, (rn - 1) % s.size + 1 AS k
+          |  FROM x CROSS JOIN (SELECT unnest([32, 64, 128]) AS size) s),
+          |sc AS (
+          |  SELECT ticker, size, blk, x, k,
+          |    size * sum(x) OVER (PARTITION BY ticker, size, blk ORDER BY k
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      - k * sum(x) OVER (PARTITION BY ticker, size, blk) AS cum,
+          |    sum(x) OVER (PARTITION BY ticker, size, blk) AS bsum
+          |  FROM f),
+          |b AS (
+          |  SELECT ticker, size, blk, count(*) AS n,
+          |    max(cum) - min(cum) AS rng,
+          |    CAST(sum(CAST(x AS HUGEINT) * x) * size
+          |      - CAST(max(bsum) AS HUGEINT) * max(bsum) AS HUGEINT) AS varnum
+          |  FROM sc GROUP BY 1, 2, 3),
+          |rsq AS (
+          |  SELECT ticker, size,
+          |    round((CAST(rng AS DOUBLE) / CAST(size AS DOUBLE))
+          |      / sqrt(CAST(varnum AS DOUBLE)
+          |             / (CAST(size AS DOUBLE) * CAST(size AS DOUBLE))), 6) AS rs
+          |  FROM b WHERE n = size AND varnum > 0),
+          |ps AS (
+          |  SELECT ticker, size, count(*) AS n_blocks,
+          |    CAST(SUM(CAST(rs AS DECIMAL(20,6))) AS DOUBLE)
+          |      / CAST(count(*) AS DOUBLE) AS mean_rs
+          |  FROM rsq GROUP BY 1, 2),
+          |pts AS (
+          |  SELECT ticker, size, n_blocks, mean_rs,
+          |    round(ln(CAST(size AS DOUBLE)), 6) AS ln_s,
+          |    round(ln(mean_rs), 6) AS ln_rs
+          |  FROM ps),
+          |fit AS (
+          |  SELECT ticker,
+          |    round((CAST(count(*) AS DOUBLE)
+          |        * CAST(SUM(CAST(ln_s * ln_rs AS DECIMAL(24,12))) AS DOUBLE)
+          |      - CAST(SUM(CAST(ln_s AS DECIMAL(20,6))) AS DOUBLE)
+          |        * CAST(SUM(CAST(ln_rs AS DECIMAL(20,6))) AS DOUBLE))
+          |      / (CAST(count(*) AS DOUBLE)
+          |        * CAST(SUM(CAST(ln_s * ln_s AS DECIMAL(24,12))) AS DOUBLE)
+          |      - CAST(SUM(CAST(ln_s AS DECIMAL(20,6))) AS DOUBLE)
+          |        * CAST(SUM(CAST(ln_s AS DECIMAL(20,6))) AS DOUBLE)), 6) AS hurst
+          |  FROM pts GROUP BY 1 HAVING count(*) >= 2)
+          |SELECT p.ticker, p.size, p.n_blocks, round(p.mean_rs, 6) AS mean_rs,
+          |  p.ln_s, p.ln_rs, f.hurst
+          |FROM pts p JOIN fit f USING (ticker)
+          |ORDER BY ticker, size""".stripMargin)),
+
+    QueryDef("pairs1_distance_pairs",
+      // Gatev-style pairs-trading formation: the 20 ticker pairs whose
+      // cumulative price paths track closest by sum of squared daily
+      // distances. Paths normalize to the ticker's FIRST close in
+      // exact integers (cents → µunits by floor division — a float
+      // ratio rounded 6dp is exactly the w22 boundary trap), so SSD is
+      // an exact decimal sum over the shared-date inner join; the only
+      // IEEE is the per-day mean distance division. Pair fan-out is
+      // tickers²/2 per date, so the formation UNIVERSE is capped to 50
+      // tickers (the a12 small-universe caveat — a full market pivots
+      // to a matrix product instead; unbounded this ran 17 s at sf0.1,
+      // 500k pairs × day); top-20 is TakeOrdered on (ssd, ta, tb),
+      // never a global sort.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+          .filter(col("ticker") < 50)
+          .select(col("ticker"), col("date"),
+            (col("close").cast("decimal(12,2)") * 100).cast("long").as("c"))
+          .withColumn("nrm",
+            expr("(c * 1000000L) div first(c) OVER " +
+              "(PARTITION BY ticker ORDER BY date " +
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+          .select(col("ticker"), col("date"), col("nrm"))
+        val a = p.select(col("ticker").as("ta"), col("date"), col("nrm").as("na"))
+        val b = p.select(col("ticker").as("tb"), col("date"), col("nrm").as("nb"))
+        a.join(b, Seq("date")).filter(col("ta") < col("tb"))
+          .withColumn("_d", col("na") - col("nb"))
+          .groupBy("ta", "tb")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("_d").cast("decimal(38,0)") * col("_d")).as("_ssd"))
+          .select(col("ta"), col("tb"), col("n_days"),
+            col("_ssd").cast("double").as("ssd"),
+            (col("_ssd").cast("double") / col("n_days").cast("double"))
+              .as("mean_sq_dist"))
+          .orderBy(col("ssd"), col("ta"), col("tb")).limit(20)
+      },
+      Some(pricesSql +
+        """, c AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          |  FROM prices WHERE ticker < 50),
+          |n AS (
+          |  SELECT ticker, "date",
+          |    (c * 1000000) // first(c) OVER (PARTITION BY ticker ORDER BY "date"
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nrm
+          |  FROM c),
+          |pr AS (
+          |  SELECT a.ticker AS ta, b.ticker AS tb, count(*) AS n_days,
+          |    sum(CAST(a.nrm - b.nrm AS HUGEINT) * (a.nrm - b.nrm)) AS ssd
+          |  FROM n a JOIN n b ON a."date" = b."date" AND a.ticker < b.ticker
+          |  GROUP BY 1, 2)
+          |SELECT ta, tb, n_days, CAST(ssd AS DOUBLE) AS ssd,
+          |  CAST(ssd AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_sq_dist
+          |FROM pr ORDER BY CAST(ssd AS DOUBLE), ta, tb LIMIT 20""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
