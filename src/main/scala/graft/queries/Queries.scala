@@ -10031,7 +10031,98 @@ object Queries {
           |  GROUP BY 1, 2)
           |SELECT ta, tb, n_days, CAST(ssd AS DOUBLE) AS ssd,
           |  CAST(ssd AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_sq_dist
-          |FROM pr ORDER BY CAST(ssd AS DOUBLE), ta, tb LIMIT 20""".stripMargin))
+          |FROM pr ORDER BY CAST(ssd AS DOUBLE), ta, tb LIMIT 20""".stripMargin)),
+
+    QueryDef("s14_rocchio",
+      // Rocchio nearest-centroid classification over the labeled
+      // embeddings: per-label centroids via the s5 explode+hash-agg
+      // pooling (6dp — the float-aggregate contract), then every
+      // vector scores against the 10 broadcast centroids and takes the
+      // highest 6dp cosine (ties to lower label). The lightest vector
+      // classifier — the label-space companion to s10's KNN vote, one
+      // scan per phase, nothing corpus-sized shuffled.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = S.assembleVec(
+          S.meanPoolFlat(emb.select(col("label"), col("embedding")),
+              "label", "embedding")
+            .select(col("label").as("clabel"), col("pos"),
+              round(col("mean_v"), 6).as("mean_v")),
+          "clabel")
+        emb.crossJoin(broadcast(cent))
+          .withColumn("cos",
+            round(S.cosine(col("embedding").cast("array<double>"), col("vec")), 6))
+          .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+            .orderBy(col("cos").desc, col("clabel"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("label"), col("clabel").as("pred"), col("cos"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |flat AS (
+             |  SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+             |  FROM e),
+             |cd AS (SELECT label AS clabel, pos, round(avg(val), 6) AS cv
+             |       FROM flat GROUP BY 1, 2),
+             |cent AS (SELECT clabel, list(cv ORDER BY pos) AS cvec
+             |         FROM cd GROUP BY 1),
+             |sc AS (
+             |  SELECT e.vec_id, e.label, c.clabel,
+             |         round(list_cosine_similarity(e.v, c.cvec), 6) AS cos
+             |  FROM e CROSS JOIN cent c),
+             |best AS (
+             |  SELECT vec_id, label, clabel, cos,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cos DESC, clabel) AS rn
+             |  FROM sc)
+             |SELECT vec_id, label, clabel AS pred, cos
+             |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("a36_ulcer",
+      // Ulcer index per ticker (Martin & McCann): RMS of the running
+      // drawdown — the depth-AND-duration risk measure a31's max-
+      // drawdown misses (a shallow year-long slump hurts more than a
+      // one-day dip of equal depth). Drawdowns are exact µ-fraction
+      // longs (cents → (peak−c)·10⁶ div peak, the pairs1 floor-division
+      // move), their squares sum in exact decimal; the RMS and the
+      // /1e6 rescale are a fixed two-op IEEE tail. Running peak is the
+      // w10 per-ticker window; everything else one hash agg.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+          .select(col("ticker"), col("date"),
+            (col("close").cast("decimal(12,2)") * 100).cast("long").as("c"))
+          .withColumn("_peak", max(col("c")).over(
+            Window.partitionBy("ticker").orderBy("date")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("_dd", expr("((_peak - c) * 1000000L) div _peak"))
+        p.groupBy("ticker")
+          .agg(count(lit(1)).as("n_days"),
+            (max(col("_dd")).cast("double") / lit(1e6)).as("max_dd"),
+            (sqrt(sum(col("_dd").cast("decimal(38,0)") * col("_dd"))
+              .cast("double") / count(lit(1)).cast("double")) / lit(1e6))
+              .as("ulcer"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql +
+        """, c AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          |  FROM prices),
+          |d AS (
+          |  SELECT ticker,
+          |    ((max(c) OVER (PARTITION BY ticker ORDER BY "date"
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+          |      * 1000000)
+          |    // max(c) OVER (PARTITION BY ticker ORDER BY "date"
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dd
+          |  FROM c)
+          |SELECT ticker, count(*) AS n_days,
+          |  CAST(max(dd) AS DOUBLE) / 1000000.0 AS max_dd,
+          |  sqrt(CAST(sum(CAST(dd AS HUGEINT) * dd) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE)) / 1000000.0 AS ulcer
+          |FROM d GROUP BY ticker ORDER BY ticker""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
