@@ -10122,7 +10122,112 @@ object Queries {
           |  CAST(max(dd) AS DOUBLE) / 1000000.0 AS max_dd,
           |  sqrt(CAST(sum(CAST(dd AS HUGEINT) * dd) AS DOUBLE)
           |    / CAST(count(*) AS DOUBLE)) / 1000000.0 AS ulcer
-          |FROM d GROUP BY ticker ORDER BY ticker""".stripMargin))
+          |FROM d GROUP BY ticker ORDER BY ticker""".stripMargin)),
+
+    QueryDef("t24_charclass_profile",
+      // per-source character-class composition: letter / digit /
+      // whitespace / ASCII-punct / other counts and ratios — the
+      // encoding-corruption and boilerplate detector that runs BEFORE
+      // tokenization (mojibake shows as an 'other' spike, scraped
+      // tables as a digit/punct spike). Classes are EXPLICIT ASCII
+      // ranges so Java regex and RE2 agree char-for-char (no \p{Punct}
+      // vs [[:punct:]] Unicode-table drift); counts are exact longs
+      // (len − len(class removed)), each ratio one division, 6dp.
+      (s, dir) => {
+        def cnt(c: Column, cls: String) =
+          length(c) - length(regexp_replace(c, cls, ""))
+        val d = docs(s, dir).filter(col("text").isNotNull)
+          .select(col("source"), col("text"))
+          .withColumn("_tot", length(col("text")))
+          .withColumn("_let", cnt(col("text"), "[A-Za-z]"))
+          .withColumn("_dig", cnt(col("text"), "[0-9]"))
+          .withColumn("_ws", cnt(col("text"), "[ \\t\\n\\r]"))
+          .withColumn("_pun", cnt(col("text"), "[!-/:-@\\[-`{-~]"))
+        val wsOverlap = col("_let") + col("_dig") + col("_ws") + col("_pun")
+        val a = d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_tot")).as("n_chars"),
+          sum(col("_let")).as("letters"), sum(col("_dig")).as("digits"),
+          sum(col("_ws")).as("whitespace"), sum(col("_pun")).as("punct"),
+          sum(col("_tot") - wsOverlap).as("other"))
+        def ratio(c: String) = round(
+          col(c).cast("double") / col("n_chars").cast("double"), 6)
+          .as(s"${c}_ratio")
+        a.select(col("source"), col("n_docs"), col("n_chars"),
+            col("letters"), col("digits"), col("whitespace"), col("punct"),
+            col("other"), ratio("letters"), ratio("digits"),
+            ratio("whitespace"), ratio("punct"), ratio("other"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, length(text) AS tot,
+             |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS let,
+             |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+             |    length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS ws,
+             |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS pun
+             |  FROM documents WHERE text IS NOT NULL),
+             |a AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(tot) AS BIGINT) AS n_chars,
+             |    CAST(sum(let) AS BIGINT) AS letters,
+             |    CAST(sum(dig) AS BIGINT) AS digits,
+             |    CAST(sum(ws) AS BIGINT) AS whitespace,
+             |    CAST(sum(pun) AS BIGINT) AS punct,
+             |    CAST(sum(tot - let - dig - ws - pun) AS BIGINT) AS other
+             |  FROM d GROUP BY 1)
+             |SELECT source, n_docs, n_chars, letters, digits, whitespace, punct,
+             |  other,
+             |  round(CAST(letters AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS letters_ratio,
+             |  round(CAST(digits AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS digits_ratio,
+             |  round(CAST(whitespace AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS whitespace_ratio,
+             |  round(CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+             |  round(CAST(other AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS other_ratio
+             |FROM a ORDER BY source""".stripMargin)),
+
+    QueryDef("dow1_calendar_effect",
+      // day-of-week effect: pooled mean daily return and its one-sample
+      // t-statistic per weekday — the classic calendar-anomaly screen
+      // (the a33 Welch machinery turned on the calendar axis). Returns
+      // are exact µunit integers, so n/Σx/Σx² are exact and mean, sd
+      // and t are a fixed IEEE chain (t is scale-invariant, computed in
+      // µunits; the reported mean rescales by 1e-6 as its own final
+      // op), rounded 6dp.
+      (s, dir) => {
+        val x = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .select(weekday(col("date")).as("dow"),
+            (round(col("ret"), 6).cast("decimal(10,6)") * 1000000)
+              .cast("long").as("x"))
+        val a = x.groupBy("dow").agg(
+          count(lit(1)).as("n"), sum(col("x")).as("_s"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("_q"))
+        val mean = col("_s").cast("double") / col("n").cast("double")
+        val variance = (col("_q") * col("n") -
+            col("_s").cast("decimal(38,0)") * col("_s")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))
+        a.filter(col("n") >= 2)
+          .select(col("dow"), col("n"),
+            round(mean / lit(1e6), 6).as("mean_ret"),
+            round(mean / sqrt(variance / col("n").cast("double")), 6)
+              .as("t_stat"))
+          .orderBy("dow")
+      },
+      Some(pricesSql + retSql +
+        """, x AS (
+          |  SELECT CAST(isodow("date") - 1 AS INTEGER) AS dow,
+          |    CAST(CAST(round(ret, 6) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS x
+          |  FROM r WHERE ret IS NOT NULL),
+          |a AS (
+          |  SELECT dow, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+          |    sum(CAST(x AS HUGEINT) * x) AS q
+          |  FROM x GROUP BY 1)
+          |SELECT dow, n,
+          |  round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0, 6)
+          |    AS mean_ret,
+          |  round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |    / sqrt((CAST(q * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+          |        / (CAST(n AS DOUBLE) * (n - 1))) / CAST(n AS DOUBLE)), 6)
+          |    AS t_stat
+          |FROM a WHERE n >= 2 ORDER BY dow""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
