@@ -10227,7 +10227,64 @@ object Queries {
           |    / sqrt((CAST(q * n - CAST(s AS HUGEINT) * s AS DOUBLE)
           |        / (CAST(n AS DOUBLE) * (n - 1))) / CAST(n AS DOUBLE)), 6)
           |    AS t_stat
-          |FROM a WHERE n >= 2 ORDER BY dow""".stripMargin))
+          |FROM a WHERE n >= 2 ORDER BY dow""".stripMargin)),
+
+    QueryDef("seg1_rfm",
+      // RFM customer segmentation over orders: recency (days since last
+      // order vs the dataset horizon), frequency, monetary (exact-
+      // decimal order totals) and their ntile-5 quintile codes — the
+      // classic CRM/marketing segmentation, built on w36's quintile
+      // machinery with total (metric, cust) tie-breaks so bucket
+      // boundaries are deterministic. All-integer/decimal until the
+      // monetary output cast. The three global ntiles run over the
+      // CUSTOMER aggregate (one row per customer, not per order); at
+      // crawl scale quintile CUTS from approx percentiles replace the
+      // global windows (the a10b move).
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey").as("cust"),
+            to_date(col("o_orderdate")).as("_od"),
+            col("o_totalprice").cast("decimal(14,2)").as("_tp"))
+        val mx = o.agg(max(col("_od")).as("_mx"))
+        val r = o.groupBy("cust").agg(
+            max(col("_od")).as("_last"), count(lit(1)).as("frequency"),
+            sum(col("_tp")).as("_m"))
+          .crossJoin(broadcast(mx))
+          .withColumn("recency_days", datediff(col("_mx"), col("_last")))
+        r.select(col("cust"), col("recency_days"), col("frequency"),
+            col("_m").cast("double").as("monetary"),
+            ntile(5).over(Window.orderBy(col("recency_days"), col("cust")))
+              .as("r_q"),
+            ntile(5).over(Window.orderBy(col("frequency").desc, col("cust")))
+              .as("f_q"),
+            ntile(5).over(Window.orderBy(col("_m").desc, col("cust")))
+              .as("m_q"))
+          .withColumn("rfm_code",
+            col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+          .orderBy("cust")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS od,
+             |         CAST(o_totalprice AS DECIMAL(14,2)) AS tp
+             |  FROM orders),
+             |mx AS (SELECT max(od) AS mxd FROM o),
+             |r AS (
+             |  SELECT cust, max(od) AS last_od, count(*) AS frequency,
+             |         sum(tp) AS m
+             |  FROM o GROUP BY 1),
+             |sc AS (
+             |  SELECT cust,
+             |    CAST(date_diff('day', last_od, mx.mxd) AS INTEGER) AS recency_days,
+             |    frequency, CAST(m AS DOUBLE) AS monetary,
+             |    CAST(ntile(5) OVER (ORDER BY date_diff('day', last_od, mx.mxd),
+             |      cust) AS INTEGER) AS r_q,
+             |    CAST(ntile(5) OVER (ORDER BY frequency DESC, cust) AS INTEGER)
+             |      AS f_q,
+             |    CAST(ntile(5) OVER (ORDER BY m DESC, cust) AS INTEGER) AS m_q
+             |  FROM r CROSS JOIN mx)
+             |SELECT cust, recency_days, frequency, monetary, r_q, f_q, m_q,
+             |  r_q * 100 + f_q * 10 + m_q AS rfm_code
+             |FROM sc ORDER BY cust""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
