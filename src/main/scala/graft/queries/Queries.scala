@@ -10284,7 +10284,81 @@ object Queries {
              |  FROM r CROSS JOIN mx)
              |SELECT cust, recency_days, frequency, monetary, r_q, f_q, m_q,
              |  r_q * 100 + f_q * 10 + m_q AS rfm_code
-             |FROM sc ORDER BY cust""".stripMargin))
+             |FROM sc ORDER BY cust""".stripMargin)),
+
+    QueryDef("imp1_median_impute",
+      // per-group median imputation — the feature-repair step before
+      // training (w22 interpolates time series; this fills by GROUP
+      // statistic where no temporal neighbor exists). Nulls are PLANTED
+      // (event_id % 13 — the c2 pattern: the raw data has none), the
+      // fill is the group median carried as an exact ×2 integer of
+      // cents (values are 2dp money; the e22 median trick), and the
+      // imputed double is one division — no interpolated-float
+      // boundary anywhere. Median per group is a percentile over the
+      // group's rows; the group-cardinality stats frame broadcasts.
+      (s, dir) => {
+        val p = events(s, dir).select(col("event_id"), col("event_type"),
+            when(col("event_id") % 13 === 0, lit(null).cast("double"))
+              .otherwise(col("value")).as("v"))
+          .withColumn("_vc",
+            (col("v").cast("decimal(12,2)") * 100).cast("long"))
+        val m = p.filter(col("_vc").isNotNull).groupBy("event_type")
+          .agg((expr("percentile(_vc, 0.5D)") * 2).cast("long").as("_m2"))
+        p.join(broadcast(m), Seq("event_type"), "left")
+          .select(col("event_id"), col("event_type"),
+            coalesce(col("v"), col("_m2").cast("double") / lit(200.0))
+              .as("value"),
+            (col("v").isNull && col("_m2").isNotNull).as("was_imputed"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, event_type,
+             |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+             |  FROM events),
+             |pc AS (
+             |  SELECT event_id, event_type, v,
+             |    CAST(CAST(v AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+             |  FROM p),
+             |m AS (
+             |  SELECT event_type, CAST(quantile_cont(vc, 0.5) * 2 AS BIGINT) AS m2
+             |  FROM pc WHERE vc IS NOT NULL GROUP BY 1)
+             |SELECT pc.event_id, pc.event_type,
+             |  COALESCE(pc.v, CAST(m.m2 AS DOUBLE) / 200.0) AS value,
+             |  (pc.v IS NULL AND m.m2 IS NOT NULL) AS was_imputed
+             |FROM pc LEFT JOIN m USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("fe1_category_index",
+      // deterministic category indexing (the StringIndexer shape): each
+      // (column, value) pair of the documents source/lang dimensions
+      // gets a dense integer index by descending frequency (ties by
+      // value) — the label-encoding step feeding embedding tables and
+      // tree models, reproducible across runs/engines because the order
+      // is a total (count desc, value) sort of a CARDINALITY-sized
+      // frame, never the raw rows. All-integer.
+      (s, dir) => {
+        val d = docs(s, dir)
+        def dim(c: String) = d.filter(col(c).isNotNull)
+          .groupBy(col(c).cast("string").as("value"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("column", lit(c))
+        dim("source").unionByName(dim("lang"))
+          .withColumn("idx", row_number().over(Window.partitionBy("column")
+            .orderBy(col("n").desc, col("value"))) - 1)
+          .select(col("column"), col("value"), col("n"), col("idx"))
+          .orderBy("column", "idx")
+      },
+      Some("""WITH s AS (
+             |  SELECT 'source' AS "column", source AS value, count(*) AS n
+             |  FROM documents WHERE source IS NOT NULL GROUP BY 2),
+             |l AS (
+             |  SELECT 'lang' AS "column", lang AS value, count(*) AS n
+             |  FROM documents WHERE lang IS NOT NULL GROUP BY 2),
+             |u AS (SELECT * FROM s UNION ALL SELECT * FROM l)
+             |SELECT "column", value, n,
+             |  CAST(row_number() OVER (PARTITION BY "column"
+             |    ORDER BY n DESC, value) - 1 AS INTEGER) AS idx
+             |FROM u ORDER BY "column", idx""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
