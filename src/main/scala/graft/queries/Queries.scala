@@ -10358,7 +10358,89 @@ object Queries {
              |SELECT "column", value, n,
              |  CAST(row_number() OVER (PARTITION BY "column"
              |    ORDER BY n DESC, value) - 1 AS INTEGER) AS idx
-             |FROM u ORDER BY "column", idx""".stripMargin))
+             |FROM u ORDER BY "column", idx""".stripMargin)),
+
+    QueryDef("split1_stump",
+      // exact decision-stump split finding over the labeled embeddings
+      // (dims 0–3): for every distinct-value boundary of each feature,
+      // the weighted MISCLASSIFICATION count of the "x ≤ t" split —
+      // the GBDT/tree split-finder primitive, with misclassification
+      // (not Gini) as the objective precisely because it is an exact
+      // INTEGER: argmin needs no cross-engine rational comparison.
+      // Per-dim sorted windows build cumulative per-class counts in one
+      // pass (10 running sums over one sort); tied feature values
+      // can't host a split, so only rows where x < next(x) are
+      // candidates; best-per-dim ties break (err, threshold).
+      (s, dir) => {
+        val labels = 0 to 9
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding").cast("array<double>")))
+          .filter(col("pos") < 4)
+          .select(col("vec_id"), col("label"), col("pos").as("dim"),
+            col("col").as("x"))
+        val w = Window.partitionBy("dim").orderBy(col("x"), col("vec_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wl = Window.partitionBy("dim").orderBy(col("x"), col("vec_id"))
+        var d = e
+        for (c <- labels)
+          d = d.withColumn(s"_c$c",
+            sum(when(col("label") === c, 1L).otherwise(0L)).over(w))
+        for (c <- labels)
+          d = d.withColumn(s"_t$c", max(col(s"_c$c")).over(
+            Window.partitionBy("dim")))
+        d = d.withColumn("_rn", row_number().over(wl))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy("dim")))
+          .withColumn("_nx", lead(col("x"), 1).over(wl))
+          .filter(col("_nx").isNotNull && col("x") < col("_nx"))
+        val lmax = greatest(labels.map(c => col(s"_c$c")): _*)
+        val rmax = greatest(labels.map(c => col(s"_t$c") - col(s"_c$c")): _*)
+        val scored = d.withColumn("err",
+            (col("_rn") - lmax) + (col("_n") - col("_rn") - rmax))
+          .withColumn("_best", row_number().over(Window.partitionBy("dim")
+            .orderBy(col("err"), col("x"), col("vec_id"))))
+          .filter(col("_best") === 1)
+        scored.select(col("dim"), col("x").as("threshold"),
+            col("_rn").cast("long").as("n_left"), col("_n").as("n"),
+            col("err").cast("long").as("err"))
+          .orderBy("dim")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, generate_subscripts(v, 1) - 1 AS dim,
+             |         unnest(v) AS x
+             |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |        FROM embeddings)),
+             |f AS (SELECT * FROM e WHERE dim < 4),
+             |cum AS (
+             |  SELECT vec_id, dim, x,
+             |""".stripMargin +
+        (0 to 9).map(c =>
+          s"""    sum(CASE WHEN label = $c THEN 1 ELSE 0 END) OVER w AS c$c,
+             |    CAST(sum(CASE WHEN label = $c THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY dim) AS BIGINT) AS t$c""".stripMargin)
+          .mkString(",\n") + """,
+             |    row_number() OVER wo AS rn,
+             |    count(*) OVER (PARTITION BY dim) AS n,
+             |    lead(x) OVER wo AS nx
+             |  FROM f
+             |  WINDOW w AS (PARTITION BY dim ORDER BY x, vec_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wo AS (PARTITION BY dim ORDER BY x, vec_id)),
+             |cand AS (
+             |  SELECT dim, x, vec_id, rn, n,
+             |    (rn - greatest(c0,c1,c2,c3,c4,c5,c6,c7,c8,c9))
+             |    + (n - rn - greatest(t0-c0,t1-c1,t2-c2,t3-c3,t4-c4,
+             |        t5-c5,t6-c6,t7-c7,t8-c8,t9-c9)) AS err
+             |  FROM cum WHERE nx IS NOT NULL AND x < nx),
+             |best AS (
+             |  SELECT dim, x, rn, n, err,
+             |    row_number() OVER (PARTITION BY dim
+             |      ORDER BY err, x, vec_id) AS b
+             |  FROM cand)
+             |SELECT CAST(dim AS INTEGER) AS dim, x AS threshold,
+             |  CAST(rn AS BIGINT) AS n_left, CAST(n AS BIGINT) AS n,
+             |  CAST(err AS BIGINT) AS err
+             |FROM best WHERE b = 1 ORDER BY dim""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
