@@ -10440,7 +10440,119 @@ object Queries {
              |SELECT CAST(dim AS INTEGER) AS dim, x AS threshold,
              |  CAST(rn AS BIGINT) AS n_left, CAST(n AS BIGINT) AS n,
              |  CAST(err AS BIGINT) AS err
-             |FROM best WHERE b = 1 ORDER BY dim""".stripMargin))
+             |FROM best WHERE b = 1 ORDER BY dim""".stripMargin)),
+
+    QueryDef("qq1_return_quantiles",
+      // per-ticker vs pooled return deciles — the QQ-plot data behind
+      // "does this entity's distribution match the market's" (the
+      // per-entity drill-down of a27's KS sup). Every decile is an
+      // exact ORDER STATISTIC (index ⌈d·n/10⌉, the a35 convention — no
+      // interpolation) over 6dp-decimal returns, so both columns and
+      // their diff are exact. The pooled ranking is one global sort of
+      // return-cardinality rows (the t20-class caveat; approx-quantile
+      // cuts replace it at crawl scale).
+      (s, dir) => {
+        val x = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .select(col("ticker"), col("date"),
+            round(col("ret"), 6).cast("decimal(10,6)").as("r6"))
+        val wt = Window.partitionBy("ticker").orderBy("r6", "date", "ticker")
+        val wp = Window.orderBy("r6", "date", "ticker")
+        val ranked = x
+          .withColumn("_rt", row_number().over(wt))
+          .withColumn("_nt", count(lit(1)).over(Window.partitionBy("ticker")))
+          .withColumn("_rp", row_number().over(wp))
+          .withColumn("_np", count(lit(1)).over(
+            Window.partitionBy(lit(1))))
+        val ds = (1 to 9).map(d => ranked
+          .withColumn("decile", lit(d))
+          .withColumn("_it", expr(s"($d * _nt + 9) div 10"))
+          .withColumn("_ip", expr(s"($d * _np + 9) div 10")))
+          .reduce(_ unionByName _)
+        val tq = ds.filter(col("_rt") === col("_it"))
+          .select(col("ticker"), col("decile"),
+            col("r6").cast("double").as("ticker_q"))
+        val pq = ds.filter(col("_rp") === col("_ip"))
+          .select(col("decile").as("_d2"),
+            col("r6").cast("double").as("pooled_q"))
+          .groupBy("_d2").agg(first(col("pooled_q")).as("pooled_q"))
+        tq.join(broadcast(pq), col("decile") === col("_d2"))
+          .select(col("ticker"), col("decile"), col("ticker_q"),
+            col("pooled_q"),
+            (col("ticker_q") - col("pooled_q")).as("diff"))
+          .orderBy("ticker", "decile")
+      },
+      Some(pricesSql + retSql +
+        """, x AS (
+          |  SELECT ticker, "date", CAST(round(ret, 6) AS DECIMAL(10,6)) AS r6
+          |  FROM r WHERE ret IS NOT NULL),
+          |rk AS (
+          |  SELECT ticker, r6,
+          |    row_number() OVER (PARTITION BY ticker
+          |      ORDER BY r6, "date", ticker) AS rt,
+          |    count(*) OVER (PARTITION BY ticker) AS nt,
+          |    row_number() OVER (ORDER BY r6, "date", ticker) AS rp,
+          |    count(*) OVER () AS np
+          |  FROM x),
+          |d AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS decile),
+          |tq AS (
+          |  SELECT rk.ticker, d.decile, CAST(rk.r6 AS DOUBLE) AS ticker_q
+          |  FROM rk CROSS JOIN d
+          |  WHERE rk.rt = (d.decile * rk.nt + 9) // 10),
+          |pq AS (
+          |  SELECT d.decile, CAST(min(rk.r6) AS DOUBLE) AS pooled_q
+          |  FROM rk CROSS JOIN d
+          |  WHERE rk.rp = (d.decile * rk.np + 9) // 10
+          |  GROUP BY 1)
+          |SELECT tq.ticker, tq.decile, tq.ticker_q, pq.pooled_q,
+          |  tq.ticker_q - pq.pooled_q AS diff
+          |FROM tq JOIN pq USING (decile)
+          |ORDER BY ticker, decile""".stripMargin)),
+
+    QueryDef("e25_hill_tail",
+      // Hill tail-index estimator over per-user activity: α = k /
+      // Σ ln(x_(i)/x_(k+1)) across the top-k order statistics — "how
+      // heavy is the power-law tail" as one number (the parametric
+      // companion to e21's Gini; α ≤ 2 means variance doesn't exist
+      // and a mean-based capacity plan is fiction). k = ⌈n/10⌉. Counts
+      // and ranks exact; per-term lns round 6dp and sum in exact
+      // decimal (the t20 fit contract); α is one division.
+      (s, dir) => {
+        val uc = events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("c"))
+        val ranked = uc
+          .withColumn("_r", row_number().over(
+            Window.orderBy(col("c").desc, col("user_id"))))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+          .withColumn("_k", expr("(_n + 9) div 10"))
+        val xmin = ranked.filter(col("_r") === col("_k") + 1)
+          .select(col("c").as("_cmin"))
+        ranked.filter(col("_r") <= col("_k"))
+          .crossJoin(broadcast(xmin))
+          .select(round(log(col("c").cast("double") /
+            col("_cmin").cast("double")), 6).as("_t"), col("_k"))
+          .groupBy(col("_k").as("k"))
+          .agg(round(col("k").cast("double") /
+            sum(col("_t").cast("decimal(20,6)")).cast("double"), 6)
+            .as("alpha"))
+          .select(col("k"), col("alpha"))
+      },
+      Some("""WITH uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+             |rk AS (
+             |  SELECT c,
+             |    row_number() OVER (ORDER BY c DESC, user_id) AS r,
+             |    count(*) OVER () AS n,
+             |    (count(*) OVER () + 9) // 10 AS k
+             |  FROM uc),
+             |xm AS (SELECT c AS cmin FROM rk WHERE r = k + 1),
+             |t AS (
+             |  SELECT rk.k,
+             |    round(ln(CAST(rk.c AS DOUBLE) / CAST(xm.cmin AS DOUBLE)), 6)
+             |      AS t
+             |  FROM rk CROSS JOIN xm WHERE rk.r <= rk.k)
+             |SELECT CAST(k AS BIGINT) AS k,
+             |  round(CAST(k AS DOUBLE)
+             |    / CAST(SUM(CAST(t AS DECIMAL(20,6))) AS DOUBLE), 6) AS alpha
+             |FROM t GROUP BY k""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
