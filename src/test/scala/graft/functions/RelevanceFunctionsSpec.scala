@@ -352,6 +352,30 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(out.map(_._6).distinct.size === 1 && out.map(_._7).distinct.size === 1)
   }
 
+  test("heapsFit: all-new-vocab corpus fits beta = 1 exactly; templated corpus 0") {
+    // every token unique → V(N) = N → ln V = ln N at every point → slope 1
+    val fresh = Seq((1L, "a b"), (2L, "c d e"), (3L, "f g"))
+      .toDF("doc_id", "text")
+    val f = RelevanceFunctions.heapsFit(fresh, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().toList
+    assert(f.map(r => (r._1, r._2, r._3)) ===
+      List((1L, 2L, 2L), (2L, 5L, 5L), (3L, 7L, 7L)))
+    assert(f.forall(r => r._6 === 1.0)) // beta
+    assert(f.forall(r => r._7 === 0.0)) // ln K: V = 1·N^1
+    // same two tokens forever → V constant → slope EXACTLY 0
+    val templated = Seq((1L, "a b"), (2L, "b a a"), (3L, "a b b"))
+      .toDF("doc_id", "text")
+    val t = RelevanceFunctions.heapsFit(templated, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().toList
+    assert(t.map(r => (r._2, r._3)) === List((2L, 2L), (5L, 2L), (8L, 2L)))
+    assert(t.forall(r => r._6 === 0.0))
+    // null text contributes nothing (neither tokens nor a point)
+    val withNull = RelevanceFunctions.heapsFit(
+      fresh.unionByName(Seq((4L, null: String)).toDF("doc_id", "text")),
+      "doc_id", "text").collect()
+    assert(withNull.length === 3)
+  }
+
   test("rankingMetrics: perfect ranking = all ones; absent term = zeros") {
     // bm25 and graded relevance agree here: the short high-tf doc
     // outranks the longer low-tf doc, the no-hit doc scores 0

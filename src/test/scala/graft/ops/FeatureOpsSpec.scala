@@ -327,4 +327,35 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(perfect === List(-2)) // only k = −2 aligns the series exactly
     assert(out.map(_._3).sorted === (-3 to 3).toList)
   }
+
+  test("hurstRS: alternating series H = 0 exactly; ramp is strongly persistent") {
+    // alternating ±1: every block has R/S = 1 at every size → both
+    // ln points are (ln S, 0) → slope EXACTLY 0
+    val alt = (1 to 16).map(i => ("A", i, if (i % 2 == 1) 1L else -1L))
+    val ramp = (1 to 16).map(i => ("R", i, i.toLong))
+    val df = (alt ++ ramp).toDF("e", "t", "x")
+    val out = FeatureOps.hurstRS(df, "e", "t", "x", sizes = Seq(4, 8))
+    assert(out.columns.toSeq === Seq("e", "size", "n_blocks", "mean_rs",
+      "ln_s", "ln_rs", "hurst"))
+    val rows = out.as[(String, Int, Long, Double, Double, Double, Double)]
+      .collect().toList
+    val altRows = rows.filter(_._1 == "A")
+    assert(altRows.map(r => (r._2, r._3, r._4)) ===
+      List((4, 4L, 1.0), (8, 2L, 1.0))) // 16/4 and 16/8 full blocks, R/S=1
+    assert(altRows.forall(_._7 === 0.0))
+    // monotone ramp: every length-S block is the same shifted ramp;
+    // hand-derived (S·cum_k = S·prefix_k − k·B): S=4 range 8 → R=2,
+    // σ=√1.25; S=8 range 64 → R=8, σ=√5.25
+    def r6d(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rs4 = r6d(2.0 / math.sqrt(1.25)); val rs8 = r6d(8.0 / math.sqrt(5.25))
+    val rampRows = rows.filter(_._1 == "R")
+    assert(rampRows.map(r => (r._2, r._4)) === List((4, rs4), (8, rs8)))
+    val h = rampRows.head._7
+    assert(h > 0.9 && h < 1.0, s"ramp H out of band: $h")
+    // partitioning-invariant (exact integer/decimal core)
+    val again = FeatureOps.hurstRS(df.repartition(7), "e", "t", "x",
+      sizes = Seq(4, 8)).collect().toList
+    assert(again === out.collect().toList)
+  }
 }
