@@ -10555,7 +10555,169 @@ object Queries {
              |SELECT CAST(k AS BIGINT) AS k,
              |  round(CAST(k AS DOUBLE)
              |    / CAST(SUM(CAST(t AS DECIMAL(20,6))) AS DOUBLE), 6) AS alpha
-             |FROM t GROUP BY k""".stripMargin))
+             |FROM t GROUP BY k""".stripMargin)),
+
+    QueryDef("e26_new_vs_returning",
+      // weekly growth decomposition: active users split into NEW (first
+      // ever seen that week — the t23 first-sighting hash agg, never a
+      // running distinct) and RETURNING, plus the returning share. The
+      // growth-accounting companion to e10's retention matrix.
+      // All-integer; one division per week.
+      (s, dir) => {
+        val e = events(s, dir).select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        val act = e.distinct().groupBy("wk").agg(count(lit(1)).as("active"))
+        val nw = e.groupBy("user_id").agg(min(col("wk")).as("wk"))
+          .groupBy("wk").agg(count(lit(1)).as("new_users"))
+        act.join(broadcast(nw), Seq("wk"), "left")
+          .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+          .select(col("wk").as("week"), col("active"), col("new_users"),
+            (col("active") - col("new_users")).as("returning"),
+            round((col("active") - col("new_users")).cast("double") /
+              col("active").cast("double"), 6).as("returning_share"))
+          .orderBy("week")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events),
+             |act AS (SELECT wk, count(*) AS active
+             |        FROM (SELECT DISTINCT user_id, wk FROM e) GROUP BY 1),
+             |nw AS (
+             |  SELECT wk, count(*) AS new_users FROM (
+             |    SELECT user_id, min(wk) AS wk FROM e GROUP BY 1) GROUP BY 1)
+             |SELECT act.wk AS week, act.active,
+             |  COALESCE(nw.new_users, 0) AS new_users,
+             |  act.active - COALESCE(nw.new_users, 0) AS returning,
+             |  round(CAST(act.active - COALESCE(nw.new_users, 0) AS DOUBLE)
+             |    / CAST(act.active AS DOUBLE), 6) AS returning_share
+             |FROM act LEFT JOIN nw USING (wk) ORDER BY week""".stripMargin)),
+
+    QueryDef("w43_ar1_halflife",
+      // mean-reversion half-life from a per-ticker AR(1) fit on price
+      // LEVELS: y_t = a + b·y_{t−1} in exact integer cents (co-moments
+      // Σx, Σy, Σxy, Σx² are exact decimals), slope b and intercept by
+      // the closed-form OLS IEEE chain, and half-life = −ln2/ln(b) for
+      // mean-reverting 0 < b < 1 (NULL otherwise — a random walk has
+      // none). The Ornstein–Uhlenbeck companion to w41's variance
+      // ratio: "IF this reverts, how fast".
+      (s, dir) => {
+        val wd = Window.partitionBy("ticker").orderBy("date")
+        val p = prices(t(s, dir, "lineitem"))
+          .select(col("ticker"), col("date"),
+            (col("close").cast("decimal(12,2)") * 100).cast("long").as("y"))
+          .withColumn("x", lag(col("y"), 1).over(wd))
+          .filter(col("x").isNotNull)
+        val a = p.groupBy("ticker").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("_sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("_sxx"))
+        val b = (col("_sxy") * col("n") -
+            col("_sx").cast("decimal(38,0)") * col("_sy")).cast("double") /
+          (col("_sxx") * col("n") -
+            col("_sx").cast("decimal(38,0)") * col("_sx")).cast("double")
+        a.filter(col("n") >= 3)
+          .withColumn("b", round(b, 6))
+          .select(col("ticker"), col("n"), col("b"),
+            when(col("b") > 0 && col("b") < 1,
+              round(-log(lit(2.0)) / log(col("b")), 6)).as("half_life_days"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql +
+        """, c AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+          |  FROM prices),
+          |l AS (
+          |  SELECT ticker, y,
+          |    lag(y) OVER (PARTITION BY ticker ORDER BY "date") AS x
+          |  FROM c),
+          |a AS (
+          |  SELECT ticker, count(*) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+          |    sum(CAST(x AS HUGEINT) * x) AS sxx
+          |  FROM l WHERE x IS NOT NULL GROUP BY 1),
+          |f AS (
+          |  SELECT ticker, n,
+          |    round(CAST(sxy * n - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+          |      / CAST(sxx * n - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS b
+          |  FROM a WHERE n >= 3)
+          |SELECT ticker, n, b,
+          |  CASE WHEN b > 0 AND b < 1
+          |       THEN round(-ln(2.0) / ln(b), 6) END AS half_life_days
+          |FROM f ORDER BY ticker""".stripMargin)),
+
+    QueryDef("pat1_candlestick",
+      // candlestick pattern flags over the daily OHLC bars ([[Q
+      // .ohlcBars]]): doji (body ≤ 10% of range), hammer (lower shadow
+      // ≥ 2×body, upper ≤ body) and bullish/bearish engulfing (body
+      // swallows yesterday's opposite-color body) — the rule-based TA
+      // screens w11/w15/w24 chart around. EVERY decision is an integer
+      // comparison in exact cents (the 10% test cross-multiplies —
+      // no float touches a flag); the one window is the w-family
+      // per-ticker lag. Only flagged bars ship.
+      (s, dir) => {
+        val wd = Window.partitionBy("ticker").orderBy("date")
+        def cents(c: String) =
+          (col(c).cast("decimal(12,2)") * 100).cast("long").as(s"_$c")
+        val b = Q.ohlcBars(t(s, dir, "lineitem"))
+          .select(Seq(col("ticker"), col("date")) ++
+            Seq("open", "high", "low", "close").map(cents): _*)
+          .withColumn("_po", lag(col("_open"), 1).over(wd))
+          .withColumn("_pc", lag(col("_close"), 1).over(wd))
+        val body = abs(col("_close") - col("_open"))
+        val rng = col("_high") - col("_low")
+        val upper = col("_high") - greatest(col("_open"), col("_close"))
+        val lower = least(col("_open"), col("_close")) - col("_low")
+        val doji = rng > 0 && body * 10 <= rng
+        val hammer = rng > 0 && lower >= body * 2 && upper <= body
+        val bull = col("_po").isNotNull && col("_pc") < col("_po") &&
+          col("_close") > col("_open") &&
+          col("_open") <= col("_pc") && col("_close") >= col("_po")
+        val bear = col("_po").isNotNull && col("_pc") > col("_po") &&
+          col("_close") < col("_open") &&
+          col("_open") >= col("_pc") && col("_close") <= col("_po")
+        b.withColumn("doji", doji).withColumn("hammer", hammer)
+          .withColumn("bull_engulf", bull).withColumn("bear_engulf", bear)
+          .filter(col("doji") || col("hammer") ||
+            col("bull_engulf") || col("bear_engulf"))
+          .select(col("ticker"), col("date"),
+            (col("_open").cast("double") / 100).as("open"),
+            (col("_high").cast("double") / 100).as("high"),
+            (col("_low").cast("double") / 100).as("low"),
+            (col("_close").cast("double") / 100).as("close"),
+            col("doji"), col("hammer"), col("bull_engulf"), col("bear_engulf"))
+          .orderBy("ticker", "date")
+      },
+      Some(Q.ohlcSql +
+        """, c AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(open AS DECIMAL(12,2)) * 100 AS BIGINT) AS o,
+          |    CAST(CAST(high AS DECIMAL(12,2)) * 100 AS BIGINT) AS h,
+          |    CAST(CAST(low AS DECIMAL(12,2)) * 100 AS BIGINT) AS l,
+          |    CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT) AS cl
+          |  FROM bars),
+          |x AS (
+          |  SELECT ticker, "date", o, h, l, cl,
+          |    lag(o) OVER w AS po, lag(cl) OVER w AS pc,
+          |    abs(cl - o) AS body, h - l AS rng,
+          |    h - greatest(o, cl) AS up, least(o, cl) - l AS lo
+          |  FROM c WINDOW w AS (PARTITION BY ticker ORDER BY "date")),
+          |f AS (
+          |  SELECT ticker, "date",
+          |    CAST(o AS DOUBLE) / 100 AS open, CAST(h AS DOUBLE) / 100 AS high,
+          |    CAST(l AS DOUBLE) / 100 AS low, CAST(cl AS DOUBLE) / 100 AS close,
+          |    (rng > 0 AND body * 10 <= rng) AS doji,
+          |    (rng > 0 AND lo >= body * 2 AND up <= body) AS hammer,
+          |    (po IS NOT NULL AND pc < po AND cl > o
+          |      AND o <= pc AND cl >= po) AS bull_engulf,
+          |    (po IS NOT NULL AND pc > po AND cl < o
+          |      AND o >= pc AND cl <= po) AS bear_engulf
+          |  FROM x)
+          |SELECT * FROM f
+          |WHERE doji OR hammer OR bull_engulf OR bear_engulf
+          |ORDER BY ticker, "date"""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
