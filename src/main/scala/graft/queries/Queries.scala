@@ -10717,7 +10717,69 @@ object Queries {
           |  FROM x)
           |SELECT * FROM f
           |WHERE doji OR hammer OR bull_engulf OR bear_engulf
-          |ORDER BY ticker, "date"""".stripMargin))
+          |ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("dq1_scorecard",
+      // one-row-per-table data-quality scorecard: row count, exact
+      // full-row duplicate count, total null cells and the null rate —
+      // the warehouse-wide roll-up the per-table a1/a2 audits feed.
+      // Each table costs ONE scan for the fused null/row counts (the
+      // a1 single-pass shape) plus one distinct for exact dup rows;
+      // rates are single divisions of exact longs.
+      (s, dir) => {
+        def one(name: String, cols: Seq[String]) = {
+          val df = t(s, dir, name)
+          val nullCells = cols.map(c =>
+            sum(when(col(c).isNull, 1L).otherwise(0L))).reduce(_ + _)
+          df.agg(count(lit(1)).as("n_rows"), nullCells.as("null_cells"))
+            .crossJoin(
+              df.distinct().agg(count(lit(1)).as("_nd")))
+            .select(lit(name).as("table_name"), col("n_rows"),
+              (col("n_rows") - col("_nd")).as("dup_rows"),
+              col("null_cells"), lit(cols.size).as("n_cols"),
+              round(col("null_cells").cast("double") /
+                (col("n_rows") * cols.size).cast("double"), 6)
+                .as("null_rate"))
+        }
+        Seq(
+          one("customer", Seq("c_custkey", "c_name", "c_nationkey",
+            "c_acctbal", "c_mktsegment")),
+          one("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
+          one("events", Seq("event_id", "ts", "user_id", "event_type",
+            "value", "props")),
+          one("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey",
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")),
+          one("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"))
+        ).reduce(_ unionByName _).orderBy("table_name")
+      },
+      Some {
+        def sql(name: String, cols: Seq[String]) = {
+          val nulls = cols.map(c =>
+            s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)").mkString(" + ")
+          s"""SELECT '$name' AS table_name, count(*) AS n_rows,
+             |  count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM $name))
+             |    AS dup_rows,
+             |  CAST($nulls AS BIGINT) AS null_cells,
+             |  CAST(${cols.size} AS INTEGER) AS n_cols,
+             |  round(CAST($nulls AS DOUBLE)
+             |    / CAST(count(*) * ${cols.size} AS DOUBLE), 6) AS null_rate
+             |FROM $name""".stripMargin
+        }
+        Seq(
+          sql("customer", Seq("c_custkey", "c_name", "c_nationkey",
+            "c_acctbal", "c_mktsegment")),
+          sql("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
+          sql("events", Seq("event_id", "ts", "user_id", "event_type",
+            "value", "props")),
+          sql("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey",
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")),
+          sql("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"))
+        ).mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+      })
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
