@@ -10779,7 +10779,156 @@ object Queries {
           sql("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
             "o_totalprice", "o_orderdate", "o_orderpriority"))
         ).mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
-      })
+      }),
+
+    QueryDef("w44_capture_ratios",
+      // up-market / down-market capture ratios per ticker vs the
+      // equal-cap index (w37's market construction): mean ticker
+      // return over index-up days divided by the index's own up-day
+      // mean, same for down days — "does this name amplify rallies or
+      // cushion drawdowns". All moments are exact µunit integer sums
+      // split by an exact sign test on the index return; each ratio is
+      // a fixed IEEE chain, 6dp.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+        val wD = Window.orderBy("date")
+        val mret = p.groupBy("date")
+          .agg(sum(col("close").cast("decimal(12,2)")).cast("decimal(18,2)")
+            .as("_ic"))
+          .withColumn("m", (round(col("_ic").cast("double") /
+            lag(col("_ic"), 1).over(wD).cast("double") - 1, 6)
+            .cast("decimal(10,6)") * 1000000).cast("long"))
+          .filter(col("m").isNotNull).select("date", "m")
+        val tret = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .select(col("ticker"), col("date"),
+            (round(col("ret"), 6).cast("decimal(10,6)") * 1000000)
+              .cast("long").as("y"))
+        val j = tret.join(mret, "date").filter(col("m") =!= 0)
+        val up = col("m") > 0
+        val a = j.groupBy("ticker").agg(
+          sum(when(up, 1L).otherwise(0L)).as("n_up"),
+          sum(when(up, col("y"))).as("_syu"),
+          sum(when(up, col("m"))).as("_smu"),
+          sum(when(!up, 1L).otherwise(0L)).as("n_down"),
+          sum(when(!up, col("y"))).as("_syd"),
+          sum(when(!up, col("m"))).as("_smd"))
+        a.filter(col("n_up") >= 1 && col("n_down") >= 1 &&
+            col("_smu") =!= 0 && col("_smd") =!= 0)
+          .select(col("ticker"), col("n_up"), col("n_down"),
+            round(col("_syu").cast("double") / col("_smu").cast("double"), 6)
+              .as("up_capture"),
+            round(col("_syd").cast("double") / col("_smd").cast("double"), 6)
+              .as("down_capture"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, ic AS (
+          |  SELECT "date", CAST(sum(CAST(close AS DECIMAL(12,2)))
+          |    AS DECIMAL(18,2)) AS ic
+          |  FROM prices GROUP BY 1),
+          |mr AS (
+          |  SELECT "date",
+          |    CAST(CAST(round(CAST(ic AS DOUBLE)
+          |        / CAST(lag(ic) OVER (ORDER BY "date") AS DOUBLE) - 1, 6)
+          |      AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS m
+          |  FROM ic),
+          |tr AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(round(ret, 6) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS y
+          |  FROM r WHERE ret IS NOT NULL),
+          |j AS (
+          |  SELECT tr.ticker, tr.y, mr.m FROM tr JOIN mr USING ("date")
+          |  WHERE mr.m IS NOT NULL AND mr.m <> 0),
+          |a AS (
+          |  SELECT ticker,
+          |    CAST(count(CASE WHEN m > 0 THEN 1 END) AS BIGINT) AS n_up,
+          |    CAST(sum(CASE WHEN m > 0 THEN y END) AS BIGINT) AS syu,
+          |    CAST(sum(CASE WHEN m > 0 THEN m END) AS BIGINT) AS smu,
+          |    CAST(count(CASE WHEN m < 0 THEN 1 END) AS BIGINT) AS n_down,
+          |    CAST(sum(CASE WHEN m < 0 THEN y END) AS BIGINT) AS syd,
+          |    CAST(sum(CASE WHEN m < 0 THEN m END) AS BIGINT) AS smd
+          |  FROM j GROUP BY 1)
+          |SELECT ticker, n_up, n_down,
+          |  round(CAST(syu AS DOUBLE) / CAST(smu AS DOUBLE), 6) AS up_capture,
+          |  round(CAST(syd AS DOUBLE) / CAST(smd AS DOUBLE), 6) AS down_capture
+          |FROM a WHERE n_up >= 1 AND n_down >= 1 AND smu <> 0 AND smd <> 0
+          |ORDER BY ticker""".stripMargin)),
+
+    QueryDef("a38_lorenz_curve",
+      // Lorenz curve of supplier revenue concentration: for each
+      // decile of suppliers (ranked by revenue ascending), the
+      // cumulative share of total revenue — the curve whose area gap
+      // a24's Gini integrates, as plottable points. Revenue is exact
+      // decimal; the decile boundary is the ⌈d·n/10⌉ order statistic
+      // (a35 convention); shares are single divisions. The supplier
+      // ranking window is entity-cardinality (suppliers ≪ lineitems).
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey").as("supp"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,4)")).as("_r"))
+        val w = Window.orderBy(col("_r"), col("supp"))
+        val ranked = rev
+          .withColumn("_rn", row_number().over(w))
+          .withColumn("_cum", sum(col("_r")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+          .withColumn("_tot", sum(col("_r")).over(Window.partitionBy(lit(1))))
+        ranked.join(broadcast(s.range(1, 11)
+            .select(col("id").cast("int").as("decile"))),
+            col("_rn") === expr("(decile * _n + 9) div 10"))
+          .select(col("decile"), col("_rn").cast("long").as("n_suppliers"),
+            round(col("_cum").cast("double") / col("_tot").cast("double"), 6)
+              .as("cum_revenue_share"))
+          .orderBy("decile")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey AS supp,
+             |         SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS r
+             |  FROM lineitem GROUP BY 1),
+             |rk AS (
+             |  SELECT supp, r,
+             |    row_number() OVER w AS rn,
+             |    sum(r) OVER (ORDER BY r, supp
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    count(*) OVER () AS n, sum(r) OVER () AS tot
+             |  FROM rev WINDOW w AS (ORDER BY r, supp)),
+             |d AS (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS decile)
+             |SELECT d.decile, CAST(rk.rn AS BIGINT) AS n_suppliers,
+             |  round(CAST(rk.cum AS DOUBLE) / CAST(rk.tot AS DOUBLE), 6)
+             |    AS cum_revenue_share
+             |FROM rk JOIN d ON rk.rn = (d.decile * rk.n + 9) // 10
+             |ORDER BY decile""".stripMargin)),
+
+    QueryDef("mix3_source_dup_rates",
+      // per-source duplication scorecard: exact-duplicate rate (md5 of
+      // the raw text — the d1 key) and the WITHIN-source share of
+      // cross-corpus duplicate groups, the "which feed is reposting"
+      // attribution that decides d8-style source caps. All-integer
+      // counts off two hash aggs; rates are single divisions.
+      (s, dir) => {
+        val d = docs(s, dir).filter(col("text").isNotNull)
+          .select(col("source"), md5(col("text")).as("_h"))
+        val g = d.groupBy("source", "_h").agg(count(lit(1)).as("_c"))
+        g.groupBy("source").agg(
+            sum(col("_c")).as("n_docs"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("_c") - 1).as("n_dup_docs"))
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            col("n_dup_docs"),
+            round(col("n_dup_docs").cast("double") /
+              col("n_docs").cast("double"), 6).as("dup_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, md5(text) AS h FROM documents
+             |  WHERE text IS NOT NULL),
+             |g AS (SELECT source, h, count(*) AS c FROM d GROUP BY 1, 2)
+             |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             |  count(*) AS n_distinct,
+             |  CAST(sum(c - 1) AS BIGINT) AS n_dup_docs,
+             |  round(CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             |    AS dup_rate
+             |FROM g GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
