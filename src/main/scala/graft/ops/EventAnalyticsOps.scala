@@ -274,11 +274,14 @@ object EventAnalyticsOps {
       .groupBy(col("_c")).agg(count(lit(1)).as("_m"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("_c")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = hist.withColumn("_cum", sum(col("_m")).over(w))
+    // totals ride the SAME single-partition histogram frame as
+    // whole-frame windows — a separate agg + crossJoin re-derived the
+    // histogram from the raw log (second scan + shuffle, plan-checked)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val rows = hist.withColumn("_cum", sum(col("_m")).over(w))
       .withColumn("_before", col("_cum") - col("_m"))
-    val tot = cum.agg(sum(col("_m")).as("_n"),
-      sum(col("_c") * col("_m")).as("_s"))
-    val rows = cum.crossJoin(broadcast(tot))
+      .withColumn("_n", sum(col("_m")).over(wAll))
+      .withColumn("_s", sum(col("_c") * col("_m")).over(wAll))
     // Σ rank·x in decimal: m·before alone can reach entities², and
     // c·(…) passes 2⁶³ on a crawl-scale log.
     val rankSum = sum(col("_c").cast("decimal(38,0)") *

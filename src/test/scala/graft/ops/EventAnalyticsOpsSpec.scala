@@ -170,6 +170,17 @@ class EventAnalyticsOpsSpec extends AnyFunSuite {
     assert(one._4 === 0.6)
   }
 
+  test("activityConcentration plan: the only data-sized shuffles are the two hash aggs") {
+    // the scale claim: entity counts and the count-of-counts histogram
+    // shuffle ONCE each; everything after runs on histogram-sized (and
+    // then 1-row) frames — no entity-cardinality sort or window exists
+    val events = (1L to 100L).map(i => Tuple1(i % 7)).toDF("user_id")
+    val plan = EventAnalyticsOps.activityConcentration(events)
+      .queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex === 2, s"expected exactly 2 hash exchanges, plan:\n$plan")
+  }
+
   test("dailyCountAnomalies: MAD gate flags the spike; zero MAD flags any deviation") {
     def day(d: Int) = f"2024-01-$d%02d 12:00:00"
     val rows = // type a: counts 10,10,10,10,100 (MAD 0); b: 8,10,12,14,16 (MAD 2)
