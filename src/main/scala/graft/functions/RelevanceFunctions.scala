@@ -570,10 +570,13 @@ object RelevanceFunctions {
     * accumulate in exact decimal, β / ln K round 6dp.
     */
   def heapsFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.filter(col(textCol).isNotNull)
+    // pinned: both the per-doc totals and the first-sighting agg read
+    // this explode — unpinned, the corpus tokenizes twice
+    val toks = graft.Caches.trackedPersist(docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
+      .filter(length(col("token")) > 0),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perDoc = toks.groupBy("_id").agg(count(lit(1)).as("n_tok"))
     val firstOcc = toks.groupBy("token").agg(min(col("_id")).as("_fd"))
       .groupBy(col("_fd").as("_id")).agg(count(lit(1)).as("_new"))

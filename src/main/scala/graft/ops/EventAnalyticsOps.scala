@@ -329,8 +329,12 @@ object EventAnalyticsOps {
     * broadcasts back. Nothing event-cardinality shuffles twice.
     */
   def dailyCountAnomalies(events: DataFrame): DataFrame = {
-    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+    // pinned: the median agg and the deviation join both read this
+    // (types × days)-sized frame — unpinned, the log aggregates twice
+    val daily = graft.Caches.trackedPersist(
+      events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = daily.groupBy("event_type")
       .agg((expr("percentile(n, 0.5D)") * 2).cast("long").as("_med2"))
     val dev = daily.join(broadcast(med), Seq("event_type"))

@@ -524,9 +524,12 @@ object FeatureOps {
     require(sizes.nonEmpty && sizes.forall(_ >= 2), s"sizes must be >= 2 (got $sizes)")
     require(sizes.distinct == sizes, s"sizes must be distinct (got $sizes)")
     val w = Window.partitionBy(entityCol).orderBy(timeCol)
-    val rows = df.filter(col(valueCol).isNotNull)
+    // pinned: the |sizes|-way union re-evaluates this frame (and its
+    // per-entity sort) once per size otherwise
+    val rows = graft.Caches.trackedPersist(df.filter(col(valueCol).isNotNull)
       .select(col(entityCol), col(timeCol), col(valueCol).as("_x"))
-      .withColumn("_rn", row_number().over(w))
+      .withColumn("_rn", row_number().over(w)),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fanned = sizes.map(s => rows.withColumn("size", lit(s)))
       .reduce(_ unionByName _)
       .withColumn("_blk", expr("(_rn - 1) div size"))

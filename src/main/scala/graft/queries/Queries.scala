@@ -8542,7 +8542,10 @@ object Queries {
       // CALENDAR, not the data (one row per trading day). Full-frame
       // guard (n=20); zero market variance → null.
       (s, dir) => {
-        val p = prices(t(s, dir, "lineitem"))
+        // pinned: index and per-ticker returns share the price frame —
+        // unpinned the lineitem agg runs twice
+        val p = graft.Caches.trackedPersist(prices(t(s, dir, "lineitem")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val idx = p.groupBy("date")
           .agg(sum(col("close").cast("decimal(12,2)")).cast("decimal(18,2)").as("_ic"))
         val wD = Window.orderBy("date")
@@ -9341,9 +9344,12 @@ object Queries {
       // longs and both ratios ship as single unrounded IEEE divisions
       // of sub-2⁵³ integer products (the a33 convention).
       (s, dir) => {
-        val op = t(s, dir, "lineitem")
+        // pinned: the self-join sides, the part counts and the order
+        // count all read this distinct — unpinned it shuffles 4×
+        val op = graft.Caches.trackedPersist(t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
+          .distinct(),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nOrders = op.select("ok").distinct().agg(count(lit(1)).as("_N"))
         val partN = op.groupBy(col("pk")).agg(count(lit(1)).as("_np"))
         val pairN = op.as("a").join(op.as("b"),
@@ -9399,9 +9405,13 @@ object Queries {
         val r6 = round(col("ret"), 6).cast("decimal(10,6)")
         val rc = least(greatest(r6, lit(-10).cast("decimal(10,6)")),
           lit(10).cast("decimal(10,6)"))
-        val base = pricesWithRet(s, dir).filter(col("ret").isNotNull)
-          .select(col("ticker"), col("date"),
-            (rc * rc * lit(1000000000000L)).cast("long").as("_r2p"))
+        // pinned: the seed agg and the fold array both read it —
+        // unpinned the return pipeline runs twice
+        val base = graft.Caches.trackedPersist(
+          pricesWithRet(s, dir).filter(col("ret").isNotNull)
+            .select(col("ticker"), col("date"),
+              (rc * rc * lit(1000000000000L)).cast("long").as("_r2p")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val seed = base.groupBy("ticker")
           .agg(count(lit(1)).as("_n"), sum(col("_r2p")).as("_s"))
           .withColumn("_v0", expr("(2 * _s + _n) div (2 * _n)"))
@@ -9463,9 +9473,12 @@ object Queries {
       // distinct scan over the raw log), then two-level aggs dedup
       // (day, user) before counting. All-integer.
       (s, dir) => {
-        val act = events(s, dir)
+        // pinned: span, dau and both rolling fans read this distinct —
+        // unpinned the event log dedups 4×
+        val act = graft.Caches.trackedPersist(events(s, dir)
           .select(col("user_id").as("u"), to_date(col("ts")).as("d"))
-          .distinct()
+          .distinct(),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val span = act.agg(min(col("d")).as("_lo"), max(col("d")).as("_hi"))
         val dau = act.groupBy(col("d").as("day"))
           .agg(count(lit(1)).as("dau"))
@@ -9813,8 +9826,11 @@ object Queries {
           .agg(max(when(col("event_type") === "purchase" &&
             col("value") > 195, 1L).otherwise(0L)).as("c"))
           .withColumn("v", col("user_id") % 2)
-        val a = conv.groupBy("v")
-          .agg(count(lit(1)).as("n"), sum(col("c")).as("x"))
+        // pinned 2-row frame: both variant filters read it — unpinned
+        // the per-user agg over the log runs twice
+        val a = graft.Caches.trackedPersist(conv.groupBy("v")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("x")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wide = a.filter(col("v") === 0)
           .select(col("n").as("n_a"), col("x").as("conv_a"))
           .crossJoin(a.filter(col("v") === 1)
@@ -9865,8 +9881,11 @@ object Queries {
       // events.
       (s, dir) => {
         val e = events(s, dir)
-        val cohort = e.groupBy("user_id")
-          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+        // pinned: sizes and the purchase join both read the user-level
+        // cohort frame — unpinned the log aggregates twice
+        val cohort = graft.Caches.trackedPersist(e.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
         val cells = e.filter(col("event_type") === "purchase")
           .join(cohort, Seq("user_id"))
@@ -9992,7 +10011,9 @@ object Queries {
       // 500k pairs × day); top-20 is TakeOrdered on (ssd, ta, tb),
       // never a global sort.
       (s, dir) => {
-        val p = prices(t(s, dir, "lineitem"))
+        // pinned: both self-join sides read the normalized frame —
+        // unpinned the price agg + window runs twice
+        val p = graft.Caches.trackedPersist(prices(t(s, dir, "lineitem"))
           .filter(col("ticker") < 50)
           .select(col("ticker"), col("date"),
             (col("close").cast("decimal(12,2)") * 100).cast("long").as("c"))
@@ -10000,7 +10021,8 @@ object Queries {
             expr("(c * 1000000L) div first(c) OVER " +
               "(PARTITION BY ticker ORDER BY date " +
               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
-          .select(col("ticker"), col("date"), col("nrm"))
+          .select(col("ticker"), col("date"), col("nrm")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val a = p.select(col("ticker").as("ta"), col("date"), col("nrm").as("na"))
         val b = p.select(col("ticker").as("tb"), col("date"), col("nrm").as("nb"))
         a.join(b, Seq("date")).filter(col("ta") < col("tb"))
@@ -10245,11 +10267,14 @@ object Queries {
           .select(col("o_custkey").as("cust"),
             to_date(col("o_orderdate")).as("_od"),
             col("o_totalprice").cast("decimal(14,2)").as("_tp"))
-        val mx = o.agg(max(col("_od")).as("_mx"))
+        // the dataset horizon is max(last) over the CUSTOMER aggregate
+        // (same value as max over orders) — a whole-frame window here
+        // beats a second orders scan + crossJoin
         val r = o.groupBy("cust").agg(
             max(col("_od")).as("_last"), count(lit(1)).as("frequency"),
             sum(col("_tp")).as("_m"))
-          .crossJoin(broadcast(mx))
+          .withColumn("_mx",
+            max(col("_last")).over(Window.partitionBy(lit(1))))
           .withColumn("recency_days", datediff(col("_mx"), col("_last")))
         r.select(col("cust"), col("recency_days"), col("frequency"),
             col("_m").cast("double").as("monetary"),
@@ -10297,11 +10322,15 @@ object Queries {
       // boundary anywhere. Median per group is a percentile over the
       // group's rows; the group-cardinality stats frame broadcasts.
       (s, dir) => {
-        val p = events(s, dir).select(col("event_id"), col("event_type"),
+        // pinned: the median agg and the fill join both read it —
+        // unpinned the log scans twice
+        val p = graft.Caches.trackedPersist(events(s, dir)
+          .select(col("event_id"), col("event_type"),
             when(col("event_id") % 13 === 0, lit(null).cast("double"))
               .otherwise(col("value")).as("v"))
           .withColumn("_vc",
-            (col("v").cast("decimal(12,2)") * 100).cast("long"))
+            (col("v").cast("decimal(12,2)") * 100).cast("long")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val m = p.filter(col("_vc").isNotNull).groupBy("event_type")
           .agg((expr("percentile(_vc, 0.5D)") * 2).cast("long").as("_m2"))
         p.join(broadcast(m), Seq("event_type"), "left")
@@ -10522,11 +10551,14 @@ object Queries {
       (s, dir) => {
         val uc = events(s, dir).groupBy("user_id")
           .agg(count(lit(1)).as("c"))
-        val ranked = uc
+        // pinned: the x_(k+1) probe and the tail scan both read the
+        // ranked frame — unpinned the log aggregates and sorts twice
+        val ranked = graft.Caches.trackedPersist(uc
           .withColumn("_r", row_number().over(
             Window.orderBy(col("c").desc, col("user_id"))))
           .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
-          .withColumn("_k", expr("(_n + 9) div 10"))
+          .withColumn("_k", expr("(_n + 9) div 10")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val xmin = ranked.filter(col("_r") === col("_k") + 1)
           .select(col("c").as("_cmin"))
         ranked.filter(col("_r") <= col("_k"))
@@ -10564,10 +10596,15 @@ object Queries {
       // growth-accounting companion to e10's retention matrix.
       // All-integer; one division per week.
       (s, dir) => {
-        val e = events(s, dir).select(col("user_id"),
-          date_trunc("week", col("ts")).cast("date").as("wk"))
-        val act = e.distinct().groupBy("wk").agg(count(lit(1)).as("active"))
-        val nw = e.groupBy("user_id").agg(min(col("wk")).as("wk"))
+        // pinned (user, week) distinct: active counts AND first-
+        // sightings derive from it — unpinned the log scans twice
+        val base = graft.Caches.trackedPersist(events(s, dir)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct(),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val act = base.groupBy("wk").agg(count(lit(1)).as("active"))
+        val nw = base.groupBy("user_id").agg(min(col("wk")).as("wk"))
           .groupBy("wk").agg(count(lit(1)).as("new_users"))
         act.join(broadcast(nw), Seq("wk"), "left")
           .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
@@ -10790,7 +10827,11 @@ object Queries {
       // split by an exact sign test on the index return; each ratio is
       // a fixed IEEE chain, 6dp.
       (s, dir) => {
-        val p = prices(t(s, dir, "lineitem"))
+        // pinned: the index construction and the per-ticker returns
+        // both read the daily price frame — unpinned the lineitem agg
+        // runs twice
+        val p = graft.Caches.trackedPersist(prices(t(s, dir, "lineitem")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wD = Window.orderBy("date")
         val mret = p.groupBy("date")
           .agg(sum(col("close").cast("decimal(12,2)")).cast("decimal(18,2)")
@@ -10799,7 +10840,9 @@ object Queries {
             lag(col("_ic"), 1).over(wD).cast("double") - 1, 6)
             .cast("decimal(10,6)") * 1000000).cast("long"))
           .filter(col("m").isNotNull).select("date", "m")
-        val tret = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+        val tret = p
+          .withColumn("ret", col("close") / lag("close", 1).over(wTicker) - 1)
+          .filter(col("ret").isNotNull)
           .select(col("ticker"), col("date"),
             (round(col("ret"), 6).cast("decimal(10,6)") * 1000000)
               .cast("long").as("y"))
