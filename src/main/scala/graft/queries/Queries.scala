@@ -10971,7 +10971,51 @@ object Queries {
              |  CAST(sum(c - 1) AS BIGINT) AS n_dup_docs,
              |  round(CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
              |    AS dup_rate
-             |FROM g GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM g GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    QueryDef("eval9_ece",
+      // expected calibration error: eval3's reliability diagram rolled
+      // up to ONE number, ECE = Σ_b (n_b/N)·|observed − predicted| —
+      // the miscalibration scalar a model card quotes. Both per-bucket
+      // rates enter as their 6dp-ROUNDED decimals (eval3's published
+      // values), so the weighted |gap| sum is exact decimal and the
+      // final /N the only IEEE op.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val labeled = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
+        val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val scored = Cls.scoreLinear(d, "doc_id", "text", w, bias,
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val lab = d.select(col("doc_id"), (col("lang") === "en").cast("long").as("_y"))
+        val buckets = scored.join(lab, "doc_id")
+          .groupBy(least(floor(col("score") * 10), lit(9)).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("score")), 6).cast("decimal(10,6)").as("_ms"),
+            (round(sum(col("_y")).cast("double") / count(lit(1)), 6))
+              .cast("decimal(10,6)").as("_fp"))
+        buckets.agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_docs"),
+            round(sum(col("n") * abs(col("_fp") - col("_ms"))).cast("double") /
+              sum(col("n")).cast("double"), 6).as("ece"))
+      },
+      Some("WITH " + nbScoreCtes +
+        """,
+          |scored AS (
+          |  SELECT d.doc_id,
+          |    round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6) AS score,
+          |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          |  FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)),
+          |b AS (
+          |  SELECT least(floor(score * 10), 9) AS bucket, count(*) AS n,
+          |    CAST(round(avg(score), 6) AS DECIMAL(10,6)) AS ms,
+          |    CAST(round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS DECIMAL(10,6))
+          |      AS fp
+          |  FROM scored GROUP BY 1)
+          |SELECT count(*) AS n_buckets, CAST(sum(n) AS BIGINT) AS n_docs,
+          |  round(CAST(sum(n * abs(fp - ms)) AS DOUBLE)
+          |    / CAST(sum(n) AS DOUBLE), 6) AS ece
+          |FROM b""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
