@@ -11015,7 +11015,134 @@ object Queries {
           |SELECT count(*) AS n_buckets, CAST(sum(n) AS BIGINT) AS n_docs,
           |  round(CAST(sum(n * abs(fp - ms)) AS DOUBLE)
           |    / CAST(sum(n) AS DOUBLE), 6) AS ece
-          |FROM b""".stripMargin))
+          |FROM b""".stripMargin)),
+
+    QueryDef("priv1_k_anonymity",
+      // k-anonymity audit over the customer quasi-identifiers
+      // (mktsegment × nation): for k ∈ {2, 5, 10}, how many customers
+      // sit in an equivalence class smaller than k — the re-
+      // identification risk screen a dataset release runs before
+      // publishing (Sweeney 2002). Class sizes are one hash agg; the
+      // k-sweep reads the class-cardinality frame; all-integer counts,
+      // one division per rate.
+      (s, dir) => {
+        val g = graft.Caches.trackedPersist(t(s, dir, "customer")
+          .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+          .agg(count(lit(1)).as("_m")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ks = s.range(0, 3).select(
+          element_at(array(lit(2), lit(5), lit(10)),
+            (col("id") + 1).cast("int")).as("k"))
+        g.crossJoin(broadcast(ks))
+          .groupBy("k")
+          .agg(sum(col("_m")).as("n_rows"),
+            count(lit(1)).as("n_classes"),
+            sum(when(col("_m") < col("k"), col("_m")).otherwise(0L))
+              .as("rows_at_risk"),
+            sum(when(col("_m") < col("k"), 1L).otherwise(0L))
+              .as("classes_at_risk"),
+            min(col("_m")).as("min_class"))
+          .withColumn("risk_rate", round(col("rows_at_risk").cast("double") /
+            col("n_rows").cast("double"), 6))
+          .orderBy("k")
+      },
+      Some("""WITH g AS (
+             |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             |         count(*) AS m
+             |  FROM customer GROUP BY 1, 2),
+             |ks AS (SELECT unnest([2, 5, 10]) AS k)
+             |SELECT k, CAST(sum(m) AS BIGINT) AS n_rows,
+             |  count(*) AS n_classes,
+             |  CAST(sum(CASE WHEN m < k THEN m ELSE 0 END) AS BIGINT)
+             |    AS rows_at_risk,
+             |  CAST(sum(CASE WHEN m < k THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS classes_at_risk,
+             |  CAST(min(m) AS BIGINT) AS min_class,
+             |  round(CAST(sum(CASE WHEN m < k THEN m ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(m) AS DOUBLE), 6) AS risk_rate
+             |FROM g CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin)),
+
+    QueryDef("fcst1_baseline_eval",
+      // forecast-baseline scoreboard per ticker: MAE / RMSE / MAPE of
+      // the two standard naive forecasts — "yesterday's close" and the
+      // trailing 5-day mean — the benchmark row every real model (w27
+      // Holt, w31 Kalman) must beat to justify itself. Errors are
+      // exact cent integers (the 5-day mean forecast is kept as an
+      // exact ×5-scaled integer: e5 = 5·y − Σ₅prev, so |e5|/5 only
+      // becomes float once); MAE/RMSE are divisions of exact decimal
+      // sums; MAPE's per-row ratio rounds 6dp and sums in exact
+      // decimal (the t20 contract).
+      (s, dir) => {
+        val wd = Window.partitionBy("ticker").orderBy("date")
+        val p = prices(t(s, dir, "lineitem"))
+          .select(col("ticker"), col("date"),
+            (col("close").cast("decimal(12,2)") * 100).cast("long").as("y"))
+          .withColumn("_prev", lag(col("y"), 1).over(wd))
+          .withColumn("_s5", sum(col("y")).over(wd.rowsBetween(-5, -1)))
+          .withColumn("_n5", count(col("y")).over(wd.rowsBetween(-5, -1)))
+          .filter(col("_prev").isNotNull && col("_n5") === 5)
+        val scored = p
+          .withColumn("_e1", abs(col("y") - col("_prev")))
+          .withColumn("_e5", abs(col("y") * 5 - col("_s5")))
+        scored.groupBy("ticker").agg(
+            count(lit(1)).as("n"),
+            (sum(col("_e1")).cast("double") /
+              (count(lit(1)) * 100).cast("double")).as("mae_naive"),
+            (sqrt(sum(col("_e1").cast("decimal(38,0)") * col("_e1"))
+              .cast("double") / count(lit(1)).cast("double")) / 100.0)
+              .as("rmse_naive"),
+            (sum(round(col("_e1").cast("double") / col("y").cast("double"), 6)
+              .cast("decimal(16,6)")).cast("double") /
+              count(lit(1)).cast("double")).as("mape_naive"),
+            (sum(col("_e5")).cast("double") /
+              (count(lit(1)) * 500).cast("double")).as("mae_ma5"),
+            (sqrt(sum(col("_e5").cast("decimal(38,0)") * col("_e5"))
+              .cast("double") / count(lit(1)).cast("double")) / 500.0)
+              .as("rmse_ma5"),
+            (sum(round(col("_e5").cast("double") /
+              (col("y") * 5).cast("double"), 6).cast("decimal(16,6)"))
+              .cast("double") / count(lit(1)).cast("double")).as("mape_ma5"))
+          .select(col("ticker"), col("n"),
+            round(col("mae_naive"), 6).as("mae_naive"),
+            round(col("rmse_naive"), 6).as("rmse_naive"),
+            round(col("mape_naive"), 6).as("mape_naive"),
+            round(col("mae_ma5"), 6).as("mae_ma5"),
+            round(col("rmse_ma5"), 6).as("rmse_ma5"),
+            round(col("mape_ma5"), 6).as("mape_ma5"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql +
+        """, c AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+          |  FROM prices),
+          |l AS (
+          |  SELECT ticker, y,
+          |    lag(y) OVER w AS prev,
+          |    sum(y) OVER (PARTITION BY ticker ORDER BY "date"
+          |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS s5,
+          |    count(y) OVER (PARTITION BY ticker ORDER BY "date"
+          |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS n5
+          |  FROM c WINDOW w AS (PARTITION BY ticker ORDER BY "date")),
+          |e AS (
+          |  SELECT ticker, y, abs(y - prev) AS e1, abs(y * 5 - s5) AS e5
+          |  FROM l WHERE prev IS NOT NULL AND n5 = 5)
+          |SELECT ticker, count(*) AS n,
+          |  round(CAST(sum(e1) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE), 6)
+          |    AS mae_naive,
+          |  round(sqrt(CAST(sum(CAST(e1 AS HUGEINT) * e1) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE)) / 100.0, 6) AS rmse_naive,
+          |  round(CAST(SUM(CAST(round(CAST(e1 AS DOUBLE) / CAST(y AS DOUBLE), 6)
+          |      AS DECIMAL(16,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          |    AS mape_naive,
+          |  round(CAST(sum(e5) AS DOUBLE) / CAST(count(*) * 500 AS DOUBLE), 6)
+          |    AS mae_ma5,
+          |  round(sqrt(CAST(sum(CAST(e5 AS HUGEINT) * e5) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE)) / 500.0, 6) AS rmse_ma5,
+          |  round(CAST(SUM(CAST(round(CAST(e5 AS DOUBLE) / CAST(y * 5 AS DOUBLE), 6)
+          |      AS DECIMAL(16,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          |    AS mape_ma5
+          |FROM e GROUP BY ticker ORDER BY ticker""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
