@@ -11142,7 +11142,123 @@ object Queries {
           |  round(CAST(SUM(CAST(round(CAST(e5 AS DOUBLE) / CAST(y * 5 AS DOUBLE), 6)
           |      AS DECIMAL(16,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
           |    AS mape_ma5
-          |FROM e GROUP BY ticker ORDER BY ticker""".stripMargin))
+          |FROM e GROUP BY ticker ORDER BY ticker""".stripMargin)),
+
+    QueryDef("w45_pairs_spread",
+      // formation → signal: the single closest pairs1 pair traded as a
+      // spread — daily normalized-path difference with its 20-day
+      // rolling z-score (|z| > 2 is the classic entry). The spread is
+      // an exact µunit integer (pairs1's floor-division paths), the
+      // rolling moments are exact integer window sums, z is one IEEE
+      // chain (6dp), and the winning pair is a broadcast 1-row join —
+      // formation cost is pairs1's, signal cost one bounded window.
+      (s, dir) => {
+        val p = graft.Caches.trackedPersist(prices(t(s, dir, "lineitem"))
+          .filter(col("ticker") < 50)
+          .select(col("ticker"), col("date"),
+            (col("close").cast("decimal(12,2)") * 100).cast("long").as("c"))
+          .withColumn("nrm",
+            expr("(c * 1000000L) div first(c) OVER " +
+              "(PARTITION BY ticker ORDER BY date " +
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+          .select(col("ticker"), col("date"), col("nrm")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = p.select(col("ticker").as("ta"), col("date"), col("nrm").as("na"))
+        val b = p.select(col("ticker").as("tb"), col("date"), col("nrm").as("nb"))
+        val joined = a.join(b, Seq("date")).filter(col("ta") < col("tb"))
+        val best = joined
+          .withColumn("_d", col("na") - col("nb"))
+          .groupBy("ta", "tb")
+          .agg(sum(col("_d").cast("decimal(38,0)") * col("_d")).as("_ssd"))
+          .orderBy(col("_ssd").cast("double"), col("ta"), col("tb")).limit(1)
+          .select(col("ta").as("_bta"), col("tb").as("_btb"))
+        val w20 = Window.orderBy("date").rowsBetween(-19, 0)
+        joined.join(broadcast(best),
+            col("ta") === col("_bta") && col("tb") === col("_btb"))
+          .withColumn("spread", col("na") - col("nb"))
+          .withColumn("_n", count(lit(1)).over(w20))
+          .withColumn("_s", sum(col("spread")).over(w20))
+          .withColumn("_q",
+            sum(col("spread").cast("decimal(38,0)") * col("spread")).over(w20))
+          .select(col("ta"), col("tb"), col("date"), col("spread"),
+            when(col("_n") === 20 &&
+                col("_q") * 20 > col("_s").cast("decimal(38,0)") * col("_s"),
+              round((col("spread").cast("double") -
+                col("_s").cast("double") / 20.0) /
+                sqrt((col("_q") * 20 -
+                  col("_s").cast("decimal(38,0)") * col("_s")).cast("double") /
+                  (20.0 * 19.0)), 6)).as("z20"))
+          .orderBy("date")
+      },
+      Some(pricesSql +
+        """, c AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          |  FROM prices WHERE ticker < 50),
+          |n AS (
+          |  SELECT ticker, "date",
+          |    (c * 1000000) // first(c) OVER (PARTITION BY ticker ORDER BY "date"
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nrm
+          |  FROM c),
+          |j AS (
+          |  SELECT a.ticker AS ta, b.ticker AS tb, a."date",
+          |         a.nrm AS na, b.nrm AS nb
+          |  FROM n a JOIN n b ON a."date" = b."date" AND a.ticker < b.ticker),
+          |best AS (
+          |  SELECT ta, tb,
+          |    sum(CAST(na - nb AS HUGEINT) * (na - nb)) AS ssd
+          |  FROM j GROUP BY 1, 2
+          |  ORDER BY CAST(ssd AS DOUBLE), ta, tb LIMIT 1),
+          |sp AS (
+          |  SELECT j.ta, j.tb, j."date", j.na - j.nb AS spread
+          |  FROM j JOIN best USING (ta, tb)),
+          |z AS (
+          |  SELECT ta, tb, "date", spread,
+          |    count(*) OVER w AS n,
+          |    CAST(sum(spread) OVER w AS BIGINT) AS s,
+          |    sum(CAST(spread AS HUGEINT) * spread) OVER w AS q
+          |  FROM sp
+          |  WINDOW w AS (ORDER BY "date"
+          |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          |SELECT ta, tb, "date", spread,
+          |  CASE WHEN n = 20 AND q * 20 > CAST(s AS HUGEINT) * s THEN
+          |    round((CAST(spread AS DOUBLE) - CAST(s AS DOUBLE) / 20.0)
+          |      / sqrt(CAST(q * 20 - CAST(s AS HUGEINT) * s AS DOUBLE)
+          |             / (20.0 * 19.0)), 6)
+          |  END AS z20
+          |FROM z ORDER BY "date"""".stripMargin)),
+
+    QueryDef("priv2_l_diversity",
+      // l-diversity audit (Machanavajjhala 2007): within each nation
+      // (the quasi-identifier class), how many DISTINCT market
+      // segments (the sensitive attribute) appear — a class where
+      // everyone shares one segment leaks it even when k-anonymous.
+      // Flags classes below l = 3. Two hash aggs, all-integer.
+      (s, dir) => {
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("_seg"))
+          .agg(count(lit(1)).as("_m"))
+          .groupBy("nation")
+          .agg(sum(col("_m")).as("n_rows"),
+            count(lit(1)).as("distinct_sensitive"),
+            max(col("_m")).as("max_segment_rows"))
+          .withColumn("below_l3", col("distinct_sensitive") < 3)
+          .withColumn("dominance", round(col("max_segment_rows").cast("double") /
+            col("n_rows").cast("double"), 6))
+          .orderBy("nation")
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+             |         count(*) AS m
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT nation, CAST(sum(m) AS BIGINT) AS n_rows,
+             |  count(*) AS distinct_sensitive,
+             |  CAST(max(m) AS BIGINT) AS max_segment_rows,
+             |  (count(*) < 3) AS below_l3,
+             |  round(CAST(max(m) AS DOUBLE) / CAST(sum(m) AS DOUBLE), 6)
+             |    AS dominance
+             |FROM g GROUP BY 1 ORDER BY nation""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
