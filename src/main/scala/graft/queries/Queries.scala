@@ -11258,7 +11258,116 @@ object Queries {
              |  (count(*) < 3) AS below_l3,
              |  round(CAST(max(m) AS DOUBLE) / CAST(sum(m) AS DOUBLE), 6)
              |    AS dominance
-             |FROM g GROUP BY 1 ORDER BY nation""".stripMargin))
+             |FROM g GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    QueryDef("t26_boilerplate_lines",
+      // boilerplate census: the 20 most document-frequent trimmed lines
+      // (≥ 10 chars) across the corpus with doc-frequency share — the
+      // report that DECIDES what d14's duplicate-line removal will cut
+      // (nav bars and cookie banners surface here first). One explode +
+      // distinct + hash agg; top-20 is TakeOrdered with a total
+      // (df desc, line) order.
+      (s, dir) => {
+        val d = docs(s, dir).filter(col("text").isNotNull)
+        val nDocs = d.agg(count(lit(1)).as("_n"))
+        d.select(col("doc_id"),
+            explode(split(col("text"), "\n")).as("_l"))
+          .select(col("doc_id"), trim(col("_l")).as("line"))
+          .filter(length(col("line")) >= 10)
+          .distinct()
+          .groupBy("line").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("line"), col("df"),
+            round(col("df").cast("double") / col("_n").cast("double"), 6)
+              .as("df_share"))
+          .orderBy(col("df").desc, col("line")).limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+             |          WHERE text IS NOT NULL),
+             |n AS (SELECT count(*) AS n FROM d),
+             |l AS (
+             |  SELECT DISTINCT doc_id, trim(unnest(string_split(text, chr(10))))
+             |    AS line
+             |  FROM d),
+             |f AS (SELECT line, count(*) AS df FROM l
+             |      WHERE length(line) >= 10 GROUP BY 1)
+             |SELECT line, df,
+             |  round(CAST(df AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS df_share
+             |FROM f CROSS JOIN n
+             |ORDER BY df DESC, line LIMIT 20""".stripMargin)),
+
+    QueryDef("e28_hourly_profile",
+      // hour-of-day load profile per event type: counts and the share
+      // of the type's traffic per hour — the capacity-planning shape
+      // (and the input to "is this type cron-driven", read with e23's
+      // burstiness). One hash agg on a 24×types grid; one division.
+      (s, dir) => {
+        val h = events(s, dir)
+          .groupBy(col("event_type"), hour(col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val tot = h.groupBy("event_type").agg(sum(col("n")).as("_t"))
+        h.join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("hour"), col("n"),
+            round(col("n").cast("double") / col("_t").cast("double"), 6)
+              .as("share"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
+             |         count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+             |      FROM h GROUP BY 1)
+             |SELECT h.event_type, h.hour, h.n,
+             |  round(CAST(h.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share
+             |FROM h JOIN t USING (event_type)
+             |ORDER BY event_type, hour""".stripMargin)),
+
+    QueryDef("a41_pareto_point",
+      // the 80/20 number: how many top suppliers cover 80% of revenue
+      // (count and share of the supplier base) — a38's Lorenz curve
+      // inverted at the canonical threshold. The crossing is decided in
+      // EXACT DECIMAL (5·cum ≥ 4·total — no 0.8 float); one descending
+      // entity-cardinality rank window.
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey").as("supp"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,4)")).as("_r"))
+        val w = Window.orderBy(col("_r").desc, col("supp"))
+        val ranked = rev
+          .withColumn("_rn", row_number().over(w))
+          .withColumn("_cum", sum(col("_r")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+          .withColumn("_tot", sum(col("_r")).over(Window.partitionBy(lit(1))))
+        ranked.filter(col("_cum") * 5 >= col("_tot") * 4)
+          .orderBy("_rn").limit(1)
+          .select(col("_rn").cast("long").as("suppliers_for_80pct"),
+            col("_n").as("n_suppliers"),
+            round(col("_rn").cast("double") / col("_n").cast("double"), 6)
+              .as("supplier_share"),
+            round(col("_cum").cast("double") / col("_tot").cast("double"), 6)
+              .as("revenue_share_at_point"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey AS supp,
+             |         SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS r
+             |  FROM lineitem GROUP BY 1),
+             |rk AS (
+             |  SELECT supp, r,
+             |    row_number() OVER w AS rn,
+             |    sum(r) OVER (ORDER BY r DESC, supp
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    count(*) OVER () AS n, sum(r) OVER () AS tot
+             |  FROM rev WINDOW w AS (ORDER BY r DESC, supp))
+             |SELECT CAST(rn AS BIGINT) AS suppliers_for_80pct,
+             |  CAST(n AS BIGINT) AS n_suppliers,
+             |  round(CAST(rn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             |    AS supplier_share,
+             |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             |    AS revenue_share_at_point
+             |FROM rk WHERE cum * 5 >= tot * 4
+             |ORDER BY rn LIMIT 1""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
