@@ -11367,7 +11367,57 @@ object Queries {
              |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
              |    AS revenue_share_at_point
              |FROM rk WHERE cum * 5 >= tot * 4
-             |ORDER BY rn LIMIT 1""".stripMargin))
+             |ORDER BY rn LIMIT 1""".stripMargin)),
+
+    QueryDef("w46_seasonal_strength",
+      // seasonal-strength score per ticker: 1 − Var(residual −
+      // weekday-mean)/Var(residual) over the w21 detrended series —
+      // "how much of the non-trend variance the weekly cycle explains"
+      // (Hyndman's F_s measure on the weekday axis), the one-number
+      // roll-up of w21's profile. Same determinism contract as
+      // w21/a12: co-moment ulps sit far below the 6dp rounding. The
+      // detrend fit and the weekday means are both ticker-cardinality
+      // broadcasts; the variance pass is one hash agg.
+      (s, dir) => {
+        val p = graft.Caches.trackedPersist(prices(t(s, dir, "lineitem"))
+          .withColumn("x",
+            datediff(col("date"), lit("1995-01-01").cast("date")).cast("double")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fit = p.groupBy("ticker").agg(
+          expr("regr_slope(close, x)").as("_m"),
+          expr("regr_intercept(close, x)").as("_b"))
+        val res = graft.Caches.trackedPersist(p.join(broadcast(fit), "ticker")
+          .withColumn("_wd", weekday(col("date")))
+          .withColumn("_r", col("close") - (col("_b") + col("_m") * col("x"))),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wdMean = res.groupBy("ticker", "_wd")
+          .agg(avg(col("_r")).as("_wm"))
+        res.join(broadcast(wdMean), Seq("ticker", "_wd"))
+          .groupBy("ticker")
+          .agg(count(lit(1)).as("n"),
+            var_samp(col("_r")).as("_vr"),
+            var_samp(col("_r") - col("_wm")).as("_va"))
+          .filter(col("_vr") > 0)
+          .select(col("ticker"), col("n"),
+            round(lit(1.0) - col("_va") / col("_vr"), 6)
+              .as("seasonal_strength"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql +
+        """, px AS (SELECT ticker, "date", close,
+          |    CAST("date" - DATE '1995-01-01' AS DOUBLE) AS x FROM prices),
+          |fit AS (SELECT ticker, regr_slope(close, x) AS m,
+          |          regr_intercept(close, x) AS b FROM px GROUP BY 1),
+          |res AS (
+          |  SELECT p.ticker, CAST(isodow(p."date") - 1 AS INTEGER) AS wd,
+          |         p.close - (f.b + f.m * p.x) AS r
+          |  FROM px p JOIN fit f USING (ticker)),
+          |wm AS (SELECT ticker, wd, avg(r) AS wm FROM res GROUP BY 1, 2)
+          |SELECT res.ticker, count(*) AS n,
+          |  round(1.0 - var_samp(res.r - wm.wm) / var_samp(res.r), 6)
+          |    AS seasonal_strength
+          |FROM res JOIN wm USING (ticker, wd)
+          |GROUP BY 1 HAVING var_samp(res.r) > 0 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
