@@ -66,6 +66,53 @@ object RelevanceFunctions {
     scored.select(col(idCol), round(score, 6).as("bm25"))
   }
 
+  /** Join-form BM25 for a DYNAMIC term set: `terms` is a one-column
+    * ("term") frame — typically produced by another query stage (query
+    * expansion, feedback terms, a learned vocabulary slice) — rather
+    * than a compile-time literal list like [[bm25]]'s. The scoring
+    * algebra is identical; the DETERMINISM contract differs by
+    * necessity: with a data-dependent term set there is no fixed-order
+    * column fold, so each (doc, term) contribution rounds to 6dp and
+    * the per-doc sum accumulates in EXACT DECIMAL (partitioning cannot
+    * reorder it). Documents matching no term score 0.0.
+    *
+    * Scale shape: term stats come from tf⋈terms (terms BROADCAST —
+    * query-sized by construction) aggregated per term (tiny) and
+    * broadcast back; doc length and corpus stats ride the same fused
+    * passes as [[bm25]]. Nothing corpus-sized shuffles: the contribution
+    * frame is |matching (doc, term)| rows, bounded by the term set.
+    */
+  def bm25Join(df: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = graft.Caches.trackedPersist(df.select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("long")),
+      StorageLevel.MEMORY_AND_DISK)
+    val stats = base.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
+    val tf = base.select(col(idCol), col("_dl"),
+        explode(col("_toks")).as("term"))
+      .join(broadcast(terms.select(col("term"))), Seq("term"))
+      .groupBy(col(idCol), col("term"), col("_dl"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfc = tf.groupBy("term")
+      .agg(count(lit(1)).as("_df")) // docs containing the term
+    val n = col("_n").cast("double")
+    val avgdl = col("_sumdl").cast("double") / n
+    val tfD = col("_tf").cast("double")
+    val dfD = col("_df").cast("double")
+    val contrib = round(
+      log((n - dfD + 0.5) / (dfD + 0.5) + 1.0) * (tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("_dl").cast("double") / avgdl)), 6)
+      .cast("decimal(16,6)")
+    val perDoc = tf.join(broadcast(dfc), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol)).agg(sum(contrib).as("_s"))
+    base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_s").cast("double"), lit(0.0)).as("bm25j"))
+  }
+
   /** Unigram language-model quality score (the honest in-sandbox stand-in
     * for the CCNet/C4 KenLM perplexity filter): score(doc) = mean over
     * its token OCCURRENCES of ln P(token), with P from the corpus's own

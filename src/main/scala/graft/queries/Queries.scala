@@ -11417,7 +11417,114 @@ object Queries {
           |  round(1.0 - var_samp(res.r - wm.wm) / var_samp(res.r), 6)
           |    AS seasonal_strength
           |FROM res JOIN wm USING (ticker, wd)
-          |GROUP BY 1 HAVING var_samp(res.r) > 0 ORDER BY 1""".stripMargin))
+          |GROUP BY 1 HAVING var_samp(res.r) > 0 ORDER BY 1""".stripMargin)),
+
+    QueryDef("r7_prf_expansion",
+      // pseudo-relevance feedback (Rocchio PRF): score the corpus for
+      // the seed query, take the top-5 documents, mine their 3
+      // strongest expansion terms (Σtf·ln(N/df), common-term gate
+      // 2·df < N, seed terms excluded), and re-score with the expanded
+      // query — the classic recall-repair loop composed from
+      // [[RelevanceFunctions.bm25Join]] (the DYNAMIC-term BM25: per-
+      // term contributions round 6dp and sum in exact decimal, so the
+      // data-dependent term set keeps cross-engine determinism). The
+      // oracle derives its own candidates and expansion terms (the
+      // bpe/g1 pattern). Term selection argmaxes on the ROUNDED score
+      // with a term tiebreak.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val q0 = s.sql("SELECT * FROM (VALUES ('filter'), ('stream')) AS t(term)")
+        val score0 = graft.Caches.trackedPersist(
+          R.bm25Join(d, "doc_id", "text", q0),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = score0.orderBy(col("bm25j").desc, col("doc_id"))
+          .limit(5).select("doc_id")
+        val toks = graft.Caches.trackedPersist(d.select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .filter(length(col("term")) > 0),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDocs = d.agg(count(lit(1)).as("_n"))
+        val tic = toks.join(broadcast(cand), "doc_id")
+          .groupBy("term").agg(count(lit(1)).as("_tfsum"))
+        val dfe = toks.select("doc_id", "term").distinct()
+          .join(broadcast(tic.select("term")), "term")
+          .groupBy("term").agg(count(lit(1)).as("_df"))
+        val exp = tic.join(dfe, "term").crossJoin(broadcast(nDocs))
+          .filter(!col("term").isin("filter", "stream") &&
+            col("_df") * 2 < col("_n"))
+          .select(col("term"), round(col("_tfsum").cast("double") *
+            log(col("_n").cast("double") / col("_df").cast("double")), 6)
+            .as("_sc"))
+          .orderBy(col("_sc").desc, col("term")).limit(3).select("term")
+        val score1 = R.bm25Join(d, "doc_id", "text", q0.unionByName(exp))
+        score0.select(col("doc_id"), col("bm25j").as("bm25_seed"))
+          .join(score1.select(col("doc_id"), col("bm25j").as("bm25_prf")),
+            Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    string_split_regex(lower(trim(text)), '\s+') AS w,
+             |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+             |      AS BIGINT) AS dl
+             |  FROM documents),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |              CAST(sum(dl) AS DOUBLE) AS sumdl FROM d),
+             |nd AS (SELECT count(*) AS n FROM d),
+             |q0 AS (SELECT unnest(['filter', 'stream']) AS term),
+             |tok AS (
+             |  SELECT doc_id, dl, unnest(w) AS term FROM d),
+             |tokf AS (SELECT * FROM tok WHERE length(term) > 0),
+             |tf0 AS (
+             |  SELECT doc_id, term, dl, count(*) AS tf
+             |  FROM tok JOIN q0 USING (term) GROUP BY 1, 2, 3),
+             |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+             |c0 AS (
+             |  SELECT tf0.doc_id,
+             |    CAST(round(ln((st.n - df0.df + 0.5) / (df0.df + 0.5) + 1.0)
+             |      * (tf0.tf * 2.2)
+             |      / (tf0.tf + 1.2 * (0.25 + 0.75 * tf0.dl / (st.sumdl / st.n))),
+             |      6) AS DECIMAL(16,6)) AS c
+             |  FROM tf0 JOIN df0 USING (term) CROSS JOIN st),
+             |s0 AS (
+             |  SELECT d.doc_id,
+             |    COALESCE(CAST(sum(c0.c) AS DOUBLE), 0.0) AS bm25_seed
+             |  FROM d LEFT JOIN c0 USING (doc_id) GROUP BY 1),
+             |cand AS (SELECT doc_id FROM s0
+             |         ORDER BY bm25_seed DESC, doc_id LIMIT 5),
+             |tic AS (
+             |  SELECT term, count(*) AS tfsum
+             |  FROM tokf JOIN cand USING (doc_id) GROUP BY 1),
+             |dfe AS (
+             |  SELECT tokf.term, count(DISTINCT tokf.doc_id) AS df
+             |  FROM tokf JOIN (SELECT DISTINCT term FROM tic) t USING (term)
+             |  GROUP BY 1),
+             |exp AS (
+             |  SELECT term FROM (
+             |    SELECT tic.term,
+             |      round(tic.tfsum * ln(CAST(nd.n AS DOUBLE) / dfe.df), 6) AS sc,
+             |      dfe.df, nd.n
+             |    FROM tic JOIN dfe USING (term) CROSS JOIN nd)
+             |  WHERE term NOT IN ('filter', 'stream') AND 2 * df < n
+             |  ORDER BY sc DESC, term LIMIT 3),
+             |terms AS (SELECT term FROM q0 UNION ALL SELECT term FROM exp),
+             |tf1 AS (
+             |  SELECT doc_id, term, dl, count(*) AS tf
+             |  FROM tok JOIN terms USING (term) GROUP BY 1, 2, 3),
+             |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+             |c1 AS (
+             |  SELECT tf1.doc_id,
+             |    CAST(round(ln((st.n - df1.df + 0.5) / (df1.df + 0.5) + 1.0)
+             |      * (tf1.tf * 2.2)
+             |      / (tf1.tf + 1.2 * (0.25 + 0.75 * tf1.dl / (st.sumdl / st.n))),
+             |      6) AS DECIMAL(16,6)) AS c
+             |  FROM tf1 JOIN df1 USING (term) CROSS JOIN st),
+             |s1 AS (
+             |  SELECT d.doc_id,
+             |    COALESCE(CAST(sum(c1.c) AS DOUBLE), 0.0) AS bm25_prf
+             |  FROM d LEFT JOIN c1 USING (doc_id) GROUP BY 1)
+             |SELECT s0.doc_id, s0.bm25_seed, s1.bm25_prf
+             |FROM s0 JOIN s1 USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
