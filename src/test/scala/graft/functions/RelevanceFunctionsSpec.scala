@@ -352,6 +352,30 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(out.map(_._6).distinct.size === 1 && out.map(_._7).distinct.size === 1)
   }
 
+  test("bm25Join matches literal bm25 up to per-term rounding; no-match docs score 0") {
+    val docs = Seq(
+      (1L, "filter stream filter x"),
+      (2L, "stream y z"),
+      (3L, "unrelated words only")).toDF("doc_id", "text")
+    val terms = Seq("filter", "stream").map(Tuple1(_)).toDF("term")
+    val lit2 = RelevanceFunctions.bm25(docs, "doc_id", "text",
+        Seq("filter", "stream"))
+      .as[(Long, Double)].collect().toMap
+    val join2 = RelevanceFunctions.bm25Join(docs, "doc_id", "text", terms)
+      .as[(Long, Double)].collect().toMap
+    assert(join2.keySet === Set(1L, 2L, 3L))
+    assert(join2(3L) === 0.0) // matches neither term
+    // identical algebra; the join form rounds per term, the literal
+    // form rounds the sum — agreement within one rounding step per term
+    for (id <- Seq(1L, 2L))
+      assert(math.abs(join2(id) - lit2(id)) <= 2e-6,
+        s"doc $id: ${join2(id)} vs ${lit2(id)}")
+    // partitioning-invariant (decimal sum, not float accumulation)
+    val again = RelevanceFunctions.bm25Join(docs.repartition(7), "doc_id",
+      "text", terms).as[(Long, Double)].collect().toMap
+    assert(again === join2)
+  }
+
   test("heapsFit: all-new-vocab corpus fits beta = 1 exactly; templated corpus 0") {
     // every token unique → V(N) = N → ln V = ln N at every point → slope 1
     val fresh = Seq((1L, "a b"), (2L, "c d e"), (3L, "f g"))
