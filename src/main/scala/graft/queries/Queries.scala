@@ -11524,7 +11524,103 @@ object Queries {
              |    COALESCE(CAST(sum(c1.c) AS DOUBLE), 0.0) AS bm25_prf
              |  FROM d LEFT JOIN c1 USING (doc_id) GROUP BY 1)
              |SELECT s0.doc_id, s0.bm25_seed, s1.bm25_prf
-             |FROM s0 JOIN s1 USING (doc_id) ORDER BY doc_id""".stripMargin))
+             |FROM s0 JOIN s1 USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("w47_relative_strength",
+      // Mansfield relative strength: each ticker's price over the
+      // equal-cap index as an exact µunit ratio (cents floor-divided by
+      // index cents — the pairs1 move), compared to its trailing 52-day
+      // mean: RS = 100·(ratio/ma52 − 1). The ratio and the window sum
+      // are exact integers; the two divisions and the ×100 are one
+      // mirrored IEEE chain, 6dp. Emits only full-window rows (w5's
+      // min_periods discipline).
+      (s, dir) => {
+        val p = graft.Caches.trackedPersist(prices(t(s, dir, "lineitem"))
+          .select(col("ticker"), col("date"),
+            (col("close").cast("decimal(12,2)") * 100).cast("long").as("c")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val idx = p.groupBy("date").agg(sum(col("c")).as("_ic"))
+        val wd = Window.partitionBy("ticker").orderBy("date")
+        p.join(broadcast(idx), "date")
+          .withColumn("ratio", expr("(c * 1000000L) div _ic"))
+          .withColumn("_n", count(lit(1)).over(wd.rowsBetween(-51, 0)))
+          .withColumn("_s", sum(col("ratio")).over(wd.rowsBetween(-51, 0)))
+          .filter(col("_n") === 52)
+          .select(col("ticker"), col("date"), col("ratio"),
+            round(lit(100.0) * (col("ratio").cast("double") /
+              (col("_s").cast("double") / 52.0) - 1.0), 6).as("rs_mansfield"))
+          .orderBy("ticker", "date")
+      },
+      Some(pricesSql +
+        """, c AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          |  FROM prices),
+          |ix AS (SELECT "date", CAST(sum(c) AS BIGINT) AS ic FROM c GROUP BY 1),
+          |rt AS (
+          |  SELECT c.ticker, c."date", (c.c * 1000000) // ix.ic AS ratio
+          |  FROM c JOIN ix USING ("date")),
+          |w AS (
+          |  SELECT ticker, "date", ratio,
+          |    count(*) OVER win AS n, CAST(sum(ratio) OVER win AS BIGINT) AS s
+          |  FROM rt
+          |  WINDOW win AS (PARTITION BY ticker ORDER BY "date"
+          |    ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+          |SELECT ticker, "date", ratio,
+          |  round(100.0 * (CAST(ratio AS DOUBLE)
+          |    / (CAST(s AS DOUBLE) / 52.0) - 1.0), 6) AS rs_mansfield
+          |FROM w WHERE n = 52 ORDER BY ticker, "date"""".stripMargin)),
+
+    QueryDef("a42_revenue_bridge",
+      // month-over-month revenue bridge: ΔRev decomposed into VOLUME
+      // effect (ΔQ·P_prev), PRICE effect (ΔP·Q_prev) and the joint
+      // term (ΔP·ΔQ) — the Laspeyres walk every revenue review opens
+      // with; the three parts sum to ΔRev by construction. Quantities
+      // and revenue are exact (longs / decimal cents); average price
+      // and the effects are one mirrored IEEE chain off exact inputs,
+      // 6dp. One hash agg to months + one 1-lag window over the
+      // month-cardinality frame.
+      (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"),
+            money2(sum(col("l_extendedprice").cast("decimal(12,4)"))).as("rev"))
+        val w = Window.orderBy("month")
+        val p = col("rev") / col("q").cast("double")
+        val d = m
+          .withColumn("_pq", lag(col("q"), 1).over(w))
+          .withColumn("_pr", lag(col("rev"), 1).over(w))
+          .filter(col("_pq").isNotNull)
+          .withColumn("_pp", col("_pr") / col("_pq").cast("double"))
+        d.select(col("month"), col("q"), col("rev"),
+            round(col("rev") - col("_pr"), 6).as("d_rev"),
+            round((col("q") - col("_pq")).cast("double") * col("_pp"), 6)
+              .as("volume_effect"),
+            round((p - col("_pp")) * col("_pq").cast("double"), 6)
+              .as("price_effect"),
+            round((p - col("_pp")) *
+              (col("q") - col("_pq")).cast("double"), 6).as("joint_effect"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2)
+             |      AS DOUBLE) AS rev
+             |  FROM lineitem GROUP BY 1),
+             |d AS (
+             |  SELECT month, q, rev,
+             |    lag(q) OVER w AS pq, lag(rev) OVER w AS pr
+             |  FROM m WINDOW w AS (ORDER BY month))
+             |SELECT month, q, rev,
+             |  round(rev - pr, 6) AS d_rev,
+             |  round(CAST(q - pq AS DOUBLE) * (pr / CAST(pq AS DOUBLE)), 6)
+             |    AS volume_effect,
+             |  round((rev / CAST(q AS DOUBLE) - pr / CAST(pq AS DOUBLE))
+             |    * CAST(pq AS DOUBLE), 6) AS price_effect,
+             |  round((rev / CAST(q AS DOUBLE) - pr / CAST(pq AS DOUBLE))
+             |    * CAST(q - pq AS DOUBLE), 6) AS joint_effect
+             |FROM d WHERE pq IS NOT NULL ORDER BY month""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
