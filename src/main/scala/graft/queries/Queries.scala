@@ -11620,7 +11620,135 @@ object Queries {
              |    * CAST(pq AS DOUBLE), 6) AS price_effect,
              |  round((rev / CAST(q AS DOUBLE) - pr / CAST(pq AS DOUBLE))
              |    * CAST(q - pq AS DOUBLE), 6) AS joint_effect
-             |FROM d WHERE pq IS NOT NULL ORDER BY month""".stripMargin))
+             |FROM d WHERE pq IS NOT NULL ORDER BY month""".stripMargin)),
+
+    QueryDef("e29_bot_screen",
+      // composite bot screen per user: e23's inter-arrival CV
+      // (metronomic cadence) joined with action-type Shannon entropy
+      // (single-action monotony) — the two signals that separate a
+      // cron job from a human, feeding e18's rate-limiter tier. The
+      // entropy is a 6dp-per-term exact-decimal sum (the t17 ln
+      // contract); flags compare identical doubles in both engines.
+      // Ships ALL users with both signals and the flags.
+      (s, dir) => {
+        val e = events(s, dir)
+        val ia = EventAnalyticsOps.interArrivalStats(e)
+          .select(col("user_id"), col("n_gaps"), col("cv"), col("burstiness"))
+        val tc = graft.Caches.trackedPersist(
+          e.groupBy("user_id", "event_type").agg(count(lit(1)).as("_n")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = tc.groupBy("user_id").agg(sum(col("_n")).as("_t"))
+        val ent = tc.join(broadcast(tot), "user_id")
+          .select(col("user_id"),
+            round(-(col("_n").cast("double") / col("_t").cast("double")) *
+              log(col("_n").cast("double") / col("_t").cast("double")), 6)
+              .cast("decimal(16,6)").as("_term"))
+          .groupBy("user_id")
+          .agg(sum(col("_term")).cast("double").as("type_entropy"))
+        ia.join(ent, "user_id")
+          .withColumn("metronomic", col("cv") <= 0.05)
+          .withColumn("monotone", col("type_entropy") <= 0.5)
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    date_diff('microsecond',
+             |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             |      ts) AS d
+             |  FROM events),
+             |a AS (
+             |  SELECT user_id, count(*) AS n, CAST(sum(d) AS BIGINT) AS s,
+             |         sum(CAST(d AS HUGEINT) * d) AS s2
+             |  FROM g WHERE d IS NOT NULL GROUP BY 1 HAVING count(*) >= 5),
+             |ia AS (
+             |  SELECT user_id, n AS n_gaps,
+             |    round(sqrt(CAST(s2 * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+             |        / (CAST(n AS DOUBLE) * (n - 1)))
+             |      / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv,
+             |    round((sqrt(CAST(s2 * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+             |        / (CAST(n AS DOUBLE) * (n - 1)))
+             |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (sqrt(CAST(s2 * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+             |        / (CAST(n AS DOUBLE) * (n - 1)))
+             |      + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS burstiness
+             |  FROM a),
+             |tc AS (SELECT user_id, event_type, count(*) AS n
+             |       FROM events GROUP BY 1, 2),
+             |tt AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS t
+             |       FROM tc GROUP BY 1),
+             |ent AS (
+             |  SELECT tc.user_id,
+             |    CAST(SUM(CAST(round(-(CAST(tc.n AS DOUBLE) / tt.t)
+             |      * ln(CAST(tc.n AS DOUBLE) / tt.t), 6) AS DECIMAL(16,6)))
+             |      AS DOUBLE) AS type_entropy
+             |  FROM tc JOIN tt USING (user_id) GROUP BY 1)
+             |SELECT ia.user_id, ia.n_gaps, ia.cv, ia.burstiness,
+             |  ent.type_entropy,
+             |  ia.cv <= 0.05 AS metronomic,
+             |  ent.type_entropy <= 0.5 AS monotone
+             |FROM ia JOIN ent USING (user_id) ORDER BY user_id""".stripMargin)),
+
+    QueryDef("a43_abc_classes",
+      // ABC inventory classification of parts by revenue: A = parts
+      // inside the top-80% cumulative revenue, B to 95%, C the tail —
+      // rolled up per class (part count, revenue, shares). Class
+      // boundaries are EXACT DECIMAL cross-products (5·cum ≤ 4·tot /
+      // 20·cum ≤ 19·tot — no 0.8 float anywhere); the ranking window
+      // is part-cardinality. The inventory twin of a41's Pareto point.
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("part"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,4)")).as("_r"))
+        val w = Window.orderBy(col("_r").desc, col("part"))
+        val classed = rev
+          .withColumn("_cum", sum(col("_r")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("_tot", sum(col("_r")).over(Window.partitionBy(lit(1))))
+          .withColumn("abc_class",
+            when(col("_cum") * 5 <= col("_tot") * 4, "A")
+              .when(col("_cum") * 20 <= col("_tot") * 19, "B")
+              .otherwise("C"))
+        // shares derive from the EXACT decimal class totals (a float
+        // window-sum of the 3 class revenues would be partition-order
+        // sensitive); money2 only shapes the output column
+        classed.groupBy("abc_class")
+          .agg(count(lit(1)).as("n_parts"), sum(col("_r")).as("_rd"))
+          .withColumn("_tn", sum(col("n_parts")).over(Window.partitionBy(lit(1))))
+          .withColumn("_tr", sum(col("_rd")).over(Window.partitionBy(lit(1))))
+          .select(col("abc_class"), col("n_parts"),
+            round(col("n_parts").cast("double") / col("_tn").cast("double"), 6)
+              .as("part_share"),
+            money2(col("_rd")).as("revenue"),
+            round(col("_rd").cast("double") / col("_tr").cast("double"), 6)
+              .as("revenue_share"))
+          .orderBy("abc_class")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_partkey AS part,
+             |         SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS r
+             |  FROM lineitem GROUP BY 1),
+             |cl AS (
+             |  SELECT part, r,
+             |    sum(r) OVER (ORDER BY r DESC, part
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(r) OVER () AS tot
+             |  FROM rev),
+             |cls AS (
+             |  SELECT part, r,
+             |    CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+             |         WHEN cum * 20 <= tot * 19 THEN 'B'
+             |         ELSE 'C' END AS abc_class
+             |  FROM cl),
+             |agg AS (
+             |  SELECT abc_class, count(*) AS n_parts, SUM(r) AS rd
+             |  FROM cls GROUP BY 1)
+             |SELECT abc_class, n_parts,
+             |  round(CAST(n_parts AS DOUBLE)
+             |    / CAST(sum(n_parts) OVER () AS DOUBLE), 6) AS part_share,
+             |  CAST(ROUND(rd, 2) AS DOUBLE) AS revenue,
+             |  round(CAST(rd AS DOUBLE) / CAST(sum(rd) OVER () AS DOUBLE), 6)
+             |    AS revenue_share
+             |FROM agg ORDER BY abc_class""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
