@@ -11748,7 +11748,102 @@ object Queries {
              |  CAST(ROUND(rd, 2) AS DOUBLE) AS revenue,
              |  round(CAST(rd AS DOUBLE) / CAST(sum(rd) OVER () AS DOUBLE), 6)
              |    AS revenue_share
-             |FROM agg ORDER BY abc_class""".stripMargin))
+             |FROM agg ORDER BY abc_class""".stripMargin)),
+
+    QueryDef("d30_jaccard_yield",
+      // threshold-yield curve for near-dup dedup: d3's exact Jaccard
+      // pairs at a LOW floor (0.2), bucketed by 0.1 similarity bands
+      // with the cumulative pair count from the top — the curve that
+      // DECIDES the production threshold (how many pairs each setting
+      // would kill) before committing to an m1-style LSH config. Pair
+      // enumeration costs the same as any threshold (the co-shingle
+      // join dominates); the histogram is 10 rows. The raw corpus has
+      // only exact-ish duplicates, so every third document gains a
+      // PLANTED half-length twin (id+200000, first ⌈n/2⌉ tokens — the
+      // s2/c2 "create the condition under test" pattern), populating
+      // the mid-similarity bands the curve exists to show.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val twins = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            array_join(slice(split(lower(trim(col("text"))), "\\s+"), lit(1),
+              expr("CAST(ceil(size(split(lower(trim(text)), '\\\\s+')) / 2.0) AS INT)")),
+              " ").as("text"))
+        val planted = d.select(col("doc_id"), col("text")).unionByName(twins)
+        val pairs = D.jaccardPairs(planted, "doc_id", "text",
+          n = 3, threshold = 0.2, maxDf = 1000L)
+        val h = pairs
+          .groupBy(least(floor(col("jaccard") * 10), lit(9)).cast("int")
+            .as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+        h.withColumn("band_lo", round(col("bucket").cast("double") / 10, 1))
+          .withColumn("cum_from_top", sum(col("n_pairs")).over(
+            Window.orderBy(col("bucket").desc)
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("bucket"), col("band_lo"), col("n_pairs"),
+            col("cum_from_top"))
+          .orderBy("bucket")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000 AS doc_id,
+             |    array_to_string(
+             |      (regexp_split_to_array(lower(trim(text)), '\s+'))[
+             |        1:CAST(ceil(len(regexp_split_to_array(lower(trim(text)),
+             |            '\s+')) / 2.0) AS INTEGER)], ' ') AS text
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM raw),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sgl FROM sh),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+             |         b.n_sh AS n_b, count(*) AS shared
+             |  FROM e a JOIN e b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |j AS (
+             |  SELECT round(CAST(shared AS DOUBLE)
+             |    / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jac
+             |  FROM p
+             |  WHERE CAST(shared AS DOUBLE)
+             |    / CAST(n_a + n_b - shared AS DOUBLE) >= 0.2),
+             |h AS (
+             |  SELECT CAST(least(floor(jac * 10), 9) AS INTEGER) AS bucket,
+             |         count(*) AS n_pairs
+             |  FROM j GROUP BY 1)
+             |SELECT bucket, round(CAST(bucket AS DOUBLE) / 10, 1) AS band_lo,
+             |  n_pairs,
+             |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_from_top
+             |FROM h ORDER BY bucket""".stripMargin)),
+
+    QueryDef("a44_discount_elasticity",
+      // demand response to discounting per return-flag segment:
+      // regr_slope/intercept/R² of quantity on discount — "does a
+      // deeper discount actually move volume" as the a18 co-moment
+      // machinery on the economic axis. Engine co-moment ulps sit far
+      // under the 6dp rounding (the a12/a18 contract).
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("regr_slope(l_quantity, l_discount)"), 6).as("slope"),
+          round(expr("regr_intercept(l_quantity, l_discount)"), 6)
+            .as("intercept"),
+          round(expr("regr_r2(l_quantity, l_discount)"), 6).as("r2"))
+        .orderBy("seg"),
+      Some("""SELECT l_returnflag AS seg, count(*) AS n,
+             |  round(regr_slope(l_quantity, l_discount), 6) AS slope,
+             |  round(regr_intercept(l_quantity, l_discount), 6) AS intercept,
+             |  round(regr_r2(l_quantity, l_discount), 6) AS r2
+             |FROM lineitem GROUP BY 1 ORDER BY seg""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
