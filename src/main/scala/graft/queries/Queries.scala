@@ -11843,7 +11843,67 @@ object Queries {
              |  round(regr_slope(l_quantity, l_discount), 6) AS slope,
              |  round(regr_intercept(l_quantity, l_discount), 6) AS intercept,
              |  round(regr_r2(l_quantity, l_discount), 6) AS r2
-             |FROM lineitem GROUP BY 1 ORDER BY seg""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY seg""".stripMargin)),
+
+    QueryDef("t27_mixed_language",
+      // code-switching / concatenation detector: language-ID per t9
+      // CHUNK, then per-document disagreement — a doc whose chunks
+      // vote for different languages is usually two pages glued by the
+      // extractor (t3's whole-doc vote hides it; chunk-level voting is
+      // how fastText-based cleaners catch it). Majority pick ties to
+      // the lexicographically smaller language via min(struct(−m,
+      // lang)) — all-integer; one explode + two hash aggs.
+      (s, dir) => {
+        val ch = T.chunkDocuments(docs(s, dir), "doc_id", "text",
+            chunkSize = 32, stride = 16)
+          .select(col("doc_id"), T.languageId(col("chunk_text")).as("cl"))
+        val per = ch.groupBy("doc_id", "cl").agg(count(lit(1)).as("_m"))
+        per.groupBy("doc_id").agg(
+            sum(col("_m")).as("n_chunks"),
+            count(lit(1)).as("n_langs"),
+            min(struct((-col("_m")).as("nm"), col("cl").as("l"))).as("_mj"))
+          .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+            col("_mj.l").as("majority_lang"),
+            round((-col("_mj.nm")).cast("double") /
+              col("n_chunks").cast("double"), 6).as("majority_share"),
+            (col("n_langs") > 1).as("mixed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+             |  FROM documents
+             |  WHERE length(trim(text)) > 0),
+             |ch AS (
+             |  SELECT doc_id,
+             |    array_to_string(w[i*16+1 : i*16+32], ' ') AS chunk_text
+             |  FROM tk, UNNEST(generate_series(0,
+             |    CAST(ceil(greatest(len(w) - 32, 0) / 16.0) AS BIGINT))) AS t(i)),
+             |ct AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(chunk_text)), '\s+') AS toks
+             |  FROM ch),
+             |h AS (SELECT doc_id,
+             |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))) AS h_de,
+             |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS h_en,
+             |  len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','por','para','que','con'], x))) AS h_es,
+             |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','pour','dans','que','des'], x))) AS h_fr
+             |FROM ct),
+             |lid AS (
+             |  SELECT doc_id,
+             |    CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+             |         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             |         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             |         WHEN h_es >= h_fr THEN 'es'
+             |         ELSE 'fr' END AS cl
+             |  FROM h),
+             |per AS (SELECT doc_id, cl, count(*) AS m FROM lid GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_chunks,
+             |  count(*) AS n_langs,
+             |  (min({'nm': -m, 'l': cl})).l AS majority_lang,
+             |  round(CAST(-(min({'nm': -m, 'l': cl})).nm AS DOUBLE)
+             |    / CAST(sum(m) AS DOUBLE), 6) AS majority_share,
+             |  (count(*) > 1) AS mixed
+             |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
