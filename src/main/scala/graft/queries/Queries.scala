@@ -11903,7 +11903,61 @@ object Queries {
              |  round(CAST(-(min({'nm': -m, 'l': cl})).nm AS DOUBLE)
              |    / CAST(sum(m) AS DOUBLE), 6) AS majority_share,
              |  (count(*) > 1) AS mixed
-             |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("s15_centroid_drift",
+      // semantic drift between splits: pool each split's embeddings to
+      // a 6dp centroid (the s5 shape), report the cross-centroid
+      // cosine and each centroid's norm — the embedding-space twin of
+      // mix2's source-KL audit ("did the valid slice land in the same
+      // region as train"). Norms use VecDot over the 6dp centroid in
+      // ARRAY ORDER, mirrored by the oracle's in-order list fold —
+      // both engines run the identical sum sequence.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .withColumn("split",
+            when(col("vec_id") % 5 === 0, "valid").otherwise("train"))
+        val sizes = emb.groupBy("split").agg(count(lit(1)).as("n"))
+        val cent = S.assembleVec(
+          S.meanPoolFlat(emb.select(col("split"), col("embedding")),
+              "split", "embedding")
+            .select(col("split"), col("pos"),
+              round(col("mean_v"), 6).as("mean_v")),
+          "split")
+          .join(broadcast(sizes), "split")
+        val a = cent.filter(col("split") === "train")
+          .select(col("vec").as("_va"), col("n").as("n_train"))
+        val b = cent.filter(col("split") === "valid")
+          .select(col("vec").as("_vb"), col("n").as("n_valid"))
+        a.crossJoin(b).select(col("n_train"), col("n_valid"),
+          round(S.cosine(col("_va"), col("_vb")), 6).as("centroid_cosine"),
+          round(sqrt(S.dot(col("_va"), col("_va"))), 6).as("norm_train"),
+          round(sqrt(S.dot(col("_vb"), col("_vb"))), 6).as("norm_valid"))
+      },
+      Some("""WITH e AS (
+             |  SELECT CASE WHEN vec_id % 5 = 0 THEN 'valid' ELSE 'train' END
+             |           AS split,
+             |         CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |sz AS (SELECT split, count(*) AS n FROM e GROUP BY 1),
+             |flat AS (
+             |  SELECT split, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+             |  FROM e),
+             |cd AS (SELECT split, pos, round(avg(val), 6) AS cv
+             |       FROM flat GROUP BY 1, 2),
+             |cent AS (SELECT split, list(cv ORDER BY pos) AS vec
+             |         FROM cd GROUP BY 1),
+             |a AS (SELECT cent.vec AS va, sz.n AS n_train FROM cent
+             |      JOIN sz USING (split) WHERE cent.split = 'train'),
+             |b AS (SELECT cent.vec AS vb, sz.n AS n_valid FROM cent
+             |      JOIN sz USING (split) WHERE cent.split = 'valid')
+             |SELECT a.n_train, b.n_valid,
+             |  round(list_cosine_similarity(a.va, b.vb), 6) AS centroid_cosine,
+             |  round(sqrt(list_aggregate(list_transform(a.va, x -> x * x),
+             |    'sum')), 6) AS norm_train,
+             |  round(sqrt(list_aggregate(list_transform(b.vb, x -> x * x),
+             |    'sum')), 6) AS norm_valid
+             |FROM a CROSS JOIN b""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
