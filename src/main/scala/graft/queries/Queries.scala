@@ -11957,7 +11957,100 @@ object Queries {
              |    'sum')), 6) AS norm_train,
              |  round(sqrt(list_aggregate(list_transform(b.vb, x -> x * x),
              |    'sum')), 6) AS norm_valid
-             |FROM a CROSS JOIN b""".stripMargin))
+             |FROM a CROSS JOIN b""".stripMargin)),
+
+    QueryDef("pack3_bin_utilization",
+      // packing-efficiency audit of pack1/pack2's greedy bins: per
+      // shard, the pack count, mean fill ratio against the 512-token
+      // budget, the under-80% bin count, and total padding waste — the
+      // number that says whether the packer needs a smarter bin rule
+      // before a training run burns the idle tokens. All-integer until
+      // the two divisions (exact-decimal fill sums, the t20 pattern —
+      // per-pack ratios round 6dp before summing). Over-budget packs
+      // (a single doc longer than the budget) cap their fill at 1.
+      (s, dir) => {
+        val packs = Sam.materializePacks(
+            docs(s, dir).select(col("doc_id"), col("text"),
+              T.tokenCount(col("text")).as("n_tokens")),
+            "doc_id", "text", "n_tokens", budgetTokens = 512L, shards = 8)
+          .select(col("shard"), col("pack_id"), col("pack_tokens"))
+          .withColumn("_fill", round(
+            least(col("pack_tokens"), lit(512L)).cast("double") / 512.0, 6)
+            .cast("decimal(10,6)"))
+        packs.groupBy("shard").agg(
+            count(lit(1)).as("n_packs"),
+            sum(col("pack_tokens")).as("tokens"),
+            (sum(col("_fill")).cast("double") /
+              count(lit(1)).cast("double")).as("_mf"),
+            sum(when(col("_fill") < 0.8, 1L).otherwise(0L)).as("underfilled"),
+            sum(greatest(lit(512L) - col("pack_tokens"), lit(0L)))
+              .as("padding_waste"))
+          .select(col("shard"), col("n_packs"), col("tokens"),
+            round(col("_mf"), 6).as("mean_fill"),
+            col("underfilled"), col("padding_waste"))
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, doc_id % 8 AS shard,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, shard, tok,
+             |    CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      - tok AS prefix
+             |  FROM t),
+             |pk AS (
+             |  SELECT shard, prefix // 512 AS pack_id,
+             |    CAST(sum(tok) AS BIGINT) AS pack_tokens
+             |  FROM p GROUP BY 1, 2),
+             |f AS (
+             |  SELECT shard, pack_tokens,
+             |    CAST(round(CAST(least(pack_tokens, 512) AS DOUBLE) / 512.0, 6)
+             |      AS DECIMAL(10,6)) AS fill
+             |  FROM pk)
+             |SELECT shard, count(*) AS n_packs,
+             |  CAST(sum(pack_tokens) AS BIGINT) AS tokens,
+             |  round(CAST(sum(fill) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS mean_fill,
+             |  CAST(sum(CASE WHEN fill < 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS underfilled,
+             |  CAST(sum(greatest(512 - pack_tokens, 0)) AS BIGINT)
+             |    AS padding_waste
+             |FROM f GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    QueryDef("a45_hhi",
+      // Herfindahl–Hirschman concentration index of supplier revenue,
+      // per year: HHI = Σ share² scaled ×10000 (the antitrust
+      // convention; 10000 = monopoly, <1500 competitive) — the squared
+      // companion to a24's Gini and a38's Lorenz. EXACT until the end:
+      // HHI = 10⁴·Σr²/ (Σr)², both sums exact decimals, one mirrored
+      // IEEE tail.
+      (s, dir) => {
+        val r = t(s, dir, "lineitem")
+          .groupBy(year(col("l_shipdate")).as("yr"),
+            col("l_suppkey").as("supp"))
+          .agg((money2(sum(col("l_extendedprice").cast("decimal(12,4)")))
+            .cast("decimal(14,2)") * 100).cast("long").as("_rc"))
+        r.groupBy("yr").agg(
+            count(lit(1)).as("n_suppliers"),
+            (lit(10000.0) *
+              sum(col("_rc").cast("decimal(38,0)") * col("_rc")).cast("double") /
+              (sum(col("_rc")).cast("double") * sum(col("_rc")).cast("double")))
+              .as("_h"))
+          .select(col("yr"), col("n_suppliers"), round(col("_h"), 6).as("hhi"))
+          .orderBy("yr")
+      },
+      Some("""WITH r AS (
+             |  SELECT year(l_shipdate) AS yr, l_suppkey AS supp,
+             |    CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2)
+             |      AS DECIMAL(14,2)) * 100 AS BIGINT) AS rc
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT CAST(yr AS INTEGER) AS yr, count(*) AS n_suppliers,
+             |  round(10000.0 * CAST(sum(CAST(rc AS HUGEINT) * rc) AS DOUBLE)
+             |    / (CAST(sum(rc) AS DOUBLE) * CAST(sum(rc) AS DOUBLE)), 6) AS hhi
+             |FROM r GROUP BY 1 ORDER BY yr""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
