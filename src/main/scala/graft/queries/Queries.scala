@@ -12050,7 +12050,97 @@ object Queries {
              |SELECT CAST(yr AS INTEGER) AS yr, count(*) AS n_suppliers,
              |  round(10000.0 * CAST(sum(CAST(rc AS HUGEINT) * rc) AS DOUBLE)
              |    / (CAST(sum(rc) AS DOUBLE) * CAST(sum(rc) AS DOUBLE)), 6) AS hhi
-             |FROM r GROUP BY 1 ORDER BY yr""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY yr""".stripMargin)),
+
+    QueryDef("act1_activation_depth",
+      // activation analysis: users bucketed by FIRST-24-HOURS event
+      // depth, each bucket's later high-value-conversion rate (ab1's
+      // success metric) — "how active must day-one be before users
+      // convert", the aha-moment screen. First-day depth is an exact
+      // integer window against the user's own first timestamp; one
+      // division per bucket.
+      (s, dir) => {
+        val e = events(s, dir)
+        val firstTs = e.groupBy("user_id").agg(min(col("ts")).as("_t0"))
+        val depth = e.join(firstTs, "user_id")
+          .groupBy("user_id")
+          .agg(sum(when(expr("unix_micros(ts) - unix_micros(_t0)") <
+              86400000000L, 1L).otherwise(0L)).as("_d"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 195 &&
+              expr("unix_micros(ts) - unix_micros(_t0)") >= 86400000000L,
+              1L).otherwise(0L)).as("_conv"))
+        depth.withColumn("depth_bucket",
+            when(col("_d") <= 5, "a_1_5")
+              .when(col("_d") <= 20, "b_6_20").otherwise("c_21_plus"))
+          .groupBy("depth_bucket")
+          .agg(count(lit(1)).as("users"), sum(col("_conv")).as("converters"))
+          .withColumn("conv_rate", round(col("converters").cast("double") /
+            col("users").cast("double"), 6))
+          .orderBy("depth_bucket")
+      },
+      Some("""WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+             |d AS (
+             |  SELECT e.user_id,
+             |    CAST(sum(CASE WHEN date_diff('microsecond', f.t0, e.ts)
+             |        < 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS dep,
+             |    CAST(max(CASE WHEN e.event_type = 'purchase'
+             |        AND e.value > 195
+             |        AND date_diff('microsecond', f.t0, e.ts) >= 86400000000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+             |  FROM events e JOIN f USING (user_id) GROUP BY 1),
+             |b AS (
+             |  SELECT CASE WHEN dep <= 5 THEN 'a_1_5'
+             |              WHEN dep <= 20 THEN 'b_6_20'
+             |              ELSE 'c_21_plus' END AS depth_bucket, conv
+             |  FROM d)
+             |SELECT depth_bucket, count(*) AS users,
+             |  CAST(sum(conv) AS BIGINT) AS converters,
+             |  round(CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS conv_rate
+             |FROM b GROUP BY 1 ORDER BY depth_bucket""".stripMargin)),
+
+    QueryDef("cls2_label_shift",
+      // label-shift audit between the embedding train/valid splits
+      // ([[graft.ops.ValidationOps.chiSquareIndependence]] on the
+      // split × label grid): a significant chi-square means the valid
+      // slice's class mix diverged — eval numbers would not transfer.
+      // The a28 machinery pointed at the ML axis.
+      (s, dir) => ValidationOps.chiSquareIndependence(
+        t(s, dir, "embeddings")
+          .select(when(col("vec_id") % 5 === 0, "valid").otherwise("train")
+            .as("split"), col("label")),
+        "split", "label"),
+      Some("""WITH base AS (
+             |  SELECT CASE WHEN vec_id % 5 = 0 THEN 'valid' ELSE 'train' END
+             |           AS a,
+             |         label AS b
+             |  FROM embeddings
+             |  WHERE label IS NOT NULL),
+             |cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+             |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+             |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             |               CAST(count(DISTINCT a) AS BIGINT) AS r,
+             |               CAST(count(DISTINCT c2.b) AS BIGINT) AS c
+             |        FROM cells c2),
+             |grid AS (
+             |  SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(cells.o, 0) AS o
+             |  FROM ra CROSS JOIN cb
+             |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+             |term AS (
+             |  SELECT n, r, c,
+             |    round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e,
+             |          6) AS term
+             |  FROM (SELECT o, n, r, c,
+             |          CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+             |        FROM grid, tot))
+             |SELECT n, (r - 1) * (c - 1) AS dof,
+             |  CAST(SUM(CAST(term AS DECIMAL(24,6))) AS DOUBLE) AS chi2,
+             |  round(sqrt(CAST(SUM(CAST(term AS DECIMAL(24,6))) AS DOUBLE)
+             |             / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6)
+             |    AS cramers_v
+             |FROM term GROUP BY n, r, c""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
