@@ -12140,7 +12140,126 @@ object Queries {
              |  round(sqrt(CAST(SUM(CAST(term AS DECIMAL(24,6))) AS DOUBLE)
              |             / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6)
              |    AS cramers_v
-             |FROM term GROUP BY n, r, c""".stripMargin))
+             |FROM term GROUP BY n, r, c""".stripMargin)),
+
+    QueryDef("w48_chow_break",
+      // Chow structural-break test per ticker at the fixed 1997-01-01
+      // breakpoint: fit price-on-time OLS on each side and pooled,
+      // F = ((RSS_p − RSS₁ − RSS₂)/2) / ((RSS₁+RSS₂)/(n−4)) — the
+      // regime-change companion to w28's CUSUM (which detects; this
+      // TESTS a hypothesized break). ONE scan: all six side-moments
+      // are conditional exact-integer sums (days × cents), pooled
+      // moments are their exact additions, and every RSS is the same
+      // short IEEE chain over exact casts (the a18 contract), 6dp.
+      (s, dir) => {
+        val p = prices(t(s, dir, "lineitem"))
+          .select(col("ticker"),
+            datediff(col("date"), lit("1995-01-01").cast("date"))
+              .cast("long").as("x"),
+            (col("close").cast("decimal(12,2)") * 100).cast("long").as("y"),
+            (col("date") < lit("1997-01-01").cast("date")).as("pre"))
+        def m(cond: Column, e: Column) =
+          sum(when(cond, e).otherwise(lit(0L).cast("decimal(38,0)")))
+        def moments(cond: Column, tag: String) = Seq(
+          sum(when(cond, 1L).otherwise(0L)).as(s"n$tag"),
+          m(cond, col("x").cast("decimal(38,0)")).as(s"sx$tag"),
+          m(cond, col("y").cast("decimal(38,0)")).as(s"sy$tag"),
+          m(cond, col("x").cast("decimal(38,0)") * col("x")).as(s"sxx$tag"),
+          m(cond, col("x").cast("decimal(38,0)") * col("y")).as(s"sxy$tag"),
+          m(cond, col("y").cast("decimal(38,0)") * col("y")).as(s"syy$tag"))
+        val aggCols = moments(col("pre"), "1") ++ moments(!col("pre"), "2")
+        val a = p.groupBy("ticker").agg(aggCols.head, aggCols.tail: _*)
+        def rss(n: Column, sx: Column, sy: Column, sxx: Column,
+            sxy: Column, syy: Column) = {
+          val nd = n.cast("double")
+          val cxx = sxx.cast("double") - sx.cast("double") * sx.cast("double") / nd
+          val cxy = sxy.cast("double") - sx.cast("double") * sy.cast("double") / nd
+          val cyy = syy.cast("double") - sy.cast("double") * sy.cast("double") / nd
+          cyy - cxy * cxy / cxx
+        }
+        val r1 = rss(col("n1"), col("sx1"), col("sy1"), col("sxx1"),
+          col("sxy1"), col("syy1"))
+        val r2 = rss(col("n2"), col("sx2"), col("sy2"), col("sxx2"),
+          col("sxy2"), col("syy2"))
+        val rp = rss(col("n1") + col("n2"), col("sx1") + col("sx2"),
+          col("sy1") + col("sy2"), col("sxx1") + col("sxx2"),
+          col("sxy1") + col("sxy2"), col("syy1") + col("syy2"))
+        a.filter(col("n1") >= 3 && col("n2") >= 3)
+          .select(col("ticker"), col("n1"), col("n2"),
+            round(((rp - r1 - r2) / lit(2.0)) /
+              ((r1 + r2) / (col("n1") + col("n2") - 4).cast("double")), 6)
+              .as("f_stat"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql +
+        """, b AS (
+          |  SELECT ticker,
+          |    CAST("date" - DATE '1995-01-01' AS BIGINT) AS x,
+          |    CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+          |    ("date" < DATE '1997-01-01') AS pre
+          |  FROM prices),
+          |a AS (
+          |  SELECT ticker,
+          |    CAST(count(CASE WHEN pre THEN 1 END) AS BIGINT) AS n1,
+          |    COALESCE(sum(CASE WHEN pre THEN CAST(x AS HUGEINT) END), 0) AS sx1,
+          |    COALESCE(sum(CASE WHEN pre THEN CAST(y AS HUGEINT) END), 0) AS sy1,
+          |    COALESCE(sum(CASE WHEN pre THEN CAST(x AS HUGEINT) * x END), 0) AS sxx1,
+          |    COALESCE(sum(CASE WHEN pre THEN CAST(x AS HUGEINT) * y END), 0) AS sxy1,
+          |    COALESCE(sum(CASE WHEN pre THEN CAST(y AS HUGEINT) * y END), 0) AS syy1,
+          |    CAST(count(CASE WHEN NOT pre THEN 1 END) AS BIGINT) AS n2,
+          |    COALESCE(sum(CASE WHEN NOT pre THEN CAST(x AS HUGEINT) END), 0) AS sx2,
+          |    COALESCE(sum(CASE WHEN NOT pre THEN CAST(y AS HUGEINT) END), 0) AS sy2,
+          |    COALESCE(sum(CASE WHEN NOT pre THEN CAST(x AS HUGEINT) * x END), 0) AS sxx2,
+          |    COALESCE(sum(CASE WHEN NOT pre THEN CAST(x AS HUGEINT) * y END), 0) AS sxy2,
+          |    COALESCE(sum(CASE WHEN NOT pre THEN CAST(y AS HUGEINT) * y END), 0) AS syy2
+          |  FROM b GROUP BY 1)
+          |SELECT ticker, n1, n2,
+          |  round((((CAST(syy1 + syy2 AS DOUBLE)
+          |      - CAST(sy1 + sy2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE)
+          |        / CAST(n1 + n2 AS DOUBLE))
+          |    - (CAST(sxy1 + sxy2 AS DOUBLE)
+          |      - CAST(sx1 + sx2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE)
+          |        / CAST(n1 + n2 AS DOUBLE))
+          |      * (CAST(sxy1 + sxy2 AS DOUBLE)
+          |      - CAST(sx1 + sx2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE)
+          |        / CAST(n1 + n2 AS DOUBLE))
+          |      / (CAST(sxx1 + sxx2 AS DOUBLE)
+          |      - CAST(sx1 + sx2 AS DOUBLE) * CAST(sx1 + sx2 AS DOUBLE)
+          |        / CAST(n1 + n2 AS DOUBLE))
+          |    - (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+          |        / CAST(n1 AS DOUBLE)
+          |      - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+          |          / CAST(n1 AS DOUBLE))
+          |        * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+          |          / CAST(n1 AS DOUBLE))
+          |        / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+          |          / CAST(n1 AS DOUBLE)))
+          |    - (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+          |        / CAST(n2 AS DOUBLE)
+          |      - (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+          |          / CAST(n2 AS DOUBLE))
+          |        * (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+          |          / CAST(n2 AS DOUBLE))
+          |        / (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+          |          / CAST(n2 AS DOUBLE)))) / 2.0)
+          |  / (((CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+          |        / CAST(n1 AS DOUBLE)
+          |      - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+          |          / CAST(n1 AS DOUBLE))
+          |        * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+          |          / CAST(n1 AS DOUBLE))
+          |        / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+          |          / CAST(n1 AS DOUBLE)))
+          |    + (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+          |        / CAST(n2 AS DOUBLE)
+          |      - (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+          |          / CAST(n2 AS DOUBLE))
+          |        * (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+          |          / CAST(n2 AS DOUBLE))
+          |        / (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+          |          / CAST(n2 AS DOUBLE))))
+          |    / CAST(n1 + n2 - 4 AS DOUBLE)), 6) AS f_stat
+          |FROM a WHERE n1 >= 3 AND n2 >= 3 ORDER BY ticker""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
