@@ -12259,7 +12259,81 @@ object Queries {
           |        / (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
           |          / CAST(n2 AS DOUBLE))))
           |    / CAST(n1 + n2 - 4 AS DOUBLE)), 6) AS f_stat
-          |FROM a WHERE n1 >= 3 AND n2 >= 3 ORDER BY ticker""".stripMargin))
+          |FROM a WHERE n1 >= 3 AND n2 >= 3 ORDER BY ticker""".stripMargin)),
+
+    QueryDef("g11_degree_tail",
+      // degree-distribution tail diagnostics of the co-purchase graph:
+      // node/edge counts, max degree, and the Hill tail index over the
+      // top-decile degrees (e25's estimator on the graph axis) —
+      // "is this graph scale-free enough that per-node work needs the
+      // skew defenses" (α ≤ 2 ⇒ hub-dominated; salting/AQE mandatory).
+      // Degrees and ranks exact; 6dp lns sum in exact decimal.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val deg = graft.Caches.trackedPersist(
+          e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("d")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nEdges = e.agg((count(lit(1))).as("n_edges"))
+        val ranked = graft.Caches.trackedPersist(deg
+          .withColumn("_r", row_number().over(
+            Window.orderBy(col("d").desc, col("node"))))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+          .withColumn("_k", expr("(_n + 9) div 10")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dmin = ranked.filter(col("_r") === col("_k") + 1)
+          .select(col("d").as("_dmin"))
+        ranked.filter(col("_r") <= col("_k"))
+          .crossJoin(broadcast(dmin))
+          .select(col("_n"), col("_k"),
+            when(col("_r") === 1, col("d")).as("_maxd"),
+            round(log(col("d").cast("double") / col("_dmin").cast("double")), 6)
+              .cast("decimal(20,6)").as("_t"))
+          .groupBy("_n", "_k")
+          .agg(max(col("_maxd")).as("max_degree"),
+            round(col("_k").cast("double") /
+              sum(col("_t")).cast("double"), 6).as("hill_alpha"))
+          .crossJoin(broadcast(nEdges))
+          .select(col("_n").as("n_nodes"), col("n_edges"),
+            col("max_degree"), col("_k").as("k_tail"), col("hill_alpha"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+             |            WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+             |e AS (
+             |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |ne AS (SELECT count(*) AS n_edges FROM e),
+             |deg AS (
+             |  SELECT node, count(*) AS d FROM (
+             |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+             |  GROUP BY 1),
+             |rk AS (
+             |  SELECT node, d,
+             |    row_number() OVER (ORDER BY d DESC, node) AS r,
+             |    count(*) OVER () AS n,
+             |    (count(*) OVER () + 9) // 10 AS k
+             |  FROM deg),
+             |dm AS (SELECT d AS dmin FROM rk WHERE r = k + 1),
+             |t AS (
+             |  SELECT rk.n, rk.k,
+             |    CASE WHEN rk.r = 1 THEN rk.d END AS maxd,
+             |    CAST(round(ln(CAST(rk.d AS DOUBLE) / CAST(dm.dmin AS DOUBLE)), 6)
+             |      AS DECIMAL(20,6)) AS t
+             |  FROM rk CROSS JOIN dm WHERE rk.r <= rk.k)
+             |SELECT CAST(t.n AS BIGINT) AS n_nodes,
+             |  CAST(ne.n_edges AS BIGINT) AS n_edges,
+             |  CAST(max(t.maxd) AS BIGINT) AS max_degree,
+             |  CAST(t.k AS BIGINT) AS k_tail,
+             |  round(CAST(t.k AS DOUBLE) / CAST(SUM(t.t) AS DOUBLE), 6)
+             |    AS hill_alpha
+             |FROM t CROSS JOIN ne GROUP BY t.n, t.k, ne.n_edges""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
