@@ -12333,7 +12333,68 @@ object Queries {
              |  CAST(t.k AS BIGINT) AS k_tail,
              |  round(CAST(t.k AS DOUBLE) / CAST(SUM(t.t) AS DOUBLE), 6)
              |    AS hill_alpha
-             |FROM t CROSS JOIN ne GROUP BY t.n, t.k, ne.n_edges""".stripMargin))
+             |FROM t CROSS JOIN ne GROUP BY t.n, t.k, ne.n_edges""".stripMargin)),
+
+    QueryDef("cls3_gate_sweep",
+      // classifier-gate calibration sweep: survivor counts if c12's
+      // quality gate were set at the score's exact p25/p50/p75 ORDER
+      // STATISTICS (rank ⌈q·n/100⌉ of the 6dp scores — no quantile
+      // interpolation, so the cutoffs are exact decimals and the ≥
+      // comparisons cannot ulp-flip). The tuning table read before
+      // committing a gate threshold to a corpus build.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val labeled = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
+        val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
+          buckets = 1 << 16, hash = D.md5Hash60)
+        val scored = graft.Caches.trackedPersist(
+          Cls.scoreLinear(d, "doc_id", "text", w, bias,
+              buckets = 1 << 16, hash = D.md5Hash60)
+            .select(col("doc_id"), col("score").cast("decimal(10,6)").as("sc")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ranked = scored
+          .withColumn("_rn", row_number().over(
+            Window.orderBy(col("sc"), col("doc_id"))))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        val qs = s.range(1, 4).select((col("id") * 25).cast("int").as("q"))
+        val taus = ranked.join(broadcast(qs),
+            col("_rn") === expr("(q * _n + 99) div 100"))
+          .select(col("q"), col("sc").as("_tau"), col("_n"))
+        scored.crossJoin(broadcast(taus))
+          .groupBy("q")
+          .agg(first(col("_tau")).cast("double").as("tau"),
+            first(col("_n")).as("n_docs"),
+            sum(when(col("sc") >= col("_tau"), 1L).otherwise(0L))
+              .as("survivors"))
+          .withColumn("survivor_share", round(col("survivors").cast("double") /
+            col("n_docs").cast("double"), 6))
+          .orderBy("q")
+      },
+      Some("WITH " + nbScoreCtes +
+        """,
+          |scored AS (
+          |  SELECT d.doc_id,
+          |    CAST(round(1.0 / (1.0 + exp(-(coalesce(sc.m, 0.0) + pr.bias))), 6)
+          |      AS DECIMAL(10,6)) AS s
+          |  FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)),
+          |rk AS (
+          |  SELECT doc_id, s,
+          |    row_number() OVER (ORDER BY s, doc_id) AS rn,
+          |    count(*) OVER () AS n
+          |  FROM scored),
+          |qs AS (SELECT unnest([25, 50, 75]) AS q),
+          |taus AS (
+          |  SELECT qs.q, rk.s AS tau, rk.n
+          |  FROM rk JOIN qs ON rk.rn = (qs.q * rk.n + 99) // 100)
+          |SELECT t.q, CAST(t.tau AS DOUBLE) AS tau,
+          |  CAST(t.n AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN scored.s >= t.tau THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS survivors,
+          |  round(CAST(sum(CASE WHEN scored.s >= t.tau THEN 1 ELSE 0 END)
+          |      AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS survivor_share
+          |FROM scored CROSS JOIN taus t
+          |GROUP BY t.q, t.tau, t.n ORDER BY q""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
