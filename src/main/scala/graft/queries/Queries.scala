@@ -12394,7 +12394,121 @@ object Queries {
           |  round(CAST(sum(CASE WHEN scored.s >= t.tau THEN 1 ELSE 0 END)
           |      AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS survivor_share
           |FROM scored CROSS JOIN taus t
-          |GROUP BY t.q, t.tau, t.n ORDER BY q""".stripMargin))
+          |GROUP BY t.q, t.tau, t.n ORDER BY q""".stripMargin)),
+
+    QueryDef("mix4_temperature_sweep",
+      // mixture-planning table: the source shares a d9 temperature
+      // draw CONVERGES to, at α ∈ {0.3, 0.5, 0.7} — share_α(s) =
+      // n_s^α / Σ n^α — next to the raw share (α=1). The table a
+      // mixture review reads before picking α. Counts exact; pow and
+      // the normalizing division follow the d9 contract (6dp-rounded
+      // rates — pow is the one non-correctly-rounded libm op, absorbed
+      // by the rounding); the Σn^α normalizer sums 6dp decimals.
+      (s, dir) => {
+        val c = graft.Caches.trackedPersist(
+          docs(s, dir).groupBy("source").agg(count(lit(1)).as("n")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val alphas = s.range(3, 8, 2)
+          .select((col("id").cast("double") / 10.0).as("alpha"))
+        val powed = c.crossJoin(broadcast(alphas))
+          .withColumn("_p", round(pow(col("n").cast("double"), col("alpha")), 6)
+            .cast("decimal(24,6)"))
+        val tot = powed.groupBy("alpha").agg(sum(col("_p")).as("_z"),
+          sum(col("n")).as("_nt"))
+        powed.join(broadcast(tot), "alpha")
+          .select(col("alpha"), col("source"), col("n"),
+            round(col("n").cast("double") / col("_nt").cast("double"), 6)
+              .as("raw_share"),
+            round(col("_p").cast("double") / col("_z").cast("double"), 6)
+              .as("temp_share"))
+          .orderBy("alpha", "source")
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |al AS (SELECT unnest([0.3, 0.5, 0.7]) AS alpha),
+             |p AS (
+             |  SELECT c.source, c.n, al.alpha,
+             |    CAST(round(pow(CAST(c.n AS DOUBLE), al.alpha), 6)
+             |      AS DECIMAL(24,6)) AS pw
+             |  FROM c CROSS JOIN al),
+             |t AS (SELECT alpha, SUM(pw) AS z, CAST(SUM(n) AS BIGINT) AS nt
+             |      FROM p GROUP BY 1)
+             |SELECT p.alpha, p.source, p.n,
+             |  round(CAST(p.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS raw_share,
+             |  round(CAST(p.pw AS DOUBLE) / CAST(t.z AS DOUBLE), 6) AS temp_share
+             |FROM p JOIN t USING (alpha)
+             |ORDER BY alpha, source""".stripMargin)),
+
+    QueryDef("w54_information_ratio",
+      // information ratio per ticker vs the equal-cap index: mean and
+      // stddev of the EXCESS return (ticker − index, exact µunit
+      // integer differences) — "does the name beat the market per unit
+      // of tracking error", completing w37/w44's relative-performance
+      // family. Exact moments, one IEEE chain, annualized ×√252 (√ is
+      // correctly-rounded IEEE).
+      (s, dir) => {
+        val p = graft.Caches.trackedPersist(prices(t(s, dir, "lineitem")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wD = Window.orderBy("date")
+        val mret = p.groupBy("date")
+          .agg(sum(col("close").cast("decimal(12,2)")).cast("decimal(18,2)")
+            .as("_ic"))
+          .withColumn("m", (round(col("_ic").cast("double") /
+            lag(col("_ic"), 1).over(wD).cast("double") - 1, 6)
+            .cast("decimal(10,6)") * 1000000).cast("long"))
+          .filter(col("m").isNotNull).select("date", "m")
+        val tret = p
+          .withColumn("ret", col("close") / lag("close", 1).over(wTicker) - 1)
+          .filter(col("ret").isNotNull)
+          .select(col("ticker"), col("date"),
+            (round(col("ret"), 6).cast("decimal(10,6)") * 1000000)
+              .cast("long").as("y"))
+        val x = tret.join(mret, "date")
+          .withColumn("_e", col("y") - col("m"))
+        val a = x.groupBy("ticker").agg(
+          count(lit(1)).as("n"), sum(col("_e")).as("_s"),
+          sum(col("_e").cast("decimal(38,0)") * col("_e")).as("_q"))
+        val mean = col("_s").cast("double") / col("n").cast("double")
+        val sd = sqrt((col("_q") * col("n") -
+            col("_s").cast("decimal(38,0)") * col("_s")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1).cast("double")))
+        a.filter(col("n") >= 2)
+          .select(col("ticker"), col("n"),
+            round(mean / lit(1e6), 6).as("mean_excess"),
+            when(sd > 0, round(mean / sd * sqrt(lit(252.0)), 6))
+              .as("ir_annualized"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, ic AS (
+          |  SELECT "date", CAST(sum(CAST(close AS DECIMAL(12,2)))
+          |    AS DECIMAL(18,2)) AS ic
+          |  FROM prices GROUP BY 1),
+          |mr AS (
+          |  SELECT "date",
+          |    CAST(CAST(round(CAST(ic AS DOUBLE)
+          |        / CAST(lag(ic) OVER (ORDER BY "date") AS DOUBLE) - 1, 6)
+          |      AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS m
+          |  FROM ic),
+          |tr AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(round(ret, 6) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS y
+          |  FROM r WHERE ret IS NOT NULL),
+          |x AS (
+          |  SELECT tr.ticker, tr.y - mr.m AS e
+          |  FROM tr JOIN mr USING ("date") WHERE mr.m IS NOT NULL),
+          |a AS (
+          |  SELECT ticker, count(*) AS n, CAST(sum(e) AS BIGINT) AS s,
+          |    sum(CAST(e AS HUGEINT) * e) AS q
+          |  FROM x GROUP BY 1)
+          |SELECT ticker, n,
+          |  round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0, 6)
+          |    AS mean_excess,
+          |  CASE WHEN q * n > CAST(s AS HUGEINT) * s THEN
+          |    round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |      / sqrt(CAST(q * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+          |             / (CAST(n AS DOUBLE) * (n - 1))) * sqrt(252.0), 6)
+          |  END AS ir_annualized
+          |FROM a WHERE n >= 2 ORDER BY ticker""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
