@@ -12508,7 +12508,57 @@ object Queries {
           |      / sqrt(CAST(q * n - CAST(s AS HUGEINT) * s AS DOUBLE)
           |             / (CAST(n AS DOUBLE) * (n - 1))) * sqrt(252.0), 6)
           |  END AS ir_annualized
-          |FROM a WHERE n >= 2 ORDER BY ticker""".stripMargin))
+          |FROM a WHERE n >= 2 ORDER BY ticker""".stripMargin)),
+
+    QueryDef("a48_seasonal_index",
+      // month-of-year seasonal index of shipped quantity: 12·Q_m/Q_tot
+      // — the classic retail seasonality table (index 1 = an average
+      // month; the December spike every capacity plan needs). Exact
+      // integer quantities; one mirrored division per month, 6dp.
+      (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .groupBy(month(col("l_shipdate")).as("m"))
+          .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        m.withColumn("_tot", sum(col("qty")).over(Window.partitionBy(lit(1))))
+          .select(col("m").as("month"), col("qty"),
+            round(lit(12.0) * col("qty").cast("double") /
+              col("_tot").cast("double"), 6).as("seasonal_index"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(month(l_shipdate) AS INTEGER) AS m,
+             |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |  FROM lineitem GROUP BY 1)
+             |SELECT m AS month, qty,
+             |  round(12.0 * CAST(qty AS DOUBLE)
+             |    / CAST(sum(qty) OVER () AS DOUBLE), 6) AS seasonal_index
+             |FROM m ORDER BY month""".stripMargin)),
+
+    QueryDef("a49_grouping_sets",
+      // explicit GROUPING SETS ((flag), (status), ()) — the third
+      // grouping-set surface next to a16's ROLLUP and a19's CUBE:
+      // independent marginals plus the grand total in ONE pass,
+      // without the cross-combinations CUBE would add. grouping_id
+      // disambiguates the null dimension values (the a16 convention).
+      (s, dir) => {
+        val df = t(s, dir, "lineitem")
+        df.groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            money2(sum(col("l_extendedprice").cast("decimal(12,4)")))
+              .as("revenue"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2)
+             |    AS DOUBLE) AS revenue,
+             |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+             |    AS BIGINT) AS gid
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
