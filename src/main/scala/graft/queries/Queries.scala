@@ -12558,7 +12558,98 @@ object Queries {
              |    AS BIGINT) AS gid
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin))
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("w56_win_rate",
+      // trading-stat basics per ticker: up-day share (win rate) and
+      // profit factor Σgains/Σ|losses| over daily µunit returns — the
+      // two numbers every strategy sheet leads with, next to a31's
+      // risk ratios. Exact integer sums split by sign; two divisions.
+      (s, dir) => {
+        val x = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .select(col("ticker"),
+            (round(col("ret"), 6).cast("decimal(10,6)") * 1000000)
+              .cast("long").as("r"))
+        x.groupBy("ticker").agg(
+            count(lit(1)).as("n"),
+            sum(when(col("r") > 0, 1L).otherwise(0L)).as("up_days"),
+            sum(when(col("r") > 0, col("r")).otherwise(0L)).as("_g"),
+            sum(when(col("r") < 0, -col("r")).otherwise(0L)).as("_l"))
+          .select(col("ticker"), col("n"), col("up_days"),
+            round(col("up_days").cast("double") / col("n").cast("double"), 6)
+              .as("win_rate"),
+            when(col("_l") > 0, round(col("_g").cast("double") /
+              col("_l").cast("double"), 6)).as("profit_factor"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, x AS (
+          |  SELECT ticker,
+          |    CAST(CAST(round(ret, 6) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS r
+          |  FROM r WHERE ret IS NOT NULL),
+          |a AS (
+          |  SELECT ticker, count(*) AS n,
+          |    CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS up_days,
+          |    CAST(sum(CASE WHEN r > 0 THEN r ELSE 0 END) AS BIGINT) AS g,
+          |    CAST(sum(CASE WHEN r < 0 THEN -r ELSE 0 END) AS BIGINT) AS l
+          |  FROM x GROUP BY 1)
+          |SELECT ticker, n, up_days,
+          |  round(CAST(up_days AS DOUBLE) / CAST(n AS DOUBLE), 6) AS win_rate,
+          |  CASE WHEN l > 0
+          |       THEN round(CAST(g AS DOUBLE) / CAST(l AS DOUBLE), 6) END
+          |    AS profit_factor
+          |FROM a ORDER BY ticker""".stripMargin)),
+
+    QueryDef("d35_dup_locality",
+      // near-duplicate LOCALITY: of d3's exact Jaccard pairs (≥ 0.8),
+      // how many live WITHIN one source vs across sources — the
+      // architecture decision this feeds is real (within-only dup ⇒
+      // dedup shards per source; cross-source dup ⇒ global index
+      // mandatory, the c5-family shape). Pair machinery is d3's; the
+      // locality tag is two broadcast source-lookups; all-integer.
+      (s, dir) => {
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+        val pairs = D.jaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 1000L)
+        pairs
+          .join(broadcast(src.toDF("id_a", "_sa")), "id_a")
+          .join(broadcast(src.toDF("id_b", "_sb")), "id_b")
+          .groupBy((col("_sa") === col("_sb")).as("within_source"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("share", round(col("n_pairs").cast("double") /
+            sum(col("n_pairs")).over(Window.partitionBy(lit(1)))
+              .cast("double"), 6))
+          .orderBy("within_source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sgl FROM sh),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+             |         b.n_sh AS n_b, count(*) AS shared
+             |  FROM e a JOIN e b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |k AS (
+             |  SELECT id_a, id_b FROM p
+             |  WHERE CAST(shared AS DOUBLE)
+             |    / CAST(n_a + n_b - shared AS DOUBLE) >= 0.8),
+             |t AS (
+             |  SELECT (da.source = db.source) AS within_source,
+             |         count(*) AS n_pairs
+             |  FROM k JOIN documents da ON k.id_a = da.doc_id
+             |         JOIN documents db ON k.id_b = db.doc_id
+             |  GROUP BY 1)
+             |SELECT within_source, n_pairs,
+             |  round(CAST(n_pairs AS DOUBLE)
+             |    / CAST(sum(n_pairs) OVER () AS DOUBLE), 6) AS share
+             |FROM t ORDER BY within_source""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
