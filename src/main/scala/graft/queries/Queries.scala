@@ -12649,7 +12649,57 @@ object Queries {
              |SELECT within_source, n_pairs,
              |  round(CAST(n_pairs AS DOUBLE)
              |    / CAST(sum(n_pairs) OVER () AS DOUBLE), 6) AS share
-             |FROM t ORDER BY within_source""".stripMargin))
+             |FROM t ORDER BY within_source""".stripMargin)),
+
+    QueryDef("s16_eps_selection",
+      // ε-selection data for d28's DBSCAN: every vector's cosine to
+      // its 5th nearest neighbor, summarized as exact decile ORDER
+      // STATISTICS — the "knee plot" that picks the density threshold
+      // before clustering (Ester 1996 §4.2's sorted k-dist graph).
+      // 5NN similarities are s1's 6dp cosines (exact picks, ties by
+      // id); deciles are ⌈d·n/10⌉ ranks — no interpolation anywhere.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+        val fifth = S.bruteForceTopK(emb, q, 5)
+          .filter(col("rank") === 5)
+          .select(col("query_id"), col("cosine").cast("decimal(10,6)").as("c5"))
+        val ranked = fifth
+          .withColumn("_rn", row_number().over(
+            Window.orderBy(col("c5"), col("query_id"))))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        ranked.join(broadcast(s.range(1, 10)
+            .select(col("id").cast("int").as("decile"))),
+            col("_rn") === expr("(decile * _n + 9) div 10"))
+          .select(col("decile"), col("c5").cast("double").as("knn5_cosine"))
+          .orderBy("decile")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |      FROM embeddings),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+             |  FROM e, q WHERE e.vec_id <> q.query_id),
+             |r5 AS (
+             |  SELECT query_id,
+             |    CAST(cosine AS DECIMAL(10,6)) AS c5,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, vec_id) AS rk
+             |  FROM scored),
+             |f AS (SELECT query_id, c5 FROM r5 WHERE rk = 5),
+             |rk2 AS (
+             |  SELECT query_id, c5,
+             |    row_number() OVER (ORDER BY c5, query_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM f),
+             |d AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS decile)
+             |SELECT d.decile, CAST(rk2.c5 AS DOUBLE) AS knn5_cosine
+             |FROM rk2 JOIN d ON rk2.rn = (d.decile * rk2.n + 9) // 10
+             |ORDER BY decile""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
