@@ -12699,7 +12699,74 @@ object Queries {
              |d AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS decile)
              |SELECT d.decile, CAST(rk2.c5 AS DOUBLE) AS knn5_cosine
              |FROM rk2 JOIN d ON rk2.rn = (d.decile * rk2.n + 9) // 10
-             |ORDER BY decile""".stripMargin))
+             |ORDER BY decile""".stripMargin)),
+
+    QueryDef("port2_turnover",
+      // portfolio turnover of the monthly momentum top-quintile (the
+      // port1 strategy's trading cost driver): of each month's top
+      // basket, how many names were already held last month — turnover
+      // = 1 − stay/held. Month-end closes are exact max_by picks
+      // (cents), 3-month momentum ranks with (mom desc, ticker) total
+      // tie-break, and the month-over-month overlap is one self-join
+      // on (ticker, month−1). All-integer counts; one division.
+      (s, dir) => {
+        val wm = Window.partitionBy("ticker").orderBy("mon")
+        val mclose = prices(t(s, dir, "lineitem"))
+          .groupBy(col("ticker"),
+            date_trunc("month", col("date")).cast("date").as("mon"))
+          .agg(max_by(
+            (col("close").cast("decimal(12,2)") * 100).cast("long"),
+            col("date")).as("c"))
+        val mom = mclose
+          .withColumn("_c3", lag(col("c"), 3).over(wm))
+          .filter(col("_c3").isNotNull)
+          .withColumn("mom", col("c").cast("double") / col("_c3").cast("double"))
+        val top = graft.Caches.trackedPersist(mom
+          .withColumn("_q", ntile(5).over(Window.partitionBy("mon")
+            .orderBy(col("mom").desc, col("ticker"))))
+          .filter(col("_q") === 1)
+          .select(col("ticker"), col("mon")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prev = top.select(col("ticker"),
+          add_months(col("mon"), 1).as("mon"), lit(1L).as("_held"))
+        top.join(prev, Seq("ticker", "mon"), "left")
+          .groupBy("mon")
+          .agg(count(lit(1)).as("n_top"),
+            sum(coalesce(col("_held"), lit(0L))).as("n_stay"))
+          .withColumn("turnover", round(lit(1.0) -
+            col("n_stay").cast("double") / col("n_top").cast("double"), 6))
+          .orderBy("mon")
+      },
+      Some(pricesSql +
+        """, mc AS (
+          |  SELECT ticker, CAST(date_trunc('month', "date") AS DATE) AS mon,
+          |    (MAX({'d': "date",
+          |          'c': CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT)})).c
+          |      AS c
+          |  FROM prices GROUP BY 1, 2),
+          |mo AS (
+          |  SELECT ticker, mon, c,
+          |    lag(c, 3) OVER (PARTITION BY ticker ORDER BY mon) AS c3
+          |  FROM mc),
+          |mm AS (
+          |  SELECT ticker, mon,
+          |    CAST(c AS DOUBLE) / CAST(c3 AS DOUBLE) AS mom
+          |  FROM mo WHERE c3 IS NOT NULL),
+          |tp AS (
+          |  SELECT ticker, mon FROM (
+          |    SELECT ticker, mon,
+          |      ntile(5) OVER (PARTITION BY mon
+          |        ORDER BY mom DESC, ticker) AS q
+          |    FROM mm) WHERE q = 1),
+          |pv AS (SELECT ticker, mon + INTERVAL 1 MONTH AS mon, 1 AS held
+          |       FROM tp)
+          |SELECT tp.mon, count(*) AS n_top,
+          |  CAST(sum(COALESCE(pv.held, 0)) AS BIGINT) AS n_stay,
+          |  round(1.0 - CAST(sum(COALESCE(pv.held, 0)) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE), 6) AS turnover
+          |FROM tp LEFT JOIN pv ON tp.ticker = pv.ticker
+          |  AND tp.mon = CAST(pv.mon AS DATE)
+          |GROUP BY 1 ORDER BY tp.mon""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
