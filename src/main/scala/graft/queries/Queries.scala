@@ -12766,7 +12766,62 @@ object Queries {
           |    / CAST(count(*) AS DOUBLE), 6) AS turnover
           |FROM tp LEFT JOIN pv ON tp.ticker = pv.ticker
           |  AND tp.mon = CAST(pv.mon AS DATE)
-          |GROUP BY 1 ORDER BY tp.mon""".stripMargin))
+          |GROUP BY 1 ORDER BY tp.mon""".stripMargin)),
+
+    QueryDef("url3_param_census",
+      // query-parameter census over the url1 planted corpus: every
+      // param key's frequency, share, and whether url1's normalization
+      // would strip it (the [[graft.functions.UrlFunctions]] tracking
+      // alternation, anchored) — the report that EXTENDS the strip
+      // list when a new tracker shows up in crawl logs. Pure regex
+      // projections (Java∩RE2 subset) + one hash agg; all-integer.
+      (s, dir) => {
+        val ks = plantedUrls(s, dir)
+          .select(regexp_extract(col("url"), "\\?([^#]*)", 1).as("_q"))
+          .filter(length(col("_q")) > 0)
+          .select(explode(split(col("_q"), "&")).as("_kv"))
+          .filter(length(col("_kv")) > 0)
+          .select(regexp_extract(col("_kv"), "^([^=]*)", 1).as("key"))
+        val h = ks.groupBy("key").agg(count(lit(1)).as("n"))
+        h.withColumn("_t", sum(col("n")).over(Window.partitionBy(lit(1))))
+          .select(col("key"), col("n"),
+            round(col("n").cast("double") / col("_t").cast("double"), 6)
+              .as("share"),
+            col("key").rlike(
+              "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|igshid|ref|ref_src|mc_cid|mc_eid)$")
+              .as("stripped_by_normalize"))
+          .orderBy("key")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE
+             |      WHEN doc_id % 4 = 0 THEN
+             |        'HTTPS://WWW.' || source || '.Example.CO.UK:443/Docs/'
+             |          || doc_id || '/?utm_source=feed&page=' || doc_id % 7
+             |          || '#top'
+             |      WHEN doc_id % 4 = 1 THEN
+             |        'http://' || source || '.example.com:80/A/' || doc_id
+             |      WHEN doc_id % 4 = 2 THEN
+             |        'https://cdn.' || source || '.org?gclid=x&id=' || doc_id
+             |      ELSE source || '.com/bare/' || doc_id
+             |    END AS url
+             |  FROM documents),
+             |q AS (
+             |  SELECT regexp_extract(url, '\?([^#]*)', 1) AS qs FROM u),
+             |kv AS (
+             |  SELECT unnest(string_split(qs, '&')) AS kv
+             |  FROM q WHERE length(qs) > 0),
+             |k AS (
+             |  SELECT regexp_extract(kv, '^([^=]*)', 1) AS key
+             |  FROM kv WHERE length(kv) > 0),
+             |h AS (SELECT key, count(*) AS n FROM k GROUP BY 1)
+             |SELECT key, n,
+             |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+             |    AS share,
+             |  regexp_matches(key,
+             |    '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|igshid|ref|ref_src|mc_cid|mc_eid)$')
+             |    AS stripped_by_normalize
+             |FROM h ORDER BY key""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
