@@ -12821,7 +12821,148 @@ object Queries {
              |  regexp_matches(key,
              |    '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|igshid|ref|ref_src|mc_cid|mc_eid)$')
              |    AS stripped_by_normalize
-             |FROM h ORDER BY key""".stripMargin))
+             |FROM h ORDER BY key""".stripMargin)),
+
+    QueryDef("mm4_media_profile",
+      // per-modality payload profile over the mm1 synthetic binaries
+      // (doc_id % 3 → image/audio/video, the deterministic stand-in):
+      // asset counts, byte totals, min/max/mean sizes — the storage-
+      // planning table a multimodal lake reads before sharding. Byte
+      // lengths are exact longs; one division.
+      (s, dir) => {
+        val a = docs(s, dir).select(col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+          length(concat(col("text"), lit("#"), col("lang")).cast("binary"))
+            .cast("long").as("n_bytes"))
+        a.groupBy("modality").agg(
+            count(lit(1)).as("n_assets"),
+            sum(col("n_bytes")).as("total_bytes"),
+            min(col("n_bytes")).as("min_bytes"),
+            max(col("n_bytes")).as("max_bytes"),
+            round(sum(col("n_bytes")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_bytes"))
+          .orderBy("modality")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+             |      AS modality,
+             |    CAST(octet_length(encode(text || '#' || lang)) AS BIGINT)
+             |      AS n_bytes
+             |  FROM documents)
+             |SELECT modality, count(*) AS n_assets,
+             |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             |  CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+             |  CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+             |  round(CAST(sum(n_bytes) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS mean_bytes
+             |FROM a GROUP BY 1 ORDER BY modality""".stripMargin)),
+
+    QueryDef("d36_dedup_savings",
+      // what exact dedup SAVES, per source: docs and tokens that d1's
+      // fingerprint pass would drop — the "is dedup worth the pass"
+      // sizing report mix1's accounting assumes. Keeper = min doc_id
+      // per fingerprint group (the d1 rule); dropped mass is one
+      // anti-condition aggregate; all-integer, one division per rate.
+      (s, dir) => {
+        val f = docs(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            T.tokenCount(col("text")).as("_tok"),
+            T.fingerprint(col("text")).as("_fp"))
+        val keep = f.groupBy("_fp").agg(min(col("doc_id")).as("_keep"))
+        f.join(broadcast(keep), Seq("_fp"))
+          .withColumn("_dropped", col("doc_id") =!= col("_keep"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("_tok")).as("n_tokens"),
+            sum(when(col("_dropped"), 1L).otherwise(0L)).as("docs_dropped"),
+            sum(when(col("_dropped"), col("_tok")).otherwise(0L))
+              .as("tokens_dropped"))
+          .withColumn("token_savings", round(
+            col("tokens_dropped").cast("double") /
+              col("n_tokens").cast("double"), 6))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+             |      AS tok,
+             |    md5(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+             |  FROM documents WHERE text IS NOT NULL),
+             |k AS (SELECT fp, min(doc_id) AS keep FROM f GROUP BY 1)
+             |SELECT f.source, count(*) AS n_docs,
+             |  CAST(sum(f.tok) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN f.doc_id <> k.keep THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS docs_dropped,
+             |  CAST(sum(CASE WHEN f.doc_id <> k.keep THEN f.tok ELSE 0 END)
+             |    AS BIGINT) AS tokens_dropped,
+             |  round(CAST(sum(CASE WHEN f.doc_id <> k.keep THEN f.tok
+             |      ELSE 0 END) AS DOUBLE) / CAST(sum(f.tok) AS DOUBLE), 6)
+             |    AS token_savings
+             |FROM f JOIN k USING (fp) GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    QueryDef("e30_engagement_transitions",
+      // engagement-state Markov matrix: users bucketed into WEEKLY
+      // activity terciles (heavy/mid/light by event count, (count
+      // desc, user) ntile tie-break) plus 'absent', and the transition
+      // counts between consecutive calendar weeks — e15's machinery
+      // on the ENGAGEMENT axis (the churn-funnel view: heavy→absent is
+      // the alarm cell; weeks, because the synthetic log spans ~one
+      // month). All-integer; one division per row.
+      (s, dir) => {
+        val m = events(s, dir)
+          .groupBy(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("mon"))
+          .agg(count(lit(1)).as("_n"))
+        val state = graft.Caches.trackedPersist(m
+          .withColumn("_t", ntile(3).over(Window.partitionBy("mon")
+            .orderBy(col("_n").desc, col("user_id"))))
+          .withColumn("state",
+            when(col("_t") === 1, "heavy").when(col("_t") === 2, "mid")
+              .otherwise("light"))
+          .select(col("user_id"), col("mon"), col("state")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nxt = state.select(col("user_id"),
+          date_sub(col("mon"), 7).as("mon"), col("state").as("_to"))
+        val pairs = state.join(nxt, Seq("user_id", "mon"), "left")
+          .withColumn("to_state", coalesce(col("_to"), lit("absent")))
+          .groupBy(col("state").as("from_state"), col("to_state"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy("from_state").agg(sum(col("n")).as("_t"))
+        pairs.join(broadcast(tot), "from_state")
+          .select(col("from_state"), col("to_state"), col("n"),
+            round(col("n").cast("double") / col("_t").cast("double"), 6)
+              .as("p"))
+          .orderBy("from_state", "to_state")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS mon,
+             |         count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |st AS (
+             |  SELECT user_id, mon,
+             |    CASE ntile(3) OVER (PARTITION BY mon ORDER BY n DESC, user_id)
+             |      WHEN 1 THEN 'heavy' WHEN 2 THEN 'mid' ELSE 'light' END
+             |      AS state
+             |  FROM m),
+             |nx AS (
+             |  SELECT user_id, mon - 7 AS mon,
+             |         state AS to_s
+             |  FROM st),
+             |p AS (
+             |  SELECT st.state AS from_state,
+             |         COALESCE(nx.to_s, 'absent') AS to_state, count(*) AS n
+             |  FROM st LEFT JOIN nx USING (user_id, mon)
+             |  GROUP BY 1, 2),
+             |t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS t
+             |      FROM p GROUP BY 1)
+             |SELECT p.from_state, p.to_state, p.n,
+             |  round(CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS p
+             |FROM p JOIN t USING (from_state)
+             |ORDER BY from_state, to_state""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
