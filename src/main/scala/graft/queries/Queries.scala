@@ -12962,7 +12962,104 @@ object Queries {
              |SELECT p.from_state, p.to_state, p.n,
              |  round(CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS p
              |FROM p JOIN t USING (from_state)
-             |ORDER BY from_state, to_state""".stripMargin))
+             |ORDER BY from_state, to_state""".stripMargin)),
+
+    QueryDef("t28_template_prefixes",
+      // template detection by OPENING-LINE fingerprint: documents
+      // grouped by their first 8 normalized tokens; groups with > 1
+      // member are template families (form letters, generated pages —
+      // the d1 exact-dup key misses them when bodies differ). Top-10
+      // families by size with an example doc id (deterministic min).
+      // One projection + hash agg; all-integer.
+      (s, dir) => {
+        val p = docs(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            array_join(slice(split(lower(trim(col("text"))), "\\s+"),
+              lit(1), lit(8)), " ").as("prefix"))
+        p.groupBy("prefix")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("n_docs").desc, col("prefix")).limit(10)
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      (regexp_split_to_array(lower(trim(text)), '\s+'))[1:8], ' ')
+             |      AS prefix
+             |  FROM documents WHERE text IS NOT NULL),
+             |g AS (
+             |  SELECT prefix, count(*) AS n_docs,
+             |         CAST(min(doc_id) AS BIGINT) AS example_doc
+             |  FROM p GROUP BY 1)
+             |SELECT prefix, n_docs, example_doc FROM g
+             |WHERE n_docs > 1
+             |ORDER BY n_docs DESC, prefix LIMIT 10""".stripMargin)),
+
+    QueryDef("e31_session_stats",
+      // batch session summary: the e2 gaps-and-islands sessions rolled
+      // up per user — session count, median session duration (exact
+      // integer seconds, ⌈n/2⌉ ORDER STATISTIC — no interpolation) and
+      // median events per session. Two per-user windows (the e2 shape)
+      // + one rank per user over its own sessions.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val sess = events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("_prev", lag(col("ts"), 1).over(w))
+          .withColumn("_new", when(col("_prev").isNull ||
+            expr("unix_micros(ts) - unix_micros(_prev)") >= 1800000000L,
+            1L).otherwise(0L))
+          .withColumn("_sid", sum(col("_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "_sid")
+          .agg(count(lit(1)).as("_ev"),
+            expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000L")
+              .as("_dur"))
+        val ranked = sess
+          .withColumn("_rd", row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("_dur"), col("_sid"))))
+          .withColumn("_re", row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("_ev"), col("_sid"))))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy("user_id")))
+        ranked.groupBy("user_id")
+          .agg(max(col("_n")).as("n_sessions"),
+            max(when(col("_rd") === expr("(_n + 1) div 2"), col("_dur")))
+              .as("median_duration_s"),
+            max(when(col("_re") === expr("(_n + 1) div 2"), col("_ev")))
+              .as("median_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR date_diff('microsecond', lag(ts) OVER w, ts)
+             |              >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT user_id, ts, event_id,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m),
+             |sess AS (
+             |  SELECT user_id, sid, count(*) AS ev,
+             |    date_diff('microsecond', min(ts), max(ts)) // 1000000 AS dur
+             |  FROM g GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT user_id, sid, ev, dur,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY dur, sid)
+             |      AS rd,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ev, sid)
+             |      AS re,
+             |    count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM sess)
+             |SELECT user_id, CAST(max(n) AS BIGINT) AS n_sessions,
+             |  CAST(max(CASE WHEN rd = (n + 1) // 2 THEN dur END) AS BIGINT)
+             |    AS median_duration_s,
+             |  CAST(max(CASE WHEN re = (n + 1) // 2 THEN ev END) AS BIGINT)
+             |    AS median_events
+             |FROM rk GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
