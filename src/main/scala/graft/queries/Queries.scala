@@ -13059,7 +13059,90 @@ object Queries {
              |    AS median_duration_s,
              |  CAST(max(CASE WHEN re = (n + 1) // 2 THEN ev END) AS BIGINT)
              |    AS median_events
-             |FROM rk GROUP BY 1 ORDER BY user_id""".stripMargin))
+             |FROM rk GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    QueryDef("fe2_target_encoding",
+      // smoothed target encoding of event_type against the value
+      // target: enc = (Σv_c + m·ȳ)/(n_c + m), m = 100 (Micci-Barreca
+      // 2001) — the leakage-light categorical encoder between fe1's
+      // indices and one-hot blowup. Value sums are exact cents; ȳ and
+      // each encoding are a short mirrored IEEE chain, 6dp.
+      (s, dir) => {
+        val v = events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            (col("value").cast("decimal(12,2)") * 100).cast("long").as("_vc"))
+        val g = v.agg(sum(col("_vc")).as("_st"), count(lit(1)).as("_nt"))
+        v.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("_vc")).as("_sc"))
+          .crossJoin(broadcast(g))
+          .select(col("event_type"), col("n"),
+            round((col("_sc").cast("double") / col("n").cast("double")) / 100.0,
+              6).as("raw_mean"),
+            round(((col("_sc").cast("double") + lit(100.0) *
+              (col("_st").cast("double") / col("_nt").cast("double"))) /
+              (col("n") + 100).cast("double")) / 100.0, 6).as("encoded"))
+          .orderBy("event_type")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT CAST(sum(vc) AS BIGINT) AS st, count(*) AS nt FROM v),
+             |c AS (SELECT event_type, count(*) AS n,
+             |             CAST(sum(vc) AS BIGINT) AS sc
+             |      FROM v GROUP BY 1)
+             |SELECT c.event_type, c.n,
+             |  round((CAST(c.sc AS DOUBLE) / CAST(c.n AS DOUBLE)) / 100.0, 6)
+             |    AS raw_mean,
+             |  round(((CAST(c.sc AS DOUBLE) + 100.0
+             |      * (CAST(g.st AS DOUBLE) / CAST(g.nt AS DOUBLE)))
+             |    / CAST(c.n + 100 AS DOUBLE)) / 100.0, 6) AS encoded
+             |FROM c CROSS JOIN g ORDER BY event_type""".stripMargin)),
+
+    QueryDef("w57_kelly",
+      // Kelly fraction per ticker: f* ≈ μ/σ² of daily returns (the
+      // log-wealth first-order optimum) capped to [0, 1] for the
+      // long-only reading — the position-sizing number next to a13's
+      // Sharpe. Exact µunit moments; the cap compares the SAME doubles
+      // in both engines; 6dp.
+      (s, dir) => {
+        val x = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .select(col("ticker"),
+            (round(col("ret"), 6).cast("decimal(10,6)") * 1000000)
+              .cast("long").as("r"))
+        val a = x.groupBy("ticker").agg(
+          count(lit(1)).as("n"), sum(col("r")).as("_s"),
+          sum(col("r").cast("decimal(38,0)") * col("r")).as("_q"))
+        val mean = col("_s").cast("double") / col("n").cast("double")
+        val variance = (col("_q") * col("n") -
+            col("_s").cast("decimal(38,0)") * col("_s")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))
+        val kelly = mean * lit(1e6) / variance
+        a.filter(col("n") >= 2 && col("_q") > 0)
+          .select(col("ticker"), col("n"),
+            round(kelly, 6).as("kelly_raw"),
+            round(greatest(lit(0.0), least(lit(1.0), kelly)), 6)
+              .as("kelly_capped"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, x AS (
+          |  SELECT ticker,
+          |    CAST(CAST(round(ret, 6) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS r
+          |  FROM r WHERE ret IS NOT NULL),
+          |a AS (
+          |  SELECT ticker, count(*) AS n, CAST(sum(r) AS BIGINT) AS s,
+          |    sum(CAST(r AS HUGEINT) * r) AS q
+          |  FROM x GROUP BY 1),
+          |k AS (
+          |  SELECT ticker, n,
+          |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
+          |      / (CAST(q * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+          |         / (CAST(n AS DOUBLE) * (n - 1))) AS kelly
+          |  FROM a WHERE n >= 2 AND q > 0)
+          |SELECT ticker, n, round(kelly, 6) AS kelly_raw,
+          |  round(greatest(0.0, least(1.0, kelly)), 6) AS kelly_capped
+          |FROM k ORDER BY ticker""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
