@@ -13142,7 +13142,95 @@ object Queries {
           |  FROM a WHERE n >= 2 AND q > 0)
           |SELECT ticker, n, round(kelly, 6) AS kelly_raw,
           |  round(greatest(0.0, least(1.0, kelly)), 6) AS kelly_capped
-          |FROM k ORDER BY ticker""".stripMargin))
+          |FROM k ORDER BY ticker""".stripMargin)),
+
+    QueryDef("a50_order_size_hist",
+      // lines-per-order histogram: the basket-size distribution a34's
+      // pair fan-out bound rests on ("bounded by order SIZE"), made
+      // inspectable — sizes, order counts, cumulative share.
+      // All-integer; one division per row; the cumulative window runs
+      // over DISTINCT SIZES (the e21 histogram move).
+      (s, dir) => {
+        val h = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("_sz"))
+          .groupBy(col("_sz").as("order_size"))
+          .agg(count(lit(1)).as("n_orders"))
+        h.withColumn("_cum", sum(col("n_orders")).over(
+            Window.orderBy("order_size")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("_tot", sum(col("n_orders")).over(
+            Window.partitionBy(lit(1))))
+          .select(col("order_size"), col("n_orders"),
+            round(col("_cum").cast("double") / col("_tot").cast("double"), 6)
+              .as("cum_share"))
+          .orderBy("order_size")
+      },
+      Some("""WITH s AS (
+             |  SELECT l_orderkey, count(*) AS sz FROM lineitem GROUP BY 1),
+             |h AS (SELECT sz AS order_size, count(*) AS n_orders
+             |      FROM s GROUP BY 1)
+             |SELECT order_size, n_orders,
+             |  round(CAST(sum(n_orders) OVER (ORDER BY order_size
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    / CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS cum_share
+             |FROM h ORDER BY order_size""".stripMargin)),
+
+    QueryDef("var2_kupiec",
+      // VaR backtest per ticker: violations of the full-sample a35
+      // VaR95 (in-sample by construction — the coverage check, not a
+      // walk-forward) with the Kupiec-style binomial z for the 5%
+      // coverage hypothesis. The violation count compares exact
+      // decimals (ret < −VaR where VaR is the k-th order statistic);
+      // z is one mirrored IEEE chain, 6dp.
+      (s, dir) => {
+        val x = graft.Caches.trackedPersist(
+          pricesWithRet(s, dir).filter(col("ret").isNotNull)
+            .select(col("ticker"), col("date"),
+              round(col("ret"), 6).cast("decimal(10,6)").as("r6")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ranked = x
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("ticker").orderBy("r6", "date")))
+          .withColumn("_k",
+            expr("(count(*) OVER (PARTITION BY ticker) + 19) div 20"))
+        val cut = ranked.filter(col("_rn") === col("_k"))
+          .select(col("ticker"), col("r6").as("_var"))
+        val p = lit(0.05)
+        x.join(broadcast(cut), "ticker")
+          .groupBy("ticker")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("r6") < col("_var"), 1L).otherwise(0L))
+              .as("violations"))
+          .select(col("ticker"), col("n"), col("violations"),
+            round(col("violations").cast("double") / col("n").cast("double"), 6)
+              .as("violation_rate"),
+            round((col("violations").cast("double") -
+              col("n").cast("double") * p) /
+              sqrt(col("n").cast("double") * p * (lit(1.0) - p)), 6)
+              .as("kupiec_z"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, x AS (
+          |  SELECT ticker, "date", CAST(round(ret, 6) AS DECIMAL(10,6)) AS r6
+          |  FROM r WHERE ret IS NOT NULL),
+          |rk AS (
+          |  SELECT ticker, r6,
+          |    row_number() OVER (PARTITION BY ticker ORDER BY r6, "date") AS rn,
+          |    (count(*) OVER (PARTITION BY ticker) + 19) // 20 AS k
+          |  FROM x),
+          |ct AS (SELECT ticker, r6 AS v FROM rk WHERE rn = k),
+          |a AS (
+          |  SELECT x.ticker, count(*) AS n,
+          |    CAST(sum(CASE WHEN x.r6 < ct.v THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS violations
+          |  FROM x JOIN ct USING (ticker) GROUP BY 1)
+          |SELECT ticker, n, violations,
+          |  round(CAST(violations AS DOUBLE) / CAST(n AS DOUBLE), 6)
+          |    AS violation_rate,
+          |  round((CAST(violations AS DOUBLE) - CAST(n AS DOUBLE) * 0.05)
+          |    / sqrt(CAST(n AS DOUBLE) * 0.05 * (1.0 - 0.05)), 6) AS kupiec_z
+          |FROM a ORDER BY ticker""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
