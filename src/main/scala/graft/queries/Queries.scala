@@ -13230,7 +13230,46 @@ object Queries {
           |    AS violation_rate,
           |  round((CAST(violations AS DOUBLE) - CAST(n AS DOUBLE) * 0.05)
           |    / sqrt(CAST(n AS DOUBLE) * 0.05 * (1.0 - 0.05)), 6) AS kupiec_z
-          |FROM a ORDER BY ticker""".stripMargin))
+          |FROM a ORDER BY ticker""".stripMargin)),
+
+    QueryDef("s17_norm_profile",
+      // embedding L2-norm deciles: the vector-QA table read before any
+      // cosine/dot index is trusted (a fat norm tail means the corpus
+      // mixes normalized and raw vectors — dot-product shortcuts and
+      // PQ codebooks both break). Norms are 6dp VecDot+sqrt values
+      // (in-order fold mirrored by the oracle's list fold), deciles
+      // exact order statistics; ties by vec_id.
+      (s, dir) => {
+        val n = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            round(sqrt(S.dot(col("embedding").cast("array<double>"),
+              col("embedding").cast("array<double>"))), 6)
+              .cast("decimal(12,6)").as("nm"))
+        val ranked = n
+          .withColumn("_rn", row_number().over(
+            Window.orderBy(col("nm"), col("vec_id"))))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        ranked.join(broadcast(s.range(1, 10)
+            .select(col("id").cast("int").as("decile"))),
+            col("_rn") === expr("(decile * _n + 9) div 10"))
+          .select(col("decile"), col("nm").cast("double").as("l2_norm"))
+          .orderBy("decile")
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    CAST(round(sqrt(list_aggregate(list_transform(
+             |      CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6)
+             |      AS DECIMAL(12,6)) AS nm
+             |  FROM embeddings),
+             |rk AS (
+             |  SELECT vec_id, nm,
+             |    row_number() OVER (ORDER BY nm, vec_id) AS rn,
+             |    count(*) OVER () AS cnt
+             |  FROM n),
+             |d AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS decile)
+             |SELECT d.decile, CAST(rk.nm AS DOUBLE) AS l2_norm
+             |FROM rk JOIN d ON rk.rn = (d.decile * rk.cnt + 9) // 10
+             |ORDER BY decile""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
