@@ -13269,7 +13269,131 @@ object Queries {
              |d AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS decile)
              |SELECT d.decile, CAST(rk.nm AS DOUBLE) AS l2_norm
              |FROM rk JOIN d ON rk.rn = (d.decile * rk.cnt + 9) // 10
-             |ORDER BY decile""".stripMargin))
+             |ORDER BY decile""".stripMargin)),
+
+    QueryDef("e32_behavior_lift",
+      // behavior co-occurrence lift at the USER level: for each
+      // directed event-type pair, P(user does B | does A)/P(does B) —
+      // a34's market-basket algebra on the behavioral axis ("search
+      // users are 2× likelier to purchase"). Fan-out bounded by the
+      // TYPE vocabulary per user, never by activity volume; exact
+      // counts, two divisions.
+      (s, dir) => {
+        val ut = graft.Caches.trackedPersist(events(s, dir)
+          .select(col("user_id"), col("event_type")).distinct(),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nU = ut.select("user_id").distinct().agg(count(lit(1)).as("_N"))
+        val tc = ut.groupBy(col("event_type")).agg(count(lit(1)).as("_nt"))
+        val pairs = ut.as("a").join(ut.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") =!= col("b.event_type"))
+          .groupBy(col("a.event_type").as("ante"),
+            col("b.event_type").as("cons"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(tc.select(col("event_type").as("ante"),
+            col("_nt").as("_na"))), "ante")
+          .join(broadcast(tc.select(col("event_type").as("cons"),
+            col("_nt").as("_nb"))), "cons")
+          .crossJoin(broadcast(nU))
+          .select(col("ante"), col("cons"), col("n_both"),
+            round(col("n_both").cast("double") / col("_na").cast("double"), 6)
+              .as("confidence"),
+            round((col("n_both") * col("_N")).cast("double") /
+              (col("_na") * col("_nb")).cast("double"), 6).as("lift"))
+          .orderBy("ante", "cons")
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT user_id, event_type FROM events),
+             |nu AS (SELECT count(DISTINCT user_id) AS n FROM ut),
+             |tc AS (SELECT event_type, count(*) AS nt FROM ut GROUP BY 1),
+             |p AS (
+             |  SELECT a.event_type AS ante, b.event_type AS cons,
+             |         count(*) AS n_both
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |    AND a.event_type <> b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT p.ante, p.cons, p.n_both,
+             |  round(CAST(p.n_both AS DOUBLE) / CAST(ta.nt AS DOUBLE), 6)
+             |    AS confidence,
+             |  round(CAST(p.n_both * nu.n AS DOUBLE)
+             |    / CAST(ta.nt * tb.nt AS DOUBLE), 6) AS lift
+             |FROM p JOIN tc ta ON p.ante = ta.event_type
+             |       JOIN tc tb ON p.cons = tb.event_type
+             |       CROSS JOIN nu
+             |ORDER BY ante, cons""".stripMargin)),
+
+    QueryDef("t29_source_style_jsd",
+      // per-source style fingerprint: Jensen–Shannon divergence of the
+      // source's char-TRIGRAM distribution against the whole corpus —
+      // the encoding/style outlier-feed detector (a feed of mojibake or
+      // another language juts out before any tokenizer runs). The mix2
+      // determinism contract: Laplace-smoothed over the corpus trigram
+      // vocabulary, 6dp per-term contributions summed in exact decimal.
+      // Vocabulary is trigram-cardinality (bounded by charset³), never
+      // corpus-sized.
+      (s, dir) => {
+        val tri = graft.Caches.trackedPersist(docs(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(expr("transform(sequence(1, greatest(length(text) - 2, 0)), " +
+              "i -> substring(text, i, 3))")).as("g")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val corpus = tri.groupBy("g").agg(count(lit(1)).as("_cq"))
+        val srcTot = tri.groupBy("source").agg(count(lit(1)).as("_ts"))
+        val corpTot = tri.agg(count(lit(1)).as("_tc"),
+          countDistinct(col("g")).as("_v"))
+        val cells = tri.groupBy("source", "g").agg(count(lit(1)).as("_cp"))
+        // every source scores over the FULL vocabulary (zero cells
+        // still carry smoothed mass): sources × vocab grid
+        val grid = srcTot.crossJoin(corpus)
+          .join(cells, Seq("source", "g"), "left")
+          .withColumn("_cp", coalesce(col("_cp"), lit(0L)))
+          .crossJoin(broadcast(corpTot))
+        val p = (col("_cp").cast("double") + 1.0) /
+          (col("_ts") + col("_v")).cast("double")
+        val q = (col("_cq").cast("double") + 1.0) /
+          (col("_tc") + col("_v")).cast("double")
+        val m = (p + q) / 2.0
+        val term = round((p * log(p / m) + q * log(q / m)) / 2.0, 6)
+          .cast("decimal(20,6)")
+        grid.groupBy("source")
+          .agg(sum(col("_cp")).as("n_trigrams"),
+            sum(term).cast("double").as("jsd_to_corpus"))
+          .orderBy("source")
+      },
+      Some("""WITH tri AS (
+             |  SELECT source,
+             |    unnest(list_transform(generate_series(1,
+             |      greatest(length(text) - 2, 0)), i -> text[i:i+2])) AS g
+             |  FROM documents WHERE text IS NOT NULL),
+             |cq AS (SELECT g, count(*) AS cq FROM tri GROUP BY 1),
+             |ts AS (SELECT source, count(*) AS tsn FROM tri GROUP BY 1),
+             |tc AS (SELECT count(*) AS tcn, count(DISTINCT g) AS v FROM tri),
+             |cp AS (SELECT source, g, count(*) AS cp FROM tri GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT ts.source, cq.g, ts.tsn, cq.cq,
+             |         COALESCE(cp.cp, 0) AS cp
+             |  FROM ts CROSS JOIN cq
+             |  LEFT JOIN cp ON cp.source = ts.source AND cp.g = cq.g),
+             |t AS (
+             |  SELECT source, cp,
+             |    CAST(round((p * ln(p / mm) + q * ln(q / mm)) / 2.0, 6)
+             |      AS DECIMAL(20,6)) AS term
+             |  FROM (
+             |    SELECT grid.source, grid.cp,
+             |      (CAST(grid.cp AS DOUBLE) + 1.0)
+             |        / CAST(grid.tsn + tc.v AS DOUBLE) AS p,
+             |      (CAST(grid.cq AS DOUBLE) + 1.0)
+             |        / CAST(tc.tcn + tc.v AS DOUBLE) AS q,
+             |      ((CAST(grid.cp AS DOUBLE) + 1.0)
+             |        / CAST(grid.tsn + tc.v AS DOUBLE)
+             |       + (CAST(grid.cq AS DOUBLE) + 1.0)
+             |        / CAST(tc.tcn + tc.v AS DOUBLE)) / 2.0 AS mm
+             |    FROM grid CROSS JOIN tc))
+             |SELECT source, CAST(sum(cp) AS BIGINT) AS n_trigrams,
+             |  CAST(SUM(term) AS DOUBLE) AS jsd_to_corpus
+             |FROM t GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
