@@ -13393,7 +13393,95 @@ object Queries {
              |    FROM grid CROSS JOIN tc))
              |SELECT source, CAST(sum(cp) AS BIGINT) AS n_trigrams,
              |  CAST(SUM(term) AS DOUBLE) AS jsd_to_corpus
-             |FROM t GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM t GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    QueryDef("d37_vocab_overlap",
+      // source-pair vocabulary Jaccard: |V_a ∩ V_b| / |V_a ∪ V_b| over
+      // distinct lowercase tokens — the set-based companion to t29's
+      // distributional JSD (two feeds can share vocabulary yet differ
+      // in style, and vice versa). Intersections come from ONE
+      // token-keyed self-join of the (source, token) distinct frame;
+      // union by inclusion–exclusion — all exact integers, one
+      // division.
+      (s, dir) => {
+        val v = graft.Caches.trackedPersist(docs(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0).distinct(),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = v.groupBy("source").agg(count(lit(1)).as("_v"))
+        val inter = v.as("a").join(v.as("b"),
+            col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("src_a"),
+            col("_v").as("_va"))), "src_a")
+          .join(broadcast(sizes.select(col("source").as("src_b"),
+            col("_v").as("_vb"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("_va").as("vocab_a"),
+            col("_vb").as("vocab_b"), col("n_shared"),
+            round(col("n_shared").cast("double") /
+              (col("_va") + col("_vb") - col("n_shared")).cast("double"), 6)
+              .as("vocab_jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH v AS (
+             |  SELECT DISTINCT source, tok FROM (
+             |    SELECT source,
+             |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |    FROM documents WHERE text IS NOT NULL)
+             |  WHERE length(tok) > 0),
+             |sz AS (SELECT source, count(*) AS vs FROM v GROUP BY 1),
+             |i AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+             |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT i.src_a, i.src_b,
+             |  CAST(sa.vs AS BIGINT) AS vocab_a, CAST(sb.vs AS BIGINT) AS vocab_b,
+             |  i.n_shared,
+             |  round(CAST(i.n_shared AS DOUBLE)
+             |    / CAST(sa.vs + sb.vs - i.n_shared AS DOUBLE), 6)
+             |    AS vocab_jaccard
+             |FROM i JOIN sz sa ON i.src_a = sa.source
+             |       JOIN sz sb ON i.src_b = sb.source
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    QueryDef("w58_parkinson",
+      // Parkinson range volatility per ticker over the daily OHLC bars:
+      // σ²_P = mean(ln(h/l)²)/(4·ln2) — 5-8× more efficient than
+      // close-to-close vol when highs/lows are real (Parkinson 1980),
+      // the range-based companion to w5's vol20 and w24's ATR.
+      // Per-bar ln(h/l) rounds 6dp, squares and sums in exact decimal
+      // (the t20 contract); the final scale and sqrt are a mirrored
+      // two-op tail. Degenerate h = l bars contribute 0 exactly.
+      (s, dir) => {
+        val b = Q.ohlcBars(t(s, dir, "lineitem"))
+          .select(col("ticker"),
+            round(log(col("high") / col("low")), 6)
+              .cast("decimal(16,6)").as("_hl"))
+        b.groupBy("ticker").agg(
+            count(lit(1)).as("n_days"),
+            (sum(col("_hl") * col("_hl")).cast("double") /
+              (count(lit(1)).cast("double") * lit(4.0) * log(lit(2.0))))
+              .as("_v"))
+          .select(col("ticker"), col("n_days"),
+            round(sqrt(col("_v")), 6).as("parkinson_vol"))
+          .orderBy("ticker")
+      },
+      Some(Q.ohlcSql +
+        """, x AS (
+          |  SELECT ticker,
+          |    CAST(round(ln(high / low), 6) AS DECIMAL(16,6)) AS hl
+          |  FROM bars),
+          |a AS (
+          |  SELECT ticker, count(*) AS n_days,
+          |    CAST(SUM(hl * hl) AS DOUBLE)
+          |      / (CAST(count(*) AS DOUBLE) * 4.0 * ln(2.0)) AS v
+          |  FROM x GROUP BY 1)
+          |SELECT ticker, n_days, round(sqrt(v), 6) AS parkinson_vol
+          |FROM a ORDER BY ticker""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
