@@ -13481,7 +13481,88 @@ object Queries {
           |      / (CAST(count(*) AS DOUBLE) * 4.0 * ln(2.0)) AS v
           |  FROM x GROUP BY 1)
           |SELECT ticker, n_days, round(sqrt(v), 6) AS parkinson_vol
-          |FROM a ORDER BY ticker""".stripMargin))
+          |FROM a ORDER BY ticker""".stripMargin)),
+
+    QueryDef("w59_garman_klass",
+      // Garman–Klass OHLC volatility per ticker: σ² = mean(½·ln(h/l)²
+      // − (2ln2−1)·ln(c/o)²) — the drift-robust range estimator beside
+      // w58's Parkinson (GK 1980). Both per-bar lns round 6dp; each
+      // bar's term is a fixed IEEE combination rounded 6dp and summed
+      // in exact decimal; mean + sqrt are the mirrored tail. Negative
+      // variance estimates (possible for GK on pathological bars) null
+      // the vol rather than NaN-ing it.
+      (s, dir) => {
+        val b = Q.ohlcBars(t(s, dir, "lineitem"))
+          .select(col("ticker"),
+            round(log(col("high") / col("low")), 6).as("_hl"),
+            round(log(col("close") / col("open")), 6).as("_co"))
+          .withColumn("_term", round(lit(0.5) * col("_hl") * col("_hl") -
+            (lit(2.0) * log(lit(2.0)) - 1.0) * col("_co") * col("_co"), 6)
+            .cast("decimal(16,6)"))
+        b.groupBy("ticker").agg(
+            count(lit(1)).as("n_days"),
+            (sum(col("_term")).cast("double") / count(lit(1)).cast("double"))
+              .as("_v"))
+          .select(col("ticker"), col("n_days"),
+            when(col("_v") > 0, round(sqrt(col("_v")), 6)).as("gk_vol"))
+          .orderBy("ticker")
+      },
+      Some(Q.ohlcSql +
+        """, x AS (
+          |  SELECT ticker,
+          |    CAST(round(0.5 * round(ln(high / low), 6) * round(ln(high / low), 6)
+          |      - (2.0 * ln(2.0) - 1.0) * round(ln(close / open), 6)
+          |        * round(ln(close / open), 6), 6) AS DECIMAL(16,6)) AS term
+          |  FROM bars),
+          |a AS (
+          |  SELECT ticker, count(*) AS n_days,
+          |    CAST(SUM(term) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS v
+          |  FROM x GROUP BY 1)
+          |SELECT ticker, n_days,
+          |  CASE WHEN v > 0 THEN round(sqrt(v), 6) END AS gk_vol
+          |FROM a ORDER BY ticker""".stripMargin)),
+
+    QueryDef("a51_discount_mix",
+      // revenue and volume mix by discount band — the pricing-review
+      // table behind a44's elasticity slope ("how much revenue rides
+      // each discount tier"). Band edges are exact DECIMAL comparisons
+      // of the raw 4dp discount (no float banding); revenue exact
+      // decimals; one division per share.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("_d", col("l_discount").cast("decimal(6,4)"))
+          .withColumn("band",
+            when(col("_d") <= 0.02, "a_0_2")
+              .when(col("_d") <= 0.05, "b_2_5")
+              .when(col("_d") <= 0.08, "c_5_8").otherwise("d_8_plus"))
+        val a = li.groupBy("band").agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("qty"),
+          sum(col("l_extendedprice").cast("decimal(12,4)")).as("_r"))
+        a.withColumn("_tr", sum(col("_r")).over(Window.partitionBy(lit(1))))
+          .select(col("band"), col("n_lines"), col("qty"),
+            money2(col("_r")).as("revenue"),
+            round(col("_r").cast("double") / col("_tr").cast("double"), 6)
+              .as("revenue_share"))
+          .orderBy("band")
+      },
+      Some("""WITH li AS (
+             |  SELECT *,
+             |    CASE WHEN CAST(l_discount AS DECIMAL(6,4)) <= 0.02 THEN 'a_0_2'
+             |         WHEN CAST(l_discount AS DECIMAL(6,4)) <= 0.05 THEN 'b_2_5'
+             |         WHEN CAST(l_discount AS DECIMAL(6,4)) <= 0.08 THEN 'c_5_8'
+             |         ELSE 'd_8_plus' END AS band
+             |  FROM lineitem),
+             |a AS (
+             |  SELECT band, count(*) AS n_lines,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS r
+             |  FROM li GROUP BY 1)
+             |SELECT band, n_lines, qty,
+             |  CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
+             |  round(CAST(r AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE), 6)
+             |    AS revenue_share
+             |FROM a ORDER BY band""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
