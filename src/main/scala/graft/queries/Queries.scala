@@ -13562,7 +13562,81 @@ object Queries {
              |  CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
              |  round(CAST(r AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE), 6)
              |    AS revenue_share
-             |FROM a ORDER BY band""".stripMargin))
+             |FROM a ORDER BY band""".stripMargin)),
+
+    QueryDef("seg2_segment_census",
+      // named CRM segments over seg1's RFM quintiles (1 = best on each
+      // axis): champions (r≤2 ∧ f≤2 ∧ m≤2), loyal (f≤2), big_spender
+      // (m≤2), at_risk (r≥4 ∧ f≤2 — used to buy often, gone quiet),
+      // hibernating (r≥4), everyone else 'regular' — FIRST matching
+      // rule wins, so the census is a deterministic partition of the
+      // customer base. All-integer; one division per share.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey").as("cust"),
+            to_date(col("o_orderdate")).as("_od"),
+            col("o_totalprice").cast("decimal(14,2)").as("_tp"))
+        val r = o.groupBy("cust").agg(
+            max(col("_od")).as("_last"), count(lit(1)).as("_f"),
+            sum(col("_tp")).as("_m"))
+          .withColumn("_mx",
+            max(col("_last")).over(Window.partitionBy(lit(1))))
+          .withColumn("_rd", datediff(col("_mx"), col("_last")))
+        val q = r
+          .withColumn("_rq", ntile(5).over(Window.orderBy(col("_rd"), col("cust"))))
+          .withColumn("_fq", ntile(5).over(Window.orderBy(col("_f").desc, col("cust"))))
+          .withColumn("_mq", ntile(5).over(Window.orderBy(col("_m").desc, col("cust"))))
+        val seg = q.withColumn("segment",
+          when(col("_rq") <= 2 && col("_fq") <= 2 && col("_mq") <= 2, "champions")
+            .when(col("_rq") >= 4 && col("_fq") <= 2, "at_risk")
+            .when(col("_rq") >= 4, "hibernating")
+            .when(col("_fq") <= 2, "loyal")
+            .when(col("_mq") <= 2, "big_spender")
+            .otherwise("regular"))
+        seg.groupBy("segment").agg(count(lit(1)).as("n_customers"),
+            money2(sum(col("_m"))).as("revenue"))
+          .withColumn("_t", sum(col("n_customers")).over(Window.partitionBy(lit(1))))
+          .select(col("segment"), col("n_customers"),
+            round(col("n_customers").cast("double") / col("_t").cast("double"), 6)
+              .as("customer_share"),
+            col("revenue"))
+          .orderBy("segment")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS od,
+             |         CAST(o_totalprice AS DECIMAL(14,2)) AS tp
+             |  FROM orders),
+             |r AS (
+             |  SELECT cust, max(od) AS last_od, count(*) AS f, sum(tp) AS m
+             |  FROM o GROUP BY 1),
+             |r2 AS (
+             |  SELECT cust, f, m,
+             |    date_diff('day', last_od, max(last_od) OVER ()) AS rd
+             |  FROM r),
+             |q AS (
+             |  SELECT cust, m,
+             |    ntile(5) OVER (ORDER BY rd, cust) AS rq,
+             |    ntile(5) OVER (ORDER BY f DESC, cust) AS fq,
+             |    ntile(5) OVER (ORDER BY m DESC, cust) AS mq
+             |  FROM r2),
+             |seg AS (
+             |  SELECT cust, m,
+             |    CASE WHEN rq <= 2 AND fq <= 2 AND mq <= 2 THEN 'champions'
+             |         WHEN rq >= 4 AND fq <= 2 THEN 'at_risk'
+             |         WHEN rq >= 4 THEN 'hibernating'
+             |         WHEN fq <= 2 THEN 'loyal'
+             |         WHEN mq <= 2 THEN 'big_spender'
+             |         ELSE 'regular' END AS segment
+             |  FROM q),
+             |a AS (
+             |  SELECT segment, count(*) AS n_customers, sum(m) AS mr
+             |  FROM seg GROUP BY 1)
+             |SELECT segment, n_customers,
+             |  round(CAST(n_customers AS DOUBLE)
+             |    / CAST(sum(n_customers) OVER () AS DOUBLE), 6)
+             |    AS customer_share,
+             |  CAST(ROUND(mr, 2) AS DOUBLE) AS revenue
+             |FROM a ORDER BY segment""".stripMargin))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
