@@ -61,6 +61,60 @@ object Queries {
 
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
 
+  /** Shared RFM base for seg1/seg2: per-customer recency/frequency/
+    * monetary plus exact ntile-5 quintile codes on each axis, with
+    * total (metric, cust) tie-breaks. The three global rankings run
+    * through [[graft.ops.RankOps.withGlobalRank]] (range-partitioned
+    * sort + zipWithIndex) instead of single-partition ntile windows —
+    * identical bucket assignment (the ntile fill rule is replayed
+    * arithmetically from rank and n), but no task ever holds the
+    * customer population. Columns: cust, recency_days (int),
+    * frequency (long), _m (exact decimal monetary), r_q/f_q/m_q (int).
+    */
+  private def rfmQuintiles(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("cust"),
+        to_date(col("o_orderdate")).as("_od"),
+        col("o_totalprice").cast("decimal(14,2)").as("_tp"))
+    val cust = o.groupBy("cust").agg(
+      max(col("_od")).as("_last"), count(lit(1)).as("frequency"),
+      sum(col("_tp")).as("_m"))
+    // dataset horizon + population in ONE single-row aggregate,
+    // broadcast onto every customer (no whole-frame window)
+    val mxn = cust.agg(max(col("_last")).as("_mx"), count(lit(1)).as("_n"))
+    // pinned: each of the three rankings evaluates its input three
+    // times (range-boundary sampling pass + zipWithIndex count job +
+    // the data pass) — unpinned that would re-run the orders aggregate
+    // nine times
+    val r = graft.Caches.trackedPersist(cust.crossJoin(broadcast(mxn))
+        .withColumn("recency_days", datediff(col("_mx"), col("_last"))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three independent slim (cust, rank) frames joined back on cust —
+    // chaining the rankings instead would nest the RDD lineage and
+    // compound the triple evaluation per level
+    def rankOf(metric: Column, name: String): DataFrame =
+      graft.ops.RankOps.withGlobalRank(
+        r.select(col("cust"), metric.as("_metric")),
+        Seq(col("_metric"), col("cust")), name)
+        .select(col("cust"), col(name))
+    val ranked = r
+      .join(rankOf(col("recency_days"), "_rr"), "cust")
+      .join(rankOf(-col("frequency"), "_rf"), "cust")
+      .join(rankOf(-col("_m"), "_rm"), "cust")
+    // ntile(k) fill rule from (rank, n): the first n mod k buckets get
+    // ⌈n/k⌉ rows, the rest ⌊n/k⌋ — bit-identical to the window ntile.
+    def nt(rank: String): Column = expr(
+      s"""CAST(CASE WHEN $rank - 1 < (_n % 5) * ((_n div 5) + 1)
+         |  THEN ($rank - 1) div ((_n div 5) + 1) + 1
+         |  ELSE (_n % 5) + ($rank - 1 - (_n % 5) * ((_n div 5) + 1))
+         |    div (_n div 5) + 1 END AS INT)""".stripMargin)
+    ranked.withColumn("r_q", nt("_rr"))
+      .withColumn("f_q", nt("_rf"))
+      .withColumn("m_q", nt("_rm"))
+      .select(col("cust"), col("recency_days"), col("frequency"),
+        col("_m"), col("_n"), col("r_q"), col("f_q"), col("m_q"))
+  }
+
   /** Generated oracle for the BPE queries (bpe1/bpe2) — k chained CTE
     * blocks replaying [[graft.functions.BpeFunctions]]'s pinned
     * semantics on a delimited-string rendering: each token wrapped in
@@ -5634,12 +5688,16 @@ object Queries {
       // scores against the gold is-English labels, via the rank
       // statistic AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N) with AVERAGE
       // ranks on ties (the Mann-Whitney U normalization — exact, not
-      // trapezoid-approximated). Ranks come from a global row_number
-      // over the 6dp-ROUNDED scores (doc-cardinality rows — bounded,
-      // the rrfFuse convention) then a per-score avg, which is
-      // tie-order invariant, so both engines derive identical ranks.
-      // AUC is a rational with denominator 2PN ≪ 2·10⁶ — the 6dp
-      // round is boundary-free.
+      // trapezoid-approximated). Ranks derive from the per-score-LEVEL
+      // histogram: the average tie rank of a level with m rows and B
+      // rows below it is B + (m+1)/2 exactly (what avg(row_number)
+      // over the tie partition computes, tie-order invariant), so the
+      // rank sum collapses to pos·(B+(m+1)/2) per level — every term
+      // an exact multiple of 0.5 below 2^53, order-independent in
+      // double. The only window left is over distinct 6dp score
+      // levels (≤ 10⁶+1 regardless of corpus size — bounded; the r11
+      // verdict's eval2 scale-tier item). AUC is a rational with
+      // denominator 2PN ≪ 2·10⁶ — the 6dp round is boundary-free.
       (s, dir) => {
         val d = docs(s, dir)
         val labeled = d.filter(col("doc_id") % 2 === 0)
@@ -5649,14 +5707,18 @@ object Queries {
         val scored = Cls.scoreLinear(d, "doc_id", "text", w, bias,
           buckets = 1 << 16, hash = D.md5Hash60)
         val lab = d.select(col("doc_id"), (col("lang") === "en").cast("long").as("_y"))
-        val wOrd = org.apache.spark.sql.expressions.Window.orderBy("score")
-        val wTie = org.apache.spark.sql.expressions.Window.partitionBy("score")
-        scored.join(lab, "doc_id")
-          .withColumn("_rn", row_number().over(wOrd))
-          .withColumn("_r", avg(col("_rn")).over(wTie))
-          .agg(sum(col("_y")).as("_p"),
-            sum(lit(1L) - col("_y")).as("_n"),
-            sum(when(col("_y") === 1, col("_r"))).as("_s"))
+        val lv = scored.join(lab, "doc_id")
+          .groupBy("score")
+          .agg(count(lit(1)).as("_lm"), sum(col("_y")).as("_pos"))
+        val wL = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        lv.withColumn("_cum", sum(col("_lm")).over(wL))
+          .select(col("_lm"), col("_pos"),
+            ((col("_cum") - col("_lm")).cast("double") +
+              (col("_lm") + 1).cast("double") / 2.0).as("_r"))
+          .agg(sum(col("_pos")).as("_p"),
+            sum(col("_lm") - col("_pos")).as("_n"),
+            sum(col("_pos").cast("double") * col("_r")).as("_s"))
           .select(col("_p").as("n_pos"), col("_n").as("n_neg"),
             round((col("_s") - (col("_p") * (col("_p") + 1)).cast("double") / 2.0) /
               (col("_p") * col("_n")).cast("double"), 6).as("auc"))
@@ -10235,35 +10297,18 @@ object Queries {
       // RFM customer segmentation over orders: recency (days since last
       // order vs the dataset horizon), frequency, monetary (exact-
       // decimal order totals) and their ntile-5 quintile codes — the
-      // classic CRM/marketing segmentation, built on w36's quintile
-      // machinery with total (metric, cust) tie-breaks so bucket
-      // boundaries are deterministic. All-integer/decimal until the
-      // monetary output cast. The three global ntiles run over the
-      // CUSTOMER aggregate (one row per customer, not per order); at
-      // crawl scale quintile CUTS from approx percentiles replace the
-      // global windows (the a10b move).
+      // classic CRM/marketing segmentation, with total (metric, cust)
+      // tie-breaks so bucket boundaries are deterministic. All-
+      // integer/decimal until the monetary output cast. Quintiles come
+      // from [[rfmQuintiles]]: exact distributed ranks (range-
+      // partitioned sort + zipWithIndex) replayed through the ntile
+      // fill rule — bit-identical buckets, no single-partition window
+      // (the r11 verdict's seg1 scale-tier item).
       (s, dir) => {
-        val o = t(s, dir, "orders")
-          .select(col("o_custkey").as("cust"),
-            to_date(col("o_orderdate")).as("_od"),
-            col("o_totalprice").cast("decimal(14,2)").as("_tp"))
-        // the dataset horizon is max(last) over the CUSTOMER aggregate
-        // (same value as max over orders) — a whole-frame window here
-        // beats a second orders scan + crossJoin
-        val r = o.groupBy("cust").agg(
-            max(col("_od")).as("_last"), count(lit(1)).as("frequency"),
-            sum(col("_tp")).as("_m"))
-          .withColumn("_mx",
-            max(col("_last")).over(Window.partitionBy(lit(1))))
-          .withColumn("recency_days", datediff(col("_mx"), col("_last")))
-        r.select(col("cust"), col("recency_days"), col("frequency"),
+        rfmQuintiles(s, dir)
+          .select(col("cust"), col("recency_days"), col("frequency"),
             col("_m").cast("double").as("monetary"),
-            ntile(5).over(Window.orderBy(col("recency_days"), col("cust")))
-              .as("r_q"),
-            ntile(5).over(Window.orderBy(col("frequency").desc, col("cust")))
-              .as("f_q"),
-            ntile(5).over(Window.orderBy(col("_m").desc, col("cust")))
-              .as("m_q"))
+            col("r_q"), col("f_q"), col("m_q"))
           .withColumn("rfm_code",
             col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
           .orderBy("cust")
@@ -10457,33 +10502,34 @@ object Queries {
       // per-entity drill-down of a27's KS sup). Every decile is an
       // exact ORDER STATISTIC (index ⌈d·n/10⌉, the a35 convention — no
       // interpolation) over 6dp-decimal returns, so both columns and
-      // their diff are exact. The pooled ranking is one global sort of
-      // return-cardinality rows (the t20-class caveat; approx-quantile
-      // cuts replace it at crawl scale).
+      // their diff are exact. The pooled ranking is exact-distributed
+      // via [[graft.ops.RankOps.withGlobalRank]] (range-partitioned
+      // sort + zipWithIndex) — no single-partition window (the r11
+      // verdict's qq1 scale-tier item).
       (s, dir) => {
-        val x = pricesWithRet(s, dir).filter(col("ret").isNotNull)
-          .select(col("ticker"), col("date"),
-            round(col("ret"), 6).cast("decimal(10,6)").as("r6"))
-        val wt = Window.partitionBy("ticker").orderBy("r6", "date", "ticker")
-        val wp = Window.orderBy("r6", "date", "ticker")
-        // ONE ranking pass, pinned: a 9-way union of this frame would
-        // re-run the global sort per decile (first cut benched 16 s at
-        // sf0.1); a broadcast nested-loop join against the 9-row decile
-        // frame fans out after the sort instead (re-benched 3.5 s).
-        val ranked = graft.Caches.trackedPersist(x
-          .withColumn("_rt", row_number().over(wt))
-          .withColumn("_nt", count(lit(1)).over(Window.partitionBy("ticker")))
-          .withColumn("_rp", row_number().over(wp))
-          .withColumn("_np", count(lit(1)).over(
-            Window.partitionBy(lit(1)))),
+        // pinned: the per-ticker ranking, the pooled ranking's three
+        // input evaluations (boundary sampling + count + data pass),
+        // and the count aggregate all read this frame
+        val x = graft.Caches.trackedPersist(
+          pricesWithRet(s, dir).filter(col("ret").isNotNull)
+            .select(col("ticker"), col("date"),
+              round(col("ret"), 6).cast("decimal(10,6)").as("r6")),
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wt = Window.partitionBy("ticker").orderBy("r6", "date", "ticker")
         val deciles = s.range(1, 10)
           .select(col("id").cast("int").as("decile"))
-        val tq = ranked.join(broadcast(deciles),
+        val tq = x
+          .withColumn("_rt", row_number().over(wt))
+          .withColumn("_nt", count(lit(1)).over(Window.partitionBy("ticker")))
+          .join(broadcast(deciles),
             col("_rt") === expr("(decile * _nt + 9) div 10"))
           .select(col("ticker"), col("decile"),
             col("r6").cast("double").as("ticker_q"))
-        val pq = ranked.join(broadcast(deciles),
+        val np = x.agg(count(lit(1)).as("_np"))
+        val pq = graft.ops.RankOps.withGlobalRank(x,
+            Seq(col("r6"), col("date"), col("ticker")), "_rp")
+          .crossJoin(broadcast(np))
+          .join(broadcast(deciles),
             col("_rp") === expr("(decile * _np + 9) div 10"))
           .select(col("decile").as("_d2"),
             col("r6").cast("double").as("pooled_q"))
@@ -10528,23 +10574,39 @@ object Queries {
       // and a mean-based capacity plan is fiction). k = ⌈n/10⌉. Counts
       // and ranks exact; per-term lns round 6dp and sum in exact
       // decimal (the t20 fit contract); α is one division.
+      // Scale shape: the whole estimator runs on the count-of-counts
+      // HISTOGRAM (the e21 convention) — x_(k+1) is determined by
+      // activity LEVELS alone (user_id tie-breaks never change the
+      // VALUE at a rank), rows tied at x_(k+1) contribute ln(1)=0, so
+      // the tail sum collapses to level-count × per-level 6dp terms.
+      // The only window left is over distinct activity levels, bounded
+      // by max-events-per-user, not users (the r11 verdict's e25
+      // scale-tier item).
       (s, dir) => {
         val uc = events(s, dir).groupBy("user_id")
           .agg(count(lit(1)).as("c"))
-        // pinned: the x_(k+1) probe and the tail scan both read the
-        // ranked frame — unpinned the log aggregates and sorts twice
-        val ranked = graft.Caches.trackedPersist(uc
-          .withColumn("_r", row_number().over(
-            Window.orderBy(col("c").desc, col("user_id"))))
-          .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
-          .withColumn("_k", expr("(_n + 9) div 10")),
+        // pinned: the total, the x_(k+1) probe, and the tail sum all
+        // read the (tiny) histogram — unpinned the event log would
+        // aggregate three times
+        val lv = graft.Caches.trackedPersist(
+          uc.groupBy("c").agg(count(lit(1)).as("_lm")),
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val xmin = ranked.filter(col("_r") === col("_k") + 1)
+        val nk = lv.agg(sum(col("_lm")).as("_n"))
+          .withColumn("_k", expr("(_n + 9) div 10"))
+        val wL = Window.orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = lv.withColumn("_cum", sum(col("_lm")).over(wL))
+          .crossJoin(broadcast(nk))
+        // the level holding rank k+1 in (c desc, user) order = x_(k+1)
+        val xmin = cum.filter(col("_cum") >= col("_k") + 1 &&
+            col("_cum") - col("_lm") <= col("_k"))
           .select(col("c").as("_cmin"))
-        ranked.filter(col("_r") <= col("_k"))
-          .crossJoin(broadcast(xmin))
-          .select(round(log(col("c").cast("double") /
-            col("_cmin").cast("double")), 6).as("_t"), col("_k"))
+        cum.crossJoin(broadcast(xmin))
+          .filter(col("c") >= col("_cmin"))
+          .select(when(col("c") > col("_cmin"),
+              col("_lm") * round(log(col("c").cast("double") /
+                col("_cmin").cast("double")), 6).cast("decimal(14,6)"))
+            .otherwise(lit(0).cast("decimal(14,6)")).as("_t"), col("_k"))
           .groupBy(col("_k").as("k"))
           .agg(round(col("k").cast("double") /
             sum(col("_t").cast("decimal(20,6)")).cast("double"), 6)
@@ -12248,6 +12310,12 @@ object Queries {
       // "is this graph scale-free enough that per-node work needs the
       // skew defenses" (α ≤ 2 ⇒ hub-dominated; salting/AQE mandatory).
       // Degrees and ranks exact; 6dp lns sum in exact decimal.
+      // Scale shape: e25's level-histogram move on the graph axis —
+      // the whole estimator runs on the count-of-DEGREES histogram
+      // (x_(k+1) is determined by degree LEVELS alone; ties at the
+      // boundary contribute ln(1)=0), so the only window left is over
+      // distinct degree levels, bounded by the max degree, not nodes
+      // (the r11 verdict's g11 scale-tier item).
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
@@ -12256,29 +12324,37 @@ object Queries {
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("u"), col("b.pk").as("v"))
           .distinct()
-        val deg = graft.Caches.trackedPersist(
-          e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
-            .groupBy("node").agg(count(lit(1)).as("d")),
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
         val nEdges = e.agg((count(lit(1))).as("n_edges"))
-        val ranked = graft.Caches.trackedPersist(deg
-          .withColumn("_r", row_number().over(
-            Window.orderBy(col("d").desc, col("node"))))
-          .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
-          .withColumn("_k", expr("(_n + 9) div 10")),
+        // pinned: totals, the x_(k+1) probe, and the tail sum all read
+        // the (tiny) degree histogram — unpinned the edge set would
+        // re-aggregate three times
+        val lv = graft.Caches.trackedPersist(
+          deg.groupBy("d").agg(count(lit(1)).as("_lm")),
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dmin = ranked.filter(col("_r") === col("_k") + 1)
+        val nk = lv.agg(sum(col("_lm")).as("_n"), max(col("d")).as("_maxd"))
+          .withColumn("_k", expr("(_n + 9) div 10"))
+        val wL = Window.orderBy(col("d").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = lv.withColumn("_cum", sum(col("_lm")).over(wL))
+          .crossJoin(broadcast(nk))
+        val dmin = cum.filter(col("_cum") >= col("_k") + 1 &&
+            col("_cum") - col("_lm") <= col("_k"))
           .select(col("d").as("_dmin"))
-        ranked.filter(col("_r") <= col("_k"))
-          .crossJoin(broadcast(dmin))
-          .select(col("_n"), col("_k"),
-            when(col("_r") === 1, col("d")).as("_maxd"),
-            round(log(col("d").cast("double") / col("_dmin").cast("double")), 6)
-              .cast("decimal(20,6)").as("_t"))
+        cum.crossJoin(broadcast(dmin))
+          .filter(col("d") >= col("_dmin"))
+          .select(col("_n"), col("_k"), col("_maxd"),
+            when(col("d") > col("_dmin"),
+              col("_lm") * round(log(col("d").cast("double") /
+                col("_dmin").cast("double")), 6).cast("decimal(14,6)"))
+            .otherwise(lit(0).cast("decimal(14,6)")).as("_t"))
           .groupBy("_n", "_k")
           .agg(max(col("_maxd")).as("max_degree"),
             round(col("_k").cast("double") /
-              sum(col("_t")).cast("double"), 6).as("hill_alpha"))
+              sum(col("_t").cast("decimal(20,6)")).cast("double"), 6)
+              .as("hill_alpha"))
           .crossJoin(broadcast(nEdges))
           .select(col("_n").as("n_nodes"), col("n_edges"),
             col("max_degree"), col("_k").as("k_tail"), col("hill_alpha"))
@@ -12328,25 +12404,33 @@ object Queries {
           .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
         val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
           buckets = 1 << 16, hash = D.md5Hash60)
-        val scored = graft.Caches.trackedPersist(
-          Cls.scoreLinear(d, "doc_id", "text", w, bias,
-              buckets = 1 << 16, hash = D.md5Hash60)
-            .select(col("doc_id"), col("score").cast("decimal(10,6)").as("sc")),
+        val scored = Cls.scoreLinear(d, "doc_id", "text", w, bias,
+            buckets = 1 << 16, hash = D.md5Hash60)
+          .select(col("doc_id"), col("score").cast("decimal(10,6)").as("sc"))
+        // scale shape (the r11 verdict's cls3 scale-tier item): the
+        // exact pXX order statistics AND the survivor counts both fall
+        // out of the per-score-LEVEL histogram — rank r lands in the
+        // level whose cumulative count first reaches r (doc_id
+        // tie-breaks never change the VALUE at a rank), and
+        // survivors(τ) = n − #(sc < τ) = n − cumBefore(τ's level). The
+        // only window left is over distinct 6dp score levels (≤ 10⁶+1
+        // regardless of corpus size); no second corpus pass. Pinned:
+        // the total and the cumulative chain both read the histogram.
+        val lv = graft.Caches.trackedPersist(
+          scored.groupBy("sc").agg(count(lit(1)).as("_lm")),
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val ranked = scored
-          .withColumn("_rn", row_number().over(
-            Window.orderBy(col("sc"), col("doc_id"))))
-          .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        val n = lv.agg(sum(col("_lm")).as("_n"))
+        val wL = Window.orderBy("sc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = lv.withColumn("_cum", sum(col("_lm")).over(wL))
+          .crossJoin(broadcast(n))
         val qs = s.range(1, 4).select((col("id") * 25).cast("int").as("q"))
-        val taus = ranked.join(broadcast(qs),
-            col("_rn") === expr("(q * _n + 99) div 100"))
-          .select(col("q"), col("sc").as("_tau"), col("_n"))
-        scored.crossJoin(broadcast(taus))
-          .groupBy("q")
-          .agg(first(col("_tau")).cast("double").as("tau"),
-            first(col("_n")).as("n_docs"),
-            sum(when(col("sc") >= col("_tau"), 1L).otherwise(0L))
-              .as("survivors"))
+        cum.join(broadcast(qs),
+            col("_cum") - col("_lm") < expr("(q * _n + 99) div 100") &&
+              col("_cum") >= expr("(q * _n + 99) div 100"))
+          .select(col("q"), col("sc").cast("double").as("tau"),
+            col("_n").as("n_docs"),
+            (col("_n") - (col("_cum") - col("_lm"))).as("survivors"))
           .withColumn("survivor_share", round(col("survivors").cast("double") /
             col("n_docs").cast("double"), 6))
           .orderBy("q")
@@ -13552,30 +13636,23 @@ object Queries {
       // rule wins, so the census is a deterministic partition of the
       // customer base. All-integer; one division per share.
       (s, dir) => {
-        val o = t(s, dir, "orders")
-          .select(col("o_custkey").as("cust"),
-            to_date(col("o_orderdate")).as("_od"),
-            col("o_totalprice").cast("decimal(14,2)").as("_tp"))
-        val r = o.groupBy("cust").agg(
-            max(col("_od")).as("_last"), count(lit(1)).as("_f"),
-            sum(col("_tp")).as("_m"))
-          .withColumn("_mx",
-            max(col("_last")).over(Window.partitionBy(lit(1))))
-          .withColumn("_rd", datediff(col("_mx"), col("_last")))
-        val q = r
-          .withColumn("_rq", ntile(5).over(Window.orderBy(col("_rd"), col("cust"))))
-          .withColumn("_fq", ntile(5).over(Window.orderBy(col("_f").desc, col("cust"))))
-          .withColumn("_mq", ntile(5).over(Window.orderBy(col("_m").desc, col("cust"))))
+        // quintiles via [[rfmQuintiles]] — same exact distributed
+        // ranking seg1 uses (no single-partition ntile windows)
+        val q = rfmQuintiles(s, dir)
         val seg = q.withColumn("segment",
-          when(col("_rq") <= 2 && col("_fq") <= 2 && col("_mq") <= 2, "champions")
-            .when(col("_rq") >= 4 && col("_fq") <= 2, "at_risk")
-            .when(col("_rq") >= 4, "hibernating")
-            .when(col("_fq") <= 2, "loyal")
-            .when(col("_mq") <= 2, "big_spender")
+          when(col("r_q") <= 2 && col("f_q") <= 2 && col("m_q") <= 2, "champions")
+            .when(col("r_q") >= 4 && col("f_q") <= 2, "at_risk")
+            .when(col("r_q") >= 4, "hibernating")
+            .when(col("f_q") <= 2, "loyal")
+            .when(col("m_q") <= 2, "big_spender")
             .otherwise("regular"))
-        seg.groupBy("segment").agg(count(lit(1)).as("n_customers"),
-            money2(sum(col("_m"))).as("revenue"))
-          .withColumn("_t", sum(col("n_customers")).over(Window.partitionBy(lit(1))))
+        // the population total rides along as _n (constant per row —
+        // max() recovers it in the same census aggregation; was a
+        // whole-frame window over the census)
+        seg.groupBy("segment")
+          .agg(count(lit(1)).as("n_customers"),
+            money2(sum(col("_m"))).as("revenue"),
+            max(col("_n")).as("_t"))
           .select(col("segment"), col("n_customers"),
             round(col("n_customers").cast("double") / col("_t").cast("double"), 6)
               .as("customer_share"),
