@@ -627,11 +627,19 @@ object RelevanceFunctions {
     val perDoc = toks.groupBy("_id").agg(count(lit(1)).as("n_tok"))
     val firstOcc = toks.groupBy("token").agg(min(col("_id")).as("_fd"))
       .groupBy(col("_fd").as("_id")).agg(count(lit(1)).as("_new"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val pts = perDoc.join(firstOcc, Seq("_id"), "left")
-      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
-      .withColumn("cum_vocab", sum(coalesce(col("_new"), lit(0L))).over(w))
+    // doc-cardinality cumulative sums go through the distributed exact
+    // prefix sum (RankOps) — a Window.orderBy here would single-task
+    // the whole corpus' per-doc points. Pinned: the prefix sum
+    // evaluates its input three times (boundary sampling + totals +
+    // data pass), and the OLS sums re-read the points.
+    val base = graft.Caches.trackedPersist(
+      perDoc.join(firstOcc, Seq("_id"), "left")
+        .withColumn("_newnn", coalesce(col("_new"), lit(0L)))
+        .select(col("_id"), col("n_tok"), col("_newnn")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pts = graft.ops.RankOps.withGlobalPrefixSums(base,
+        Seq(col("_id")), Seq("n_tok", "_newnn"),
+        Seq("cum_tokens", "cum_vocab"))
       .withColumn("ln_n", round(log(col("cum_tokens").cast("double")), 6))
       .withColumn("ln_v", round(log(col("cum_vocab").cast("double")), 6))
     val sums = pts.agg(

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /** Exact global ranking without a single-partition window.
   *
@@ -46,6 +46,108 @@ object RankOps {
       StructField(rankCol, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Append exact running (prefix) sums of `sumCols` over the total
+    * order `sortCols` — the distributed form of
+    * `sum(x).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * 0))`, which would otherwise single-task the whole frame. Classic
+    * two-phase prefix sum:
+    *
+    *   1. range-partition + sort (as [[withGlobalRank]]);
+    *   2. one pass computing each partition's row count and column
+    *      totals — collected to the driver (#partitions rows, bounded);
+    *   3. one pass re-emitting rows with the running sums seeded from
+    *      the preceding partitions' totals (and optionally a 1-based
+    *      global rank as `rankCol`).
+    *
+    * Supported sum column types: LONG (running state Long, same
+    * overflow semantics as a window sum over longs) and DECIMAL
+    * (exact BigDecimal state, emitted as DECIMAL(38, s) — addition is
+    * associative in exact decimal, so the split into per-partition
+    * totals cannot change any value). Values must be non-null.
+    *
+    * The input is evaluated twice (totals pass + data pass) plus the
+    * range-boundary sampling — callers pin upstream frames.
+    */
+  def withGlobalPrefixSums(df: DataFrame, sortCols: Seq[Column],
+      sumCols: Seq[String], cumCols: Seq[String],
+      rankCol: Option[String] = None): DataFrame = {
+    require(sumCols.length == cumCols.length, "sumCols/cumCols mismatch")
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(np, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val fieldIdx = sumCols.map(sorted.schema.fieldIndex).toArray
+    val isDec: Array[Boolean] = fieldIdx.map(i =>
+      sorted.schema(i).dataType match {
+        case _: DecimalType => true
+        case LongType => false
+        case other => throw new IllegalArgumentException(
+          s"prefix sum supports LONG/DECIMAL, got $other")
+      })
+    val m = fieldIdx.length
+    // pass 1: per-partition (count, totals)
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var cnt = 0L
+      val dec = Array.fill(m)(java.math.BigDecimal.ZERO)
+      val lng = new Array[Long](m)
+      it.foreach { r =>
+        cnt += 1
+        var j = 0
+        while (j < m) {
+          if (isDec(j)) dec(j) = dec(j).add(r.getDecimal(fieldIdx(j)))
+          else lng(j) += r.getLong(fieldIdx(j))
+          j += 1
+        }
+      }
+      Iterator((pi, cnt, dec, lng))
+    }.collect().sortBy(_._1)
+    val nParts = partTotals.length
+    val cntOff = new Array[Long](nParts + 1)
+    val decOff = Array.fill(nParts + 1, m)(java.math.BigDecimal.ZERO)
+    val lngOff = Array.fill(nParts + 1)(new Array[Long](m))
+    for (k <- 0 until nParts) {
+      val (_, c, d, l) = partTotals(k)
+      cntOff(k + 1) = cntOff(k) + c
+      for (j <- 0 until m) {
+        decOff(k + 1)(j) = decOff(k)(j).add(d(j))
+        lngOff(k + 1)(j) = lngOff(k)(j) + l(j)
+      }
+    }
+    val outScales = fieldIdx.zip(isDec).map { case (i, d) =>
+      if (d) sorted.schema(i).dataType.asInstanceOf[DecimalType].scale else 0
+    }
+    val cumFields = cumCols.zipWithIndex.map { case (c, j) =>
+      StructField(c,
+        if (isDec(j)) DecimalType(38, outScales(j)) else LongType,
+        nullable = false)
+    }
+    val rankField = rankCol.map(StructField(_, LongType, nullable = false))
+    val schema = StructType(sorted.schema.fields ++ cumFields ++ rankField)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val dec = decOff(pi).clone()
+      val lng = lngOff(pi).clone()
+      var rank = cntOff(pi)
+      it.map { r =>
+        rank += 1
+        val extras = Seq.newBuilder[Any]
+        var j = 0
+        while (j < m) {
+          if (isDec(j)) {
+            dec(j) = dec(j).add(r.getDecimal(fieldIdx(j)))
+            extras += dec(j).setScale(outScales(j))
+          } else {
+            lng(j) += r.getLong(fieldIdx(j))
+            extras += lng(j)
+          }
+          j += 1
+        }
+        rankCol.foreach(_ => extras += rank)
+        Row.fromSeq(r.toSeq ++ extras.result())
+      }
     }
     spark.createDataFrame(rdd, schema)
   }
