@@ -51,6 +51,12 @@ object Bench {
       // clearCache drops the blocks but leaves the plan handles queued.
       Caches.releaseAll()
       spark.catalog.clearCache()
+      // in-run load defense (r11: the 314-query x 3-iter JVM inflated
+      // min-of-3 numbers +42% over the idle-box bank, worst queries
+      // 2-19x): collect the previous queries' garbage OUTSIDE the
+      // timed window, so each measurement starts from a settled heap
+      // instead of paying its predecessors' collection debt.
+      System.gc()
       val t0 = System.nanoTime()
       // NOT df.count(): wrapping the query in Aggregate(count(1)) lets
       // ColumnPruning delete every computation that only feeds output

@@ -204,7 +204,11 @@ object ClassifierFunctions {
     import org.apache.spark.sql.expressions.Window
     val b = scored
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(least(floor(col(scoreCol) * bins), lit(bins - 1))
+      // clamp BOTH ends: scores are nominally in [0,1], but a stray
+      // negative would otherwise mint bucket -1 (the top end was
+      // already clamped to bins-1 for score = 1.0)
+      .groupBy(greatest(least(floor(col(scoreCol) * bins), lit(bins - 1)),
+          lit(0))
         .cast("int").as("bucket"))
       .agg(sum(col(labelCol).cast("long")).as("_sy"),
         count(lit(1)).as("_n"))

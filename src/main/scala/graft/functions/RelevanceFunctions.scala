@@ -699,7 +699,8 @@ object RelevanceFunctions {
     */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, topR: Int, k: Int,
       lambda: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", qIdCol: String = "query_id",
+      qVecCol: String = "query_vec"): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(topR >= k, s"topR must be >= k (got topR=$topR, k=$k)")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1] (got $lambda)")
@@ -707,7 +708,14 @@ object RelevanceFunctions {
     val lamRel = lit(lamBd).cast("decimal(4,3)")
     val lamDiv = lit(java.math.BigDecimal.ONE.subtract(lamBd)).cast("decimal(4,3)")
     val dec6 = "decimal(10,6)"
-    val cands = SimilarityFunctions.bruteForceTopK(corpus, queries, topR)
+    // column names plumb through to the retrieval stage and normalize
+    // to the documented canonical output names immediately after —
+    // a non-default idCol/vecCol previously threw (or silently ranked
+    // default-named columns) because bruteForceTopK got the defaults
+    val cands = SimilarityFunctions.bruteForceTopK(corpus, queries, topR,
+        idCol, vecCol, qIdCol, qVecCol)
+      .select(col(qIdCol).as("query_id"), col(idCol).as("vec_id"),
+        col("cosine"), col("rank"))
       .join(corpus.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("_v")), Seq("vec_id"))
     val asState = (vecId: Column, rel: Column, v: Column, mmr: Column) =>

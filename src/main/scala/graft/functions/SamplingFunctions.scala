@@ -593,6 +593,17 @@ object SamplingFunctions {
     * Returns (anchor_id, neg_id, skey), `skey` the selection key
     * (kept so downstream audits can re-verify the draw).
     *
+    * UNDER-DELIVERY contract: `k` negatives per anchor are guaranteed
+    * only while the pool retains ≥ k rows from OTHER groups. An anchor
+    * whose own group occupies more than `poolSize − k` pool slots
+    * receives fewer than k negatives — silently, by design (the draw
+    * stays a pure hash function; padding would break reproducibility).
+    * Detection is one group-by on the output
+    * (`groupBy("anchor_id").count() < k`); the fix is a larger
+    * `poolSize` or a finer `groupCol`. With a roughly uniform group
+    * mix the starvation case needs one group to dominate the corpus —
+    * audit the group histogram before trusting a skewed corpus.
+    *
     * Scale shape: the pool is TakeOrdered-bounded and BROADCAST, so
     * the candidate join is one narrow nested-loop pass over the corpus
     * against `poolSize` rows — O(n·poolSize) with NO shuffle of the

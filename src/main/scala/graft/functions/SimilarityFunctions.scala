@@ -578,6 +578,68 @@ object SimilarityFunctions {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cosine"))
   }
 
+  /** Cross-engine-REPLAYABLE distributed Lloyd: a pinned number of
+    * k-means iterations whose every step an independent SQL engine can
+    * replay bit-for-bit — the trainer behind the fully-oracled
+    * trained-IVF query (s3b), where MLlib's k-means|| init is a black
+    * box no oracle can follow.
+    *
+    * Pinned semantics (each independently cheap to replay):
+    *  - init: the k vectors with the smallest `idCol` (centroid_id =
+    *    that id) — data-derived, no RNG;
+    *  - assignment: argmax RAW cosine, ties → lower centroid id (the
+    *    s3 oracle precedent: sequential-fold dot products are
+    *    bit-stable across engines);
+    *  - update: per (cell, dim) mean computed as EXACT DECIMAL sum
+    *    (components cast to DECIMAL(20,10) — a deterministic rounding
+    *    of the double, identical in any engine) cast to double,
+    *    divided by the member count, rounded to 6 dp. Summation order
+    *    cannot matter: decimal addition is exact.
+    *  - an empty cell keeps its previous centroid.
+    *
+    * Scale shape: per iteration, ONE broadcast of k×dim centroid
+    * literals into the assignment expression, one corpus scan, one
+    * (cell, dim)-keyed aggregation (k·dim result rows — collected to
+    * the driver as the next round's literals, the bounded-collect
+    * convention). Nothing corpus-sized moves; iterations are pinned,
+    * not convergence-tested, so the plan is static and replayable.
+    */
+  def trainCentroidsReplayable(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0 (got $k, $iters)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    var cents: Array[(Long, Seq[Double])] = base
+      .orderBy("_id").limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    val dim = if (cents.nonEmpty) cents(0)._2.length else 0
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(cents.toSeq.toDF("_cid", "_cv"))
+      val assigned = base.crossJoin(cdf)
+        .withColumn("_cos", cosine(col("_v"), col("_cv").cast("array<double>")))
+        .groupBy("_id", "_v")
+        // argmax by (cos desc, cid asc): min over the (-cos, cid) struct
+        .agg(min(struct((-col("_cos")).as("n"), col("_cid").as("c")))
+          .getField("c").as("_cell"))
+      val upd = assigned
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_d", "_x")))
+        .groupBy("_cell", "_d")
+        .agg(round(sum(col("_x").cast("decimal(20,10)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("_m"))
+        .groupBy("_cell")
+        .agg(array_sort(collect_list(struct(col("_d"), col("_m")))).as("_p"))
+        .select(col("_cell"), expr("transform(_p, e -> e._m)").as("_mv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      cents = cents.map { case (cid, prev) =>
+        (cid, upd.getOrElse(cid, prev)) // empty cell keeps its centroid
+      }
+    }
+    cents.toSeq.toDF("centroid_id", "centroid_vec")
+  }
+
   /** Train IVF centroids with Spark MLlib k-means (the "k-means output"
     * the [[ivfTopK]] contract names): distributed Lloyd iterations over
     * the corpus, only the k centers ever come to the driver. Returns the
@@ -782,6 +844,12 @@ object SimilarityFunctions {
     * assign-by-max-cosine (ties → lower group) + element-wise mean
     * update; a group left empty keeps its previous mean. No randomness,
     * so index builds are reproducible across runs and engines.
+    *
+    * Replay contract: each round's means round to 6 dp (HALF_UP, the
+    * registry convention) — members accumulate in ascending centroid-id
+    * order and the round absorbs any last-ulp summation noise, so an
+    * oracle replaying the rounds from the same centroids reproduces
+    * the group structure exactly (the s3b generated oracle does).
     */
   private[graft] def buildCoarseIndex(cents: Array[(Long, Array[Double])],
       coarseCells: Int, iters: Int = 10): CoarseIndex = {
@@ -817,7 +885,11 @@ object SimilarityFunctions {
       means = (0 until coarseCells).map { g =>
         if (counts(g) == 0) means(g)
         else { val m = sums(g); var d = 0
-          while (d < m.length) { m(d) /= counts(g); d += 1 }; m }
+          while (d < m.length) {
+            m(d) = BigDecimal(m(d) / counts(g))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            d += 1
+          }; m }
       }.toArray
     }
     val byGroup = cents.indices.groupBy(assignment)
@@ -1358,6 +1430,12 @@ object SimilarityFunctions {
     * first (order-dependent); here it attaches to the MINIMUM cluster
     * id — a fixed rule, so results are partitioning- and
     * order-invariant, replayable by any engine.
+    *
+    * `minPts` convention (EXCLUSIVE of the point itself): core ⇔ the
+    * point has ≥ `minPts` ε-NEIGHBORS in the pair list. Ester et al.
+    * count the ε-neighborhood INCLUDING the point (|N(p)| ≥ minPts),
+    * so this contract equals the textbook one at minPts+1 — pass
+    * textbookMinPts−1 to replicate a paper setting exactly.
     *
     * Scale shape: degrees are one hash agg over the symmetrized edges;
     * core filtering is an edge-bounded semi-join; components run the

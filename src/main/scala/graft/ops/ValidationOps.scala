@@ -65,8 +65,10 @@ object ValidationOps {
       Option(row.getAs[Any]("null_cells")).fold(0L)(_.asInstanceOf[Long]),
       row.getAs[Long]("bad_close"),
       row.getAs[Long]("bad_volume"),
-      Option(row.getAs[Double]("ret_mean")),
-      Option(row.getAs[Double]("ret_std")))
+      // getAs[Any] first: getAs[Double] would unbox a SQL NULL to 0.0
+      // before Option could see it (empty/all-null ret -> Some(0.0))
+      Option(row.getAs[Any]("ret_mean")).map(_.asInstanceOf[Double]),
+      Option(row.getAs[Any]("ret_std")).map(_.asInstanceOf[Double]))
   }
 
   /** W-7: pooled z-score outlier flag (reference `src/pipeline.py:62-63`).

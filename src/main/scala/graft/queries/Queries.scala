@@ -61,6 +61,113 @@ object Queries {
 
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
 
+  /** Generated oracle for `s3b_ivf_trained`: replays the ENTIRE
+    * trained-IVF pipeline — [[graft.functions.SimilarityFunctions
+    * .trainCentroidsReplayable]]'s pinned Lloyd rounds (lowest-id init;
+    * argmax raw cosine with lower-cid ties, the s3 oracle precedent;
+    * per-dim EXACT-DECIMAL means rounded 6dp; empty cells keep their
+    * centroid), then `buildCoarseIndex`'s driver Lloyd over the trained
+    * centroids (stride init, raw-cosine assignment with lower-group
+    * ties, 6dp-rounded double means — the round absorbs summation-order
+    * ulps per the documented replay contract), then the hierarchical
+    * search: corpus/query rank the coarse means, candidates come from
+    * the `wProbe` nearest groups, assignment/probing by raw cosine with
+    * lower-id ties, scored cosines rounded 6dp before the final rank.
+    * Each round is one MATERIALIZED CTE (the g1/kCore unroll pattern).
+    */
+  private def s3bOracle(k: Int, dim: Int, trainIters: Int,
+      coarseCells: Int, coarseIters: Int, wProbe: Int, nProbe: Int,
+      topK: Int): String = {
+    val stride = math.max(1, k / coarseCells)
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""e AS MATERIALIZED (
+               |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               |  FROM embeddings)""".stripMargin
+    ctes += s"""c0 AS MATERIALIZED (
+               |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+               |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    for (r <- 1 to trainIters) {
+      ctes += s"""a$r AS MATERIALIZED (
+                 |  SELECT vec_id, v, cid AS cell FROM (
+                 |    SELECT e.vec_id, e.v, c.cid,
+                 |      row_number() OVER (PARTITION BY e.vec_id
+                 |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+                 |    FROM e, c${r - 1} c) WHERE rn = 1)""".stripMargin
+      ctes += s"""u$r AS MATERIALIZED (
+                 |  SELECT cid, list(m ORDER BY d) AS mv FROM (
+                 |    SELECT cell AS cid, t.d,
+                 |      round(CAST(SUM(CAST(v[t.d] AS DECIMAL(20,10))) AS DOUBLE)
+                 |        / count(*), 6) AS m
+                 |    FROM a$r, range(1, ${dim + 1}) t(d) GROUP BY cell, t.d)
+                 |  GROUP BY cid)""".stripMargin
+      ctes += s"""c$r AS MATERIALIZED (
+                 |  SELECT p.cid, COALESCE(u.mv, p.cv) AS cv
+                 |  FROM c${r - 1} p LEFT JOIN u$r u USING (cid))""".stripMargin
+    }
+    val cF = s"c$trainIters"
+    ctes += s"""m0 AS MATERIALIZED (
+               |  SELECT g.d AS g, c.cv AS mv
+               |  FROM range(0, $coarseCells) g(d) JOIN $cF c
+               |    ON c.cid = (g.d * $stride) % $k)""".stripMargin
+    for (cr <- 1 to coarseIters) {
+      ctes += s"""ca$cr AS MATERIALIZED (
+                 |  SELECT cid, cv, g FROM (
+                 |    SELECT c.cid, c.cv, m.g,
+                 |      row_number() OVER (PARTITION BY c.cid
+                 |        ORDER BY list_cosine_similarity(c.cv, m.mv) DESC, m.g) AS rn
+                 |    FROM $cF c, m${cr - 1} m) WHERE rn = 1)""".stripMargin
+      ctes += s"""m$cr AS MATERIALIZED (
+                 |  SELECT p.g, COALESCE(u.mv, p.mv) AS mv
+                 |  FROM m${cr - 1} p LEFT JOIN (
+                 |    SELECT g, list(m ORDER BY d) AS mv FROM (
+                 |      SELECT g, t.d, round(SUM(cv[t.d]) / count(*), 6) AS m
+                 |      FROM ca$cr, range(1, ${dim + 1}) t(d) GROUP BY g, t.d)
+                 |    GROUP BY g) u USING (g))""".stripMargin
+    }
+    val fm = s"m$coarseIters"
+    val fa = s"ca$coarseIters"
+    ctes += s"""cg AS MATERIALIZED (
+               |  SELECT vec_id, g FROM (
+               |    SELECT e.vec_id, m.g,
+               |      row_number() OVER (PARTITION BY e.vec_id
+               |        ORDER BY list_cosine_similarity(e.v, m.mv) DESC, m.g) AS rn
+               |    FROM e, $fm m) WHERE rn <= $wProbe)""".stripMargin
+    ctes += s"""asg AS MATERIALIZED (
+               |  SELECT vec_id, cid AS cell FROM (
+               |    SELECT vec_id, cid,
+               |      row_number() OVER (PARTITION BY vec_id
+               |        ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+               |    FROM cg JOIN $fa USING (g) JOIN e USING (vec_id))
+               |  WHERE rn = 1)""".stripMargin
+    ctes += s"""qg AS MATERIALIZED (
+               |  SELECT query_id, qv, g FROM (
+               |    SELECT e.vec_id AS query_id, e.v AS qv, m.g,
+               |      row_number() OVER (PARTITION BY e.vec_id
+               |        ORDER BY list_cosine_similarity(e.v, m.mv) DESC, m.g) AS rn
+               |    FROM e, $fm m WHERE e.vec_id < 8) WHERE rn <= $wProbe)""".stripMargin
+    ctes += s"""probes AS MATERIALIZED (
+               |  SELECT query_id, qv, cid AS cell FROM (
+               |    SELECT qg.query_id, qg.qv, ca.cid,
+               |      row_number() OVER (PARTITION BY qg.query_id
+               |        ORDER BY list_cosine_similarity(qg.qv, ca.cv) DESC, ca.cid) AS rn
+               |    FROM qg JOIN $fa ca USING (g)) WHERE rn <= $nProbe)""".stripMargin
+    ctes += s"""scored AS (
+               |  SELECT p.query_id, a.vec_id,
+               |    round(list_cosine_similarity(ev.v, p.qv), 6) AS cosine
+               |  FROM asg a JOIN e ev USING (vec_id)
+               |  JOIN probes p ON a.cell = p.cell
+               |  WHERE a.vec_id <> p.query_id)""".stripMargin
+    ctes += s"""ranked AS (
+               |  SELECT query_id, vec_id, cosine,
+               |    CAST(row_number() OVER (PARTITION BY query_id
+               |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+               |  FROM scored)""".stripMargin
+    "WITH " + ctes.result().mkString(",\n") +
+      s"""\nSELECT query_id, vec_id, cosine, "rank"
+         |FROM ranked WHERE "rank" <= $topK
+         |ORDER BY query_id, "rank"""".stripMargin
+  }
+
   /** ntile(k) replayed arithmetically from a 1-based global rank and
     * the population count: the first n mod k buckets get ⌈n/k⌉ rows,
     * the rest ⌊n/k⌋ — bit-identical to the window ntile over the same
@@ -4006,22 +4113,27 @@ object Queries {
       // centroids (distributed Lloyd, only the k centers reach the driver)
       // searched through the two-level coarse quantizer, so assignment
       // costs O(wProbe*k/coarseCells) cosines per row instead of O(k).
-      // k-means initialization is engine-specific (no DuckDB equivalent)
-      // → rows-only; QueriesSpec bounds mean recall@5 against the exact
-      // s1 brute-force results (the a10/a10b twin pattern). The synthetic
+      // Training uses [[graft.functions.SimilarityFunctions
+      // .trainCentroidsReplayable]] — pinned iterations, lowest-id init,
+      // exact-decimal mean updates rounded 6dp — so the FULL pipeline
+      // (train → coarse build → assignment → probe → top-k) replays in
+      // the generated oracle below (MLlib's k-means|| init was the one
+      // black box; the r11 verdict's item 7). QueriesSpec additionally
+      // bounds mean recall@5 against the exact s1 results. The synthetic
       // embeddings are near-uniform directions (max pairwise cosine <
       // 0.7, no cluster structure), so the probe budget here is wide —
       // nProbe 12/16 — to make the recall bound meaningful; real corpora
       // cluster, and proportionally smaller budgets hold the same recall.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val centroids = S.trainCentroids(emb, k = 16, seed = 42L)
+        val centroids = S.trainCentroidsReplayable(emb, k = 16, iters = 3)
         val q = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         S.ivfTopKHierarchical(emb, q, centroids, k = 5, nProbe = 12,
           coarseCells = 4, wProbe = 3).orderBy("query_id", "rank")
       },
-      None),
+      Some(s3bOracle(k = 16, dim = 64, trainIters = 3, coarseCells = 4,
+        coarseIters = 10, wProbe = 3, nProbe = 12, topK = 5))),
 
     QueryDef("s6_lsh_incremental",
       // INCREMENTAL embedding near-dup: the perturbed copies (ids
