@@ -209,6 +209,58 @@ object SimilarityFunctions {
         }
       })
 
+  /** 1-bit (sign) quantization: bit d of the sketch is 1 iff
+    * `vec[d] > 0`, packed into `dim/32`-word structs of 32-bit words
+    * carried as BIGINTs (no 64-bit packing: a set top bit would
+    * overflow signed arithmetic, which one engine wraps and another
+    * rejects — 32-bit words keep every value < 2³² everywhere). 256×
+    * smaller than float64 arrays — the most memory-bound ANN tier:
+    * for random unit vectors P(sign agree per dim) = 1 − θ/π (Goemans
+    * –Williamson / Charikar SimHash), so Hamming distance on sketches
+    * is a monotone estimate of angular distance. Scan-local expression
+    * (no UDF); pair with [[hammingTopK]].
+    */
+  def signSketch(vec: Column, dim: Int): Column = {
+    require(dim > 0 && dim % 32 == 0, s"dim must be a multiple of 32 (got $dim)")
+    val words = (0 until dim / 32).map { w =>
+      (0 until 32).map { b =>
+        when(element_at(vec, w * 32 + b + 1).cast("double") > 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"w$w")
+    }
+    struct(words: _*)
+  }
+
+  /** Exact top-k by MATCHING BITS over [[signSketch]] words (64 −
+    * Hamming for dim 64): xor + bit_count per word, then the same
+    * two-phase bounded-heap top-k as [[bruteForceTopK]] (ties → lower
+    * id). The corpus ships sketches only — at 100 TB the sketch table
+    * is dim/8 bytes per vector and the scan is bitwise ops inside
+    * whole-stage codegen; raw vectors stay in the lake for the
+    * (optional) exact re-rank of the shortlist, the s9/s12 pattern.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
+    val nw = dim / 32
+    val c = corpus.select(col(idCol).cast("long").as("_id"),
+      signSketch(col(vecCol), dim).as("_s"))
+    val q = queries.select(col(qIdCol).cast("long").as("_q"),
+      signSketch(col(qVecCol), dim).as("_qs"))
+    val matching = lit(dim) - (0 until nw).map(w =>
+        expr(s"bit_count(_s.w$w ^ _qs.w$w)")).reduce(_ + _)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("_id") =!= col("_q"))
+      .select(col("_q"), col("_id"), matching.cast("double").as("_m"))
+      .as[(Long, Long, Double)]
+    topKPerQuery(scored, k)
+      .select(col("_q").as(qIdCol), col("_id").as(idCol),
+        col("_c").cast("int").as("matching_bits"), col("rank"))
+  }
+
   /** Inverse of [[quantizeInt8]]: per-element error ≤ scale/2. */
   def dequantizeInt8(qv: Column): Column =
     TextFunctions.bound(qv.getField("scale").cast("double")) { s =>

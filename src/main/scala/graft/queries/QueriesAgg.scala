@@ -1770,6 +1770,111 @@ QueryDef("seg2_segment_census",
              |    / CAST(sum(n_customers) OVER () AS DOUBLE), 6)
              |    AS customer_share,
              |  CAST(ROUND(mr, 2) AS DOUBLE) AS revenue
-             |FROM a ORDER BY segment""".stripMargin))
+             |FROM a ORDER BY segment""".stripMargin)),
+
+    QueryDef("a52_newey_west",
+      // HAC-robust mean-return t-stat per ticker (Newey–West 1987,
+      // Bartlett kernel, L = 5): σ²_NW = γ₀ + 2Σ(1−l/6)γ_l over the
+      // lag-l autocovariances — the serial-correlation-honest version
+      // of a13's Sharpe t-stat (daily returns autocorrelate; the iid
+      // SE overstates significance). EVERY autocovariance is exact:
+      // returns clamp to ±1000% and carry as µunit longs (the w40
+      // discipline), each γ_l·T³ expands to pure integer cross-moments
+      // (T²·Σxy − T·SM·(Sx+Sz) + n_l·SM²) in DECIMAL(38,0)/HUGEINT
+      // (magnitudes ≤ 1e24), and Bartlett weights clear denominators
+      // through 6·σ²·T³ = 6γ₀T³ + Σ2(6−l)γ_lT³ — one exact integer.
+      // Only the final mean/SE/t are IEEE, from identical decimal
+      // inputs in both engines; 6dp rounds. One per-ticker window
+      // exchange shared by all five lags (the w32 shape).
+      (s, dir) => {
+        val r6 = round(col("ret"), 6).cast("decimal(10,6)")
+        val rc = least(greatest(r6, lit(-10).cast("decimal(10,6)")),
+          lit(10).cast("decimal(10,6)"))
+        val base = pricesWithRet(s, dir).filter(col("ret").isNotNull)
+          .select(col("ticker"), col("date"),
+            (rc * lit(1000000)).cast("long").as("_v"))
+        val withLags = (1 to 5).foldLeft(base)((d, l) =>
+          d.withColumn(s"_g$l", lag(col("_v"), l).over(wTicker)))
+        val dec = "decimal(38,0)"
+        val lagAggs = (1 to 5).flatMap(l => Seq(
+          sum(col("_v") * col(s"_g$l")).cast(dec).as(s"_sxy$l"),
+          sum(when(col(s"_g$l").isNotNull, col("_v"))).cast(dec).as(s"_sx$l"),
+          sum(col(s"_g$l")).cast(dec).as(s"_sz$l"),
+          count(col(s"_g$l")).as(s"_nl$l")))
+        val g0 = "(CAST(_t AS DECIMAL(38,0)) * _t * _syy - CAST(_t AS DECIMAL(38,0)) * _sm * _sm)"
+        val gl = (1 to 5).map(l =>
+          s"""(CAST(_t AS DECIMAL(38,0)) * _t * _sxy$l
+             | - CAST(_t AS DECIMAL(38,0)) * _sm * (_sx$l + _sz$l)
+             | + CAST(_nl$l AS DECIMAL(38,0)) * _sm * _sm)""".stripMargin)
+        val sig6T3 = s"(6 * $g0 + " +
+          (1 to 5).map(l => s"2 * ${6 - l} * ${gl(l - 1)}").mkString(" + ") + ")"
+        withLags.groupBy("ticker")
+          .agg(count(lit(1)).as("_t"),
+            (sum(col("_v")).cast(dec).as("_sm") +:
+              sum(col("_v") * col("_v")).cast(dec).as("_syy") +:
+              lagAggs): _*)
+          .filter(col("_t") >= 10)
+          .withColumn("_var", expr(s"CAST($sig6T3 AS DOUBLE)") /
+            (lit(6.0) * col("_t").cast("double") * col("_t").cast("double") *
+              col("_t").cast("double") * lit(1e12)))
+          .withColumn("mean_ret", expr("CAST(_sm AS DOUBLE)") /
+            (col("_t").cast("double") * lit(1e6)))
+          .select(col("ticker"), col("_t").as("n"),
+            round(col("mean_ret"), 6).as("mean_ret"),
+            when(col("_var") > 0,
+              round(sqrt(col("_var") / col("_t").cast("double")), 6))
+              .as("nw_se"),
+            when(col("_var") > 0,
+              round(col("mean_ret") /
+                sqrt(col("_var") / col("_t").cast("double")), 6))
+              .as("t_nw"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, x AS (
+          |  SELECT ticker, "date",
+          |    CAST(least(greatest(CAST(round(ret, 6) AS DECIMAL(10,6)),
+          |      CAST(-10 AS DECIMAL(10,6))), CAST(10 AS DECIMAL(10,6)))
+          |      * 1000000 AS BIGINT) AS v
+          |  FROM r WHERE ret IS NOT NULL),
+          |l AS (
+          |  SELECT ticker, v,
+          |    lag(v, 1) OVER w AS g1, lag(v, 2) OVER w AS g2,
+          |    lag(v, 3) OVER w AS g3, lag(v, 4) OVER w AS g4,
+          |    lag(v, 5) OVER w AS g5
+          |  FROM x WINDOW w AS (PARTITION BY ticker ORDER BY "date")),
+          |a AS (
+          |  SELECT ticker, count(*) AS t,
+          |    CAST(sum(v) AS HUGEINT) AS sm,
+          |    CAST(sum(v * v) AS HUGEINT) AS syy,
+          |    CAST(sum(v * g1) AS HUGEINT) AS sxy1, CAST(sum(CASE WHEN g1 IS NOT NULL THEN v END) AS HUGEINT) AS sx1, CAST(sum(g1) AS HUGEINT) AS sz1, count(g1) AS nl1,
+          |    CAST(sum(v * g2) AS HUGEINT) AS sxy2, CAST(sum(CASE WHEN g2 IS NOT NULL THEN v END) AS HUGEINT) AS sx2, CAST(sum(g2) AS HUGEINT) AS sz2, count(g2) AS nl2,
+          |    CAST(sum(v * g3) AS HUGEINT) AS sxy3, CAST(sum(CASE WHEN g3 IS NOT NULL THEN v END) AS HUGEINT) AS sx3, CAST(sum(g3) AS HUGEINT) AS sz3, count(g3) AS nl3,
+          |    CAST(sum(v * g4) AS HUGEINT) AS sxy4, CAST(sum(CASE WHEN g4 IS NOT NULL THEN v END) AS HUGEINT) AS sx4, CAST(sum(g4) AS HUGEINT) AS sz4, count(g4) AS nl4,
+          |    CAST(sum(v * g5) AS HUGEINT) AS sxy5, CAST(sum(CASE WHEN g5 IS NOT NULL THEN v END) AS HUGEINT) AS sx5, CAST(sum(g5) AS HUGEINT) AS sz5, count(g5) AS nl5
+          |  FROM l GROUP BY 1),
+          |g AS (
+          |  SELECT ticker, t, sm,
+          |    (CAST(t AS HUGEINT) * t * syy - CAST(t AS HUGEINT) * sm * sm) AS g0,
+          |    (CAST(t AS HUGEINT) * t * sxy1 - CAST(t AS HUGEINT) * sm * (sx1 + sz1) + CAST(nl1 AS HUGEINT) * sm * sm) AS gl1,
+          |    (CAST(t AS HUGEINT) * t * sxy2 - CAST(t AS HUGEINT) * sm * (sx2 + sz2) + CAST(nl2 AS HUGEINT) * sm * sm) AS gl2,
+          |    (CAST(t AS HUGEINT) * t * sxy3 - CAST(t AS HUGEINT) * sm * (sx3 + sz3) + CAST(nl3 AS HUGEINT) * sm * sm) AS gl3,
+          |    (CAST(t AS HUGEINT) * t * sxy4 - CAST(t AS HUGEINT) * sm * (sx4 + sz4) + CAST(nl4 AS HUGEINT) * sm * sm) AS gl4,
+          |    (CAST(t AS HUGEINT) * t * sxy5 - CAST(t AS HUGEINT) * sm * (sx5 + sz5) + CAST(nl5 AS HUGEINT) * sm * sm) AS gl5
+          |  FROM a WHERE t >= 10),
+          |v2 AS (
+          |  SELECT ticker, t, sm,
+          |    CAST(6 * g0 + 2 * 5 * gl1 + 2 * 4 * gl2 + 2 * 3 * gl3
+          |         + 2 * 2 * gl4 + 2 * 1 * gl5 AS DOUBLE)
+          |      / (6.0 * t * t * t * 1e12) AS var_nw,
+          |    CAST(sm AS DOUBLE) / (t * 1e6) AS mean_ret
+          |  FROM g)
+          |SELECT ticker, CAST(t AS BIGINT) AS n,
+          |  round(mean_ret, 6) AS mean_ret,
+          |  CASE WHEN var_nw > 0
+          |       THEN round(sqrt(var_nw / t), 6) END AS nw_se,
+          |  CASE WHEN var_nw > 0
+          |       THEN round(mean_ret / sqrt(var_nw / t), 6) END AS t_nw
+          |FROM v2 ORDER BY ticker""".stripMargin))
   )
 }

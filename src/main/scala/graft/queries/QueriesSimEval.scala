@@ -1944,6 +1944,47 @@ QueryDef("s17_norm_profile",
              |FROM rk JOIN d ON rk.rn = (d.decile * rk.cnt + 9) // 10
              |ORDER BY decile""".stripMargin)),
 
+    QueryDef("s18_binary_sketch_knn",
+      // exact KNN over 1-bit SIGN sketches ([[graft.functions
+      // .SimilarityFunctions.signSketch]] → [[SimilarityFunctions
+      // .hammingTopK]]): the 256×-compression ANN tier below s4's
+      // int8 — matching-bit count (dim − Hamming) is a monotone
+      // angular-similarity estimate (Charikar SimHash), searched with
+      // xor + bit_count inside whole-stage codegen. ALL-INTEGER
+      // end-to-end (bit packing in 32-bit words so no engine touches
+      // signed-overflow territory; ranking on exact integer matching
+      // counts, ties → lower id) — zero FP anywhere, the strongest
+      // cross-engine contract in the ANN family.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.hammingTopK(emb, q, k = 5, dim = 64).orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sk AS (
+             |  SELECT vec_id,
+             |    CAST(SUM(CASE WHEN t.d < 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << t.d) ELSE 0 END) AS BIGINT) AS w0,
+             |    CAST(SUM(CASE WHEN t.d >= 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << (t.d - 32)) ELSE 0 END) AS BIGINT) AS w1
+             |  FROM e, range(0, 64) t(d) GROUP BY vec_id),
+             |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+             |      FROM sk WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q.query_id, sk.vec_id,
+             |    CAST(64 - bit_count(xor(sk.w0, q.q0))
+             |            - bit_count(xor(sk.w1, q.q1)) AS INTEGER) AS matching_bits
+             |  FROM sk, q WHERE sk.vec_id <> q.query_id),
+             |rk AS (
+             |  SELECT query_id, vec_id, matching_bits,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY matching_bits DESC, vec_id) AS INTEGER) AS "rank"
+             |  FROM scored)
+             |SELECT query_id, vec_id, matching_bits, "rank"
+             |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+
     QueryDef("er2_fellegi_sunter",
       // Fellegi–Sunter record-linkage weights (JASA 1969) over er1's
       // planted title universe with KNOWN labels (ids sharing `div 2`

@@ -2722,6 +2722,73 @@ QueryDef("w59_garman_klass",
           |  CASE WHEN v > 0 THEN round(sqrt(v), 6) END AS gk_vol
           |FROM a ORDER BY ticker""".stripMargin)),
 
+    QueryDef("fe3_woe_iv",
+      // weight-of-evidence encoding + information value per categorical
+      // feature (the credit-scoring feature screen; Siddiqi 2006):
+      // target = urgent/high order priority, features = customer
+      // market segment and nation. Counts exact; smoothed shares
+      // (+0.5/cell, +m/2 per total — Σshares stays 1) round 6dp BEFORE
+      // the ln (identical inputs cross-engine, the cls1 libm
+      // convention); per-category IV terms cast to exact decimal so
+      // the feature-level IV sum is order-free. The per-feature
+      // windows run over category censuses (≤ 25 rows — bounded).
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey").as("ck"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("_y"))
+        val c = t(s, dir, "customer").select(col("c_custkey").as("ck"),
+          col("c_mktsegment").as("_seg"),
+          col("c_nationkey").cast("string").as("_nat"))
+        val long = o.join(c, "ck").selectExpr("_y",
+          "stack(2, 'mktsegment', _seg, 'nation', _nat) AS (feature, category)")
+        val wF = Window.partitionBy("feature")
+        long.groupBy("feature", "category")
+          .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+            sum(when(!col("_y"), 1L).otherwise(0L)).as("n_neg"))
+          .withColumn("_P", sum(col("n_pos")).over(wF))
+          .withColumn("_N", sum(col("n_neg")).over(wF))
+          .withColumn("_m", count(lit(1)).over(wF))
+          .withColumn("pos_share", round((col("n_pos") + 0.5) /
+            (col("_P") + col("_m") * 0.5), 6))
+          .withColumn("neg_share", round((col("n_neg") + 0.5) /
+            (col("_N") + col("_m") * 0.5), 6))
+          .withColumn("woe",
+            round(log(col("pos_share") / col("neg_share")), 6))
+          .withColumn("iv", round(sum(((col("pos_share") - col("neg_share")) *
+              col("woe")).cast("decimal(20,10)")).over(wF)
+            .cast("double"), 6))
+          .select(col("feature"), col("category"), col("n_pos"), col("n_neg"),
+            col("pos_share"), col("neg_share"), col("woe"), col("iv"))
+          .orderBy("feature", "category")
+      },
+      Some("""WITH j AS (
+             |  SELECT (o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y,
+             |         c.c_mktsegment AS seg,
+             |         CAST(c.c_nationkey AS VARCHAR) AS nat
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |lng AS (
+             |  SELECT y, 'mktsegment' AS feature, seg AS category FROM j
+             |  UNION ALL SELECT y, 'nation', nat FROM j),
+             |g AS (
+             |  SELECT feature, category,
+             |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+             |  FROM lng GROUP BY 1, 2),
+             |w AS (
+             |  SELECT feature, category, n_pos, n_neg,
+             |    round((n_pos + 0.5)
+             |      / (CAST(sum(n_pos) OVER f AS DOUBLE) + count(*) OVER f * 0.5), 6)
+             |      AS pos_share,
+             |    round((n_neg + 0.5)
+             |      / (CAST(sum(n_neg) OVER f AS DOUBLE) + count(*) OVER f * 0.5), 6)
+             |      AS neg_share
+             |  FROM g WINDOW f AS (PARTITION BY feature)),
+             |w2 AS (SELECT *, round(ln(pos_share / neg_share), 6) AS woe FROM w)
+             |SELECT feature, category, n_pos, n_neg, pos_share, neg_share, woe,
+             |  round(CAST(sum(CAST((pos_share - neg_share) * woe
+             |      AS DECIMAL(20,10))) OVER (PARTITION BY feature)
+             |    AS DOUBLE), 6) AS iv
+             |FROM w2 ORDER BY feature, category""".stripMargin)),
+
     QueryDef("w60_ljung_box",
       // Ljung–Box portmanteau test per ticker (Q = T(T+2)·Σ ρ²_k/(T−k)
       // over lags 1..5) on w32's autocorrelations — "is this series

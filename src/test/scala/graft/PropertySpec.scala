@@ -191,4 +191,25 @@ object PropertySpec extends Properties("graft") {
         r.forall(_ > 0.0) && r.sum <= 1.0 + r.length * 5e-7 + 1e-9
       }
     }
+
+  property("withGlobalRank+PrefixSums equal window semantics on random frames") =
+    Prop.forAllNoShrink(
+      Gen.choose(1, 120).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.choose(0L, 7L), Gen.choose(1L, 50L))))) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }.toDF("id", "k", "v")
+      val w = Window.orderBy(col("k").desc, col("id"))
+      val viaWindow = df
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("cv", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("id", "r", "cv").orderBy("id")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      val viaRank = graft.ops.RankOps.withGlobalPrefixSums(df,
+          Seq(col("k").desc, col("id")), Seq("v"), Seq("cv"),
+          rankCol = Some("r"))
+        .select("id", "r", "cv").orderBy("id")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      viaWindow == viaRank
+    }
 }
