@@ -508,7 +508,7 @@ private[queries] object QHelpers {
     * tie-break). All-integer: exact cross-engine replay, no rounding
     * contract. MATERIALIZED for the same inlining reason.
     */
-  def lpaOracle(iters: Int): String = {
+  def lpaOracle(iters: Int, finalSelect: String = ""): String = {
     val ctes = Seq.newBuilder[String]
     ctes += """pairs AS MATERIALIZED (
               |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -531,7 +531,8 @@ private[queries] object QHelpers {
                  |    FROM m$i) WHERE rn = 1)""".stripMargin
     }
     "WITH " + ctes.result().mkString(",\n") +
-      s"\nSELECT node, community FROM l$iters ORDER BY node"
+      "\n" + (if (finalSelect.nonEmpty) finalSelect
+              else s"SELECT node, community FROM l$iters ORDER BY node")
   }
 
   /** `events.parquet`'s `ts` physical type varies by generator version:

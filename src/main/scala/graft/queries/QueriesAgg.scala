@@ -1772,6 +1772,122 @@ QueryDef("seg2_segment_census",
              |  CAST(ROUND(mr, 2) AS DOUBLE) AS revenue
              |FROM a ORDER BY segment""".stripMargin)),
 
+    QueryDef("a53_poisson_bootstrap",
+      // hash-deterministic Poisson bootstrap CI for the mean daily
+      // return (the production bootstrap at scale — Chamandy et al.,
+      // Google 2012: resample weights are Poisson(1) draws PER ROW,
+      // so resamples stream in one pass with no per-resample shuffle
+      // of the data). Determinism end-to-end: the uniform draw is the
+      // m1b md5-60bit hash of (ticker, date, b), the Poisson inverse
+      // CDF is a CASE ladder over EXACT 2⁶⁰-scaled integer thresholds
+      // (identical literals both engines — no float CDF), resample
+      // means are exact-integer µunit sums with one final division,
+      // and the 95% CI bounds are ⌈q·B⌉ order statistics (a35
+      // convention) over the B=100 resample means — a bounded
+      // per-ticker window. Ticker universe capped to 1-in-20 (the
+      // pairs1 demonstration cap): the B× row fan-out is the cost
+      // knob, and the operator's point is the per-row weight shape,
+      // which is universe-size-independent.
+      (s, dir) => {
+        val r6 = round(col("ret"), 6).cast("decimal(10,6)")
+        val rc = least(greatest(r6, lit(-10).cast("decimal(10,6)")),
+          lit(10).cast("decimal(10,6)"))
+        // pinned: the full-sample stats and the 100-resample fan both
+        // read the clamped µunit frame
+        val base = graft.Caches.trackedPersist(
+          pricesWithRet(s, dir).filter(col("ret").isNotNull)
+            .filter(col("ticker") % 20 === 0)
+            .select(col("ticker"), col("date"),
+              (rc * lit(1000000)).cast("long").as("_y")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bs = s.range(0, 100).select(col("id").cast("int").as("_b"))
+        // P(X <= k), X ~ Poisson(1), as exact floor(cum * 2^60) longs
+        val thresholds = Seq(424136118829305329L, 848272237658610659L,
+          1060340297073263324L, 1131029650211480879L, 1148701988496035267L,
+          1152236456152946145L, 1152825534095764625L, 1152909688087595836L,
+          1152920207336574738L)
+        val wExpr = thresholds.zipWithIndex
+          .foldRight(lit(9L): Column) { case ((t, k), acc) =>
+            when(col("_h") < t, lit(k.toLong)).otherwise(acc) }
+        val means = base.crossJoin(broadcast(bs))
+          .withColumn("_h", D.md5Hash60(concat_ws("#",
+            lit("boot"), col("ticker"), col("date"), col("_b"))))
+          .withColumn("_w", wExpr)
+          .groupBy("ticker", "_b")
+          .agg(sum(col("_w") * col("_y")).as("_sy"), sum(col("_w")).as("_sw"))
+          .filter(col("_sw") > 0)
+          .select(col("ticker"), col("_b"),
+            (col("_sy").cast("double") /
+              (col("_sw") * 1000000L).cast("double")).as("_mb"))
+        val wT = Window.partitionBy("ticker").orderBy(col("_mb"), col("_b"))
+        val ranked = means
+          .withColumn("_rn", row_number().over(wT))
+          .withColumn("_nb", count(lit(1)).over(Window.partitionBy("ticker")))
+        val lo = ranked.filter(col("_rn") === expr("(25 * _nb + 999) div 1000"))
+          .select(col("ticker"), col("_mb").as("_lo"))
+        val hi = ranked.filter(col("_rn") === expr("(975 * _nb + 999) div 1000"))
+          .select(col("ticker"), col("_mb").as("_hi"))
+        base.groupBy("ticker")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("_y")).cast("double") /
+              (count(lit(1)) * 1000000L).cast("double")).as("_mr"))
+          .join(lo, "ticker").join(hi, "ticker")
+          .select(col("ticker"), col("n"), round(col("_mr"), 6).as("mean_ret"),
+            round(col("_lo"), 6).as("ci_lo"), round(col("_hi"), 6).as("ci_hi"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql + retSql +
+        """, x AS (
+          |  SELECT ticker, "date",
+          |    CAST(least(greatest(CAST(round(ret, 6) AS DECIMAL(10,6)),
+          |      CAST(-10 AS DECIMAL(10,6))), CAST(10 AS DECIMAL(10,6)))
+          |      * 1000000 AS BIGINT) AS y
+          |  FROM r WHERE ret IS NOT NULL AND ticker % 20 = 0),
+          |bs AS (SELECT CAST(d AS INTEGER) AS b FROM range(0, 100) t(d)),
+          |hw AS (
+          |  SELECT ticker, y, b,
+          |    CAST(('0x' || substring(md5('boot#' || CAST(ticker AS VARCHAR)
+          |      || '#' || CAST("date" AS VARCHAR)
+          |      || '#' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          |  FROM x CROSS JOIN bs),
+          |ww AS (
+          |  SELECT ticker, y, b,
+          |    CASE WHEN h < 424136118829305329 THEN 0
+          |         WHEN h < 848272237658610659 THEN 1
+          |         WHEN h < 1060340297073263324 THEN 2
+          |         WHEN h < 1131029650211480879 THEN 3
+          |         WHEN h < 1148701988496035267 THEN 4
+          |         WHEN h < 1152236456152946145 THEN 5
+          |         WHEN h < 1152825534095764625 THEN 6
+          |         WHEN h < 1152909688087595836 THEN 7
+          |         WHEN h < 1152920207336574738 THEN 8
+          |         ELSE 9 END AS w
+          |  FROM hw),
+          |mb AS (
+          |  SELECT ticker, b,
+          |    CAST(sum(w * y) AS DOUBLE)
+          |      / CAST(sum(w) * 1000000 AS DOUBLE) AS m
+          |  FROM ww GROUP BY 1, 2 HAVING sum(w) > 0),
+          |rk AS (
+          |  SELECT ticker, b, m,
+          |    row_number() OVER (PARTITION BY ticker ORDER BY m, b) AS rn,
+          |    count(*) OVER (PARTITION BY ticker) AS nb
+          |  FROM mb),
+          |lo AS (SELECT ticker, m AS lo FROM rk
+          |       WHERE rn = (25 * nb + 999) // 1000),
+          |hi AS (SELECT ticker, m AS hi FROM rk
+          |       WHERE rn = (975 * nb + 999) // 1000),
+          |f AS (
+          |  SELECT ticker, count(*) AS n,
+          |    CAST(sum(y) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS mr
+          |  FROM x GROUP BY 1)
+          |SELECT f.ticker, CAST(f.n AS BIGINT) AS n,
+          |  round(f.mr, 6) AS mean_ret,
+          |  round(lo.lo, 6) AS ci_lo, round(hi.hi, 6) AS ci_hi
+          |FROM f JOIN lo ON f.ticker = lo.ticker
+          |       JOIN hi ON f.ticker = hi.ticker
+          |ORDER BY f.ticker""".stripMargin)),
+
     QueryDef("a52_newey_west",
       // HAC-robust mean-return t-stat per ticker (Newey–West 1987,
       // Bartlett kernel, L = 5): σ²_NW = γ₀ + 2Σ(1−l/6)γ_l over the

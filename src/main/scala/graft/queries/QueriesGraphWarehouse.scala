@@ -850,6 +850,80 @@ QueryDef("g11_degree_tail",
              |  CAST(t.k AS BIGINT) AS k_tail,
              |  round(CAST(t.k AS DOUBLE) / CAST(SUM(t.t) AS DOUBLE), 6)
              |    AS hill_alpha
-             |FROM t CROSS JOIN ne GROUP BY t.n, t.k, ne.n_edges""".stripMargin))
+             |FROM t CROSS JOIN ne GROUP BY t.n, t.k, ne.n_edges""".stripMargin)),
+
+    QueryDef("g12_modularity",
+      // Newman modularity of g2's LPA partition over the co-purchase
+      // graph: Q = Σ_c [e_c/m − (d_c/2m)²] — "did label propagation
+      // find real structure or noise" (Q ≈ 0 ⇒ no better than random;
+      // the quality gate before trusting communities downstream).
+      // ALL-INTEGER until the final division: Q = (4m·E_in − Σ_c d_c²)
+      // / (4m²) with undirected edge count m, within-community edge
+      // count E_in, and per-community degree sums — the unrolled LPA
+      // oracle replays the labels exactly, so both engines derive
+      // identical integers. One row out.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        // ONE canonical u<v edge set feeds everything — LPA
+        // symmetrizes its input internally, so passing the undirected
+        // edges yields the identical partition while saving the
+        // second 2M-pair self-join. Pinned: LPA's init, the
+        // within-community count, degree sums, and the edge count all
+        // read it.
+        val e = graft.Caches.trackedPersist(
+          li.as("a").join(li.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+            .select(col("a.pk").as("u"), col("b.pk").as("v"))
+            .distinct(),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val comm = graft.Caches.trackedPersist(
+          GraphOps.labelPropagation(e, "u", "v", iterations = 4),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val m = e.agg(count(lit(1)).as("_m"))
+        val ein = e
+          .join(comm.select(col("node").as("u"), col("community").as("_ca")), "u")
+          .join(comm.select(col("node").as("v"), col("community").as("_cb")), "v")
+          .filter(col("_ca") === col("_cb"))
+          .agg(count(lit(1)).as("_ein"))
+        val deg = e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("_d"))
+        val sd2 = deg.join(comm, "node")
+          .groupBy("community").agg(sum(col("_d")).as("_dc"))
+          .agg(count(lit(1)).as("n_communities"),
+            sum(col("_dc") * col("_dc")).as("_sd2"))
+        sd2.crossJoin(broadcast(m)).crossJoin(broadcast(ein))
+          .select(col("n_communities"), col("_m").as("n_edges"),
+            round((lit(4) * col("_m") * col("_ein") - col("_sd2"))
+              .cast("double") /
+              (lit(4) * col("_m") * col("_m")).cast("double"), 6)
+              .as("modularity"))
+      },
+      Some(lpaOracle(4,
+        """, e AS MATERIALIZED (
+          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          |mm AS (SELECT count(*) AS m FROM e),
+          |ein AS (
+          |  SELECT count(*) AS ei
+          |  FROM e JOIN l4 a ON e.u = a.node JOIN l4 b ON e.v = b.node
+          |  WHERE a.community = b.community),
+          |deg AS (
+          |  SELECT node, count(*) AS d FROM (
+          |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+          |  GROUP BY 1),
+          |dc AS (
+          |  SELECT l.community, CAST(sum(deg.d) AS HUGEINT) AS dsum
+          |  FROM deg JOIN l4 l ON deg.node = l.node GROUP BY 1),
+          |s2 AS (SELECT count(*) AS ncomm,
+          |              CAST(sum(dsum * dsum) AS HUGEINT) AS sd2 FROM dc)
+          |SELECT CAST(s2.ncomm AS BIGINT) AS n_communities,
+          |  CAST(mm.m AS BIGINT) AS n_edges,
+          |  round(CAST(4 * CAST(mm.m AS HUGEINT) * ein.ei - s2.sd2 AS DOUBLE)
+          |    / CAST(4 * CAST(mm.m AS HUGEINT) * mm.m AS DOUBLE), 6)
+          |    AS modularity
+          |FROM s2 CROSS JOIN mm CROSS JOIN ein""".stripMargin)))
   )
 }

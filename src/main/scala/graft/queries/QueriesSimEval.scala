@@ -1985,6 +1985,67 @@ QueryDef("s17_norm_profile",
              |SELECT query_id, vec_id, matching_bits, "rank"
              |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
+    QueryDef("s19_hamming_rerank",
+      // the binary tier's full serving pipeline (the s9/s12 re-rank
+      // pattern on s18's sketches): Hamming shortlist of 50 on the
+      // 1-bit sign sketches — integer xor+bit_count, the only stage
+      // that touches every corpus row — then exact 6dp-cosine re-rank
+      // of the shortlist to top-5. At 100 TB the shortlist stage scans
+      // dim/8 bytes per vector and only 50×|queries| raw vectors ever
+      // load for the re-rank. Shortlist is integer-exact; the re-rank
+      // window runs over ≤ 50 rows per query (bounded).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        val short = S.hammingTopK(emb, q, k = 50, dim = 64)
+          .select(col("query_id"), col("vec_id"))
+        val wQ = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        short
+          .join(emb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("_v")), "vec_id")
+          .join(broadcast(q.select(col("query_id"),
+            col("query_vec").cast("array<double>").as("_qv"))), "query_id")
+          .withColumn("cosine", round(S.cosine(col("_v"), col("_qv")), 6))
+          .withColumn("rank", row_number().over(wQ))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sk AS (
+             |  SELECT vec_id,
+             |    CAST(SUM(CASE WHEN t.d < 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << t.d) ELSE 0 END) AS BIGINT) AS w0,
+             |    CAST(SUM(CASE WHEN t.d >= 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << (t.d - 32)) ELSE 0 END) AS BIGINT) AS w1
+             |  FROM e, range(0, 64) t(d) GROUP BY vec_id),
+             |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+             |      FROM sk WHERE vec_id < 8),
+             |shortl AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT q.query_id, sk.vec_id,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY 64 - bit_count(xor(sk.w0, q.q0))
+             |                   - bit_count(xor(sk.w1, q.q1)) DESC,
+             |                 sk.vec_id) AS rn
+             |    FROM sk, q WHERE sk.vec_id <> q.query_id) WHERE rn <= 50),
+             |scored AS (
+             |  SELECT s.query_id, s.vec_id,
+             |    round(list_cosine_similarity(ev.v, eq.v), 6) AS cosine
+             |  FROM shortl s
+             |  JOIN e ev ON s.vec_id = ev.vec_id
+             |  JOIN e eq ON s.query_id = eq.vec_id),
+             |rk AS (
+             |  SELECT query_id, vec_id, cosine,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+             |  FROM scored)
+             |SELECT query_id, vec_id, cosine, "rank"
+             |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+
     QueryDef("er2_fellegi_sunter",
       // Fellegi–Sunter record-linkage weights (JASA 1969) over er1's
       // planted title universe with KNOWN labels (ids sharing `div 2`
