@@ -879,6 +879,40 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(repart === out) // exact-decimal matvec: merge order is moot
   }
 
+  test("signSketch packs sign bits into 32-bit words exactly") {
+    // dims 0 and 33 positive -> bit 0 of w0 and bit 1 of w1
+    val v = Array.fill(64)(-1.0)
+    v(0) = 0.5; v(33) = 2.0
+    val df = Seq((1L, v.toSeq)).toDF("vec_id", "embedding")
+    val out = df.select(
+        SimilarityFunctions.signSketch(col("embedding"), 64).as("s"))
+      .select(col("s.w0"), col("s.w1")).as[(Long, Long)].head()
+    assert(out === ((1L, 2L)))
+    // zero is NOT positive: an all-zero vector sketches to all-zero words
+    val z = Seq((2L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding")
+      .select(SimilarityFunctions.signSketch(col("embedding"), 64).as("s"))
+      .select(col("s.w0"), col("s.w1")).as[(Long, Long)].head()
+    assert(z === ((0L, 0L)))
+    intercept[IllegalArgumentException] {
+      SimilarityFunctions.signSketch(col("embedding"), 48)
+    }
+  }
+
+  test("hammingTopK ranks by matching bits with lower-id ties; excludes self") {
+    // q = all-positive; a agrees on all 64 dims, b on 63, c on 0
+    def vec(flip: Set[Int]): Seq[Double] =
+      (0 until 64).map(d => if (flip(d)) -1.0 else 1.0)
+    val corpus = Seq(
+      (10L, vec(Set.empty)), (11L, vec(Set(5))),
+      (12L, vec((0 until 64).toSet)), (13L, vec(Set.empty)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((10L, vec(Set.empty))).toDF("query_id", "query_vec")
+    val out = SimilarityFunctions.hammingTopK(corpus, q, k = 3, dim = 64)
+      .orderBy("rank").as[(Long, Long, Int, Int)].collect().toList
+    // self (10) excluded; 13 matches all 64 bits, 11 matches 63, 12 none
+    assert(out === List((10L, 13L, 64, 1), (10L, 11L, 63, 2), (10L, 12L, 0, 3)))
+  }
+
   test("densityClusters: an all-core clique is one cluster; minPts above max degree empties") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
     val one = SimilarityFunctions.densityClusters(edges, minPts = 2)
