@@ -1772,6 +1772,95 @@ QueryDef("seg2_segment_census",
              |  CAST(ROUND(mr, 2) AS DOUBLE) AS revenue
              |FROM a ORDER BY segment""".stripMargin)),
 
+    QueryDef("a55_theil_decomposition",
+      // Theil-T inequality decomposition of supplier revenue BY NATION:
+      // T_total = T_between + Σ_g s_g·T_within_g — the additive
+      // within/between split Gini (a24) and HHI (a45) structurally
+      // can't give ("is concentration a few dominant nations, or
+      // dominant suppliers inside each nation?"). Shares are exact-
+      // decimal ratios evaluated identically in both engines; each ln
+      // rounds 6dp (the cls1 libm convention); every term then casts
+      // to exact decimal so the sums are order-free (the fe3 IV
+      // contract). Per-nation rows carry the global between/total
+      // terms from a one-row broadcast aggregate.
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey").as("supp"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,4)")).as("_x"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("supp"), col("s_nationkey").as("nation"))
+        // pinned: nation totals AND within-nation terms read it
+        val base = graft.Caches.trackedPersist(rev.join(sup, "supp"),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val g = base.groupBy("nation")
+          .agg(count(lit(1)).as("n_suppliers"), sum(col("_x")).as("_xg"))
+        val tot = g.agg(sum(col("_xg")).as("_xt"),
+          sum(col("n_suppliers")).as("_nt"))
+        val gt = g.crossJoin(broadcast(tot))
+        val within = base
+          .join(gt.select(col("nation"), col("_xg"), col("n_suppliers")
+            .as("_ng")), "nation")
+          .withColumn("_lnr", round(log(col("_x").cast("double") *
+            col("_ng") / col("_xg").cast("double")), 6))
+          .withColumn("_term", ((col("_x").cast("double") /
+            col("_xg").cast("double")) * col("_lnr")).cast("decimal(20,10)"))
+          .groupBy("nation").agg(sum(col("_term")).as("_tw"))
+        val pern = gt.join(within, "nation")
+          .withColumn("_share",
+            col("_xg").cast("double") / col("_xt").cast("double"))
+          .withColumn("_lnb", round(log(col("_xg").cast("double") *
+            col("_nt") / (col("_xt").cast("double") * col("n_suppliers"))), 6))
+        val glob = pern.agg(
+          sum((col("_share") * col("_lnb")).cast("decimal(20,10)")).as("_tb"),
+          sum((col("_share") * col("_tw").cast("double"))
+            .cast("decimal(20,10)")).as("_twmix"))
+        pern.crossJoin(broadcast(glob))
+          .select(col("nation"), col("n_suppliers"),
+            round(col("_share"), 6).as("revenue_share"),
+            round(col("_tw").cast("double"), 6).as("theil_within"),
+            round(col("_tb").cast("double"), 6).as("theil_between"),
+            round((col("_tb") + col("_twmix")).cast("double"), 6)
+              .as("theil_total"))
+          .orderBy("nation")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey AS supp,
+             |         SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS x
+             |  FROM lineitem GROUP BY 1),
+             |base AS (
+             |  SELECT rev.supp, rev.x, s.s_nationkey AS nation
+             |  FROM rev JOIN supplier s ON rev.supp = s.s_suppkey),
+             |g AS (
+             |  SELECT nation, count(*) AS n_suppliers, SUM(x) AS xg
+             |  FROM base GROUP BY 1),
+             |tot AS (SELECT SUM(xg) AS xt, sum(n_suppliers) AS nt FROM g),
+             |w AS (
+             |  SELECT b.nation,
+             |    CAST(sum(CAST((CAST(b.x AS DOUBLE) / CAST(g.xg AS DOUBLE))
+             |      * round(ln(CAST(b.x AS DOUBLE) * g.n_suppliers
+             |          / CAST(g.xg AS DOUBLE)), 6)
+             |      AS DECIMAL(20,10))) AS DECIMAL(20,10)) AS tw
+             |  FROM base b JOIN g ON b.nation = g.nation GROUP BY 1),
+             |pern AS (
+             |  SELECT g.nation, g.n_suppliers,
+             |    CAST(g.xg AS DOUBLE) / CAST(tot.xt AS DOUBLE) AS share,
+             |    round(ln(CAST(g.xg AS DOUBLE) * tot.nt
+             |      / (CAST(tot.xt AS DOUBLE) * g.n_suppliers)), 6) AS lnb,
+             |    w.tw
+             |  FROM g JOIN w ON g.nation = w.nation CROSS JOIN tot),
+             |gl AS (
+             |  SELECT CAST(sum(CAST(share * lnb AS DECIMAL(20,10)))
+             |           AS DECIMAL(20,10)) AS tb,
+             |         CAST(sum(CAST(share * CAST(tw AS DOUBLE)
+             |           AS DECIMAL(20,10))) AS DECIMAL(20,10)) AS twmix
+             |  FROM pern)
+             |SELECT pern.nation, CAST(pern.n_suppliers AS BIGINT) AS n_suppliers,
+             |  round(pern.share, 6) AS revenue_share,
+             |  round(CAST(pern.tw AS DOUBLE), 6) AS theil_within,
+             |  round(CAST(gl.tb AS DOUBLE), 6) AS theil_between,
+             |  round(CAST(gl.tb + gl.twmix AS DOUBLE), 6) AS theil_total
+             |FROM pern CROSS JOIN gl ORDER BY nation""".stripMargin)),
+
     QueryDef("a53_poisson_bootstrap",
       // hash-deterministic Poisson bootstrap CI for the mean daily
       // return (the production bootstrap at scale — Chamandy et al.,

@@ -2046,6 +2046,104 @@ QueryDef("s17_norm_profile",
              |SELECT query_id, vec_id, cosine, "rank"
              |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
+    QueryDef("s20_mutual_knn",
+      // reciprocal best matches: pairs where each vector is the
+      // OTHER's nearest neighbor — the high-precision alignment/
+      // linkage primitive (mutual-NN is the standard seed set for
+      // embedding-space alignment and aggressive semantic dedup:
+      // one-directional top-1 chains through hubs, mutual top-1
+      // doesn't). One bounded-heap top-1 pass, then a self-join of the
+      // |corpus|-row best-match table on the reversed pair; 6dp
+      // cosines make the argmax engine-stable (the s1 contract).
+      // This is the exact all-queries baseline (the s16/s1 class); at
+      // crawl scale the same reciprocal join runs over the
+      // LSH-bucketed (s2) or IVF-probed (s3) candidate top-1s instead
+      // of the brute-force ones — the reciprocal filter is index-
+      // agnostic.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+        // pinned: both sides of the reciprocal join read the top-1 table
+        val top1 = graft.Caches.trackedPersist(
+          S.bruteForceTopK(emb, q, 1)
+            .select(col("query_id").as("a"), col("vec_id").as("b"),
+              col("cosine")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        top1.as("x").join(top1.as("y"),
+            col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+              col("x.a") < col("x.b"))
+          .select(col("x.a").as("id_a"), col("x.b").as("id_b"),
+            col("x.cosine"))
+          .orderBy("id_a")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |scored AS (
+             |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+             |    round(list_cosine_similarity(a.v, b.v), 6) AS c
+             |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+             |t1 AS (
+             |  SELECT ida AS a, idb AS b, c FROM (
+             |    SELECT ida, idb, c,
+             |      row_number() OVER (PARTITION BY ida
+             |        ORDER BY c DESC, idb) AS rn
+             |    FROM scored) WHERE rn = 1)
+             |SELECT x.a AS id_a, x.b AS id_b, x.c AS cosine
+             |FROM t1 x JOIN t1 y ON x.a = y.b AND x.b = y.a AND x.a < x.b
+             |ORDER BY id_a""".stripMargin)),
+
+    QueryDef("s21_ivf_balance",
+      // IVF cell-balance audit over s3's fixed-centroid assignment:
+      // per-cell population, share, and the imbalance factor
+      // max/mean — the serving-health table read before trusting an
+      // IVF index's probe cost model (a hub cell serves most probes;
+      // at 100 TB a 10× imbalance IS the p99). Assignment is one
+      // broadcast argmax (raw cosine, lower-cid ties — the s3
+      // semantics); everything after runs on the cell census.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("_cid"),
+            col("embedding").cast("array<double>").as("_cv"))
+        val asg = emb.crossJoin(broadcast(cents))
+          .withColumn("_cos",
+            S.cosine(col("embedding").cast("array<double>"), col("_cv")))
+          .groupBy("vec_id")
+          .agg(min(struct((-col("_cos")).as("n"), col("_cid").as("c")))
+            .getField("c").as("cell"))
+        val cells = asg.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+        val tot = cells.agg(sum(col("n_vectors")).as("_n"),
+          count(lit(1)).as("_nc"), max(col("n_vectors")).as("_mx"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vectors"),
+            round(col("n_vectors").cast("double") / col("_n").cast("double"), 6)
+              .as("share"),
+            round((col("_mx") * col("_nc")).cast("double") /
+              col("_n").cast("double"), 6).as("imbalance"))
+          .orderBy("cell")
+      },
+      Some("""WITH c AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 4),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |asg AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+             |    FROM e, c) WHERE rn = 1),
+             |cells AS (SELECT cell, count(*) AS n_vectors FROM asg GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n,
+             |               count(*) AS nc,
+             |               CAST(max(n_vectors) AS BIGINT) AS mx FROM cells)
+             |SELECT cells.cell, cells.n_vectors,
+             |  round(CAST(cells.n_vectors AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+             |    AS share,
+             |  round(CAST(tot.mx * tot.nc AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+             |    AS imbalance
+             |FROM cells CROSS JOIN tot ORDER BY cell""".stripMargin)),
+
     QueryDef("er2_fellegi_sunter",
       // Fellegi–Sunter record-linkage weights (JASA 1969) over er1's
       // planted title universe with KNOWN labels (ids sharing `div 2`

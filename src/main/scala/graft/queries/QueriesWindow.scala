@@ -2789,6 +2789,77 @@ QueryDef("w59_garman_klass",
              |    AS DOUBLE), 6) AS iv
              |FROM w2 ORDER BY feature, category""".stripMargin)),
 
+    QueryDef("fcst2_split_conformal",
+      // split-conformal prediction intervals (Vovk; Lei et al. 2018)
+      // for fcst1's naive persistence forecast: per ticker, the
+      // calibration window (pre-1997) yields the finite-sample
+      // conformal quantile q = the ⌈0.9·(n+1)⌉-th smallest absolute
+      // residual — the (n+1) correction is what makes coverage ≥ 90%
+      // a THEOREM, not an asymptotic hope — and the test window
+      // (1997+) reports realized coverage of ŷ ± q. Residuals are
+      // exact cent integers; the quantile is an exact order statistic
+      // in a per-ticker window; coverage is an integer ratio, 6dp.
+      // The model-agnostic uncertainty wrapper every production
+      // forecaster ships with.
+      (s, dir) => {
+        val wd = Window.partitionBy("ticker").orderBy("date")
+        // pinned: calibration ranks and test coverage both read it
+        val p = graft.Caches.trackedPersist(
+          prices(t(s, dir, "lineitem"))
+            .select(col("ticker"), col("date"),
+              (col("close").cast("decimal(12,2)") * 100).cast("long").as("y"))
+            .withColumn("_prev", lag(col("y"), 1).over(wd))
+            .filter(col("_prev").isNotNull)
+            .withColumn("_r", abs(col("y") - col("_prev")))
+            .withColumn("_cal",
+              col("date") < lit("1997-01-01").cast("date")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cal = p.filter(col("_cal"))
+        val calN = cal.groupBy("ticker").agg(count(lit(1)).as("n_cal"))
+        val wr = Window.partitionBy("ticker").orderBy("_r", "date")
+        val q = cal.withColumn("_rn", row_number().over(wr))
+          .join(calN, "ticker")
+          .withColumn("_k", expr("(9 * (n_cal + 1) + 9) div 10"))
+          .filter(col("_rn") === col("_k"))
+          .select(col("ticker"), col("n_cal"), col("_r").as("_q"))
+        p.filter(!col("_cal")).join(q, "ticker")
+          .groupBy("ticker")
+          .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+            max(col("_q")).as("_qc"),
+            sum(when(col("_r") <= col("_q"), 1L).otherwise(0L)).as("_cov"))
+          .select(col("ticker"), col("n_cal"), col("n_test"),
+            (col("_qc").cast("double") / 100.0).as("q_alpha"),
+            round(col("_cov").cast("double") / col("n_test").cast("double"), 6)
+              .as("coverage"))
+          .orderBy("ticker")
+      },
+      Some(pricesSql +
+        """, p AS (
+          |  SELECT ticker, "date",
+          |    CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+          |    lag(CAST(CAST(close AS DECIMAL(12,2)) * 100 AS BIGINT))
+          |      OVER (PARTITION BY ticker ORDER BY "date") AS prev
+          |  FROM prices),
+          |x AS (
+          |  SELECT ticker, "date", abs(y - prev) AS r,
+          |    ("date" < DATE '1997-01-01') AS cal
+          |  FROM p WHERE prev IS NOT NULL),
+          |cn AS (SELECT ticker, count(*) AS n_cal FROM x WHERE cal GROUP BY 1),
+          |rk AS (
+          |  SELECT x.ticker, x.r, cn.n_cal,
+          |    row_number() OVER (PARTITION BY x.ticker
+          |      ORDER BY x.r, x."date") AS rn,
+          |    (9 * (cn.n_cal + 1) + 9) // 10 AS k
+          |  FROM x JOIN cn ON x.ticker = cn.ticker WHERE x.cal),
+          |q AS (SELECT ticker, n_cal, r AS qc FROM rk WHERE rn = k)
+          |SELECT x.ticker, CAST(max(q.n_cal) AS BIGINT) AS n_cal,
+          |  count(*) AS n_test,
+          |  CAST(max(q.qc) AS DOUBLE) / 100.0 AS q_alpha,
+          |  round(CAST(sum(CASE WHEN x.r <= q.qc THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE), 6) AS coverage
+          |FROM x JOIN q ON x.ticker = q.ticker
+          |WHERE NOT x.cal GROUP BY 1 ORDER BY x.ticker""".stripMargin)),
+
     QueryDef("w60_ljung_box",
       // Ljung–Box portmanteau test per ticker (Q = T(T+2)·Σ ρ²_k/(T−k)
       // over lags 1..5) on w32's autocorrelations — "is this series
