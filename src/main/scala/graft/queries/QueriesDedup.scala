@@ -1610,6 +1610,74 @@ QueryDef("d37_vocab_overlap",
              |       JOIN sz sb ON i.src_b = sb.source
              |ORDER BY src_a, src_b""".stripMargin)),
 
+    QueryDef("d39_shingle_df_audit",
+      // shingle document-frequency audit — the capacity-planning table
+      // behind every shingle-keyed candidate join: Σdf² IS the exact
+      // row count of the self-join on shingles (the d22 lesson: an
+      // unaudited df profile benched 89.7 s; recutting the cap from
+      // the measured profile landed 5.9 s), Σdf(df−1)/2 the unordered
+      // candidate-pair count, and the p99/max df name the boilerplate
+      // shingles a cap or salt must handle. All-integer from the
+      // count-of-counts histogram; the only window runs over distinct
+      // df LEVELS (e21 convention). Run this BEFORE picking maxDf for
+      // d3/d22-class joins.
+      (s, dir) => {
+        val sgl = docs(s, dir).select(col("doc_id"),
+          explode(D.wordShingles(col("text"), 3)).as("_sgl"))
+        val dfq = sgl.groupBy("_sgl").agg(count(lit(1)).as("_df"))
+        // pinned: totals + the p99 crossing both read the histogram
+        val lv = graft.Caches.trackedPersist(
+          dfq.groupBy("_df").agg(count(lit(1)).as("_m")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = lv.agg(sum(col("_m")).as("n_shingles"),
+          sum(col("_df") * col("_m")).as("n_doc_shingle_pairs"),
+          sum(col("_df") * col("_df") * col("_m")).as("sum_df2"),
+          sum(expr("_df * (_df - 1) div 2") * col("_m")).as("cand_pairs"),
+          max(col("_df")).as("max_df"))
+        val wL = Window.orderBy("_df")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val p99 = lv.withColumn("_cum", sum(col("_m")).over(wL))
+          .crossJoin(broadcast(tot))
+          .filter(col("_cum") * 100 >= col("n_shingles") * 99 &&
+            (col("_cum") - col("_m")) * 100 < col("n_shingles") * 99)
+          .select(col("_df").as("p99_df"))
+        tot.crossJoin(broadcast(p99))
+          .select(col("n_shingles"), col("n_doc_shingle_pairs"),
+            col("sum_df2"), col("cand_pairs"), col("max_df"), col("p99_df"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) - 2 <= 0 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+             |  FROM toks),
+             |e AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh),
+             |dfq AS (SELECT sgl, count(*) AS df FROM e GROUP BY 1),
+             |lv AS (SELECT df, count(*) AS m FROM dfq GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(m) AS BIGINT) AS n_shingles,
+             |    CAST(sum(df * m) AS BIGINT) AS n_doc_shingle_pairs,
+             |    CAST(sum(df * df * m) AS BIGINT) AS sum_df2,
+             |    CAST(sum((df * (df - 1) // 2) * m) AS BIGINT) AS cand_pairs,
+             |    CAST(max(df) AS BIGINT) AS max_df
+             |  FROM lv),
+             |cum AS (
+             |  SELECT df, m,
+             |    sum(m) OVER (ORDER BY df
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             |  FROM lv),
+             |p99 AS (
+             |  SELECT CAST(cum.df AS BIGINT) AS p99_df
+             |  FROM cum CROSS JOIN tot
+             |  WHERE cum.c * 100 >= tot.n_shingles * 99
+             |    AND (cum.c - cum.m) * 100 < tot.n_shingles * 99)
+             |SELECT tot.n_shingles, tot.n_doc_shingle_pairs, tot.sum_df2,
+             |  tot.cand_pairs, tot.max_df, p99.p99_df
+             |FROM tot CROSS JOIN p99""".stripMargin)),
+
     QueryDef("d38_budget_curve",
       // token-budget curve: rank the corpus by quality (t2's score,
       // best first, doc_id ties) and report where cumulative tokens

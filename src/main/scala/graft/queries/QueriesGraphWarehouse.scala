@@ -852,6 +852,46 @@ QueryDef("g11_degree_tail",
              |    AS hill_alpha
              |FROM t CROSS JOIN ne GROUP BY t.n, t.k, ne.n_edges""".stripMargin)),
 
+    QueryDef("j10_bloom_semijoin",
+      // semi-join reduction via the native [[graft.functions
+      // .BloomMightContain]] probe: per-supplier revenue for one
+      // nation's suppliers, with the FACT SCAN pre-filtered by a
+      // driver-built Bloom over the (bounded) dimension keys before
+      // the exact broadcast join. The Bloom is a codegen'd row-local
+      // predicate riding the scan — at 100 TB it drops ~24/25 of the
+      // fact rows before ANY join machinery (the manual form of
+      // Spark's runtime row-level filtering, here explicit and
+      // engine-controlled). No false negatives ⇒ the exact join makes
+      // the result IDENTICAL to the plain join for any seed/fpp — the
+      // oracle is the plain SQL. QueriesSpec pins the plan shape
+      // (Bloom filter above the lineitem scan + broadcast join).
+      (s, dir) => {
+        import org.apache.spark.util.sketch.BloomFilter
+        val dim = t(s, dir, "supplier")
+          .filter(col("s_nationkey") === 7)
+          .select(col("s_suppkey").as("supp"))
+        // bounded collect: one nation's supplier keys (catalog-sized)
+        val keys = dim.collect().map(_.getLong(0))
+        val bloom = BloomFilter.create(math.max(keys.length.toLong, 1L), 0.01)
+        keys.foreach(k => bloom.putString(k.toString))
+        val li = t(s, dir, "lineitem")
+          .filter(graft.functions.BloomMightContain(
+            col("l_suppkey").cast("string"), bloom))
+          .select(col("l_suppkey").as("supp"),
+            revenueDec.as("_r"))
+        li.join(broadcast(dim), "supp")
+          .groupBy("supp")
+          .agg(count(lit(1)).as("n_lines"), money2(sum(col("_r"))).as("revenue"))
+          .orderBy("supp")
+      },
+      Some("""SELECT l.l_suppkey AS supp, count(*) AS n_lines,
+             |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+             |    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |WHERE s.s_nationkey = 7
+             |GROUP BY 1 ORDER BY supp""".stripMargin)),
+
     QueryDef("g12_modularity",
       // Newman modularity of g2's LPA partition over the co-purchase
       // graph: Q = Σ_c [e_c/m − (d_c/2m)²] — "did label propagation

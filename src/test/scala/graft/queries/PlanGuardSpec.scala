@@ -48,6 +48,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "d35_dup_locality" -> "2-row within/cross-source census",
     "url3_param_census" -> "distinct query-parameter KEYS (a name vocabulary, not rows)",
     "a50_order_size_hist" -> "order-size histogram LEVELS (bounded by max lines per order)",
+    "d39_shingle_df_audit" -> "cumulative over distinct shingle-df LEVELS (count-of-counts histogram)",
     "a51_discount_mix" -> "11 discount bands")
 
   test("no unpartitioned Window over a data-sized frame (allow-list enforced)") {

@@ -108,6 +108,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(again === est)
   }
 
+  test("j10 plans the Bloom probe as a scan-side filter before a broadcast join") {
+    val plan = Queries.byName("j10_bloom_semijoin")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the codegen'd Bloom predicate must prune the FACT side before the
+    // join (it renders as the expression class name in the plan), and
+    // the dimension must ride a broadcast join
+    assert(plan.contains("BloomMightContain") || plan.contains("bloommightcontain"),
+      s"Bloom probe missing from plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the dimension broadcast, plan:\n$plan")
+  }
+
   test("j9_star_join plans broadcast joins for the dimension chain") {
     val plan = Queries.byName("j9_star_join")(spark, sf)
       .queryExecution.executedPlan.toString
