@@ -1144,6 +1144,80 @@ QueryDef("e32_behavior_lift",
              |FROM p JOIN tc ta ON p.ante = ta.event_type
              |       JOIN tc tb ON p.cons = tb.event_type
              |       CROSS JOIN nu
-             |ORDER BY ante, cons""".stripMargin))
+             |ORDER BY ante, cons""".stripMargin)),
+
+    QueryDef("e35_retention_decay",
+      // parametric summary of e10's retention matrix: per cohort, the
+      // OLS fit of ln(retention) against week offset — the decay rate
+      // one number captures what the matrix says in thirty ("is this
+      // cohort's churn improving"), plus the implied half-life. The
+      // t20 fit contract: per-point lns round 6dp and enter the fit
+      // sums as exact decimals (offsets are exact integers), so both
+      // engines fit identical points; slope/half-life round 6dp.
+      // Offset-0 cells (retention ≡ 1) are excluded — they carry no
+      // decay information and would anchor the fit at ln(1)=0.
+      (s, dir) => {
+        val pts = EventAnalyticsOps.cohortRetention(events(s, dir))
+          .filter(col("week_offset") >= 1 && col("retention_rate") > 0)
+          .select(col("cohort_week"),
+            col("week_offset").cast("long").as("_x"),
+            round(log(col("retention_rate")), 6)
+              .cast("decimal(12,6)").as("_y"))
+        pts.groupBy("cohort_week")
+          .agg(count(lit(1)).as("n_points"),
+            sum(col("_x")).as("_sx"),
+            sum(col("_y")).as("_sy"),
+            sum(col("_x") * col("_y")).as("_sxy"),
+            sum(col("_x") * col("_x")).as("_sxx"))
+          .filter(col("n_points") >= 3)
+          .withColumn("_b",
+            (col("n_points") * col("_sxy") - col("_sx") * col("_sy"))
+              .cast("double") /
+              (col("n_points") * col("_sxx") - col("_sx") * col("_sx"))
+                .cast("double"))
+          .select(col("cohort_week"), col("n_points"),
+            round(col("_b"), 6).as("decay_rate"),
+            when(col("_b") < 0,
+              round(lit(-math.log(2.0)) / col("_b"), 6))
+              .as("half_life_weeks"))
+          .orderBy("cohort_week")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id,
+             |         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+             |  FROM events GROUP BY user_id),
+             |sz AS (SELECT cohort_week, count(*) AS cohort_size
+             |       FROM f GROUP BY cohort_week),
+             |act AS (
+             |  SELECT DISTINCT f.cohort_week,
+             |    CAST(date_diff('day', f.cohort_week,
+             |           CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INTEGER)
+             |      AS week_offset,
+             |    e.user_id
+             |  FROM events e JOIN f ON e.user_id = f.user_id),
+             |a AS (SELECT cohort_week, week_offset, count(*) AS active_users
+             |      FROM act GROUP BY 1, 2),
+             |pts AS (
+             |  SELECT a.cohort_week, CAST(a.week_offset AS BIGINT) AS x,
+             |    CAST(round(ln(round(CAST(a.active_users AS DOUBLE)
+             |      / sz.cohort_size, 6)), 6) AS DECIMAL(12,6)) AS y
+             |  FROM a JOIN sz USING (cohort_week)
+             |  WHERE a.week_offset >= 1
+             |    AND round(CAST(a.active_users AS DOUBLE) / sz.cohort_size, 6) > 0),
+             |s AS (
+             |  SELECT cohort_week, count(*) AS k,
+             |    CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+             |    sum(x * y) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM pts GROUP BY 1),
+             |b AS (
+             |  SELECT cohort_week, k,
+             |    CAST(k * sxy - sx * sy AS DOUBLE)
+             |      / CAST(k * sxx - sx * sx AS DOUBLE) AS b
+             |  FROM s WHERE k >= 3)
+             |SELECT cohort_week, CAST(k AS BIGINT) AS n_points,
+             |  round(b, 6) AS decay_rate,
+             |  CASE WHEN b < 0 THEN round(-ln(2.0) / b, 6) END
+             |    AS half_life_weeks
+             |FROM b ORDER BY cohort_week""".stripMargin))
   )
 }

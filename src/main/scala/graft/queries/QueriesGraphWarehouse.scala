@@ -892,6 +892,78 @@ QueryDef("g11_degree_tail",
              |WHERE s.s_nationkey = 7
              |GROUP BY 1 ORDER BY supp""".stripMargin)),
 
+    QueryDef("g13_rich_club",
+      // rich-club coefficient φ(k) of the first-two-years co-purchase
+      // graph: among nodes of degree > k, the realized edge density —
+      // "do the hubs preferentially trade with each other" (φ rising
+      // with k ⇒ a hub oligarchy; the skew-defense planning signal
+      // one level above g11's degree tail). All-integer counts
+      // (φ = 2E/(N(N−1)) is the one division, 6dp); the k-sweep reads
+      // the pinned degree/edge frames, never rescans lineitem.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e = graft.Caches.trackedPersist(
+          li.as("a").join(li.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+            .select(col("a.pk").as("u"), col("b.pk").as("v"))
+            .distinct(),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = graft.Caches.trackedPersist(
+          e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("_d")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ks = s.range(0, 4).select(
+          element_at(array(lit(2), lit(4), lit(8), lit(16)),
+            (col("id") + 1).cast("int")).as("k"))
+        val nodes = deg.crossJoin(broadcast(ks))
+          .filter(col("_d") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+        val within = e
+          .join(deg.select(col("node").as("u"), col("_d").as("_du")), "u")
+          .join(deg.select(col("node").as("v"), col("_d").as("_dv")), "v")
+          .crossJoin(broadcast(ks))
+          .filter(col("_du") > col("k") && col("_dv") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_edges_within"))
+        nodes.join(within, Seq("k"), "left")
+          .withColumn("n_edges_within",
+            coalesce(col("n_edges_within"), lit(0L)))
+          .select(col("k"), col("n_nodes"), col("n_edges_within"),
+            when(col("n_nodes") >= 2,
+              round((col("n_edges_within") * 2).cast("double") /
+                (col("n_nodes") * (col("n_nodes") - 1)).cast("double"), 6))
+              .as("phi"))
+          .orderBy("k")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+             |            WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+             |e AS (
+             |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS (
+             |  SELECT node, count(*) AS d FROM (
+             |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+             |  GROUP BY 1),
+             |ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+             |nn AS (
+             |  SELECT ks.k, count(*) AS n_nodes
+             |  FROM deg CROSS JOIN ks WHERE deg.d > ks.k GROUP BY 1),
+             |wi AS (
+             |  SELECT ks.k, count(*) AS n_edges_within
+             |  FROM e JOIN deg du ON e.u = du.node
+             |         JOIN deg dv ON e.v = dv.node
+             |         CROSS JOIN ks
+             |  WHERE du.d > ks.k AND dv.d > ks.k GROUP BY 1)
+             |SELECT nn.k, nn.n_nodes,
+             |  CAST(COALESCE(wi.n_edges_within, 0) AS BIGINT) AS n_edges_within,
+             |  CASE WHEN nn.n_nodes >= 2 THEN
+             |    round(CAST(COALESCE(wi.n_edges_within, 0) * 2 AS DOUBLE)
+             |      / CAST(nn.n_nodes * (nn.n_nodes - 1) AS DOUBLE), 6) END
+             |    AS phi
+             |FROM nn LEFT JOIN wi ON nn.k = wi.k ORDER BY nn.k""".stripMargin)),
+
     QueryDef("g12_modularity",
       // Newman modularity of g2's LPA partition over the co-purchase
       // graph: Q = Σ_c [e_c/m − (d_c/2m)²] — "did label propagation

@@ -2046,6 +2046,118 @@ QueryDef("s17_norm_profile",
              |SELECT query_id, vec_id, cosine, "rank"
              |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
+    QueryDef("s22_probe_sweep",
+      // IVF tuning curve: recall@5 vs the exact s1 answer for
+      // nProbe ∈ {1,2,3,4} in ONE query — the table that picks the
+      // probe budget (s7 measures one config; the sweep shows the
+      // recall/cost knee). Assignment + probe ranks compute once;
+      // the per-config top-5 rides the bounded-heap topKPerQuery with
+      // a composite (query·10 + nProbe) key — no per-config rescan,
+      // no data-sized window. Recalls are exact rationals, 6dp.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("_cid"),
+            col("embedding").cast("array<double>").as("_cv"))
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        val cells = emb.crossJoin(broadcast(cents))
+          .withColumn("_cos",
+            S.cosine(col("embedding").cast("array<double>"), col("_cv")))
+          .groupBy("vec_id")
+          .agg(min(struct((-col("_cos")).as("n"), col("_cid").as("c")))
+            .getField("c").as("cell"))
+        // pinned: the 4 probe configs all scan the assigned corpus once
+        val asg = graft.Caches.trackedPersist(
+          emb.select(col("vec_id"), col("embedding")).join(cells, "vec_id"),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("_c", S.cosine(col("query_vec").cast("array<double>"),
+            col("_cv")))
+          .withColumn("rp", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("_c").desc, col("_cid"))))
+          .select(col("query_id"), col("query_vec"),
+            col("_cid").as("cell"), col("rp"))
+        val nps = s.range(1, 5).select(col("id").cast("int").as("n_probe"))
+        val cand = asg.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("_cos", round(S.cosine(
+            col("embedding").cast("array<double>"),
+            col("query_vec").cast("array<double>")), 6))
+          .crossJoin(broadcast(nps))
+          .filter(col("rp") <= col("n_probe"))
+          .select((col("query_id") * 10 + col("n_probe")).cast("long").as("_q"),
+            col("vec_id").cast("long").as("_id"), col("_cos").as("_c"))
+        import s.implicits._
+        val approx = S.topKPerQuery(cand.as[(Long, Long, Double)], 5)
+          .select(expr("_q div 10").as("query_id"),
+            (col("_q") % 10).cast("int").as("n_probe"), col("_id").as("vec_id"))
+        val exact = graft.Caches.trackedPersist(
+          S.bruteForceTopK(emb, q, 5).select(col("query_id"), col("vec_id")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hits = approx.join(exact, Seq("query_id", "vec_id"))
+          .groupBy("query_id", "n_probe").agg(count(lit(1)).as("_h"))
+        val grid = q.select(col("query_id")).crossJoin(broadcast(nps))
+        grid.join(hits, Seq("query_id", "n_probe"), "left")
+          .withColumn("_h", coalesce(col("_h"), lit(0L)))
+          .groupBy("n_probe")
+          .agg(count(lit(1)).as("n_queries"),
+            round(sum(col("_h")).cast("double") /
+              (count(lit(1)) * 5).cast("double"), 6).as("mean_recall"),
+            round(min(col("_h")).cast("double") / 5.0, 6).as("min_recall"))
+          .orderBy("n_probe")
+      },
+      Some("""WITH c AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 4),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+             |cells AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+             |    FROM e, c) WHERE rn = 1),
+             |probes AS (
+             |  SELECT query_id, qv, cid AS cell, rp FROM (
+             |    SELECT q.query_id, q.qv, c.cid,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rp
+             |    FROM q, c)),
+             |nps AS (SELECT unnest([1, 2, 3, 4]) AS n_probe),
+             |appr AS (
+             |  SELECT query_id, n_probe, vec_id FROM (
+             |    SELECT p.query_id, np.n_probe, a.vec_id,
+             |      row_number() OVER (PARTITION BY p.query_id, np.n_probe
+             |        ORDER BY round(list_cosine_similarity(ev.v, p.qv), 6) DESC,
+             |                 a.vec_id) AS rk
+             |    FROM cells a JOIN e ev ON a.vec_id = ev.vec_id
+             |    JOIN probes p ON a.cell = p.cell
+             |    CROSS JOIN nps np
+             |    WHERE p.rp <= np.n_probe AND a.vec_id <> p.query_id)
+             |  WHERE rk <= 5),
+             |exact AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT q.query_id, e.vec_id,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+             |                 e.vec_id) AS rk
+             |    FROM e, q WHERE e.vec_id <> q.query_id) WHERE rk <= 5),
+             |hits AS (
+             |  SELECT a.query_id, a.n_probe, count(*) AS h
+             |  FROM appr a JOIN exact x
+             |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+             |  GROUP BY 1, 2),
+             |grid AS (SELECT q.query_id, np.n_probe FROM q CROSS JOIN nps np)
+             |SELECT g.n_probe, count(*) AS n_queries,
+             |  round(CAST(sum(COALESCE(h.h, 0)) AS DOUBLE)
+             |    / CAST(count(*) * 5 AS DOUBLE), 6) AS mean_recall,
+             |  round(CAST(min(COALESCE(h.h, 0)) AS DOUBLE) / 5.0, 6)
+             |    AS min_recall
+             |FROM grid g LEFT JOIN hits h
+             |  ON g.query_id = h.query_id AND g.n_probe = h.n_probe
+             |GROUP BY 1 ORDER BY g.n_probe""".stripMargin)),
+
     QueryDef("s20_mutual_knn",
       // reciprocal best matches: pairs where each vector is the
       // OTHER's nearest neighbor — the high-precision alignment/
