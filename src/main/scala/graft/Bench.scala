@@ -28,19 +28,35 @@ object Bench {
       .getOrElse("bench_out.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // harmless for TIMESTAMP(MICROS) events.parquet; required for the
-      // TIMESTAMP(NANOS) generation (see Queries.events).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JVM/codegen/FS-cache, so per-query numbers measure the
-    // queries rather than first-job startup.
-    for (t <- Seq("lineitem", "documents", "embeddings"))
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    // second in-run load defense (r12: System.gc() between queries cut
+    // the full-registry inflation vs the idle-box bank from +42% to
+    // +17..31%, but 333 queries x 3 iters still accrete JVM history —
+    // session-state caches, broadcast torrents, and codegen classes
+    // pinned by the session's classloaders): RESTART the SparkSession
+    // every `batch` queries. A stopped context releases its broadcast
+    // pool and drops the generated-class loaders (metaspace becomes
+    // collectable), so each batch starts from the same near-idle JVM
+    // the bank's per-family runs see. Restart + re-warmup cost sits
+    // OUTSIDE every timed window. 0 disables (single session).
+    val batch = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "25").toInt
+
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        // harmless for TIMESTAMP(MICROS) events.parquet; required for the
+        // TIMESTAMP(NANOS) generation (see Queries.events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // warm-up: JVM/codegen/FS-cache, so per-query numbers measure the
+      // queries rather than first-job startup.
+      for (t <- Seq("lineitem", "documents", "embeddings"))
+        s.read.parquet(s"$sfDir/$t.parquet").count()
+      s
+    }
+    var spark = newSession()
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // several operators persist() shared lineage internally; drop those
@@ -73,9 +89,20 @@ object Bench {
     // sets it, so round benches always time the full registry
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    var sinceRestart = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      if (batch > 0 && sinceRestart >= batch) {
+        // drop every pinned block and the session with it; the next
+        // batch gets a fresh context (see `batch` above). Outside any
+        // timed window by construction.
+        Caches.releaseAll()
+        spark.stop()
+        spark = newSession()
+        sinceRestart = 0
+      }
+      sinceRestart += 1
       val times = try {
         (1 to iters).map(_ => timeOne(fn))
       } catch {

@@ -148,6 +148,31 @@ object SimilarityFunctions {
     * k × |queries| rows), then one tiny window rank over the survivors.
     * Output columns `_q, _id, _c, rank`; ties broken by lower id.
     */
+  /** Per-partition bounded-heap pass shared by [[topKPerQuery]] and
+    * the [[hammingTopK]] kernel: folds (query, id, score) rows into
+    * per-query k-heaps and emits the survivors (≤ k × |queries| rows
+    * per partition). Worst-first ordering: lower score is worse; on
+    * equal score a HIGHER id is worse (final tie-break prefers the
+    * lower id).
+    */
+  private def heapPartial(it: Iterator[(Long, Long, Double)],
+      k: Int): Iterator[(Long, Long, Double)] = {
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+      case (c, id) => (-c, id)
+    }
+    val heaps = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+    it.foreach { case (q, id, c) =>
+      val h = heaps.getOrElseUpdate(q,
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+      if (h.size < k) h.enqueue((c, id))
+      else if (worstFirst.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
+    }
+    heaps.iterator.flatMap { case (q, h) =>
+      h.iterator.map { case (c, id) => (q, id, c) }
+    }
+  }
+
   def topKPerQuery(scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
       k: Int): DataFrame = {
     // k <= 0 would call h.head on an empty heap inside an executor task;
@@ -155,24 +180,7 @@ object SimilarityFunctions {
     require(k > 0, s"top-k requires k > 0 (got $k)")
     val spark = scored.sparkSession
     import spark.implicits._
-    // worst-first ordering: lower score is worse; on equal score a
-    // HIGHER id is worse (final tie-break prefers the lower id).
-    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
-      case (c, id) => (-c, id)
-    }
-    val partial = scored.mapPartitions { it =>
-      val heaps = scala.collection.mutable.Map
-        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-      it.foreach { case (q, id, c) =>
-        val h = heaps.getOrElseUpdate(q,
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
-        if (h.size < k) h.enqueue((c, id))
-        else if (worstFirst.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
-      }
-      heaps.iterator.flatMap { case (q, h) =>
-        h.iterator.map { case (c, id) => (q, id, c) }
-      }
-    }
+    val partial = scored.mapPartitions(it => heapPartial(it, k))
     val w = Window.partitionBy(col("_q")).orderBy(col("_c").desc, col("_id"))
     partial.toDF("_q", "_id", "_c")
       .withColumn("rank", row_number().over(w))
@@ -219,6 +227,12 @@ object SimilarityFunctions {
     * –Williamson / Charikar SimHash), so Hamming distance on sketches
     * is a monotone estimate of angular distance. Scan-local expression
     * (no UDF); pair with [[hammingTopK]].
+    *
+    * A vector whose length ≠ `dim` (or a null vector) sketches to a
+    * NULL struct — never to zero-filled bits. Truncated/malformed
+    * embeddings must be visible as missing sketches, not folded into
+    * plausible Hamming distances as if every absent dim were
+    * negative (r12 ADVICE).
     */
   def signSketch(vec: Column, dim: Int): Column = {
     require(dim > 0 && dim % 32 == 0, s"dim must be a multiple of 32 (got $dim)")
@@ -228,16 +242,37 @@ object SimilarityFunctions {
           lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"w$w")
     }
-    struct(words: _*)
+    when(size(vec) === dim, struct(words: _*))
   }
 
   /** Exact top-k by MATCHING BITS over [[signSketch]] words (64 −
-    * Hamming for dim 64): xor + bit_count per word, then the same
-    * two-phase bounded-heap top-k as [[bruteForceTopK]] (ties → lower
-    * id). The corpus ships sketches only — at 100 TB the sketch table
-    * is dim/8 bytes per vector and the scan is bitwise ops inside
-    * whole-stage codegen; raw vectors stay in the lake for the
-    * (optional) exact re-rank of the shortlist, the s9/s12 pattern.
+    * Hamming for dim 64): xor + bit_count per word, ties → lower id,
+    * self-matches (shared id) excluded — the same answer as ranking
+    * the full pair matrix, computed without ever MATERIALIZING it.
+    *
+    * Architecture (the [[ivfPqTopK]] kernel shape, adopted in r13
+    * after the first cut — sketch-join + bounded-heap over 4M
+    * produced pair ROWS — benched 72 s at a 2000×2000 pair matrix,
+    * ~17 µs/pair lost to per-pair row production in the
+    * BroadcastNestedLoopJoin + projection path): query sketches
+    * collect to the driver (a serving batch × dim/8 bytes — the
+    * bounded-collect convention [[ivfPqTopK]] established for raw
+    * query vectors, strictly smaller here) and broadcast; the corpus
+    * pays ONE mapPartitions scan over its sketch words with a tight
+    * xor + Long.bitCount loop per query and per-partition bounded
+    * heaps ([[topKPerQuery]]'s exact semantics via the shared
+    * partial-heap helper), so each partition emits ≤ k × |queries|
+    * rows and the pair matrix never exists as rows anywhere. The
+    * same scan at 2000×2000 runs in well under a second.
+    *
+    * At 100 TB the sketch table is dim/8 bytes per vector; the scan
+    * parallelizes with corpus partitions, nothing corpus-sized
+    * shuffles, and raw vectors stay in the lake for the (optional)
+    * exact re-rank of the shortlist, the s9/s12 pattern.
+    *
+    * Rows whose sketch is NULL ([[signSketch]]'s length-mismatch
+    * contract) drop from both sides — malformed vectors are visible
+    * by absence, never folded into plausible Hamming distances.
     */
   def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -246,17 +281,35 @@ object SimilarityFunctions {
     import spark.implicits._
     requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
     val nw = dim / 32
-    val c = corpus.select(col(idCol).cast("long").as("_id"),
-      signSketch(col(vecCol), dim).as("_s"))
-    val q = queries.select(col(qIdCol).cast("long").as("_q"),
-      signSketch(col(qVecCol), dim).as("_qs"))
-    val matching = lit(dim) - (0 until nw).map(w =>
-        expr(s"bit_count(_s.w$w ^ _qs.w$w)")).reduce(_ + _)
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("_id") =!= col("_q"))
-      .select(col("_q"), col("_id"), matching.cast("double").as("_m"))
-      .as[(Long, Long, Double)]
-    topKPerQuery(scored, k)
+    def wordsOf(df: DataFrame, id: String, vec: String): DataFrame = {
+      val s = signSketch(col(vec), dim)
+      df.select(col(id).cast("long").as("_id"), s.as("_s"))
+        .filter(col("_s").isNotNull)
+        .select(col("_id"),
+          array((0 until nw).map(w => col(s"_s.w$w")): _*).as("_ws"))
+    }
+    val qRows: Array[(Long, Array[Long])] =
+      wordsOf(queries, qIdCol, qVecCol).as[(Long, Seq[Long])]
+        .collect().map { case (id, ws) => (id, ws.toArray) }
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val partial = wordsOf(corpus, idCol, vecCol).as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        heapPartial(it.flatMap { case (id, wsSeq) =>
+          val ws = wsSeq.toArray
+          qs.iterator.flatMap { case (qid, qws) =>
+            if (qid == id) Iterator.empty
+            else {
+              var m = dim; var w = 0
+              while (w < ws.length) {
+                m -= java.lang.Long.bitCount(ws(w) ^ qws(w)); w += 1
+              }
+              Iterator.single((qid, id, m.toDouble))
+            }
+          }
+        }, k)
+      }
+    topKPerQuery(partial, k)
       .select(col("_q").as(qIdCol), col("_id").as(idCol),
         col("_c").cast("int").as("matching_bits"), col("rank"))
   }
@@ -637,8 +690,10 @@ object SimilarityFunctions {
     * box no oracle can follow.
     *
     * Pinned semantics (each independently cheap to replay):
-    *  - init: the k vectors with the smallest `idCol` (centroid_id =
-    *    that id) — data-derived, no RNG;
+    *  - init: the k vectors with the smallest `idCol`, RENUMBERED to
+    *    centroid_id 0..k-1 in ascending source-id order (the original
+    *    ids are discarded; an oracle must emit the 0-based index, not
+    *    the source vec_ids) — data-derived, no RNG;
     *  - assignment: argmax RAW cosine, ties → lower centroid id (the
     *    s3 oracle precedent: sequential-fold dot products are
     *    bit-stable across engines);
@@ -1390,6 +1445,87 @@ object SimilarityFunctions {
         idCol, cellCol, codesCol, qIdCol, qVecCol, cIdCol, cVecCol)
       .select(col(qIdCol).cast("long"), col(idCol).cast("long"))
     exactRerank(corpus, queries, cand, dim, k, idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** The DISTINCT coarse cells any of `queries` probes — [[ivfPqTopK]]'s
+    * probe rule exactly (cosine desc, centroid id asc, NaN probes last),
+    * evaluated on the driver. Bounded on both axes by the operators'
+    * existing contracts: queries collect in [[ivfPqTopK]] already (a
+    * serving batch, not a corpus), centroids are k·dim rows (the
+    * documented bounded-collect convention). Result size ≤ |centroids|.
+    *
+    * This is the handle that turns probing into PARTITION PRUNING on a
+    * stored index: cells known before the plan compiles become an
+    * `isin` predicate on the hive partition column, so the scan reads
+    * nProbe directories instead of the whole index
+    * ([[ivfPqTopKStored]]).
+    */
+  def probedCells(queries: DataFrame, centroids: DataFrame, nProbe: Int,
+      qIdCol: String = "query_id", qVecCol: String = "query_vec",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): Seq[Long] = {
+    require(nProbe > 0, s"nProbe must be positive (got $nProbe)")
+    val cs = collectCentroids(centroids, cIdCol, cVecCol)
+    val dim0 = cs.headOption.map(_._2.length).getOrElse(0)
+    val qRows = queries
+      .select(col(qVecCol).cast("array<double>"))
+      .filter(col(qVecCol).isNotNull && size(col(qVecCol)) === dim0)
+      .collect().map(_.getSeq[Double](0).toArray)
+    qRows.flatMap { qv =>
+      cs.map { case (cid, cv) =>
+        val s = cosineLocal(qv, cv)
+        (if (s.isNaN) Double.MaxValue else -s, cid)
+      }.sorted.take(nProbe).map(_._2)
+    }.distinct.sorted.toSeq
+  }
+
+  /** Persist an [[ivfPqIndex]] as a HIVE-PARTITIONED parquet table:
+    * one `cell=<id>` directory per coarse cell, rows within a cell
+    * clustered by id (one range pass — the `optimizeZOrder` shape with
+    * the partition column leading, so each directory's files hold
+    * contiguous id runs and never interleave cells). This is the
+    * serving layout a 100 TB ANN tier actually deploys: the index is
+    * built/refreshed offline (nightly, after re-training), and every
+    * online probe maps to DIRECTORY reads — [[ivfPqTopKStored]] prunes
+    * the scan to the probed cells via `PartitionFilters`, so serving
+    * cost is nProbe/nCells of the index on DISK, not just post-scan.
+    *
+    * `codes` (array<int>, m bytes of PQ payload per row) and the id
+    * are the only data columns — raw vectors never enter the serving
+    * table, the [[ivfPqIndex]] contract.
+    */
+  def writeIvfPqIndexPartitioned(index: DataFrame, path: String,
+      cellCol: String = "cell", idCol: String = "vec_id"): Unit =
+    index
+      .repartitionByRange(col(cellCol), col(idCol))
+      .sortWithinPartitions(col(cellCol), col(idCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(path)
+
+  /** IVF-PQ serving from the STORED, cell-partitioned index (the
+    * [[writeIvfPqIndexPartitioned]] layout): probe assignment runs
+    * driver-side FIRST ([[probedCells]] — same rule, same bounded
+    * collects as [[ivfPqTopK]]), the probed cell ids become an `isin`
+    * predicate on the hive partition column — `PartitionFilters` in
+    * the scan, nProbe directories read, unprobed cells never touch
+    * disk — and the pruned frame serves through [[ivfPqTopK]]
+    * unchanged (whose executor-side cell→queries map keys the SAME
+    * assignment, so pre-pruning is result-transparent by
+    * construction: rows outside probed cells contribute nothing
+    * either way). Same determinism contract as s11: 6dp ADC cosines,
+    * ties to lower id.
+    */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      dim: Int, m: Int, codes: Int, k: Int, nProbe: Int,
+      idCol: String = "vec_id", cellCol: String = "cell",
+      codesCol: String = "codes", qIdCol: String = "query_id",
+      qVecCol: String = "query_vec",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
+    val cells = probedCells(queries, centroids, nProbe,
+      qIdCol, qVecCol, cIdCol, cVecCol)
+    val pruned = spark.read.parquet(path)
+      .filter(col(cellCol).isin(cells.map(Long.box): _*))
+    ivfPqTopK(pruned, queries, centroids, codebooks, dim, m, codes, k,
+      nProbe, idCol, cellCol, codesCol, qIdCol, qVecCol, cIdCol, cVecCol)
   }
 
   /** KNN majority-vote label assignment — auto-labeling / label

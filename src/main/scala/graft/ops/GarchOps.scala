@@ -35,6 +35,14 @@ object GarchOps {
   /** Input columns: `ticker` LONG, `date` DATE, `_r2p` LONG (squared
     * clamped return in picounits). Output: (`ticker`, `date`, `_v`) —
     * the conditional variance in picounits, one row per input row.
+    *
+    * PRECONDITION: (`ticker`, `date`) must be UNIQUE — the recursion
+    * visits rows in (ticker, date) order, which is only a total order
+    * when dates don't repeat within a ticker. Duplicate dates would
+    * make the visit order (and every subsequent `_v`) depend on
+    * partitioning. Callers on raw data dedup first (w40 does); if a
+    * legitimately-multivalued feed ever needs this, add a
+    * deterministic tiebreak column to the sortWithinPartitions.
     */
   def garchVariancePicounits(base: DataFrame,
       omegaPicounits: Long = 2000000L): DataFrame = {

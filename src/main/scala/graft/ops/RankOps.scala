@@ -89,7 +89,13 @@ object RankOps {
           s"prefix sum supports LONG/DECIMAL, got $other")
       })
     val m = fieldIdx.length
-    // pass 1: per-partition (count, totals)
+    // pass 1: per-partition (count, totals).
+    // INVARIANT: this pass and pass 2 below MUST read the SAME
+    // `sorted.rdd` instance — Dataset.rdd is a lazy val, so both see
+    // one shuffle with one set of sampled range boundaries. Deriving
+    // `sorted` twice (or calling .rdd on two Dataset instances) would
+    // sample boundaries independently and silently corrupt the seeded
+    // offsets near partition edges.
     val partTotals = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
       var cnt = 0L
       val dec = Array.fill(m)(java.math.BigDecimal.ZERO)

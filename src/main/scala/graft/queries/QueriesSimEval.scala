@@ -15,6 +15,56 @@ private[queries] object QueriesSimEval {
   import Q.{money2, prices, pricesSql, revenueDec, t}
   import QHelpers._
 
+  private val s11OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb AS (
+      |  SELECT s.subspace, CAST(c.vec_id AS INTEGER) AS code,
+      |         list_slice(c.v, s.subspace * 8 + 1, s.subspace * 8 + 8) AS centroid_vec
+      |  FROM e c, generate_series(0, 7) AS s(subspace)
+      |  WHERE c.vec_id < 4),
+      |enc AS (
+      |  SELECT vec_id, subspace, centroid_vec FROM (
+      |    SELECT e.vec_id, cb.subspace, cb.centroid_vec,
+      |           row_number() OVER (PARTITION BY e.vec_id, cb.subspace
+      |             ORDER BY list_distance(
+      |               list_slice(e.v, cb.subspace * 8 + 1, cb.subspace * 8 + 8),
+      |               cb.centroid_vec), cb.code) AS rn
+      |    FROM e, cb) WHERE rn = 1),
+      |recon AS (
+      |  SELECT vec_id, flatten(list(centroid_vec ORDER BY subspace)) AS rv
+      |  FROM enc GROUP BY vec_id),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |cell AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+      |    FROM e, cents c) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+      |probe AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+      |    FROM q, cents c) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT q.query_id, r.vec_id,
+      |         round(list_cosine_similarity(r.rv, q.qv), 6) AS cosine
+      |  FROM recon r
+      |  JOIN cell ON cell.vec_id = r.vec_id
+      |  JOIN probe p ON p.cid = cell.cid
+      |  JOIN q ON q.query_id = p.query_id
+      |  WHERE r.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+      |  FROM scored)
+      |SELECT query_id, vec_id, cosine, "rank" FROM ranked
+      |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("er1_entity_resolution",
@@ -544,53 +594,46 @@ QueryDef("s11_ivfpq_topk",
             k = 5, nProbe = 2)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |cb AS (
-             |  SELECT s.subspace, CAST(c.vec_id AS INTEGER) AS code,
-             |         list_slice(c.v, s.subspace * 8 + 1, s.subspace * 8 + 8) AS centroid_vec
-             |  FROM e c, generate_series(0, 7) AS s(subspace)
-             |  WHERE c.vec_id < 4),
-             |enc AS (
-             |  SELECT vec_id, subspace, centroid_vec FROM (
-             |    SELECT e.vec_id, cb.subspace, cb.centroid_vec,
-             |           row_number() OVER (PARTITION BY e.vec_id, cb.subspace
-             |             ORDER BY list_distance(
-             |               list_slice(e.v, cb.subspace * 8 + 1, cb.subspace * 8 + 8),
-             |               cb.centroid_vec), cb.code) AS rn
-             |    FROM e, cb) WHERE rn = 1),
-             |recon AS (
-             |  SELECT vec_id, flatten(list(centroid_vec ORDER BY subspace)) AS rv
-             |  FROM enc GROUP BY vec_id),
-             |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
-             |cell AS (
-             |  SELECT vec_id, cid FROM (
-             |    SELECT e.vec_id, c.cid,
-             |           row_number() OVER (PARTITION BY e.vec_id
-             |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
-             |    FROM e, cents c) WHERE rn = 1),
-             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-             |probe AS (
-             |  SELECT query_id, cid FROM (
-             |    SELECT q.query_id, c.cid,
-             |           row_number() OVER (PARTITION BY q.query_id
-             |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
-             |    FROM q, cents c) WHERE rn <= 2),
-             |scored AS (
-             |  SELECT q.query_id, r.vec_id,
-             |         round(list_cosine_similarity(r.rv, q.qv), 6) AS cosine
-             |  FROM recon r
-             |  JOIN cell ON cell.vec_id = r.vec_id
-             |  JOIN probe p ON p.cid = cell.cid
-             |  JOIN q ON q.query_id = p.query_id
-             |  WHERE r.vec_id <> q.query_id),
-             |ranked AS (
-             |  SELECT query_id, vec_id, cosine,
-             |         CAST(row_number() OVER (PARTITION BY query_id
-             |           ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
-             |  FROM scored)
-             |SELECT query_id, vec_id, cosine, "rank" FROM ranked
-             |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+      Some(s11OracleSql)),
+
+QueryDef("s11b_ivfpq_stored",
+      // s11's IVF-PQ serving from the STORED, cell-partitioned index
+      // ([[graft.functions.SimilarityFunctions
+      // .writeIvfPqIndexPartitioned]] → [[SimilarityFunctions
+      // .ivfPqTopKStored]]): the (cell, codes) table persists as hive
+      // `cell=` directories — the nightly-refresh serving layout —
+      // probe assignment runs BEFORE the plan compiles
+      // ([[SimilarityFunctions.probedCells]]), and the probed cell
+      // ids become an `isin` on the partition column, so the serving
+      // scan carries a PartitionFilters entry and reads nProbe
+      // DIRECTORIES, not the index (StoredAnnIndexSpec pins the
+      // pruning with an unpartitioned positive control). Same fixed
+      // centroids/codebooks as s11, so the s11 oracle applies
+      // UNCHANGED — the hash-match proves the stored/pruned layout
+      // is result-transparent.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("code"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(explode(sequence(lit(0), lit(7))).as("subspace"),
+            col("code"), col("v"))
+          .select(col("subspace"), col("code"),
+            slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").cast("array<double>").as("centroid_vec"))
+        val idx = S.ivfPqIndex(emb, cents, cb, dim = 64, m = 8, codes = 4)
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_s11b_ivfpq_index").getAbsolutePath
+        S.writeIvfPqIndexPartitioned(idx, path)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.ivfPqTopKStored(s, path, q, cents, cb, dim = 64, m = 8,
+            codes = 4, k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(s11OracleSql)),
 
 QueryDef("s12_ivfpq_rerank",
       // the FULL serving composition ([[SimilarityFunctions
@@ -1901,6 +1944,68 @@ QueryDef("s16_eps_selection",
              |FROM rk2 JOIN d ON rk2.rn = (d.decile * rk2.n + 9) // 10
              |ORDER BY decile""".stripMargin)),
 
+QueryDef("s16b_eps_sampled",
+      // the PRODUCTION path for s16's k-dist ε-selection (s16 stays
+      // as the exact audit baseline): ε needs a SAMPLE, not the
+      // population — Ester 1996 §4.2 reads the knee off a sorted
+      // k-dist plot, whose shape is stable under uniform query
+      // sampling — so the QUERY side is an md5-bucketed 1/16 subset
+      // (engine-replayable, the d6 sampling contract) while the
+      // CORPUS side stays full: true 5NN cosines, |sample|×|corpus|
+      // work instead of |corpus|² — the difference between an audit
+      // and an affordable tuning step at 100 TB. Same exact decile
+      // order statistics as s16, over the sampled k-dist set.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(Sam.hashBucket(
+            col("vec_id").cast("string"), 16, D.md5Hash60) === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        // pinned: the count and the distributed ranking's input
+        // evaluations read the sampled 5NN frame (the s16 shape)
+        val fifth = graft.Caches.trackedPersist(
+          S.bruteForceTopK(emb, q, 5)
+            .filter(col("rank") === 5)
+            .select(col("query_id"), col("cosine").cast("decimal(10,6)").as("c5")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nn = fifth.agg(count(lit(1)).as("_n"))
+        val ranked = graft.ops.RankOps.withGlobalRank(fifth,
+            Seq(col("c5"), col("query_id")), "_rn")
+          .crossJoin(broadcast(nn))
+        ranked.join(broadcast(s.range(1, 10)
+            .select(col("id").cast("int").as("decile"))),
+            col("_rn") === expr("(decile * _n + 9) div 10"))
+          .select(col("decile"), col("c5").cast("double").as("knn5_cosine"))
+          .orderBy("decile")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings
+             |  WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+             |          AS BIGINT) % 16 = 0),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |      FROM embeddings),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+             |  FROM e, q WHERE e.vec_id <> q.query_id),
+             |r5 AS (
+             |  SELECT query_id,
+             |    CAST(cosine AS DECIMAL(10,6)) AS c5,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, vec_id) AS rk
+             |  FROM scored),
+             |f AS (SELECT query_id, c5 FROM r5 WHERE rk = 5),
+             |rk2 AS (
+             |  SELECT query_id, c5,
+             |    row_number() OVER (ORDER BY c5, query_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM f),
+             |d AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS decile)
+             |SELECT d.decile, CAST(rk2.c5 AS DOUBLE) AS knn5_cosine
+             |FROM rk2 JOIN d ON rk2.rn = (d.decile * rk2.n + 9) // 10
+             |ORDER BY decile""".stripMargin)),
+
 QueryDef("s17_norm_profile",
       // embedding L2-norm deciles: the vector-QA table read before any
       // cosine/dot index is trusted (a fat norm tail means the corpus
@@ -2203,6 +2308,82 @@ QueryDef("s17_norm_profile",
              |    FROM scored) WHERE rn = 1)
              |SELECT x.a AS id_a, x.b AS id_b, x.c AS cosine
              |FROM t1 x JOIN t1 y ON x.a = y.b AND x.b = y.a AND x.a < x.b
+             |ORDER BY id_a""".stripMargin)),
+
+    QueryDef("s20b_mutual_knn_indexed",
+      // the INDEX-ASSISTED twin of s20's mutual-KNN (s20 stays as the
+      // exact O(n²)-cosine audit baseline): 1-bit sign-sketch Hamming
+      // shortlist of 50 per query ([[graft.functions
+      // .SimilarityFunctions.signSketch]] → [[SimilarityFunctions
+      // .hammingTopK]] — integer xor+bit_count, the only stage that
+      // touches every corpus row, at dim/8 bytes per vector), exact
+      // 6dp-cosine re-rank of each shortlist to the query's best
+      // match (bounded ≤50-row windows, the s19 serving pattern),
+      // then the reciprocal join on the |corpus|-row best-match
+      // table — s20's filter, index-agnostic as documented there.
+      // Every stage is deterministic (integer Hamming, ties → lower
+      // id; 6dp cosines), so the FULL pipeline replays in DuckDB:
+      // the oracle is the algorithm, not the exact-s20 answer — a
+      // shortlist miss is a property of the method, auditable by
+      // diffing against s20.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+        val short = S.hammingTopK(emb, q, k = 50, dim = 64)
+          .select(col("query_id"), col("vec_id"))
+        val wQ = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        // pinned: both sides of the reciprocal join read the re-ranked
+        // best-match table (the s20 shape)
+        val best = graft.Caches.trackedPersist(
+          short
+            .join(emb.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("_v")), "vec_id")
+            .join(emb.select(col("vec_id").as("query_id"),
+              col("embedding").cast("array<double>").as("_qv")), "query_id")
+            .withColumn("cosine", round(S.cosine(col("_v"), col("_qv")), 6))
+            .withColumn("_rn", row_number().over(wQ))
+            .filter(col("_rn") === 1)
+            .select(col("query_id").as("a"), col("vec_id").as("b"),
+              col("cosine")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        best.as("x").join(best.as("y"),
+            col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+              col("x.a") < col("x.b"))
+          .select(col("x.a").as("id_a"), col("x.b").as("id_b"),
+            col("x.cosine"))
+          .orderBy("id_a")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sk AS (
+             |  SELECT vec_id,
+             |    CAST(SUM(CASE WHEN t.d < 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << t.d) ELSE 0 END) AS BIGINT) AS w0,
+             |    CAST(SUM(CASE WHEN t.d >= 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << (t.d - 32)) ELSE 0 END) AS BIGINT) AS w1
+             |  FROM e, range(0, 64) t(d) GROUP BY vec_id),
+             |shortl AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT q.vec_id AS query_id, sk.vec_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY 64 - bit_count(xor(sk.w0, q.w0))
+             |                   - bit_count(xor(sk.w1, q.w1)) DESC,
+             |                 sk.vec_id) AS rn
+             |    FROM sk, sk q WHERE sk.vec_id <> q.vec_id) WHERE rn <= 50),
+             |best AS (
+             |  SELECT query_id AS a, vec_id AS b, c AS cosine FROM (
+             |    SELECT s.query_id, s.vec_id,
+             |      round(list_cosine_similarity(ev.v, eq.v), 6) AS c,
+             |      row_number() OVER (PARTITION BY s.query_id
+             |        ORDER BY round(list_cosine_similarity(ev.v, eq.v), 6) DESC,
+             |                 s.vec_id) AS rn
+             |    FROM shortl s
+             |    JOIN e ev ON s.vec_id = ev.vec_id
+             |    JOIN e eq ON s.query_id = eq.vec_id) WHERE rn = 1)
+             |SELECT x.a AS id_a, x.b AS id_b, x.cosine AS cosine
+             |FROM best x JOIN best y ON x.a = y.b AND x.b = y.a AND x.a < x.b
              |ORDER BY id_a""".stripMargin)),
 
     QueryDef("s21_ivf_balance",

@@ -896,6 +896,13 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SimilarityFunctions.signSketch(col("embedding"), 48)
     }
+    // length mismatch -> NULL sketch (never zero-filled bits), so
+    // truncated embeddings are visible by absence (r12 ADVICE)
+    val bad = Seq((3L, Seq.fill(63)(1.0)), (4L, Seq.empty[Double]))
+      .toDF("vec_id", "embedding")
+      .select(SimilarityFunctions.signSketch(col("embedding"), 64).as("s"))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
   }
 
   test("hammingTopK ranks by matching bits with lower-id ties; excludes self") {

@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.{SimilarityFunctions => S}
+
+/** The stored, cell-partitioned ANN serving layout (r13):
+  * [[SimilarityFunctions.writeIvfPqIndexPartitioned]] +
+  * [[SimilarityFunctions.probedCells]] + [[SimilarityFunctions
+  * .ivfPqTopKStored]]. Two contracts pinned here:
+  *
+  *  1. result transparency — serving from the stored layout equals
+  *     the in-plan [[SimilarityFunctions.ivfPqTopK]] row for row
+  *     (the s11b registry query additionally hash-matches the s11
+  *     DuckDB oracle at the driver gate);
+  *  2. the scan PRUNES — the probed-cell `isin` lands in the scan's
+  *     PartitionFilters (directory-level pruning), with an
+  *     UNPARTITIONED layout as the positive control (same predicate
+  *     lands as a data filter; every file read).
+  */
+class StoredAnnIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def codebooks = emb.filter(col("vec_id") < 4)
+    .select(col("vec_id").cast("int").as("code"),
+      col("embedding").cast("array<double>").as("v"))
+    .select(explode(sequence(lit(0), lit(7))).as("subspace"),
+      col("code"), col("v"))
+    .select(col("subspace"), col("code"),
+      slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+
+  private def centroids = emb.filter(col("vec_id") < 4)
+    .select(col("vec_id").as("centroid_id"),
+      col("embedding").cast("array<double>").as("centroid_vec"))
+
+  test("stored cell-partitioned serve == in-plan serve (s11 semantics)") {
+    val idx = S.ivfPqIndex(emb, centroids, codebooks, dim = 64, m = 8, codes = 4)
+    val dir = Files.createTempDirectory("ann-idx").toFile.getAbsolutePath
+    S.writeIvfPqIndexPartitioned(idx, s"$dir/index")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val inPlan = S.ivfPqTopK(idx, q, centroids, codebooks,
+        dim = 64, m = 8, codes = 4, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val stored = S.ivfPqTopKStored(spark, s"$dir/index", q, centroids,
+        codebooks, dim = 64, m = 8, codes = 4, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(stored === inPlan)
+    assert(stored.nonEmpty)
+  }
+
+  test("probedCells follows the ivfPqTopK probe rule (cosine desc, cid asc)") {
+    // one query = centroid 0's own vector: its top-2 probe must
+    // include cell 0 (self-cosine 1.0) and have exactly 2 cells
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cells = S.probedCells(q, centroids, nProbe = 2)
+    assert(cells.length === 2)
+    assert(cells.contains(0L))
+    // nProbe = nCells probes everything
+    assert(S.probedCells(q, centroids, nProbe = 4).sorted === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("serving scan prunes to probed cells; unpartitioned control reads everything") {
+    val idx = S.ivfPqIndex(emb, centroids, codebooks, dim = 64, m = 8, codes = 4)
+    val dir = Files.createTempDirectory("ann-prune").toFile.getAbsolutePath
+    S.writeIvfPqIndexPartitioned(idx, s"$dir/part")
+    // positive control: same rows, NO hive partitioning
+    idx.write.mode("overwrite").parquet(s"$dir/flat")
+
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cells = S.probedCells(q, centroids, nProbe = 2)
+
+    // partitioned layout: hive cell= directories exist on disk
+    val dirs = new java.io.File(s"$dir/part").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(dirs.length === 4, dirs.mkString(","))
+
+    val served = S.ivfPqTopKStored(spark, s"$dir/part", q, centroids,
+      codebooks, dim = 64, m = 8, codes = 4, k = 5, nProbe = 2)
+    val plan = served.queryExecution.executedPlan.toString
+    // the probed-cell predicate is a PARTITION filter (directory-level
+    // pruning), not a data filter
+    assert(plan.contains("PartitionFilters: [cell#"), plan)
+    assert(!plan.contains("PartitionFilters: []"), plan)
+    // result is still the right answer
+    assert(served.count() === 5L)
+
+    // control: the flat layout serves the same rows, but the cell
+    // predicate cannot prune — no partition filter exists
+    val flatPruned = spark.read.parquet(s"$dir/flat")
+      .filter(col("cell").isin(cells.map(Long.box): _*))
+    val flatServed = S.ivfPqTopK(flatPruned, q, centroids, codebooks,
+      dim = 64, m = 8, codes = 4, k = 5, nProbe = 2)
+    val flatPlan = flatServed.queryExecution.executedPlan.toString
+    assert(!flatPlan.contains("PartitionFilters: [cell#"), flatPlan)
+    assert(flatServed.orderBy("query_id", "rank").collect().toSeq ===
+      served.orderBy("query_id", "rank").collect().toSeq)
+  }
+}
