@@ -1500,6 +1500,32 @@ object SimilarityFunctions {
       .sortWithinPartitions(col(cellCol), col(idCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(path)
 
+  /** Incremental refresh of the stored index: encode ONLY the new
+    * vectors (per-vector independent given fixed centroids/codebooks —
+    * [[ivfPqIndex]] touches nothing but the batch) and APPEND their
+    * rows into the existing `cell=` directories. The nightly-ingest
+    * shape for ANN serving: a night's batch costs one batch-sized
+    * encode + a partitioned append; the corpus-sized index is never
+    * read, never rewritten. Result-transparent by construction — the
+    * union of per-vector encodings is the same table a full rebuild
+    * writes (spec-pinned) — BUT only while centroids/codebooks stay
+    * FIXED: after re-training, rebuild ([[writeIvfPqIndexPartitioned]]).
+    * Periodic per-cell compaction (the [[graft.warehouse.Warehouse]]
+    * `optimizeZOrder` pattern) bounds small-file growth, exactly like
+    * the corpus pipeline's `compact()`.
+    */
+  def appendIvfPqIndexPartitioned(newVectors: DataFrame, path: String,
+      centroids: DataFrame, codebooks: DataFrame,
+      dim: Int, m: Int, codes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "cell",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): Unit =
+    ivfPqIndex(newVectors, centroids, codebooks, dim, m, codes,
+        idCol, vecCol, cIdCol, cVecCol)
+      .repartitionByRange(col(cellCol), col(idCol))
+      .sortWithinPartitions(col(cellCol), col(idCol))
+      .write.mode("append").partitionBy(cellCol).parquet(path)
+
   /** IVF-PQ serving from the STORED, cell-partitioned index (the
     * [[writeIvfPqIndexPartitioned]] layout): probe assignment runs
     * driver-side FIRST ([[probedCells]] — same rule, same bounded

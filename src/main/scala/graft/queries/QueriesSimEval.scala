@@ -635,6 +635,44 @@ QueryDef("s11b_ivfpq_stored",
       },
       Some(s11OracleSql)),
 
+QueryDef("s11c_ivfpq_append",
+      // the INCREMENTAL refresh of s11b's stored index
+      // ([[SimilarityFunctions.appendIvfPqIndexPartitioned]]): night 0
+      // builds the index from the even-id half, night 1 encodes ONLY
+      // the odd-id batch and appends into the existing `cell=`
+      // directories — the corpus-sized index is never read or
+      // rewritten (encoding is per-vector independent under fixed
+      // centroids/codebooks). Serving the appended index must equal
+      // serving a full rebuild, so the s11 oracle applies UNCHANGED —
+      // the hash-match is the proof the incremental path drops or
+      // duplicates nothing.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("code"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(explode(sequence(lit(0), lit(7))).as("subspace"),
+            col("code"), col("v"))
+          .select(col("subspace"), col("code"),
+            slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").cast("array<double>").as("centroid_vec"))
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_s11c_ivfpq_index").getAbsolutePath
+        val night0 = S.ivfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+          cents, cb, dim = 64, m = 8, codes = 4)
+        S.writeIvfPqIndexPartitioned(night0, path)
+        S.appendIvfPqIndexPartitioned(emb.filter(col("vec_id") % 2 === 1),
+          path, cents, cb, dim = 64, m = 8, codes = 4)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.ivfPqTopKStored(s, path, q, cents, cb, dim = 64, m = 8,
+            codes = 4, k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(s11OracleSql)),
+
 QueryDef("s12_ivfpq_rerank",
       // the FULL serving composition ([[SimilarityFunctions
       // .ivfPqTopKRerank]], Jégou et al. TPAMI 2011 §V): probe 2 of 4

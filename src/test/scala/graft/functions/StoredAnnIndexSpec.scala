@@ -70,6 +70,30 @@ class StoredAnnIndexSpec extends AnyFunSuite {
     assert(S.probedCells(q, centroids, nProbe = 4).sorted === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("incremental append == full rebuild (same index table, same serve)") {
+    val dir = Files.createTempDirectory("ann-append").toFile.getAbsolutePath
+    // full rebuild over everything
+    val full = S.ivfPqIndex(emb, centroids, codebooks, dim = 64, m = 8, codes = 4)
+    S.writeIvfPqIndexPartitioned(full, s"$dir/rebuilt")
+    // night 0: even ids; night 1: append odd ids
+    val night0 = S.ivfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+      centroids, codebooks, dim = 64, m = 8, codes = 4)
+    S.writeIvfPqIndexPartitioned(night0, s"$dir/inc")
+    S.appendIvfPqIndexPartitioned(emb.filter(col("vec_id") % 2 === 1),
+      s"$dir/inc", centroids, codebooks, dim = 64, m = 8, codes = 4)
+    def load(p: String) = spark.read.parquet(p)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"),
+        col("codes")).orderBy("vec_id").collect().toSeq
+    assert(load(s"$dir/inc") === load(s"$dir/rebuilt"))
+    // and the appended layout serves identically
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def serve(p: String) = S.ivfPqTopKStored(spark, p, q, centroids,
+        codebooks, dim = 64, m = 8, codes = 4, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(s"$dir/inc") === serve(s"$dir/rebuilt"))
+  }
+
   test("serving scan prunes to probed cells; unpartitioned control reads everything") {
     val idx = S.ivfPqIndex(emb, centroids, codebooks, dim = 64, m = 8, codes = 4)
     val dir = Files.createTempDirectory("ann-prune").toFile.getAbsolutePath
