@@ -175,6 +175,86 @@ object ClassifierFunctions {
     } finally release()
   }
 
+  /** Batch gradient descent on logistic loss over a SMALL DENSE feature
+    * vector — [[trainLogisticHashed]]'s exactly-replayable twin (the
+    * m1/m1b convention: the hashed trainer is the production form, this
+    * dense form carries the full cross-engine oracle). A handful of
+    * engineered quality features (length, punctuation, stopword ratio —
+    * the t2 family) is the classic curation-classifier setup when a
+    * 65k-bucket bag model is overkill.
+    *
+    * Replay contract (every step a well-defined 6 dp state an external
+    * engine unrolls exactly):
+    *  - feature values must arrive ALREADY rounded/exact (the caller
+    *    rounds ratios to 6 dp — pinned inputs, pinned paths);
+    *  - z_i = Σ_j w_j·x_ij evaluates as the EXPLICIT left-to-right sum
+    *    over feature index (a generated expression, not a fold), so
+    *    addition order is part of the contract;
+    *  - each gradient component rounds to 6 dp AFTER its data-sized sum
+    *    (absorbing summation-order and exp() last-ulp noise, the d20
+    *    ln-sum precedent), and each weight re-rounds to 6 dp after the
+    *    update — so w is bit-identical cross-engine at every step.
+    *
+    * Scale shape: the feature frame is pinned once; each of the `iters`
+    * steps is ONE data-sized aggregation producing d+1 sums (map-side
+    * partials, one collected row — the bounded-collect convention; this
+    * is textbook driver-as-parameter-server batch GD). No windows, no
+    * data-sized collect. Accuracy uses the exact z ≥ 0 form (σ ≥ ½ ⟺
+    * z ≥ 0 — no transcendental on the decision path).
+    *
+    * Returns one row per feature: (feature_idx, weight, log_loss,
+    * accuracy, n) with the final-model metrics repeated per row (the
+    * a12 wide-scalar convention).
+    */
+  def trainLogisticDense(labeled: DataFrame, featureCols: Seq[Column],
+      labelCol: Column, iters: Int = 8, lr: Double = 1.0): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val d = featureCols.size
+    val xs = (0 until d).map(j => s"_x$j")
+    val (feats, release) = graft.Caches.pin(
+      labeled.select(
+        (featureCols.zipWithIndex.map { case (c, j) =>
+          c.cast("double").as(s"_x$j") } :+
+          labelCol.cast("double").as("_y")): _*),
+      StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = feats.count().toDouble
+      require(n > 0, "no labeled rows")
+      val w = new Array[Double](d)
+      def zExpr: Column = // explicit left-to-right sum: order is contract
+        xs.zipWithIndex.map { case (x, j) => lit(w(j)) * col(x) }
+          .reduceLeft(_ + _)
+      var i = 0
+      while (i < iters) {
+        val r = (lit(1.0) / (lit(1.0) + exp(-zExpr)) - col("_y")).as("_r")
+        val row = feats.select((r +: xs.map(col)): _*)
+          .agg(round(sum(col("_r") * col(xs.head)), 6).as("_g0"),
+            xs.tail.zipWithIndex.map { case (x, j) =>
+              round(sum(col("_r") * col(x)), 6).as(s"_g${j + 1}") }: _*)
+          .head()
+        var j = 0
+        while (j < d) {
+          w(j) = BigDecimal(w(j) - lr * row.getDouble(j) / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          j += 1
+        }
+        i += 1
+      }
+      val sig = lit(1.0) / (lit(1.0) + exp(-zExpr))
+      val m = feats.agg(
+        round(sum(-col("_y") * log(sig) -
+          (lit(1.0) - col("_y")) * log(lit(1.0) - sig)) / n, 6).as("_ll"),
+        round(sum(when((zExpr >= 0) === (col("_y") === 1.0), 1.0)
+          .otherwise(0.0)) / n, 6).as("_acc")).head()
+      w.toSeq.zipWithIndex
+        .map { case (wj, j) => (j.toLong, wj, m.getDouble(0), m.getDouble(1), n.toLong) }
+        .toDF("feature_idx", "weight", "log_loss", "accuracy", "n")
+    } finally release()
+  }
+
   /** Isotonic calibration of classifier scores (Zadrozny & Elkan, KDD
     * 2002): fit the best MONOTONE mapping score-bin → positive rate —
     * the standard post-hoc calibrator when the reliability diagram

@@ -234,6 +234,98 @@ object SimilarityFunctions {
     * plausible Hamming distances as if every absent dim were
     * negative (r12 ADVICE).
     */
+  /** Hash-derived ±1 sign matrix for sparse random projection
+    * (Johnson–Lindenstrauss; Achlioptas JCSS 2003's database-friendly
+    * ±1 form): entry (k, j) is +1 when the first hex digit of
+    * md5("jl#k#j") is 0–7, else −1 — a pure function of the
+    * coordinates, so an external engine regenerates the identical
+    * matrix from the same md5 contract (no stored randomness, no RNG
+    * seed to ship). Bounded by construction: projDim × dim ints.
+    */
+  def jlSigns(projDim: Int, dim: Int): Array[Array[Int]] = {
+    require(projDim >= 1 && dim >= 1, s"need projDim, dim >= 1 (got $projDim, $dim)")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(projDim, dim) { (k, j) =>
+      val h = md.digest(s"jl#$k#$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+    }
+  }
+
+  /** Project vectors to `projDim` dimensions with the [[jlSigns]] ±1
+    * matrix: p_k = Σ_j s(k,j)·v_j, summed in EXACT DECIMAL(20,10)
+    * (the s3b Lloyd-mean convention) so the projected coordinates are
+    * order-independent and bit-identical cross-engine — signs are ±1,
+    * so the sum is just signed addition of the decimal-cast inputs.
+    * JL is the standard pre-ANN compression tier: at 100 TB a 64→16
+    * projection cuts every downstream distance evaluation (and the
+    * candidate table's bytes) 4× while preserving pairwise geometry
+    * to within the lemma's distortion, and the projection itself is a
+    * scan-local per-row expression — no shuffle, no UDF.
+    *
+    * Returns (idCol, vecCol, projCol) with projCol `array<double>`.
+    */
+  def jlProject(df: DataFrame, projDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      projCol: String = "proj"): DataFrame = {
+    val first = df.select(col(vecCol)).limit(1).collect()
+    val dim = if (first.nonEmpty && !first(0).isNullAt(0))
+      first(0).getSeq[Any](0).length else 0
+    require(dim > 0, s"cannot infer vector dim from $vecCol")
+    val signs = jlSigns(projDim, dim)
+    val vDec = transform(col(vecCol).cast("array<double>"),
+      x => x.cast("decimal(20,10)"))
+    val comps = (0 until projDim).map { k =>
+      val signed = zip_with(vDec, lit(signs(k)),
+        (x, s) => when(s > 0, x).otherwise(-x))
+      aggregate(signed,
+        lit(BigDecimal(0)).cast("decimal(30,10)"),
+        (acc, y) => (acc + y).cast("decimal(30,10)"))
+        .cast("double")
+    }
+    df.select(col(idCol), col(vecCol), array(comps: _*).as(projCol))
+  }
+
+  /** JL-compressed ANN serving: shortlist by exact cosine in the
+    * [[jlProject]]ed space (top `shortlist` per query via the bounded-
+    * heap kernel), then re-rank the shortlist by full-dimension cosine
+    * and keep top `k` — the classic compress-shortlist-rerank pipeline
+    * (the PQ/ADC shape with a linear projection instead of codebooks).
+    * Both ranking stages round cosine to 6 dp and break ties by lower
+    * corpus id (the s1 contract); self-matches are excluded.
+    *
+    * Scale shape: the projection is scan-local; the shortlist pass is
+    * [[bruteForceTopK]]'s broadcast-kernel scan over projDim-sized
+    * vectors (4× cheaper per candidate at 64→16); only shortlist-sized
+    * frames (≤ |queries|·shortlist rows) reach the full-dimension
+    * re-rank join. Returns (qIdCol, idCol, cosine, rank).
+    */
+  def jlTopKRerank(corpus: DataFrame, queries: DataFrame, projDim: Int,
+      shortlist: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+    require(shortlist >= k, s"shortlist must be >= k (got $shortlist < $k)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val projC = jlProject(corpus, projDim, idCol, vecCol, "_p")
+    val projQ = jlProject(queries, projDim, qIdCol, qVecCol, "_pq")
+    val short = bruteForceTopK(
+      projC.select(col(idCol).as("vec_id"), col("_p").as("embedding")),
+      projQ.select(col(qIdCol).as("query_id"), col("_pq").as("query_vec")),
+      shortlist)
+    // re-rank the shortlist by full-dimension cosine
+    val scored = short.select(col("query_id"), col("vec_id"))
+      .join(corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("_cv")), Seq("vec_id"))
+      .join(broadcast(queries.select(col(qIdCol).cast("long").as("query_id"),
+        col(qVecCol).as("_qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("_cv"), col("_qv")), 6).as("_c"))
+      .as[(Long, Long, Double)]
+    topKPerQuery(scored, k)
+      .select(col("_q").as(qIdCol), col("_id").as(idCol),
+        col("_c").as("cosine"), col("rank"))
+  }
+
   def signSketch(vec: Column, dim: Int): Column = {
     require(dim > 0 && dim % 32 == 0, s"dim must be a multiple of 32 (got $dim)")
     val words = (0 until dim / 32).map { w =>

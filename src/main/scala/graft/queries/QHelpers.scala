@@ -51,6 +51,68 @@ private[queries] object QHelpers {
 
   def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
 
+  /** Generated oracle for `cls4_logreg_dense`: unrolls
+    * [[graft.functions.ClassifierFunctions.trainLogisticDense]]'s batch
+    * GD exactly — the 6dp-pinned dense feature frame (t2's
+    * n_tok/punct/stopword formula conventions; label = the doc_id%7
+    * curated stand-in d20 established), then per step one gradient CTE
+    * (each component a data-sized sum rounded 6dp) and one weight CTE
+    * (each weight re-rounded 6dp after the update), dot products
+    * written as the explicit left-to-right w0·x0 + w1·x1 + … sum (the
+    * trainer's documented order contract), then final log-loss (ln,
+    * 6dp after the sum) and accuracy (the exact z ≥ 0 form — no
+    * transcendental on the decision path).
+    */
+  def logregOracle(iters: Int, lr: Double): String = {
+    def zOf(w: String) =
+      s"($w.w0 * f.x0 + $w.w1 * f.x1 + $w.w2 * f.x2 + $w.w3 * f.x3)"
+    val ctes = Seq.newBuilder[String]
+    ctes += """f AS MATERIALIZED (
+              |  SELECT CASE WHEN doc_id % 7 = 0 THEN 1.0 ELSE 0.0 END AS y,
+              |    1.0 AS x0,
+              |    round(least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE)
+              |      / 100.0, 1.0), 6) AS x1,
+              |    round(CASE WHEN length(text) = 0 THEN 0.0
+              |        ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+              |          / length(text) END, 6) AS x2,
+              |    round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+              |          x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE)
+              |      / len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS x3
+              |  FROM documents)""".stripMargin
+    ctes += "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f)"
+    ctes += "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"
+    for (r <- 1 to iters) {
+      val z = zOf("w")
+      ctes += s"""g$r AS MATERIALIZED (
+                 |  SELECT round(SUM((1.0 / (1.0 + exp(-$z)) - f.y) * f.x0), 6) AS g0,
+                 |         round(SUM((1.0 / (1.0 + exp(-$z)) - f.y) * f.x1), 6) AS g1,
+                 |         round(SUM((1.0 / (1.0 + exp(-$z)) - f.y) * f.x2), 6) AS g2,
+                 |         round(SUM((1.0 / (1.0 + exp(-$z)) - f.y) * f.x3), 6) AS g3
+                 |  FROM f, w${r - 1} w)""".stripMargin
+      ctes += s"""w$r AS (
+                 |  SELECT round(w.w0 - $lr * g.g0 / n.n, 6) AS w0,
+                 |         round(w.w1 - $lr * g.g1 / n.n, 6) AS w1,
+                 |         round(w.w2 - $lr * g.g2 / n.n, 6) AS w2,
+                 |         round(w.w3 - $lr * g.g3 / n.n, 6) AS w3
+                 |  FROM w${r - 1} w, g$r g, n)""".stripMargin
+    }
+    val zF = zOf("w")
+    ctes += s"""zf AS MATERIALIZED (
+               |  SELECT f.y, $zF AS z FROM f, w$iters w)""".stripMargin
+    ctes += s"""m AS (
+               |  SELECT round(SUM(-y * ln(1.0 / (1.0 + exp(-z)))
+               |      - (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(-z)))) / n.n, 6) AS log_loss,
+               |    round(SUM(CASE WHEN (z >= 0) = (y = 1.0) THEN 1.0 ELSE 0.0 END) / n.n, 6) AS accuracy,
+               |    CAST(n.n AS BIGINT) AS n
+               |  FROM zf, n GROUP BY n.n)""".stripMargin
+    s"""WITH ${ctes.result().mkString(",\n")}
+       |SELECT CAST(t.j AS BIGINT) AS feature_idx,
+       |  CASE t.j WHEN 0 THEN w.w0 WHEN 1 THEN w.w1 WHEN 2 THEN w.w2 ELSE w.w3 END AS weight,
+       |  m.log_loss, m.accuracy, m.n
+       |FROM range(0, 4) t(j), w$iters w, m ORDER BY feature_idx""".stripMargin
+  }
+
   /** Generated oracle for `s3b_ivf_trained`: replays the ENTIRE
     * trained-IVF pipeline — [[graft.functions.SimilarityFunctions
     * .trainCentroidsReplayable]]'s pinned Lloyd rounds (lowest-id init;

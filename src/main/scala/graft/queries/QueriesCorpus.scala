@@ -77,6 +77,34 @@ QueryDef("cls1_quality_classifier",
           |FROM documents d CROSS JOIN pr LEFT JOIN sc USING (doc_id)
           |ORDER BY doc_id""".stripMargin)),
 
+QueryDef("cls4_logreg_dense",
+      // batch-GD logistic trainer over DENSE quality features
+      // ([[ClassifierFunctions.trainLogisticDense]] —
+      // [[ClassifierFunctions.trainLogisticHashed]]'s fully-oracled
+      // twin, the m1/m1b convention): t2's length/punct/stopword
+      // features rounded 6dp (pinned inputs), label = the doc_id%7
+      // curated stand-in (d20), 8 steps of lr=1.0 batch gradient
+      // descent with 6dp-rounded gradients and weights — every step a
+      // well-defined cross-engine state the oracle unrolls CTE by CTE.
+      // One data-sized aggregation per step (map-side partials, one
+      // collected d-row gradient — driver-as-parameter-server GD);
+      // final metrics ride the exact z >= 0 decision form.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val feats = d.select(
+          (col("doc_id") % 7 === 0).cast("double").as("y"),
+          lit(1.0).as("x0"),
+          round(least(T.tokenCount(col("text")).cast("double") / lit(100.0),
+            lit(1.0)), 6).as("x1"),
+          round(T.punctRatio(col("text")), 6).as("x2"),
+          round(T.stopwordRatio(col("text"), T.EnglishStopwords), 6).as("x3"))
+        Cls.trainLogisticDense(feats,
+            Seq(col("x0"), col("x1"), col("x2"), col("x3")), col("y"),
+            iters = 8, lr = 1.0)
+          .orderBy("feature_idx")
+      },
+      Some(logregOracle(8, 1.0))),
+
 QueryDef("c10_gopher_clean",
       // the COMPLETE Gopher filter as an actual gate ([[TextFunctions
       // .gopherFilter]]): quality rules AND repetition rules, survivors

@@ -2189,6 +2189,56 @@ QueryDef("s17_norm_profile",
              |SELECT query_id, vec_id, cosine, "rank"
              |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
+    QueryDef("s23_jl_shortlist",
+      // Johnson–Lindenstrauss compressed serving
+      // ([[graft.functions.SimilarityFunctions.jlTopKRerank]];
+      // Achlioptas JCSS 2003's ±1 database-friendly projection):
+      // project 64→16 dims with the hash-derived sign matrix (exact
+      // DECIMAL sums — the s3b convention — so the projected
+      // coordinates are bit-identical cross-engine), shortlist top-20
+      // per query by projected cosine through the bounded-heap kernel,
+      // re-rank the shortlist by full-dimension cosine, keep top-10.
+      // The classic compress-shortlist-rerank tier: at 100 TB the
+      // projection is a scan-local expression and every shortlist
+      // distance costs 4× less than full-dimension. The oracle replays
+      // the sign matrix (md5 parity), both ranking stages, and the
+      // 6dp/lower-id tie contract end-to-end.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.jlTopKRerank(emb, q, projDim = 16, shortlist = 20, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sgn AS MATERIALIZED (
+             |  SELECT k, j,
+             |    CASE WHEN strpos('01234567', substring(md5('jl#' || k || '#' || j), 1, 1)) > 0
+             |         THEN 1 ELSE -1 END AS s
+             |  FROM range(0, 16) t1(k), range(0, 64) t2(j)),
+             |p AS MATERIALIZED (
+             |  SELECT vec_id, list(pk ORDER BY k) AS pv FROM (
+             |    SELECT e.vec_id, g.k,
+             |      CAST(SUM(CASE WHEN g.s > 0 THEN CAST(e.v[g.j + 1] AS DECIMAL(20,10))
+             |               ELSE -CAST(e.v[g.j + 1] AS DECIMAL(20,10)) END) AS DOUBLE) AS pk
+             |    FROM e, sgn g GROUP BY e.vec_id, g.k)
+             |  GROUP BY vec_id),
+             |sl AS MATERIALIZED (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT q.vec_id AS query_id, c.vec_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY round(list_cosine_similarity(c.pv, q.pv), 6) DESC, c.vec_id) AS rn
+             |    FROM p q JOIN p c ON c.vec_id <> q.vec_id
+             |    WHERE q.vec_id < 8) WHERE rn <= 20),
+             |r AS (
+             |  SELECT sl.query_id, sl.vec_id,
+             |    round(list_cosine_similarity(c.v, q.v), 6) AS cosine,
+             |    CAST(row_number() OVER (PARTITION BY sl.query_id
+             |      ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC, sl.vec_id) AS INTEGER) AS "rank"
+             |  FROM sl JOIN e c ON sl.vec_id = c.vec_id JOIN e q ON sl.query_id = q.vec_id)
+             |SELECT query_id, vec_id, cosine, "rank" FROM r WHERE "rank" <= 10
+             |ORDER BY query_id, "rank"""".stripMargin)),
+
     QueryDef("s22_probe_sweep",
       // IVF tuning curve: recall@5 vs the exact s1 answer for
       // nProbe ∈ {1,2,3,4} in ONE query — the table that picks the

@@ -72,6 +72,30 @@ class ClassifierFunctionsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("trainLogisticDense: deterministic, loss-improving, learns a separating weight") {
+    // one informative feature (x1 = the label signal ± small noise) +
+    // intercept: GD must push w1 positive and beat the 1-iter fit
+    val rows = (0 until 60).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      val x1 = y - 0.5 + (i % 5) * 0.01
+      (1.0, x1, y)
+    }.toDF("x0", "x1", "y")
+    def train(iters: Int) = ClassifierFunctions.trainLogisticDense(
+      rows, Seq(col("x0"), col("x1")), col("y"), iters = iters, lr = 2.0)
+      .as[(Long, Double, Double, Double, Long)].collect().sortBy(_._1)
+    val a = train(12)
+    val b = train(12)
+    assert(a.toSeq === b.toSeq, "fixed-step batch GD must be bit-identical")
+    assert(a(1)._2 > 0.0, "informative-feature weight must turn positive")
+    assert(a(0)._3 < train(1)(0)._3, "12 iters must beat 1 iter on log-loss")
+    assert(a(0)._4 === 1.0, "separable data trains to full accuracy")
+    assert(a(0)._5 === 60L)
+    // weights are 6dp states: exactly representable at scale 6
+    a.foreach { case (_, w, _, _, _) =>
+      assert(BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble === w)
+    }
+  }
+
   test("isotonicCalibration: hand-solved PAVA pooling via the minimax form") {
     // bin rates (0.5, 0.25, 0.75): the 0.5→0.25 violation pools bins
     // 0–1 to (2+1)/(4+4) = 0.375; bin 2 stays. iso = (.375, .375, .75)

@@ -927,4 +927,42 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(one === List((1L, 1L, "core"), (2L, 1L, "core"), (3L, 1L, "core")))
     assert(SimilarityFunctions.densityClusters(edges, minPts = 5).count() === 0L)
   }
+
+  test("jlSigns: deterministic ±1 matrix, replayable from the md5 contract") {
+    val s1 = SimilarityFunctions.jlSigns(4, 8)
+    val s2 = SimilarityFunctions.jlSigns(4, 8)
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+    assert(s1.flatten.forall(v => v == 1 || v == -1))
+    // replay one entry by hand: sign(k,j) = +1 iff first md5 hex digit of
+    // "jl#k#j" is 0..7 (the documented cross-engine contract)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest("jl#2#5".getBytes("UTF-8"))
+    val expected = if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+    assert(s1(2)(5) === expected)
+    // both signs occur (a constant matrix would collapse the projection)
+    assert(s1.flatten.distinct.sorted.toSeq === Seq(-1, 1))
+  }
+
+  test("jlProject: exact signed sums of the decimal-cast inputs") {
+    val df = Seq((7L, vec(1.5, -2.25, 0.5, 4.0))).toDF("vec_id", "embedding")
+    val p = SimilarityFunctions.jlProject(df, 3).select("proj")
+      .head().getSeq[Double](0)
+    val signs = SimilarityFunctions.jlSigns(3, 4)
+    val v = Array(1.5, -2.25, 0.5, 4.0) // exact in binary AND decimal(20,10)
+    val expect = signs.map(row => row.zip(v).map { case (s, x) => s * x }.sum)
+    assert(p.toSeq === expect.toSeq, "±1 sums of exactly-representable inputs are exact")
+  }
+
+  test("jlTopKRerank: generous shortlist reproduces the exact top-k; output is ranked") {
+    // 2-dim toy corpus: with shortlist = |corpus|-1 the JL stage cannot
+    // drop the true neighbors, so the re-rank must equal bruteForceTopK
+    val q = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val jl = SimilarityFunctions.jlTopKRerank(corpus, q, projDim = 4,
+        shortlist = 3, k = 3)
+      .orderBy("rank").select("vec_id", "cosine").as[(Long, Double)].collect()
+    val exact = SimilarityFunctions.bruteForceTopK(corpus, q, 3)
+      .orderBy("rank").select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(jl.toSeq === exact.toSeq)
+  }
 }
