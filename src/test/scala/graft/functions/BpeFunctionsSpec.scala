@@ -146,4 +146,27 @@ class BpeFunctionsSpec extends AnyFunSuite {
     val S = BpeFunctions.Sep
     assert(out === Array("", s"${S}aa$S${S}b$S"))
   }
+
+  test("BpePairCounts: overlapping local counts equal the exploded-pair totals") {
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      Tuple1(Seq("a", "a", "a", "b", "a", "a")), // (a,a)x3 overlapping, (a,b), (b,a)
+      Tuple1(Seq("x")), // below pair length -> empty
+      Tuple1(Seq.empty[String])
+    ).toDF("t")
+    val got = df.select(BpePairCounts(col("t")).as("p")).collect()
+      .map(_.getSeq[Row](0).map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+    assert(got(0) === Seq(("a", "a", 3L), ("a", "b", 1L), ("b", "a", 1L)))
+    assert(got(1).isEmpty && got(2).isEmpty)
+    // totals across rows match the naive per-occurrence explode
+    val viaCounts = df.select(explode(BpePairCounts(col("t"))).as("p"))
+      .groupBy("p.lt", "p.rt").agg(sum("p.c").as("f"))
+      .as[(String, String, Long)].collect().toSet
+    val naive = df.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS lt, t[i] AS rt))")).as("p"))
+      .groupBy("p.lt", "p.rt").agg(count(lit(1)).as("f"))
+      .as[(String, String, Long)].collect().toSet
+    assert(viaCounts === naive)
+  }
 }
