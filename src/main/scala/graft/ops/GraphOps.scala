@@ -15,14 +15,21 @@ import org.apache.spark.storage.StorageLevel
 object GraphOps {
 
   /** Fixed-width repartition on the per-round join key before pinning an
-    * iterative frame. Measured (sf0.1 co-purchase graph, 2.4M directed
-    * edges): LPA rounds 2.7/2.2 s → 1.05/0.81 s and the edge-build pin
-    * 4.5 → 2.2 s once the pinned frame is (a) exactly
-    * `spark.sql.shuffle.partitions` wide instead of the union/AQE-derived
-    * width and (b) hash-clustered on the key every round re-joins, so the
-    * cached layout is the one the per-round plan wants. On a real cluster
-    * this is the same move as bucketing the static side of an iterative
-    * join: pay one exchange at build, reuse it every round.
+    * iterative frame — the bucketing move for iterative joins: pay one
+    * exchange at build, reuse the clustering every round. In local-mode
+    * benchmarks the per-round label/rank frame is node-sized and
+    * broadcasts, so the pin is NEUTRAL there (A/B'd at sf0.1 and sf1:
+    * warm round times identical within noise); on a cluster where the
+    * per-round frame exceeds the broadcast threshold, the round join
+    * needs hashpartitioning(key) on BOTH sides and an unkeyed pinned
+    * frame would re-exchange the full edge set every round — that is
+    * the case this layout exists for. Placed BEFORE the dedup
+    * `distinct()` wherever possible so the aggregate absorbs the
+    * exchange (hashpartitioning(src) satisfies the (src, dst) clustered
+    * distribution) and the build pays ONE shuffle, not two. Hub-skewed
+    * sources concentrate their edges in one partition — the standard
+    * per-src Pregel layout; the salting escape in [[graft.ops.SkewOps]]
+    * applies when a hub dominates a partition.
     */
   private def pinWidth(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
@@ -63,13 +70,15 @@ object GraphOps {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .repartition(pinWidth(edges), col("src")) // absorbed by the distinct's aggregate
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      // broadcast deg join preserves e's src clustering — withDeg stays
+      // keyed for the per-round join without a second exchange
       val withDeg = e.join(deg, "src")
         .select(col("src"), col("dst"), col("deg"))
-        .repartition(pinWidth(e), col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
@@ -149,13 +158,15 @@ object GraphOps {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .repartition(pinWidth(edges), col("src")) // absorbed by the distinct's aggregate
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      // broadcast deg join preserves e's src clustering — withDeg stays
+      // keyed for the per-round join without a second exchange
       val withDeg = e.join(deg, "src")
         .select(col("src"), col("dst"), col("deg"))
-        .repartition(pinWidth(e), col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
@@ -219,8 +230,8 @@ object GraphOps {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
     val sym = d.unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(pinWidth(edges), col("src")) // absorbed by the distinct's aggregate
       .distinct()
-      .repartition(pinWidth(edges), col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // every node appears as a dst in the symmetrized frame, so the
