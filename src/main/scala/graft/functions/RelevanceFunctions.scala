@@ -753,4 +753,64 @@ object RelevanceFunctions {
         col("col.mmr").as("mmr"))
       .orderBy("query_id", "rank")
   }
+
+  /** Late-interaction MaxSim retrieval (Khattab & Zaharia, SIGIR 2020 —
+    * the ColBERT scoring rule) over CHUNK-level embeddings:
+    *
+    *   score(q, d) = Σ_{i ∈ chunks(q)} max_{j ∈ chunks(d)} cos(q_i, d_j)
+    *
+    * — each query chunk finds its best-matching passage chunk
+    * independently, so a doc that answers every aspect of a multi-part
+    * query outranks one that nails a single aspect, the precision step
+    * single-vector pooling (s5 mean-pooling → s1 KNN) flattens away.
+    *
+    * Determinism contract: per-pair cosines round to 6 dp before the
+    * max (exact — max of identical sets), the per-doc sum of ≤
+    * |query chunks| maxes rounds to 6 dp (absorbing addition order),
+    * ties rank by lower doc id. Self-pairs (query doc retrieved for its
+    * own query) are excluded, the s1 convention.
+    *
+    * Scale shape: the query side is a serving batch — its chunks
+    * BROADCAST; the corpus chunk table pays ONE scan through the
+    * codegen'd [[SimilarityFunctions.cosine]] kernel into a
+    * (doc, query, query_chunk) max aggregate with map-side partials,
+    * then a (doc, query) sum — both hash aggs, no window over data, no
+    * all-pairs chunk materialization beyond the scan-local broadcast
+    * probe. Top-k per query rides the bounded-heap
+    * [[SimilarityFunctions.topKPerQuery]] kernel. At 100 TB the corpus
+    * side composes with the ANN tiers: shortlist docs by pooled-vector
+    * IVF first, then MaxSim only the shortlist (this operator is the
+    * exact re-rank stage).
+    *
+    * Returns (query_doc, doc, maxsim, rank), rank ≤ k per query doc.
+    */
+  def maxSimTopK(corpusChunks: DataFrame, queryChunks: DataFrame, k: Int,
+      docCol: String = "doc_id", vecCol: String = "embedding",
+      qDocCol: String = "query_doc", qChunkCol: String = "chunk_id",
+      qVecCol: String = "query_vec"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val spark = corpusChunks.sparkSession
+    import spark.implicits._
+    val perChunk = corpusChunks
+      .select(col(docCol).cast("long").as("_d"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(queryChunks.select(
+        col(qDocCol).cast("long").as("_qd"),
+        col(qChunkCol).cast("long").as("_qc"),
+        col(qVecCol).cast("array<double>").as("_qv"))))
+      .filter(col("_d") =!= col("_qd")) // the s1 self-exclusion
+      .select(col("_d"), col("_qd"), col("_qc"),
+        round(SimilarityFunctions.cosine(col("_v"), col("_qv")), 6).as("_cos"))
+      .filter(col("_cos").isNotNull)
+      .groupBy(col("_d"), col("_qd"), col("_qc"))
+      .agg(max(col("_cos")).as("_m"))
+    val scored = perChunk
+      .groupBy(col("_d"), col("_qd"))
+      .agg(round(sum(col("_m")), 6).as("_s"))
+      .select(col("_qd"), col("_d"), col("_s"))
+      .as[(Long, Long, Double)]
+    SimilarityFunctions.topKPerQuery(scored, k)
+      .select(col("_q").as(qDocCol), col("_id").as(docCol),
+        col("_c").as("maxsim"), col("rank"))
+  }
 }

@@ -425,6 +425,32 @@ object SamplingFunctions {
     capPerGroup(keyed, grp, es, k).drop(es, grp)
   }
 
+  /** Hash-derived Laplace noise via the inverse CDF — the
+    * differential-privacy-SHAPED count-release primitive, made
+    * DETERMINISTIC the library way (the [[dsirSample]] Gumbel
+    * convention): u = (hashBucket(key) + 0.5) / buckets ∈ (0, 1), then
+    *
+    *   noise = −b · sign(u − ½) · ln(1 − 2·|u − ½|)   (Laplace(0, b))
+    *
+    * with b = sensitivity / ε. u never hits ½ exactly (half-offset
+    * grid) and |u − ½| < ½ strictly, so sign and ln are total. An
+    * engine replays the identical noise from the same hash — which is
+    * exactly why this is a REPLAYABLE STAND-IN, not calibrated privacy:
+    * real ε-DP requires fresh secret randomness per release. The
+    * operator carries the production plumbing (per-cell noise keyed by
+    * the release cell, sensitivity-1 count shape, ε sweep for the
+    * utility audit); swap this noise source for a secure RNG at the
+    * release boundary to make it a real mechanism (Dwork & Roth 2014,
+    * §3.3).
+    */
+  def hashLaplace(key: Column, b: Column,
+      buckets: Int = 1000000,
+      hash: Column => Column = DedupFunctions.md5Hash60(_)): Column = {
+    val u = (hashBucket(key, buckets, hash).cast("double") + 0.5) / buckets.toDouble
+    val t = u - lit(0.5)
+    -b * signum(t) * log(lit(1.0) - lit(2.0) * abs(t))
+  }
+
   def quantileBucket(df: DataFrame, idCol: String, valueCol: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")

@@ -314,6 +314,60 @@ QueryDef("bpe2_encode",
            |       md5(enc) AS enc_md5
            |FROM enc8 ORDER BY doc_id""".stripMargin))),
 
+QueryDef("t30_token_fertility",
+      // tokenizer fertility by language: BPE tokens per whitespace word
+      // and bytes per BPE token for each lang bucket — the standard
+      // tokenizer-equity audit (a tokenizer trained on English spends
+      // 2-3× more tokens per word on underrepresented languages, which
+      // silently taxes their context budget). Composes the learned
+      // 8-merge tokenizer (bpe1's train), the scan-local native encode,
+      // and byte/word counts into one per-lang aggregate; the oracle
+      // replays training, encoding, and both ratios end-to-end.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merges = graft.functions.BpeFunctions
+          .train(d, "text", numMerges = 8)
+          .orderBy("rank").collect() // 8 rows — bounded by construction
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val enc = graft.functions.BpeFunctions.encode(d, "doc_id", "text", merges)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+        d.select(col("doc_id"), col("lang"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            T.tokenCount(col("text")).as("n_words"))
+          .join(enc, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_bytes")).as("n_bytes"),
+            round(sum(col("n_tokens")).cast("double") /
+              sum(col("n_words")).cast("double"), 6).as("tokens_per_word"),
+            round(sum(col("n_bytes")).cast("double") /
+              sum(col("n_tokens")).cast("double"), 6).as("bytes_per_token"))
+          .orderBy("lang")
+      },
+      Some(bpeOracle(8,
+        s""", tok AS (
+           |  SELECT doc_id,
+           |    CAST(CASE WHEN enc = '' THEN 0
+           |              ELSE len(string_split(trim(enc, '${graft.functions.BpeFunctions.Sep}'),
+           |                       '${graft.functions.BpeFunctions.Sep}${graft.functions.BpeFunctions.Sep}'))
+           |         END AS BIGINT) AS n_tokens
+           |  FROM enc8),
+           |w AS (
+           |  SELECT d.lang, strlen(d.text) AS n_bytes,
+           |    CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS BIGINT) AS n_words,
+           |    t.n_tokens
+           |  FROM documents d JOIN tok t USING (doc_id))
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+           |  round(CAST(SUM(n_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS tokens_per_word,
+           |  round(CAST(SUM(n_bytes) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS bytes_per_token
+           |FROM w GROUP BY lang ORDER BY lang""".stripMargin))),
+
 QueryDef("mix1_token_accounting",
       // training-mixture accounting: docs and LEARNED-tokenizer token
       // totals per (source, lang), with each cell's share of the global
@@ -1146,6 +1200,48 @@ QueryDef("mix3_source_dup_rates",
              |  round(CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
              |    AS dup_rate
              |FROM g GROUP BY 1 ORDER BY source""".stripMargin)),
+
+QueryDef("priv4_dp_release",
+      // differential-privacy-SHAPED count release with utility audit
+      // ([[SamplingFunctions.hashLaplace]], Dwork & Roth 2014 §3.3):
+      // per-language doc counts released with Laplace(1/ε) noise for
+      // ε ∈ {0.5, 1, 2} — the ε-utility sweep a release pipeline runs
+      // before picking a budget. Noise is the library's DETERMINISTIC
+      // hash-derived stand-in (keyed per release cell, shared u across
+      // the sweep so errors are paired; swap in a secure RNG at the
+      // release boundary for a real mechanism — documented on the
+      // primitive). One hash agg + a 3-row broadcast sweep; the oracle
+      // replays the md5 noise, the inverse CDF, and both
+      // post-processings exactly.
+      (s, dir) => {
+        val g = docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+        val eps = s.range(0, 3).select(
+          element_at(array(lit(0.5), lit(1.0), lit(2.0)),
+            (col("id") + 1).cast("int")).as("epsilon"))
+        g.crossJoin(broadcast(eps))
+          .withColumn("_noise", Sam.hashLaplace(
+            concat(lit("dp#"), col("lang")), lit(1.0) / col("epsilon")))
+          .withColumn("released", round(col("n_true") + col("_noise"), 6))
+          .select(col("lang"), col("epsilon"), col("n_true"), col("released"),
+            greatest(lit(0.0), col("released")).as("released_nonneg"),
+            round(abs(col("released") - col("n_true")), 6).as("abs_err"))
+          .orderBy("lang", "epsilon")
+      },
+      Some("""WITH g AS (SELECT lang, count(*) AS n_true FROM documents GROUP BY 1),
+             |eps AS (SELECT CAST(unnest([0.5, 1.0, 2.0]) AS DOUBLE) AS epsilon),
+             |u AS (SELECT lang, n_true,
+             |  (CAST(('0x' || substring(md5('dp#' || lang), 1, 15)) AS BIGINT)
+             |     % 1000000 + 0.5) / 1000000.0 AS uu
+             |  FROM g),
+             |n AS (SELECT lang, n_true, epsilon,
+             |  -(1.0 / epsilon) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)) AS noise
+             |  FROM u CROSS JOIN eps),
+             |r AS (SELECT lang, epsilon, n_true,
+             |        round(n_true + noise, 6) AS released FROM n)
+             |SELECT lang, epsilon, n_true, released,
+             |  greatest(0.0, released) AS released_nonneg,
+             |  round(abs(released - n_true), 6) AS abs_err
+             |FROM r ORDER BY lang, epsilon""".stripMargin)),
 
 QueryDef("priv1_k_anonymity",
       // k-anonymity audit over the customer quasi-identifiers

@@ -1766,6 +1766,45 @@ QueryDef("eval9_ece",
           |    / CAST(sum(n) AS DOUBLE), 6) AS ece
           |FROM b""".stripMargin)),
 
+QueryDef("r8_maxsim_late_interaction",
+      // ColBERT-style late-interaction retrieval ([[RelevanceFunctions
+      // .maxSimTopK]], Khattab & Zaharia SIGIR 2020) over the chunk
+      // convention (vec_id div 10 = doc, vec_id % 10 = chunk): each
+      // query chunk takes its best corpus-chunk cosine within a doc,
+      // the per-doc sum ranks docs — multi-aspect precision a pooled
+      // single vector (s5→s1) flattens. Query docs 0–1 (20 chunks,
+      // broadcast); one corpus-chunk scan into two hash aggs + the
+      // bounded-heap top-k. 6dp rounds before max and after sum,
+      // lower-id ties, self-doc excluded — the oracle replays both
+      // aggregation levels and the rank.
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(expr("vec_id div 10").as("doc_id"),
+            (col("vec_id") % 10).as("chunk_id"), col("embedding"))
+        val q = e.filter(col("doc_id") < 2)
+          .select(col("doc_id").as("query_doc"), col("chunk_id"),
+            col("embedding").as("query_vec"))
+        R.maxSimTopK(e, q, k = 10).orderBy("query_doc", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id // 10 AS doc_id, vec_id % 10 AS chunk_id,
+             |         CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |q AS (SELECT doc_id AS query_doc, chunk_id, v AS qv FROM e WHERE doc_id < 2),
+             |pc AS (
+             |  SELECT c.doc_id AS d, q.query_doc, q.chunk_id,
+             |         max(round(list_cosine_similarity(c.v, q.qv), 6)) AS m
+             |  FROM e c, q WHERE c.doc_id <> q.query_doc
+             |  GROUP BY 1, 2, 3),
+             |s AS (SELECT query_doc, d AS doc_id, round(SUM(m), 6) AS maxsim
+             |      FROM pc GROUP BY 1, 2),
+             |r AS (SELECT query_doc, doc_id, maxsim,
+             |        CAST(row_number() OVER (PARTITION BY query_doc
+             |          ORDER BY maxsim DESC, doc_id) AS INTEGER) AS "rank"
+             |      FROM s)
+             |SELECT query_doc, doc_id, maxsim, "rank" FROM r WHERE "rank" <= 10
+             |ORDER BY query_doc, "rank"""".stripMargin)),
+
 QueryDef("r7_prf_expansion",
       // pseudo-relevance feedback (Rocchio PRF): score the corpus for
       // the seed query, take the top-5 documents, mine their 3

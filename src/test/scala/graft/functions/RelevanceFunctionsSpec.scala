@@ -470,4 +470,26 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
       .select("rank", "vec_id").as[(Int, Long)].collect().toList
     assert(out === List((1, 10L), (2, 11L), (3, 12L)))
   }
+
+  test("maxSimTopK: per-query-chunk max then per-doc sum, self excluded, ties to lower doc") {
+    // doc 1: chunks on both axes (answers both query aspects);
+    // doc 2: two chunks on the SAME axis (nails one aspect twice);
+    // doc 3: diagonal chunks (partial match on both).
+    // query doc 0 asks for x and y separately -> maxsim(1) = 2.0,
+    // maxsim(2) = 1.0, maxsim(3) = 2/sqrt(2) ≈ 1.414214
+    val chunks = Seq(
+      (0L, 0L, Array(1.0, 0.0)), (0L, 1L, Array(0.0, 1.0)),
+      (1L, 0L, Array(1.0, 0.0)), (1L, 1L, Array(0.0, 1.0)),
+      (2L, 0L, Array(1.0, 0.0)), (2L, 1L, Array(1.0, 0.0)),
+      (3L, 0L, Array(1.0, 1.0)), (3L, 1L, Array(1.0, 1.0))
+    ).toDF("doc_id", "chunk_id", "embedding")
+    val q = chunks.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("query_doc"), col("chunk_id"),
+        col("embedding").as("query_vec"))
+    val out = RelevanceFunctions.maxSimTopK(chunks, q, k = 3)
+      .orderBy("rank")
+      .select("doc_id", "maxsim", "rank").as[(Long, Double, Int)].collect().toList
+    assert(out === List((1L, 2.0, 1), (3L, 1.414214, 2), (2L, 1.0, 3)))
+    assert(!out.exists(_._1 == 0L), "the query doc must not retrieve itself")
+  }
 }

@@ -516,4 +516,30 @@ class SamplingFunctionsSpec extends AnyFunSuite {
     assert(out.map(_._2).distinct.size <= 10)
     graft.Caches.releaseAll()
   }
+
+  test("hashLaplace: deterministic, scales with 1/epsilon, matches the inverse CDF by hand") {
+    val keys = (0 until 200).map(i => Tuple1(s"k$i")).toDF("k")
+    def draw(eps: Double) = keys
+      .select(col("k"), SamplingFunctions.hashLaplace(col("k"),
+        lit(1.0 / eps)).as("x"))
+      .as[(String, Double)].collect().toMap
+    val a = draw(1.0); val b = draw(1.0)
+    assert(a === b, "same key, same noise — replayable by construction")
+    // b = 1/eps is a pure scale on the inverse CDF: doubling eps halves
+    // every draw exactly (the paired-sweep property priv4 relies on)
+    val half = draw(2.0)
+    a.foreach { case (k, x) => assert(math.abs(half(k) - x / 2) < 1e-12) }
+    // hand-replay one draw from the documented contract
+    val u = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest("k0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex.take(15), 16) % 1000000L) + 0.5) / 1000000.0
+    }
+    val t = u - 0.5
+    val expect = -1.0 * math.signum(t) * math.log(1.0 - 2.0 * math.abs(t))
+    assert(math.abs(a("k0") - expect) < 1e-12)
+    // both tails occur and the draws are median-centered-ish
+    val xs = a.values.toSeq
+    assert(xs.count(_ > 0) > 50 && xs.count(_ < 0) > 50)
+  }
 }
