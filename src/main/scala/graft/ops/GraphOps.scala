@@ -402,6 +402,71 @@ object GraphOps {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg, CIKM
+    * 2003) — [[neighborJaccard]]'s complement: score NON-adjacent node
+    * pairs by shared neighbors and surface the top `k` predicted links.
+    * On a co-purchase graph these are the "frequently bought with the
+    * same things, never together yet" substitution/recommendation
+    * candidates; on a near-dup document graph, cluster-merge
+    * candidates the pairwise threshold just missed.
+    *
+    * Contract: candidate pairs are exactly the wedge-connected
+    * (cn ≥ 1) non-adjacent pairs; ranked by (cn DESC, jaccard's exact
+    * 6dp value implied by cn — jaccard = cn/(deg_u + deg_v − cn) is
+    * reported, rank order is (cn DESC, u, v) for full determinism);
+    * top `k` via TakeOrdered, never a global sort.
+    *
+    * Scale shape: one wedge self-join of the symmetrized adjacency on
+    * the shared endpoint (the [[triangleCounts]]/[[neighborJaccard]]
+    * wedge bound — O(Σ deg²), the documented candidate-join envelope;
+    * hot hubs salt via [[SkewOps]] when Σdeg² concentrates), one
+    * left-anti equi-join against the edge list, two broadcast-able
+    * degree joins, one TakeOrdered(k). No windows, no driver collect
+    * beyond the k-row result.
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        .repartition(pinWidth(e), col("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        val n1 = sym.select(col("b").as("w"), col("a").as("u"))
+        val n2 = sym.select(col("b").as("w"), col("a").as("v"))
+        val cand = n1.join(n2, Seq("w"))
+          .filter(col("u") < col("v"))
+          .join(e, Seq("u", "v"), "left_anti") // NON-adjacent pairs only
+          .groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("cn"))
+        // pin + materialize the k-row result while the wedge lineage is
+        // still cached, then drop the internals (the neighborJaccard
+        // convention); the pin rides the session registry
+        val out = graft.Caches.trackedPersist(
+          cand
+            .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), "u")
+            .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), "v")
+            .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+              round(col("cn").cast("double") /
+                (col("deg_u") + col("deg_v") - col("cn")).cast("double"), 6)
+                .as("jaccard"))
+            .orderBy(col("cn").desc, col("u"), col("v"))
+            .limit(k),
+          StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      } finally sym.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+
   /** k-core peel (Seidman 1983; Batagelj–Zaveršnik's iterative-removal
     * form): repeatedly delete nodes of degree < k from the UNDIRECTED
     * closure of `edges` until only the k-core remains — the standard

@@ -157,4 +157,66 @@ object RankOps {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Append exact running (prefix) MAX of LONG `maxCols` over the total
+    * order `sortCols` — the distributed form of
+    * `max(x).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * 0))`. Same two-phase shape as [[withGlobalPrefixSums]] (max is
+    * associative, so per-partition maxima seed the next partition
+    * exactly); the running max INCLUDES the current row. The canonical
+    * consumer is the watermark-lateness audit: with rows in ARRIVAL
+    * order, `prefix_max(event_time) − event_time` is each event's
+    * lateness against a max-event-time watermark. Values must be
+    * non-null LONGs. Shares [[withGlobalPrefixSums]]'s single-`sorted`
+    * invariant: both passes read the one `sorted.rdd` instance.
+    */
+  def withGlobalPrefixMax(df: DataFrame, sortCols: Seq[Column],
+      maxCols: Seq[String], cumCols: Seq[String]): DataFrame = {
+    require(maxCols.length == cumCols.length, "maxCols/cumCols mismatch")
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(np, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val fieldIdx = maxCols.map(sorted.schema.fieldIndex).toArray
+    fieldIdx.foreach { i =>
+      require(sorted.schema(i).dataType == LongType,
+        s"prefix max supports LONG, got ${sorted.schema(i).dataType}")
+    }
+    val m = fieldIdx.length
+    // pass 1: per-partition maxima (same shared-`sorted.rdd` invariant
+    // as withGlobalPrefixSums — see the comment there)
+    val partMax = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val mx = Array.fill(m)(Long.MinValue)
+      it.foreach { r =>
+        var j = 0
+        while (j < m) {
+          val v = r.getLong(fieldIdx(j))
+          if (v > mx(j)) mx(j) = v
+          j += 1
+        }
+      }
+      Iterator((pi, mx))
+    }.collect().sortBy(_._1)
+    val nParts = partMax.length
+    val off = Array.fill(nParts + 1)(Array.fill(m)(Long.MinValue))
+    for (k <- 0 until nParts; j <- 0 until m)
+      off(k + 1)(j) = math.max(off(k)(j), partMax(k)._2(j))
+    val schema = StructType(sorted.schema.fields ++
+      cumCols.map(StructField(_, LongType, nullable = false)))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val mx = off(pi).clone()
+      it.map { r =>
+        val extras = new Array[Any](m)
+        var j = 0
+        while (j < m) {
+          val v = r.getLong(fieldIdx(j))
+          if (v > mx(j)) mx(j) = v
+          extras(j) = mx(j)
+          j += 1
+        }
+        Row.fromSeq(r.toSeq ++ extras)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -1146,6 +1146,72 @@ QueryDef("e32_behavior_lift",
              |       CROSS JOIN nu
              |ORDER BY ante, cons""".stripMargin)),
 
+    QueryDef("e36_watermark_sweep",
+      // watermark-delay tuning sweep over PLANTED lateness ([[graft.ops
+      // .RankOps.withGlobalPrefixMax]] — the prefix-sums primitive
+      // generalized to running max): the generated events arrive in
+      // event_id order with monotone timestamps (zero natural lateness,
+      // measured), so event time is perturbed the planted-scenario way —
+      // every 10th event by id-hash is delayed 0–3599 s (the d20 md5
+      // convention, replayable). The watermark is the running max of
+      // event time over ARRIVAL order — a global running max the
+      // distributed prefix pass computes without a single-task window —
+      // and the sweep reports, for delay ∈ {60, 300, 900, 3600} s, how
+      // many events a `withWatermark(delay)` stream would drop: the
+      // table that picks the delay/completeness trade-off before
+      // deploying the e3/e4 streaming jobs. All-integer micros until
+      // the two closing ratios.
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"),
+          unix_micros(col("ts")).as("_ta"))
+        val u = Sam.hashBucket(col("event_id").cast("string"), 1000000,
+          D.md5Hash60)
+        val withU = ev.withColumn("_u", u).select(col("event_id"),
+          (col("_ta") - when(col("_u") % 10 === 0,
+            ((col("_u") / 10).cast("long") % 3600) * 1000000L)
+            .otherwise(0L)).as("_te"))
+        val wm = graft.ops.RankOps.withGlobalPrefixMax(withU,
+          Seq(col("event_id")), Seq("_te"), Seq("_wm"))
+        val late = wm.select((col("_wm") - col("_te")).as("_late"))
+        val sweep = s.range(0, 4).select(
+          element_at(array(lit(60L), lit(300L), lit(900L), lit(3600L)),
+            (col("id") + 1).cast("int")).as("delay_s"))
+        late.crossJoin(broadcast(sweep))
+          .groupBy("delay_s")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("_late") > col("delay_s") * 1000000L, 1L)
+              .otherwise(0L)).as("n_dropped"),
+            round(sum(when(col("_late") > col("delay_s") * 1000000L, 1L)
+              .otherwise(0L)).cast("double") / count(lit(1)).cast("double"), 6)
+              .as("drop_rate"),
+            round(max(col("_late")).cast("double") / 1e6, 6)
+              .as("max_lateness_s"))
+          .orderBy("delay_s")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, epoch_us(ts) AS ta,
+             |    CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      % 1000000 AS u
+             |  FROM events),
+             |te AS (
+             |  SELECT event_id,
+             |    ta - CASE WHEN u % 10 = 0 THEN ((u // 10) % 3600) * 1000000
+             |              ELSE 0 END AS t
+             |  FROM ev),
+             |wm AS (
+             |  SELECT t, max(t) OVER (ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+             |  FROM te),
+             |l AS (SELECT w - t AS late FROM wm),
+             |sweep AS (SELECT CAST(unnest([60, 300, 900, 3600]) AS BIGINT) AS delay_s)
+             |SELECT delay_s, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN late > delay_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dropped,
+             |  round(CAST(sum(CASE WHEN late > delay_s * 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS drop_rate,
+             |  round(CAST(max(late) AS DOUBLE) / 1e6, 6) AS max_lateness_s
+             |FROM l CROSS JOIN sweep GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("e35_retention_decay",
       // parametric summary of e10's retention matrix: per cohort, the
       // OLS fit of ln(retention) against week offset — the decay rate

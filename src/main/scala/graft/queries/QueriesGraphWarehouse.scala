@@ -892,6 +892,45 @@ QueryDef("g11_degree_tail",
              |WHERE s.s_nationkey = 7
              |GROUP BY 1 ORDER BY supp""".stripMargin)),
 
+    QueryDef("g14_link_prediction",
+      // common-neighbor link prediction ([[GraphOps.linkPrediction]],
+      // Liben-Nowell & Kleinberg CIKM 2003): top-20 NON-adjacent part
+      // pairs by shared co-purchase neighbors over g3's bounded
+      // first-two-years graph — g7 scores ties that exist, this
+      // predicts the ones that don't yet ("bought with the same
+      // things, never together"). Wedge-join candidates anti-joined
+      // against the edge list, degree joins, TakeOrdered(20); the
+      // oracle replays candidates, the anti-join, both degrees, and
+      // the (cn DESC, u, v) rank.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.linkPrediction(pairs, "src", "dst", k = 20)
+          .orderBy(col("cn").desc, col("u"), col("v"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+             |            WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY 1),
+             |cand AS MATERIALIZED (
+             |  SELECT n1.a AS u, n2.a AS v, count(*) AS cn
+             |  FROM sym n1 JOIN sym n2 ON n1.b = n2.b AND n1.a < n2.a
+             |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = n1.a AND e.v = n2.a)
+             |  GROUP BY 1, 2)
+             |SELECT u, v, cn, du.deg AS deg_u, dv.deg AS deg_v,
+             |  round(CAST(cn AS DOUBLE) / (du.deg + dv.deg - cn), 6) AS jaccard
+             |FROM cand JOIN deg du ON cand.u = du.node
+             |          JOIN deg dv ON cand.v = dv.node
+             |ORDER BY cn DESC, u, v LIMIT 20""".stripMargin)),
+
     QueryDef("g13_rich_club",
       // rich-club coefficient φ(k) of the first-two-years co-purchase
       // graph: among nodes of degree > k, the realized edge density —

@@ -793,6 +793,49 @@ QueryDef("t21_concordance",
              |  COALESCE(array_to_string(w[pos + 1:least(pos + 3, len(w))], ' '), '') AS after
              |FROM occ ORDER BY doc_id, pos""".stripMargin)),
 
+QueryDef("t31_token_entropy",
+      // per-doc unigram (token) Shannon entropy + the n_types-normalized
+      // form: H = ln(n) − Σ c·ln(c) / n over the whitespace-token
+      // distribution — the lexical-randomness gate next to t22's
+      // type-token ratio (near-zero H = boilerplate/repetition spam,
+      // near-ln(types) H = natural prose; both tails feed the quality
+      // gates). One explode + two hash aggs; docs with no tokens carry
+      // no distribution and drop (the t-family token convention).
+      // Final-expression 6dp round absorbs ln ulps and sum order.
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          explode(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => length(t) > 0)).as("_tok"))
+        .groupBy("doc_id", "_tok").agg(count(lit(1)).as("_c"))
+        .groupBy("doc_id")
+        .agg(sum(col("_c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          round(log(sum(col("_c")).cast("double")) -
+            sum(col("_c").cast("double") * log(col("_c").cast("double"))) /
+              sum(col("_c")).cast("double"), 6).as("entropy"))
+        .withColumn("norm_entropy",
+          when(col("n_types") >= 2,
+            round(col("entropy") / log(col("n_types").cast("double")), 6)))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      t -> len(t) > 0)) AS tok
+             |  FROM documents),
+             |c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+             |h AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    count(*) AS n_types,
+             |    round(ln(CAST(sum(c) AS DOUBLE))
+             |      - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+             |        / CAST(sum(c) AS DOUBLE), 6) AS entropy
+             |  FROM c GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_types, entropy,
+             |  CASE WHEN n_types >= 2
+             |       THEN round(entropy / ln(CAST(n_types AS DOUBLE)), 6) END
+             |    AS norm_entropy
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
 QueryDef("t22_sttr",
       // segmental type-token ratio ([[graft.functions.TextFunctions
       // .sttr]], 25-token segments): lexical diversity that doesn't

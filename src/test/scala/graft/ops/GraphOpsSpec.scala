@@ -289,4 +289,20 @@ class GraphOpsSpec extends AnyFunSuite {
            && System.nanoTime() < deadline) Thread.sleep(50)
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
   }
+
+  test("linkPrediction: scores only non-adjacent wedge pairs, ranked by cn") {
+    import spark.implicits._
+    // path 1-2-3 plus hub 4 adjacent to 1,2,3: (1,3) shares {2,4} -> cn 2;
+    // every other non-edge pair shares at most 1
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 1L), (4L, 2L), (4L, 3L))
+      .toDF("src", "dst")
+    val out = GraphOps.linkPrediction(edges, "src", "dst", k = 10)
+      .select("u", "v", "cn", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out.head === ((1L, 3L, 2L, 1.0))) // N(1)={2,4}, N(3)={2,4}: J=2/2
+    // no scored pair may be an existing edge
+    val es = Set((1L, 2L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L))
+    assert(out.forall { case (u, v, _, _) => !es.contains((u, v)) })
+    graft.Caches.releaseAll()
+  }
 }

@@ -62,4 +62,31 @@ class RankOpsSpec extends AnyFunSuite {
       RankOps.withGlobalPrefixSums(df, Seq(col("id")), Seq("s"), Seq("cs"))
     }
   }
+
+  test("withGlobalPrefixMax equals the running window max, includes current row") {
+    // zig-zag values so the running max changes mid-partition and holds
+    // across partition boundaries (seeded from preceding maxima)
+    val df = base.withColumn("z",
+      when(col("id") % 11 === 0, col("id") * 3).otherwise(col("id")).cast("long"))
+    val w = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val viaWindow = df.withColumn("cm", max(col("z")).over(w))
+    val viaPm = RankOps.withGlobalPrefixMax(df,
+      Seq(col("k"), col("id")), Seq("z"), Seq("cm"))
+    assert(viaPm.select("id", "cm").exceptAll(
+      viaWindow.select("id", "cm")).isEmpty)
+  }
+
+  test("prefix max survives empty partitions and rejects non-long columns") {
+    val tiny = spark.range(0, 3).toDF("id")
+      .withColumn("v", when(col("id") === 1, 9L).otherwise(col("id")).cast("long"))
+    val out = RankOps.withGlobalPrefixMax(tiny, Seq(col("id")),
+      Seq("v"), Seq("cm")).orderBy("id").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 9L, 9L))
+    intercept[IllegalArgumentException] {
+      RankOps.withGlobalPrefixMax(
+        tiny.withColumn("s", col("id").cast("string")),
+        Seq(col("id")), Seq("s"), Seq("cs"))
+    }
+  }
 }
