@@ -1419,6 +1419,226 @@ object SimilarityFunctions {
       }.toDF(idCol, "cell", "codes")
   }
 
+  /** Cell-assigned RESIDUALS — the training input for residual PQ
+    * codebooks and the encode input for [[ivfPqIndexResidual]]: each
+    * vector is assigned to its nearest coarse centroid ([[ivfTopK]]'s
+    * probe rule: max cosine, lower centroid id on ties, NaN skipped)
+    * and emitted as r = v − centroid(cell). Residuals concentrate
+    * around 0 with far less variance than the raw corpus, which is
+    * exactly why IVFADC (Jégou et al. TPAMI 2011 §III) quantizes them
+    * instead of the raw vectors: the same m×codes budget spends its
+    * resolution on a much smaller ball. Centroids broadcast; one
+    * scan-local pass, no shuffle. Returns (idCol, cell, residual).
+    */
+  def withResiduals(corpus: DataFrame, centroids: DataFrame, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(collectCentroids(centroids, cIdCol, cVecCol))
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.flatMap { case (id, v) =>
+          var best = -1; var bestSim = Double.MinValue; var i = 0
+          while (i < cs.length) {
+            val s = cosineLocal(v, cs(i)._2)
+            if (!s.isNaN && s > bestSim) { bestSim = s; best = i }
+            i += 1
+          }
+          if (best < 0) Iterator.empty
+          else {
+            val cv = cs(best)._2
+            val r = new Array[Double](dim)
+            var j = 0
+            while (j < dim) { r(j) = v(j) - cv(j); j += 1 }
+            Iterator.single((id, cs(best)._1, r.toSeq))
+          }
+        }
+      }.toDF(idCol, "cell", "residual")
+  }
+
+  /** RESIDUAL IVF-PQ index (IVFADC proper, Jégou et al. TPAMI 2011
+    * §III): assign each vector to its nearest coarse cell, then
+    * PQ-encode the RESIDUAL v − centroid(cell) with `codebooks`
+    * (train them on [[withResiduals]] output — residual-distribution
+    * codebooks are the point). Same assignment rule, same argmin-L2
+    * encode, same (id, cell, codes) index shape and therefore the same
+    * storage/serving paths ([[writeIvfPqIndexPartitioned]] /
+    * [[ivfPqTopKStored]] compose unchanged) as [[ivfPqIndex]] — only
+    * what the codes MEAN differs, so search must reconstruct
+    * x̂ = centroid + r̂ ([[ivfPqTopKResidual]]).
+    */
+  def ivfPqIndexResidual(corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, dim: Int, m: Int, codes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    requireIntegralId(corpus, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d0 = dim / m
+    val bcC = spark.sparkContext.broadcast(collectCentroids(centroids, cIdCol, cVecCol))
+    val bcB = spark.sparkContext.broadcast(collectPqCodebooks(codebooks, m, codes))
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcC.value; val books = bcB.value
+        it.flatMap { case (id, v) =>
+          var best = -1; var bestSim = Double.MinValue; var i = 0
+          while (i < cs.length) {
+            val s = cosineLocal(v, cs(i)._2)
+            if (!s.isNaN && s > bestSim) { bestSim = s; best = i }
+            i += 1
+          }
+          if (best < 0) Iterator.empty
+          else {
+            val cv = cs(best)._2
+            val enc = new Array[Int](m)
+            var s = 0
+            while (s < m) {
+              val book = books(s)
+              var bc = 0; var bd = Double.PositiveInfinity; var c = 0
+              while (c < book.length) {
+                var d = 0.0; var j = 0
+                while (j < d0) {
+                  val diff = (v(s * d0 + j) - cv(s * d0 + j)) - book(c)(j)
+                  d += diff * diff; j += 1
+                }
+                if (d < bd) { bd = d; bc = c }
+                c += 1
+              }
+              enc(s) = bc; s += 1
+            }
+            Iterator.single((id, cs(best)._1, enc.toSeq))
+          }
+        }
+      }.toDF(idCol, "cell", "codes")
+  }
+
+  /** Search over a RESIDUAL IVF-PQ index ([[ivfPqIndexResidual]]):
+    * ADC cosine against the reconstruction x̂ = centroid(cell) + r̂,
+    * decomposed into lookup tables so the scan still never touches a
+    * raw vector —
+    *
+    *   dot(q, x̂)  = dot(q, centroid)           (per query × probed cell)
+    *              + Σ_s dotLut(s)(code_s)       ([[pqTopK]]'s query LUT)
+    *   ‖x̂‖²      = ‖centroid‖²                 (per cell, static)
+    *              + 2·Σ_s centDot(cell)(s)(code_s)  (cell × codebook LUT)
+    *              + Σ_s ‖book_s(code_s)‖²       ([[pqTopK]]'s norm LUT)
+    *
+    * All three new tables are bounded by |centroids| and
+    * |centroids|·m·codes — driver-bounded inputs already — and build
+    * executor-side once per broadcast ([[graft.internal.ExecutorMemo]],
+    * the [[ivfPqTopK]] contract). Same probe rule, same 6dp/lower-id/
+    * self-exclusion determinism contract, same one-scan bounded-heap
+    * shape as [[ivfPqTopK]]; only the reconstruction arithmetic
+    * differs. Grouping noise vs a direct cosine of the reconstruction
+    * is absorbed by the 6dp round (the pqTopK replay convention).
+    */
+  def ivfPqTopKResidual(index: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame,
+      dim: Int, m: Int, codes: Int, k: Int, nProbe: Int,
+      idCol: String = "vec_id", cellCol: String = "cell",
+      codesCol: String = "codes", qIdCol: String = "query_id",
+      qVecCol: String = "query_vec",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    require(nProbe > 0, s"nProbe must be positive (got $nProbe)")
+    requireIntegralId(index, idCol); requireIntegralId(queries, qIdCol)
+    val spark = index.sparkSession
+    import spark.implicits._
+    val d0 = dim / m
+    val cents = collectCentroids(centroids, cIdCol, cVecCol)
+    val books = collectPqCodebooks(codebooks, m, codes)
+    val normLut: Array[Array[Double]] = books.map(_.map { cv =>
+      var n = 0.0; var j = 0
+      while (j < cv.length) { n += cv(j) * cv(j); j += 1 }; n
+    })
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .filter(col(qVecCol).isNotNull && size(col(qVecCol)) === dim)
+      .as[(Long, Array[Double])].collect()
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val bcMeta = spark.sparkContext.broadcast((cents, books, normLut))
+    val lutKey = s"${spark.sparkContext.applicationId}:resid:${bcQ.id}"
+    val scored = index
+      .select(col(idCol).cast("long"), col(cellCol).cast("long"),
+        col(codesCol).cast("array<int>"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val (cs0, bks, norms) = bcMeta.value
+        // static per-cell tables + per-query probe state, built once
+        // per executor per broadcast
+        val (centNorm2, centDot, cells) = graft.internal.ExecutorMemo.getOrBuild(lutKey) {
+          val cn2 = cs0.map { case (cid, cv) =>
+            var n = 0.0; var j = 0
+            while (j < cv.length) { n += cv(j) * cv(j); j += 1 }
+            cid -> n
+          }.toMap
+          val cd = cs0.map { case (cid, cv) =>
+            val t = Array.ofDim[Double](m, codes)
+            var s = 0
+            while (s < m) {
+              var c = 0
+              while (c < bks(s).length) {
+                var d = 0.0; var j = 0
+                while (j < d0) { d += cv(s * d0 + j) * bks(s)(c)(j); j += 1 }
+                t(s)(c) = d; c += 1
+              }
+              s += 1
+            }
+            cid -> t
+          }.toMap
+          val byCell = bcQ.value.flatMap { case (qid, qv) =>
+            val probed = cs0.map { case (cid, cv) =>
+              (
+                { val s = cosineLocal(qv, cv)
+                  if (s.isNaN) Double.MaxValue else -s },
+                cid)
+            }.sorted.take(nProbe).map(_._2)
+            val (dotLut, nq2) = adcLut(qv, bks, m, codes, d0)
+            probed.map { cell =>
+              // dot(q, centroid(cell)) — per (query, probed cell)
+              val cv = cs0.find(_._1 == cell).get._2
+              var dqc = 0.0; var j = 0
+              while (j < dim) { dqc += qv(j) * cv(j); j += 1 }
+              (cell, (qid, dotLut, nq2, dqc))
+            }
+          }.groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2) }
+          (cn2, cd, byCell)
+        }
+        it.flatMap { case (id, cell, cs) =>
+          cells.getOrElse(cell,
+            Array.empty[(Long, Array[Array[Double]], Double, Double)])
+            .iterator.flatMap { case (qid, dotLut, nq2, dqc) =>
+              if (qid == id) Iterator.empty
+              else {
+                val cd = centDot(cell)
+                var dot = dqc; var nx2 = centNorm2(cell); var s = 0
+                while (s < m) {
+                  val c = cs(s)
+                  dot += dotLut(s)(c)
+                  nx2 += 2.0 * cd(s)(c) + norms(s)(c)
+                  s += 1
+                }
+                val denom = math.sqrt(nx2) * math.sqrt(nq2)
+                if (denom == 0.0 || denom.isNaN) Iterator.empty
+                else Iterator.single((qid, id,
+                  BigDecimal(dot / denom).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              }
+            }
+        }
+      }
+    topKPerQuery(scored, k)
+      .select(col("_q").as(qIdCol), col("_id").as(idCol),
+        col("_c").as("cosine"), col("rank"))
+  }
+
   /** IVF-PQ search — the composition that serves ANN at 100 TB: each
     * query probes its `nProbe` nearest coarse cells ([[ivfTopK]]'s
     * probe rule: cosine desc, centroid id asc, NaN last) and

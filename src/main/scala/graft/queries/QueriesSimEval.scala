@@ -65,7 +65,105 @@ private[queries] object QueriesSimEval {
       |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
 
+  /** Oracle for `s24_ivfpq_residual` — s11's replay with IVFADC-proper
+    * RESIDUAL encoding: assign cells first, PQ-encode v − centroid(cell)
+    * against the fixed codebooks, reconstruct x̂ = centroid + r̂, score
+    * round(cos(x̂, q), 6) over the probed cells (the direct-cosine form;
+    * the Spark kernel's LUT decomposition lands on the same 6dp value —
+    * the pqTopK replay convention).
+    */
+  private val s24OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb AS (
+      |  SELECT s.subspace, CAST(c.vec_id AS INTEGER) AS code,
+      |         list_slice(c.v, s.subspace * 8 + 1, s.subspace * 8 + 8) AS centroid_vec
+      |  FROM e c, generate_series(0, 7) AS s(subspace)
+      |  WHERE c.vec_id < 4),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |cell AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+      |    FROM e, cents c) WHERE rn = 1),
+      |res AS (
+      |  SELECT e.vec_id, cell.cid,
+      |         list_transform(generate_series(1, 64),
+      |           i -> e.v[i] - c.cv[i]) AS r
+      |  FROM e JOIN cell USING (vec_id) JOIN cents c ON cell.cid = c.cid),
+      |enc AS (
+      |  SELECT vec_id, subspace, centroid_vec FROM (
+      |    SELECT res.vec_id, cb.subspace, cb.centroid_vec,
+      |           row_number() OVER (PARTITION BY res.vec_id, cb.subspace
+      |             ORDER BY list_distance(
+      |               list_slice(res.r, cb.subspace * 8 + 1, cb.subspace * 8 + 8),
+      |               cb.centroid_vec), cb.code) AS rn
+      |    FROM res, cb) WHERE rn = 1),
+      |recon AS (
+      |  SELECT r.vec_id, r.cid,
+      |         list_transform(generate_series(1, 64),
+      |           i -> c.cv[i] + rr.rhat[i]) AS xhat
+      |  FROM res r
+      |  JOIN cents c ON r.cid = c.cid
+      |  JOIN (SELECT vec_id, flatten(list(centroid_vec ORDER BY subspace)) AS rhat
+      |        FROM enc GROUP BY vec_id) rr USING (vec_id)),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+      |probe AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+      |    FROM q, cents c) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT q.query_id, r.vec_id,
+      |         round(list_cosine_similarity(r.xhat, q.qv), 6) AS cosine
+      |  FROM recon r
+      |  JOIN probe p ON p.cid = r.cid
+      |  JOIN q ON q.query_id = p.query_id
+      |  WHERE r.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+      |  FROM scored)
+      |SELECT query_id, vec_id, cosine, "rank" FROM ranked
+      |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("s24_ivfpq_residual",
+      // IVFADC proper ([[SimilarityFunctions.ivfPqIndexResidual]] /
+      // [[ivfPqTopKResidual]], Jégou et al. TPAMI 2011 §III): s11's
+      // pipeline with the codes meaning RESIDUALS v − centroid(cell) —
+      // the same m×codes budget quantizes the within-cell ball instead
+      // of the whole corpus, the accuracy step production IVF-PQ
+      // actually deploys. Search reconstructs x̂ = centroid + r̂
+      // entirely from lookup tables (query LUT + per-cell codebook dot
+      // table + static norms) — the scan still never reads a raw
+      // vector. Same fixed centroids/codebooks as s11, so the oracle
+      // replays assignment, residual encoding, reconstruction, probing
+      // and scoring end-to-end.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("code"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(explode(sequence(lit(0), lit(7))).as("subspace"),
+            col("code"), col("v"))
+          .select(col("subspace"), col("code"),
+            slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").cast("array<double>").as("centroid_vec"))
+        val idx = S.ivfPqIndexResidual(emb, cents, cb, dim = 64, m = 8, codes = 4)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.ivfPqTopKResidual(idx, q, cents, cb, dim = 64, m = 8, codes = 4,
+            k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(s24OracleSql)),
 
     QueryDef("er1_entity_resolution",
       // end-to-end entity resolution composed from the session's parts:

@@ -928,6 +928,79 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(SimilarityFunctions.densityClusters(edges, minPts = 5).count() === 0L)
   }
 
+  test("ivfPqTopKResidual: exact codebooks make ADC equal the exact scan") {
+    // residual slices are EXACTLY codebook entries -> reconstruction is
+    // exact -> the residual-ADC ranking must equal bruteForceTopK
+    val cents = Seq(
+      (0L, vec(1.0, 0.0, 0.0, 0.0)),
+      (1L, vec(0.0, 0.0, 1.0, 0.0))
+    ).toDF("centroid_id", "centroid_vec")
+    val cb = Seq(
+      (0, 0, vec(0.1, 0.0)), (0, 1, vec(0.0, 0.1)),
+      (1, 0, vec(0.1, 0.0)), (1, 1, vec(0.0, 0.1))
+    ).toDF("subspace", "code", "centroid_vec")
+    val corp = Seq(
+      (11L, vec(1.1, 0.0, 0.1, 0.0)), // c0 + codes (0,0)
+      (12L, vec(1.0, 0.1, 0.0, 0.1)), // c0 + codes (1,1)
+      (13L, vec(0.1, 0.0, 1.0, 0.1)), // c1 + codes (0,1)
+      (14L, vec(0.0, 0.1, 1.1, 0.0))  // c1 + codes (1,0)
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, vec(1.0, 0.05, 0.2, 0.0)))
+      .toDF("query_id", "query_vec")
+    val idx = SimilarityFunctions.ivfPqIndexResidual(corp, cents, cb,
+      dim = 4, m = 2, codes = 2)
+    // the codes must reconstruct each residual exactly: every encoded
+    // vector sits in its intended cell
+    assert(idx.orderBy("vec_id").select("cell").as[Long].collect().toSeq
+      === Seq(0L, 0L, 1L, 1L))
+    val viaResidual = SimilarityFunctions.ivfPqTopKResidual(idx, q, cents, cb,
+        dim = 4, m = 2, codes = 2, k = 4, nProbe = 2)
+      .orderBy("rank").select("vec_id", "cosine").as[(Long, Double)].collect()
+    val exact = SimilarityFunctions.bruteForceTopK(corp, q, 4)
+      .orderBy("rank").select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(viaResidual.toSeq === exact.toSeq)
+  }
+
+  test("residual codebooks recover planted clusters at least as well as raw PQ") {
+    // two far-apart clusters + deterministic within-cluster noise: raw
+    // PQ spends its 2 codes/subspace on the BETWEEN-cluster structure,
+    // residual PQ on the within-cluster detail that actually ranks
+    // neighbors
+    val dim = 8; val m = 4; val codes = 2
+    def noise(i: Int, j: Int): Double = ((i * 7 + j * 13) % 5 - 2) * 0.03
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0, 0, 0, 1.0, 0, 0, 0)
+        else Array(0, 0, 1.0, 0, 0, 0, 1.0, 0)
+      (i.toLong + 10, base.zipWithIndex.map { case (b, j) => b + noise(i, j) })
+    }.toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, vec(1.0, 0, 0, 0, 1.0, 0, 0, 0)),
+      (1L, vec(0, 0, 1.0, 0, 0, 0, 1.0, 0))
+    ).toDF("centroid_id", "centroid_vec")
+    val q = rows.filter(col("vec_id") < 14)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = SimilarityFunctions.bruteForceTopK(rows, q, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(found: Set[(Long, Long)]): Double =
+      found.intersect(exact).size.toDouble / exact.size
+    val cbRaw = SimilarityFunctions.trainPqCodebooks(rows, dim, m, codes)
+    val rawIdx = SimilarityFunctions.ivfPqIndex(rows, cents, cbRaw, dim, m, codes)
+    val rawFound = SimilarityFunctions.ivfPqTopK(rawIdx, q, cents, cbRaw,
+        dim, m, codes, k = 5, nProbe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val resTrain = SimilarityFunctions.withResiduals(rows, cents, dim)
+      .select(col("residual").as("embedding"))
+    val cbRes = SimilarityFunctions.trainPqCodebooks(resTrain, dim, m, codes)
+    val resIdx = SimilarityFunctions.ivfPqIndexResidual(rows, cents, cbRes,
+      dim, m, codes)
+    val resFound = SimilarityFunctions.ivfPqTopKResidual(resIdx, q, cents, cbRes,
+        dim, m, codes, k = 5, nProbe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(recall(resFound) >= recall(rawFound),
+      s"residual recall ${recall(resFound)} < raw ${recall(rawFound)}")
+    assert(recall(resFound) >= 0.6, s"residual recall too low: ${recall(resFound)}")
+  }
+
   test("jlSigns: deterministic ±1 matrix, replayable from the md5 contract") {
     val s1 = SimilarityFunctions.jlSigns(4, 8)
     val s2 = SimilarityFunctions.jlSigns(4, 8)
