@@ -232,6 +232,94 @@ object RelevanceFunctions {
         coalesce(col("_lp"), lit(logProbFloor)).as("log_prob"))
   }
 
+  /** Interpolated Kneser–Ney bigram score (Kneser & Ney, ICASSP 1995;
+    * Chen & Goodman, Harvard TR-10-98 eq. 4.26) — the smoothing family
+    * KenLM implements, i.e. the actual CCNet filter model, one rung up
+    * from [[bigramLogProb]]'s raw MLE. Per bigram occurrence:
+    *
+    *   P_KN(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *               + (D · N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * with fixed discount `D` (0.75, the Chen–Goodman default), where
+    * N₁₊(w₁·) = distinct continuations of w₁, N₁₊(·w₂) = distinct
+    * prefixes of w₂ (the "how many contexts has this word followed"
+    * novelty count — KN's insight), N₁₊(··) = distinct bigram types.
+    * Unlike MLE, rare-but-valid continuations keep mass, and
+    * high-frequency-but-context-locked words ("Francisco") stop
+    * looking probable everywhere. score(doc) = mean ln P_KN over its
+    * bigram occurrences; < 2 tokens → `logProbFloor`. With
+    * `minCount > 1` a pruned bigram backs off to the continuation
+    * term alone (the natural KN unseen-pair path; the type counts
+    * are then over SURVIVING pairs), and a w₂ seen only in pruned
+    * pairs floors the occurrence.
+    *
+    * Scale shape: ONE pinned bigram explode; pair counts aggregate
+    * once (pinned — they feed the prefix, continuation, and
+    * type-total aggs, each Zipf-small) and the three derived tables
+    * join back broadcast by default (`broadcastVocab = false` →
+    * shuffled equi-joins at crawl scale). The per-occurrence P_KN is
+    * a fixed-order IEEE chain an external engine replays literally.
+    */
+  def kneserNeyLogProb(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, logProbFloor: Double = -20.0,
+      broadcastVocab: Boolean = true, minCount: Long = 1L,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1 (got $minCount)")
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1) (got $discount)")
+    def pinned(d: DataFrame): DataFrame =
+      if (storage != StorageLevel.NONE) graft.Caches.trackedPersist(d, storage) else d
+    val bigrams = pinned(df.select(col(idCol),
+        explode(TextFunctions.bound(split(lower(trim(col(textCol))), "\\s+")) { toks =>
+          TextFunctions.bound(size(toks)) { n =>
+            when(n < 2, array().cast("array<struct<_w1:string,_w2:string>>"))
+              .otherwise(transform(sequence(lit(1), n - 1), i =>
+                struct(element_at(toks, i).as("_w1"),
+                  element_at(toks, i + 1).as("_w2"))))
+          }
+        }).as("_bg"))
+      .select(col(idCol), col("_bg._w1").as("_w1"), col("_bg._w2").as("_w2")))
+    val pairCounts0 = bigrams.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_n2"))
+    val pairCounts = pinned(
+      if (minCount > 1L) pairCounts0.filter(col("_n2") >= minCount)
+      else pairCounts0)
+    // c(w1·) and N1+(w1·): both from the (small) pair-count table, so
+    // with pruning the discount mass matches the surviving types.
+    val prefixStats = pairCounts.groupBy(col("_w1"))
+      .agg(sum(col("_n2")).as("_n1"), count(lit(1)).as("_t1"))
+    val contCounts = pairCounts.groupBy(col("_w2"))
+      .agg(count(lit(1)).as("_cc"))
+    val typeTotal = pairCounts.agg(count(lit(1)).cast("double").as("_tot"))
+    def maybeBroadcast(d: DataFrame) = if (broadcastVocab) broadcast(d) else d
+    val d = lit(discount)
+    // literal evaluation order matches the oracle SQL term for term
+    val pkn =
+      greatest(col("_n2").cast("double") - d, lit(0.0)) / col("_n1").cast("double") +
+        (d * col("_t1").cast("double") / col("_n1").cast("double")) *
+          (col("_cc").cast("double") / col("_tot"))
+    val scored = bigrams
+      .join(maybeBroadcast(pairCounts), Seq("_w1", "_w2"), "left")
+      .join(maybeBroadcast(prefixStats), Seq("_w1"), "left")
+      .join(maybeBroadcast(contCounts), Seq("_w2"), "left")
+      .crossJoin(broadcast(typeTotal))
+      .groupBy(col(idCol))
+      // pruned pair: null _n2 → discounted term nulls → back off to the
+      // continuation term alone; w2 with no surviving pair: null _cc →
+      // whole chain nulls → per-occurrence floor
+      .agg(avg(coalesce(
+          log(coalesce(
+            pkn,
+            (d * col("_t1").cast("double") / col("_n1").cast("double")) *
+              (col("_cc").cast("double") / col("_tot")))),
+          lit(logProbFloor)))
+        .as("_lp"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_lp"), lit(logProbFloor)).as("log_prob"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §3.3):
     * score every document under the corpus LM, then split the corpus
     * into `head` / `middle` / `tail` at the score tertiles — the

@@ -406,6 +406,49 @@ object SimilarityFunctions {
         col("_c").cast("int").as("matching_bits"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch-negatives
+    * upgrade every embedding-model recipe ships — e.g. DPR, Karpukhin et al.
+    * EMNLP 2020 §3.2: the strongest negatives are the ones the current
+    * index already ranks high). For each query: shortlist `shortlist`
+    * corpus vectors on the 1-bit sign sketch ([[hammingTopK]] — integer
+    * xor+bit_count, the only stage touching every corpus row), exact-cosine
+    * re-rank the shortlist, DROP same-`labelCol` rows (those are positives
+    * or near-duplicates of the anchor's class), keep top `k`.
+    *
+    * Shortlist-then-filter is the production contract: the class filter
+    * runs over ≤ `shortlist` rows per query, never the corpus, so
+    * `shortlist` must exceed `k` by the expected same-class density
+    * (at C balanced classes, E[same-class in shortlist] ≈ shortlist/C;
+    * under-delivery below `k` is visible in the output, not silent).
+    * Scale: corpus pass is dim/8 bytes per vector; only
+    * `shortlist × |queries|` raw vectors load for the re-rank.
+    */
+  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec",
+      qLabelCol: String = "query_label"): DataFrame = {
+    require(shortlist > k,
+      s"shortlist ($shortlist) must exceed k ($k) to survive the class filter")
+    val short = hammingTopK(corpus, queries, shortlist, dim,
+        idCol, vecCol, qIdCol, qVecCol)
+      .select(col(qIdCol), col(idCol))
+    val wQ = org.apache.spark.sql.expressions.Window.partitionBy(qIdCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    short
+      .join(corpus.select(col(idCol), col(labelCol).as("_lbl"),
+        col(vecCol).cast("array<double>").as("_v")), idCol)
+      .join(broadcast(queries.select(col(qIdCol), col(qLabelCol),
+        col(qVecCol).cast("array<double>").as("_qv"))), qIdCol)
+      .filter(col("_lbl") =!= col(qLabelCol))
+      .withColumn("cosine", round(cosine(col("_v"), col("_qv")), 6))
+      .withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("_lbl").as(labelCol),
+        col("cosine"), col("rank"))
+  }
+
   /** Inverse of [[quantizeInt8]]: per-element error ≤ scale/2. */
   def dequantizeInt8(qv: Column): Column =
     TextFunctions.bound(qv.getField("scale").cast("double")) { s =>

@@ -2753,6 +2753,98 @@ QueryDef("s17_norm_profile",
              |SELECT feature, m, u,
              |  round(log2(m / u), 6) AS w_agree,
              |  round(log2((1.0 - m) / (1.0 - u)), 6) AS w_disagree
-             |FROM a ORDER BY feature""".stripMargin))
+             |FROM a ORDER BY feature""".stripMargin)),
+
+    QueryDef("r9_kneser_ney",
+      // interpolated Kneser–Ney bigram scoring ([[graft.functions
+      // .RelevanceFunctions.kneserNeyLogProb]]; Kneser & Ney 1995,
+      // Chen & Goodman TR-10-98 eq. 4.26) — the smoothing KenLM (and
+      // therefore the real CCNet filter) uses, one rung above r3's raw
+      // MLE: discounted pair mass interpolated with the continuation
+      // ("novel-context") unigram, so rare-but-valid continuations keep
+      // probability and context-locked words stop looking probable
+      // everywhere. One pinned bigram explode; pair counts pinned and
+      // reduced three ways (prefix, continuation, type total — each
+      // Zipf-small, broadcast back); per-occurrence P_KN is a
+      // fixed-order IEEE chain the oracle replays literally.
+      (s, dir) => R.kneserNeyLogProb(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("log_prob"), 6).as("log_prob"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+             |  FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+             |  WHERE len(w) >= 2),
+             |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+             |pre AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1,
+             |               count(*) AS t1 FROM c2 GROUP BY 1),
+             |cont AS (SELECT w2, count(*) AS cc FROM c2 GROUP BY 1),
+             |tt AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM c2),
+             |sc AS (
+             |  SELECT b.doc_id,
+             |    avg(ln(greatest(CAST(n2 AS DOUBLE) - 0.75, 0.0)
+             |             / CAST(n1 AS DOUBLE)
+             |           + (0.75 * CAST(t1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |             * (CAST(cc AS DOUBLE) / tot))) AS lp
+             |  FROM bg b JOIN c2 USING (w1, w2) JOIN pre USING (w1)
+             |            JOIN cont USING (w2), tt
+             |  GROUP BY 1)
+             |SELECT d.doc_id, round(coalesce(sc.lp, -20.0), 6) AS log_prob
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("s25_hard_negatives",
+      // hard-negative mining for contrastive training ([[graft
+      // .functions.SimilarityFunctions.hardNegativeTopK]]; DPR,
+      // Karpukhin et al. EMNLP 2020 §3.2): per anchor, the
+      // highest-cosine DIFFERENT-label vectors — sign-sketch shortlist
+      // of 60 (integer xor+bit_count over the whole corpus), exact
+      // re-rank + class filter over the bounded shortlist only, top-5.
+      // The oracle replays sketch, shortlist, filter, and both tie
+      // contracts end-to-end.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"), col("label").as("query_label"))
+        S.hardNegativeTopK(emb, q, k = 5, shortlist = 60, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |sk AS (
+             |  SELECT vec_id,
+             |    CAST(SUM(CASE WHEN t.d < 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << t.d) ELSE 0 END) AS BIGINT) AS w0,
+             |    CAST(SUM(CASE WHEN t.d >= 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << (t.d - 32)) ELSE 0 END) AS BIGINT) AS w1
+             |  FROM e, range(0, 64) t(d) GROUP BY vec_id),
+             |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+             |      FROM sk WHERE vec_id < 8),
+             |shortl AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT q.query_id, sk.vec_id,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY 64 - bit_count(xor(sk.w0, q.q0))
+             |                   - bit_count(xor(sk.w1, q.q1)) DESC,
+             |                 sk.vec_id) AS rn
+             |    FROM sk, q WHERE sk.vec_id <> q.query_id) WHERE rn <= 60),
+             |scored AS (
+             |  SELECT s.query_id, s.vec_id, ev.label,
+             |    round(list_cosine_similarity(ev.v, eq.v), 6) AS cosine
+             |  FROM shortl s
+             |  JOIN e ev ON s.vec_id = ev.vec_id
+             |  JOIN e eq ON s.query_id = eq.vec_id
+             |  WHERE ev.label <> eq.label),
+             |rk AS (
+             |  SELECT query_id, vec_id, label, cosine,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
+             |  FROM scored)
+             |SELECT query_id, vec_id, label, cosine, "rank"
+             |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin))
   )
 }

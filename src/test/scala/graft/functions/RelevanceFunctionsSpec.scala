@@ -492,4 +492,53 @@ class RelevanceFunctionsSpec extends AnyFunSuite {
     assert(out === List((1L, 2.0, 1), (3L, 1.414214, 2), (2L, 1.0, 3)))
     assert(!out.exists(_._1 == 0L), "the query doc must not retrieve itself")
   }
+
+  test("kneserNeyLogProb: hand-derived P_KN on a 2-doc corpus") {
+    // bigrams: doc1 = (a,b),(b,a); doc2 = (a,b),(b,c)
+    // pair counts: (a,b)=2 (b,a)=1 (b,c)=1; prefixes: a:n1=2,t1=1  b:n1=2,t1=2
+    // continuations: a:1 b:1 c:1; total types T=3
+    val df = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = RelevanceFunctions.kneserNeyLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t = 3.0
+    val pAB = math.max(2.0 - 0.75, 0.0) / 2.0 + (0.75 * 1.0 / 2.0) * (1.0 / t)
+    val pBA = math.max(1.0 - 0.75, 0.0) / 2.0 + (0.75 * 2.0 / 2.0) * (1.0 / t)
+    val pBC = pBA // same counts: n2=1, n1=2, t1=2, cc=1
+    assert(math.abs(out(1L) - (math.log(pAB) + math.log(pBA)) / 2) < 1e-9)
+    assert(math.abs(out(2L) - (math.log(pAB) + math.log(pBC)) / 2) < 1e-9)
+  }
+
+  test("kneserNeyLogProb: P_KN sums to exactly 1 over the continuation vocab per prefix") {
+    // Σ_w2 P_KN(w2|w1) = (n1 − D·t1)/n1 + (D·t1/n1)·Σ Pcont = 1, because
+    // Σ_w2 N1+(·w2) = N1+(··). Re-derive the counts and check per prefix.
+    val df = Seq((1L, "x y z x y x z z y"), (2L, "y x y z y")).toDF("doc_id", "text")
+    val bg = df.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(expr("transform(sequence(1, size(w)-1), i -> struct(w[i-1] as w1, w[i] as w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val pair = bg.groupBy("w1", "w2").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n1 = pair.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val t1 = pair.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size }
+    val cc = pair.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size }
+    val tot = pair.size.toDouble
+    val vocab = cc.keySet
+    for (w1 <- n1.keys) {
+      val s = vocab.toSeq.map { w2 =>
+        val disc = math.max(pair.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) / n1(w1)
+        disc + (0.75 * t1(w1) / n1(w1)) * (cc(w2) / tot)
+      }.sum
+      assert(math.abs(s - 1.0) < 1e-12, s"prefix $w1 sums to $s")
+    }
+  }
+
+  test("kneserNeyLogProb: scrambled-order gibberish scores below natural text") {
+    // 20 natural docs share their bigram table; the scrambled doc's pairs
+    // are mostly unseen-as-frequent, so its KN mean must rank in the tail.
+    val natural = (0 until 20).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val scrambled = Seq((99L, "dog the over fox quick lazy jumps brown the"))
+    val df = (natural ++ scrambled).toDF("doc_id", "text")
+    val out = RelevanceFunctions.kneserNeyLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(99L) < out(0L), s"scrambled ${out(99L)} should score below natural ${out(0L)}")
+  }
 }

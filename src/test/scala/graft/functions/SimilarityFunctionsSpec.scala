@@ -1038,4 +1038,32 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       .orderBy("rank").select("vec_id", "cosine").as[(Long, Double)].collect()
     assert(jl.toSeq === exact.toSeq)
   }
+
+  test("hardNegativeTopK: only other-label rows, ranked; exhaustive shortlist = brute-force filter") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").as("query_label"))
+    val qLabels = q.select("query_id", "query_label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // shortlist covers the whole corpus → exact different-label top-k
+    val out = SimilarityFunctions.hardNegativeTopK(emb, q, k = 5,
+      shortlist = n, dim = 64).collect()
+    assert(out.length === 15)
+    out.foreach { r =>
+      assert(r.getAs[Int]("label") !== qLabels(r.getAs[Long]("query_id")),
+        "a hard negative must carry a different label than its anchor")
+    }
+    val brute = SimilarityFunctions.bruteForceTopK(emb, q, n - 1)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .join(q.select(col("query_id"), col("query_label")), "query_id")
+      .filter(col("label") =!= col("query_label"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet === brute)
+  }
 }
