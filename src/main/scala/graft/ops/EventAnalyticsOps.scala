@@ -395,4 +395,114 @@ object EventAnalyticsOps {
         (col("sd_us") - col("mean_us")) / (col("sd_us") + col("mean_us")), 6))
       .orderBy("user_id")
   }
+
+  /** Markov removal-effect attribution (Anderl, Becker, v. Wangenheim &
+    * Schumann 2014, "Mapping the customer journey") — the data-driven
+    * alternative to last-touch/position rules (e7): model journeys as a
+    * first-order Markov chain over channel touches, then credit each
+    * channel by how much total conversion probability DISAPPEARS when it
+    * is removed (its transitions redirect to the null-absorber, no
+    * renormalization — the removed channel's traffic is lost, the
+    * published convention).
+    *
+    * Journey convention: per user, events ordered by (ts, event_id),
+    * truncated at the FIRST `convType` event → `START → t₁ → … → tₘ →
+    * CONV` (or `→ NULL` for non-converters; a user whose first event
+    * converts contributes `START → CONV`). Transition probabilities are
+    * 6dp-rounded row shares (the e15 contract).
+    *
+    * Conversion probabilities come from `iters` synchronous absorption
+    * sweeps v(s) ← round₆(Σₜ P(s→t)·v(t)) with v(CONV)=1, v(NULL)=0 —
+    * run in EXACT decimal (6dp-decimal P and v, exact products/sums,
+    * HALF_UP round per sweep) so an external engine unrolling the same
+    * sweeps is bit-identical; the fixed sweep count is part of the
+    * contract (paths longer than `iters` steps carry negligible mass).
+    * removal_effect(c) = round₆(1 − P_conv^(−c)/P_conv);
+    * attribution_share normalizes effects over channels.
+    *
+    * Scale shape: journey truncation + transition extraction is the
+    * distributed pass (one user-partitioned window + two hash aggs);
+    * the chain itself is collected at ≤ (|event-type vocabulary|+1)²
+    * rows — a TAXONOMY-sized object, not data-sized (the documented
+    * bounded-collect convention) — and the sweeps run driver-side on
+    * that tiny matrix.
+    */
+  def removalEffectAttribution(events: DataFrame, convType: String = "purchase",
+      iters: Int = 60): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val spark = events.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withRn = events.select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      .withColumn("_rn", row_number().over(w))
+    val users = withRn.groupBy("user_id")
+      .agg(min(when(col("event_type") === lit(convType), col("_rn"))).as("_fc"))
+    val kept = withRn.join(users, Seq("user_id"))
+      .filter(col("_fc").isNull || col("_rn") < col("_fc"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("_rn"))
+    val term = when(col("_fc").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+    val steps = kept
+      .withColumn("_next", lead(col("event_type"), 1).over(w2))
+      .select(col("event_type").as("_f"), coalesce(col("_next"), term).as("_t"))
+    val firsts = kept.groupBy("user_id")
+      .agg(min_by(col("event_type"), col("_rn")).as("_t1"))
+    val starts = users.join(firsts, Seq("user_id"), "left")
+      .select(lit("START").as("_f"),
+        coalesce(col("_t1"),
+          when(col("_fc").isNotNull, lit("CONV")).otherwise(lit("NULL"))).as("_t"))
+    val trans = steps.unionByName(starts).groupBy("_f", "_t")
+      .agg(count(lit(1)).as("_n"))
+    val tots = trans.groupBy("_f").agg(sum(col("_n")).as("_tot"))
+    // taxonomy-sized collect: ≤ (|event types|+1)² transition rows
+    val base: Array[(String, String, JBD)] = trans
+      .join(broadcast(tots), "_f")
+      .select(col("_f"), col("_t"),
+        round(col("_n").cast("double") / col("_tot").cast("double"), 6).as("_p"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        JBD.valueOf(r.getDouble(2)).setScale(6, RoundingMode.HALF_UP)))
+    val one = JBD.ONE.setScale(6)
+    val zero = JBD.ZERO.setScale(6)
+    def pConv(tr: Seq[(String, String, JBD)]): JBD = {
+      // merge redirected duplicates exactly (decimal addition)
+      val byF = tr.groupBy(t => (t._1, t._2))
+        .map { case ((f, t), g) => (f, t, g.map(_._3).reduce(_.add(_))) }
+        .groupBy(_._1)
+      var v: Map[String, JBD] =
+        byF.keysIterator.map(_ -> zero).toMap + ("CONV" -> one) + ("NULL" -> zero)
+      var i = 0
+      while (i < iters) {
+        val nv = byF.map { case (f, ts) =>
+          f -> ts.map(t => t._3.multiply(v.getOrElse(t._2, zero)))
+            .reduce(_.add(_)).setScale(6, RoundingMode.HALF_UP)
+        }
+        v = nv ++ Map("CONV" -> one, "NULL" -> zero)
+        i += 1
+      }
+      v.getOrElse("START", zero)
+    }
+    val full = pConv(base.toSeq)
+    require(full.signum > 0,
+      s"no $convType conversions reachable from START — attribution undefined")
+    val channels = base.map(_._1).filter(_ != "START").distinct.sorted
+    val effects = channels.map { c =>
+      val scen = base.toSeq.filter(_._1 != c)
+        .map(t => if (t._2 == c) (t._1, "NULL", t._3) else t)
+      val pc = pConv(scen)
+      val eff = JBD.valueOf(1.0 - pc.doubleValue / full.doubleValue)
+        .setScale(6, RoundingMode.HALF_UP)
+      (c, pc, eff)
+    }
+    val totEff = effects.map(_._3).foldLeft(zero)(_.add(_))
+    val rows = effects.map { case (c, pc, eff) =>
+      (c, full.doubleValue, pc.doubleValue, eff.doubleValue,
+        JBD.valueOf(eff.doubleValue / totEff.doubleValue)
+          .setScale(6, RoundingMode.HALF_UP).doubleValue)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("channel", "p_conv", "p_conv_removed",
+      "removal_effect", "attribution_share").orderBy("channel")
+  }
 }

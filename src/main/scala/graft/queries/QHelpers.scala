@@ -1329,4 +1329,86 @@ private[queries] object QHelpers {
         |SELECT s.doc_id, md5(s.text) AS text_md5
         |FROM survivors s WHERE s.doc_id NOT IN (SELECT id FROM doomed2)
         |ORDER BY doc_id""".stripMargin
+
+  /** Generated oracle for `e37_removal_attribution`, unrolling
+    * [[graft.ops.EventAnalyticsOps.removalEffectAttribution]]'s fixed
+    * `iters` exact-decimal absorption sweeps as chained CTEs (the
+    * logregOracle pattern). Everything is data-driven SQL — journeys,
+    * transition shares, scenarios (one per channel plus FULL), and the
+    * per-sweep v(s) ← round₆(Σ P(s→t)·v(t)) updates in DECIMAL, so the
+    * engines agree bit-for-bit at every sweep.
+    */
+  def removalAttributionOracle(convType: String, iters: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |us AS (SELECT user_id,
+             |         min(CASE WHEN event_type = '$convType' THEN rn END) AS fcv
+             |       FROM ev GROUP BY 1),
+             |kept AS (
+             |  SELECT e.user_id, e.event_type, e.rn, u.fcv
+             |  FROM ev e JOIN us u USING (user_id)
+             |  WHERE u.fcv IS NULL OR e.rn < u.fcv),
+             |steps AS (
+             |  SELECT event_type AS f,
+             |    coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+             |             CASE WHEN fcv IS NOT NULL THEN 'CONV' ELSE 'NULL' END) AS t
+             |  FROM kept),
+             |fst AS (SELECT user_id, arg_min(event_type, rn) AS t1
+             |        FROM kept GROUP BY 1),
+             |starts AS (
+             |  SELECT 'START' AS f,
+             |    coalesce(fs.t1,
+             |             CASE WHEN u.fcv IS NOT NULL THEN 'CONV' ELSE 'NULL' END) AS t
+             |  FROM us u LEFT JOIN fst fs USING (user_id)),
+             |alltr AS (SELECT f, t FROM steps UNION ALL SELECT f, t FROM starts),
+             |cnt AS (SELECT f, t, count(*) AS n FROM alltr GROUP BY 1, 2),
+             |tt AS (SELECT f, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+             |bp AS (
+             |  SELECT c.f, c.t,
+             |    CAST(round(CAST(c.n AS DOUBLE) / CAST(tt.tot AS DOUBLE), 6)
+             |      AS DECIMAL(18,6)) AS p
+             |  FROM cnt c JOIN tt USING (f)),
+             |ch AS (SELECT DISTINCT f AS c FROM bp WHERE f <> 'START'),
+             |scen AS (SELECT 'FULL' AS s, CAST(NULL AS VARCHAR) AS rem
+             |         UNION ALL SELECT c, c FROM ch),
+             |pm AS (
+             |  SELECT sc.s, b.f,
+             |    CASE WHEN b.t = sc.rem THEN 'NULL' ELSE b.t END AS t, b.p
+             |  FROM scen sc JOIN bp b ON sc.rem IS NULL OR b.f <> sc.rem),
+             |pm2 AS MATERIALIZED (SELECT s, f, t, CAST(sum(p) AS DECIMAL(18,6)) AS p
+             |        FROM pm GROUP BY 1, 2, 3),
+             |v0 AS MATERIALIZED (
+             |  SELECT DISTINCT s, f AS st, CAST(0 AS DECIMAL(18,6)) AS v FROM pm2
+             |  UNION ALL SELECT s, 'CONV', CAST(1 AS DECIMAL(18,6)) FROM scen
+             |  UNION ALL SELECT s, 'NULL', CAST(0 AS DECIMAL(18,6)) FROM scen),
+             |""".stripMargin
+    for (k <- 1 to iters) {
+      b ++= s"""v$k AS MATERIALIZED (
+               |  SELECT m.s, m.f AS st,
+               |    CAST(round(sum(m.p * v.v), 6) AS DECIMAL(18,6)) AS v
+               |  FROM pm2 m JOIN v${k - 1} v ON v.s = m.s AND v.st = m.t
+               |  GROUP BY m.s, m.f
+               |  UNION ALL SELECT s, st, v FROM v0 WHERE st IN ('CONV', 'NULL')),
+               |""".stripMargin
+    }
+    b ++= s"""fin AS (SELECT s, CAST(v AS DOUBLE) AS pc FROM v$iters
+             |        WHERE st = 'START'),
+             |fl AS (SELECT pc FROM fin WHERE s = 'FULL'),
+             |ef AS (
+             |  SELECT f.s AS channel, f.pc AS p_conv_removed,
+             |    round(1 - f.pc / (SELECT pc FROM fl), 6) AS removal_effect
+             |  FROM fin f WHERE f.s <> 'FULL'),
+             |te AS (SELECT CAST(sum(CAST(removal_effect AS DECIMAL(18,6)))
+             |         AS DECIMAL(18,6)) AS tot FROM ef)
+             |SELECT channel, (SELECT pc FROM fl) AS p_conv, p_conv_removed,
+             |  removal_effect,
+             |  round(CAST(CAST(removal_effect AS DECIMAL(18,6)) AS DOUBLE)
+             |    / CAST(te.tot AS DOUBLE), 6) AS attribution_share
+             |FROM ef, te ORDER BY channel""".stripMargin
+    b.result()
+  }
 }

@@ -1284,6 +1284,21 @@ QueryDef("e32_behavior_lift",
              |  round(b, 6) AS decay_rate,
              |  CASE WHEN b < 0 THEN round(-ln(2.0) / b, 6) END
              |    AS half_life_weeks
-             |FROM b ORDER BY cohort_week""".stripMargin))
+             |FROM b ORDER BY cohort_week""".stripMargin)),
+
+    QueryDef("e37_removal_attribution",
+      // Markov removal-effect attribution ([[graft.ops
+      // .EventAnalyticsOps.removalEffectAttribution]]; Anderl et al.
+      // 2014): journeys → first-order chain → each channel credited by
+      // the conversion probability that disappears when its transitions
+      // redirect to the null absorber. Distributed journey/transition
+      // pass; the chain itself is a taxonomy-sized collect and the 60
+      // exact-decimal absorption sweeps run driver-side; the oracle
+      // unrolls the identical sweeps as chained DECIMAL CTEs
+      // ([[QHelpers.removalAttributionOracle]], the logregOracle
+      // pattern).
+      (s, dir) => EventAnalyticsOps.removalEffectAttribution(
+        events(s, dir), convType = "purchase", iters = 60),
+      Some(removalAttributionOracle("purchase", 60)))
   )
 }

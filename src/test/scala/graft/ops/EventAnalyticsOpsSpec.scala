@@ -214,4 +214,42 @@ class EventAnalyticsOpsSpec extends AnyFunSuite {
       (1L, 5L, 1e6, 0.0, 0.0, -1.0),
       (2L, 5L, 3e6, sd2, r6(sd2 / 3e6), r6((sd2 - 3e6) / (sd2 + 3e6)))))
   }
+
+  test("removalEffectAttribution: hand-solved 2-channel chain") {
+    // u1: A → purchase; u2: A → B (no conv); u3: B → purchase
+    // P: START→A ⅔, START→B ⅓; A→CONV ½, A→B ½; B→CONV ½, B→NULL ½
+    // v(B)=.5, v(A)=.75, v(START)=.666667; remove A → .166667,
+    // remove B → .333334; effect_A = .75 and effect_B =
+    // 1 − .333334/.666667 = 1 − .50000075 = .499999 (the 6dp rounds
+    // compound before the ratio — the oracle replays the same chain);
+    // shares .6/.4
+    val df = Seq(
+      (1L, "A", "2024-01-01 00:00:00", 1L),
+      (1L, "purchase", "2024-01-01 00:01:00", 2L),
+      (2L, "A", "2024-01-01 00:00:00", 3L),
+      (2L, "B", "2024-01-01 00:01:00", 4L),
+      (3L, "B", "2024-01-01 00:00:00", 5L),
+      (3L, "purchase", "2024-01-01 00:01:00", 6L)
+    ).toDF("user_id", "event_type", "t", "event_id")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = EventAnalyticsOps.removalEffectAttribution(df)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    assert(out === List(
+      ("A", 0.666667, 0.166667, 0.75, 0.6),
+      ("B", 0.666667, 0.333334, 0.499999, 0.4)))
+  }
+
+  test("removalEffectAttribution: removal is monotone and shares normalize") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = EventAnalyticsOps.removalEffectAttribution(df).collect()
+    assert(out.nonEmpty)
+    val shares = out.map(_.getDouble(4))
+    out.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(1) + 1e-12,
+        s"${r.getString(0)}: removing a channel cannot raise conversion")
+      assert(r.getDouble(3) >= 0.0)
+    }
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum ${shares.sum}")
+  }
 }
