@@ -449,6 +449,74 @@ object SimilarityFunctions {
         col("cosine"), col("rank"))
   }
 
+  /** Margin-criterion bitext mining (Artetxe & Schwenk, ACL 2019 §3.1
+    * "ratio" margin; the CCMatrix/LASER recipe): candidate cross-side
+    * pairs are scored by cosine NORMALIZED by both endpoints'
+    * neighborhood density —
+    *
+    *   margin(x,y) = cos(x,y) / ((Σₖ(x→tgt) + Σₖ(y→src)) / 2k)
+    *
+    * where avgₖ is the mean cosine to the k nearest cross-side
+    * neighbors. Plain cosine thresholds fail for bitext because dense
+    * regions ("hubs") clear any fixed bar; the margin keeps a pair only
+    * when the two sides are closer to EACH OTHER than to their general
+    * neighborhoods. Returns the best-margin target per source
+    * (forward mining) with `margin ≥ threshold`.
+    *
+    * Both directions run the [[hammingTopK]] sketch kernel (integer
+    * xor+bit_count — the only stages touching every vector) with exact
+    * 6dp-cosine re-ranks over the bounded shortlists; densities (top-k
+    * mean) and candidates (top-`cand`) come from the same re-ranked
+    * frame. At 100 TB the sketch tables LSH-block before the kernel
+    * (the s20b note) and the shortlist/re-rank economics are s19's.
+    */
+  def marginBitextMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      cand: Int = 8, shortlist: Int = 16, dim: Int = 64,
+      threshold: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= cand && shortlist >= k,
+      s"shortlist ($shortlist) must cover cand ($cand) and k ($k)")
+    val wQ = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(idCol))
+    // shortlist + exact re-rank of `queries` against `corpus` (s19 shape)
+    def reranked(corpus: DataFrame, queries: DataFrame): DataFrame = {
+      val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("query_vec"))
+      hammingTopK(corpus, q, shortlist, dim, idCol, vecCol)
+        .select(col("query_id"), col(idCol))
+        .join(corpus.select(col(idCol),
+          col(vecCol).cast("array<double>").as("_v")), idCol)
+        .join(broadcast(q.select(col("query_id"),
+          col("query_vec").cast("array<double>").as("_qv"))), "query_id")
+        .withColumn("cosine", round(cosine(col("_v"), col("_qv")), 6))
+        .withColumn("rk", row_number().over(wQ))
+        .select(col("query_id"), col(idCol), col("cosine"), col("rk"))
+    }
+    val fwd = graft.Caches.trackedPersist(reranked(tgt, src),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bwd = reranked(src, tgt)
+    // density via the exact 6dp SUM, not avg: a k-mean of 6dp lattice
+    // values lands on quarter/half-decimal rounding boundaries (N/(k·10⁶))
+    // where engine summation order flips the 6dp round; the sum stays ON
+    // the lattice and the single /2k happens inside the margin chain.
+    val dSrc = fwd.filter(col("rk") <= k).groupBy("query_id")
+      .agg(round(sum(col("cosine")), 6).as("_dsum_src"))
+    val dTgt = bwd.filter(col("rk") <= k).groupBy("query_id")
+      .agg(round(sum(col("cosine")), 6).as("_dsum_tgt"))
+      .withColumnRenamed("query_id", idCol)
+    val wBest = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("margin").desc, col(idCol))
+    fwd.filter(col("rk") <= cand)
+      .join(dSrc, "query_id")
+      .join(dTgt, idCol)
+      .withColumn("margin", round(
+        col("cosine") / ((col("_dsum_src") + col("_dsum_tgt")) / (2 * k)), 6))
+      .withColumn("_rn", row_number().over(wBest))
+      .filter(col("_rn") === 1 && col("margin") >= threshold)
+      .select(col("query_id").as("src_id"), col(idCol).as("tgt_id"),
+        col("cosine"), col("margin"))
+  }
+
   /** Inverse of [[quantizeInt8]]: per-element error ≤ scale/2. */
   def dequantizeInt8(qv: Column): Column =
     TextFunctions.bound(qv.getField("scale").cast("double")) { s =>

@@ -2845,6 +2845,91 @@ QueryDef("s17_norm_profile",
              |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS "rank"
              |  FROM scored)
              |SELECT query_id, vec_id, label, cosine, "rank"
-             |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin))
+             |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+
+    QueryDef("s26_bitext_margin",
+      // margin-criterion bitext mining ([[graft.functions
+      // .SimilarityFunctions.marginBitextMine]]; Artetxe & Schwenk ACL
+      // 2019, the CCMatrix/LASER recipe): cross-side pairs scored by
+      // cosine normalized by BOTH endpoints' k-NN neighborhood density,
+      // so hub vectors stop clearing a fixed cosine bar. Sandbox sides:
+      // even labels = source, odd = target (stand-ins for the two
+      // languages' encoders). Both directions ride the sign-sketch
+      // kernel + bounded exact re-rank; the oracle replays sketches,
+      // both shortlists, both density averages, the margin chain, and
+      // the per-source argmax end-to-end.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        S.marginBitextMine(
+          emb.filter(col("label") % 2 === 0),
+          emb.filter(col("label") % 2 === 1),
+          k = 4, cand = 8, shortlist = 16, dim = 64, threshold = 1.0)
+          .orderBy("src_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |sk AS MATERIALIZED (
+             |  SELECT vec_id,
+             |    CAST(SUM(CASE WHEN t.d < 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << t.d) ELSE 0 END) AS BIGINT) AS w0,
+             |    CAST(SUM(CASE WHEN t.d >= 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << (t.d - 32)) ELSE 0 END) AS BIGINT) AS w1
+             |  FROM e, range(0, 64) t(d) GROUP BY vec_id),
+             |ska AS (SELECT s.* FROM sk s JOIN e USING (vec_id)
+             |        WHERE e.label % 2 = 0),
+             |skb AS (SELECT s.* FROM sk s JOIN e USING (vec_id)
+             |        WHERE e.label % 2 = 1),
+             |fsl AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT q.vec_id AS query_id, c.vec_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY 64 - bit_count(xor(c.w0, q.w0))
+             |                   - bit_count(xor(c.w1, q.w1)) DESC,
+             |                 c.vec_id) AS rn
+             |    FROM ska q, skb c) WHERE rn <= 16),
+             |fre AS MATERIALIZED (
+             |  SELECT f.query_id, f.vec_id,
+             |    round(list_cosine_similarity(ec.v, eq.v), 6) AS cosine,
+             |    row_number() OVER (PARTITION BY f.query_id
+             |      ORDER BY round(list_cosine_similarity(ec.v, eq.v), 6) DESC,
+             |               f.vec_id) AS rk
+             |  FROM fsl f JOIN e ec ON ec.vec_id = f.vec_id
+             |             JOIN e eq ON eq.vec_id = f.query_id),
+             |bsl AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT q.vec_id AS query_id, c.vec_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY 64 - bit_count(xor(c.w0, q.w0))
+             |                   - bit_count(xor(c.w1, q.w1)) DESC,
+             |                 c.vec_id) AS rn
+             |    FROM skb q, ska c) WHERE rn <= 16),
+             |bre AS (
+             |  SELECT f.query_id, f.vec_id,
+             |    round(list_cosine_similarity(ec.v, eq.v), 6) AS cosine,
+             |    row_number() OVER (PARTITION BY f.query_id
+             |      ORDER BY round(list_cosine_similarity(ec.v, eq.v), 6) DESC,
+             |               f.vec_id) AS rk
+             |  FROM bsl f JOIN e ec ON ec.vec_id = f.vec_id
+             |             JOIN e eq ON eq.vec_id = f.query_id),
+             |dsrc AS (SELECT query_id, round(sum(cosine), 6) AS dsum
+             |         FROM fre WHERE rk <= 4 GROUP BY 1),
+             |dtgt AS (SELECT query_id, round(sum(cosine), 6) AS dsum
+             |         FROM bre WHERE rk <= 4 GROUP BY 1),
+             |sc AS (
+             |  SELECT c.query_id, c.vec_id, c.cosine,
+             |    round(c.cosine / ((ds.dsum + dt.dsum) / 8), 6) AS margin
+             |  FROM fre c
+             |  JOIN dsrc ds ON ds.query_id = c.query_id
+             |  JOIN dtgt dt ON dt.query_id = c.vec_id
+             |  WHERE c.rk <= 8),
+             |best AS (
+             |  SELECT query_id, vec_id, cosine, margin,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY margin DESC, vec_id) AS rn
+             |  FROM sc)
+             |SELECT query_id AS src_id, vec_id AS tgt_id, cosine, margin
+             |FROM best WHERE rn = 1 AND margin >= 1.0
+             |ORDER BY src_id""".stripMargin))
   )
 }

@@ -1066,4 +1066,41 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet === brute)
   }
+
+  test("marginBitextMine: the margin picks the mutual pair over the hub plain cosine prefers") {
+    // geometry (angles on the first two dims, rest zero):
+    //   src z=0°, x=20°;  tgt h=0° (the hub), u=45°
+    // cos(x,h)=.9397 > cos(x,u)=.9063, so cosine argmax picks h — but h's
+    // own best src is z at cos 1.0, so the margin denominator penalizes
+    // it: margin(x,u)=.9819 > margin(x,h)=.9689 (the Artetxe–Schwenk
+    // hub correction, k=1 form: u wins iff cos(x,u) > cos(x,h)²).
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      (Array(math.cos(r), math.sin(r)) ++ Array.fill(62)(0.0)).map(_.toFloat)
+    }
+    val src = Seq((0L, v(0)), (1L, v(20))).toDF("vec_id", "embedding")
+    val tgt = Seq((10L, v(0)), (11L, v(45))).toDF("vec_id", "embedding")
+    val out = SimilarityFunctions.marginBitextMine(src, tgt,
+        k = 1, cand = 2, shortlist = 2, dim = 64, threshold = 0.0)
+      .orderBy("src_id")
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toList
+    assert(out === List((0L, 10L), (1L, 11L)))
+    // sanity: plain cosine would have sent src 1 to the hub
+    val q = src.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = SimilarityFunctions.bruteForceTopK(tgt, q, 1)
+      .select("vec_id").as[Long].head()
+    assert(top === 10L, "precondition: cosine top-1 is the hub")
+  }
+
+  test("marginBitextMine: one row per source, margins ranked above threshold") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = SimilarityFunctions.marginBitextMine(
+      emb.filter(col("label") % 2 === 0), emb.filter(col("label") % 2 === 1),
+      k = 4, cand = 8, shortlist = 16, dim = 64, threshold = 1.0).collect()
+    val srcs = out.map(_.getLong(0))
+    assert(srcs.distinct.length === srcs.length, "argmax must emit ≤1 row per source")
+    assert(out.forall(_.getDouble(3) >= 1.0))
+    graft.Caches.releaseAll()
+  }
 }
