@@ -517,6 +517,48 @@ object SimilarityFunctions {
         col("cosine"), col("margin"))
   }
 
+  /** Simplified silhouette (Hruschka et al. 2004's centroid form of
+    * Rousseeuw 1987) over an IVF-style cell layout: per vector,
+    * a = cosine distance to its OWN (nearest) centroid and b = distance
+    * to the runner-up centroid, s = (b − a)/max(a, b) ∈ [−1, 1];
+    * reported as per-cell means. The cluster-quality companion to the
+    * s21 balance audit: balance says cells are evenly SIZED, silhouette
+    * says they are actually SEPARATED — a near-zero cell mean flags
+    * centroids that split one natural cluster (candidates for merging
+    * at the next index rebuild).
+    *
+    * The exact silhouette needs all pairwise distances (O(n²)); the
+    * simplified form is the production standard because it is one
+    * broadcast-centroid scan — O(n·k), no shuffle beyond the final
+    * k-row aggregate, the same economics as IVF assignment itself.
+    * Distances are 1 − round₆(cos): on the 6dp lattice, so the a/b
+    * compare, the argmin tie (lower centroid id) and b − a are
+    * engine-exact; only the final ratio and per-cell mean round.
+    */
+  def simplifiedSilhouette(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
+    val scored = vectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(centroids.select(col(cIdCol),
+        col(cVecCol).cast("array<double>").as("_cv"))))
+      .withColumn("_d", lit(1.0) - round(cosine(col("_v"), col("_cv")), 6))
+    val wV = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(col("_d").asc, col(cIdCol).asc)
+    val ab = scored.withColumn("_rk", row_number().over(wV))
+      .filter(col("_rk") <= 2)
+      .groupBy(col(idCol))
+      .agg(min(when(col("_rk") === 1, col("_d"))).as("_a"),
+        min(when(col("_rk") === 2, col("_d"))).as("_b"),
+        min(when(col("_rk") === 1, col(cIdCol))).as(cIdCol))
+    val sil = when(greatest(col("_a"), col("_b")) <= 0, lit(0.0))
+      .otherwise(round((col("_b") - col("_a")) / greatest(col("_a"), col("_b")), 6))
+    ab.select(col(cIdCol), sil.as("_s"))
+      .groupBy(col(cIdCol))
+      .agg(count(lit(1)).as("n"), round(avg(col("_s")), 6).as("mean_silhouette"))
+      .orderBy(cIdCol)
+  }
+
   /** Inverse of [[quantizeInt8]]: per-element error ≤ scale/2. */
   def dequantizeInt8(qv: Column): Column =
     TextFunctions.bound(qv.getField("scale").cast("double")) { s =>

@@ -2930,6 +2930,47 @@ QueryDef("s17_norm_profile",
              |  FROM sc)
              |SELECT query_id AS src_id, vec_id AS tgt_id, cosine, margin
              |FROM best WHERE rn = 1 AND margin >= 1.0
-             |ORDER BY src_id""".stripMargin))
+             |ORDER BY src_id""".stripMargin)),
+
+    QueryDef("eval10_silhouette",
+      // simplified silhouette per IVF cell ([[graft.functions
+      // .SimilarityFunctions.simplifiedSilhouette]]; Hruschka 2004's
+      // centroid form of Rousseeuw 1987): s = (b − a)/max(a,b) with
+      // a = own-centroid and b = runner-up cosine distance — the
+      // separation audit next to s21's size-balance audit. One
+      // broadcast-centroid scan, O(n·k), distances on the 6dp lattice
+      // so argmin/ties/b−a are engine-exact.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("centroid_vec"))
+        S.simplifiedSilhouette(emb, cents)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |sc AS (
+             |  SELECT e.vec_id, c.cid,
+             |    1 - round(list_cosine_similarity(e.v, c.cv), 6) AS d
+             |  FROM e, c),
+             |rk AS (
+             |  SELECT vec_id, cid, d,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             |  FROM sc),
+             |ab AS (
+             |  SELECT vec_id,
+             |    min(CASE WHEN rn = 1 THEN d END) AS a,
+             |    min(CASE WHEN rn = 2 THEN d END) AS b,
+             |    min(CASE WHEN rn = 1 THEN cid END) AS cell
+             |  FROM rk WHERE rn <= 2 GROUP BY 1),
+             |s AS (
+             |  SELECT cell,
+             |    CASE WHEN greatest(a, b) <= 0 THEN 0.0
+             |         ELSE round((b - a) / greatest(a, b), 6) END AS sil
+             |  FROM ab)
+             |SELECT cell AS centroid_id, count(*) AS n,
+             |  round(avg(sil), 6) AS mean_silhouette
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1093,6 +1093,34 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(top === 10L, "precondition: cosine top-1 is the hub")
   }
 
+  test("simplifiedSilhouette: separated clusters score near 1, a split cluster near 0") {
+    def v(a: Double, b: Double): Array[Float] =
+      (Array(a, b) ++ Array.fill(62)(0.0)).map(_.toFloat)
+    // two orthogonal clusters, centroids on the exemplars
+    val good = Seq((0L, v(1, 0)), (1L, v(0.99, 0.01)), (2L, v(0.98, 0.02)),
+      (10L, v(0, 1)), (11L, v(0.01, 0.99)), (12L, v(0.02, 0.98)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, v(1, 0)), (1L, v(0, 1)))
+      .toDF("centroid_id", "centroid_vec")
+    val g = SimilarityFunctions.simplifiedSilhouette(good, cents)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(g.values.forall(_ > 0.9), s"separated clusters should score ~1: $g")
+    // two centroids STRADDLING one tight cluster (the cluster sits on
+    // their midline) → a ≈ b per point → silhouette collapses toward 0
+    def ang(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      (Array(math.cos(r), math.sin(r)) ++ Array.fill(62)(0.0)).map(_.toFloat)
+    }
+    val split = Seq((0L, ang(1.95)), (1L, ang(2.0)), (2L, ang(2.05)))
+      .toDF("vec_id", "embedding")
+    val cSplit = Seq((0L, ang(1.0)), (1L, ang(3.0)))
+      .toDF("centroid_id", "centroid_vec")
+    val sp = SimilarityFunctions.simplifiedSilhouette(split, cSplit)
+      .collect().map(_.getDouble(2))
+    assert(sp.forall(s => math.abs(s) < 0.35 && s < g.values.min),
+      s"straddled cluster should score near 0, far below the separated case: ${sp.toSeq}")
+  }
+
   test("marginBitextMine: one row per source, margins ranked above threshold") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = SimilarityFunctions.marginBitextMine(
