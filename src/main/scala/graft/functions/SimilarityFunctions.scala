@@ -559,6 +559,45 @@ object SimilarityFunctions {
       .orderBy(cIdCol)
   }
 
+  /** Linear-time MMD² between two embedding samples (Gretton et al.,
+    * JMLR 2012 eq. 14 — the streaming estimator): consecutive disjoint
+    * quadruples (x₂q, x₂q₊₁, y₂q, y₂q₊₁) each contribute
+    *
+    *   h_q = k(x₂q,x₂q₊₁) + k(y₂q,y₂q₊₁) − k(x₂q,y₂q₊₁) − k(x₂q₊₁,y₂q)
+    *
+    * with the RBF kernel k(a,b) = exp(−‖a−b‖²/denom); MMD² = mean h.
+    * Near 0 when the samples share a distribution, strictly positive
+    * under drift — the DISTRIBUTION-level drift test for embedding
+    * columns, where the scalar drift family (PSI a14 / KS a27 / KL
+    * mix2) sees only marginals. The quadratic estimator is O(n²);
+    * this linear form is the production shape: ONE narrow pass over
+    * indexed rows, no pairwise join, error O(1/√n).
+    *
+    * `x`/`y` carry a dense pair index `idxCol` (0..n−1); deriving it is
+    * the caller's job — arithmetic when ids are dense (vec_id div 2
+    * for a parity split), [[graft.ops.RankOps.withGlobalRank]]
+    * otherwise. Incomplete tail quadruples drop (inner joins).
+    * Kernels: ‖a−b‖² = a·a + b·b − 2a·b in the fixed [[dot]] fold
+    * order, exp rounded at 6dp (the cls4 exp precedent) — the h sum
+    * stays on the lattice; only the final mean rounds.
+    */
+  def mmdLinear(x: DataFrame, y: DataFrame, denom: Double,
+      idxCol: String = "idx", vecCol: String = "embedding"): DataFrame = {
+    require(denom > 0, s"denom must be positive (got $denom)")
+    def side(df: DataFrame, member: Int, out: String): DataFrame =
+      df.filter(col(idxCol) % 2 === member)
+        .select(expr(s"$idxCol div 2").as("_q"),
+          col(vecCol).cast("array<double>").as(out))
+    def k(a: Column, b: Column): Column =
+      round(exp(-(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)) / denom), 6)
+    val quads = side(x, 0, "_x0").join(side(x, 1, "_x1"), "_q")
+      .join(side(y, 0, "_y0"), "_q").join(side(y, 1, "_y1"), "_q")
+    quads
+      .select((k(col("_x0"), col("_x1")) + k(col("_y0"), col("_y1"))
+        - k(col("_x0"), col("_y1")) - k(col("_x1"), col("_y0"))).as("_h"))
+      .agg(count(lit(1)).as("m_quads"), round(avg(col("_h")), 6).as("mmd2"))
+  }
+
   /** Inverse of [[quantizeInt8]]: per-element error ≤ scale/2. */
   def dequantizeInt8(qv: Column): Column =
     TextFunctions.bound(qv.getField("scale").cast("double")) { s =>

@@ -723,4 +723,65 @@ object TextFunctions {
       .otherwise(round(segDistinct.cast("double")
         / (nSeg * window).cast("double"), 6))
   }
+
+  /** Self-BLEU-2 corpus diversity audit (Zhu et al., SIGIR 2018 — the
+    * Texygen metric): each document scored as a BLEU-2 candidate with
+    * EVERY OTHER document as reference. High self-BLEU = the corpus
+    * repeats itself (mode collapse in generated data, boilerplate in
+    * crawls); the per-doc scores localize WHICH documents are the
+    * redundant ones — the diversity companion to t18's novelty.
+    *
+    * Modified n-gram precision pₙ(d) = Σ_g min(c_d(g), maxref(g,d)) /
+    * Σ_g c_d(g), where maxref(g,d) = max count of g in any OTHER doc —
+    * computed EXACTLY without an all-pairs join: per gram keep
+    * (m1 = max per-doc count, n1 = #docs attaining m1, m2 = runner-up
+    * count); then maxref is m2 only when d is the unique maximum
+    * holder, else m1. self_bleu2 = √(p1·p2) (brevity penalty ≡ 1:
+    * the pooled reference is always longer than the candidate).
+    *
+    * Scale shape: per-level work is (gram, doc) counts → per-gram max →
+    * one join-back agg for (n1, m2) → clip join — all map-side-partial
+    * hash aggs and equi-joins on the gram key, Zipf-distributed, no
+    * window, no all-pairs. Precisions are exact long ratios rounded at
+    * 6dp; √ is IEEE-exact — engine-replayable end to end.
+    */
+  def selfBleu2(df: DataFrame, idCol: String, textCol: String,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    def pinned(d: DataFrame): DataFrame =
+      if (storage != org.apache.spark.storage.StorageLevel.NONE)
+        graft.Caches.trackedPersist(d, storage) else d
+    val toks = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_g"))
+      .filter(length(col("_g")) > 0)
+    val bgs = df.select(col(idCol),
+        explode(bound(split(lower(trim(col(textCol))), "\\s+")) { ts =>
+          bound(size(ts)) { n =>
+            when(n < 2, array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(1), n - 1), i =>
+                concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+          }
+        }).as("_g"))
+    def precision(grams: DataFrame, outCol: String): DataFrame = {
+      val c = pinned(grams.groupBy(col(idCol), col("_g"))
+        .agg(count(lit(1)).as("_c")))
+      val s1 = c.groupBy(col("_g")).agg(max(col("_c")).as("_m1"))
+      val st = c.join(s1, "_g").groupBy(col("_g"))
+        .agg(max(col("_m1")).as("_m1"),
+          sum(when(col("_c") === col("_m1"), 1L).otherwise(0L)).as("_n1"),
+          max(when(col("_c") < col("_m1"), col("_c"))).as("_m2"))
+      val maxref = when(col("_c") === col("_m1") && col("_n1") === 1L,
+        coalesce(col("_m2"), lit(0L))).otherwise(col("_m1"))
+      c.join(st, "_g")
+        .select(col(idCol), least(col("_c"), maxref).as("_cl"), col("_c"))
+        .groupBy(col(idCol))
+        .agg(round(sum(col("_cl")).cast("double")
+          / sum(col("_c")).cast("double"), 6).as(outCol))
+    }
+    df.select(col(idCol))
+      .join(precision(toks, "p1"), Seq(idCol), "left")
+      .join(precision(bgs, "p2"), Seq(idCol), "left")
+      .select(col(idCol), col("p1"), col("p2"),
+        round(sqrt(col("p1") * col("p2")), 6).as("self_bleu2"))
+  }
 }

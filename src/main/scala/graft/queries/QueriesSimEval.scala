@@ -2971,6 +2971,78 @@ QueryDef("s17_norm_profile",
              |  FROM ab)
              |SELECT cell AS centroid_id, count(*) AS n,
              |  round(avg(sil), 6) AS mean_silhouette
-             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("s27_mmd_drift",
+      // linear-time MMD² drift test for EMBEDDING columns ([[graft
+      // .functions.SimilarityFunctions.mmdLinear]]; Gretton et al. JMLR
+      // 2012 eq. 14): the distribution-level companion to the scalar
+      // drift family (PSI/KS/KL see only marginals). Two scenarios in
+      // one result: the vec_id parity split (same distribution → ≈ 0)
+      // and a planted +1 shift on the first coordinate (must light up)
+      // — the null case and the positive control certify the test both
+      // ways. One narrow pass over dense-id-indexed rows; no pairwise
+      // join anywhere.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val x = emb.filter(col("vec_id") % 2 === 0)
+          .select(expr("vec_id div 2").as("idx"), col("embedding"))
+        val y = emb.filter(col("vec_id") % 2 === 1)
+          .select(expr("vec_id div 2").as("idx"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val yShift = y.select(col("idx"),
+          concat(array(element_at(col("embedding"), 1) + lit(1.0)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+        S.mmdLinear(x, y, denom = 64.0)
+          .withColumn("scenario", lit("parity_null"))
+          .unionByName(S.mmdLinear(x, yShift, denom = 64.0)
+            .withColumn("scenario", lit("planted_shift")))
+          .select(col("scenario"), col("m_quads"), col("mmd2"))
+          .orderBy("scenario")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |x AS (SELECT vec_id // 2 AS idx, v FROM e WHERE vec_id % 2 = 0),
+             |y AS (SELECT vec_id // 2 AS idx, v FROM e WHERE vec_id % 2 = 1),
+             |ys AS (SELECT idx, [v[1] + 1.0] || v[2:] AS v FROM y),
+             |x0 AS (SELECT idx // 2 AS q, v FROM x WHERE idx % 2 = 0),
+             |x1 AS (SELECT idx // 2 AS q, v FROM x WHERE idx % 2 = 1),
+             |y0 AS (SELECT idx // 2 AS q, v FROM y WHERE idx % 2 = 0),
+             |y1 AS (SELECT idx // 2 AS q, v FROM y WHERE idx % 2 = 1),
+             |s0 AS (SELECT idx // 2 AS q, v FROM ys WHERE idx % 2 = 0),
+             |s1 AS (SELECT idx // 2 AS q, v FROM ys WHERE idx % 2 = 1),
+             |hn AS (
+             |  SELECT round(exp(-(list_inner_product(x0.v, x0.v)
+             |        + list_inner_product(x1.v, x1.v)
+             |        - 2.0 * list_inner_product(x0.v, x1.v)) / 64.0), 6)
+             |     + round(exp(-(list_inner_product(y0.v, y0.v)
+             |        + list_inner_product(y1.v, y1.v)
+             |        - 2.0 * list_inner_product(y0.v, y1.v)) / 64.0), 6)
+             |     - round(exp(-(list_inner_product(x0.v, x0.v)
+             |        + list_inner_product(y1.v, y1.v)
+             |        - 2.0 * list_inner_product(x0.v, y1.v)) / 64.0), 6)
+             |     - round(exp(-(list_inner_product(x1.v, x1.v)
+             |        + list_inner_product(y0.v, y0.v)
+             |        - 2.0 * list_inner_product(x1.v, y0.v)) / 64.0), 6) AS h
+             |  FROM x0 JOIN x1 USING (q) JOIN y0 USING (q) JOIN y1 USING (q)),
+             |hs AS (
+             |  SELECT round(exp(-(list_inner_product(x0.v, x0.v)
+             |        + list_inner_product(x1.v, x1.v)
+             |        - 2.0 * list_inner_product(x0.v, x1.v)) / 64.0), 6)
+             |     + round(exp(-(list_inner_product(s0.v, s0.v)
+             |        + list_inner_product(s1.v, s1.v)
+             |        - 2.0 * list_inner_product(s0.v, s1.v)) / 64.0), 6)
+             |     - round(exp(-(list_inner_product(x0.v, x0.v)
+             |        + list_inner_product(s1.v, s1.v)
+             |        - 2.0 * list_inner_product(x0.v, s1.v)) / 64.0), 6)
+             |     - round(exp(-(list_inner_product(x1.v, x1.v)
+             |        + list_inner_product(s0.v, s0.v)
+             |        - 2.0 * list_inner_product(x1.v, s0.v)) / 64.0), 6) AS h
+             |  FROM x0 JOIN x1 USING (q) JOIN s0 USING (q) JOIN s1 USING (q))
+             |SELECT 'parity_null' AS scenario, count(*) AS m_quads,
+             |       round(avg(h), 6) AS mmd2 FROM hn
+             |UNION ALL
+             |SELECT 'planted_shift', count(*), round(avg(h), 6) FROM hs
+             |ORDER BY scenario""".stripMargin))
   )
 }

@@ -1172,6 +1172,60 @@ QueryDef("t29_source_style_jsd",
              |    FROM grid CROSS JOIN tc))
              |SELECT source, CAST(sum(cp) AS BIGINT) AS n_trigrams,
              |  CAST(SUM(term) AS DOUBLE) AS jsd_to_corpus
-             |FROM t GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM t GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    QueryDef("t32_self_bleu",
+      // self-BLEU-2 diversity audit ([[graft.functions.TextFunctions
+      // .selfBleu2]]; Zhu et al. SIGIR 2018): every document scored as
+      // a BLEU-2 candidate against all OTHER documents — the
+      // mode-collapse / boilerplate localizer next to t18's novelty.
+      // Exact without all-pairs: per gram (max, #max-holders,
+      // runner-up) decide each doc's clipping reference; per-level
+      // work is hash aggs + equi-joins on the gram key only.
+      (s, dir) => T.selfBleu2(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |uni AS (
+             |  SELECT doc_id, g FROM (SELECT doc_id, unnest(w) AS g FROM tk)
+             |  WHERE length(g) > 0),
+             |bg AS (
+             |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+             |  FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+             |  WHERE len(w) >= 2),
+             |u1 AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+             |us AS (SELECT g, max(c) AS m1 FROM u1 GROUP BY 1),
+             |ut AS (
+             |  SELECT u.g, max(s.m1) AS m1,
+             |    sum(CASE WHEN u.c = s.m1 THEN 1 ELSE 0 END) AS n1,
+             |    max(CASE WHEN u.c < s.m1 THEN u.c END) AS m2
+             |  FROM u1 u JOIN us s USING (g) GROUP BY u.g),
+             |up AS (
+             |  SELECT u.doc_id,
+             |    round(CAST(sum(least(u.c,
+             |        CASE WHEN u.c = t.m1 AND t.n1 = 1
+             |             THEN coalesce(t.m2, 0) ELSE t.m1 END)) AS DOUBLE)
+             |      / CAST(sum(u.c) AS DOUBLE), 6) AS p1
+             |  FROM u1 u JOIN ut t USING (g) GROUP BY 1),
+             |b1 AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+             |bs AS (SELECT g, max(c) AS m1 FROM b1 GROUP BY 1),
+             |bt AS (
+             |  SELECT u.g, max(s.m1) AS m1,
+             |    sum(CASE WHEN u.c = s.m1 THEN 1 ELSE 0 END) AS n1,
+             |    max(CASE WHEN u.c < s.m1 THEN u.c END) AS m2
+             |  FROM b1 u JOIN bs s USING (g) GROUP BY u.g),
+             |bp AS (
+             |  SELECT u.doc_id,
+             |    round(CAST(sum(least(u.c,
+             |        CASE WHEN u.c = t.m1 AND t.n1 = 1
+             |             THEN coalesce(t.m2, 0) ELSE t.m1 END)) AS DOUBLE)
+             |      / CAST(sum(u.c) AS DOUBLE), 6) AS p2
+             |  FROM b1 u JOIN bt t USING (g) GROUP BY 1)
+             |SELECT d.doc_id, up.p1, bp.p2,
+             |  round(sqrt(up.p1 * bp.p2), 6) AS self_bleu2
+             |FROM documents d LEFT JOIN up USING (doc_id)
+             |                 LEFT JOIN bp USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

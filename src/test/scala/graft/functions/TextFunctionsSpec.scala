@@ -473,4 +473,57 @@ class TextFunctionsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("selfBleu2: twins score 1, unique vocabulary scores 0, clipping is exact") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), // exact twins → 1.0
+      (3L, "q r s t"),                  // unique vocab → p1 = 0 → 0.0
+      (4L, "a a a b")                   // 'a'×3 vs max-other 1 → clipped
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.selfBleu2(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((1.0, 1.0, 1.0)))
+    assert(out(2L) === ((1.0, 1.0, 1.0)))
+    assert(out(3L) === ((0.0, 0.0, 0.0)))
+    // doc 4 unigrams: a×3 clipped to 1 (docs 1/2 have one 'a'), b→1:
+    // p1 = 2/4; bigrams "a a"×2 → 0 (nowhere else), "a b" → 1
+    // (docs 1/2 have it): p2 = 1/3
+    assert(out(4L)._1 === 0.5)
+    assert(out(4L)._2 === 0.333333)
+    assert(out(4L)._3 === math.rint(math.sqrt(0.5 * 0.333333) * 1e6) / 1e6)
+  }
+
+  test("selfBleu2: the unique max holder clips to the runner-up, co-max docs keep m1") {
+    // gram 'z': doc 1 has 3, docs 2 and 3 have 2 each.
+    // doc 1 (unique max) clips z to m2=2; docs 2/3 clip to m1... which
+    // for them is min(2, 3) = 2 anyway — so add gram 'w' where BOTH
+    // docs 2 and 3 hold the max (2 each): each keeps m1=2 because the
+    // OTHER doc also attains it.
+    val df = Seq(
+      (1L, "z z z"), (2L, "z z w w"), (3L, "z z w w")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.selfBleu2(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 0.666667)       // min(3, 2)/3
+    assert(out(2L) === 1.0)            // z: min(2,3)=2; w: min(2,2)=2 → 4/4
+    assert(out(3L) === 1.0)
+  }
+
+  test("mmdLinear: identical samples give exactly 0; a shifted sample lights up") {
+    import graft.functions.SimilarityFunctions
+    val vs = (0L until 40L).map(i => (i,
+      Array.tabulate(64)(d => ((i * 31 + d * 7) % 11 - 5).toFloat / 5f)))
+    val x = vs.toDF("idx", "embedding")
+    val zero = SimilarityFunctions.mmdLinear(x, x, denom = 64.0)
+      .select("mmd2").head().getDouble(0)
+    assert(zero === 0.0, "h cancels term-for-term when x = y")
+    val y = x.select(col("idx"),
+      org.apache.spark.sql.functions.transform(
+        col("embedding").cast("array<double>"),
+        v => v + lit(2.0)).as("embedding"))
+    val drift = SimilarityFunctions.mmdLinear(x, y, denom = 64.0)
+      .select("mmd2").head().getDouble(0)
+    assert(drift > 0.05, s"planted shift must light up the statistic: $drift")
+  }
 }
