@@ -1226,6 +1226,58 @@ QueryDef("t29_source_style_jsd",
              |  round(sqrt(up.p1 * bp.p2), 6) AS self_bleu2
              |FROM documents d LEFT JOIN up USING (doc_id)
              |                 LEFT JOIN bp USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("t33_vocab_curve",
+      // tokenizer-design sweep: corpus token total, type vocabulary and
+      // compression ratio at merge counts 0/2/4/6/8 of the learned BPE
+      // — the "how many merges buy how much compression" curve a
+      // tokenizer budget decision actually reads (diminishing returns
+      // show as the flattening tail), next to t30's equity audit. One
+      // bounded train (bpe1's 8 scans), then one scan-local native
+      // encode + explode-agg per level over the shared merge prefix;
+      // the 5-row per-level frame pins so the compression base does
+      // not recompute the scans. The oracle replays every merge level
+      // from the chained-replace CTEs bpe1/bpe2 already cross-check.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merges = graft.functions.BpeFunctions
+          .train(d, "text", numMerges = 8)
+          .orderBy("rank").collect() // 8 rows — bounded by construction
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val perLevel = Seq(0, 2, 4, 6, 8).map { k =>
+          graft.functions.BpeFunctions.encode(d, "doc_id", "text", merges.take(k))
+            .select(explode(col("tokens")).as("_tok"))
+            .agg(count(lit(1)).as("total_tokens"),
+              countDistinct(col("_tok")).as("vocab_size"))
+            .select(lit(k).as("n_merges"), col("total_tokens"), col("vocab_size"))
+        }.reduce(_.unionByName(_))
+        val pinned = graft.Caches.trackedPersist(perLevel,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val base = pinned.filter(col("n_merges") === 0)
+          .select(col("total_tokens").cast("double").as("_t0"))
+        pinned.crossJoin(broadcast(base))
+          .select(col("n_merges"), col("total_tokens"), col("vocab_size"),
+            round(col("total_tokens").cast("double") / col("_t0"), 6)
+              .as("compression"))
+          .orderBy("n_merges")
+      },
+      Some {
+        val S = graft.functions.BpeFunctions.Sep
+        def toks(k: Int) =
+          s"(SELECT unnest(string_split(trim(enc, '$S'), '$S$S')) AS tok FROM enc$k WHERE enc <> '')"
+        val levels = Seq(0, 2, 4, 6, 8).map(k =>
+          s"""SELECT $k AS n_merges, count(*) AS total_tokens,
+             |       count(DISTINCT tok) AS vocab_size FROM ${toks(k)}""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        QHelpers.bpeOracle(8,
+          s"""SELECT n_merges, total_tokens, vocab_size,
+             |  round(CAST(total_tokens AS DOUBLE) /
+             |    (SELECT CAST(count(*) AS DOUBLE) FROM ${toks(0)}), 6)
+             |    AS compression
+             |FROM (
+             |$levels
+             |) ORDER BY n_merges""".stripMargin)
+      })
   )
 }

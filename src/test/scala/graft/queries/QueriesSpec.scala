@@ -164,4 +164,17 @@ class QueriesSpec extends AnyFunSuite {
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(broadcasts >= 2, s"expected the nation/region chain broadcast, plan:\n$plan")
   }
+
+  test("t33_vocab_curve: compression anchored at 1, token totals weakly decreasing in merges") {
+    val rows = Queries.byName("t33_vocab_curve")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(0, 2, 4, 6, 8))
+    assert(rows.head._4 === 1.0, "k=0 is the compression base")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"merges can only shrink the token total: $a -> $b")
+      assert(b._4 <= a._4)
+    }
+    assert(rows.last._2 < rows.head._2, "8 merges must actually compress this corpus")
+    graft.Caches.releaseAll()
+  }
 }
