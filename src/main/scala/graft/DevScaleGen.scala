@@ -31,6 +31,13 @@ object DevScaleGen {
   def main(args: Array[String]): Unit = {
     val srcDir = "/root/testdata/sf0.1"
     val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
+    // args(1): growth factor over sf0.1 for the GENERATED tables
+    // (documents/embeddings/events) — 10 = the sf1 probe, 100 = the
+    // sf10 spot probe. The TPC-H facts stay at the fixed 10 key-offset
+    // replicas regardless: the >10× probes target the text/vector/event
+    // families, and 100× facts would cost disk without adding signal.
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -59,7 +66,7 @@ object DevScaleGen {
       }
       sb.toString
     }
-    val docs = spark.range(0, 50000, 1, 32).map { id =>
+    val docs = spark.range(0, 5000L * factor, 1, 32).map { id =>
       val rnd = new java.util.Random(0xd0c + id)
       val text = if (id % 625 == 624) wordsFor(id - 1) else wordsFor(id)
       val lang = langs(rnd.nextInt(langs.length))
@@ -69,7 +76,7 @@ object DevScaleGen {
     docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     // ---- embeddings: 20k gaussian vectors, dim 64, 10 labels ----
-    val emb = spark.range(0, 20000, 1, 32).map { id =>
+    val emb = spark.range(0, 2000L * factor, 1, 32).map { id =>
       val rnd = new java.util.Random(0xe3b + id)
       val v = Array.fill(64)(rnd.nextGaussian().toFloat)
       (id, v, rnd.nextInt(10))
@@ -80,12 +87,13 @@ object DevScaleGen {
     val types = Array("click", "view", "purchase", "signup", "error")
     val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
     val year = 365L * 24 * 3600 * 1000000L
-    val events = spark.range(0, 1000000, 1, 32).map { id =>
+    val nUsers = 1500 * factor
+    val events = spark.range(0, 100000L * factor, 1, 32).map { id =>
       val rnd = new java.util.Random(0xe7 + id)
       val micros = t0 + math.abs(rnd.nextLong() % year)
       val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         micros / 1000000L, (micros % 1000000L) * 1000L))
-      (id, ts, rnd.nextInt(15000).toLong, types(rnd.nextInt(types.length)),
+      (id, ts, rnd.nextInt(nUsers).toLong, types(rnd.nextInt(types.length)),
         rnd.nextDouble() * 100.0, s"""{"k": ${rnd.nextInt(100)}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     events.write.mode("overwrite").parquet(s"$outDir/events.parquet")
