@@ -681,6 +681,78 @@ object GraphOps {
     * windows, no collect. Rounds are eagerly local-checkpointed (the
     * [[hits]] lesson: the known set feeds three consumers per round).
     */
+  /** Sampled harmonic centrality (Eppstein & Wang, SODA 2001 / Boldi &
+    * Vigna 2014's harmonic variant): run a SOURCE-LABELED BFS from k
+    * sampled seeds and estimate every node's centrality as the mean
+    * inverse distance to the sample —
+    *
+    *   ĥ(v) = (1/k) · Σ_{s ∈ sample} 1/d(s, v)        (d ≥ 1)
+    *
+    * Harmonic (not closeness) because 1/∞ = 0 handles disconnected
+    * pairs without special cases; `rounds` truncates the BFS, which
+    * UNDER-counts only contributions ≤ 1/(rounds+1) per source — the
+    * documented horizon of the estimate. Exact all-integer transport:
+    * 1/d for d ∈ {1..3} is irrational-free in SIXTHS (6/d ∈ {6,3,2}),
+    * so per-node sums aggregate as longs and divide by 6k ONCE at the
+    * end — no float accumulation anywhere (generalizes: for a larger
+    * `rounds`, use lcm(1..rounds) units).
+    *
+    * Scale shape: the labeled frontier is (seed, node) pairs — state is
+    * k·|reached| rows, linear in the SAMPLE size, which is exactly the
+    * Eppstein–Wang knob (k = O(log n/ε²) sources bounds the estimate
+    * error); per round one equi-join on the pinned directed edge list +
+    * a distinct + an anti-join, all hash-partitioned. No per-source
+    * sequential BFS, no n² distance matrix.
+    */
+  def harmonicCentralitySampled(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 3,
+      s"rounds must be in 1..3 (sixths transport; got $rounds)")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(pinWidth(e), col("u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val seedSet = seeds
+          .select(col(seedCol).cast("long").as("s"))
+          .filter(col("s").isNotNull).distinct()
+        var known = seedSet
+          .select(col("s"), col("s").as("node"), lit(0).as("dist"))
+          .localCheckpoint(true)
+        var frontier = known
+        var i = 1
+        while (i <= rounds) {
+          val reached = dir
+            .join(frontier.select(col("s"), col("node").as("u")), Seq("u"))
+            .select(col("s"), col("v").as("node")).distinct()
+            .join(known.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
+            .select(col("s"), col("node"), lit(i).as("dist"))
+            .localCheckpoint(true)
+          known = known.unionByName(reached).localCheckpoint(true)
+          frontier = reached
+          i += 1
+        }
+        val k = seedSet.agg(count(lit(1)).cast("double").as("_k"))
+        known.filter(col("dist") >= 1)
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_sources"),
+            sum((lit(6) / col("dist")).cast("long")).as("_sixths"))
+          .crossJoin(broadcast(k))
+          .select(col("node"), col("n_sources"),
+            round(col("_sixths").cast("double") / 6.0 / col("_k"), 6)
+              .as("harmonic"))
+          .orderBy("node")
+      } finally dir.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")

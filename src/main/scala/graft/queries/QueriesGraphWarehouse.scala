@@ -663,6 +663,71 @@ QueryDef("g9_bfs_hops",
       },
       Some(bfsOracle(3))),
 
+QueryDef("g15_harmonic_sampled",
+      // sampled harmonic centrality ([[graft.ops.GraphOps
+      // .harmonicCentralitySampled]]; Eppstein & Wang SODA 2001, Boldi
+      // & Vigna 2014): every node's mean inverse distance to a k-seed
+      // sample via ONE source-labeled BFS — the scalable estimator for
+      // "which catalog nodes sit central in the co-purchase graph".
+      // All-integer transport (1/d carried in SIXTHS) until the single
+      // final division; the oracle unrolls all three labeled frontiers.
+      // Edge set takes the g3/g10 first-two-years cut (the convention
+      // for frontier-expansion graph ops: round-3 cost is Σ_frontier
+      // deg, and on the FULL small-world co-purchase graph a 200-seed
+      // labeled frontier at hop 3 produces ~400M candidate rows — the
+      // cut + the 1-in-499 sample keep the expansion
+      // |frontier|·avg-deg-bounded, which is also the Eppstein–Wang
+      // error knob).
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        val seeds = li.filter(col("pk") % 499 === 0)
+          .select(col("pk").as("seed"))
+        GraphOps.harmonicCentralitySampled(pairs, "src", "dst",
+          seeds, "seed", rounds = 3)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_partkey FROM lineitem
+             |  WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |d AS MATERIALIZED (
+             |  SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |sd AS (SELECT DISTINCT l_partkey AS s FROM li
+             |       WHERE l_partkey % 499 = 0),
+             |k0 AS MATERIALIZED (SELECT s, s AS node, 0 AS dist FROM sd),
+             |f1 AS MATERIALIZED (
+             |  SELECT DISTINCT f.s, d.v AS node FROM k0 f JOIN d ON d.u = f.node),
+             |n1 AS MATERIALIZED (
+             |  SELECT f.s, f.node, 1 AS dist FROM f1 f
+             |  LEFT JOIN k0 k ON k.s = f.s AND k.node = f.node
+             |  WHERE k.node IS NULL),
+             |k1 AS MATERIALIZED (SELECT * FROM k0 UNION ALL SELECT * FROM n1),
+             |f2 AS MATERIALIZED (
+             |  SELECT DISTINCT f.s, d.v AS node FROM n1 f JOIN d ON d.u = f.node),
+             |n2 AS MATERIALIZED (
+             |  SELECT f.s, f.node, 2 AS dist FROM f2 f
+             |  LEFT JOIN k1 k ON k.s = f.s AND k.node = f.node
+             |  WHERE k.node IS NULL),
+             |k2 AS MATERIALIZED (SELECT * FROM k1 UNION ALL SELECT * FROM n2),
+             |f3 AS MATERIALIZED (
+             |  SELECT DISTINCT f.s, d.v AS node FROM n2 f JOIN d ON d.u = f.node),
+             |n3 AS MATERIALIZED (
+             |  SELECT f.s, f.node, 3 AS dist FROM f3 f
+             |  LEFT JOIN k2 k ON k.s = f.s AND k.node = f.node
+             |  WHERE k.node IS NULL),
+             |k3 AS (SELECT * FROM k2 UNION ALL SELECT * FROM n3)
+             |SELECT node, count(*) AS n_sources,
+             |  round(CAST(sum(CAST(6 / dist AS BIGINT)) AS DOUBLE) / 6.0
+             |    / (SELECT CAST(count(*) AS DOUBLE) FROM sd), 6) AS harmonic
+             |FROM k3 WHERE dist >= 1 GROUP BY node ORDER BY node""".stripMargin)),
+
 QueryDef("g10_two_hop_reach",
       // exact 2-hop neighborhood size per node over the first-two-years
       // co-purchase graph — the friend-of-a-friend reach metric (how

@@ -305,4 +305,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out.forall { case (u, v, _, _) => !es.contains((u, v)) })
     graft.Caches.releaseAll()
   }
+
+  test("harmonicCentralitySampled: path graph, exact sixths, multi-seed mean") {
+    import spark.implicits._
+    // path 1—2—3—4, seed {1}: h(2)=1, h(3)=1/2, h(4)=1/3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val one = GraphOps.harmonicCentralitySampled(edges, "src", "dst",
+        Seq(1L).toDF("seed"), "seed", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(one === Map(2L -> 1.0, 3L -> 0.5, 4L -> 0.333333))
+    // seeds {1, 4}: h(2) = (1 + 1/2)/2 = 0.75, h(3) symmetric,
+    // h(1) = h(4) = (1/3)/2 wait — d(4,1)=3 → (0 + 1/3)/2 = 0.166667
+    val two = GraphOps.harmonicCentralitySampled(edges, "src", "dst",
+        Seq(1L, 4L).toDF("seed"), "seed", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(two.toSet === Set(
+      (1L, 1L, 0.166667), (2L, 2L, 0.75), (3L, 2L, 0.75), (4L, 1L, 0.166667)))
+  }
 }
