@@ -337,6 +337,21 @@ object SimilarityFunctions {
     when(size(vec) === dim, struct(words: _*))
   }
 
+  /** `(_id long, _ws array<long>)` sketch-word table for one side of a
+    * Hamming kernel: [[signSketch]] words as an array, NULL sketches
+    * (length mismatch) dropped. Shared by [[hammingTopK]] (collects the
+    * query side) and [[hammingTopKBlocked]] (never collects either).
+    */
+  private def sketchWords(df: DataFrame, id: String, vec: String,
+      dim: Int): DataFrame = {
+    val nw = dim / 32
+    val s = signSketch(col(vec), dim)
+    df.select(col(id).cast("long").as("_id"), s.as("_s"))
+      .filter(col("_s").isNotNull)
+      .select(col("_id"),
+        array((0 until nw).map(w => col(s"_s.w$w")): _*).as("_ws"))
+  }
+
   /** Exact top-k by MATCHING BITS over [[signSketch]] words (64 −
     * Hamming for dim 64): xor + bit_count per word, ties → lower id,
     * self-matches (shared id) excluded — the same answer as ranking
@@ -365,26 +380,39 @@ object SimilarityFunctions {
     * Rows whose sketch is NULL ([[signSketch]]'s length-mismatch
     * contract) drop from both sides — malformed vectors are visible
     * by absence, never folded into plausible Hamming distances.
+    *
+    * `maxQueryRows` enforces the bounded-collect contract IN CODE:
+    * the query-side collect is a serving batch, never a corpus, and a
+    * caller who passes a corpus as the query side (the s20b/s26 audit
+    * shape) gets a clear failure at the bound instead of a driver OOM
+    * deep into the job — the same visible-failure principle
+    * [[signSketch]] applies to length mismatches. Corpus-sized query
+    * sides belong on [[hammingTopKBlocked]], which never collects
+    * either side.
     */
   def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+      qIdCol: String = "query_id", qVecCol: String = "query_vec",
+      maxQueryRows: Int = 1000000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
-    val nw = dim / 32
-    def wordsOf(df: DataFrame, id: String, vec: String): DataFrame = {
-      val s = signSketch(col(vec), dim)
-      df.select(col(id).cast("long").as("_id"), s.as("_s"))
-        .filter(col("_s").isNotNull)
-        .select(col("_id"),
-          array((0 until nw).map(w => col(s"_s.w$w")): _*).as("_ws"))
-    }
+    require(maxQueryRows > 0 && maxQueryRows < Int.MaxValue,
+      s"maxQueryRows must be in (0, Int.MaxValue) (got $maxQueryRows)")
+    // take(max+1), not collect-then-check: the guard must trip WITHOUT a
+    // corpus-sized query table ever landing on the driver.
+    val taken = sketchWords(queries, qIdCol, qVecCol, dim)
+      .as[(Long, Seq[Long])].take(maxQueryRows + 1)
+    require(taken.length <= maxQueryRows,
+      s"hammingTopK collects the query-side sketch table to the driver " +
+        s"(bounded-collect contract); query side exceeds maxQueryRows=" +
+        s"$maxQueryRows. Corpus-sized query sides (mutual-KNN, bitext " +
+        "mining) belong on hammingTopKBlocked; raise maxQueryRows only " +
+        "for a deliberately larger serving batch.")
     val qRows: Array[(Long, Array[Long])] =
-      wordsOf(queries, qIdCol, qVecCol).as[(Long, Seq[Long])]
-        .collect().map { case (id, ws) => (id, ws.toArray) }
+      taken.map { case (id, ws) => (id, ws.toArray) }
     val bcQ = spark.sparkContext.broadcast(qRows)
-    val partial = wordsOf(corpus, idCol, vecCol).as[(Long, Seq[Long])]
+    val partial = sketchWords(corpus, idCol, vecCol, dim).as[(Long, Seq[Long])]
       .mapPartitions { it =>
         val qs = bcQ.value
         heapPartial(it.flatMap { case (id, wsSeq) =>
@@ -402,6 +430,92 @@ object SimilarityFunctions {
         }, k)
       }
     topKPerQuery(partial, k)
+      .select(col("_q").as(qIdCol), col("_id").as(idCol),
+        col("_c").cast("int").as("matching_bits"), col("rank"))
+  }
+
+  /** LSH-blocked top-k by matching bits — the production form of
+    * [[hammingTopK]] for CORPUS-SIZED query sides (mutual-KNN seeding,
+    * bitext mining), where the broadcast kernel's all-pairs enumeration
+    * is quadratic and its query-side driver collect is an OOM. Standard
+    * bit-sampling LSH over the Hamming space (Indyk & Motwani 1998;
+    * the banding economics of Leskovec–Rajaraman–Ullman MMDS ch. 3,
+    * the same machinery as the MinHash band join in
+    * [[graft.functions.DedupFunctions.minhashDedup]]):
+    *
+    *  1. each side's [[signSketch]] words split into `dim / bandBits`
+    *     contiguous bands of `bandBits` bits; each row explodes into
+    *     one `(band, key)` row per band — `dim/8` bytes of sketch per
+    *     vector, `dim/bandBits` tiny rows after the explode;
+    *  2. candidates = DISTINCT cross-side pairs sharing any exact
+    *     `(band, key)` — an equi-join Catalyst shuffles hash-partitioned
+    *     on the band key, never a pair enumeration (two vectors are
+    *     candidates iff some band collides: Hamming distance < #bands
+    *     guarantees a collision by pigeonhole, so close pairs are
+    *     found; far pairs collide with probability ≈ #bands · 2^-bandBits);
+    *  3. exact matching bits (xor + bit_count, codegen'd built-ins)
+    *     computed ONLY within candidates; bounded-heap top-k per query
+    *     ([[topKPerQuery]] — ties → lower id, [[hammingTopK]]'s exact
+    *     semantics restricted to the candidate set).
+    *
+    * Every stage is deterministic (band keys are bit arithmetic, integer
+    * Hamming, fixed tie-breaks), so the full pipeline replays in a SQL
+    * oracle — the s20b convention: the oracle is the algorithm, and a
+    * banding miss is a property of the method, auditable by diffing
+    * against the exact kernel.
+    *
+    * Scale shape: nothing is collected or broadcast by either side; the
+    * band join shuffles `dim/bandBits` rows per vector and the work is
+    * Σ (per-bucket |src| × |tgt|) — the measured-Σdf² candidate-join
+    * class (d22/m1b precedent). A hub band key (e.g. an all-zeros band
+    * under sparse-positive embeddings) concentrates pairs on one
+    * reducer; AQE skew-join splits oversized buckets at runtime, and
+    * `bandBits` is the recall/cost dial — wider bands = fewer, more
+    * selective collisions. `dim = bands × bandBits` exactly; bands never
+    * straddle sketch words (`bandBits` divides 32).
+    */
+  def hammingTopKBlocked(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, bandBits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
+    require(bandBits >= 1 && bandBits <= 32 && 32 % bandBits == 0,
+      s"bandBits must divide 32 so bands never straddle sketch words " +
+        s"(got $bandBits)")
+    val nw = dim / 32
+    val bandsPerWord = 32 / bandBits
+    val nBands = nw * bandsPerWord
+    val mask = (1L << bandBits) - 1
+    // sketch words are 32-bit packings in non-negative longs, so plain
+    // shiftright is already logical here; the unsigned form documents it
+    def banded(words: DataFrame, outId: String): DataFrame =
+      words.select(col("_id").as(outId),
+          explode(array((0 until nBands).map { b =>
+            val w = b / bandsPerWord
+            val off = (b % bandsPerWord) * bandBits
+            struct(lit(b).as("band"),
+              shiftrightunsigned(element_at(col("_ws"), w + 1), off)
+                .bitwiseAND(lit(mask)).as("key"))
+          }: _*)).as("_bb"))
+        .select(col(outId), col("_bb.band").as("_band"),
+          col("_bb.key").as("_key"))
+    val cw = sketchWords(corpus, idCol, vecCol, dim)
+    val qw = sketchWords(queries, qIdCol, qVecCol, dim)
+    val cand = banded(qw, "_qid").join(banded(cw, "_cid"), Seq("_band", "_key"))
+      .filter(col("_qid") =!= col("_cid"))
+      .select("_qid", "_cid").distinct()
+    val matching = lit(dim) - (0 until nw).map { w =>
+      bit_count(element_at(col("_cws"), w + 1)
+        .bitwiseXOR(element_at(col("_qws"), w + 1)))
+    }.reduce(_ + _)
+    val scored = cand
+      .join(cw.select(col("_id").as("_cid"), col("_ws").as("_cws")), "_cid")
+      .join(qw.select(col("_id").as("_qid"), col("_ws").as("_qws")), "_qid")
+      .select(col("_qid"), col("_cid"), matching.cast("double").as("_mb"))
+      .as[(Long, Long, Double)]
+    topKPerQuery(scored, k)
       .select(col("_q").as(qIdCol), col("_id").as(idCol),
         col("_c").cast("int").as("matching_bits"), col("rank"))
   }
@@ -463,17 +577,24 @@ object SimilarityFunctions {
     * neighborhoods. Returns the best-margin target per source
     * (forward mining) with `margin ≥ threshold`.
     *
-    * Both directions run the [[hammingTopK]] sketch kernel (integer
-    * xor+bit_count — the only stages touching every vector) with exact
-    * 6dp-cosine re-ranks over the bounded shortlists; densities (top-k
-    * mean) and candidates (top-`cand`) come from the same re-ranked
-    * frame. At 100 TB the sketch tables LSH-block before the kernel
-    * (the s20b note) and the shortlist/re-rank economics are s19's.
+    * Both directions run a sign-sketch kernel (integer xor+bit_count —
+    * the only stages touching every vector) with exact 6dp-cosine
+    * re-ranks over the bounded shortlists; densities (top-k mean) and
+    * candidates (top-`cand`) come from the same re-ranked frame.
+    *
+    * `blockedBandBits = Some(b)` routes both directions through
+    * [[hammingTopKBlocked]] — the production form: bitext mining passes
+    * each side as the other's query set, so the broadcast kernel's
+    * all-pairs enumeration is quadratic and its query-side collect is
+    * corpus-sized; the blocked kernel is a band equi-join with neither
+    * side collected. `None` keeps the exact [[hammingTopK]] audit
+    * baseline. The shortlist/re-rank economics are s19's either way.
     */
   def marginBitextMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
       cand: Int = 8, shortlist: Int = 16, dim: Int = 64,
       threshold: Double = 1.0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockedBandBits: Option[Int] = None): DataFrame = {
     require(shortlist >= cand && shortlist >= k,
       s"shortlist ($shortlist) must cover cand ($cand) and k ($k)")
     val wQ = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
@@ -482,7 +603,12 @@ object SimilarityFunctions {
     def reranked(corpus: DataFrame, queries: DataFrame): DataFrame = {
       val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("query_vec"))
-      hammingTopK(corpus, q, shortlist, dim, idCol, vecCol)
+      val short = blockedBandBits match {
+        case Some(b) => hammingTopKBlocked(corpus, q, shortlist, dim, b,
+          idCol, vecCol)
+        case None => hammingTopK(corpus, q, shortlist, dim, idCol, vecCol)
+      }
+      short
         .select(col("query_id"), col(idCol))
         .join(corpus.select(col(idCol),
           col(vecCol).cast("array<double>").as("_v")), idCol)

@@ -2611,6 +2611,95 @@ QueryDef("s17_norm_profile",
              |FROM best x JOIN best y ON x.a = y.b AND x.b = y.a AND x.a < x.b
              |ORDER BY id_a""".stripMargin)),
 
+    QueryDef("s20c_mutual_knn_blocked",
+      // the PRODUCTION twin of s20b: same mutual-KNN pipeline, but the
+      // shortlist comes from the LSH-BLOCKED sketch kernel
+      // ([[graft.functions.SimilarityFunctions.hammingTopKBlocked]] —
+      // 8 bands × 8 bits over the 64-bit sign sketch, candidates =
+      // DISTINCT band-collision pairs via equi-join, exact
+      // xor+bit_count Hamming WITHIN candidates only). s20b's broadcast
+      // kernel enumerates every (query, corpus) pair and collects the
+      // corpus-sized query sketch table to the driver when the corpus
+      // is the query side — this form collects NOTHING and shuffles
+      // only 8 band rows per vector, so mutual-KNN seeding survives a
+      // 10⁹-vector corpus where s20b is a driver OOM. Every stage is
+      // deterministic (bit-arithmetic band keys, integer Hamming,
+      // ties → lower id; 6dp cosines), so the full pipeline — banding
+      // included — replays in DuckDB: the oracle is the algorithm, the
+      // s20b convention; a banding miss is a property of the method,
+      // auditable by diffing against s20/s20b.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+        val short = S.hammingTopKBlocked(emb, q, k = 50, dim = 64,
+            bandBits = 8)
+          .select(col("query_id"), col("vec_id"))
+        val wQ = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        // pinned: both sides of the reciprocal join read the re-ranked
+        // best-match table (the s20 shape)
+        val best = graft.Caches.trackedPersist(
+          short
+            .join(emb.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("_v")), "vec_id")
+            .join(emb.select(col("vec_id").as("query_id"),
+              col("embedding").cast("array<double>").as("_qv")), "query_id")
+            .withColumn("cosine", round(S.cosine(col("_v"), col("_qv")), 6))
+            .withColumn("_rn", row_number().over(wQ))
+            .filter(col("_rn") === 1)
+            .select(col("query_id").as("a"), col("vec_id").as("b"),
+              col("cosine")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        best.as("x").join(best.as("y"),
+            col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+              col("x.a") < col("x.b"))
+          .select(col("x.a").as("id_a"), col("x.b").as("id_b"),
+            col("x.cosine"))
+          .orderBy("id_a")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sk AS MATERIALIZED (
+             |  SELECT vec_id,
+             |    CAST(SUM(CASE WHEN t.d < 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << t.d) ELSE 0 END) AS BIGINT) AS w0,
+             |    CAST(SUM(CASE WHEN t.d >= 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << (t.d - 32)) ELSE 0 END) AS BIGINT) AS w1
+             |  FROM e, range(0, 64) t(d) GROUP BY vec_id),
+             |bnd AS MATERIALIZED (
+             |  SELECT vec_id, t.band,
+             |    CASE WHEN t.band < 4 THEN (w0 >> (t.band * 8)) & 255
+             |         ELSE (w1 >> ((t.band - 4) * 8)) & 255 END AS key
+             |  FROM sk, range(0, 8) t(band)),
+             |cand AS (
+             |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+             |  FROM bnd q JOIN bnd c ON q.band = c.band AND q.key = c.key
+             |  WHERE q.vec_id <> c.vec_id),
+             |shortl AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT cd.query_id, cd.vec_id,
+             |      row_number() OVER (PARTITION BY cd.query_id
+             |        ORDER BY 64 - bit_count(xor(c.w0, q.w0))
+             |                   - bit_count(xor(c.w1, q.w1)) DESC,
+             |                 cd.vec_id) AS rn
+             |    FROM cand cd JOIN sk c ON c.vec_id = cd.vec_id
+             |                 JOIN sk q ON q.vec_id = cd.query_id)
+             |  WHERE rn <= 50),
+             |best AS (
+             |  SELECT query_id AS a, vec_id AS b, c AS cosine FROM (
+             |    SELECT s.query_id, s.vec_id,
+             |      round(list_cosine_similarity(ev.v, eq.v), 6) AS c,
+             |      row_number() OVER (PARTITION BY s.query_id
+             |        ORDER BY round(list_cosine_similarity(ev.v, eq.v), 6) DESC,
+             |                 s.vec_id) AS rn
+             |    FROM shortl s
+             |    JOIN e ev ON s.vec_id = ev.vec_id
+             |    JOIN e eq ON s.query_id = eq.vec_id) WHERE rn = 1)
+             |SELECT x.a AS id_a, x.b AS id_b, x.cosine AS cosine
+             |FROM best x JOIN best y ON x.a = y.b AND x.b = y.a AND x.a < x.b
+             |ORDER BY id_a""".stripMargin)),
+
     QueryDef("s21_ivf_balance",
       // IVF cell-balance audit over s3's fixed-centroid assignment:
       // per-cell population, share, and the imbalance factor
@@ -2904,6 +2993,109 @@ QueryDef("s17_norm_profile",
              |                   - bit_count(xor(c.w1, q.w1)) DESC,
              |                 c.vec_id) AS rn
              |    FROM skb q, ska c) WHERE rn <= 16),
+             |bre AS (
+             |  SELECT f.query_id, f.vec_id,
+             |    round(list_cosine_similarity(ec.v, eq.v), 6) AS cosine,
+             |    row_number() OVER (PARTITION BY f.query_id
+             |      ORDER BY round(list_cosine_similarity(ec.v, eq.v), 6) DESC,
+             |               f.vec_id) AS rk
+             |  FROM bsl f JOIN e ec ON ec.vec_id = f.vec_id
+             |             JOIN e eq ON eq.vec_id = f.query_id),
+             |dsrc AS (SELECT query_id, round(sum(cosine), 6) AS dsum
+             |         FROM fre WHERE rk <= 4 GROUP BY 1),
+             |dtgt AS (SELECT query_id, round(sum(cosine), 6) AS dsum
+             |         FROM bre WHERE rk <= 4 GROUP BY 1),
+             |sc AS (
+             |  SELECT c.query_id, c.vec_id, c.cosine,
+             |    round(c.cosine / ((ds.dsum + dt.dsum) / 8), 6) AS margin
+             |  FROM fre c
+             |  JOIN dsrc ds ON ds.query_id = c.query_id
+             |  JOIN dtgt dt ON dt.query_id = c.vec_id
+             |  WHERE c.rk <= 8),
+             |best AS (
+             |  SELECT query_id, vec_id, cosine, margin,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY margin DESC, vec_id) AS rn
+             |  FROM sc)
+             |SELECT query_id AS src_id, vec_id AS tgt_id, cosine, margin
+             |FROM best WHERE rn = 1 AND margin >= 1.0
+             |ORDER BY src_id""".stripMargin)),
+
+    QueryDef("s26b_bitext_margin_blocked",
+      // the PRODUCTION twin of s26: identical margin-criterion chain
+      // (Artetxe & Schwenk ratio margin, 6dp lattice sums), but both
+      // directions' shortlists come from [[graft.functions
+      // .SimilarityFunctions.hammingTopKBlocked]] (8×8-bit LSH bands
+      // over the sign sketch) instead of the broadcast kernel. Bitext
+      // mining passes EACH side as the other's query set, so s26's
+      // kernel is quadratic pair enumeration plus a corpus-sized
+      // driver collect per direction; this form is two band equi-joins
+      // with neither side collected — the shape that survives
+      // CCMatrix-scale sides. Banding, Hamming, re-rank, densities,
+      // margin, and the per-source argmax all replay in DuckDB
+      // end-to-end (the s20c/s20b oracle-is-the-algorithm convention).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        S.marginBitextMine(
+          emb.filter(col("label") % 2 === 0),
+          emb.filter(col("label") % 2 === 1),
+          k = 4, cand = 8, shortlist = 16, dim = 64, threshold = 1.0,
+          blockedBandBits = Some(8))
+          .orderBy("src_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |sk AS MATERIALIZED (
+             |  SELECT vec_id,
+             |    CAST(SUM(CASE WHEN t.d < 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << t.d) ELSE 0 END) AS BIGINT) AS w0,
+             |    CAST(SUM(CASE WHEN t.d >= 32 AND v[t.d + 1] > 0
+             |      THEN (1::BIGINT << (t.d - 32)) ELSE 0 END) AS BIGINT) AS w1
+             |  FROM e, range(0, 64) t(d) GROUP BY vec_id),
+             |bnd AS MATERIALIZED (
+             |  SELECT vec_id, t.band,
+             |    CASE WHEN t.band < 4 THEN (w0 >> (t.band * 8)) & 255
+             |         ELSE (w1 >> ((t.band - 4) * 8)) & 255 END AS key
+             |  FROM sk, range(0, 8) t(band)),
+             |bna AS MATERIALIZED (SELECT b.* FROM bnd b JOIN e USING (vec_id)
+             |        WHERE e.label % 2 = 0),
+             |bnb AS MATERIALIZED (SELECT b.* FROM bnd b JOIN e USING (vec_id)
+             |        WHERE e.label % 2 = 1),
+             |fcd AS (
+             |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+             |  FROM bna q JOIN bnb c ON q.band = c.band AND q.key = c.key),
+             |fsl AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT f.query_id, f.vec_id,
+             |      row_number() OVER (PARTITION BY f.query_id
+             |        ORDER BY 64 - bit_count(xor(c.w0, q.w0))
+             |                   - bit_count(xor(c.w1, q.w1)) DESC,
+             |                 f.vec_id) AS rn
+             |    FROM fcd f JOIN sk c ON c.vec_id = f.vec_id
+             |               JOIN sk q ON q.vec_id = f.query_id)
+             |  WHERE rn <= 16),
+             |fre AS MATERIALIZED (
+             |  SELECT f.query_id, f.vec_id,
+             |    round(list_cosine_similarity(ec.v, eq.v), 6) AS cosine,
+             |    row_number() OVER (PARTITION BY f.query_id
+             |      ORDER BY round(list_cosine_similarity(ec.v, eq.v), 6) DESC,
+             |               f.vec_id) AS rk
+             |  FROM fsl f JOIN e ec ON ec.vec_id = f.vec_id
+             |             JOIN e eq ON eq.vec_id = f.query_id),
+             |bcd AS (
+             |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+             |  FROM bnb q JOIN bna c ON q.band = c.band AND q.key = c.key),
+             |bsl AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT f.query_id, f.vec_id,
+             |      row_number() OVER (PARTITION BY f.query_id
+             |        ORDER BY 64 - bit_count(xor(c.w0, q.w0))
+             |                   - bit_count(xor(c.w1, q.w1)) DESC,
+             |                 f.vec_id) AS rn
+             |    FROM bcd f JOIN sk c ON c.vec_id = f.vec_id
+             |               JOIN sk q ON q.vec_id = f.query_id)
+             |  WHERE rn <= 16),
              |bre AS (
              |  SELECT f.query_id, f.vec_id,
              |    round(list_cosine_similarity(ec.v, eq.v), 6) AS cosine,

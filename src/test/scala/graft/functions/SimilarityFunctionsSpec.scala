@@ -920,6 +920,78 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
     assert(out === List((10L, 13L, 64, 1), (10L, 11L, 63, 2), (10L, 12L, 0, 3)))
   }
 
+  test("hammingTopK guards the query-side driver collect at maxQueryRows") {
+    def vec(flip: Set[Int]): Seq[Double] =
+      (0 until 64).map(d => if (flip(d)) -1.0 else 1.0)
+    val corpus = Seq((10L, vec(Set.empty)), (11L, vec(Set(5))))
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, vec(Set.empty)), (2L, vec(Set(1))), (3L, vec(Set(2))))
+      .toDF("query_id", "query_vec")
+    // at the bound: unchanged behavior
+    val ok = SimilarityFunctions.hammingTopK(corpus, q, k = 1, dim = 64,
+      maxQueryRows = 3)
+    assert(ok.count() === 3L)
+    // over the bound: clear failure pointing at the blocked kernel,
+    // BEFORE a corpus-sized query table lands on the driver
+    val e = intercept[IllegalArgumentException] {
+      SimilarityFunctions.hammingTopK(corpus, q, k = 1, dim = 64,
+        maxQueryRows = 2)
+    }
+    assert(e.getMessage.contains("hammingTopKBlocked"))
+    intercept[IllegalArgumentException] {
+      SimilarityFunctions.hammingTopK(corpus, q, k = 1, dim = 64,
+        maxQueryRows = 0)
+    }
+  }
+
+  test("hammingTopKBlocked: banding pigeonhole — close pairs surface, per-band flips can evade") {
+    def vec(flip: Set[Int]): Seq[Double] =
+      (0 until 64).map(d => if (flip(d)) -1.0 else 1.0)
+    // q all-positive. a: distance 0 (collides in every band).
+    // b: 5 flips inside band 0 — distance 5 < 8 bands, pigeonhole
+    //    GUARANTEES a collision (bands 1-7 intact).
+    // c: one flip in EVERY 8-bit band (bits 0,8,...,56) — all 8 bands
+    //    differ, so c is invisible to the candidate join by design.
+    val corpus = Seq(
+      (10L, vec(Set.empty)), (11L, vec(Set(0, 1, 2, 3, 4))),
+      (12L, vec((0 until 64 by 8).toSet)), (13L, vec(Set.empty)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((10L, vec(Set.empty))).toDF("query_id", "query_vec")
+    val out = SimilarityFunctions.hammingTopKBlocked(corpus, q, k = 4,
+        dim = 64, bandBits = 8)
+      .orderBy("rank").as[(Long, Long, Int, Int)].collect().toList
+    // 13 full match, 11 at 59 bits; 12 (56 bits) absent — banding miss;
+    // self excluded; matching_bits and tie-breaks are the exact kernel's
+    assert(out === List((10L, 13L, 64, 1), (10L, 11L, 59, 2)))
+    intercept[IllegalArgumentException] {
+      SimilarityFunctions.hammingTopKBlocked(corpus, q, k = 4, dim = 64,
+        bandBits = 7)
+    }
+  }
+
+  test("hammingTopKBlocked agrees with the exact kernel on its candidates and never pair-enumerates") {
+    // deterministic pseudo-random ±1 vectors: blocked results must be a
+    // SUBSET of exact hammingTopK pairs with identical matching_bits
+    def pv(i: Long): Seq[Double] =
+      (0 until 64).map(d => if (((i * 2654435761L + d * 40503L) >>> 7) % 3 == 0) -1.0 else 1.0)
+    val corpus = (0L until 30L).map(i => (i, pv(i))).toDF("vec_id", "embedding")
+    val q = (0L until 30L).map(i => (i, pv(i)))
+      .toDF("query_id", "query_vec")
+    val blocked = SimilarityFunctions.hammingTopKBlocked(corpus, q, k = 5,
+      dim = 64, bandBits = 8)
+    val exactBits = SimilarityFunctions.hammingTopK(corpus, q, k = 29, dim = 64)
+      .select(col("query_id"), col("vec_id"),
+        col("matching_bits").as("exact_bits"))
+    val joined = blocked.join(exactBits, Seq("query_id", "vec_id"), "left")
+    assert(joined.filter(col("exact_bits").isNull ||
+      col("exact_bits") =!= col("matching_bits")).count() === 0L)
+    // production plan shape: band equi-join only — no pair enumeration,
+    // no broadcast-nested-loop, nothing collected from either side
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("densityClusters: an all-core clique is one cluster; minPts above max degree empties") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
     val one = SimilarityFunctions.densityClusters(edges, minPts = 2)
