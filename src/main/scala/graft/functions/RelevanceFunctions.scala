@@ -255,10 +255,15 @@ object RelevanceFunctions {
     *
     * Scale shape: ONE pinned bigram explode; pair counts aggregate
     * once (pinned — they feed the prefix, continuation, and
-    * type-total aggs, each Zipf-small) and the three derived tables
-    * join back broadcast by default (`broadcastVocab = false` →
-    * shuffled equi-joins at crawl scale). The per-occurrence P_KN is
-    * a fixed-order IEEE chain an external engine replays literally.
+    * type-total aggs). The PAIR table joins back as a shuffled
+    * equi-join unconditionally: distinct bigram types are
+    * Zipf-UNBOUNDED (they grow with the corpus, unlike the
+    * vocab-bounded unigram tables), so it is exactly the table that
+    * can exceed broadcast limits at crawl scale. `broadcastVocab`
+    * governs only the vocab-sized prefix/continuation tables
+    * (`false` → shuffled equi-joins for those too, for vocabularies
+    * past broadcast size). The per-occurrence P_KN is a fixed-order
+    * IEEE chain an external engine replays literally.
     */
   def kneserNeyLogProb(df: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75, logProbFloor: Double = -20.0,
@@ -299,7 +304,7 @@ object RelevanceFunctions {
         (d * col("_t1").cast("double") / col("_n1").cast("double")) *
           (col("_cc").cast("double") / col("_tot"))
     val scored = bigrams
-      .join(maybeBroadcast(pairCounts), Seq("_w1", "_w2"), "left")
+      .join(pairCounts, Seq("_w1", "_w2"), "left")
       .join(maybeBroadcast(prefixStats), Seq("_w1"), "left")
       .join(maybeBroadcast(contCounts), Seq("_w2"), "left")
       .crossJoin(broadcast(typeTotal))

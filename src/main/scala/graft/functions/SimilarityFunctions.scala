@@ -664,6 +664,12 @@ object SimilarityFunctions {
   def simplifiedSilhouette(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cIdCol: String = "centroid_id", cVecCol: String = "centroid_vec"): DataFrame = {
+    // with one centroid there is no runner-up: _b would be NULL and
+    // every silhouette would silently null out; the count is bounded —
+    // centroids are broadcast-sized by contract
+    require(centroids.limit(2).count() >= 2,
+      "simplifiedSilhouette needs >= 2 centroids (b = runner-up distance " +
+        "is undefined for a single cell)")
     val scored = vectors
       .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
       .crossJoin(broadcast(centroids.select(col(cIdCol),

@@ -496,6 +496,14 @@ object EventAnalyticsOps {
       (c, pc, eff)
     }
     val totEff = effects.map(_._3).foldLeft(zero)(_.add(_))
+    // every removal effect can round to 0 (e.g. all converting journeys
+    // are direct START→CONV, so removing any channel changes nothing);
+    // 0/0 here would be NaN and JBD.valueOf(NaN) throws an opaque
+    // NumberFormatException deep in the row build — fail with the cause
+    require(totEff.signum != 0,
+      "all removal effects are 0 (removing any channel leaves p_conv " +
+        "unchanged — e.g. only direct START→" + convType +
+        " journeys convert); attribution shares are undefined")
     val rows = effects.map { case (c, pc, eff) =>
       (c, full.doubleValue, pc.doubleValue, eff.doubleValue,
         JBD.valueOf(eff.doubleValue / totEff.doubleValue)

@@ -660,27 +660,6 @@ object GraphOps {
             sqrt(col("_dxx") * col("_dyy")), 6)).as("assortativity"))
   }
 
-  /** Multi-source BFS hop distances: the minimum number of edges from
-    * any seed to each reachable node, out to `rounds` hops — the
-    * "crawl frontier depth" / "distance from trusted set" signal
-    * (TrustRank-style propagation without the rank arithmetic).
-    *
-    * Undirected, synchronous contract: exactly `rounds` frontier
-    * expansions over the canonicalized edge set (both orientations);
-    * a node's distance is fixed the first round it is reached, so the
-    * result after round r is exact for every node within r hops and
-    * absent beyond — replayable by an unrolled oracle, all-integer.
-    * Seeds not present in the edge set still report distance 0 (the
-    * caller's set is the contract; isolation is information).
-    *
-    * Returns `(node, dist)`, ordered by node.
-    *
-    * Scale shape: per round ONE equi-join of the edge list against the
-    * (shrinking) frontier plus one min-agg and one anti-join against
-    * the known set — Pregel-shaped like [[pageRank]]'s rounds, no
-    * windows, no collect. Rounds are eagerly local-checkpointed (the
-    * [[hits]] lesson: the known set feeds three consumers per round).
-    */
   /** Sampled harmonic centrality (Eppstein & Wang, SODA 2001 / Boldi &
     * Vigna 2014's harmonic variant): run a SOURCE-LABELED BFS from k
     * sampled seeds and estimate every node's centrality as the mean
@@ -753,6 +732,27 @@ object GraphOps {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Multi-source BFS hop distances: the minimum number of edges from
+    * any seed to each reachable node, out to `rounds` hops — the
+    * "crawl frontier depth" / "distance from trusted set" signal
+    * (TrustRank-style propagation without the rank arithmetic).
+    *
+    * Undirected, synchronous contract: exactly `rounds` frontier
+    * expansions over the canonicalized edge set (both orientations);
+    * a node's distance is fixed the first round it is reached, so the
+    * result after round r is exact for every node within r hops and
+    * absent beyond — replayable by an unrolled oracle, all-integer.
+    * Seeds not present in the edge set still report distance 0 (the
+    * caller's set is the contract; isolation is information).
+    *
+    * Returns `(node, dist)`, ordered by node.
+    *
+    * Scale shape: per round ONE equi-join of the edge list against the
+    * (shrinking) frontier plus one min-agg and one anti-join against
+    * the known set — Pregel-shaped like [[pageRank]]'s rounds, no
+    * windows, no collect. Rounds are eagerly local-checkpointed (the
+    * [[hits]] lesson: the known set feeds three consumers per round).
+    */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")

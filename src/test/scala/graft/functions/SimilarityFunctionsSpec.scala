@@ -1191,6 +1191,11 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       .collect().map(_.getDouble(2))
     assert(sp.forall(s => math.abs(s) < 0.35 && s < g.values.min),
       s"straddled cluster should score near 0, far below the separated case: ${sp.toSeq}")
+    // a single centroid has no runner-up: fail fast, never null rows
+    val e = intercept[IllegalArgumentException] {
+      SimilarityFunctions.simplifiedSilhouette(good, cents.limit(1))
+    }
+    assert(e.getMessage.contains(">= 2 centroids"))
   }
 
   test("marginBitextMine: one row per source, margins ranked above threshold") {

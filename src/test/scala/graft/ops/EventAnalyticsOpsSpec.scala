@@ -252,4 +252,19 @@ class EventAnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum ${shares.sum}")
   }
+
+  test("removalEffectAttribution: all-direct conversions fail fast, not NaN") {
+    // the only converting journey is direct START→purchase and channel A
+    // appears only on a never-converting journey, so removing A leaves
+    // p_conv unchanged: every removal effect is 0 and shares would be 0/0
+    val df = Seq(
+      (1L, "purchase", "2024-01-01 00:00:00", 1L),
+      (2L, "A", "2024-01-01 00:00:00", 2L)
+    ).toDF("user_id", "event_type", "t", "event_id")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val e = intercept[IllegalArgumentException] {
+      EventAnalyticsOps.removalEffectAttribution(df).collect()
+    }
+    assert(e.getMessage.contains("removal effects are 0"))
+  }
 }

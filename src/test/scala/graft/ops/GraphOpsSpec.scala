@@ -314,8 +314,9 @@ class GraphOpsSpec extends AnyFunSuite {
         Seq(1L).toDF("seed"), "seed", rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(one === Map(2L -> 1.0, 3L -> 0.5, 4L -> 0.333333))
-    // seeds {1, 4}: h(2) = (1 + 1/2)/2 = 0.75, h(3) symmetric,
-    // h(1) = h(4) = (1/3)/2 wait — d(4,1)=3 → (0 + 1/3)/2 = 0.166667
+    // seeds {1, 4}: h(2) = (1 + 1/2)/2 = 0.75, h(3) symmetric;
+    // h(1) = h(4) = (0 + 1/3)/2 = 0.166667 (self contributes nothing,
+    // the far seed is d=3 away)
     val two = GraphOps.harmonicCentralitySampled(edges, "src", "dst",
         Seq(1L, 4L).toDF("seed"), "seed", rounds = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
