@@ -352,6 +352,17 @@ object SimilarityFunctions {
         array((0 until nw).map(w => col(s"_s.w$w")): _*).as("_ws"))
   }
 
+  /** Scale-sized LSH band width for [[hammingTopKBlocked]]: the
+    * smallest word-aligned b with expected bucket load n/2ᵇ ≤ 2⁶,
+    * which bounds the candidate join at Σ-bucket² ≤ 64 · nBands · n —
+    * linear in n (a fixed b is n²/2ᵇ: quadratic with a small constant;
+    * see the kernel's scaladoc for the measured 200k-vector blowup).
+    * Steps, not a continuous log, because bands must divide the 32-bit
+    * sketch words: 8 bits to 2¹⁴ rows, 16 to 2²², 32 beyond.
+    */
+  def sizedBandBits(n: Long): Int =
+    if (n <= (1L << 14)) 8 else if (n <= (1L << 22)) 16 else 32
+
   /** Exact top-k by MATCHING BITS over [[signSketch]] words (64 −
     * Hamming for dim 64): xor + bit_count per word, ties → lower id,
     * self-matches (shared id) excluded — the same answer as ranking
@@ -469,32 +480,48 @@ object SimilarityFunctions {
     * Σ (per-bucket |src| × |tgt|) — the measured-Σdf² candidate-join
     * class (d22/m1b precedent). A hub band key (e.g. an all-zeros band
     * under sparse-positive embeddings) concentrates pairs on one
-    * reducer; AQE skew-join splits oversized buckets at runtime, and
-    * `bandBits` is the recall/cost dial — wider bands = fewer, more
-    * selective collisions. `dim = bands × bandBits` exactly; bands never
-    * straddle sketch words (`bandBits` divides 32).
+    * reducer; AQE skew-join splits oversized buckets at runtime.
+    *
+    * `bandBits` is the recall/cost dial and MUST grow with the corpus
+    * (the standard LSH key-length rule): with b-bit keys the expected
+    * bucket load is n/2ᵇ, so the candidate bound
+    * Σ-bucket² ≈ nBands · n²/2ᵇ makes any FIXED b quadratic with a
+    * small constant — measured: 8-bit bands at 200k vectors produced
+    * 1.25G candidate rows and 116× wall at 100× data, where 16-bit
+    * bands produce 3.2M. The default (`bandBits = 0`) auto-sizes via
+    * [[sizedBandBits]] from the larger side's row count, holding load
+    * ≤ 2⁶ so the bound stays ≤ 64 · nBands · n — LINEAR in n. Wider
+    * bands trade recall for that bound (only pairs agreeing on some
+    * full b-bit run collide); past the 32-bit band (n ≳ 2³⁸) raise
+    * `dim` instead so nBands stays ≥ 4. `dim = bands × bandBits`
+    * exactly; bands never straddle sketch words (`bandBits` divides
+    * 32).
     */
   def hammingTopKBlocked(corpus: DataFrame, queries: DataFrame, k: Int,
-      dim: Int, bandBits: Int = 8,
+      dim: Int, bandBits: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
-    require(bandBits >= 1 && bandBits <= 32 && 32 % bandBits == 0,
-      s"bandBits must divide 32 so bands never straddle sketch words " +
-        s"(got $bandBits)")
+    require(bandBits == 0 ||
+      (bandBits >= 1 && bandBits <= 32 && 32 % bandBits == 0),
+      s"bandBits must divide 32 so bands never straddle sketch words, " +
+        s"or 0 for count-sized bands (got $bandBits)")
+    val bb =
+      if (bandBits != 0) bandBits
+      else sizedBandBits(math.max(corpus.count(), queries.count()))
     val nw = dim / 32
-    val bandsPerWord = 32 / bandBits
+    val bandsPerWord = 32 / bb
     val nBands = nw * bandsPerWord
-    val mask = (1L << bandBits) - 1
+    val mask = (1L << bb) - 1
     // sketch words are 32-bit packings in non-negative longs, so plain
     // shiftright is already logical here; the unsigned form documents it
     def banded(words: DataFrame, outId: String): DataFrame =
       words.select(col("_id").as(outId),
           explode(array((0 until nBands).map { b =>
             val w = b / bandsPerWord
-            val off = (b % bandsPerWord) * bandBits
+            val off = (b % bandsPerWord) * bb
             struct(lit(b).as("band"),
               shiftrightunsigned(element_at(col("_ws"), w + 1), off)
                 .bitwiseAND(lit(mask)).as("key"))
@@ -587,7 +614,8 @@ object SimilarityFunctions {
     * each side as the other's query set, so the broadcast kernel's
     * all-pairs enumeration is quadratic and its query-side collect is
     * corpus-sized; the blocked kernel is a band equi-join with neither
-    * side collected. `None` keeps the exact [[hammingTopK]] audit
+    * side collected (`Some(0)` = count-sized bands, the kernel's
+    * default rule). `None` keeps the exact [[hammingTopK]] audit
     * baseline. The shortlist/re-rank economics are s19's either way.
     */
   def marginBitextMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
@@ -2146,9 +2174,8 @@ object SimilarityFunctions {
     * union of per-vector encodings is the same table a full rebuild
     * writes (spec-pinned) — BUT only while centroids/codebooks stay
     * FIXED: after re-training, rebuild ([[writeIvfPqIndexPartitioned]]).
-    * Periodic per-cell compaction (the [[graft.warehouse.Warehouse]]
-    * `optimizeZOrder` pattern) bounds small-file growth, exactly like
-    * the corpus pipeline's `compact()`.
+    * Periodic [[compactIvfPqIndexPartitioned]] bounds the small-file
+    * growth this append model necessarily accumulates.
     */
   def appendIvfPqIndexPartitioned(newVectors: DataFrame, path: String,
       centroids: DataFrame, codebooks: DataFrame,
@@ -2161,6 +2188,91 @@ object SimilarityFunctions {
       .repartitionByRange(col(cellCol), col(idCol))
       .sortWithinPartitions(col(cellCol), col(idCol))
       .write.mode("append").partitionBy(cellCol).parquet(path)
+
+  /** Per-cell compaction of the stored index — the maintenance pass
+    * [[appendIvfPqIndexPartitioned]]'s contract assumes: nightly
+    * appends add one batch-sized file set to each touched `cell=`
+    * directory forever, so scan planning eventually opens thousands of
+    * small footers per probe. Compaction rewrites ONLY cells whose
+    * data-file count exceeds `maxFilesPerCell` — cost scales with
+    * FRAGMENTATION, never with index size (a 100 TB index with ten hot
+    * cells rewrites ten directories) — each into `targetFilesPerCell`
+    * id-sorted files, restoring [[writeIvfPqIndexPartitioned]]'s
+    * clustering.
+    *
+    * Staged swap per cell, crash-recoverable (the
+    * [[graft.corpus.CorpusPipeline.compact]] marker discipline adapted
+    * to in-place hive dirs): compacted rows land in
+    * `_compact_tmp/cell=N` (underscore-prefixed — invisible to every
+    * parquet scan), then the live dir renames to `_compact_old/cell=N`
+    * and the tmp renames live (two metadata ops). Every entry runs
+    * RECOVERY FIRST: an orphan under `_compact_old` whose live dir
+    * exists means that swap completed → delete the orphan; live dir
+    * missing means a crash between the renames → restore the old dir
+    * (always safe — the old rows stay canonical until the swap
+    * completes, and any interrupted tmp is discarded wholesale).
+    * Serving is hash-identical by construction: rows never change,
+    * only file layout (spec-pinned via [[ivfPqTopKStored]]).
+    *
+    * Driver work is one `listStatus` per cell — bounded by the cell
+    * count, the established listing convention; each rewrite is one
+    * cell-sized columnar read → write. Returns scanned/compacted cell
+    * and before/after file counts.
+    */
+  def compactIvfPqIndexPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerCell: Int = 8, targetFilesPerCell: Int = 1,
+      idCol: String = "vec_id"): Map[String, Long] = {
+    require(maxFilesPerCell >= 1,
+      s"maxFilesPerCell must be >= 1 (got $maxFilesPerCell)")
+    require(targetFilesPerCell >= 1,
+      s"targetFilesPerCell must be >= 1 (got $targetFilesPerCell)")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmpRoot = new Path(root, "_compact_tmp")
+    val oldRoot = new Path(root, "_compact_old")
+    if (fs.exists(oldRoot)) fs.listStatus(oldRoot).foreach { st =>
+      val live = new Path(root, st.getPath.getName)
+      if (fs.exists(live)) fs.delete(st.getPath, true)
+      else require(fs.rename(st.getPath, live),
+        s"recovery rename failed: ${st.getPath} -> $live")
+    }
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    val cellDirs = fs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("cell="))
+    def dataFiles(d: Path): Long = fs.listStatus(d).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }.toLong
+    var compacted = 0L; var before = 0L; var after = 0L
+    cellDirs.foreach { st =>
+      val nf = dataFiles(st.getPath)
+      before += nf
+      if (nf > maxFilesPerCell) {
+        val name = st.getPath.getName
+        val tmp = new Path(tmpRoot, name)
+        spark.read.parquet(st.getPath.toString)
+          .repartitionByRange(targetFilesPerCell, col(idCol))
+          .sortWithinPartitions(col(idCol))
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.mkdirs(oldRoot)
+        val old = new Path(oldRoot, name)
+        require(fs.rename(st.getPath, old),
+          s"compact swap-out rename failed: ${st.getPath} -> $old")
+        require(fs.rename(tmp, st.getPath),
+          s"compact swap-in rename failed: $tmp -> ${st.getPath}")
+        fs.delete(old, true)
+        compacted += 1
+        after += dataFiles(st.getPath)
+      } else after += nf
+    }
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    if (fs.exists(oldRoot) && fs.listStatus(oldRoot).isEmpty)
+      fs.delete(oldRoot, true)
+    Map("cells_scanned" -> cellDirs.length.toLong,
+      "cells_compacted" -> compacted,
+      "files_before" -> before, "files_after" -> after)
+  }
 
   /** IVF-PQ serving from the STORED, cell-partitioned index (the
     * [[writeIvfPqIndexPartitioned]] layout): probe assignment runs

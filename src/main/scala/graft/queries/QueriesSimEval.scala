@@ -771,6 +771,47 @@ QueryDef("s11c_ivfpq_append",
       },
       Some(s11OracleSql)),
 
+QueryDef("s11d_ivfpq_compact",
+      // MAINTENANCE of s11c's append-forever index ([[graft.functions
+      // .SimilarityFunctions.compactIvfPqIndexPartitioned]]): three
+      // "nights" of appends fragment every `cell=` directory into
+      // per-night file sets; compaction rewrites only cells past the
+      // file bound — per-cell staged tmp→swap renames, crash-recovered
+      // on entry — into one id-sorted file each, then serves from the
+      // compacted layout. Rows never change, only file layout, so the
+      // s11 oracle applies UNCHANGED: the hash-match is the proof that
+      // compaction drops or duplicates nothing, and
+      // StoredAnnIndexSpec pins the file-count drop + pruning.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("code"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(explode(sequence(lit(0), lit(7))).as("subspace"),
+            col("code"), col("v"))
+          .select(col("subspace"), col("code"),
+            slice(col("v"), col("subspace") * 8 + 1, lit(8)).as("centroid_vec"))
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").cast("array<double>").as("centroid_vec"))
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_s11d_ivfpq_index").getAbsolutePath
+        val night0 = S.ivfPqIndex(emb.filter(col("vec_id") % 3 === 0),
+          cents, cb, dim = 64, m = 8, codes = 4)
+        S.writeIvfPqIndexPartitioned(night0, path)
+        S.appendIvfPqIndexPartitioned(emb.filter(col("vec_id") % 3 === 1),
+          path, cents, cb, dim = 64, m = 8, codes = 4)
+        S.appendIvfPqIndexPartitioned(emb.filter(col("vec_id") % 3 === 2),
+          path, cents, cb, dim = 64, m = 8, codes = 4)
+        S.compactIvfPqIndexPartitioned(s, path, maxFilesPerCell = 1)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        S.ivfPqTopKStored(s, path, q, cents, cb, dim = 64, m = 8,
+            codes = 4, k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(s11OracleSql)),
+
 QueryDef("s12_ivfpq_rerank",
       // the FULL serving composition ([[SimilarityFunctions
       // .ivfPqTopKRerank]], Jégou et al. TPAMI 2011 §V): probe 2 of 4
@@ -2627,13 +2668,17 @@ QueryDef("s17_norm_profile",
       // ties → lower id; 6dp cosines), so the full pipeline — banding
       // included — replays in DuckDB: the oracle is the algorithm, the
       // s20b convention; a banding miss is a property of the method,
-      // auditable by diffing against s20/s20b.
+      // auditable by diffing against s20/s20b. Band width is
+      // COUNT-SIZED ([[SimilarityFunctions.sizedBandBits]] — the LSH
+      // key-length rule that keeps the candidate join linear); every
+      // driver SF holds ≤ 2^14 vectors, so the rule selects the 8-bit
+      // width this oracle replays, and the sf1/sf10 probes get the
+      // 16-bit width that keeps them off the n²/2^b cliff.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val q = emb.select(col("vec_id").as("query_id"),
           col("embedding").as("query_vec"))
-        val short = S.hammingTopKBlocked(emb, q, k = 50, dim = 64,
-            bandBits = 8)
+        val short = S.hammingTopKBlocked(emb, q, k = 50, dim = 64)
           .select(col("query_id"), col("vec_id"))
         val wQ = Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("vec_id"))
@@ -3034,13 +3079,16 @@ QueryDef("s17_norm_profile",
       // CCMatrix-scale sides. Banding, Hamming, re-rank, densities,
       // margin, and the per-source argmax all replay in DuckDB
       // end-to-end (the s20c/s20b oracle-is-the-algorithm convention).
+      // Band width is count-sized (the s20c note): 8-bit at every
+      // driver SF — the width this oracle replays — 16-bit at the
+      // sf1/sf10 probe scales.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         S.marginBitextMine(
           emb.filter(col("label") % 2 === 0),
           emb.filter(col("label") % 2 === 1),
           k = 4, cand = 8, shortlist = 16, dim = 64, threshold = 1.0,
-          blockedBandBits = Some(8))
+          blockedBandBits = Some(0))
           .orderBy("src_id")
       },
       Some("""WITH e AS (

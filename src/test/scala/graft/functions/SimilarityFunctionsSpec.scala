@@ -992,6 +992,25 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("sizedBandBits keeps bucket load <= 2^6; auto equals the sized explicit width") {
+    assert(SimilarityFunctions.sizedBandBits(1L) === 8)
+    assert(SimilarityFunctions.sizedBandBits(1L << 14) === 8)
+    assert(SimilarityFunctions.sizedBandBits((1L << 14) + 1) === 16)
+    assert(SimilarityFunctions.sizedBandBits(1L << 22) === 16)
+    assert(SimilarityFunctions.sizedBandBits((1L << 22) + 1) === 32)
+    def pv(i: Long): Seq[Double] =
+      (0 until 64).map(d => if (((i * 2654435761L + d * 40503L) >>> 7) % 3 == 0) -1.0 else 1.0)
+    val corpus = (0L until 20L).map(i => (i, pv(i))).toDF("vec_id", "embedding")
+    val q = (0L until 20L).map(i => (i, pv(i))).toDF("query_id", "query_vec")
+    val auto = SimilarityFunctions.hammingTopKBlocked(corpus, q, k = 3, dim = 64)
+      .orderBy("query_id", "rank").collect().toSeq
+    val explicit8 = SimilarityFunctions
+      .hammingTopKBlocked(corpus, q, k = 3, dim = 64, bandBits = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(auto === explicit8)
+    assert(auto.nonEmpty)
+  }
+
   test("densityClusters: an all-core clique is one cluster; minPts above max degree empties") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
     val one = SimilarityFunctions.densityClusters(edges, minPts = 2)

@@ -131,4 +131,81 @@ class StoredAnnIndexSpec extends AnyFunSuite {
     assert(flatServed.orderBy("query_id", "rank").collect().toSeq ===
       served.orderBy("query_id", "rank").collect().toSeq)
   }
+
+  private def cellDataFiles(indexDir: String): Map[String, Int] =
+    new java.io.File(indexDir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .map(d => d.getName -> d.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_")))
+      .toMap
+
+  test("compaction drops file counts; serving is row-identical; untouched cells skip") {
+    val dir = Files.createTempDirectory("ann-compact").toFile.getAbsolutePath
+    val p = s"$dir/index"
+    val night0 = S.ivfPqIndex(emb.filter(col("vec_id") % 3 === 0),
+      centroids, codebooks, dim = 64, m = 8, codes = 4)
+    S.writeIvfPqIndexPartitioned(night0, p)
+    S.appendIvfPqIndexPartitioned(emb.filter(col("vec_id") % 3 === 1),
+      p, centroids, codebooks, dim = 64, m = 8, codes = 4)
+    S.appendIvfPqIndexPartitioned(emb.filter(col("vec_id") % 3 === 2),
+      p, centroids, codebooks, dim = 64, m = 8, codes = 4)
+    val before = cellDataFiles(p)
+    assert(before.values.forall(_ >= 3), s"appends should fragment: $before")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def serve() = S.ivfPqTopKStored(spark, p, q, centroids, codebooks,
+        dim = 64, m = 8, codes = 4, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    def rows() = spark.read.parquet(p)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+      .orderBy("vec_id").collect().toSeq
+    val servedBefore = serve(); val rowsBefore = rows()
+    val stats = S.compactIvfPqIndexPartitioned(spark, p, maxFilesPerCell = 1)
+    val after = cellDataFiles(p)
+    assert(after.values.forall(_ === 1), s"every cell -> one file: $after")
+    assert(stats("cells_compacted") === before.size.toLong)
+    assert(stats("files_after") < stats("files_before"))
+    assert(rows() === rowsBefore)       // rows byte-identical
+    assert(serve() === servedBefore)    // serving hash-identical
+    assert(servedBefore.nonEmpty)
+    // idempotence: nothing over the bound -> no cell touched
+    val again = S.compactIvfPqIndexPartitioned(spark, p, maxFilesPerCell = 1)
+    assert(again("cells_compacted") === 0L)
+    assert(cellDataFiles(p) === after)
+  }
+
+  test("compaction recovery: a crash between the swap renames restores the old cell") {
+    val dir = Files.createTempDirectory("ann-recover").toFile.getAbsolutePath
+    val p = s"$dir/index"
+    val idx = S.ivfPqIndex(emb, centroids, codebooks, dim = 64, m = 8, codes = 4)
+    S.writeIvfPqIndexPartitioned(idx, p)
+    val rowsBefore = spark.read.parquet(p)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+      .orderBy("vec_id").collect().toSeq
+    // simulate a crash AFTER swap-out, BEFORE swap-in: cell=0 moved to
+    // _compact_old, live dir gone, a half-written tmp left behind
+    val live = new java.io.File(p, "cell=0")
+    val oldRoot = new java.io.File(p, "_compact_old"); oldRoot.mkdirs()
+    assert(live.renameTo(new java.io.File(oldRoot, "cell=0")))
+    val tmp = new java.io.File(p, "_compact_tmp/cell=0"); tmp.mkdirs()
+    // the hidden dirs are invisible to the scan, so cell 0 is MISSING
+    assert(spark.read.parquet(p).filter(col("cell") === 0).count() === 0L)
+    // recovery on entry restores the old dir, discards the tmp, then
+    // compaction proceeds normally (nothing over the bound here)
+    S.compactIvfPqIndexPartitioned(spark, p, maxFilesPerCell = 8)
+    assert(!new java.io.File(p, "_compact_old").exists())
+    assert(!new java.io.File(p, "_compact_tmp").exists())
+    val rowsAfter = spark.read.parquet(p)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+      .orderBy("vec_id").collect().toSeq
+    assert(rowsAfter === rowsBefore)
+    // and the completed-swap orphan case: old copy present WITH a live
+    // dir means the swap finished -> the orphan is just deleted
+    val orphan = new java.io.File(p, "_compact_old/cell=1"); orphan.mkdirs()
+    S.compactIvfPqIndexPartitioned(spark, p, maxFilesPerCell = 8)
+    assert(!new java.io.File(p, "_compact_old").exists())
+    assert(spark.read.parquet(p)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+      .orderBy("vec_id").collect().toSeq === rowsBefore)
+  }
 }
