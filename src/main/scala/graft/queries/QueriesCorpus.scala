@@ -1170,6 +1170,115 @@ QueryDef("c12_classifier_gated_clean",
           |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM doomed)
           |ORDER BY doc_id""".stripMargin)),
 
+QueryDef("c13_decontamination_composite",
+      // BOTH decontamination tiers as one pipeline over documents +
+      // embeddings, with a planted PARAPHRASE leak as the positive
+      // control: the n-gram holdout gate ([[graft.functions
+      // .DedupFunctions.contaminationReport]] — the c1 tier) sees only
+      // exact token overlap, so a leaked eval item that was reworded
+      // sails through it; the embedding tier ([[graft.functions
+      // .SimilarityFunctions.semanticDecontaminate]] — the sd1 tier)
+      // catches it by cosine. Holdout = id % 50 == 0 on both tables
+      // (one benchmark suite, both its grams and its vectors). Plants:
+      // one per holdout vector at doc_id + 1e6 — fresh literal text
+      // (zero 3-gram overlap with the synthetic vocab) carrying the
+      // holdout embedding nudged +0.01 on coordinate 1 (cosine ≈ 0.999:
+      // a paraphrase, not a byte copy). Every plant MUST surface with
+      // tier='semantic' — the proof the second tier earns its scan.
+      // Scale shape: holdout grams broadcast (train grams never
+      // shuffle before the per-doc count), holdout vectors fold in ONE
+      // broadcast array row over a single corpus scan (the sd1 plan,
+      // spec-pinned in DecontaminationCompositeSpec); the union is two
+      // doc-keyed left joins.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val holdVecs = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val planted = holdVecs.select(
+          (col("vec_id") + 1000000L).as("doc_id"),
+          concat(lit("planted paraphrase leak "), col("vec_id")).as("text"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.01)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+        val trainDocs = d.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(planted.select(col("doc_id"), col("text")))
+        val trainVecs = emb.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id").as("doc_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+          .unionByName(planted.select(col("doc_id"), col("embedding")))
+        val ngram = D.contaminationReport(trainDocs,
+          d.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 3)
+        val sem = S.semanticDecontaminate(trainVecs,
+            holdVecs.select(col("embedding")), tau = 0.35)
+          .select(col("doc_id"), col("max_holdout_cos"), col("contaminated"))
+        trainDocs.select(col("doc_id"))
+          .join(ngram, Seq("doc_id"), "left")
+          .join(sem, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+            col("max_holdout_cos"),
+            (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("ngram_flag"),
+            coalesce(col("contaminated"), lit(false)).as("semantic_flag"))
+          .filter(col("ngram_flag") || col("semantic_flag"))
+          .withColumn("tier",
+            when(col("ngram_flag") && col("semantic_flag"), "both")
+              .when(col("ngram_flag"), "ngram").otherwise("semantic"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH hv AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |planted AS MATERIALIZED (
+             |  SELECT vec_id + 1000000 AS doc_id,
+             |    'planted paraphrase leak ' || CAST(vec_id AS VARCHAR) AS text,
+             |    [v[1] + 0.01] || v[2:] AS emb
+             |  FROM hv),
+             |train_docs AS MATERIALIZED (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+             |  UNION ALL SELECT doc_id, text FROM planted),
+             |toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+             |         FROM train_docs),
+             |grams AS (
+             |  SELECT doc_id, unnest(
+             |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |                i -> array_to_string(w[i:i+2], ' '))) END) AS g
+             |  FROM toks),
+             |htoks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+             |          FROM documents WHERE doc_id % 50 = 0),
+             |hgrams AS (
+             |  SELECT DISTINCT unnest(
+             |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |                i -> array_to_string(w[i:i+2], ' '))) END) AS g
+             |  FROM htoks),
+             |ng AS (SELECT doc_id, count(*) AS n_shared_grams
+             |       FROM grams JOIN hgrams USING (g) GROUP BY 1),
+             |train_vecs AS (
+             |  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id % 50 <> 0
+             |  UNION ALL SELECT doc_id, emb AS v FROM planted),
+             |sem AS (
+             |  SELECT t.doc_id,
+             |    max(round(list_cosine_similarity(t.v, h.v), 6)) AS max_holdout_cos
+             |  FROM train_vecs t, hv h GROUP BY 1),
+             |uni AS (
+             |  SELECT td.doc_id,
+             |    COALESCE(ng.n_shared_grams, 0) AS n_shared_grams,
+             |    sem.max_holdout_cos,
+             |    COALESCE(ng.n_shared_grams, 0) > 0 AS ngram_flag,
+             |    COALESCE(sem.max_holdout_cos >= 0.35, FALSE) AS semantic_flag
+             |  FROM train_docs td
+             |  LEFT JOIN ng USING (doc_id)
+             |  LEFT JOIN sem ON sem.doc_id = td.doc_id)
+             |SELECT doc_id, n_shared_grams, max_holdout_cos, ngram_flag,
+             |  semantic_flag,
+             |  CASE WHEN ngram_flag AND semantic_flag THEN 'both'
+             |       WHEN ngram_flag THEN 'ngram' ELSE 'semantic' END AS tier
+             |FROM uni WHERE ngram_flag OR semantic_flag
+             |ORDER BY doc_id""".stripMargin)),
+
 QueryDef("mix3_source_dup_rates",
       // per-source duplication scorecard: exact-duplicate rate (md5 of
       // the raw text — the d1 key) and the WITHIN-source share of
