@@ -463,7 +463,12 @@ object SimilarityFunctions {
     *     on the band key, never a pair enumeration (two vectors are
     *     candidates iff some band collides: Hamming distance < #bands
     *     guarantees a collision by pigeonhole, so close pairs are
-    *     found; far pairs collide with probability ≈ #bands · 2^-bandBits);
+    *     found; in general a pair at Hamming d collides with
+    *     probability 1 − (1 − (1 − d/dim)^bandBits)^bands — the
+    *     standard LSH recall curve: ≈ 1 in the close regime that
+    *     near-dup / bitext / mutual-NN matches live in, falling to
+    *     ~0.3 by d ≈ dim/3 (spec-pinned on real embeddings), while
+    *     RANDOM pairs collide at ≈ bands · 2^-bandBits);
     *  3. exact matching bits (xor + bit_count, codegen'd built-ins)
     *     computed ONLY within candidates; bounded-heap top-k per query
     *     ([[topKPerQuery]] — ties → lower id, [[hammingTopK]]'s exact

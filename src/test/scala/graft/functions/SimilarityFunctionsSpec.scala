@@ -992,6 +992,57 @@ class SimilarityFunctionsSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("hammingTopKBlocked recall vs the exact kernel is pinned on real embeddings") {
+    // pin the banding-miss rate so a future banding change that
+    // silently craters recall fails here. Two regimes, by the collision
+    // physics (P(one band collides) = 1 − (1 − (1 − d/dim)^r)^L):
+    //  - GUARANTEED: exact neighbors within Hamming < nBands (= 8
+    //    bands here) always share a band (pigeonhole) — recall 1.0;
+    //  - FAR: this synthetic corpus's nearest neighbors sit at
+    //    d ≈ 20, where the formula gives ≈ 0.34 per pair — measured
+    //    0.306 top-1-in-top-10 at pin time. On real embedding corpora
+    //    the pairs that matter (near-dups, bitext matches, mutual-NN
+    //    seeds) live in the close regime; the far-regime number is the
+    //    documented price of the linear candidate bound, and the dial
+    //    is more tables (narrower bands) or a longer sketch.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"))
+    val exact = SimilarityFunctions.hammingTopK(emb, q, 10, 64)
+    val blocked = SimilarityFunctions.hammingTopKBlocked(emb, q, 10, 64)
+    val bSet = blocked.select("query_id", "vec_id")
+    // guaranteed regime: this corpus has NO natural close pairs (its
+    // nearest neighbors sit at d ≈ 20), so PLANT twins — 20 vectors
+    // re-inserted with their first two coordinates sign-flipped
+    // (Hamming ≤ 2 < 8 bands): the pigeonhole guarantee says every
+    // planted twin is candidate-visible, and at ≥ 62 matching bits it
+    // outranks everything natural, so it MUST surface in the blocked
+    // top-10 of its original
+    val dbl = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val planted = dbl.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      concat(transform(slice(col("embedding"), 1, 2), x => -x),
+        slice(col("embedding"), 3, 62)).as("embedding"))
+    val withTwins = dbl.unionByName(planted)
+    val qClose = dbl.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val closeHits = SimilarityFunctions
+      .hammingTopKBlocked(withTwins, qClose, 10, 64)
+      .filter(col("vec_id") === col("query_id") + 100000L)
+      .count()
+    info(s"planted twins recovered: $closeHits / 20")
+    assert(closeHits === 20L, "pigeonhole regime must never miss")
+    // far regime: pin the measured floor
+    val e1 = exact.filter(col("rank") === 1).select("query_id", "vec_id")
+    val n1 = e1.count().toDouble
+    val hit1 = e1.join(bSet, Seq("query_id", "vec_id"), "left_semi")
+      .count().toDouble
+    info(f"global top-1-in-blocked-top-10 recall: ${hit1 / n1}%.4f")
+    assert(hit1 / n1 >= 0.25 && hit1 / n1 <= 0.45,
+      s"far-regime recall ${hit1 / n1} drifted from the pinned 0.306 band")
+  }
+
   test("sizedBandBits keeps bucket load <= 2^6; auto equals the sized explicit width") {
     assert(SimilarityFunctions.sizedBandBits(1L) === 8)
     assert(SimilarityFunctions.sizedBandBits(1L << 14) === 8)
