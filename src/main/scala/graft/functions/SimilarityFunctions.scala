@@ -505,7 +505,8 @@ object SimilarityFunctions {
   def hammingTopKBlocked(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int, bandBits: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+      qIdCol: String = "query_id", qVecCol: String = "query_vec",
+      sizeHint: Long = 0L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     requireIntegralId(corpus, idCol); requireIntegralId(queries, qIdCol)
@@ -513,9 +514,20 @@ object SimilarityFunctions {
       (bandBits >= 1 && bandBits <= 32 && 32 % bandBits == 0),
       s"bandBits must divide 32 so bands never straddle sketch words, " +
         s"or 0 for count-sized bands (got $bandBits)")
+    val cw = sketchWords(corpus, idCol, vecCol, dim)
+    val qw = sketchWords(queries, qIdCol, qVecCol, dim)
+    // auto-sizing counts the SKETCH tables (valid vectors only — NULL
+    // sketches never band, so counting the raw frames over-sizes) and
+    // only when the caller supplied neither an explicit width nor a
+    // `sizeHint` (an upper bound on the larger side's row count —
+    // callers that already know their scale, or run the kernel twice
+    // on the same tables like marginBitextMine, skip two full-scan
+    // count jobs per call this way; a LOOSE hint only widens bands,
+    // trading recall, never correctness).
     val bb =
       if (bandBits != 0) bandBits
-      else sizedBandBits(math.max(corpus.count(), queries.count()))
+      else if (sizeHint > 0L) sizedBandBits(sizeHint)
+      else sizedBandBits(math.max(cw.count(), qw.count()))
     val nw = dim / 32
     val bandsPerWord = 32 / bb
     val nBands = nw * bandsPerWord
@@ -533,8 +545,6 @@ object SimilarityFunctions {
           }: _*)).as("_bb"))
         .select(col(outId), col("_bb.band").as("_band"),
           col("_bb.key").as("_key"))
-    val cw = sketchWords(corpus, idCol, vecCol, dim)
-    val qw = sketchWords(queries, qIdCol, qVecCol, dim)
     val cand = banded(qw, "_qid").join(banded(cw, "_cid"), Seq("_band", "_key"))
       .filter(col("_qid") =!= col("_cid"))
       .select("_qid", "_cid").distinct()
@@ -630,13 +640,23 @@ object SimilarityFunctions {
       blockedBandBits: Option[Int] = None): DataFrame = {
     require(shortlist >= cand && shortlist >= k,
       s"shortlist ($shortlist) must cover cand ($cand) and k ($k)")
+    // resolve Some(0) = count-sized ONCE for both directions: mining is
+    // symmetric (each side queries the other), so the kernel's larger-
+    // side rule gives the same width either way — resolving here halves
+    // the sizing count jobs (two per run, not two per direction), and
+    // passing an explicit width downstream skips the kernel's own
+    // sketch-table counts entirely.
+    val resolvedBlocked = blockedBandBits.map {
+      case 0 => sizedBandBits(math.max(src.count(), tgt.count()))
+      case b => b
+    }
     val wQ = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col(idCol))
     // shortlist + exact re-rank of `queries` against `corpus` (s19 shape)
     def reranked(corpus: DataFrame, queries: DataFrame): DataFrame = {
       val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("query_vec"))
-      val short = blockedBandBits match {
+      val short = resolvedBlocked match {
         case Some(b) => hammingTopKBlocked(corpus, q, shortlist, dim, b,
           idCol, vecCol)
         case None => hammingTopK(corpus, q, shortlist, dim, idCol, vecCol)
@@ -2219,6 +2239,28 @@ object SimilarityFunctions {
     * Serving is hash-identical by construction: rows never change,
     * only file layout (spec-pinned via [[ivfPqTopKStored]]).
     *
+    * CONCURRENCY CONTRACT (r15, per ADVICE): maintenance requires a
+    * SINGLE writer and QUIESCED readers. The hash-identical claim
+    * above holds for scans that start before or after the pass, NOT
+    * for one racing it — between a cell's swap-out and swap-in renames
+    * the live `cell=` directory is briefly absent, and a concurrent
+    * [[ivfPqTopKStored]] probe (or any parquet scan of the index)
+    * would silently return results missing that cell's rows — a
+    * silent-missing window, deliberately chosen over the
+    * rename-into-live alternative whose failure mode is silent
+    * DUPLICATES in top-k (missing-vs-duplicate, same race; the absent
+    * dir at least fails loudly for scans that enumerate partitions
+    * strictly). The writer half IS enforced in code: a `_compact_lock`
+    * marker (underscore-prefixed — invisible to parquet scans) is
+    * created exclusively on entry and removed on exit, so a second
+    * concurrent compactor fails fast instead of interleaving renames;
+    * a crash leaves the lock behind, and the operator clears it after
+    * the (always-run) recovery pass — `force = true` does exactly
+    * that, for schedulers that own the serving window and know no
+    * other writer is live. Readers are the deployment's to quiesce
+    * (run compaction inside the ingest window, after
+    * [[appendIvfPqIndexPartitioned]] and before serving resumes).
+    *
     * Driver work is one `listStatus` per cell — bounded by the cell
     * count, the established listing convention; each rewrite is one
     * cell-sized columnar read → write. Returns scanned/compacted cell
@@ -2226,7 +2268,7 @@ object SimilarityFunctions {
     */
   def compactIvfPqIndexPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, maxFilesPerCell: Int = 8, targetFilesPerCell: Int = 1,
-      idCol: String = "vec_id"): Map[String, Long] = {
+      idCol: String = "vec_id", force: Boolean = false): Map[String, Long] = {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell must be >= 1 (got $maxFilesPerCell)")
     require(targetFilesPerCell >= 1,
@@ -2234,6 +2276,12 @@ object SimilarityFunctions {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new Path(root, "_compact_lock")
+    if (force) fs.delete(lock, false)
+    require(fs.createNewFile(lock),
+      s"another compaction holds $lock (single-writer contract); if it " +
+        "crashed, re-run with force = true — recovery runs first either way")
+    try {
     val tmpRoot = new Path(root, "_compact_tmp")
     val oldRoot = new Path(root, "_compact_old")
     if (fs.exists(oldRoot)) fs.listStatus(oldRoot).foreach { st =>
@@ -2277,6 +2325,7 @@ object SimilarityFunctions {
     Map("cells_scanned" -> cellDirs.length.toLong,
       "cells_compacted" -> compacted,
       "files_before" -> before, "files_after" -> after)
+    } finally fs.delete(lock, false)
   }
 
   /** IVF-PQ serving from the STORED, cell-partitioned index (the

@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus decode /
   * feature-extract / thumbnail / frame-sample stages.
   *
-  * The Spark-side plumbing is REAL — schemas, batched partition
-  * processing, deterministic outputs, size accounting, partition-level
-  * parallelism — while the media codecs are STUBS (`decodeStub`,
-  * `frameOffsetsStub`): this container ships no image/audio libraries, so
-  * decode is a deterministic fake keyed on the bytes. Swapping in a real
-  * codec changes ONE function; every schema, batch shape, and plan stays.
+  * As of r15 the IMAGE path is a REAL codec ([[ImageCodec]], pure-JDK
+  * `javax.imageio`): PNG/BMP/JPEG decode to actual pixels, thumbnails
+  * are exact-coverage area averages re-encoded as PNG, and embeddings
+  * are patch-mean luma over the decoded raster — all deterministic and
+  * oracle-verified on real bytes (mm2/mm5/mm6). Media ImageIO cannot
+  * decode (video/audio — no pure-JDK demuxer exists) falls through to
+  * the ORIGINAL deterministic stand-ins (`decodeStub`,
+  * `frameOffsetsStub`, `thumbnailStub`), which remain the one
+  * documented synthetic boundary; the dispatch is decodability itself,
+  * so the stand-in path is visible (decoded_ok = false), never folded
+  * into plausible image features.
   *
   * Scale notes:
   *  - media bytes never shuffle: feature extraction is a mapPartitions
@@ -31,9 +36,13 @@ object Multimodal {
       fingerprint: Long,
       embedding: Array[Float])
 
-  /** ??? REAL-CODEC BOUNDARY ??? — deterministic fake decoder standing in
-    * for (e.g.) JPEG decode + CNN embed. Produces a `dim`-float vector
-    * from a rolling hash of the bytes; stable across JVMs and runs.
+  /** ??? REAL-CODEC BOUNDARY (video/audio only since r15) ??? —
+    * deterministic fake embedder for media ImageIO cannot decode (no
+    * pure-JDK video/audio demuxer exists). Images take the REAL path:
+    * [[mediaEmbedding]] dispatches to [[ImageCodec.decode]] +
+    * [[ImageCodec.patchMeanLuma]] first and reaches this stand-in only
+    * on decode failure. Produces a `dim`-float vector from a rolling
+    * hash of the bytes; stable across JVMs and runs.
     */
   def decodeStub(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
     val out = new Array[Float](dim)
@@ -47,6 +56,28 @@ object Multimodal {
     out
   }
 
+  /** The production embedding dispatch: REAL image decode
+    * ([[ImageCodec.decode]] — PNG/BMP/JPEG via `javax.imageio`) +
+    * patch-mean-luma embedding over the actual pixels (grid =
+    * ⌊√dim⌋ patches; entries past grid² stay 0 so the output width is
+    * always exactly `dim`); bytes no ImageIO reader claims (video,
+    * audio, corrupt files) fall through to [[decodeStub]] — the one
+    * remaining synthetic boundary, scoped to media the JDK cannot
+    * decode. Deterministic on both paths.
+    */
+  def mediaEmbedding(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
+    val grid = math.sqrt(dim.toDouble).toInt
+    ImageCodec.decode(bytes) match {
+      case Some(img) if grid >= 1 && grid <= img.width && grid <= img.height =>
+        val means = ImageCodec.patchMeanLuma(img, grid)
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < means.length) { out(i) = means(i).toFloat; i += 1 }
+        out
+      case _ => decodeStub(bytes, dim)
+    }
+  }
+
   /** ??? REAL-CODEC BOUNDARY ??? — video frame sampling stand-in: returns
     * the byte offsets a real demuxer would seek to, one per `everyMs`.
     */
@@ -54,9 +85,10 @@ object Multimodal {
     if (meta.durationMs <= 0 || everyMs <= 0) Seq.empty
     else (0L until meta.durationMs by everyMs).map(t => t * 1024L)
 
-  /** ??? REAL-CODEC BOUNDARY ??? — resize/thumbnail stand-in: a real
-    * impl decodes, scales the long edge to `maxDim`, re-encodes. The
-    * stub keeps a deterministic byte subsample whose length shrinks
+  /** ??? REAL-CODEC BOUNDARY (video/audio only since r15) ??? —
+    * resize/thumbnail stand-in for media ImageIO cannot decode;
+    * images take [[ImageCodec.areaAverage]] inside [[withThumbnails]].
+    * The stub keeps a deterministic byte subsample whose length shrinks
     * with the area ratio (so size accounting downstream behaves like a
     * real thumbnail pass) and scales the meta dimensions exactly as a
     * real resizer would. Already-small media pass through unchanged.
@@ -78,11 +110,21 @@ object Multimodal {
   }
 
   /** Thumbnail stage over a `Dataset[MediaAsset]`: batched
-    * mapPartitions like [[extractFeatures]] (one codec invocation per
-    * batch in a real impl), media bytes REPLACED in place — the
-    * training-data shape where originals live in the lake and the
-    * pipeline materializes a bounded-size derivative. Narrow: no
-    * shuffle, peak memory bounded by `batchSize` assets.
+    * mapPartitions like [[extractFeatures]], media bytes REPLACED in
+    * place — the training-data shape where originals live in the lake
+    * and the pipeline materializes a bounded-size derivative. Narrow:
+    * no shuffle, peak memory bounded by `batchSize` assets.
+    *
+    * REAL for images since r15: decode ([[ImageCodec.decode]]) →
+    * exact-coverage area-average downscale of the long edge to
+    * `maxDim` ([[ImageCodec.thumbnailDims]]/[[ImageCodec.areaAverage]])
+    * → lossless PNG re-encode; meta dims come from the DECODED raster
+    * (the bytes are the truth, not the caller's metadata), mime
+    * becomes image/png. Already-fitting images still re-encode —
+    * thumbnail output is uniformly PNG, the normalize-on-write
+    * contract a serving tier wants. Undecodable media (video/audio)
+    * keeps the deterministic [[thumbnailStub]] byte-subsample path,
+    * visibly (mime unchanged).
     */
   def withThumbnails(assets: Dataset[MediaAsset], maxDim: Int,
       batchSize: Int = 64): Dataset[MediaAsset] = {
@@ -90,11 +132,80 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { a =>
-          val (b, m) = thumbnailStub(a.media, a.meta, maxDim)
-          MediaAsset(a.asset_id, b, m)
+          ImageCodec.decode(a.media) match {
+            case Some(img) =>
+              val (ow, oh) = ImageCodec.thumbnailDims(img.width, img.height, maxDim)
+              val thumb = ImageCodec.areaAverage(img, ow, oh)
+              MediaAsset(a.asset_id, ImageCodec.encodePng(thumb),
+                a.meta.copy(mime = "image/png", width = ow, height = oh))
+            case None =>
+              val (b, m) = thumbnailStub(a.media, a.meta, maxDim)
+              MediaAsset(a.asset_id, b, m)
+          }
         }
       }
     }
+  }
+
+  /** Decode audit/profile stage — one row per asset with REAL decoded
+    * facts: dims, pixel count, per-channel sums, and a position-weighted
+    * checksum Σ (idx+1)·(r·2¹⁶ + g·2⁸ + b) over the row-major raster (a
+    * strong order-sensitive digest that stays in exact BIGINT range and
+    * replays in any SQL engine, unlike an md5 over raw bytes which SQL
+    * string types can't build). Undecodable media report
+    * `decoded_ok = false` with zeroed stats — visible, never fabricated.
+    * Narrow mapPartitions; the media column never shuffles.
+    */
+  def decodeImages(assets: Dataset[MediaAsset], batchSize: Int = 64): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          ImageCodec.decode(a.media) match {
+            case Some(img) =>
+              var rs = 0L; var gs = 0L; var bs = 0L; var ws = 0L
+              var i = 0
+              while (i < img.rgb.length) {
+                val p = img.rgb(i)
+                rs += (p >> 16) & 255; gs += (p >> 8) & 255; bs += p & 255
+                ws += (i + 1).toLong * p
+                i += 1
+              }
+              (a.asset_id, true, img.width, img.height,
+                img.rgb.length.toLong, rs, gs, bs, ws)
+            case None =>
+              (a.asset_id, false, 0, 0, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+    }.toDF("asset_id", "decoded_ok", "width", "height", "n_px",
+      "r_sum", "g_sum", "b_sum", "px_wsum")
+  }
+
+  /** Patch-mean-luma embedding stage in LONG form — one row per
+    * (asset, patch) with the exact 6dp mean ([[ImageCodec
+    * .patchMeanLuma]] over REAL decoded pixels), the oracle-friendly
+    * exploded twin of [[extractFeatures]]'s packed float vector.
+    * Undecodable assets emit no rows (absence is the visible failure
+    * mode, matching [[graft.functions.SimilarityFunctions.signSketch]]'s
+    * NULL contract).
+    */
+  def imagePatchEmbeddings(assets: Dataset[MediaAsset], grid: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          ImageCodec.decode(a.media) match {
+            case Some(img) if grid <= img.width && grid <= img.height =>
+              ImageCodec.patchMeanLuma(img, grid).iterator.zipWithIndex.map {
+                case (m, i) => (a.asset_id, i, m)
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+    }.toDF("asset_id", "patch_idx", "mean_luma")
   }
 
   /** Frame-sampling stage: one row per sampled frame —
@@ -149,20 +260,24 @@ object Multimodal {
               .hashUnsafeBytes(a.media,
                 org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
                 a.media.length, 42L),
-            embedding = decodeStub(a.media, dim))
+            embedding = mediaEmbedding(a.media, dim))
         }
       }
     }
   }
 
   /** DataFrame variant for untyped pipelines: adds n_bytes, fingerprint
-    * (xxhash64) and the stub embedding to any frame with a binary
-    * `media` column, as ONE projection — no shuffle, media column
-    * droppable immediately after.
+    * (xxhash64) and the [[mediaEmbedding]] (real decode for images,
+    * stand-in for video/audio) to any frame with a binary `media`
+    * column, as ONE projection — no shuffle, media column droppable
+    * immediately after. The embedding is the engine's one sanctioned
+    * data-plane `udf`: an image codec has no Catalyst builtin, and the
+    * typed twin ([[extractFeatures]]) already covers the mapPartitions
+    * shape for pipelines that can take a schema.
     */
   def withMediaFeatures(df: DataFrame, mediaCol: String = "media",
       dim: Int = 16): DataFrame = {
-    val bytesToVec = udf((b: Array[Byte]) => decodeStub(b, dim))
+    val bytesToVec = udf((b: Array[Byte]) => mediaEmbedding(b, dim))
     df.withColumn("n_bytes", length(col(mediaCol)).cast("long"))
       .withColumn("fingerprint", fingerprintCol(col(mediaCol)))
       .withColumn("embedding", bytesToVec(col(mediaCol)))

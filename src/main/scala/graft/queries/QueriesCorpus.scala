@@ -901,71 +901,163 @@ QueryDef("mm1_media_dedup",
              |FROM k WHERE asset_id = keep ORDER BY asset_id""".stripMargin)),
 
 QueryDef("mm2_thumbnails",
-      // the thumbnail stage with a REAL oracle ([[Multimodal
-      // .withThumbnails]]): synthetic ASCII media (text#lang bytes — the
-      // mm1 trick, chars ≡ bytes so DuckDB can index them) with planted
-      // dimensions from doc_id. The stub's contract is deterministic
-      // arithmetic — long edge to 512, meta scaled via floor(x+0.5)
-      // (Scala Math.round), byte payload strided down by the area
-      // ratio — so the oracle replays resize math AND the exact
-      // surviving bytes (md5 compare). Already-small media pass
-      // through byte-identical.
+      // the REAL thumbnail pipeline end-to-end (r15 — the codec
+      // stand-in retired for images): per doc, a deterministic PNG
+      // ([[ImageCodec.synthPng]] — formula pixels, REAL ImageIO
+      // encode) at (64×48|48×24|32×16) by doc_id%3 → [[Multimodal
+      // .withThumbnails]] maxDim=16 (REAL ImageIO decode →
+      // exact-coverage area average → PNG re-encode) → [[Multimodal
+      // .decodeImages]] (REAL decode of the thumbnail bytes) → dims,
+      // channel sums, position-weighted checksum. Every stage crosses
+      // the actual codec, twice; the oracle replays the pixel formula
+      // and the k×k box mean ((2Σ+k²)//2k², k ∈ {4,3,2} — the integer
+      // factors the dims pin) in exact integers, so a hash match
+      // proves the decode→downscale→encode→decode chain is
+      // pixel-exact cross-engine. Narrow mapPartitions throughout;
+      // media bytes never shuffle.
       (s, dir) => {
         import s.implicits._
-        val assets = docs(s, dir).select(col("doc_id").as("asset_id"),
-            concat(col("text"), lit("#"), col("lang")).cast("binary").as("media"),
-            struct(lit("image/png").as("mime"),
-              (lit(400) + (col("doc_id") % 5).cast("int") * 200).as("width"),
-              (lit(300) + (col("doc_id") % 3).cast("int") * 300).as("height"),
-              lit(0L).as("durationMs")).as("meta"))
-          .as[graft.multimodal.Multimodal.MediaAsset]
-        graft.multimodal.Multimodal.withThumbnails(assets, maxDim = 512)
-          .toDF()
-          .select(col("asset_id"),
-            col("meta.width").as("width"), col("meta.height").as("height"),
-            length(col("media")).cast("long").as("n_bytes"),
-            md5(col("media")).as("media_md5"))
+        val assets = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val m = (id % 3).toInt
+            val (w, h) = m match {
+              case 0 => (64, 48); case 1 => (48, 24); case _ => (32, 16)
+            }
+            graft.multimodal.Multimodal.MediaAsset(id,
+              graft.multimodal.ImageCodec.synthPng(id, w, h),
+              graft.multimodal.Multimodal.MediaMeta("image/png", w, h, 0L))
+          })
+        val thumbs = graft.multimodal.Multimodal.withThumbnails(assets, maxDim = 16)
+        graft.multimodal.Multimodal.decodeImages(thumbs)
+          .select(col("asset_id"), col("width"), col("height"), col("n_px"),
+            col("r_sum"), col("g_sum"), col("b_sum"), col("px_wsum"))
           .orderBy("asset_id")
       },
       Some("""WITH a AS (
-             |  SELECT doc_id AS asset_id, text || '#' || lang AS payload,
-             |         CAST(400 + (doc_id % 5) * 200 AS INTEGER) AS w,
-             |         CAST(300 + (doc_id % 3) * 300 AS INTEGER) AS h,
-             |         length(text || '#' || lang) AS len
+             |  SELECT doc_id AS asset_id,
+             |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 64 WHEN 1 THEN 48 ELSE 32 END AS w,
+             |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 48 WHEN 1 THEN 24 ELSE 16 END AS h,
+             |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 2 END AS k
              |  FROM documents),
-             |s AS (
-             |  SELECT asset_id, payload, w, h, len, greatest(w, h) AS lng,
-             |         512.0 / greatest(w, h) AS sc
-             |  FROM a),
-             |small AS (
-             |  SELECT asset_id, w AS width, h AS height,
-             |         CAST(len AS BIGINT) AS n_bytes, md5(payload) AS media_md5
-             |  FROM s WHERE lng <= 512),
-             |big AS (
-             |  SELECT asset_id, payload, len,
-             |    greatest(1, CAST(floor(w * sc + 0.5) AS INTEGER)) AS width,
-             |    greatest(1, CAST(floor(h * sc + 0.5) AS INTEGER)) AS height,
-             |    greatest(1, CAST(floor(len * (sc * sc) + 0.5) AS BIGINT)) AS keep
-             |  FROM s WHERE lng > 512),
-             |bs AS (
-             |  SELECT asset_id, payload, width, height, len,
-             |         greatest(1, len // keep) AS step
-             |  FROM big),
-             |sub AS (
-             |  SELECT asset_id, width, height,
-             |         string_agg(substring(payload, p, 1), '' ORDER BY p) AS thumb
-             |  FROM (SELECT asset_id, payload, width, height,
-             |               unnest(generate_series(1, len, step)) AS p
-             |        FROM bs)
-             |  GROUP BY 1, 2, 3)
-             |SELECT asset_id, CAST(width AS INTEGER) AS width,
-             |       CAST(height AS INTEGER) AS height,
-             |       CAST(length(thumb) AS BIGINT) AS n_bytes, md5(thumb) AS media_md5
-             |FROM sub
-             |UNION ALL
-             |SELECT asset_id, CAST(width AS INTEGER), CAST(height AS INTEGER),
-             |       n_bytes, media_md5 FROM small
-             |ORDER BY asset_id""".stripMargin)),
+             |px AS (
+             |  SELECT asset_id, k, w, x.x AS x, y.y AS y,
+             |    (asset_id*31 + x.x*7 + y.y*13) % 256 AS r,
+             |    (asset_id*17 + x.x*3 + y.y*29) % 256 AS g,
+             |    (asset_id*23 + x.x*11 + y.y*5) % 256 AS b
+             |  FROM a, range(0, 64) x(x), range(0, 48) y(y)
+             |  WHERE x.x < w AND y.y < h),
+             |tp AS (
+             |  SELECT asset_id, w//k AS ow, x//k AS ox, y//k AS oy,
+             |    (2*sum(r) + k*k) // (2*k*k) AS tr,
+             |    (2*sum(g) + k*k) // (2*k*k) AS tg,
+             |    (2*sum(b) + k*k) // (2*k*k) AS tb
+             |  FROM px GROUP BY asset_id, w//k, x//k, y//k, k)
+             |SELECT asset_id,
+             |  CAST(max(ow) AS INTEGER) AS width,
+             |  CAST(max(oy) + 1 AS INTEGER) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(tr) AS BIGINT) AS r_sum,
+             |  CAST(sum(tg) AS BIGINT) AS g_sum,
+             |  CAST(sum(tb) AS BIGINT) AS b_sum,
+             |  CAST(sum((oy*ow + ox + 1) * (tr*65536 + tg*256 + tb)) AS BIGINT)
+             |    AS px_wsum
+             |FROM tp GROUP BY asset_id ORDER BY asset_id""".stripMargin)),
+
+QueryDef("mm5_image_decode",
+      // the REAL decode audit ([[Multimodal.decodeImages]] over
+      // [[ImageCodec.synthPng]] bytes): per asset, dims + per-channel
+      // sums + the position-weighted checksum Σ(idx+1)·(r·2¹⁶+g·2⁸+b)
+      // over the row-major raster of the ACTUAL ImageIO-decoded
+      // pixels. The oracle recomputes the formula the PNGs were
+      // rendered from — a hash match is a cross-engine proof the
+      // codec round-trip (encode on write, decode on read) is
+      // pixel-exact, pinning the contract mm2/mm6 and the embedding
+      // path stand on. One narrow scan; nothing but 9 compact columns
+      // survives the stage.
+      (s, dir) => {
+        import s.implicits._
+        val assets = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val m = (id % 3).toInt
+            val (w, h) = m match {
+              case 0 => (64, 48); case 1 => (48, 24); case _ => (32, 16)
+            }
+            graft.multimodal.Multimodal.MediaAsset(id,
+              graft.multimodal.ImageCodec.synthPng(id, w, h),
+              graft.multimodal.Multimodal.MediaMeta("image/png", w, h, 0L))
+          })
+        graft.multimodal.Multimodal.decodeImages(assets)
+          .select(col("asset_id"), col("width"), col("height"), col("n_px"),
+            col("r_sum"), col("g_sum"), col("b_sum"), col("px_wsum"))
+          .orderBy("asset_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS asset_id,
+             |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 64 WHEN 1 THEN 48 ELSE 32 END AS w,
+             |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 48 WHEN 1 THEN 24 ELSE 16 END AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT asset_id, w, h, x.x AS x, y.y AS y,
+             |    (asset_id*31 + x.x*7 + y.y*13) % 256 AS r,
+             |    (asset_id*17 + x.x*3 + y.y*29) % 256 AS g,
+             |    (asset_id*23 + x.x*11 + y.y*5) % 256 AS b
+             |  FROM a, range(0, 64) x(x), range(0, 48) y(y)
+             |  WHERE x.x < w AND y.y < h)
+             |SELECT asset_id,
+             |  CAST(max(w) AS INTEGER) AS width,
+             |  CAST(max(h) AS INTEGER) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(r) AS BIGINT) AS r_sum,
+             |  CAST(sum(g) AS BIGINT) AS g_sum,
+             |  CAST(sum(b) AS BIGINT) AS b_sum,
+             |  CAST(sum((y*w + x + 1) * (r*65536 + g*256 + b)) AS BIGINT)
+             |    AS px_wsum
+             |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin)),
+
+QueryDef("mm6_patch_embedding",
+      // the REAL image embedding ([[Multimodal.imagePatchEmbeddings]] —
+      // 4×4 patch-mean luma over ImageIO-decoded pixels, the long-form
+      // twin of what [[Multimodal.extractFeatures]] packs into its
+      // float vector): per (asset, patch), the exact integer luma sum
+      // 299r+587g+114b, the patch pixel count, and the 6dp mean (ONE
+      // double division — the lattice-sum transport rule). Patch
+      // boundaries are integer-floor y·4/h, x·4/w; the dims are
+      // 4-divisible so bucketing is exact. The oracle replays patches
+      // from the pixel formula; matching means the embedding a
+      // similarity pipeline consumes derives from real pixels,
+      // deterministically, on any engine.
+      (s, dir) => {
+        import s.implicits._
+        val assets = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val m = (id % 3).toInt
+            val (w, h) = m match {
+              case 0 => (64, 48); case 1 => (48, 24); case _ => (32, 16)
+            }
+            graft.multimodal.Multimodal.MediaAsset(id,
+              graft.multimodal.ImageCodec.synthPng(id, w, h),
+              graft.multimodal.Multimodal.MediaMeta("image/png", w, h, 0L))
+          })
+        graft.multimodal.Multimodal.imagePatchEmbeddings(assets, grid = 4)
+          .orderBy("asset_id", "patch_idx")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS asset_id,
+             |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 64 WHEN 1 THEN 48 ELSE 32 END AS w,
+             |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 48 WHEN 1 THEN 24 ELSE 16 END AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT asset_id,
+             |    CAST((y.y*4)//h*4 + (x.x*4)//w AS INTEGER) AS patch_idx,
+             |    299*((asset_id*31 + x.x*7 + y.y*13) % 256)
+             |      + 587*((asset_id*17 + x.x*3 + y.y*29) % 256)
+             |      + 114*((asset_id*23 + x.x*11 + y.y*5) % 256) AS luma
+             |  FROM a, range(0, 64) x(x), range(0, 48) y(y)
+             |  WHERE x.x < w AND y.y < h)
+             |SELECT asset_id, patch_idx,
+             |  round(CAST(sum(luma) AS DOUBLE) / (count(*) * 1000.0), 6)
+             |    AS mean_luma
+             |FROM px GROUP BY 1, 2 ORDER BY asset_id, patch_idx""".stripMargin)),
 
 QueryDef("mm3_frame_sample",
       // frame sampling under oracle ([[Multimodal.sampleFrames]]):

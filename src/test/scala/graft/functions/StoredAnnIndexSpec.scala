@@ -208,4 +208,28 @@ class StoredAnnIndexSpec extends AnyFunSuite {
       .select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
       .orderBy("vec_id").collect().toSeq === rowsBefore)
   }
+
+  test("compaction single-writer lock: a held lock fails fast; force recovers it") {
+    val dir = Files.createTempDirectory("ann-lock").toFile.getAbsolutePath
+    val p = s"$dir/index"
+    val idx = S.ivfPqIndex(emb, centroids, codebooks, dim = 64, m = 8, codes = 4)
+    S.writeIvfPqIndexPartitioned(idx, p)
+    // another compactor (or a crashed one) holds the marker
+    val lock = new java.io.File(p, "_compact_lock")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalArgumentException](
+      S.compactIvfPqIndexPartitioned(spark, p, maxFilesPerCell = 8))
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    assert(lock.exists(), "a refused entry must not steal the lock")
+    // force = the operator's post-crash path: proceeds and releases
+    val stats = S.compactIvfPqIndexPartitioned(spark, p,
+      maxFilesPerCell = 8, force = true)
+    assert(stats.contains("cells_scanned"))
+    assert(!lock.exists(), "the lock releases on exit")
+    // a normal run after release also works and releases
+    S.compactIvfPqIndexPartitioned(spark, p, maxFilesPerCell = 8)
+    assert(!lock.exists())
+    // the underscore-prefixed marker never leaks into scans
+    assert(spark.read.parquet(p).count() === idx.count())
+  }
 }

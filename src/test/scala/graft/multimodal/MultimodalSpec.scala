@@ -84,4 +84,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_._3).toSeq === Seq(0L, 2500L, 5000L, 7500L))
     assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  // ---- the REAL image path (r15: javax.imageio codec) ----
+
+  private def pngAssets = Seq(
+    MediaAsset(1L, ImageCodec.synthPng(1L, 64, 48), MediaMeta("image/png", 64, 48, 0L)),
+    MediaAsset(2L, ImageCodec.synthPng(2L, 32, 16), MediaMeta("image/png", 32, 16, 0L)),
+    // a liar: metadata claims 9999x9999 — the decoded raster is the truth
+    MediaAsset(3L, ImageCodec.synthPng(3L, 48, 24), MediaMeta("image/png", 9999, 9999, 0L)),
+    // undecodable bytes: must take the visible stand-in path
+    MediaAsset(4L, "fake-mp4-cccc".getBytes, MediaMeta("video/mp4", 1920, 1080, 10000L))
+  ).toDS()
+
+  test("withThumbnails real path: decode -> areaAverage -> PNG, meta from pixels") {
+    val out = withThumbnails(pngAssets, maxDim = 16).collect()
+      .map(a => a.asset_id -> a).toMap
+    // thumbnail pixels are EXACTLY areaAverage of the decoded original
+    val t1 = ImageCodec.decode(out(1L).media).get
+    val expect = ImageCodec.areaAverage(ImageCodec.synthImage(1L, 64, 48), 16, 12)
+    assert(t1.width === 16 && t1.height === 12)
+    assert(t1.rgb.toSeq === expect.rgb.toSeq)
+    assert(out(1L).meta.mime === "image/png" && out(1L).meta.width === 16)
+    // lying metadata is ignored: 48x24 raster -> 16x8, not 16x16
+    assert(out(3L).meta.width === 16 && out(3L).meta.height === 8)
+    // undecodable media keeps the stub path visibly (mime unchanged)
+    assert(out(4L).meta.mime === "video/mp4")
+  }
+
+  test("decodeImages: exact sums and checksum for real pixels, visible failure otherwise") {
+    val rows = decodeImages(pngAssets).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    val img = ImageCodec.synthImage(2L, 32, 16)
+    var rs = 0L; var ws = 0L
+    img.rgb.zipWithIndex.foreach { case (p, i) =>
+      rs += (p >> 16) & 255; ws += (i + 1).toLong * p
+    }
+    assert(rows(2L).getAs[Boolean]("decoded_ok"))
+    assert(rows(2L).getAs[Int]("width") === 32)
+    assert(rows(2L).getAs[Long]("n_px") === 512L)
+    assert(rows(2L).getAs[Long]("r_sum") === rs)
+    assert(rows(2L).getAs[Long]("px_wsum") === ws)
+    assert(!rows(4L).getAs[Boolean]("decoded_ok"))
+    assert(rows(4L).getAs[Long]("n_px") === 0L)
+  }
+
+  test("mediaEmbedding dispatch: real patch means for images, stub for the rest") {
+    val png = ImageCodec.synthPng(5L, 16, 16)
+    val emb = mediaEmbedding(png, dim = 16)
+    val means = ImageCodec.patchMeanLuma(ImageCodec.synthImage(5L, 16, 16), 4)
+    assert(emb.toSeq === means.map(_.toFloat).toSeq)
+    val fake = "fake-mp4".getBytes
+    assert(mediaEmbedding(fake, 16).toSeq === decodeStub(fake, 16).toSeq)
+    // extractFeatures rides the same dispatch
+    val f = extractFeatures(pngAssets, dim = 16).collect()
+      .map(x => x.asset_id -> x).toMap
+    assert(f(1L).embedding.toSeq ===
+      ImageCodec.patchMeanLuma(ImageCodec.synthImage(1L, 64, 48), 4).map(_.toFloat).toSeq)
+    assert(f(4L).embedding.toSeq === decodeStub("fake-mp4-cccc".getBytes, 16).toSeq)
+  }
+
+  test("imagePatchEmbeddings: long-form exact means; undecodable assets absent") {
+    val rows = imagePatchEmbeddings(pngAssets, grid = 4).collect()
+    assert(rows.map(_.getAs[Long]("asset_id")).toSet === Set(1L, 2L, 3L))
+    val m1 = rows.filter(_.getAs[Long]("asset_id") == 1L)
+      .sortBy(_.getAs[Int]("patch_idx")).map(_.getAs[Double]("mean_luma"))
+    assert(m1.toSeq === ImageCodec.patchMeanLuma(ImageCodec.synthImage(1L, 64, 48), 4).toSeq)
+    val plan = imagePatchEmbeddings(pngAssets, 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "patch embedding must be narrow")
+  }
 }
