@@ -485,7 +485,10 @@ object SimilarityFunctions {
     * Σ (per-bucket |src| × |tgt|) — the measured-Σdf² candidate-join
     * class (d22/m1b precedent). A hub band key (e.g. an all-zeros band
     * under sparse-positive embeddings) concentrates pairs on one
-    * reducer; AQE skew-join splits oversized buckets at runtime.
+    * reducer; AQE skew-join splits oversized buckets at runtime —
+    * adversarially spec-pinned (BandSkewSpec plants a corpus where one
+    * band's key is shared by EVERY row and asserts the final adaptive
+    * plan carries the skew-split markers on this join).
     *
     * `bandBits` is the recall/cost dial and MUST grow with the corpus
     * (the standard LSH key-length rule): with b-bit keys the expected
