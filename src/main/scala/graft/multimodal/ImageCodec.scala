@@ -186,6 +186,82 @@ object ImageCodec {
     }
   }
 
+  /** k× nearest-neighbor upscale: out(x,y) = in(x/k, y/k) — every
+    * source pixel becomes a k×k block. The model of a thumbnail cache
+    * or CDN re-size, and the planted transform for the perceptual-hash
+    * dedup oracle: each [[aHashBits]] patch of the upscaled image is
+    * the SAME source-pixel set repeated k² times, so patch-mean
+    * comparisons (and hence the hash) are invariant by construction
+    * while byte and pixel fingerprints both change.
+    */
+  def upscaleNearest(img: RgbImage, k: Int): RgbImage = {
+    require(k >= 1, s"scale factor must be >= 1 (got $k)")
+    if (k == 1) return img
+    val w = img.width * k; val h = img.height * k
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = (y / k) * img.width
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = img.rgb(srcRow + x / k)
+        x += 1
+      }
+      y += 1
+    }
+    RgbImage(w, h, out)
+  }
+
+  /** Perceptual average-hash over the [[patchMeanLuma]] grid, as a
+    * grid²-char '0'/'1' string (bit i = patch i's luma mean strictly
+    * above the whole-image mean of patch means) — EXACT integer
+    * arithmetic end to end: the comparison is the cross-multiplied
+    *   sumᵢ·N  >  S·countᵢ
+    * (sumᵢ = patch i's integer luma sum, countᵢ its pixel count,
+    * S/N the totals), so no division ever happens and a SQL oracle
+    * replays each bit from plain integer sums. The string form (not a
+    * packed int64) keeps the 64-bit grid=8 hash transportable through
+    * engines whose BIGINT would overflow on bit 63.
+    *
+    * Invariant under k× nearest-neighbor resize (sums and counts both
+    * scale by k², the cross-products by k⁴) and under any
+    * luma-order-preserving global remap — the RESIZED-duplicate class
+    * that [[Multimodal.pixelFingerprint]] (raster equality) and byte
+    * fingerprints structurally miss. Max sum·N for 255-luma 128×96
+    * rasters is ~10¹³ — Long-safe with headroom.
+    */
+  def aHashBits(img: RgbImage, grid: Int = 8): String = {
+    require(grid >= 1 && grid <= img.width && grid <= img.height,
+      s"grid must be in [1, min(w,h)] (got $grid for ${img.width}x${img.height})")
+    val sums = new Array[Long](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    val w = img.width; val h = img.height
+    var y = 0
+    while (y < h) {
+      val py = (y.toLong * grid / h).toInt
+      var x = 0
+      while (x < w) {
+        val px = (x.toLong * grid / w).toInt
+        val p = img.rgb(y * w + x)
+        sums(py * grid + px) +=
+          299L * ((p >> 16) & 255) + 587L * ((p >> 8) & 255) + 114L * (p & 255)
+        counts(py * grid + px) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L; var n = 0L
+    var i = 0
+    while (i < sums.length) { total += sums(i); n += counts(i); i += 1 }
+    val sb = new java.lang.StringBuilder(grid * grid)
+    i = 0
+    while (i < sums.length) {
+      sb.append(if (sums(i) * n > total * counts(i)) '1' else '0')
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Deterministic synthetic test image — the pixel formula the DuckDB
     * oracles replay arithmetically (all non-negative integer mod, so
     * `%` agrees across engines):

@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   * `javax.imageio`): PNG/BMP/JPEG decode to actual pixels, thumbnails
   * are exact-coverage area averages re-encoded as PNG, and embeddings
   * are patch-mean luma over the decoded raster — all deterministic and
-  * oracle-verified on real bytes (mm2/mm5/mm6). Media ImageIO cannot
-  * decode (video/audio — no pure-JDK demuxer exists) falls through to
-  * the ORIGINAL deterministic stand-ins (`decodeStub`,
-  * `frameOffsetsStub`, `thumbnailStub`), which remain the one
-  * documented synthetic boundary; the dispatch is decodability itself,
-  * so the stand-in path is visible (decoded_ok = false), never folded
-  * into plausible image features.
+  * oracle-verified on real bytes (mm2/mm5/mm6); dedup keys on the
+  * decoded raster itself ([[pixelFingerprint]] — re-encode class, mm7)
+  * and on its perceptual average-hash ([[aHashKey]] — resize class,
+  * mm8). The AUDIO path is real for RIFF/WAV PCM ([[AudioCodec]],
+  * exact chunk arithmetic — [[audioWindowFeatures]], mm9). Media
+  * neither codec claims (video, compressed audio — no pure-JDK
+  * demuxer exists) falls through to the ORIGINAL deterministic
+  * stand-ins (`decodeStub`, `frameOffsetsStub`, `thumbnailStub`),
+  * which remain the one documented synthetic boundary; the dispatch is
+  * decodability itself, so the stand-in path is visible
+  * (decoded_ok = false / absent rows), never folded into plausible
+  * media features.
   *
   * Scale notes:
   *  - media bytes never shuffle: feature extraction is a mapPartitions
@@ -36,10 +41,11 @@ object Multimodal {
       fingerprint: Long,
       embedding: Array[Float])
 
-  /** ??? REAL-CODEC BOUNDARY (video/audio only since r15) ??? —
-    * deterministic fake embedder for media ImageIO cannot decode (no
-    * pure-JDK video/audio demuxer exists). Images take the REAL path:
-    * [[mediaEmbedding]] dispatches to [[ImageCodec.decode]] +
+  /** ??? REAL-CODEC BOUNDARY (video/compressed-audio only since r15) ???
+    * — deterministic fake embedder for media no pure-JDK codec claims
+    * (no JDK video demuxer or MP3/AAC decoder exists; images decode via
+    * [[ImageCodec]], WAV PCM via [[AudioCodec]]). Images take the REAL
+    * path: [[mediaEmbedding]] dispatches to [[ImageCodec.decode]] +
     * [[ImageCodec.patchMeanLuma]] first and reaches this stand-in only
     * on decode failure. Produces a `dim`-float vector from a rolling
     * hash of the bytes; stable across JVMs and runs.
@@ -182,6 +188,41 @@ object Multimodal {
       "r_sum", "g_sum", "b_sum", "px_wsum")
   }
 
+  /** Per-window audio features over REAL RIFF/WAV decode
+    * ([[AudioCodec.decodeWav]] — 16-bit PCM): one row per
+    * (asset, window) carrying the integer-transported n_samples /
+    * Σs² / peak / zero-crossings and the 6dp RMS ([[AudioCodec
+    * .windowFeatures]]). `windowMs` converts through the container's
+    * OWN sample rate (fs·ms/1000, integer), so mixed-rate lakes
+    * window correctly per asset. Undecodable media (video, compressed
+    * audio, float WAV) emit no rows — the visible-dispatch contract;
+    * [[extractFeatures]] remains their documented stand-in path.
+    * Scale shape: decode is per-row CPU inside batched
+    * `mapPartitions`; audio bytes never shuffle; what exits is a
+    * fixed-width per-window projection.
+    */
+  def audioWindowFeatures(assets: Dataset[MediaAsset], windowMs: Int = 25,
+      batchSize: Int = 64): DataFrame = {
+    require(windowMs >= 1, s"windowMs must be >= 1 (got $windowMs)")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          AudioCodec.decodeWav(a.media) match {
+            case Some(pcm) =>
+              val ws = math.max(1, pcm.sampleRate * windowMs / 1000)
+              AudioCodec.windowFeatures(pcm, ws).iterator.map {
+                case (w, n, sumSq, peak, zc, rms) =>
+                  (a.asset_id, w, n, sumSq, peak, zc, rms)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+    }.toDF("asset_id", "window_idx", "n_samples", "sum_sq", "peak",
+      "zero_cross", "rms")
+  }
+
   /** Patch-mean-luma embedding stage in LONG form — one row per
     * (asset, patch) with the exact 6dp mean ([[ImageCodec
     * .patchMeanLuma]] over REAL decoded pixels), the oracle-friendly
@@ -281,6 +322,97 @@ object Multimodal {
     df.withColumn("n_bytes", length(col(mediaCol)).cast("long"))
       .withColumn("fingerprint", fingerprintCol(col(mediaCol)))
       .withColumn("embedding", bytesToVec(col(mediaCol)))
+  }
+
+  /** 64-bit fingerprint of the DECODED raster (dims + packed-RGB
+    * pixels), not the container bytes: re-encoded duplicates — the same
+    * image served as PNG and BMP, or re-compressed at a different
+    * level — share it while byte fingerprints ([[fingerprintCol]])
+    * differ on every copy. A crawl-scale corpus is full of exactly this
+    * class (CDN re-encodes, thumbnail caches). XXH64 seed 42 over
+    * width·height·pixels, the media-fingerprint convention; `None` for
+    * media ImageIO cannot decode.
+    */
+  def pixelFingerprint(bytes: Array[Byte]): Option[Long] =
+    ImageCodec.decode(bytes).map { img =>
+      val bb = java.nio.ByteBuffer.allocate(8 + img.rgb.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(img.width).putInt(img.height)
+      img.rgb.foreach(bb.putInt)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bb.array, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bb.array.length, 42L)
+    }
+
+  /** Exact dedup of re-encoded image duplicates: keyed on
+    * [[pixelFingerprint]] where the media decodes, falling back to the
+    * byte fingerprint (the [[dedupByFingerprint]] semantics) for
+    * video/audio so the operator is total over a mixed-modality lake.
+    * Same scale shape as [[dedupByFingerprint]]: the key is ONE narrow
+    * mapPartitions projection (decode cost is per-row CPU, media never
+    * shuffles for keying) and the survivor choice is a single
+    * `min_by`-style hash aggregation ([[graft.functions.DedupFunctions
+    * .dedupExact]]) with map-side partials — a million re-encodes of
+    * one spacer image collapse before the shuffle.
+    */
+  def dedupByPixels(assets: Dataset[MediaAsset], batchSize: Int = 64): DataFrame = {
+    import assets.sparkSession.implicits._
+    val keyed = assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val k = pixelFingerprint(a.media).getOrElse(
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              a.media, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              a.media.length, 42L))
+          (a.asset_id, a.media, a.meta, k)
+        }
+      }
+    }.toDF("asset_id", "media", "meta", "_pfp")
+    graft.functions.DedupFunctions.dedupExact(keyed, "asset_id", "_pfp")
+      .drop("_pfp")
+  }
+
+  /** Perceptual near-dup key: [[ImageCodec.aHashBits]] of the decoded
+    * raster ('a:'-prefixed), `None` for media ImageIO cannot decode.
+    * Where [[pixelFingerprint]] keys raster EQUALITY (catches
+    * re-encodes), this keys the patch-luma PATTERN — invariant under
+    * nearest-neighbor resize, so the thumbnail-cache / CDN-resize
+    * duplicate class collapses too.
+    */
+  def aHashKey(bytes: Array[Byte], grid: Int = 8): Option[String] =
+    ImageCodec.decode(bytes).map(img => "a:" + ImageCodec.aHashBits(img, grid))
+
+  /** Perceptual dedup of resized/re-encoded image duplicates: keyed on
+    * [[aHashKey]] where the media decodes, falling back to the byte
+    * fingerprint ('b:'-prefixed — the namespace split keeps an aHash
+    * bit string from ever colliding with a byte-hash rendering) for
+    * video/audio, so the operator is total over a mixed-modality lake.
+    * Same scale shape as [[dedupByPixels]]: keying is ONE narrow
+    * mapPartitions projection (decode is per-row CPU; media never
+    * shuffles for keying), survivor choice ONE `min_by` hash
+    * aggregation with map-side partials. Strictly coarser than
+    * [[dedupByPixels]] on decodable media (equal rasters ⇒ equal
+    * hashes): run this when resize-duplicates matter, the pixel form
+    * when only exact rasters may merge.
+    */
+  def dedupByAHash(assets: Dataset[MediaAsset], grid: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    import assets.sparkSession.implicits._
+    val keyed = assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val k = aHashKey(a.media, grid).getOrElse {
+            "b:" + java.lang.Long.toHexString(
+              org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+                a.media, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                a.media.length, 42L))
+          }
+          (a.asset_id, a.media, a.meta, k)
+        }
+      }
+    }.toDF("asset_id", "media", "meta", "_ahash")
+    graft.functions.DedupFunctions.dedupExact(keyed, "asset_id", "_ahash")
+      .drop("_ahash")
   }
 
   /** Exact media dedup on the binary fingerprint — delegates to

@@ -1086,6 +1086,202 @@ QueryDef("mm3_frame_sample",
              |      FROM a WHERE dur > 0)
              |ORDER BY asset_id, frame_idx""".stripMargin)),
 
+QueryDef("mm7_pixel_dedup",
+      // re-encoded-duplicate dedup ([[Multimodal.dedupByPixels]] —
+      // keyed on [[Multimodal.pixelFingerprint]], XXH64 of the DECODED
+      // raster): the same image served as PNG and as BMP shares the
+      // key while every byte fingerprint differs — the CDN-re-encode /
+      // thumbnail-cache class mm1's byte dedup structurally misses.
+      // Planted: every doc as PNG; doc_id < 40 ALSO as BMP under
+      // shifted asset ids (must drop — the PNG original wins on min
+      // id); 10 fresh BMP-only images (ids 900000+, survive wherever
+      // their pixel class is new — the container-independence control).
+      // The survivor SET depends only on pixel-equality groups, so the
+      // hash cancels out of the answer (the mm1 argument) and the
+      // oracle replays it arithmetically: synthImage repeats every 256
+      // ids (mod-256 channels) and dims every 3, so pixels are equal
+      // IFF id ≡ id' (mod 768) — the oracle groups by fid % 768, which
+      // also captures the natural repeats inside documents at SFs past
+      // 768 docs. Keying is one narrow decode projection; the survivor
+      // choice one min_by hash agg (media shuffles only inside
+      // surviving candidates' structs).
+      (s, dir) => {
+        import s.implicits._
+        def dims(m: Int): (Int, Int) = m match {
+          case 0 => (64, 48); case 1 => (48, 24); case _ => (32, 16)
+        }
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        val base = ids.mapPartitions(_.map { id =>
+          val (w, h) = dims((id % 3).toInt)
+          graft.multimodal.Multimodal.MediaAsset(id,
+            graft.multimodal.ImageCodec.synthPng(id, w, h),
+            graft.multimodal.Multimodal.MediaMeta("image/png", w, h, 0L))
+        })
+        val reenc = ids.filter(_ < 40L).mapPartitions(_.map { id =>
+          val (w, h) = dims((id % 3).toInt)
+          graft.multimodal.Multimodal.MediaAsset(id + 100000L,
+            graft.multimodal.ImageCodec.encode(
+              graft.multimodal.ImageCodec.synthImage(id, w, h), "bmp"),
+            graft.multimodal.Multimodal.MediaMeta("image/bmp", w, h, 0L))
+        })
+        val fresh = s.range(0, 10).as[Long].mapPartitions(_.map { i =>
+          val fid = 900000L + i
+          val (w, h) = dims((fid % 3).toInt)
+          graft.multimodal.Multimodal.MediaAsset(fid,
+            graft.multimodal.ImageCodec.encode(
+              graft.multimodal.ImageCodec.synthImage(fid, w, h), "bmp"),
+            graft.multimodal.Multimodal.MediaMeta("image/bmp", w, h, 0L))
+        })
+        graft.multimodal.Multimodal.dedupByPixels(
+            base.unionByName(reenc).unionByName(fresh))
+          .select(col("asset_id"),
+            col("meta.width").as("width"), col("meta.height").as("height"))
+          .orderBy("asset_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id AS asset_id, doc_id AS fid FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id < 40
+             |  UNION ALL
+             |  SELECT 900000 + t.i, 900000 + t.i FROM range(0, 10) t(i)),
+             |g AS (
+             |  SELECT asset_id, fid, fid % 768 AS grp,
+             |    CASE CAST(fid % 3 AS INTEGER) WHEN 0 THEN 64 WHEN 1 THEN 48 ELSE 32 END AS w,
+             |    CASE CAST(fid % 3 AS INTEGER) WHEN 0 THEN 48 WHEN 1 THEN 24 ELSE 16 END AS h
+             |  FROM u),
+             |k AS (
+             |  SELECT asset_id, w, h,
+             |    min(asset_id) OVER (PARTITION BY grp) AS keep
+             |  FROM g)
+             |SELECT asset_id, CAST(w AS INTEGER) AS width,
+             |       CAST(h AS INTEGER) AS height
+             |FROM k WHERE asset_id = keep ORDER BY asset_id""".stripMargin)),
+
+QueryDef("mm8_perceptual_dedup",
+      // perceptual near-dup dedup ([[Multimodal.dedupByAHash]] —
+      // [[ImageCodec.aHashBits]] over the decoded raster: grid 8×8
+      // patch luma sums, bit = patch strictly above the image mean via
+      // the cross-multiplied integer comparison sumᵢ·N > S·countᵢ).
+      // Planted: every doc as PNG; doc_id < 40 ALSO as a 2× nearest-
+      // neighbor upscale under shifted ids — RESIZED duplicates, the
+      // class mm1 (bytes) and mm7 (raster equality) both structurally
+      // miss; aHash is invariant by construction (each upscaled patch
+      // is the same source-pixel set ×4, so both cross-products scale
+      // by k⁴) and the original wins on min id. The oracle replays the
+      // WHOLE hash arithmetically from the synth pixel formula —
+      // per-patch integer sums, the cross-multiplied bit, string_agg
+      // in patch order — so a hash match proves decode + patch
+      // bucketing + bit comparison agree cross-engine bit for bit.
+      // Natural collisions (distinct ids, same 64-bit pattern — e.g.
+      // the id ≡ id' mod 768 pixel-equal repeats) merge identically on
+      // both sides. Keying is one narrow decode projection; survivor
+      // choice one min_by hash agg.
+      (s, dir) => {
+        import s.implicits._
+        def dims(m: Int): (Int, Int) = m match {
+          case 0 => (64, 48); case 1 => (48, 24); case _ => (32, 16)
+        }
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        val base = ids.mapPartitions(_.map { id =>
+          val (w, h) = dims((id % 3).toInt)
+          graft.multimodal.Multimodal.MediaAsset(id,
+            graft.multimodal.ImageCodec.synthPng(id, w, h),
+            graft.multimodal.Multimodal.MediaMeta("image/png", w, h, 0L))
+        })
+        val resized = ids.filter(_ < 40L).mapPartitions(_.map { id =>
+          val (w, h) = dims((id % 3).toInt)
+          val up = graft.multimodal.ImageCodec.upscaleNearest(
+            graft.multimodal.ImageCodec.synthImage(id, w, h), 2)
+          graft.multimodal.Multimodal.MediaAsset(id + 200000L,
+            graft.multimodal.ImageCodec.encodePng(up),
+            graft.multimodal.Multimodal.MediaMeta("image/png", up.width, up.height, 0L))
+        })
+        graft.multimodal.Multimodal.dedupByAHash(base.unionByName(resized))
+          .select(col("asset_id"),
+            col("meta.width").as("width"), col("meta.height").as("height"))
+          .orderBy("asset_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id AS asset_id, doc_id AS fid, 1 AS k FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, doc_id, 2 FROM documents WHERE doc_id < 40),
+             |g AS (
+             |  SELECT asset_id, fid, k,
+             |    CASE CAST(fid % 3 AS INTEGER) WHEN 0 THEN 64 WHEN 1 THEN 48 ELSE 32 END * k AS w,
+             |    CASE CAST(fid % 3 AS INTEGER) WHEN 0 THEN 48 WHEN 1 THEN 24 ELSE 16 END * k AS h
+             |  FROM u),
+             |px AS (
+             |  SELECT asset_id,
+             |    CAST((y.y*8)//h*8 + (x.x*8)//w AS INTEGER) AS patch_idx,
+             |    299*((fid*31 + (x.x//k)*7 + (y.y//k)*13) % 256)
+             |      + 587*((fid*17 + (x.x//k)*3 + (y.y//k)*29) % 256)
+             |      + 114*((fid*23 + (x.x//k)*11 + (y.y//k)*5) % 256) AS luma
+             |  FROM g, range(0, 128) x(x), range(0, 96) y(y)
+             |  WHERE x.x < w AND y.y < h),
+             |p AS (
+             |  SELECT asset_id, patch_idx,
+             |    sum(luma) AS s, count(*) AS c
+             |  FROM px GROUP BY 1, 2),
+             |b AS (
+             |  SELECT asset_id, patch_idx, s, c,
+             |    sum(s) OVER (PARTITION BY asset_id) AS st,
+             |    sum(c) OVER (PARTITION BY asset_id) AS n
+             |  FROM p),
+             |hsh AS (
+             |  SELECT asset_id,
+             |    string_agg(CASE WHEN s*n > st*c THEN '1' ELSE '0' END,
+             |               '' ORDER BY patch_idx) AS ahash
+             |  FROM b GROUP BY asset_id),
+             |kk AS (
+             |  SELECT h2.asset_id, g.w, g.h,
+             |    min(h2.asset_id) OVER (PARTITION BY h2.ahash) AS keep
+             |  FROM hsh h2 JOIN g ON g.asset_id = h2.asset_id)
+             |SELECT asset_id, CAST(w AS INTEGER) AS width,
+             |       CAST(h AS INTEGER) AS height
+             |FROM kk WHERE asset_id = keep ORDER BY asset_id""".stripMargin)),
+
+QueryDef("mm9_audio_features",
+      // REAL audio decode under oracle ([[Multimodal.audioWindowFeatures]]
+      // — [[AudioCodec.decodeWav]] parses the RIFF/WAV container the
+      // query's own [[AudioCodec.synthWav]] encoder wrote, so the hash
+      // verifies the encode→parse→feature chain sample-exact, the mm5
+      // convention for images). Planted lengths 800 + (id%5)·160 at
+      // 16 kHz with windowMs=25 → 400-sample windows, lengths up to
+      // 1440 → partial final windows exercised. Every feature is
+      // integer-transported (n, Σs², peak, sign-flip crossings with
+      // the window's first sample excluded — so the oracle replays
+      // windows independently, no lag join) except the one double op:
+      // rms = round6(sqrt(Σs²/n)).
+      (s, dir) => {
+        import s.implicits._
+        val assets = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 800 + (id % 5).toInt * 160
+            graft.multimodal.Multimodal.MediaAsset(id,
+              graft.multimodal.AudioCodec.synthWav(id, n, 16000),
+              graft.multimodal.Multimodal.MediaMeta("audio/wav", 0, 0,
+                n * 1000L / 16000L))
+          })
+        graft.multimodal.Multimodal.audioWindowFeatures(assets, windowMs = 25)
+          .orderBy("asset_id", "window_idx")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id AS asset_id, doc_id AS fid,
+             |    800 + CAST(doc_id % 5 AS INTEGER)*160 AS ns FROM documents),
+             |sm AS (
+             |  SELECT asset_id, i.i AS i,
+             |    ((fid*7919 + i.i*104729) % 65536) - 32768 AS s,
+             |    CASE WHEN i.i % 400 <> 0
+             |      THEN ((fid*7919 + (i.i-1)*104729) % 65536) - 32768 END AS sp
+             |  FROM u, range(0, 1440) i(i) WHERE i.i < ns)
+             |SELECT asset_id, CAST(i//400 AS INTEGER) AS window_idx,
+             |  count(*) AS n_samples, CAST(sum(s*s) AS BIGINT) AS sum_sq,
+             |  CAST(max(abs(s)) AS INTEGER) AS peak,
+             |  CAST(sum(CASE WHEN sp*s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS zero_cross,
+             |  round(sqrt(CAST(sum(s*s) AS DOUBLE)/count(*)), 6) AS rms
+             |FROM sm GROUP BY 1, 2 ORDER BY asset_id, window_idx""".stripMargin)),
+
 QueryDef("pack1_sequence_packing",
       // deterministic sequence packing: documents into 512-token training
       // packs across 8 shards; the full per-doc assignment is the result

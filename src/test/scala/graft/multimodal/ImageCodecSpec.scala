@@ -107,4 +107,42 @@ class ImageCodecSpec extends AnyFunSuite {
     val img = decode(synthPng(123L, 12, 9)).get
     assert(img.rgb.toSeq === synthImage(123L, 12, 9).rgb.toSeq)
   }
+
+  test("upscaleNearest: every source pixel becomes a k x k block") {
+    val img = RgbImage(2, 1, Array(0x010203, 0xA0B0C0))
+    val up = upscaleNearest(img, 3)
+    assert(up.width === 6 && up.height === 3)
+    assert(up.rgb.toSeq === Seq(
+      0x010203, 0x010203, 0x010203, 0xA0B0C0, 0xA0B0C0, 0xA0B0C0,
+      0x010203, 0x010203, 0x010203, 0xA0B0C0, 0xA0B0C0, 0xA0B0C0,
+      0x010203, 0x010203, 0x010203, 0xA0B0C0, 0xA0B0C0, 0xA0B0C0))
+    assert(upscaleNearest(img, 1) eq img)
+    assertThrows[IllegalArgumentException](upscaleNearest(img, 0))
+  }
+
+  test("aHashBits: hand-computed bits on a 2x2 grid, strict comparison") {
+    // 4x2 grayscale ramp: lumas 0,0,100,100 / 0,0,100,100 per row;
+    // grid 2 -> patches [0,0;100,100] columns... patch (py,px):
+    // px0 = {0,0,0,0}, px1 = {100,100,100,100} per grid row.
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val img = RgbImage(4, 2, Array(
+      gray(0), gray(0), gray(100), gray(100),
+      gray(0), gray(0), gray(100), gray(100)))
+    // mean = 50; right patches strictly above, left strictly below
+    assert(aHashBits(img, 2) === "0101")
+    // uniform image: no patch strictly above the mean -> all zeros
+    val flat = RgbImage(4, 2, Array.fill(8)(gray(7)))
+    assert(aHashBits(flat, 2) === "0000")
+  }
+
+  test("aHashBits is invariant under nearest-neighbor upscale; pixel keys differ") {
+    val img = synthImage(11L, 16, 8)
+    val up = upscaleNearest(img, 2)
+    assert(aHashBits(img, 4) === aHashBits(up, 4))
+    assert(aHashBits(img, 8).length === 64)
+    assert(!(img.rgb.toSeq == up.rgb.toSeq)) // raster-level keys would differ
+    // and a genuinely different image gets a different 64-bit pattern
+    assert(aHashBits(synthImage(11L, 16, 8), 8) !==
+      aHashBits(synthImage(12L, 16, 8), 8))
+  }
 }

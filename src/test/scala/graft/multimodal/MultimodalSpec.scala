@@ -143,6 +143,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(4L).embedding.toSeq === decodeStub("fake-mp4-cccc".getBytes, 16).toSeq)
   }
 
+  test("pixelFingerprint keys on decoded pixels, not container bytes") {
+    val img = ImageCodec.synthImage(9L, 16, 12)
+    val png = ImageCodec.encodePng(img)
+    val bmp = ImageCodec.encode(img, "bmp")
+    assert(!(png.toSeq == bmp.toSeq), "containers must differ for the test to mean anything")
+    assert(pixelFingerprint(png) === pixelFingerprint(bmp))
+    assert(pixelFingerprint(png).isDefined)
+    // different pixels -> different key; undecodable -> None
+    val other = ImageCodec.encodePng(ImageCodec.synthImage(10L, 16, 12))
+    assert(pixelFingerprint(png) !== pixelFingerprint(other))
+    assert(pixelFingerprint("not an image".getBytes).isEmpty)
+  }
+
+  test("dedupByPixels collapses re-encodes onto the min id, keeps the rest") {
+    val img1 = ImageCodec.synthImage(1L, 16, 12)
+    val mixed = Seq(
+      MediaAsset(1L, ImageCodec.encodePng(img1), MediaMeta("image/png", 16, 12, 0L)),
+      MediaAsset(2L, ImageCodec.encode(img1, "bmp"), MediaMeta("image/bmp", 16, 12, 0L)),
+      MediaAsset(3L, ImageCodec.encodePng(ImageCodec.synthImage(3L, 16, 12)),
+        MediaMeta("image/png", 16, 12, 0L)),
+      // undecodable media key on BYTES: identical bytes collapse, distinct survive
+      MediaAsset(4L, "fake-mp4-cccc".getBytes, MediaMeta("video/mp4", 1, 1, 0L)),
+      MediaAsset(5L, "fake-mp4-cccc".getBytes, MediaMeta("video/mp4", 1, 1, 0L))
+    ).toDS()
+    val kept = dedupByPixels(mixed).select("asset_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("dedupByAHash collapses resized AND re-encoded copies; distinct images survive") {
+    val img1 = ImageCodec.synthImage(21L, 16, 8)
+    val mixed = Seq(
+      MediaAsset(1L, ImageCodec.encodePng(img1), MediaMeta("image/png", 16, 8, 0L)),
+      // 2x nearest-neighbor resize: different bytes AND different raster,
+      // same aHash -> must collapse onto id 1 (the class mm7 misses)
+      MediaAsset(2L, ImageCodec.encodePng(ImageCodec.upscaleNearest(img1, 2)),
+        MediaMeta("image/png", 32, 16, 0L)),
+      // BMP re-encode of the same image: collapses here too (coarser than pixels)
+      MediaAsset(3L, ImageCodec.encode(img1, "bmp"), MediaMeta("image/bmp", 16, 8, 0L)),
+      // genuinely different image survives
+      MediaAsset(4L, ImageCodec.encodePng(ImageCodec.synthImage(22L, 16, 8)),
+        MediaMeta("image/png", 16, 8, 0L)),
+      // undecodable media key on bytes: identical collapse, the 'b:' namespace
+      // keeps them out of every aHash group
+      MediaAsset(5L, "fake-mp4-cccc".getBytes, MediaMeta("video/mp4", 1, 1, 0L)),
+      MediaAsset(6L, "fake-mp4-cccc".getBytes, MediaMeta("video/mp4", 1, 1, 0L))
+    ).toDS()
+    val kept = dedupByAHash(mixed).select("asset_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L, 5L))
+  }
+
   test("imagePatchEmbeddings: long-form exact means; undecodable assets absent") {
     val rows = imagePatchEmbeddings(pngAssets, grid = 4).collect()
     assert(rows.map(_.getAs[Long]("asset_id")).toSet === Set(1L, 2L, 3L))
