@@ -84,7 +84,8 @@ object AudioCodec {
       .putShort((pcm.channels * 2).toShort)      // block align
       .putShort(16)
     bb.put("data".getBytes).putInt(dataBytes)
-    pcm.samples.foreach(bb.putShort)
+    var i = 0 // while, not Array.foreach: avoids per-sample boxing
+    while (i < pcm.samples.length) { bb.putShort(pcm.samples(i)); i += 1 }
     bb.array
   }
 
