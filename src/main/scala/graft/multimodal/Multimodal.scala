@@ -15,14 +15,15 @@ import org.apache.spark.sql.functions._
   * decoded raster itself ([[pixelFingerprint]] — re-encode class, mm7)
   * and on its perceptual average-hash ([[aHashKey]] — resize class,
   * mm8). The AUDIO path is real for RIFF/WAV PCM ([[AudioCodec]],
-  * exact chunk arithmetic — [[audioWindowFeatures]], mm9). Media
-  * neither codec claims (video, compressed audio — no pure-JDK
-  * demuxer exists) falls through to the ORIGINAL deterministic
-  * stand-ins (`decodeStub`, `frameOffsetsStub`, `thumbnailStub`),
-  * which remain the one documented synthetic boundary; the dispatch is
-  * decodability itself, so the stand-in path is visible
-  * (decoded_ok = false / absent rows), never folded into plausible
-  * media features.
+  * exact chunk arithmetic — [[audioWindowFeatures]], mm9). The VIDEO
+  * path is real for AVI with uncompressed DIB frames ([[VideoCodec]]
+  * — [[videoFrameFeatures]], mm10). Media no codec claims (compressed
+  * codecs: MJPEG/H.264/MP3/AAC — no pure-JDK decoder exists) falls
+  * through to the ORIGINAL deterministic stand-ins (`decodeStub`,
+  * `frameOffsetsStub`, `thumbnailStub`), which remain the one
+  * documented synthetic boundary; the dispatch is decodability
+  * itself, so the stand-in path is visible (decoded_ok = false /
+  * absent rows), never folded into plausible media features.
   *
   * Scale notes:
   *  - media bytes never shuffle: feature extraction is a mapPartitions
@@ -41,11 +42,12 @@ object Multimodal {
       fingerprint: Long,
       embedding: Array[Float])
 
-  /** ??? REAL-CODEC BOUNDARY (video/compressed-audio only since r15) ???
-    * — deterministic fake embedder for media no pure-JDK codec claims
-    * (no JDK video demuxer or MP3/AAC decoder exists; images decode via
-    * [[ImageCodec]], WAV PCM via [[AudioCodec]]). Images take the REAL
-    * path: [[mediaEmbedding]] dispatches to [[ImageCodec.decode]] +
+  /** ??? REAL-CODEC BOUNDARY (compressed media only since r15) ??? —
+    * deterministic fake embedder for media no pure-JDK codec claims
+    * (MJPEG/H.264/MP3/AAC — no JDK decoder exists; images decode via
+    * [[ImageCodec]], WAV PCM via [[AudioCodec]], uncompressed-DIB AVI
+    * via [[VideoCodec]]). Images take the REAL path:
+    * [[mediaEmbedding]] dispatches to [[ImageCodec.decode]] +
     * [[ImageCodec.patchMeanLuma]] first and reaches this stand-in only
     * on decode failure. Produces a `dim`-float vector from a rolling
     * hash of the bytes; stable across JVMs and runs.
@@ -221,6 +223,47 @@ object Multimodal {
       }
     }.toDF("asset_id", "window_idx", "n_samples", "sum_sq", "peak",
       "zero_cross", "rms")
+  }
+
+  /** Per-frame features over REAL AVI demux ([[VideoCodec.decodeAvi]]
+    * — uncompressed 24-bit DIB): every `everyN`-th frame yields one
+    * row with the decoded raster's channel sums and the
+    * position-weighted checksum Σ(idx+1)·(r·2¹⁶+g·2⁸+b) — the
+    * [[decodeImages]] audit columns, per frame. Media [[VideoCodec]]
+    * cannot claim (compressed codecs) emit no rows; [[sampleFrames]]
+    * over the offset stand-in remains their documented path. Scale
+    * shape: demux is per-row CPU inside batched `mapPartitions`;
+    * video bytes never shuffle; what exits is a fixed-width per-frame
+    * projection.
+    */
+  def videoFrameFeatures(assets: Dataset[MediaAsset], everyN: Int = 1,
+      batchSize: Int = 16): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1 (got $everyN)")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          VideoCodec.decodeAvi(a.media) match {
+            case Some(clip) =>
+              clip.frames.iterator.zipWithIndex.collect {
+                case (f, idx) if idx % everyN == 0 =>
+                  var rs = 0L; var gs = 0L; var bs = 0L; var ws = 0L
+                  var i = 0
+                  while (i < f.rgb.length) {
+                    val p = f.rgb(i)
+                    rs += (p >> 16) & 255; gs += (p >> 8) & 255; bs += p & 255
+                    ws += (i + 1).toLong * p
+                    i += 1
+                  }
+                  (a.asset_id, idx, clip.width, clip.height,
+                    f.rgb.length.toLong, rs, gs, bs, ws)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+    }.toDF("asset_id", "frame_idx", "width", "height", "n_px",
+      "r_sum", "g_sum", "b_sum", "px_wsum")
   }
 
   /** Patch-mean-luma embedding stage in LONG form — one row per

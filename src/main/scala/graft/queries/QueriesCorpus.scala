@@ -1282,6 +1282,55 @@ QueryDef("mm9_audio_features",
              |  round(sqrt(CAST(sum(s*s) AS DOUBLE)/count(*)), 6) AS rms
              |FROM sm GROUP BY 1, 2 ORDER BY asset_id, window_idx""".stripMargin)),
 
+QueryDef("mm10_video_frames",
+      // REAL video demux under oracle ([[Multimodal.videoFrameFeatures]]
+      // — [[VideoCodec.decodeAvi]] parses the RIFF/AVI container the
+      // query's own [[VideoCodec.synthAvi]] muxer wrote: uncompressed
+      // 24-bit DIB frames, bottom-up BGR rows, 4-byte stride — all
+      // exact byte arithmetic, the mm5/mm9 convention). Planted clip
+      // lengths 2 + id%4 at 16×12, everyN=2 → frames 0,2,4 where they
+      // exist; frame f's raster is the synth formula at
+      // fid = id + 131071·f, which the oracle replays per sampled
+      // frame (channel sums + the position-weighted checksum). A hash
+      // match proves mux→demux→flip→BGR-unpack is pixel-exact
+      // cross-engine — the codec stand-in now covers ONLY compressed
+      // media, for every modality.
+      (s, dir) => {
+        import s.implicits._
+        val assets = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val nf = 2 + (id % 4).toInt
+            graft.multimodal.Multimodal.MediaAsset(id,
+              graft.multimodal.VideoCodec.synthAvi(id, nf, 16, 12),
+              graft.multimodal.Multimodal.MediaMeta("video/avi", 16, 12,
+                nf * 40L))
+          })
+        graft.multimodal.Multimodal.videoFrameFeatures(assets, everyN = 2)
+          .orderBy("asset_id", "frame_idx")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id AS asset_id, doc_id AS fid,
+             |    2 + CAST(doc_id % 4 AS INTEGER) AS nf FROM documents),
+             |fr AS (
+             |  SELECT asset_id, CAST(f.f AS INTEGER) AS frame_idx,
+             |    fid + 131071*f.f AS ffid
+             |  FROM u, range(0, 5) f(f)
+             |  WHERE f.f < nf AND f.f % 2 = 0),
+             |px AS (
+             |  SELECT asset_id, frame_idx, y.y*16 + x.x + 1 AS pidx,
+             |    (ffid*31 + x.x*7 + y.y*13) % 256 AS r,
+             |    (ffid*17 + x.x*3 + y.y*29) % 256 AS g,
+             |    (ffid*23 + x.x*11 + y.y*5) % 256 AS b
+             |  FROM fr, range(0, 16) x(x), range(0, 12) y(y))
+             |SELECT asset_id, frame_idx,
+             |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+             |  count(*) AS n_px,
+             |  CAST(sum(r) AS BIGINT) AS r_sum,
+             |  CAST(sum(g) AS BIGINT) AS g_sum,
+             |  CAST(sum(b) AS BIGINT) AS b_sum,
+             |  CAST(sum(pidx*(r*65536 + g*256 + b)) AS BIGINT) AS px_wsum
+             |FROM px GROUP BY 1, 2 ORDER BY asset_id, frame_idx""".stripMargin)),
+
 QueryDef("pack1_sequence_packing",
       // deterministic sequence packing: documents into 512-token training
       // packs across 8 shards; the full per-doc assignment is the result

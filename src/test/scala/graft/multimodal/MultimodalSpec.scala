@@ -193,6 +193,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 4L, 5L))
   }
 
+  test("videoFrameFeatures: every-2nd real AVI frame; compressed media absent") {
+    val assets = Seq(
+      MediaAsset(1L, VideoCodec.synthAvi(1L, 3, 8, 6), MediaMeta("video/avi", 8, 6, 120L)),
+      MediaAsset(2L, "fake-mp4-cccc".getBytes, MediaMeta("video/mp4", 1, 1, 0L))
+    ).toDS()
+    val rows = videoFrameFeatures(assets, everyN = 2).collect()
+    assert(rows.map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("frame_idx"))).toSet
+      === Set((1L, 0), (1L, 2)))
+    // per-frame sums are the decode-audit arithmetic over the frame's raster
+    val f2 = ImageCodec.synthImage(1L + 131071L * 2, 8, 6)
+    val expR = f2.rgb.map(p => ((p >> 16) & 255).toLong).sum
+    val expW = f2.rgb.zipWithIndex.map { case (p, i) => (i + 1).toLong * p }.sum
+    val r2 = rows.find(r => r.getAs[Int]("frame_idx") == 2).get
+    assert(r2.getAs[Long]("r_sum") === expR)
+    assert(r2.getAs[Long]("px_wsum") === expW)
+  }
+
   test("imagePatchEmbeddings: long-form exact means; undecodable assets absent") {
     val rows = imagePatchEmbeddings(pngAssets, grid = 4).collect()
     assert(rows.map(_.getAs[Long]("asset_id")).toSet === Set(1L, 2L, 3L))
