@@ -305,10 +305,19 @@ object CorpusPipeline {
         screened.withColumn(textCol, TextFunctions.redactPii(t))
       else screened
     // exact dedup BEFORE near-dup: it is cheaper (16-byte fingerprints)
-    // and shrinks the LSH candidate space
-    val exact = DedupFunctions.dedupExact(
-      scrubbed.withColumn("_fp", TextFunctions.fingerprint(col(textCol))),
-      idCol, "_fp").drop("_fp")
+    // and shrinks the LSH candidate space.
+    //
+    // PINNED (r15, the library-wide multi-consumer rule): `exact` feeds
+    // BOTH the LSH shingle branch and the final drop anti-join's left
+    // side — unpinned, the whole gate → scrub → fingerprint → dedup
+    // chain (the pipeline's regex-heaviest projections) executed TWICE
+    // per clean() call. Same storage level and release protocol
+    // (Caches.releaseAll) as the downstream textDeduped pin.
+    val exact = graft.Caches.trackedPersist(
+      DedupFunctions.dedupExact(
+        scrubbed.withColumn("_fp", TextFunctions.fingerprint(col(textCol))),
+        idCol, "_fp").drop("_fp"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the text-LSH candidate join arms the skew defense: a crawl's
     // boilerplate buckets are exactly the pathological same-key groups
     // selfPairJoin splits (the registry's oracle queries keep the
@@ -627,11 +636,17 @@ object CorpusPipeline {
     // gracefully, like the semantic arm.
     val textSafe0 = (index.winnow, cfg.containmentThreshold) match {
       case (Some(wIdx), Some(th)) =>
+        // textSafe00 feeds BOTH the containment probe and the final
+        // anti-join's left side — unpinned, the vs-corpus LSH tier
+        // above (candidate join + jaccard verify over the batch's
+        // freshly-signatured bands) executed twice (r15 pin, the
+        // multi-consumer rule)
+        val safePinned = trackedPersist(textSafe00, MEMORY_AND_DISK)
         val contained = DedupFunctions.containmentPairsAgainst(
-            wIdx, textSafe00, idCol, textCol, threshold = th,
+            wIdx, safePinned, idCol, textCol, threshold = th,
             maxDocFreq = cfg.containmentMaxDocFreq, hash = cfg.winnowHash)
           .select(col("contained_id").as(idCol)).distinct()
-        textSafe00.join(broadcast(contained), Seq(idCol), "left_anti")
+        safePinned.join(broadcast(contained), Seq(idCol), "left_anti")
       case _ => textSafe00
     }
     // 4. semantic-vs-corpus: the batch side REUSES the stage-1 pooled

@@ -612,12 +612,17 @@ object DedupFunctions {
   }
 
   /** 60-bit hash both Spark and DuckDB can compute identically:
-    * the first 15 hex chars of md5, parsed as an integer. Slower than
-    * xxhash64 — exists so hash-dependent pipelines (MinHash-LSH) can be
-    * oracle-verified end-to-end; production paths keep xxhash64.
+    * the first 15 hex chars of md5, parsed as an integer — i.e.
+    * `conv(substring(md5(c), 1, 15), 16, 10)`, which DuckDB oracles
+    * replay verbatim. Slower than xxhash64 — exists so hash-dependent
+    * pipelines (MinHash-LSH) can be oracle-verified end-to-end;
+    * production paths keep xxhash64. Since r15 the Spark side computes
+    * it through the fused native [[Md5Prefix60]] (bit-identical by
+    * construction and by property spec; the hex/conv expression chain
+    * allocated five transients per call on the MinHash hot path).
     */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    Md5Prefix60(c.cast("binary"))
 
   /** LSH banding: band b = hash of signature rows [b·r, (b+1)·r). Docs
     * sharing any (band, bucket) become candidates.

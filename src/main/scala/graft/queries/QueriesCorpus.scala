@@ -1474,8 +1474,14 @@ QueryDef("c12_classifier_gated_clean",
           .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
         val (w, bias) = Cls.naiveBayesWeights(labeled, "text", "label",
           buckets = 1 << 16, hash = D.md5Hash60)
-        val scored = Cls.scoreLinear(d, "doc_id", "text", w, bias,
-          buckets = 1 << 16, hash = D.md5Hash60)
+        // scored feeds BOTH the median aggregate and the gating join —
+        // unpinned, the whole NB scoring chain (tokenize + hash +
+        // weights join over every doc) executed twice (r15 pin, the
+        // multi-consumer rule; released via Caches.releaseAll)
+        val scored = graft.Caches.trackedPersist(
+          Cls.scoreLinear(d, "doc_id", "text", w, bias,
+            buckets = 1 << 16, hash = D.md5Hash60),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val med = scored.agg(expr("percentile(score, 0.5D)").as("_tau"))
         val kept = d.join(scored, Seq("doc_id")).crossJoin(broadcast(med))
           .filter(col("score") >= col("_tau"))

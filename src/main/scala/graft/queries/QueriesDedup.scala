@@ -1300,13 +1300,20 @@ QueryDef("d29_lsh_recall",
       // watching is RECALL (pairs whose bands never collided). All
       // counts exact longs; one small-denominator division.
       (s, dir) => {
-        val truth = D.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.7).select("id_a", "id_b")
-        val pred = D.minhashLshPairs(docs(s, dir), "doc_id", "text",
-          n = 3, numHashes = 16, bands = 4, threshold = 0.7,
-          hash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
-          bucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))))
-          .select("id_a", "id_b")
+        // truth feeds its count AND the anti-join; pred feeds its count
+        // AND the anti-join — unpinned, each pair pipeline (prefix-
+        // filter join / banded LSH join) executed twice (r15 pin, the
+        // multi-consumer rule; released via Caches.releaseAll)
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val truth = graft.Caches.trackedPersist(
+          D.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
+            n = 3, threshold = 0.7).select("id_a", "id_b"), lvl)
+        val pred = graft.Caches.trackedPersist(
+          D.minhashLshPairs(docs(s, dir), "doc_id", "text",
+            n = 3, numHashes = 16, bands = 4, threshold = 0.7,
+            hash = (c, i) => D.md5Hash60(concat(c, lit("#"), lit(i))),
+            bucketHash = (c, b) => D.md5Hash60(concat(c, lit("#b#"), lit(b))))
+          .select("id_a", "id_b"), lvl)
         val nT = truth.agg(count(lit(1)).as("n_truth"))
         val nP = pred.agg(count(lit(1)).as("n_pred"))
         val nM = truth.join(pred, Seq("id_a", "id_b"), "left_anti")

@@ -492,7 +492,15 @@ QueryDef("w23_rolling_corr",
           .agg(sum(col("x")).cast("decimal(18,2)").as("y"))
         val w20 = org.apache.spark.sql.expressions.Window
           .partitionBy("ticker").orderBy("date").rowsBetween(-19, 0)
-        p.join(idx, "date")
+        // broadcast the CALENDAR-bounded index side (r15): its lineage
+        // ends in a single-partition day aggregate, and without the hint
+        // Catalyst broadcast the per-ticker side instead (BuildLeft),
+        // leaving the join output single-partition — which satisfied the
+        // rolling window's ticker clustering trivially and serialized
+        // the whole 5-sum sliding window into ONE task (guide §3.1:
+        // size estimates after windows are wrong; hint the side you
+        // know). Same fix across w37/w44/w54.
+        p.join(broadcast(idx), "date")
           .select(col("ticker"), col("date"),
             count(lit(1)).over(w20).as("_n"),
             sum(col("x")).over(w20).cast("double").as("_sx"),
@@ -1096,7 +1104,7 @@ QueryDef("w37_rolling_beta",
             lag(col("close"), 1).over(wTicker) - 1, 6).cast("decimal(16,6)"))
           .select("ticker", "date", "y")
         val w20 = Window.partitionBy("ticker").orderBy("date").rowsBetween(-19, 0)
-        tret.join(mret, "date")
+        tret.join(broadcast(mret), "date")
           .filter(col("x").isNotNull && col("y").isNotNull)
           .select(col("ticker"), col("date"),
             count(lit(1)).over(w20).as("_n"),
@@ -1898,7 +1906,7 @@ QueryDef("w44_capture_ratios",
           .select(col("ticker"), col("date"),
             (round(col("ret"), 6).cast("decimal(10,6)") * 1000000)
               .cast("long").as("y"))
-        val j = tret.join(mret, "date").filter(col("m") =!= 0)
+        val j = tret.join(broadcast(mret), "date").filter(col("m") =!= 0)
         val up = col("m") > 0
         val a = j.groupBy("ticker").agg(
           sum(when(up, 1L).otherwise(0L)).as("n_up"),
@@ -2353,7 +2361,7 @@ QueryDef("w54_information_ratio",
           .select(col("ticker"), col("date"),
             (round(col("ret"), 6).cast("decimal(10,6)") * 1000000)
               .cast("long").as("y"))
-        val x = tret.join(mret, "date")
+        val x = tret.join(broadcast(mret), "date")
           .withColumn("_e", col("y") - col("m"))
         val a = x.groupBy("ticker").agg(
           count(lit(1)).as("n"), sum(col("_e")).as("_s"),
